@@ -1,0 +1,179 @@
+package graft.filter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lowers a [[FilterAst]] to a single Catalyst `Column` predicate against a
+  * concrete schema. This is the Spark-native replacement for the
+  * reference's entire rule-match machinery (luqum tree walk + rule trie,
+  * logprep/framework/rule_tree/rule_tree.py:218-252): predicates become
+  * codegen'd boolean expressions evaluated by Tungsten, and Catalyst's
+  * BooleanSimplification / common-subexpression elimination replaces the
+  * DNF + shared-prefix-trie optimization wholesale.
+  *
+  * Missing-key semantics: any leaf over a path the schema does not contain
+  * compiles to `lit(false)` (the reference catches KeyDoesNotExistError and
+  * returns false, filter_expression.py:39-63); leaves over nullable columns
+  * are wrapped `coalesce(pred, false)` so SQL NULL never escapes the leaf.
+  */
+object FilterCompiler {
+  import FilterAst._
+
+  /** Resolve a dotted path against a schema. Returns the Column and its
+    * type, or None if the path cannot exist. Supports struct traversal and
+    * integer list indices (`a.b.0`).
+    */
+  def resolve(schema: StructType, path: String): Option[(Column, DataType)] = {
+    val parts = path.split("\\.")
+    def walk(c: Column, dt: DataType, rest: List[String]): Option[(Column, DataType)] =
+      rest match {
+        case Nil => Some((c, dt))
+        case p :: tail => dt match {
+          case st: StructType =>
+            st.fields.find(_.name == p).flatMap(f => walk(c.getField(p), f.dataType, tail))
+          case ArrayType(et, _) if p.forall(_.isDigit) =>
+            walk(element_at(c, p.toInt + 1), et, tail) // 0-based like reference
+          case MapType(StringType, vt, _) =>
+            walk(element_at(c, lit(p)), vt, tail)
+          case _ => None
+        }
+      }
+    parts.toList match {
+      case head :: tail =>
+        schema.fields.find(_.name == head)
+          .flatMap(f => walk(col(head), f.dataType, tail))
+          .orElse {
+            // allow "a.b" to name a literal top-level column with a dot? No —
+            // reference paths are strictly dotted. Give up.
+            None
+          }
+      case Nil => None
+    }
+  }
+
+  /** Translate a Lucene wildcard pattern (`*`/`?`, backslash escapes) to an
+    * anchored Java regex (reference: filter_expression.py:218-267).
+    */
+  def wildcardToRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\' && i + 1 < pattern.length) {
+        sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '*' => sb.append(".*")
+          case '?' => sb.append(".")
+          case o => sb.append(java.util.regex.Pattern.quote(o.toString))
+        }
+        i += 1
+      }
+    }
+    sb.append("$").toString
+  }
+
+  /** Normalize a user regex to full anchoring, preserving inline flags
+    * (reference: filter_expression.py:378-411).
+    */
+  def anchorRegex(p: String): String = {
+    val flagRe = """^(\(\?[a-zA-Z]+\))(.*)$""".r
+    val (flags, body) = p match {
+      case flagRe(f, b) => (f, b)
+      case _ => ("", p)
+    }
+    val b1 = if (body.startsWith("^")) body.drop(1) else body
+    val b2 = if (b1.endsWith("$") && !b1.endsWith("\\$")) b1.dropRight(1) else b1
+    s"$flags^$b2$$"
+  }
+
+  private def nullSafe(p: Column): Column = coalesce(p, lit(false))
+
+  def compile(ast: FilterAst, schema: StructType): Column = ast match {
+    case Always(v) => lit(v)
+    case Not(c) => !compile(c, schema)
+    case And(cs) => cs.map(compile(_, schema)).reduce(_ && _)
+    case Or(cs) => cs.map(compile(_, schema)).reduce(_ || _)
+
+    case StringEq(f, v) => resolve(schema, f) match {
+      case Some((c, ArrayType(_, _))) => nullSafe(array_contains(c.cast("array<string>"), v))
+      case Some((c, BooleanType)) =>
+        // reference stringifies Python bools as True/False; accept both casings
+        nullSafe(c.cast("string") === v.toLowerCase || lit(v.equalsIgnoreCase("true")) === c)
+      case Some((c, _)) => nullSafe(c.cast("string") === v)
+      case None => lit(false)
+    }
+
+    case Wildcard(f, p) => resolve(schema, f) match {
+      case Some((c, _)) => nullSafe(c.cast("string").rlike(wildcardToRegex(p)))
+      case None => lit(false)
+    }
+    case SigmaWildcard(f, p) => resolve(schema, f) match {
+      case Some((c, _)) => nullSafe(c.cast("string").rlike("(?i)" + wildcardToRegex(p)))
+      case None => lit(false)
+    }
+
+    case IntEq(f, v) => resolve(schema, f) match {
+      case Some((c, t)) if numeric(t) => nullSafe(c === lit(v))
+      case Some((c, StringType)) => nullSafe(c === lit(v.toString))
+      case _ => lit(false)
+    }
+    case FloatEq(f, v) => resolve(schema, f) match {
+      case Some((c, t)) if numeric(t) => nullSafe(c === lit(v))
+      case _ => lit(false)
+    }
+
+    case IntRange(f, lo, hi, li, hi2) => numRange(schema, f, lo.map(lit), hi.map(lit), li, hi2)
+    case FloatRange(f, lo, hi, li, hi2) => numRange(schema, f, lo.map(lit), hi.map(lit), li, hi2)
+
+    case StringRange(f, lo, hi, li, hi2) => resolve(schema, f) match {
+      case Some((c0, _)) =>
+        val c = c0.cast("string")
+        val conds = lo.map(v => if (li) c >= lit(v) else c > lit(v)).toSeq ++
+          hi.map(v => if (hi2) c <= lit(v) else c < lit(v)).toSeq
+        nullSafe(conds.reduceOption(_ && _).getOrElse(lit(true)))
+      case None => lit(false)
+    }
+
+    case Regex(f, p) => resolve(schema, f) match {
+      case Some((c, _)) => nullSafe(c.cast("string").rlike(anchorRegex(p)))
+      case None => lit(false)
+    }
+
+    case Exists(f) => resolve(schema, f) match {
+      // Static schema: the path exists structurally; "exists" per the
+      // reference means the key is present. With a declared schema, a
+      // non-null value (or any parent struct present) is the closest
+      // faithful semantic; parquet null ⇔ key absent for our flat tables.
+      case Some((c, _)) => c.isNotNull
+      case None => lit(false)
+    }
+
+    case IsNull(f) => resolve(schema, f) match {
+      case Some((c, _)) => c.isNull
+      case None => lit(false)
+    }
+  }
+
+  private def numeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def numRange(schema: StructType, f: String, lo: Option[Column],
+                       hi: Option[Column], loIncl: Boolean, hiIncl: Boolean): Column =
+    resolve(schema, f) match {
+      case Some((c0, t)) =>
+        val c = if (numeric(t)) c0 else c0.cast("double")
+        val conds = lo.map(v => if (loIncl) c >= v else c > v).toSeq ++
+          hi.map(v => if (hiIncl) c <= v else c < v).toSeq
+        nullSafe(conds.reduceOption(_ && _).getOrElse(lit(true)))
+      case None => lit(false)
+    }
+
+  /** One-call convenience: parse + compile. */
+  def predicate(filterString: String, schema: StructType): Column =
+    compile(LuceneParser.parseOrThrow(filterString), schema)
+}

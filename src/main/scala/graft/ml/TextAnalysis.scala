@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions — no UDFs, fully codegen'd, embarrassingly parallel
+  * (the 100 TB case is a narrow scan).
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language for the n-gram/stopword heuristic
+    * language identifier. (A real deployment broadcasts larger profiles;
+    * the heuristic shape — score per language, argmax — is the same.)
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"))
+
+  /** Language-ID: per-language marker-hit count over the token set; argmax
+    * with deterministic (alphabetical) tie-break; "und" (undetermined) when
+    * no marker hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(lower(text))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(array_intersect(toks, array(markers.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // max by (hits, then lang desc) — array_max on struct compares fieldwise;
+    // to make alphabetical-first win ties we compare (hits, reversed lang)
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio,
+    * stopword ratio, mean word length band. Deterministic arithmetic,
+    * rounded for cross-engine stability.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = (length(regexp_replace(text, """[^.,;:!?]""", ""))).cast("double")
+    val stop = size(array_intersect(Dedup.tokens(lower(text)),
+      array(langMarkers.values.flatten.toSeq.distinct.map(lit): _*))).cast("double")
+    val lenScore = least(len / 500.0, lit(1.0))
+    val punctRatio = when(len > 0, punct / len).otherwise(lit(0.0))
+    val punctScore = lit(1.0) - least(punctRatio * 10.0, lit(1.0))
+    val stopScore = when(nTok > 0, least(stop / nTok * 4.0, lit(1.0))).otherwise(lit(0.0))
+    val meanWord = when(nTok > 0, (len - nTok + 1) / nTok).otherwise(lit(0.0))
+    val wordScore = when(meanWord.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2, 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(Dedup.tokens(text)))
+
+  /** BPE-ish subword count: word-chunks + digits + punctuation pieces, the
+    * standard pre-tokenizer regex family (public GPT-2 style class shapes).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * stable under formatting noise; the cheap exact-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), """\s+""", " "))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fields.FieldOps
+import graft.filter.FilterCompiler
+
+/** Detection / privacy processors — the side-output producers. In the
+  * reference these append `(document, outputs)` tuples to
+  * `ProcessorResult.data` routed to named sinks
+  * (logprep/framework/pipeline.py:320-325); here each producer contributes
+  * a derived DataFrame (`filter` + `select`) that the pipeline routes to
+  * its own sink — in streaming, one query per (output, target) over the
+  * shared processed stream.
+  *
+  *  - pre_detector  (reference: logprep/processor/pre_detector/processor.py:51-173,
+  *    rule.py:175-243)
+  *  - pseudonymizer (logprep/processor/pseudonymizer/processor.py:62-382)
+  *  - amides        (logprep/processor/amides/processor.py:107-271)
+  */
+object Detection {
+
+  /** One pre-detector rule: fire on the Lucene filter; emit the detection
+    * sub-event. `detectionId` defaults to a deterministic sha2 of the rule
+    * id + a caller-chosen event key (the reference uses uuid4 —
+    * nondeterministic ids break exactly-once reprocessing on a cluster, so
+    * the engine derives ids content-addressed; pass `uuid()` to match the
+    * reference exactly).
+    */
+  case class PreDetectorRule(filter: String, id: String, title: String,
+                             severity: String, mitre: Seq[String],
+                             caseCondition: String = "directly")
+
+  /** Emit the detection stream for a set of rules: union of per-rule
+    * filtered projections. Catalyst merges the scans; with few rules this
+    * is a single pass with `when`-guarded projections.
+    */
+  def preDetector(df: DataFrame, rules: Seq[PreDetectorRule],
+                  eventKey: Column): DataFrame = {
+    val streams = rules.map { r =>
+      val pred = FilterCompiler.predicate(r.filter, df.schema)
+      df.filter(pred).select(
+        sha2(concat(lit(r.id), lit(":"), eventKey.cast("string")), 256).as("pre_detection_id"),
+        lit(r.id).as("id"),
+        lit(r.title).as("title"),
+        lit(r.severity).as("severity"),
+        array(r.mitre.map(lit): _*).as("mitre"),
+        lit(r.caseCondition).as("case_condition"),
+        lit(r.filter).as("rule_filter"),
+        eventKey.as("event_key"))
+    }
+    streams.reduce(_.unionAll(_))
+  }
+
+  /** pseudonymizer: replace the value (or regex-selected substrings) with
+    * `<pseudonym:{sha256(salt + value)}>`; the (pseudonym → encrypted
+    * original) mapping is emitted as a second DataFrame for the pseudonym
+    * sink. Hashing is `sha2` (codegen'd); the reference's RSA/AES hybrid
+    * encryption of originals is JCA work inside the mapping stream (kept
+    * out of the hot path by design — only matching rows reach it).
+    */
+  def pseudonymize(df: DataFrame, source: String, target: String,
+                   salt: String): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val pseudo = concat(lit("<pseudonym:"),
+      sha2(concat(lit(salt), src), 256), lit(">"))
+    FieldOps.set(df, target, when(src.isNotNull, pseudo))
+  }
+
+  /** The pseudonym-mapping side output: distinct (pseudonym, origin). */
+  def pseudonymMapping(df: DataFrame, source: String, salt: String): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    df.filter(src.isNotNull)
+      .select(sha2(concat(lit(salt), src), 256).as("pseudonym"),
+        src.as("origin"))
+      .distinct()
+  }
+
+  /** amides: misuse-classification of command lines. The reference scores
+    * a pickled scikit-learn TF-IDF + linear model; the engine's equivalent
+    * is a broadcast (token → weight) map + bias evaluated as a pure
+    * column expression: tokenize, look up weights, sum, sigmoid. Weights
+    * ship from an exported model; here the caller passes them in.
+    */
+  def amides(df: DataFrame, source: String, target: String,
+             weights: Map[String, Double], bias: Double,
+             threshold: Double = 0.5): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val tokens = split(lower(src), """[^a-z0-9_.-]+""")
+    val wmap = map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val score = aggregate(tokens, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
+    val confidence = lit(1.0) / (lit(1.0) + exp((score + lit(bias)) * -1))
+    FieldOps.set(df, target, struct(
+      round(confidence, 6).as("confidence"),
+      (confidence >= threshold).as("detected")))
+  }
+}

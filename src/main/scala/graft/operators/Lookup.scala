@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fields.FieldOps
+
+/** Lookup / enrichment processors. Small tables compile to `when`-chains or
+  * map literals (no shuffle, codegen'd); larger tables become broadcast
+  * joins — never a per-event interpreted lookup, and the reference's LRU
+  * caches (e.g. generic_resolver processor.py:128-135) are unnecessary
+  * because the lookup is either codegen'd or joined.
+  *
+  *  - generic_resolver      (reference: logprep/processor/generic_resolver/processor.py:50-221)
+  *  - template_replacer     (logprep/processor/template_replacer/processor.py:60-190)
+  *  - list_comparison       (logprep/processor/list_comparison/processor.py:50-167)
+  *  - network_comparison    (logprep/processor/network_comparison/processor.py:39-66)
+  *  - ip_informer           (logprep/processor/ip_informer/processor.py:38-85)
+  *  - geoip_enricher        (logprep/processor/geoip_enricher/processor.py:47-166)
+  *  - domain_label_extractor(logprep/processor/domain_label_extractor/processor.py:55-140)
+  *  - domain_resolver       (logprep/processor/domain_resolver/processor.py:68-263)
+  *  - requester             (logprep/processor/requester/processor.py:54-129)
+  */
+object Lookup {
+
+  /** generic_resolver: first regex pattern that matches the source value
+    * wins; its mapped value is written to target. Compiles to a `coalesce`
+    * of `when(rlike)` branches — short-circuit order preserved.
+    */
+  def genericResolver(df: DataFrame, source: String, target: String,
+                      resolveList: Seq[(String, String)]): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val branches = resolveList.map { case (pattern, value) =>
+      when(src.rlike(pattern), lit(value))
+    }
+    FieldOps.set(df, target, coalesce(branches: _*))
+  }
+
+  /** template_replacer: composite key (joined source fields) → replacement
+    * from a pre-loaded template table. Small table → map literal +
+    * `element_at`; large table → broadcast join (caller picks via size).
+    */
+  def templateReplacer(df: DataFrame, keyFields: Seq[String], delimiter: String,
+                       target: String, table: Map[String, String]): DataFrame = {
+    val key = concat_ws(delimiter,
+      keyFields.map(f => FieldOps.getOrNull(df.schema, f).cast("string")): _*)
+    val m = map(table.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    FieldOps.set(df, target, element_at(m, key))
+  }
+
+  /** list_comparison: which of the named term-sets contain the value?
+    * Writes `<target>.in_list` (matching list names, sorted) or
+    * `<target>.not_in_list` (all list names) — the reference's contract.
+    */
+  def listComparison(df: DataFrame, source: String, target: String,
+                     lists: Map[String, Set[String]]): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val matching = array_sort(array_compact(array(
+      lists.toSeq.sortBy(_._1).map { case (name, terms) =>
+        when(src.isInCollection(terms.toSeq), lit(name))
+      }: _*)))
+    val allNames = array(lists.keys.toSeq.sorted.map(lit): _*)
+    val d1 = FieldOps.set(df, s"$target.in_list",
+      when(size(matching) > 0, matching))
+    FieldOps.set(d1, s"$target.not_in_list",
+      when(size(matching) === 0, allNames))
+  }
+
+  // ------------------------------------------------------------------- CIDR
+  /** IPv4 dotted-quad → numeric, as a Column expression (no UDF): split and
+    * fold the octets. Null for non-IPv4 strings.
+    */
+  def ipv4ToLong(ip: Column): Column = {
+    val ok = ip.rlike("""^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$""")
+    val oct = (i: Int) => split(ip, "\\.").getItem(i).cast("long")
+    when(ok, oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3))
+  }
+
+  /** Does `ip` fall into the CIDR block? Pure arithmetic — prefix compare
+    * on the numeric value. (The reference shells out to Python `ipaddress`;
+    * here a codegen'd expression.)
+    */
+  def cidrContains(ip: Column, cidr: String): Column = {
+    val Array(net, bitsS) = cidr.split("/")
+    val bits = bitsS.toInt
+    val netNum = net.split("\\.").map(_.toLong)
+      .foldLeft(0L)((acc, o) => acc * 256 + o)
+    val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    val ipn = ipv4ToLong(ip)
+    ipn.isNotNull && ((ipn.bitwiseAND(lit(mask))) === lit(netNum & mask))
+  }
+
+  /** network_comparison: is the source IP inside any of the named CIDR
+    * sets? Same in_list/not_in_list contract as listComparison.
+    */
+  def networkComparison(df: DataFrame, source: String, target: String,
+                        networks: Map[String, Seq[String]]): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val matching = array_sort(array_compact(array(
+      networks.toSeq.sortBy(_._1).map { case (name, cidrs) =>
+        val hit = cidrs.map(c => cidrContains(src, c)).reduce(_ || _)
+        when(hit, lit(name))
+      }: _*)))
+    val allNames = array(networks.keys.toSeq.sorted.map(lit): _*)
+    val d1 = FieldOps.set(df, s"$target.in_list",
+      when(size(matching) > 0, matching))
+    FieldOps.set(d1, s"$target.not_in_list",
+      when(size(matching) === 0, allNames))
+  }
+
+  /** ip_informer: per-IP properties struct (v4 subset of the reference's
+    * `ipaddress`-module property set) — all pure expressions.
+    */
+  def ipInformer(df: DataFrame, source: String, target: String): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val n = ipv4ToLong(src)
+    def in(c: String) = cidrContains(src, c)
+    val isPrivate = in("10.0.0.0/8") || in("172.16.0.0/12") || in("192.168.0.0/16")
+    val isLoopback = in("127.0.0.0/8")
+    val isMulticast = in("224.0.0.0/4")
+    val isLinkLocal = in("169.254.0.0/16")
+    val isGlobal = n.isNotNull && !isPrivate && !isLoopback && !isMulticast &&
+      !isLinkLocal && !in("0.0.0.0/8") && !in("100.64.0.0/10")
+    FieldOps.set(df, target, struct(
+      lit(4).as("version"),
+      coalesce(isPrivate, lit(false)).as("is_private"),
+      coalesce(isLoopback, lit(false)).as("is_loopback"),
+      coalesce(isMulticast, lit(false)).as("is_multicast"),
+      coalesce(isLinkLocal, lit(false)).as("is_link_local"),
+      coalesce(isGlobal, lit(false)).as("is_global")))
+  }
+
+  /** geoip_enricher: geo lookup via a broadcast prefix table. The real
+    * MaxMind reader is a per-executor lazily-opened resource in a
+    * mapPartitions stage; in this container (no GeoLite2 db, zero egress)
+    * the lookup table is injected by the caller — the Spark-side plumbing
+    * (broadcast join on the /24 prefix, struct output) is the real design.
+    */
+  def geoipEnricher(df: DataFrame, source: String, target: String,
+                    geoTable: DataFrame): DataFrame = {
+    // geoTable: (prefix string "a.b.c", country, city, lat, lon)
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val withPrefix = df.withColumn("__geo_prefix",
+      regexp_extract(src, """^(\d{1,3}\.\d{1,3}\.\d{1,3})\.""", 1))
+    val joined = withPrefix.join(broadcast(geoTable),
+      withPrefix("__geo_prefix") === geoTable("prefix"), "left")
+    val out = joined.withColumn(target, struct(
+      geoTable("country").as("country"), geoTable("city").as("city"),
+      geoTable("lat").as("lat"), geoTable("lon").as("lon")))
+    out.drop("__geo_prefix", "prefix", "country", "city", "lat", "lon")
+  }
+
+  /** Effective public-suffix list subset for domain splitting. */
+  val publicSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
+      "com", "org", "net", "edu", "gov", "io", "de", "fr", "uk", "jp", "au",
+      "br", "us", "info", "biz")
+
+  /** domain_label_extractor: split a domain into subdomain /
+    * registered_domain / top_level_domain using the public-suffix list.
+    * Longest-suffix match compiled to an ordered `when` chain (suffixes
+    * sorted longest-first at plan time).
+    */
+  def domainLabelExtractor(df: DataFrame, source: String, target: String): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val ordered = publicSuffixes.sortBy(s => -s.count(_ == '.') * 100 - s.length)
+    val tld = coalesce(
+      (ordered.map { s =>
+        when(src.rlike("""(^|\.)""" + java.util.regex.Pattern.quote(s) + "$"), lit(s))
+      } :+ lit("")): _*)
+    val nTldLabels = size(split(tld, "\\."))
+    val totalLabels = size(split(src, "\\."))
+    val regLabel = element_at(split(src, "\\."), (totalLabels - nTldLabels).cast("int"))
+    val registered = when(tld =!= "" && totalLabels > nTldLabels,
+      concat(regLabel, lit("."), tld))
+    val subCount = (totalLabels - nTldLabels - 1).cast("int")
+    val subdomain = when(subCount > 0,
+      array_join(slice(split(src, "\\."), lit(1), subCount), "."))
+      .otherwise(lit(""))
+    FieldOps.set(df, target, struct(
+      coalesce(tld, lit("")).as("top_level_domain"),
+      coalesce(registered, lit("")).as("registered_domain"),
+      coalesce(subdomain, lit("")).as("subdomain")))
+  }
+
+  /** domain_resolver: DNS A-lookup. Real DNS is external nondeterministic
+    * I/O (the reference uses a threadpool + 0.5 s timeout + TTL cache); the
+    * engine models it as an enrichment stage. In this zero-egress container
+    * the resolver is a deterministic fake — md5-derived stable fake IP —
+    * but the stage shape (pure column transform, no driver round-trip) is
+    * exactly what a mapPartitions-with-cache resolver would use.
+    */
+  def domainResolver(df: DataFrame, source: String, target: String): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val h = md5(src)
+    def oct(i: Int) = conv(substring(h, i * 2 + 1, 2), 16, 10).cast("long") % 256
+    val fakeIp = concat_ws(".", lit(10), oct(1), oct(2), oct(3))
+    FieldOps.set(df, target, fakeIp)
+  }
+
+  /** requester: templated HTTP enrichment. External I/O stage — modeled
+    * with a deterministic fake response (echo of the rendered URL) so the
+    * plumbing (template render from event fields → response → target_field
+    * mapping) is real and testable offline.
+    */
+  def requester(df: DataFrame, urlTemplate: Seq[Column], target: String): DataFrame = {
+    val url = concat(urlTemplate: _*)
+    val fakeResponse = concat(lit("""{"url":""""), url, lit("""","status":200}"""))
+    FieldOps.set(df, target, fakeResponse)
+  }
+}

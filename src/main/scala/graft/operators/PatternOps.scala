@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fields.FieldOps
+
+/** Pattern processors — dissect/grok tokenization, template replacement,
+  * string decoding, log clustering. Patterns are compiled ONCE at plan time
+  * to Java-regex-based Catalyst expressions (`regexp_extract`,
+  * `regexp_replace`, `from_json`, `str_to_map`); the reference interprets
+  * each pattern per event in Python with 1 s timeout guards
+  * (logprep/util/grok/grok.py:87) — compiling to native expressions removes
+  * both the interpreter and the need for timeouts.
+  *
+  *  - dissector (reference: logprep/processor/dissector/processor.py:43-110,
+  *    grammar rule.py:103-123)
+  *  - grokker   (logprep/processor/grokker/processor.py:50-146,
+  *    engine logprep/util/grok/grok.py:49-146)
+  *  - replacer  (logprep/processor/replacer/processor.py:35-131)
+  *  - decoder   (logprep/processor/decoder/processor.py:53-82,
+  *    registry decoders.py:235-247)
+  *  - clusterer (logprep/processor/clusterer/processor.py:66-197)
+  */
+object PatternOps {
+
+  // ------------------------------------------------------------------ dissect
+  /** One parsed dissect token: literal separator or a field capture. */
+  case class DissectField(name: String, convert: Option[String], append: Boolean)
+
+  /** Compile a dissect pattern (`pre%{f1} %{f2|int} post`) to
+    * (anchored regex, fields-in-order). `%{}` and `%{?ref}` captures are
+    * skipped (matched but not extracted). Greedy last field, non-greedy
+    * inner fields — the dissect contract (split on the literal separators).
+    */
+  def compileDissect(pattern: String): (String, Seq[DissectField]) = {
+    val tok = """%\{([^}]*)\}""".r
+    val sb = new StringBuilder("^")
+    val fields = scala.collection.mutable.ArrayBuffer[DissectField]()
+    var last = 0
+    val ms = tok.findAllMatchIn(pattern).toList
+    ms.zipWithIndex.foreach { case (m, i) =>
+      sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start)))
+      val body = m.group(1)
+      val isLast = i == ms.size - 1
+      if (body.isEmpty || body.startsWith("?")) {
+        sb.append(if (isLast) "(?:.*)" else "(?:.*?)")
+      } else {
+        val append = body.startsWith("+")
+        val core = body.stripPrefix("+")
+        val (name, conv) = core.split("\\|") match {
+          case Array(n, c) => (n, Some(c))
+          case Array(n) => (n, None)
+          case _ => (core, None)
+        }
+        fields += DissectField(name, conv, append)
+        sb.append(if (isLast) "(.*)" else "(.*?)")
+      }
+      last = m.end
+    }
+    sb.append(java.util.regex.Pattern.quote(pattern.substring(last)))
+    sb.append("$")
+    (sb.toString, fields.toSeq)
+  }
+
+  /** dissector: tokenize `source` by the dissect pattern, writing each
+    * captured field (with optional `|int`/`|float`/`|bool` conversion).
+    */
+  def dissector(df: DataFrame, source: String, pattern: String): DataFrame = {
+    val (regex, fields) = compileDissect(pattern)
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      val raw = regexp_extract(src, regex, i + 1)
+      val v: Column = f.convert match {
+        case Some("int") => raw.cast("long")
+        case Some("float") => raw.cast("double")
+        case Some("bool") => lower(raw) === "true"
+        case _ => raw
+      }
+      FieldOps.set(d, f.name, v)
+    }
+  }
+
+  // -------------------------------------------------------------------- grok
+  /** Built-in grok pattern dictionary — the commonly-used core of the
+    * logstash/ECS set the reference resolves (logprep/util/grok resolves
+    * from its shipped pattern dirs; we inline the definitions, same
+    * public pattern language).
+    */
+  val grokPatterns: Map[String, String] = {
+    val base = Map(
+      "USERNAME" -> "[a-zA-Z0-9._-]+",
+      "USER" -> "%{USERNAME}",
+      "INT" -> "(?:[+-]?(?:[0-9]+))",
+      "BASE10NUM" -> """(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?)|\.[0-9]+)""",
+      "NUMBER" -> "(?:%{BASE10NUM})",
+      "WORD" -> """\b\w+\b""",
+      "NOTSPACE" -> """\S+""",
+      "SPACE" -> """\s*""",
+      "DATA" -> ".*?",
+      "GREEDYDATA" -> ".*",
+      "QUOTEDSTRING" -> """(?:"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')""",
+      "UUID" -> "[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+      "IPV4" -> """(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)""",
+      "IPV6" -> """(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\w+)?""",
+      "IP" -> "(?:%{IPV6}|%{IPV4})",
+      "HOSTNAME" -> """\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b""",
+      "IPORHOST" -> "(?:%{IP}|%{HOSTNAME})",
+      "POSINT" -> """\b(?:[1-9][0-9]*)\b""",
+      "NONNEGINT" -> """\b(?:[0-9]+)\b""",
+      "LOGLEVEL" -> "(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+      "YEAR" -> "(?:\\d\\d){1,2}",
+      "MONTHNUM" -> "(?:0?[1-9]|1[0-2])",
+      "MONTHDAY" -> "(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+      "HOUR" -> "(?:2[0123]|[01]?[0-9])",
+      "MINUTE" -> "(?:[0-5][0-9])",
+      "SECOND" -> "(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+      "TIME" -> "(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+      "ISO8601_TIMEZONE" -> "(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+      "TIMESTAMP_ISO8601" -> "%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+      "HTTPDATE" -> """%{MONTHDAY}/\w{3}/%{YEAR}:%{TIME} %{INT}""",
+      "URIPROTO" -> "[A-Za-z](?:[A-Za-z0-9+\\-.]+)+",
+      "URIHOST" -> "%{IPORHOST}(?::%{POSINT})?",
+      "URIPATH" -> """(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+""",
+      "URIQUERY" -> """[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*""",
+      "URIPARAM" -> """\?%{URIQUERY}""",
+      "URIPATHPARAM" -> "%{URIPATH}(?:\\?%{URIQUERY})?",
+      "URI" -> "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATH}(?:\\?%{URIQUERY})?)?",
+    )
+    base
+  }
+
+  /** Resolve `%{NAME}` / `%{NAME:field}` references to a flat Java regex;
+    * named captures become `(?<gN>...)` groups returned as (group, field).
+    */
+  def compileGrok(pattern: String,
+                  extra: Map[String, String] = Map.empty): (String, Seq[(String, String)]) = {
+    val dict = grokPatterns ++ extra
+    val ref = """%\{(\w+)(?::([\w.\[\]@]+))?\}""".r
+    val captures = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var gi = 0
+    def resolve(p: String, depth: Int): String = {
+      if (depth > 20) throw new IllegalArgumentException("grok recursion too deep")
+      ref.replaceAllIn(p, m => {
+        val name = m.group(1)
+        val field = Option(m.group(2))
+        val body = dict.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+        val resolved = resolve(body, depth + 1)
+        val out = field match {
+          case Some(f) =>
+            gi += 1
+            val g = s"g$gi"
+            captures += ((g, f.replace("[", ".").replace("]", "")))
+            s"(?<$g>$resolved)"
+          case None => s"(?:$resolved)"
+        }
+        java.util.regex.Matcher.quoteReplacement(out)
+      })
+    }
+    (resolve(pattern, 0), captures.toSeq)
+  }
+
+  /** grokker: apply grok patterns (first-match-wins across the list) to
+    * `source`, writing each named capture to its dotted field. The match is
+    * a full match, as in the reference (grok.py fullmatch).
+    */
+  def grokker(df: DataFrame, source: String, patterns: Seq[String],
+              extra: Map[String, String] = Map.empty): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val compiled = patterns.map(p => compileGrok(p, extra))
+    // field → value from the first pattern that (a) matches and (b) binds it
+    val allFields = compiled.flatMap(_._2.map(_._2)).distinct
+    allFields.foldLeft(df) { case (d, field) =>
+      val candidates = compiled.collect {
+        case (regex, caps) if caps.exists(_._2 == field) =>
+          val anchored = "^" + regex + "$"
+          val gname = caps.find(_._2 == field).get._1
+          when(src.rlike(anchored),
+            regexp_extract(src, anchored, groupIndexOf(regex, gname)))
+      }
+      FieldOps.set(d, field, coalesce(candidates: _*))
+    }
+  }
+
+  /** Index of named group `g` among all capturing groups of `regex`. */
+  private def groupIndexOf(regex: String, g: String): Int = {
+    // count opening capture groups (named or plain) before ours
+    val p = java.util.regex.Pattern.compile("""\((?!\?:|\?=|\?!|\?<=|\?<!)""")
+    val named = java.util.regex.Pattern.compile("""\(\?<(\w+)>""")
+    val m = named.matcher(regex)
+    var target = -1
+    while (m.find()) if (m.group(1) == g) target = m.start()
+    require(target >= 0, s"group $g not in regex")
+    var count = 0
+    val mm = p.matcher(regex)
+    while (mm.find() && mm.start() <= target) count += 1
+    count
+  }
+
+  // ----------------------------------------------------------------- replacer
+  /** replacer: rewrite `source` by a template where `%{new}` segments give
+    * replacement text and `*` wildcards keep the original. Compiled to one
+    * `regexp_replace` where the literal context anchors the match.
+    * Template example: `"User *: %{MASKED}"` — keeps the `*` part, replaces
+    * the text matched after `: ` with `MASKED`.
+    */
+  def replacer(df: DataFrame, source: String, matchRegex: String,
+               replacement: String, target: Option[String] = None): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    FieldOps.set(df, target.getOrElse(source),
+      regexp_replace(src, matchRegex, replacement))
+  }
+
+  // ------------------------------------------------------------------ decoder
+  /** decoder: decode a string field per `format` into `target`.
+    * Formats: json (→ parsed struct via schema inference at plan time is
+    * not possible — caller passes a spark DDL schema), base64, logfmt,
+    * decolorize (ANSI strip), kv (str_to_map).
+    */
+  def decodeJson(df: DataFrame, source: String, target: String, ddl: String): DataFrame =
+    FieldOps.set(df, target,
+      from_json(FieldOps.getOrNull(df.schema, source).cast("string"), ddl, Map.empty[String, String]))
+
+  def decodeBase64(df: DataFrame, source: String, target: String): DataFrame =
+    FieldOps.set(df, target,
+      unbase64(FieldOps.getOrNull(df.schema, source).cast("string")).cast("string"))
+
+  def decodeLogfmt(df: DataFrame, source: String, target: String): DataFrame =
+    FieldOps.set(df, target,
+      str_to_map(FieldOps.getOrNull(df.schema, source).cast("string"), lit(" "), lit("=")))
+
+  def decolorize(df: DataFrame, source: String, target: String): DataFrame =
+    FieldOps.set(df, target,
+      regexp_replace(FieldOps.getOrNull(df.schema, source).cast("string"),
+        """\[[;\d]*m""", ""))
+
+  // ---------------------------------------------------------------- clusterer
+  /** clusterer: SLCT/Drain-lite signature extraction — an ordered chain of
+    * (pattern → replacement) substitutions on the source text, then
+    * collapse repeated whitespace; the result is the cluster signature.
+    * The reference's `apply_multiple_times` fixpoint is bounded-unrolled by
+    * `iterations` (rule sets are finite; K passes reach the fixpoint).
+    */
+  def clusterer(df: DataFrame, source: String, target: String,
+                substitutions: Seq[(String, String)],
+                iterations: Int = 1): DataFrame = {
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val once: Column => Column = c =>
+      substitutions.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    val sig0 = (1 to math.max(1, iterations)).foldLeft(src)((c, _) => once(c))
+    FieldOps.set(df, target, trim(regexp_replace(sig0, """\s+""", " ")))
+  }
+}
