@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table loaders. `events.parquet` carries TIMESTAMP(NANOS) which
+  * Spark's µs-native reader rejects; we read nanos-as-long
+  * (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to a µs
+  * timestamp — the same truncation DuckDB applies casting TIMESTAMP_NS →
+  * TIMESTAMP, keeping engine and oracle bit-identical.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` as a proper µs TimestampType column. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+}
