@@ -359,6 +359,285 @@ object GraftQueries {
     Some("""SELECT event_id, 'ERROR' AS level,
             CAST(user_id AS VARCHAR) AS code, event_type AS op FROM events"""))
 
+  // ======================================================================
+  // Pattern processors: replacer (#12), decoder (#31), clusterer (#29)
+  // ======================================================================
+
+  private val pReplacer = Spec("proc_replacer",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("tag",
+        concat_ws("-", col("event_type"), col("user_id")))
+      PatternOps.replacer(e, "tag", """\d""", "*", Some("masked"))
+        .select(col("event_id"), col("masked"))
+    },
+    Some("""SELECT event_id,
+            regexp_replace(event_type || '-' || CAST(user_id AS VARCHAR),
+              '\d', '*', 'g') AS masked FROM events"""))
+
+  private val pDecoderJson = Spec("proc_decoder_json",
+    (s, dir) => {
+      val e = ev(s, dir)
+      PatternOps.decodeJson(e, "props", "parsed", "k BIGINT")
+        .select(col("event_id"), col("parsed.k").as("k"))
+    },
+    Some("""SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"""))
+
+  private val pDecoderB64 = Spec("proc_decoder_base64",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("b64",
+        base64(encode(col("event_type"), "utf-8")))
+      PatternOps.decodeBase64(e, "b64", "decoded")
+        .select(col("event_id"), col("b64"), col("decoded"))
+    },
+    Some("""SELECT event_id, to_base64(encode(event_type)) AS b64,
+            event_type AS decoded FROM events"""))
+
+  private val pDecoderLogfmt = Spec("proc_decoder_logfmt",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("kv",
+        concat(lit("type="), col("event_type"), lit(" user="), col("user_id")))
+      PatternOps.decodeLogfmt(e, "kv", "m")
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("type"),
+          element_at(col("m"), "user").as("user"))
+    },
+    Some("""SELECT event_id, event_type AS type,
+            CAST(user_id AS VARCHAR) AS user FROM events"""))
+
+  private val pDecolorize = Spec("proc_decoder_decolorize",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("colored",
+        concat(lit("[31m"), col("event_type"), lit("[0m")))
+      PatternOps.decolorize(e, "colored", "plain")
+        .select(col("event_id"), col("plain"))
+    },
+    Some("SELECT event_id, event_type AS plain FROM events"))
+
+  private val pClusterer = Spec("proc_clusterer",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("message",
+        concat_ws(" ", col("event_type"), col("user_id"),
+          lit("took"), col("value"), lit("ms")))
+      PatternOps.clusterer(e, "message", "signature",
+          Seq("""\d+(\.\d+)?""" -> "<NUM>"))
+        .select(col("event_id"), col("signature"))
+    },
+    Some("""SELECT event_id, event_type || ' <NUM> took <NUM> ms' AS signature
+            FROM events"""))
+
+  // ======================================================================
+  // Lookup / enrichment processors (#14,15,19,20,21,22,23,24,25)
+  // ======================================================================
+
+  private val pResolver = Spec("proc_generic_resolver",
+    (s, dir) => Lookup.genericResolver(ev(s, dir), "event_type", "category",
+        Seq("^pur" -> "transaction", "^sig" -> "account",
+            "^err" -> "incident", ".*" -> "other"))
+      .select(col("event_id"), col("category")),
+    Some("""SELECT event_id, CASE
+            WHEN regexp_matches(event_type, '^pur') THEN 'transaction'
+            WHEN regexp_matches(event_type, '^sig') THEN 'account'
+            WHEN regexp_matches(event_type, '^err') THEN 'incident'
+            ELSE 'other' END AS category FROM events"""))
+
+  private val pTemplate = Spec("proc_template_replacer",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("parity",
+        (col("user_id") % 2).cast("string"))
+      Lookup.templateReplacer(e, Seq("event_type", "parity"), "-", "note",
+          Map("purchase-0" -> "even buyer", "purchase-1" -> "odd buyer",
+              "error-0" -> "even error"))
+        .select(col("event_id"),
+          coalesce(col("note"), lit("")).as("note"))
+    },
+    Some("""SELECT event_id, CASE event_type || '-' || CAST(user_id % 2 AS VARCHAR)
+            WHEN 'purchase-0' THEN 'even buyer'
+            WHEN 'purchase-1' THEN 'odd buyer'
+            WHEN 'error-0' THEN 'even error'
+            ELSE '' END AS note FROM events"""))
+
+  private val pListCmp = Spec("proc_list_comparison",
+    (s, dir) => Lookup.listComparison(ev(s, dir), "event_type", "cmp",
+        Map("engagement" -> Set("click", "view"),
+            "monetary" -> Set("purchase"),
+            "account" -> Set("signup", "purchase")))
+      .select(col("event_id"),
+        coalesce(array_join(col("cmp.in_list"), ","), lit("")).as("in_lists"),
+        coalesce(array_join(col("cmp.not_in_list"), ","), lit("")).as("not_in_lists")),
+    Some("""SELECT event_id,
+            CASE event_type
+              WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+              WHEN 'purchase' THEN 'account,monetary'
+              WHEN 'signup' THEN 'account' ELSE '' END AS in_lists,
+            CASE WHEN event_type IN ('click','view','purchase','signup')
+              THEN '' ELSE 'account,engagement,monetary' END AS not_in_lists
+            FROM events"""))
+
+  private val pNetCmp = Spec("proc_network_comparison",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("ip",
+        concat(lit("10."), col("user_id") % 200, lit(".0.7")))
+      Lookup.networkComparison(e, "ip", "net",
+          Map("lan" -> Seq("10.0.0.0/9"), "dmz" -> Seq("10.128.0.0/9")))
+        .select(col("event_id"),
+          coalesce(array_join(col("net.in_list"), ","), lit("")).as("in_nets"))
+    },
+    Some("""SELECT event_id,
+            CASE WHEN user_id % 200 < 128 THEN 'lan' ELSE 'dmz' END AS in_nets
+            FROM events"""))
+
+  private val pIpInf = Spec("proc_ip_informer",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("ip",
+        concat(col("user_id") % 256, lit(".20.30.40")))
+      Lookup.ipInformer(e, "ip", "info")
+        .select(col("event_id"),
+          col("info.is_private").as("is_private"),
+          col("info.is_loopback").as("is_loopback"),
+          col("info.is_multicast").as("is_multicast"),
+          col("info.is_global").as("is_global"))
+    },
+    Some("""SELECT event_id,
+            user_id % 256 IN (10, 172) AS is_private,
+            user_id % 256 = 127 AS is_loopback,
+            user_id % 256 BETWEEN 224 AND 239 AS is_multicast,
+            NOT (user_id % 256 IN (0, 10, 127, 172)
+                 OR user_id % 256 BETWEEN 224 AND 239) AS is_global
+            FROM events"""))
+
+  private val pGeoip = Spec("proc_geoip_enricher",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("ip",
+        concat(lit("10.0."), col("user_id") % 25, lit(".7")))
+      val geoTable = t(s, dir, "nation").select(
+        concat(lit("10.0."), col("n_nationkey")).as("prefix"),
+        col("n_name").as("country"),
+        concat(lit("city_"), col("n_nationkey")).as("city"),
+        (col("n_nationkey") * lit(1.5)).as("lat"),
+        (col("n_nationkey") * lit(-2.0)).as("lon"))
+      Lookup.geoipEnricher(e, "ip", "geo", geoTable)
+        .select(col("event_id"), col("geo.country").as("country"),
+          col("geo.city").as("city"))
+    },
+    Some("""SELECT event_id, n_name AS country,
+            'city_' || CAST(n_nationkey AS VARCHAR) AS city
+            FROM events JOIN nation ON n_nationkey = user_id % 25"""))
+
+  private val pDomLabel = Spec("proc_domain_label_extractor",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("domain",
+        concat(lit("www.svc"), col("user_id"), lit("."),
+          element_at(array(lit("com"), lit("co.uk"), lit("de")),
+            (col("user_id") % 3 + 1).cast("int"))))
+      Lookup.domainLabelExtractor(e, "domain", "dom")
+        .select(col("event_id"),
+          col("dom.top_level_domain").as("tld"),
+          col("dom.registered_domain").as("registered"),
+          col("dom.subdomain").as("subdomain"))
+    },
+    Some("""SELECT event_id,
+            CASE user_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' ELSE 'de' END AS tld,
+            'svc' || CAST(user_id AS VARCHAR) || '.' ||
+              CASE user_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' ELSE 'de' END AS registered,
+            'www' AS subdomain FROM events"""))
+
+  private val pDomResolve = Spec("proc_domain_resolver",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("domain",
+        concat(lit("host"), col("user_id"), lit(".example.com")))
+      Lookup.domainResolver(e, "domain", "resolved_ip")
+        .select(col("event_id"), col("domain"), col("resolved_ip"))
+    },
+    Some("""WITH d AS (SELECT event_id,
+              'host' || CAST(user_id AS VARCHAR) || '.example.com' AS domain
+              FROM events),
+            h AS (SELECT event_id, domain, md5(domain) AS hh FROM d)
+            SELECT event_id, domain, '10.' ||
+              CAST((strpos('0123456789abcdef', substr(hh,3,1))-1)*16
+                 + (strpos('0123456789abcdef', substr(hh,4,1))-1) AS VARCHAR) || '.' ||
+              CAST((strpos('0123456789abcdef', substr(hh,5,1))-1)*16
+                 + (strpos('0123456789abcdef', substr(hh,6,1))-1) AS VARCHAR) || '.' ||
+              CAST((strpos('0123456789abcdef', substr(hh,7,1))-1)*16
+                 + (strpos('0123456789abcdef', substr(hh,8,1))-1) AS VARCHAR) AS resolved_ip
+            FROM h"""))
+
+  private val pRequester = Spec("proc_requester",
+    (s, dir) => {
+      val e = ev(s, dir)
+      Lookup.requester(e,
+          Seq(lit("https://api.internal/v1/users/"), col("user_id").cast("string")),
+          "response")
+        .select(col("event_id"), col("response"))
+    },
+    Some("""SELECT event_id,
+            '{"url":"https://api.internal/v1/users/' || CAST(user_id AS VARCHAR)
+              || '","status":200}' AS response FROM events"""))
+
+  // ======================================================================
+  // Detection / privacy side-output processors (#26,27,30)
+  // ======================================================================
+
+  private val pPreDetector = Spec("proc_pre_detector",
+    (s, dir) => {
+      val e = ev(s, dir)
+      Detection.preDetector(e, Seq(
+          Detection.PreDetectorRule("event_type:error AND value:[150.0 TO *]",
+            "rule-1", "High-value error burst", "high", Seq("T1499", "T1489")),
+          Detection.PreDetectorRule("event_type:signup AND user_id:[0 TO 5]",
+            "rule-2", "Suspicious early-uid signup", "medium", Seq("T1078"))),
+          col("event_id"))
+        .select(col("pre_detection_id"), col("id"), col("title"),
+          col("severity"), array_join(col("mitre"), ",").as("mitre"),
+          col("case_condition"), col("event_key"))
+    },
+    Some("""SELECT sha256('rule-1:' || CAST(event_id AS VARCHAR)) AS pre_detection_id,
+              'rule-1' AS id, 'High-value error burst' AS title, 'high' AS severity,
+              'T1499,T1489' AS mitre, 'directly' AS case_condition,
+              event_id AS event_key
+            FROM events WHERE event_type = 'error' AND value >= 150.0
+            UNION ALL
+            SELECT sha256('rule-2:' || CAST(event_id AS VARCHAR)), 'rule-2',
+              'Suspicious early-uid signup', 'medium', 'T1078', 'directly', event_id
+            FROM events WHERE event_type = 'signup' AND user_id >= 0 AND user_id <= 5"""))
+
+  private val pPseudo = Spec("proc_pseudonymizer",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("uid_str", col("user_id").cast("string"))
+      Detection.pseudonymize(e, "uid_str", "uid_pseudo", "graft-salt")
+        .select(col("event_id"), col("uid_pseudo"))
+    },
+    Some("""SELECT event_id, '<pseudonym:' ||
+            sha256('graft-salt' || CAST(user_id AS VARCHAR)) || '>' AS uid_pseudo
+            FROM events"""))
+
+  private val pPseudoMap = Spec("proc_pseudonym_mapping",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("uid_str", col("user_id").cast("string"))
+      Detection.pseudonymMapping(e, "uid_str", "graft-salt")
+    },
+    Some("""SELECT DISTINCT sha256('graft-salt' || CAST(user_id AS VARCHAR)) AS pseudonym,
+            CAST(user_id AS VARCHAR) AS origin FROM events"""))
+
+  private val pAmides = Spec("proc_amides",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Detection.amides(docs, "text", "ml",
+          weights = Map("spark" -> 0.5, "join" -> 0.25, "slow" -> 0.125,
+            "filter" -> -0.25), bias = -2.0, threshold = 0.5)
+        .select(col("doc_id"), col("ml.confidence").as("confidence"),
+          col("ml.detected").as("detected"))
+    },
+    Some("""WITH sc AS (SELECT doc_id,
+              list_aggregate(list_transform(
+                regexp_split_to_array(lower(text), '[^a-z0-9_.-]+'),
+                t -> CASE t WHEN 'spark' THEN 0.5 WHEN 'join' THEN 0.25
+                     WHEN 'slow' THEN 0.125 WHEN 'filter' THEN -0.25
+                     ELSE 0.0 END), 'sum') AS score
+              FROM documents)
+            SELECT doc_id, round(1.0/(1.0+exp(-(score + -2.0))), 6) AS confidence,
+              1.0/(1.0+exp(-(score + -2.0))) >= 0.5 AS detected FROM sc"""))
+
   // ----------------------------------------------------------------------
 
   val batch1: Seq[Spec] = Seq(
@@ -368,7 +647,13 @@ object GraftQueries {
     pKeyChecker, pDedup, pLabeler, pSelective, pCalc,
     pTimestamper, pDtExtract, pTsDiffer, pDissector, pGrokker)
 
-  def all: Seq[Spec] = batch1
+  val batch2: Seq[Spec] = Seq(
+    pReplacer, pDecoderJson, pDecoderB64, pDecoderLogfmt, pDecolorize,
+    pClusterer, pResolver, pTemplate, pListCmp, pNetCmp, pIpInf, pGeoip,
+    pDomLabel, pDomResolve, pRequester, pPreDetector, pPseudo, pPseudoMap,
+    pAmides)
+
+  def all: Seq[Spec] = batch1 ++ batch2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(sp => sp.name -> sp.query).toMap
