@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml._
+import GraftQueries.Spec
+
+/** Training-data pipeline queries: dedup family, similarity search, text
+  * analysis, multimodal plumbing — each oracle-checked against DuckDB.
+  * Where the oracle needs non-trivial SQL (minhash, simhash, cosine), the
+  * SQL is *generated* here from the same parameters the Spark plan uses,
+  * so engine and oracle can't drift.
+  */
+object GraftQueriesML {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // shared SQL fragments ---------------------------------------------------
+
+  /** DuckDB: tokens + ≥3-token filter + shingles CTE prefix over documents. */
+  private val shinglesCte =
+    """WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM documents),
+       sh AS (SELECT doc_id, source,
+                list_distinct(list_transform(range(len(w)-2),
+                  i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+              FROM w WHERE len(w) >= 3)"""
+
+  /** DuckDB cosine between two list expressions, bit-compatible with
+    * [[Similarity.cosine]]: index-ordered double fold for dot and norms,
+    * identical operation order.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(range(len($x)), i -> CAST($x[i+1] AS DOUBLE)*CAST($y[i+1] AS DOUBLE)), 'sum')"
+    s"(CASE WHEN sqrt(${dot(a, a)})*sqrt(${dot(b, b)}) > 0 THEN ${dot(a, b)}/(sqrt(${dot(a, a)})*sqrt(${dot(b, b)})) ELSE 0.0 END)"
+  }
+
+  // ======================================================================
+  // Deduplication
+  // ======================================================================
+
+  private val mExact = Spec("ml_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars")),
+    Some("""SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""))
+
+  private val mFingerprint = Spec("ml_fingerprint",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+    Some("""SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents"""))
+
+  private val mMinhashSig = Spec("ml_minhash_signature",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(size(Dedup.tokens(col("text"))) >= 3)
+      d.select(col("doc_id"),
+        array_join(Dedup.minhashSignature(col("text"), n = 12, k = 3), ",").as("sig"))
+    },
+    Some(shinglesCte + """,
+         sig AS (SELECT doc_id, list_transform(range(12),
+                   i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR)||'|'||x)))) AS g
+                 FROM sh)
+         SELECT doc_id, array_to_string(g, ',') AS sig FROM sig"""))
+
+  private val mMinhashPairs = Spec("ml_minhash_pairs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(size(Dedup.tokens(col("text"))) >= 3)
+      Dedup.minhashPairs(d, "doc_id", "text", bands = 4, rowsPerBand = 3, k = 3)
+    },
+    Some(shinglesCte + """,
+         sig AS (SELECT doc_id, list_transform(range(12),
+                   i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR)||'|'||x)))) AS g
+                 FROM sh),
+         bands AS (SELECT doc_id, band, g[band*3+1]||g[band*3+2]||g[band*3+3] AS key
+                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb)
+         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""))
+
+  private val mSimhash = Spec("ml_simhash",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    },
+    Some {
+      // generate the 32 bit-position terms with the exact same arithmetic
+      val terms = (0 until 32).map { j =>
+        val nib = j / 4; val bit = 1 << (j % 4)
+        s"""(CASE WHEN list_aggregate(list_transform(toks, t ->
+            CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), ${nib + 1}, 1))-1) & $bit) > 0
+            THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id,
+            list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+          FROM documents)
+          SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tk"""
+    })
+
+  private val mJaccardPairs = Spec("ml_jaccard_pairs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(size(Dedup.tokens(col("text"))) >= 3)
+      Dedup.jaccardPairs(d, "doc_id", "text", col("source"),
+        threshold = 0.5, k = 3)
+    },
+    Some(shinglesCte + """
+         SELECT l.doc_id AS a, r.doc_id AS b,
+           round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                 / len(list_distinct(l.s || r.s)), 6) AS sim
+         FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+         WHERE round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                 / len(list_distinct(l.s || r.s)), 6) >= 0.5"""))
+
+  // ======================================================================
+  // Similarity search over embeddings
+  // ======================================================================
+
+  private val mTopK = Spec("ml_embed_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid_src"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid_src", "qvec", k = 5)
+        .select(col("qid").as("qid"), col("rank"), col("id"), col("sim"))
+    },
+    Some {
+      val cos = cosSql("q.embedding", "c.embedding")
+      s"""WITH scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS id, round($cos, 6) AS sim
+            FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 3)
+          SELECT qid, rank, id, sim FROM (
+            SELECT qid, id, sim, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY sim DESC, id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= 5"""
+    })
+
+  /** Deterministic LSH hyperplanes: plane p, dim d → ((d*(p+3)) % 7) - 3. */
+  private def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => (((d * (p + 3)) % 7) - 3).toDouble))
+
+  private val mLsh = Spec("ml_embed_lsh_bucket",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), lshPlanes(4, 64)).as("bucket"))
+    },
+    Some {
+      val planes = lshPlanes(4, 64)
+      val bits = planes.map { p =>
+        val lst = p.mkString("[", ",", "]")
+        val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
+        s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"SELECT vec_id, $bits AS bucket FROM embeddings"
+    })
+
+  private val mIvf = Spec("ml_embed_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // centroids = first 8 vectors (deterministic, collected at plan time)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq)
+        .toSeq
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid_src"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid_src", "qvec",
+          centroids, k = 5, nprobe = 2)
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+    },
+    Some {
+      val cosAssign = cosSql("e.embedding", "c.embedding")
+      val cosProbe = cosSql("q.embedding", "c.embedding")
+      val cosScore = cosSql("q.qe", "e.embedding")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, cid AS bucket FROM (
+              SELECT e.vec_id, c.cid, row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+              FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+          probe AS (SELECT qid, cid, pr FROM (
+            SELECT q.vec_id AS qid, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY $cosProbe DESC, c.cid ASC) AS pr
+            FROM embeddings q CROSS JOIN c WHERE q.vec_id < 3)
+            WHERE pr <= 2),
+          scored AS (
+            SELECT q.qid, e.vec_id AS id, round($cosScore, 6) AS sim
+            FROM q JOIN probe ON probe.qid = q.qid
+            JOIN assign ON assign.bucket = probe.cid
+            JOIN embeddings e ON e.vec_id = assign.vec_id)
+          SELECT qid, rank, id, sim FROM (
+            SELECT qid, id, sim, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY sim DESC, id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= 5"""
+    })
+
+  // ======================================================================
+  // Text analysis
+  // ======================================================================
+
+  private val mLangId = Spec("ml_lang_id",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),
+    Some {
+      val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val hits = markers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_intersect(toks, $lst)) AS h_$lang"
+      }.mkString(", ")
+      // first-max-wins in (de, en, es, fr) order, 'und' when all zero
+      s"""WITH tk AS (SELECT doc_id,
+            regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+          h AS (SELECT doc_id, $hits FROM tk)
+          SELECT doc_id, CASE
+            WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess FROM h"""
+    })
+
+  private val mQuality = Spec("ml_quality_score",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
+    Some {
+      val stopList = TextAnalysis.langMarkers.values.flatten.toSeq.distinct
+        .map(m => s"'$m'").mkString("[", ",", "]")
+      s"""WITH b AS (SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS len,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+            CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'),
+              $stopList)) AS DOUBLE) AS stop
+            FROM documents),
+          c AS (SELECT doc_id,
+            least(len/500.0, 1.0) AS len_score,
+            1.0 - least((CASE WHEN len > 0 THEN punct/len ELSE 0.0 END)*10.0, 1.0) AS punct_score,
+            CASE WHEN ntok > 0 THEN least(stop/ntok*4.0, 1.0) ELSE 0.0 END AS stop_score,
+            CASE WHEN (CASE WHEN ntok > 0 THEN (len-ntok+1)/ntok ELSE 0.0 END)
+              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score
+            FROM b)
+          SELECT doc_id, round(len_score*0.3 + punct_score*0.2
+            + stop_score*0.3 + word_score*0.2, 6) AS quality FROM c"""
+    })
+
+  private val mTokenCount = Spec("ml_token_count",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords")),
+    Some("""SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
+            FROM documents"""))
+
+  // ======================================================================
+  // Multimodal plumbing (stubbed decode, real Spark-side contract)
+  // ======================================================================
+
+  private val mMultimodal = Spec("ml_multimodal_decode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "utf-8"))
+      val env = Multimodal.withMediaEnvelope(d, col("payload"), "image/fake")
+      val dec = Multimodal.decodeImages(env, "payload")
+      dec.select(col("doc_id"),
+        col("media.n_bytes").as("n_bytes"),
+        col("media.content_id").as("content_id"),
+        col("image_features.width").as("width"),
+        col("image_features.height").as("height"),
+        col("image_features.n_frames").as("n_frames"),
+        round(col("image_features.mean_luma"), 6).as("mean_luma"))
+    },
+    Some("""SELECT doc_id,
+            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+            sha256(text) AS content_id,
+            CAST(16 + octet_length(encode(text)) % 256 AS INT) AS width,
+            CAST(16 + (octet_length(encode(text)) // 256) % 256 AS INT) AS height,
+            CAST(1 AS INT) AS n_frames,
+            round((octet_length(encode(text)) % 1000) / 1000.0, 6) AS mean_luma
+            FROM documents"""))
+
+  // ----------------------------------------------------------------------
+
+  val all: Seq[Spec] = Seq(
+    mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mJaccardPairs,
+    mTopK, mLsh, mIvf, mLangId, mQuality, mTokenCount, mMultimodal)
+}
