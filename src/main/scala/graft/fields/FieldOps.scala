@@ -62,11 +62,6 @@ object FieldOps {
         }
         df.withColumn(top, newVal)
       case top :: rest =>
-        val nested = rest.mkString(".")
-        val base: Column =
-          if (schema.fieldNames.contains(top) &&
-              schema(top).dataType.isInstanceOf[StructType]) col(top)
-          else struct() // create intermediate struct
         val existing = fieldType(schema, path)
         val newVal = mode match {
           case WriteMode.Strict if existing.isDefined =>
@@ -75,10 +70,32 @@ object FieldOps {
             mergeValues(getOrNull(schema, path), existing, value)
           case _ => value
         }
-        df.withColumn(top, base.withField(nested, newVal))
+        val base = schema.fields.find(_.name == top)
+          .map(f => (col(top), f.dataType))
+        df.withColumn(top, nestedSet(base, rest, newVal))
       case Nil => df
     }
   }
+
+  /** Build the new value for a nested write: walk existing struct levels
+    * with `withField`, create missing intermediates with `struct(...)` —
+    * the immutable equivalent of `_add_field_to` creating intermediate
+    * dicts (helper.py:100-121).
+    */
+  private def nestedSet(cur: Option[(Column, DataType)], parts: List[String],
+                        value: Column): Column =
+    parts match {
+      case Nil => value
+      case p :: rest =>
+        cur match {
+          case Some((c, st: StructType)) =>
+            val child = st.fields.find(_.name == p)
+              .map(f => (c.getField(p), f.dataType))
+            c.withField(p, nestedSet(child, rest, value))
+          case _ =>
+            struct(nestedSet(None, rest, value).as(p))
+        }
+    }
 
   /** Merge semantics per helper.py:143-152: list↦concat (extend),
     * scalar+list target↦append; struct merge is handled at the engine layer

@@ -66,7 +66,7 @@ object Calculator {
       ("-" ~> unary ^^ (c => -c)) | ("+" ~> unary) | atom
 
     def atom: Parser[Column] =
-      func | const | numberLit | fieldAtom | ("(" ~> expr <~ ")")
+      func | const | hexLit | numberLit | fieldAtom | ("(" ~> expr <~ ")")
 
     def func: Parser[Column] =
       ("""(?i)(sin|cos|tan|exp|abs|trunc|round|sgn|from_hex)""".r <~ "(") ~ rep1sep(expr, ",") <~ ")" ^^ {
@@ -88,6 +88,9 @@ object Calculator {
 
     def const: Parser[Column] =
       ("""(?i)PI""".r ^^ (_ => lit(math.Pi))) | ("""(?i)E(?![0-9A-Za-z_])""".r ^^ (_ => lit(math.E)))
+
+    def hexLit: Parser[Column] =
+      """0[xX][0-9a-fA-F]+""".r ^^ (s => lit(s))
 
     def numberLit: Parser[Column] = num ^^ { s =>
       if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)

@@ -69,7 +69,10 @@ object PatternOps {
     val (regex, fields) = compileDissect(pattern)
     val src = FieldOps.getOrNull(df.schema, source).cast("string")
     fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      val raw = regexp_extract(src, regex, i + 1)
+      // guard with rlike: a non-matching line writes nothing (null), the
+      // reference's dissect-failure behavior — regexp_extract alone would
+      // write "". Catalyst CSE merges the repeated regex evaluations.
+      val raw = when(src.rlike(regex), regexp_extract(src, regex, i + 1))
       val v: Column = f.convert match {
         case Some("int") => raw.cast("long")
         case Some("float") => raw.cast("double")
