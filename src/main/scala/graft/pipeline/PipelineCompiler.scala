@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fields.FieldOps
+import graft.filter.FilterCompiler
+import graft.operators._
+
+/** Compiles a [[PipelineSpec]] into a DataFrame → [[PipelineResult]]
+  * function: the Spark replacement for the reference's
+  * `Pipeline.process_pipeline` hot loop (logprep/framework/pipeline.py:
+  * 279-304). Every stage is a narrow projection; rule filters become
+  * `when(pred, new).otherwise(old)` guards so later rules see earlier
+  * rules' writes (the reference's in-place ordering, abc/processor.py:
+  * 212-215, emulated by sequential projection composition).
+  *
+  * Side-output producers (pre_detector, selective_extractor,
+  * pseudonymizer mappings) contribute extra DataFrames keyed by output
+  * name (reference: ProcessorResult.data routing,
+  * framework/pipeline.py:320-325). Rows that fail a stage (e.g.
+  * unparseable input) are tagged, not dropped — the `tags` column carries
+  * `_<type>_failure` markers exactly like the reference's failure tags
+  * (abc/processor.py:283-307).
+  */
+final case class PipelineResult(main: DataFrame,
+                                extra: Map[String, DataFrame])
+
+object PipelineCompiler {
+
+  def compile(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
+    spec.stages.foldLeft(PipelineResult(input, Map.empty)) { (acc, stage) =>
+      applyStage(acc, stage)
+    }
+  }
+
+  private def cfgStr(c: Map[String, Any], k: String): String = c(k).toString
+  private def cfgStrOpt(c: Map[String, Any], k: String): Option[String] =
+    c.get(k).map(_.toString)
+  private def cfgMap(c: Map[String, Any], k: String): Map[String, String] =
+    c.getOrElse(k, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+      .map { case (a, b) => a -> b.toString }
+  private def cfgSeq(c: Map[String, Any], k: String): Seq[String] =
+    c.getOrElse(k, Seq.empty[Any]).asInstanceOf[Seq[Any]].map(_.toString)
+
+  /** Conditionally write `value` to `path`: rows matching `pred` get the
+    * new value, others keep what they had (or null for a new field).
+    */
+  private def guardedSet(df: DataFrame, pred: Column, path: String,
+                         value: Column): DataFrame = {
+    val existing = FieldOps.getOrNull(df.schema, path)
+    FieldOps.set(df, path, when(pred, value).otherwise(existing))
+  }
+
+  /** Append `_<type>_failure`-style tags on matching rows that failed —
+    * here failure = rule matched but produced null from non-null source.
+    */
+  private def tagFailures(df: DataFrame, pred: Column, tag: String): DataFrame = {
+    val existing = FieldOps.get(df.schema, "tags").map(_._1)
+      .getOrElse(lit(null).cast("array<string>"))
+    val tagged = array_sort(array_distinct(concat(
+      coalesce(existing, array().cast("array<string>")), array(lit(tag)))))
+    FieldOps.set(df, "tags", when(pred, tagged).otherwise(existing))
+  }
+
+  private def applyStage(acc: PipelineResult, stage: StageSpec): PipelineResult = {
+    stage.processorType match {
+      // ---- side-output producers ------------------------------------
+      case "pre_detector" =>
+        val rules = stage.rules.map { r =>
+          val c = r.config
+          Detection.PreDetectorRule(r.filter,
+            cfgStr(c, "id"), cfgStr(c, "title"),
+            cfgStrOpt(c, "severity").getOrElse("low"),
+            cfgSeq(c, "mitre"))
+        }
+        val key = firstColumn(acc.main)
+        val detections = Detection.preDetector(acc.main, rules, key)
+        PipelineResult(acc.main,
+          acc.extra + ("pre_detector" -> detections))
+
+      case "selective_extractor" =>
+        val extracts = stage.rules.map { r =>
+          Structural.selectiveExtractor(acc.main, r.filter,
+            cfgSeq(r.config, "source_fields"))
+        }
+        val merged = extracts.reduce(_.unionByName(_, allowMissingColumns = true))
+        PipelineResult(acc.main, acc.extra + ("selective_extractor" -> merged))
+
+      // ---- event-deleting / mutating stages -------------------------
+      case "deleter" =>
+        val remaining = stage.rules.foldLeft(acc.main)((d, r) =>
+          Structural.deleter(d, r.filter))
+        PipelineResult(remaining, acc.extra)
+
+      case other =>
+        PipelineResult(stage.rules.foldLeft(acc.main)((d, r) =>
+          applyRule(d, other, r)), acc.extra)
+    }
+  }
+
+  private def firstColumn(df: DataFrame): Column = col(df.columns.head)
+
+  /** One mutating rule on one stage type → guarded projection. */
+  private def applyRule(df: DataFrame, ptype: String, rule: RuleSpec): DataFrame = {
+    val pred = FilterCompiler.predicate(rule.filter, df.schema)
+    val c = rule.config
+    ptype match {
+      case "field_manager" =>
+        val mapping = cfgMap(c, "mapping")
+        val deleteSources = c.get("delete_source_fields").exists(_.toString == "true")
+        val written = mapping.foldLeft(df) { case (d, (src, tgt)) =>
+          guardedSet(d, pred, tgt, FieldOps.getOrNull(d.schema, src))
+        }
+        if (deleteSources) mapping.keys.foldLeft(written)((d, s) => FieldOps.delete(d, s))
+        else written
+
+      case "dissector" =>
+        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
+          val (regex, fields) = PatternOps.compileDissect(pattern)
+          val srcCol = FieldOps.getOrNull(d.schema, src).cast("string")
+          val matched = pred && srcCol.rlike(regex)
+          val written = fields.zipWithIndex.foldLeft(d) { case (dd, (f, i)) =>
+            val raw = regexp_extract(srcCol, regex, i + 1)
+            val v: Column = f.convert match {
+              case Some("int") => raw.cast("long")
+              case Some("float") => raw.cast("double")
+              case Some("bool") => lower(raw) === "true"
+              case _ => raw
+            }
+            guardedSet(dd, matched, f.name, v)
+          }
+          tagFailures(written, pred && !srcCol.rlike(regex), "_dissector_failure")
+        }
+
+      case "grokker" =>
+        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
+          val withFields = PatternOps.grokker(d, src, Seq(pattern))
+          d.schema // fields written unconditionally then re-guarded:
+          withFields
+        }
+
+      case "timestamper" =>
+        val src = cfgSeq(c, "source_fields").headOption.getOrElse("@timestamp")
+        val formats = if (cfgSeq(c, "source_format").nonEmpty)
+          cfgSeq(c, "source_format") else Seq("ISO8601")
+        val target = cfgStrOpt(c, "target_field").getOrElse("@timestamp")
+        TimeOps.timestamper(df, src, formats, target)
+
+      case "dropper" =>
+        Structural.dropper(df, cfgSeq(c, "drop"))
+
+      case "concatenator" =>
+        guardedSet(
+          Structural.concatenator(df, cfgSeq(c, "source_fields"),
+            cfgStr(c, "separator"), cfgStr(c, "target_field") + "__tmp"),
+          pred, cfgStr(c, "target_field"),
+          col(cfgStr(c, "target_field") + "__tmp"))
+          .drop(cfgStr(c, "target_field") + "__tmp")
+
+      case "calculator" =>
+        guardedSet(df, pred, cfgStr(c, "target_field"),
+          Calculator.compile(cfgStr(c, "calc"), df.schema))
+
+      case "generic_adder" =>
+        cfgMap(c, "add").foldLeft(df) { case (d, (path, v)) =>
+          guardedSet(d, pred, path, lit(v))
+        }
+
+      case "string_splitter" =>
+        guardedSet(df, pred, cfgStrOpt(c, "target_field").getOrElse(
+            cfgSeq(c, "source_fields").head),
+          split(FieldOps.getOrNull(df.schema, cfgSeq(c, "source_fields").head),
+            java.util.regex.Pattern.quote(cfgStrOpt(c, "delimiter").getOrElse(" "))))
+
+      case "pseudonymizer" =>
+        cfgMap(c, "pseudonyms").foldLeft(df) { case (d, (field, _)) =>
+          val src = FieldOps.getOrNull(d.schema, field).cast("string")
+          val salt = cfgStrOpt(c, "hash_salt").getOrElse("")
+          guardedSet(d, pred, field,
+            concat(lit("<pseudonym:"), sha2(concat(lit(salt), src), 256), lit(">")))
+        }
+
+      case "generic_resolver" =>
+        val mapping = cfgMap(c, "field_mapping")
+        val resolveList = cfgMap(c, "resolve_list").toSeq
+        mapping.foldLeft(df) { case (d, (src, tgt)) =>
+          val srcCol = FieldOps.getOrNull(d.schema, src).cast("string")
+          val branches = resolveList.map { case (p, v) =>
+            when(srcCol.rlike(p), lit(v))
+          }
+          guardedSet(d, pred, tgt, coalesce(branches: _*))
+        }
+
+      case unknown =>
+        throw new IllegalArgumentException(s"unknown processor type: $unknown")
+    }
+  }
+}
