@@ -56,18 +56,32 @@ object GraftQueriesML {
             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
             FROM documents"""))
 
+  /** DuckDB minhash signature CTEs matching [[Dedup.minhashSignatures]]:
+    * explode shingles, one md5 per shingle split into two 32-bit halves,
+    * min((h1 + i·h2) mod P) per permutation.
+    */
+  private def minhashSigSql(n: Int): String = {
+    val p = Dedup.MinhashPrime
+    val mins = (0 until n).map(i => s"min((h1 + $i*h2) % $p) AS mh$i").mkString(", ")
+    shinglesCte + s""",
+       ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       hh AS (SELECT doc_id,
+                ('0x'||substr(md5(g),1,8))::BIGINT AS h1,
+                ('0x'||substr(md5(g),9,8))::BIGINT AS h2 FROM ex),
+       sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
+  }
+
   private val mMinhashSig = Spec("ml_minhash_signature",
     (s, dir) => {
       val d = t(s, dir, "documents")
         .filter(size(Dedup.tokens(col("text"))) >= 3)
-      d.select(col("doc_id"),
-        array_join(Dedup.minhashSignature(col("text"), n = 12, k = 3), ",").as("sig"))
+      val sig = Dedup.minhashSignatures(d, "doc_id", "text", n = 12, k = 3)
+      sig.select(col("id").as("doc_id"),
+        concat_ws(",", (0 until 12).map(i => col(s"mh$i")): _*).as("sig"))
     },
-    Some(shinglesCte + """,
-         sig AS (SELECT doc_id, list_transform(range(12),
-                   i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR)||'|'||x)))) AS g
-                 FROM sh)
-         SELECT doc_id, array_to_string(g, ',') AS sig FROM sig"""))
+    Some(minhashSigSql(12) + """
+         SELECT doc_id, """ + (0 until 12).map(i => s"CAST(mh$i AS VARCHAR)")
+           .mkString(" || ',' || ") + """ AS sig FROM sig"""))
 
   private val mMinhashPairs = Spec("ml_minhash_pairs",
     (s, dir) => {
@@ -75,33 +89,38 @@ object GraftQueriesML {
         .filter(size(Dedup.tokens(col("text"))) >= 3)
       Dedup.minhashPairs(d, "doc_id", "text", bands = 4, rowsPerBand = 3, k = 3)
     },
-    Some(shinglesCte + """,
-         sig AS (SELECT doc_id, list_transform(range(12),
-                   i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR)||'|'||x)))) AS g
-                 FROM sh),
-         bands AS (SELECT doc_id, band, g[band*3+1]||g[band*3+2]||g[band*3+3] AS key
-                   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bb)
+    Some {
+      val bandExprs = (0 until 4).map { b =>
+        val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      minhashSigSql(12) + s""",
+         bands AS ($bandExprs)
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          FROM bands l JOIN bands r
-           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""))
+           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""
+    })
 
   private val mSimhash = Spec("ml_simhash",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-    },
+    (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("sh")),
     Some {
-      // generate the 32 bit-position terms with the exact same arithmetic
-      val terms = (0 until 32).map { j =>
+      // generate the 32 bit-sum aggregates with the same arithmetic as
+      // Dedup.simhashes (one md5 per distinct token, sign per bit)
+      val sums = (0 until 32).map { j =>
         val nib = j / 4; val bit = 1 << (j % 4)
-        s"""(CASE WHEN list_aggregate(list_transform(toks, t ->
-            CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), ${nib + 1}, 1))-1) & $bit) > 0
-            THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"""
-      }.mkString(" + ")
+        s"""sum(CASE WHEN (('0x'||substr(h,${nib + 1},1))::INT & $bit) > 0
+            THEN 1 ELSE -1 END) AS b$j"""
+      }.mkString(", ")
+      val fp = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH tk AS (SELECT doc_id,
-            list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-          FROM documents)
-          SELECT doc_id, CAST($terms AS BIGINT) AS sh FROM tk"""
+            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+          FROM documents),
+          hh AS (SELECT doc_id, md5(t) AS h FROM tk),
+          b AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
+          SELECT doc_id, CAST($fp AS BIGINT) AS sh FROM b"""
     })
 
   private val mJaccardPairs = Spec("ml_jaccard_pairs",

@@ -40,32 +40,50 @@ object Dedup {
       .select(df.columns.map(keyed(_)): _*)
   }
 
-  /** MinHash signature: `n` independent min-hashes over the shingle set.
-    * Hash_i(s) = md5(i || '|' || s) compared lexicographically (a min over
-    * hex strings is a valid permutation min). Returns array<string>(n).
+  /** Modulus for the Kirsch-Mitzenmacher hash family: largest prime
+    * < 2^32. hash_i(s) = (h1(s) + i·h2(s)) mod P with h1/h2 = two 32-bit
+    * halves of one md5 — ONE digest per shingle feeds all n permutations,
+    * and i·h2 ≤ n·2^32 stays far from Long overflow (important: DuckDB
+    * BIGINT traps on overflow, so the oracle needs the same safe range).
     */
-  def minhashSignature(text: Column, n: Int = 12, k: Int = 3): Column = {
-    val sh = shingles(text, k)
-    array((0 until n).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
-    }: _*)
+  val MinhashPrime = 4294967291L
+
+  /** Per-document MinHash signatures as columns mh0..mh{n-1}.
+    *
+    * The scalable plan shape: explode shingles → one md5 per shingle →
+    * single hash-aggregate on the doc id computing all n mins at once.
+    * Partial aggregation (map-side combine) means the shuffle carries one
+    * n-long row per doc per partition, never the shingle set — this is
+    * the form that survives 100 TB, unlike per-row array expressions that
+    * rebuild the shingle array once per permutation.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    val h = ex.select(col("id"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
+    val aggs = (0 until n).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinhashPrime).as(s"mh$i"))
+    h.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: signatures banded `bands` × `rowsPerBand`;
     * docs sharing any band bucket are candidates. Output: (a, b) doc-id
-    * pairs, a < b, distinct. The only shuffle is the groupBy on
-    * (band, band_key) — the classic LSH plan that survives 100×: bucket
-    * sizes are bounded by similarity structure, not corpus size, and the
+    * pairs, a < b, distinct. Two shuffles total (doc-id aggregate, band
+    * bucket join) — the classic LSH plan that survives 100×: bucket sizes
+    * are bounded by similarity structure, not corpus size, and the
     * self-join is per-bucket.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3): DataFrame = {
     val n = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val l = banded.alias("l")
     val r = banded.alias("r")
@@ -77,29 +95,37 @@ object Dedup {
   }
 
   /** SimHash: 32-bit fingerprint from token md5s. For each of 32 bit
-    * positions, sum +1/-1 over tokens by bit value; fingerprint bit = sign.
-    * Pure expressions: bit j of token t = (conv(md5hex[j/4], 16, 10) >> (j%4)) & 1.
+    * positions, sum +1/-1 over the distinct tokens by the bit's value in
+    * the token digest; fingerprint bit = sign of the sum.
+    *
+    * Same scalable shape as [[minhashSignatures]]: explode distinct
+    * tokens → ONE md5 per token → a single hash-aggregate computing all
+    * 32 bit-sums at once (map-side combined). A per-row expression form
+    * would re-split the text once per bit position — 32× the work.
+    * Returns (id, sh: long).
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val bits = (0 until 32).map { j =>
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val sums = (0 until 32).map { j =>
       val nib = j / 4
-      val bit = j % 4
-      // nibble `nib` of md5(token) as int, then bit `bit` of it
-      val contrib = aggregate(toks, lit(0),
-        (acc, t) => acc + when(
-          (conv(substring(md5(t), nib + 1, 1), 16, 10).cast("int")
-            .bitwiseAND(lit(1 << bit))) > 0, lit(1)).otherwise(lit(-1)))
-      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+      val bit = 1 << (j % 4)
+      sum(when((conv(substring(col("h"), nib + 1, 1), 16, 10).cast("int")
+        .bitwiseAND(lit(bit))) > 0, 1).otherwise(-1)).as(s"b$j")
     }
-    bits.reduce((a: Column, b: Column) => a + b)
+    ex.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a + b).as("sh"))
   }
 
   /** SimHash near-dup candidates: equal fingerprints within the same 16-bit
     * band (2 bands of the 32-bit hash → Hamming-distance-tolerant blocking).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sig = simhashes(df, idCol, textCol)
     val banded = sig.select(col("id"), col("sh"),
       explode(array(
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),

@@ -158,9 +158,9 @@ class OperatorSpec extends SparkSpec {
     import s.implicits._
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "totally different content here now")).toDF("id", "text")
-    val sigs = df.select(col("id"),
-      graft.ml.Dedup.minhashSignature(col("text"), 6, 3).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val sigDf = graft.ml.Dedup.minhashSignatures(df, "id", "text", 6)
+    val sigs = sigDf.collect()
+      .map(r => r.getLong(0) -> (1 to 6).map(i => r.getLong(i)).toSeq).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
