@@ -127,16 +127,26 @@ object GraftQueriesML {
     (s, dir) => {
       val d = t(s, dir, "documents")
         .filter(size(Dedup.tokens(col("text"))) >= 3)
-      Dedup.jaccardPairs(d, "doc_id", "text", col("source"),
-        threshold = 0.5, k = 3)
+      Dedup.nearDupPairs(d, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
     },
-    Some(shinglesCte + """
-         SELECT l.doc_id AS a, r.doc_id AS b,
-           round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
-                 / len(list_distinct(l.s || r.s)), 6) AS sim
-         FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
-         WHERE round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
-                 / len(list_distinct(l.s || r.s)), 6) >= 0.5"""))
+    Some {
+      val bandExprs = (0 until 4).map { b =>
+        val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      val simExpr = """round(CAST(len(list_intersect(la.s, rb.s)) AS DOUBLE)
+                 / len(list_distinct(la.s || rb.s)), 6)"""
+      minhashSigSql(12) + s""",
+         bands AS ($bandExprs),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         SELECT a, b, $simExpr AS sim
+         FROM cand JOIN sh la ON la.doc_id = a JOIN sh rb ON rb.doc_id = b
+         WHERE $simExpr >= 0.5"""
+    })
 
   // ======================================================================
   // Similarity search over embeddings

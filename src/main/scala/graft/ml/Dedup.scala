@@ -16,14 +16,23 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), """\s+""")
 
-  /** k-word shingles, distinct, of a text column. */
+  /** k-word shingles, distinct, of a text column.
+    *
+    * Built as an elementwise `zip_with` of k shifted `slice`s of the token
+    * array — NOT a `transform` whose lambda indexes into the array:
+    * Catalyst does no common-subexpression elimination inside lambda
+    * bodies, so an inline `split` referenced from a lambda is re-executed
+    * per element (measured 8× slower at sf0.1). Here `split` appears only
+    * in top-level slice arguments where CSE hoists it to once per row.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = tokens(text)
-    array_distinct(
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(t, (i + j + 1).cast("int"))): _*)))
-      .otherwise(array(concat_ws(" ", t))))
+    val n = size(t)
+    val len = greatest(n - (k - 1), lit(0))
+    val base = slice(t, lit(1), len)
+    val sh = (1 until k).foldLeft(base)((acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), len), (a, b) => concat(a, lit(" "), b)))
+    array_distinct(when(n >= k, sh).otherwise(array(concat_ws(" ", t))))
   }
 
   /** Exact dedup: keep the first (min orderKey) row per md5(text).
@@ -137,6 +146,28 @@ object Dedup {
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
   }
 
+  /** The scale-correct near-dup pipeline: MinHash-LSH candidate generation
+    * → exact n-gram-Jaccard verification of only the candidates. Pair
+    * space is bounded by LSH bucket structure instead of any O(block²)
+    * blow-up; at 100 TB this is the only shape that works. Output:
+    * (a, b, sim) with sim ≥ threshold.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val cand = minhashPairs(df, idCol, textCol, bands, rowsPerBand, k)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val withL = cand.join(sh.withColumnRenamed("id", "a")
+      .withColumnRenamed("sh", "sh_a"), "a")
+    val withR = withL.join(sh.withColumnRenamed("id", "b")
+      .withColumnRenamed("sh", "sh_b"), "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val sim = when(uni > 0, round(inter / uni, 6)).otherwise(lit(0.0))
+    withR.select(col("a"), col("b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity between doc pairs (caller bounds the
     * pair space, e.g. via LSH candidates or a blocking key).
     */
@@ -148,18 +179,25 @@ object Dedup {
     when(uni > 0, round(inter / uni, 6)).otherwise(lit(0.0))
   }
 
-  /** Blocked n-gram-Jaccard near-dup pairs: block on a cheap key (here the
-    * first token + length bucket) then exact Jaccard within blocks ≥
-    * threshold. The blocking keeps the join linear-ish at scale.
+  /** Blocked n-gram-Jaccard near-dup pairs: block on a cheap key, then
+    * exact Jaccard within blocks ≥ threshold. The blocking keeps the join
+    * linear-ish at scale.
+    *
+    * Shingle sets are computed ONCE PER DOC before the self-join — inside
+    * the join they would be rebuilt once per candidate pair, turning an
+    * O(docs) tokenization into O(pairs) (measured: minutes vs seconds at
+    * sf0.1). The join then only intersects precomputed arrays.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: Column, threshold: Double, k: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      blockCol.as("blk"))
+    val base = df.select(col(idCol).as("id"), blockCol.as("blk"),
+      shingles(col(textCol), k).as("sh"))
     val l = base.alias("l"); val r = base.alias("r")
+    val inter = size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
+    val uni = size(array_union(col("l.sh"), col("r.sh"))).cast("double")
+    val sim = when(uni > 0, round(inter / uni, 6)).otherwise(lit(0.0))
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        jaccard(col("l.text"), col("r.text"), k).as("sim"))
+      .select(col("l.id").as("a"), col("r.id").as("b"), sim.as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
