@@ -653,7 +653,7 @@ object GraftQueries {
     pDomLabel, pDomResolve, pRequester, pPreDetector, pPseudo, pPseudoMap,
     pAmides)
 
-  def all: Seq[Spec] = batch1 ++ batch2 ++ GraftQueriesML.all
+  def all: Seq[Spec] = batch1 ++ batch2 ++ GraftQueriesML.all ++ GraftQueriesScale.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(sp => sp.name -> sp.query).toMap
