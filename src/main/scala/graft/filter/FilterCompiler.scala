@@ -89,11 +89,20 @@ object FilterCompiler {
     s"$flags^$b2$$"
   }
 
-  private def nullSafe(p: Column): Column = coalesce(p, lit(false))
+  /** Leaves are NOT coalesce-wrapped: in a WHERE context SQL's
+    * null-rejecting semantics already treat a null predicate as false,
+    * and a bare `col === lit` / `col >= lit` pushes down to the parquet
+    * scan (`PushedFilters`), which `coalesce(...)` would block. The one
+    * place null ≠ false changes the result is under negation — `Not`
+    * wraps its CHILD in `coalesce(p, false)` so a missing/null field
+    * makes the child false and the negation true, exactly the
+    * reference's KeyDoesNotExistError-⇒-false behavior.
+    */
+  private def nullSafe(p: Column): Column = p
 
   def compile(ast: FilterAst, schema: StructType): Column = ast match {
     case Always(v) => lit(v)
-    case Not(c) => !compile(c, schema)
+    case Not(c) => !coalesce(compile(c, schema), lit(false))
     case And(cs) => cs.map(compile(_, schema)).reduce(_ && _)
     case Or(cs) => cs.map(compile(_, schema)).reduce(_ || _)
 
