@@ -62,24 +62,53 @@ object PatternOps {
     (sb.toString, fields.toSeq)
   }
 
+  /** Simple-pattern analysis for the native single-pass expression: every
+    * capture a plain (possibly `|conv`) field, non-empty separators.
+    */
+  private def analyzeSimple(pattern: String): Option[(String, Seq[String], String)] = {
+    val tok = """%\{([^}]*)\}""".r
+    val ms = tok.findAllMatchIn(pattern).toList
+    val simple = ms.nonEmpty && ms.forall(
+      _.group(1).matches("""[A-Za-z0-9_.@]+(\|(int|float|bool))?"""))
+    if (!simple) return None
+    val seps = ms.sliding(2).collect {
+      case List(a, b) => pattern.substring(a.end, b.start)
+    }.toList
+    if (seps.exists(_.isEmpty)) None
+    else Some((pattern.substring(0, ms.head.start), seps,
+      pattern.substring(ms.last.end)))
+  }
+
   /** dissector: tokenize `source` by the dissect pattern, writing each
     * captured field (with optional `|int`/`|float`/`|bool` conversion).
+    *
+    * Simple patterns use the native [[graft.functions.DissectExpr]]
+    * (one linear scan per row, codegen'd); patterns with skip/indirect
+    * fields fall back to the compiled-regex path. Non-matching lines
+    * write nothing (null) — the reference's dissect-failure behavior.
     */
   def dissector(df: DataFrame, source: String, pattern: String): DataFrame = {
     val (regex, fields) = compileDissect(pattern)
     val src = FieldOps.getOrNull(df.schema, source).cast("string")
-    fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      // guard with rlike: a non-matching line writes nothing (null), the
-      // reference's dissect-failure behavior — regexp_extract alone would
-      // write "". Catalyst CSE merges the repeated regex evaluations.
-      val raw = when(src.rlike(regex), regexp_extract(src, regex, i + 1))
-      val v: Column = f.convert match {
-        case Some("int") => raw.cast("long")
-        case Some("float") => raw.cast("double")
-        case Some("bool") => lower(raw) === "true"
-        case _ => raw
-      }
-      FieldOps.set(d, f.name, v)
+    def convert(f: DissectField, raw: Column): Column = f.convert match {
+      case Some("int") => raw.cast("long")
+      case Some("float") => raw.cast("double")
+      case Some("bool") => lower(raw) === "true"
+      case _ => raw
+    }
+    analyzeSimple(pattern) match {
+      case Some((prefix, seps, suffix)) =>
+        // identical DissectExpr trees per field are merged by Catalyst's
+        // subexpression elimination → one scan per row
+        val arr = graft.functions.DissectExpr.build(src, prefix, seps, suffix)
+        fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+          FieldOps.set(d, f.name, convert(f, element_at(arr, i + 1)))
+        }
+      case None =>
+        fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+          val raw = when(src.rlike(regex), regexp_extract(src, regex, i + 1))
+          FieldOps.set(d, f.name, convert(f, raw))
+        }
     }
   }
 
