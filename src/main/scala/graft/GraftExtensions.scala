@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DissectExpr
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
+  *
+  * {{{ SELECT dissect(message, '%{a} %{b}')[1] FROM logs }}}
+  *
+  * `dissect(str, pattern)` returns array<string> of the captured fields
+  * (null on non-match) via the single-pass codegen'd [[DissectExpr]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dissect"),
+      new ExpressionInfo(classOf[DissectExpr].getName, "dissect"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dissect(str, pattern)")
+        val pattern = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"dissect pattern must be a literal, got $other")
+        }
+        val tok = """%\{([^}]*)\}""".r
+        val ms = tok.findAllMatchIn(pattern).toList
+        require(ms.nonEmpty, "pattern has no %{field} captures")
+        val seps = ms.sliding(2).collect {
+          case List(a, b) => pattern.substring(a.end, b.start)
+        }.toList
+        DissectExpr(args.head, seps,
+          pattern.substring(0, ms.head.start), pattern.substring(ms.last.end))
+      }))
+  }
+}

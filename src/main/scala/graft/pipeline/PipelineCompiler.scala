@@ -191,6 +191,125 @@ object PipelineCompiler {
           guardedSet(d, pred, tgt, coalesce(branches: _*))
         }
 
+      case "deduplicator" =>
+        cfgSeq(c, "fields").foldLeft(df) { (d, f) =>
+          guardedSet(d, pred, f, array_distinct(FieldOps.getOrNull(d.schema, f)))
+        }
+
+      case "labeler" =>
+        // label: {category: [values]}
+        c.getOrElse("label", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+          .foldLeft(df) { case (d, (category, values)) =>
+            val vals = values.asInstanceOf[Seq[Any]].map(_.toString)
+            val path = s"label.$category"
+            val existing = FieldOps.get(d.schema, path).map(_._1)
+              .getOrElse(lit(null).cast("array<string>"))
+            val merged = array_sort(array_distinct(concat(
+              coalesce(existing, array().cast("array<string>")),
+              array(vals.map(lit): _*))))
+            guardedSet(d, pred, path, merged)
+          }
+
+      case "key_checker" =>
+        val target = cfgStrOpt(c, "target_field").getOrElse("missing_fields")
+        val required = cfgSeq(c, "source_fields")
+        val missing = required.map { f =>
+          if (FieldOps.exists(df.schema, f))
+            when(FieldOps.getOrNull(df.schema, f).isNull, lit(f))
+          else lit(f)
+        }
+        val arr = array_sort(array_compact(array(missing: _*)))
+        guardedSet(df, pred, target, when(size(arr) > 0, arr))
+
+      case "replacer" =>
+        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, _)) =>
+          val p = cfgStrOpt(c, "pattern").getOrElse("\\d+")
+          val repl = cfgStrOpt(c, "replacement").getOrElse("*")
+          guardedSet(d, pred, cfgStrOpt(c, "target_field").getOrElse(src),
+            regexp_replace(FieldOps.getOrNull(d.schema, src).cast("string"), p, repl))
+        }
+
+      case "decoder" =>
+        val src = cfgSeq(c, "source_fields").headOption.getOrElse("message")
+        val target = cfgStrOpt(c, "target_field").getOrElse(src)
+        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
+        cfgStrOpt(c, "source_format").getOrElse("json") match {
+          case "base64" => guardedSet(df, pred, target, unbase64(srcCol).cast("string"))
+          case "logfmt" | "kv" =>
+            guardedSet(df, pred, target, str_to_map(srcCol, lit(" "), lit("=")))
+          case "decolorize" =>
+            guardedSet(df, pred, target,
+              regexp_replace(srcCol, "\\[[;\\d]*m", ""))
+          case _ => // json with explicit schema
+            val ddl = cfgStrOpt(c, "schema").getOrElse("k STRING")
+            guardedSet(df, pred, target, from_json(srcCol,
+              org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        }
+
+      case "datetime_extractor" =>
+        val src = cfgSeq(c, "source_fields").head
+        graft.operators.TimeOps.datetimeExtractor(df, src,
+          cfgStrOpt(c, "target_field").getOrElse("datetime"))
+
+      case "timestamp_differ" =>
+        val Seq(a, b) = cfgSeq(c, "source_fields").take(2)
+        graft.operators.TimeOps.timestampDiffer(df, a, b,
+          cfgStrOpt(c, "target_field").getOrElse("time_delta"),
+          cfgStrOpt(c, "output_format").getOrElse("ms"),
+          c.get("show_unit").exists(_.toString == "true"))
+
+      case "list_comparison" =>
+        val src = cfgSeq(c, "source_fields").head
+        val target = cfgStrOpt(c, "target_field").getOrElse("list_comparison")
+        val lists = c.getOrElse("lists", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].map { case (k, v) =>
+            k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet
+          }
+        graft.operators.Lookup.listComparison(df, src, target, lists)
+
+      case "network_comparison" =>
+        val src = cfgSeq(c, "source_fields").head
+        val target = cfgStrOpt(c, "target_field").getOrElse("network_comparison")
+        val nets = c.getOrElse("networks", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].map { case (k, v) =>
+            k -> v.asInstanceOf[Seq[Any]].map(_.toString)
+          }
+        graft.operators.Lookup.networkComparison(df, src, target, nets)
+
+      case "ip_informer" =>
+        graft.operators.Lookup.ipInformer(df, cfgSeq(c, "source_fields").head,
+          cfgStrOpt(c, "target_field").getOrElse("ip_info"))
+
+      case "domain_label_extractor" =>
+        graft.operators.Lookup.domainLabelExtractor(df, cfgSeq(c, "source_fields").head,
+          cfgStrOpt(c, "target_field").getOrElse("domain"))
+
+      case "domain_resolver" =>
+        graft.operators.Lookup.domainResolver(df, cfgSeq(c, "source_fields").head,
+          cfgStrOpt(c, "target_field").getOrElse("resolved_ip"))
+
+      case "template_replacer" =>
+        val table = cfgMap(c, "table")
+        graft.operators.Lookup.templateReplacer(df, cfgSeq(c, "fields"),
+          cfgStrOpt(c, "delimiter").getOrElse("-"),
+          cfgStrOpt(c, "target_field").getOrElse("replaced"), table)
+
+      case "clusterer" =>
+        val subs = cfgMap(c, "substitutions").toSeq
+        graft.operators.PatternOps.clusterer(df,
+          cfgSeq(c, "source_fields").headOption.getOrElse("message"),
+          cfgStrOpt(c, "output_field_name").getOrElse("cluster_signature"),
+          subs,
+          c.get("iterations").map(_.toString.toInt).getOrElse(1))
+
+      case "amides" =>
+        val weights = cfgMap(c, "weights").map { case (k, v) => k -> v.toDouble }
+        graft.operators.Detection.amides(df, cfgSeq(c, "source_fields").head,
+          cfgStrOpt(c, "target_field").getOrElse("amides"),
+          weights,
+          c.get("bias").map(_.toString.toDouble).getOrElse(0.0),
+          c.get("decision_threshold").map(_.toString.toDouble).getOrElse(0.5))
+
       case unknown =>
         throw new IllegalArgumentException(s"unknown processor type: $unknown")
     }
