@@ -97,6 +97,13 @@ object FieldOps {
         }
     }
 
+  /** Public merge-expression builder for callers composing their own
+    * guards (e.g. the rule-driven pipeline): the merged value of writing
+    * `value` into `path` under merge_with_target semantics.
+    */
+  def mergedValue(schema: StructType, path: String, value: Column): Column =
+    mergeValues(getOrNull(schema, path), fieldType(schema, path), value)
+
   /** Merge semantics per helper.py:143-152: list↦concat (extend),
     * scalar+list target↦append; struct merge is handled at the engine layer
     * by field-wise copy (shallow dict.update equivalent).

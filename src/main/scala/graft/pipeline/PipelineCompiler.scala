@@ -106,10 +106,34 @@ object PipelineCompiler {
     val c = rule.config
     ptype match {
       case "field_manager" =>
+        // the reference's write-mode knobs (field_manager/rule.py:90-140):
+        // default = FieldExistsWarning on occupied target (tag, keep old),
+        // overwrite_target = replace, merge_with_target = extend/append,
+        // ignore_missing_fields = skip rules whose source isn't present
         val mapping = cfgMap(c, "mapping")
-        val deleteSources = c.get("delete_source_fields").exists(_.toString == "true")
+        def flag(k: String) = c.get(k).exists(_.toString == "true")
+        val (overwrite, merge, deleteSources, ignoreMissing) =
+          (flag("overwrite_target"), flag("merge_with_target"),
+            flag("delete_source_fields"), flag("ignore_missing_fields"))
+        require(!(overwrite && merge),
+          "overwrite_target and merge_with_target are mutually exclusive")
         val written = mapping.foldLeft(df) { case (d, (src, tgt)) =>
-          guardedSet(d, pred, tgt, FieldOps.getOrNull(d.schema, src))
+          if (ignoreMissing && !FieldOps.exists(d.schema, src)) d
+          else {
+            val srcCol = FieldOps.getOrNull(d.schema, src)
+            val existing = FieldOps.getOrNull(d.schema, tgt)
+            if (merge)
+              guardedSet(d, pred, tgt, FieldOps.mergedValue(d.schema, tgt, srcCol))
+            else if (overwrite || !FieldOps.exists(d.schema, tgt))
+              guardedSet(d, pred, tgt, srcCol)
+            else {
+              // strict: only write where target is currently null; tag the
+              // conflicting rows like the reference's FieldExistsWarning
+              val conflict = pred && existing.isNotNull
+              tagFailures(guardedSet(d, pred && existing.isNull, tgt, srcCol),
+                conflict, "_field_manager_failure")
+            }
+          }
         }
         if (deleteSources) mapping.keys.foldLeft(written)((d, s) => FieldOps.delete(d, s))
         else written
@@ -133,10 +157,10 @@ object PipelineCompiler {
         }
 
       case "grokker" =>
+        // grok writes are inherently guarded: a named capture only binds
+        // when its pattern full-matches, else null (PatternOps.grokker)
         cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
-          val withFields = PatternOps.grokker(d, src, Seq(pattern))
-          d.schema // fields written unconditionally then re-guarded:
-          withFields
+          PatternOps.grokker(d, src, Seq(pattern))
         }
 
       case "timestamper" =>

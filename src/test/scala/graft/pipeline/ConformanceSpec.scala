@@ -102,6 +102,40 @@ class ConformanceSpec extends SparkSpec {
     assert(out.main.select("parts").head().getSeq[String](0) == Seq("a", "b", "c"))
   }
 
+  test("field_manager strict mode tags FieldExistsWarning, keeps old value") {
+    val s = spark
+    import s.implicits._
+    val input = s.read.json(Seq("""{"src":"new","occupied":"old"}""").toDS)
+    val out = PipelineCompiler.compile(PipelineSpec(Seq(StageSpec(
+      "field_manager", Seq(RuleSpec("src", Map(
+        "mapping" -> Map("src" -> "occupied"))))))))(input)
+    val row = out.main.select("occupied", "tags").head()
+    assert(row.getString(0) == "old")
+    assert(row.getSeq[String](1) == Seq("_field_manager_failure"))
+  }
+
+  test("field_manager merge_with_target extends lists") {
+    val s = spark
+    import s.implicits._
+    val input = s.read.json(Seq("""{"src":"c","arr":["a","b"]}""").toDS)
+    val out = PipelineCompiler.compile(PipelineSpec(Seq(StageSpec(
+      "field_manager", Seq(RuleSpec("src", Map(
+        "mapping" -> Map("src" -> "arr"),
+        "merge_with_target" -> true)))))))(input)
+    assert(out.main.select("arr").head().getSeq[String](0) == Seq("a", "b", "c"))
+  }
+
+  test("field_manager ignore_missing_fields skips absent sources") {
+    val s = spark
+    import s.implicits._
+    val input = s.read.json(Seq("""{"present":"x"}""").toDS)
+    val out = PipelineCompiler.compile(PipelineSpec(Seq(StageSpec(
+      "field_manager", Seq(RuleSpec("*", Map(
+        "mapping" -> Map("nosuch" -> "target"),
+        "ignore_missing_fields" -> true)))))))(input)
+    assert(!out.main.columns.contains("target"))
+  }
+
   test("dissector failure tags non-matching matched rows") {
     val s = spark
     import s.implicits._
