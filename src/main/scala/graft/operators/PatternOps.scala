@@ -157,6 +157,12 @@ object PatternOps {
       "URIPARAM" -> """\?%{URIQUERY}""",
       "URIPATHPARAM" -> "%{URIPATH}(?:\\?%{URIQUERY})?",
       "URI" -> "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATH}(?:\\?%{URIQUERY})?)?",
+      // composite log-line patterns (logstash core set shapes)
+      "SYSLOGTIMESTAMP" -> """(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) +%{MONTHDAY} %{TIME}""",
+      "SYSLOGPROG" -> """%{NOTSPACE}(?:\[%{POSINT}\])?""",
+      "SYSLOGBASE" -> """%{SYSLOGTIMESTAMP} (?:%{NOTSPACE} )?%{IPORHOST} %{SYSLOGPROG}:""",
+      "COMMONAPACHELOG" -> """%{IPORHOST} %{NOTSPACE} %{NOTSPACE} \[%{HTTPDATE}\] "(?:%{WORD} %{NOTSPACE}(?: HTTP/%{NUMBER})?|%{DATA})" %{NONNEGINT} (?:%{NONNEGINT}|-)""",
+      "COMBINEDAPACHELOG" -> """%{COMMONAPACHELOG} %{QUOTEDSTRING} %{QUOTEDSTRING}""",
     )
     base
   }

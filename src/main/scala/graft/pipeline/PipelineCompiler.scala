@@ -93,8 +93,18 @@ object PipelineCompiler {
         PipelineResult(remaining, acc.extra)
 
       case other =>
-        PipelineResult(stage.rules.foldLeft(acc.main)((d, r) =>
-          applyRule(d, other, r)), acc.extra)
+        // apply_multiple_times (reference abc/processor.py:203-210): the
+        // fixpoint loop is bounded-unrolled at compile time — K sequential
+        // guarded projections; rules whose predicate no longer matches
+        // become no-ops on later passes, so K passes reach the fixpoint
+        // for terminating rule sets. Streaming-safe (plan is static).
+        val repeats = stage.rules.headOption
+          .flatMap(_.config.get("apply_multiple_times"))
+          .map(_.toString.toInt).getOrElse(1)
+        val applied = (1 to math.max(1, repeats)).foldLeft(acc.main) { (d0, _) =>
+          stage.rules.foldLeft(d0)((d, r) => applyRule(d, other, r))
+        }
+        PipelineResult(applied, acc.extra)
     }
   }
 

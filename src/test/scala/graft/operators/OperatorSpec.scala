@@ -49,6 +49,26 @@ class OperatorSpec extends SparkSpec {
     assert(out == Row("INFO", "10.1.2.3", "GET", "/index.html"))
   }
 
+  test("grokker: apache common log composite pattern") {
+    val df = oneRow(
+      """{"m":"127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] \"GET /apache_pb.gif HTTP/1.0\" 200 2326"}""",
+      "m STRING")
+    val out = PatternOps.grokker(df, "m",
+      Seq("""%{IPORHOST:client} %{NOTSPACE:ident} %{NOTSPACE:auth} \[%{HTTPDATE:ts}\] "%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?" %{NONNEGINT:status} (?:%{NONNEGINT:bytes}|-)"""))
+      .select("client", "verb", "request", "status", "bytes").head()
+    assert(out == Row("127.0.0.1", "GET", "/apache_pb.gif", "200", "2326"))
+  }
+
+  test("grokker: syslog base composite pattern resolves recursively") {
+    val df = oneRow(
+      """{"m":"Oct 11 22:14:15 mymachine su[230]: 'su root' failed"}""",
+      "m STRING")
+    val out = PatternOps.grokker(df, "m",
+      Seq("%{SYSLOGTIMESTAMP:ts} %{IPORHOST:host} %{SYSLOGPROG:prog}: %{GREEDYDATA:msg}"))
+      .select("ts", "host", "prog", "msg").head()
+    assert(out == Row("Oct 11 22:14:15", "mymachine", "su[230]", "'su root' failed"))
+  }
+
   test("grokker: no pattern match leaves fields null") {
     val df = oneRow("""{"m":"unparseable"}""", "m STRING")
     val out = PatternOps.grokker(df, "m", Seq("%{INT:n} only")).select("n").head()
