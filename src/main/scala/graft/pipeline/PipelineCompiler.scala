@@ -33,6 +33,28 @@ object PipelineCompiler {
     }
   }
 
+  /** Compile with an error channel: events that accumulated failure tags
+    * are additionally emitted on an "errors" side output, wrapped
+    * `{event, errors, @timestamp}` like the reference's error output
+    * (Pipeline.enqueue_error, framework/pipeline.py:364-415). The main
+    * channel still carries them (tagged) — the reference keeps failed
+    * events flowing too, tags are diagnostic.
+    */
+  def compileWithErrors(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
+    val result = compile(spec)(input)
+    val main = result.main
+    if (!main.columns.contains("tags")) result
+    else {
+      val failed = main.filter(size(col("tags")) > 0)
+        .select(
+          to_json(struct(main.columns.map(col): _*)).as("event"),
+          array_join(col("tags"), ",").as("errors"),
+          date_format(current_timestamp(),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("@timestamp"))
+      PipelineResult(main, result.extra + ("errors" -> failed))
+    }
+  }
+
   private def cfgStr(c: Map[String, Any], k: String): String = c(k).toString
   private def cfgStrOpt(c: Map[String, Any], k: String): Option[String] =
     c.get(k).map(_.toString)
