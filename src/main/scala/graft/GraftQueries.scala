@@ -180,6 +180,40 @@ object GraftQueries {
             FROM events
             WHERE event_type IN ('error','signup') AND value <= 50.0"""))
 
+  private val fDateRange = Spec("filter_lucene_daterange",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      // lexicographic string range over ISO dates — the reference's
+      // StringRangeFilterExpression use case
+      e.filter(FilterCompiler.predicate(
+          "day:[2024-01-03 TO 2024-01-05] AND event_type:purchase", e.schema))
+        .select(col("event_id"), col("day"))
+    },
+    Some("""SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day
+            FROM events
+            WHERE strftime(ts::TIMESTAMP, '%Y-%m-%d') >= '2024-01-03'
+              AND strftime(ts::TIMESTAMP, '%Y-%m-%d') <= '2024-01-05'
+              AND event_type = 'purchase'"""))
+
+  private val fSigma = Spec("filter_lucene_sigma",
+    (s, dir) => {
+      val e = ev(s, dir)
+      e.filter(FilterCompiler.predicate("event_type|sigma: PUR*", e.schema))
+        .select(col("event_id"), col("event_type"))
+    },
+    Some("""SELECT event_id, event_type FROM events
+            WHERE regexp_full_match(event_type, '(?i)PUR.*')"""))
+
+  private val fNull = Spec("filter_lucene_null",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("maybe",
+        when(col("user_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+      e.filter(FilterCompiler.predicate("maybe:null", e.schema))
+        .select(col("event_id"), col("user_id"))
+    },
+    Some("SELECT event_id, user_id FROM events WHERE user_id % 3 = 0"))
+
   // ======================================================================
   // Structural processors (SURVEY §2.2 #1,4,5,6,11,13,16,17,18,28)
   // ======================================================================
@@ -642,7 +676,7 @@ object GraftQueries {
 
   val batch1: Seq[Spec] = Seq(
     q1, q2, q3, q4, q5, q6,
-    fBasic, fBool, fWild, fGroup,
+    fBasic, fBool, fWild, fGroup, fDateRange, fSigma, fNull,
     pFieldManager, pDropper, pDeleter, pConcat, pSplit, pAdder,
     pKeyChecker, pDedup, pLabeler, pSelective, pCalc,
     pTimestamper, pDtExtract, pTsDiffer, pDissector, pGrokker)
