@@ -207,4 +207,43 @@ object Lookup {
     val fakeResponse = concat(lit("""{"url":""""), url, lit("""","status":200}"""))
     FieldOps.set(df, target, fakeResponse)
   }
+
+  /** The production shape for external-I/O enrichment (domain_resolver,
+    * requester): a `mapPartitions` stage with ONE resolver + LRU cache per
+    * task — connections and caches never cross the driver, lookups batch
+    * per partition, and the stage is explicitly nondeterministic-marked
+    * territory quarantined from the codegen'd narrow pipeline around it
+    * (reference: threadpool + TTL cache, domain_resolver/processor.py:
+    * 68-263). `resolve` is pluggable: prod passes a DNS/HTTP call; tests
+    * and this container pass a deterministic function.
+    */
+  def enrichPartitioned(df: DataFrame, source: String, target: String,
+                        resolve: String => String,
+                        maxCacheEntries: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields :+
+      StructField(target, StringType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(source)
+    df.mapPartitions { it =>
+      // per-task LRU cache (access-order LinkedHashMap)
+      val cache = new java.util.LinkedHashMap[String, String](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean =
+          size() > maxCacheEntries
+      }
+      it.map { row =>
+        val key = row.get(idx)
+        val value =
+          if (key == null) null
+          else {
+            val k = key.toString
+            val hit = cache.get(k)
+            if (hit != null) hit
+            else { val v = resolve(k); cache.put(k, v); v }
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ value)
+      }
+    }(enc)
+  }
 }

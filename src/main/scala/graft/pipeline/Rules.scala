@@ -55,6 +55,51 @@ object RuleLoader {
         .asInstanceOf[Map[String, Any]],
       description = m.getOrElse("description", "").toString)
 
+  /** Rule files: YAML multi-doc or JSON arrays of rule dicts (reference:
+    * processor/base/rule.py:149-248; loaded per processor from dirs/URIs
+    * via getters, abc/processor.py:89-99). Returns the rules for `ptype`.
+    */
+  def rulesFromFile(path: String, ptype: String): Seq[RuleSpec] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val docs: Seq[Any] =
+      if (path.endsWith(".json")) {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        def toPlain(j: JValue): Any = j match {
+          case JObject(fs) => fs.map { case (k, v) => k -> toPlain(v) }.toMap
+          case JArray(xs) => xs.map(toPlain)
+          case JString(s) => s
+          case JInt(i) => i.toLong
+          case JLong(i) => i
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case JBool(b) => b
+          case _ => null
+        }
+        toPlain(JsonMethods.parse(text)) match {
+          case l: Seq[_] => l
+          case other => Seq(other)
+        }
+      } else {
+        val yaml = new org.yaml.snakeyaml.Yaml()
+        yaml.loadAll(text).asScala.toSeq.map(toScala)
+      }
+    docs.collect { case m: Map[_, _] =>
+      parseRule(ptype, m.asInstanceOf[Map[String, Any]])
+    }
+  }
+
+  /** Load every .yml/.yaml/.json rule file under a directory (sorted for
+    * deterministic rule order, like the reference's sorted dir walk).
+    */
+  def rulesFromDir(dir: String, ptype: String): Seq[RuleSpec] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches(".*\\.(ya?ml|json)$")).sortBy(_.getName)
+    files.toSeq.flatMap(f => rulesFromFile(f.getPath, ptype))
+  }
+
   /** snakeyaml gives java collections; normalize to immutable Scala. */
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>

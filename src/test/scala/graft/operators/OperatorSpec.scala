@@ -153,6 +153,16 @@ class OperatorSpec extends SparkSpec {
     assert(got == Seq(true, true, false, false, false))
   }
 
+  test("enrichPartitioned: mapPartitions stage with per-task cache") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a.com", "b.com", "a.com", null).toDF("domain")
+    val out = Lookup.enrichPartitioned(df.repartition(2), "domain", "ip",
+      d => s"ip-of-$d")
+    val got = out.collect().map(r => Option(r.getAs[String]("ip"))).toSet
+    assert(got == Set(Some("ip-of-a.com"), Some("ip-of-b.com"), None))
+  }
+
   // ---- time ------------------------------------------------------------
 
   test("timestamper: multi-format fallback to ISO output") {
