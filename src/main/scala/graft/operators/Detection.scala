@@ -76,6 +76,22 @@ object Detection {
       .distinct()
   }
 
+  /** GDPR-complete mapping stream: origins hybrid-encrypted under the
+    * analyst public key (reference: encrypted pseudonym originals,
+    * pseudonymizer/processor.py:62-382 + util/pseudo/encrypter.py). The
+    * UDF is nondeterministic (fresh AES key + IV per value) and runs only
+    * on the already-distinct mapping rows — matching rows only, never the
+    * event hot path.
+    */
+  def pseudonymMappingEncrypted(df: DataFrame, source: String, salt: String,
+                                rsaPublicKeyDer: Array[Byte]): DataFrame = {
+    val encryptUdf = udf((origin: String) =>
+      Crypto.encrypt(origin, rsaPublicKeyDer)).asNondeterministic()
+    pseudonymMapping(df, source, salt)
+      .withColumn("origin_encrypted", encryptUdf(col("origin")))
+      .drop("origin")
+  }
+
   /** amides: misuse-classification of command lines. The reference scores
     * a pickled scikit-learn TF-IDF + linear model; the engine's equivalent
     * is a broadcast (token → weight) map + bias evaluated as a pure

@@ -215,6 +215,32 @@ class OperatorSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("pseudonymizer hybrid encryption round-trips and is key-bound") {
+    val kp = Crypto.generateRsaKeyPair()
+    val token = Crypto.encrypt("alice@example.com", kp.getPublic.getEncoded)
+    assert(token.split(":").length == 3)
+    assert(Crypto.decrypt(token, kp.getPrivate.getEncoded) == "alice@example.com")
+    // fresh session key per encryption → tokens differ, both decrypt
+    val token2 = Crypto.encrypt("alice@example.com", kp.getPublic.getEncoded)
+    assert(token != token2)
+    assert(Crypto.decrypt(token2, kp.getPrivate.getEncoded) == "alice@example.com")
+  }
+
+  test("encrypted pseudonym mapping stream decrypts to origins") {
+    val s = spark
+    import s.implicits._
+    val kp = Crypto.generateRsaKeyPair()
+    val df = Seq("u1", "u2", "u1").toDF("uid")
+    val mapping = Detection.pseudonymMappingEncrypted(df, "uid", "salt",
+      kp.getPublic.getEncoded)
+    val rows = mapping.collect()
+    assert(rows.length == 2)
+    val origins = rows.map(r =>
+      Crypto.decrypt(r.getAs[String]("origin_encrypted"),
+        kp.getPrivate.getEncoded)).toSet
+    assert(origins == Set("u1", "u2"))
+  }
+
   test("cosine similarity: orthogonal and identical vectors") {
     val s = spark
     import s.implicits._
