@@ -157,6 +157,24 @@ object PatternOps {
       "URIPARAM" -> """\?%{URIQUERY}""",
       "URIPATHPARAM" -> "%{URIPATH}(?:\\?%{URIQUERY})?",
       "URI" -> "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATH}(?:\\?%{URIQUERY})?)?",
+      "BASE16NUM" -> "(?:0[xX])?[0-9A-Fa-f]+",
+      "MONTH" -> "\\b(?:[Jj]an(?:uary|uar)?|[Ff]eb(?:ruary|ruar)?|[Mm](?:a|ä)?r(?:ch|z)?|[Aa]pr(?:il)?|[Mm]a(?:y|i)?|[Jj]un(?:e|i)?|[Jj]ul(?:y|i)?|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|[Oo](?:c|k)?t(?:ober)?|[Nn]ov(?:ember)?|[Dd]e(?:c|z)(?:ember)?)\\b",
+      "DAY" -> "(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+      "DATE_US" -> "%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+      "DATE_EU" -> "%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+      "DATE" -> "(?:%{DATE_US}|%{DATE_EU})",
+      "DATESTAMP" -> "%{DATE}[- ]%{TIME}",
+      "COMMONMAC" -> "(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+      "CISCOMAC" -> "(?:[A-Fa-f0-9]{4}\\.){2}[A-Fa-f0-9]{4}",
+      "WINDOWSMAC" -> "(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+      "MAC" -> "(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+      "EMAILLOCALPART" -> "[a-zA-Z0-9!#$%&'*+\\-/=?^_`{|}~]{1,64}(?:\\.[a-zA-Z0-9!#$%&'*+\\-/=?^_`{|}~]{1,62}){0,63}",
+      "EMAILADDRESS" -> "%{EMAILLOCALPART}@%{HOSTNAME}",
+      "UNIXPATH" -> "(?:/[\\w_%!$@:.,+~-]*)+",
+      "WINPATH" -> "(?:[A-Za-z]:|\\\\)(?:\\\\[^\\\\?*]*)+",
+      "PATH" -> "(?:%{UNIXPATH}|%{WINPATH})",
+      "HOSTPORT" -> "%{IPORHOST}:%{POSINT}",
+      "QS" -> "%{QUOTEDSTRING}",
       // composite log-line patterns (logstash core set shapes)
       "SYSLOGTIMESTAMP" -> """(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) +%{MONTHDAY} %{TIME}""",
       "SYSLOGPROG" -> """%{NOTSPACE}(?:\[%{POSINT}\])?""",

@@ -69,6 +69,17 @@ class OperatorSpec extends SparkSpec {
     assert(out == Row("Oct 11 22:14:15", "mymachine", "su[230]", "'su root' failed"))
   }
 
+  test("grokker: extended dictionary (email, mac, path, date)") {
+    val df = oneRow(
+      """{"m":"from bob.smith@corp.example.com at 00:1a:2b:3c:4d:5e wrote /var/log/app.log on 10/31/2024"}""",
+      "m STRING")
+    val out = PatternOps.grokker(df, "m",
+      Seq("from %{EMAILADDRESS:email} at %{MAC:mac} wrote %{UNIXPATH:path} on %{DATE_US:date}"))
+      .select("email", "mac", "path", "date").head()
+    assert(out == Row("bob.smith@corp.example.com", "00:1a:2b:3c:4d:5e",
+      "/var/log/app.log", "10/31/2024"))
+  }
+
   test("grokker: no pattern match leaves fields null") {
     val df = oneRow("""{"m":"unparseable"}""", "m STRING")
     val out = PatternOps.grokker(df, "m", Seq("%{INT:n} only")).select("n").head()
