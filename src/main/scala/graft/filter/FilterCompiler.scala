@@ -109,8 +109,13 @@ object FilterCompiler {
     case StringEq(f, v) => resolve(schema, f) match {
       case Some((c, ArrayType(_, _))) => nullSafe(array_contains(c.cast("array<string>"), v))
       case Some((c, BooleanType)) =>
-        // reference stringifies Python bools as True/False; accept both casings
-        nullSafe(c.cast("string") === v.toLowerCase || lit(v.equalsIgnoreCase("true")) === c)
+        // reference stringifies Python bools as True/False; accept both
+        // casings — but ONLY for the strings "true"/"false". Any other
+        // value ("yes", "garbage") matches nothing, as in the reference;
+        // the old `lit(false) === c` form wrongly matched every false row.
+        if (v.equalsIgnoreCase("true")) nullSafe(c === lit(true))
+        else if (v.equalsIgnoreCase("false")) nullSafe(c === lit(false))
+        else lit(false)
       case Some((c, _)) => nullSafe(c.cast("string") === v)
       case None => lit(false)
     }
@@ -171,15 +176,19 @@ object FilterCompiler {
     case _ => false
   }
 
+  /** Numeric ranges apply only to numeric-typed values — the reference's
+    * IntegerRangeFilterExpression requires `isinstance(value, int)` and
+    * explicitly excludes bools (filter_expression.py:338-347); a string or
+    * boolean field never matches a numeric range.
+    */
   private def numRange(schema: StructType, f: String, lo: Option[Column],
                        hi: Option[Column], loIncl: Boolean, hiIncl: Boolean): Column =
     resolve(schema, f) match {
-      case Some((c0, t)) =>
-        val c = if (numeric(t)) c0 else c0.cast("double")
+      case Some((c, t)) if numeric(t) =>
         val conds = lo.map(v => if (loIncl) c >= v else c > v).toSeq ++
           hi.map(v => if (hiIncl) c <= v else c < v).toSeq
         nullSafe(conds.reduceOption(_ && _).getOrElse(lit(true)))
-      case None => lit(false)
+      case _ => lit(false)
     }
 
   /** One-call convenience: parse + compile. */

@@ -40,13 +40,17 @@ object Dedup {
     * comparison — the key is 16 bytes, not the document.
     */
   def exact(df: DataFrame, textCol: String, orderKey: String): DataFrame = {
+    // Explicit aliases on both join sides: `keep` derives from `keyed`, so
+    // unqualified keyed("__h") === keep("__h") resolves both to the same
+    // attribute (Spark warns "trivially true equals predicate") and only
+    // works by plan-id disambiguation. The alias-qualified form is robust.
     val keyed = df.withColumn("__h", md5(col(textCol)))
     val keep = keyed.groupBy(col("__h"))
       .agg(min(col(orderKey)).as(orderKey + "_keep"))
-    keyed.join(keep,
-        keyed("__h") === keep("__h") &&
-        keyed(orderKey) === keep(orderKey + "_keep"))
-      .select(df.columns.map(keyed(_)): _*)
+    keyed.alias("k").join(keep.alias("d"),
+        col("k.__h") === col("d.__h") &&
+        col(s"k.$orderKey") === col(s"d.${orderKey}_keep"))
+      .select(df.columns.map(c => col(s"k.$c")): _*)
   }
 
   /** Modulus for the Kirsch-Mitzenmacher hash family: largest prime
@@ -92,11 +96,19 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }
+    // Materialize the banded signature table ONCE before the self-join:
+    // without this, both join branches re-run the whole
+    // scan→shingle→md5→minhash-aggregate pipeline (the most expensive
+    // stage of the job, doubled), and AQE tends to BroadcastExchange the
+    // entire banded corpus — neither survives 100 TB. The persisted form
+    // is computed once and shuffle-hash-joined to itself on
+    // (band, band_key).
     val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .persist()
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") &&
+    l.hint("shuffle_hash").join(r, col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
@@ -135,13 +147,16 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = simhashes(df, idCol, textCol)
+    // Persisted before the self-join for the same reason as [[minhashPairs]]:
+    // one simhash aggregation, not two, and no broadcast of the full corpus.
     val banded = sig.select(col("id"), col("sh"),
       explode(array(
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
+      .persist()
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+    l.hint("shuffle_hash").join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
   }

@@ -79,7 +79,20 @@ object Calculator {
             case "exp" => exp(a)
             case "abs" => abs(a)
             case "trunc" => a.cast("long")
-            case "round" => round(a, if (args.size > 1) 0 else 0)
+            case "round" =>
+              // round's scale must be a plan-time literal int (Spark's round
+              // signature requires it; the reference's fourFn also only ever
+              // sees literal digits, e.g. round(E, 3)).
+              if (args.size > 1) {
+                val scale = org.apache.spark.sql.GraftSqlBridge.literalValue(args(1)) match {
+                  case Some(v: Long) => v.toInt
+                  case Some(v: Int) => v
+                  case Some(v: Double) if v == v.toInt => v.toInt
+                  case other => throw new IllegalArgumentException(
+                    s"round() digits must be a literal integer, got: $other")
+                }
+                round(a, scale)
+              } else round(a, 0)
             case "sgn" => signum(a)
             case "from_hex" =>
               conv(regexp_replace(a.cast("string"), "^0[xX]", ""), 16, 10).cast("long")

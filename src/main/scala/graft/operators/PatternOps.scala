@@ -238,19 +238,36 @@ object PatternOps {
     }
   }
 
-  /** Index of named group `g` among all capturing groups of `regex`. */
-  private def groupIndexOf(regex: String, g: String): Int = {
-    // count opening capture groups (named or plain) before ours
-    val p = java.util.regex.Pattern.compile("""\((?!\?:|\?=|\?!|\?<=|\?<!)""")
-    val named = java.util.regex.Pattern.compile("""\(\?<(\w+)>""")
-    val m = named.matcher(regex)
-    var target = -1
-    while (m.find()) if (m.group(1) == g) target = m.start()
-    require(target >= 0, s"group $g not in regex")
-    var count = 0
-    val mm = p.matcher(regex)
-    while (mm.find() && mm.start() <= target) count += 1
-    count
+  /** Index of named group `g` among all capturing groups of `regex`.
+    *
+    * A character-by-character scan tracking backslash escapes and character
+    * classes: a literal '(' inside `[...]` (URIPATH/URIQUERY bodies have
+    * them) is NOT a capture group — a regex-based count of '(' would shift
+    * every group index after such a pattern and extract the wrong field.
+    */
+  private[operators] def groupIndexOf(regex: String, g: String): Int = {
+    val target = s"(?<$g>"
+    var i = 0; var count = 0; var inClass = false
+    while (i < regex.length) {
+      val c = regex.charAt(i)
+      if (c == '\\') i += 2                       // escaped char: skip both
+      else if (inClass) { if (c == ']') inClass = false; i += 1 }
+      else c match {
+        case '[' => inClass = true; i += 1
+        case '(' =>
+          if (regex.startsWith(target, i)) return count + 1
+          if (i + 1 < regex.length && regex.charAt(i + 1) == '?') {
+            // (?<name>...) is capturing; (?<= (?<! (?: (?= (?! etc. are not
+            if (i + 2 < regex.length && regex.charAt(i + 2) == '<' &&
+                i + 3 < regex.length &&
+                regex.charAt(i + 3) != '=' && regex.charAt(i + 3) != '!')
+              count += 1
+          } else count += 1
+          i += 1
+        case _ => i += 1
+      }
+    }
+    throw new IllegalArgumentException(s"group $g not in regex")
   }
 
   // ----------------------------------------------------------------- replacer

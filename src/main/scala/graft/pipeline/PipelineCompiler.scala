@@ -132,10 +132,38 @@ object PipelineCompiler {
 
   private def firstColumn(df: DataFrame): Column = col(df.columns.head)
 
+  /** Apply `op` to the whole frame, then blend each target path so rows NOT
+    * matching `pred` keep their prior value (or stay null for new fields).
+    * This is how the rule filter reaches operators that write via their own
+    * `FieldOps.set` internally — the reference only processes events whose
+    * filter matches (abc/processor.py:212-215); unmatched events must pass
+    * through untouched.
+    */
+  private def guardedApply(df: DataFrame, pred: Column, targets: Seq[String])
+                          (op: DataFrame => DataFrame): DataFrame = {
+    val stash = targets.indices.map(i => s"__pre$i")
+    val withOld = targets.zip(stash).foldLeft(df) { case (d, (t, s)) =>
+      d.withColumn(s, FieldOps.getOrNull(d.schema, t))
+    }
+    val applied = op(withOld)
+    val blended = targets.zip(stash).foldLeft(applied) { case (d, (t, s)) =>
+      val cur = FieldOps.getOrNull(d.schema, t)
+      FieldOps.set(d, t, when(pred, cur).otherwise(col(s)))
+    }
+    stash.foldLeft(blended)(_ drop _)
+  }
+
   /** One mutating rule on one stage type → guarded projection. */
   private def applyRule(df: DataFrame, ptype: String, rule: RuleSpec): DataFrame = {
-    val pred = FilterCompiler.predicate(rule.filter, df.schema)
+    val ast = graft.filter.LuceneParser.parseOrThrow(rule.filter)
+    val matchAll = ast == graft.filter.FilterAst.Always(true)
+    val pred = FilterCompiler.compile(ast, df.schema)
     val c = rule.config
+    // shorthand: guard `op`'s writes to `targets` by the rule filter,
+    // skipping the blend entirely for match-all rules (keeps those plans
+    // as narrow as before)
+    def g(d: DataFrame, targets: Seq[String])(op: DataFrame => DataFrame): DataFrame =
+      if (matchAll) op(d) else guardedApply(d, pred, targets)(op)
     ptype match {
       case "field_manager" =>
         // the reference's write-mode knobs (field_manager/rule.py:90-140):
@@ -189,10 +217,12 @@ object PipelineCompiler {
         }
 
       case "grokker" =>
-        // grok writes are inherently guarded: a named capture only binds
-        // when its pattern full-matches, else null (PatternOps.grokker)
+        // a named capture only binds when its pattern full-matches (else
+        // null) — but the rule filter must additionally keep unmatched
+        // rows' prior values, hence the guarded wrap
         cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
-          PatternOps.grokker(d, src, Seq(pattern))
+          val targets = PatternOps.compileGrok(pattern)._2.map(_._2).distinct
+          g(d, targets)(PatternOps.grokker(_, src, Seq(pattern)))
         }
 
       case "timestamper" =>
@@ -200,10 +230,19 @@ object PipelineCompiler {
         val formats = if (cfgSeq(c, "source_format").nonEmpty)
           cfgSeq(c, "source_format") else Seq("ISO8601")
         val target = cfgStrOpt(c, "target_field").getOrElse("@timestamp")
-        TimeOps.timestamper(df, src, formats, target)
+        g(df, Seq(target))(TimeOps.timestamper(_, src, formats, target))
 
       case "dropper" =>
-        Structural.dropper(df, cfgSeq(c, "drop"))
+        // match-all rules drop the column from the schema; selective rules
+        // null the field on matching rows only (static schema can't drop
+        // per-row, and null ⇔ absent for our tables)
+        val dropFields = cfgSeq(c, "drop")
+        if (matchAll) Structural.dropper(df, dropFields)
+        else dropFields.foldLeft(df) { (d, f) =>
+          if (!FieldOps.exists(d.schema, f)) d
+          else FieldOps.set(d, f,
+            when(pred, lit(null)).otherwise(FieldOps.getOrNull(d.schema, f)))
+        }
 
       case "concatenator" =>
         guardedSet(
@@ -304,15 +343,15 @@ object PipelineCompiler {
 
       case "datetime_extractor" =>
         val src = cfgSeq(c, "source_fields").head
-        graft.operators.TimeOps.datetimeExtractor(df, src,
-          cfgStrOpt(c, "target_field").getOrElse("datetime"))
+        val target = cfgStrOpt(c, "target_field").getOrElse("datetime")
+        g(df, Seq(target))(TimeOps.datetimeExtractor(_, src, target))
 
       case "timestamp_differ" =>
         val Seq(a, b) = cfgSeq(c, "source_fields").take(2)
-        graft.operators.TimeOps.timestampDiffer(df, a, b,
-          cfgStrOpt(c, "target_field").getOrElse("time_delta"),
+        val target = cfgStrOpt(c, "target_field").getOrElse("time_delta")
+        g(df, Seq(target))(TimeOps.timestampDiffer(_, a, b, target,
           cfgStrOpt(c, "output_format").getOrElse("ms"),
-          c.get("show_unit").exists(_.toString == "true"))
+          c.get("show_unit").exists(_.toString == "true")))
 
       case "list_comparison" =>
         val src = cfgSeq(c, "source_fields").head
@@ -321,7 +360,8 @@ object PipelineCompiler {
           .asInstanceOf[Map[String, Any]].map { case (k, v) =>
             k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet
           }
-        graft.operators.Lookup.listComparison(df, src, target, lists)
+        g(df, Seq(s"$target.in_list", s"$target.not_in_list"))(
+          Lookup.listComparison(_, src, target, lists))
 
       case "network_comparison" =>
         val src = cfgSeq(c, "source_fields").head
@@ -330,41 +370,46 @@ object PipelineCompiler {
           .asInstanceOf[Map[String, Any]].map { case (k, v) =>
             k -> v.asInstanceOf[Seq[Any]].map(_.toString)
           }
-        graft.operators.Lookup.networkComparison(df, src, target, nets)
+        g(df, Seq(s"$target.in_list", s"$target.not_in_list"))(
+          Lookup.networkComparison(_, src, target, nets))
 
       case "ip_informer" =>
-        graft.operators.Lookup.ipInformer(df, cfgSeq(c, "source_fields").head,
-          cfgStrOpt(c, "target_field").getOrElse("ip_info"))
+        val target = cfgStrOpt(c, "target_field").getOrElse("ip_info")
+        g(df, Seq(target))(
+          Lookup.ipInformer(_, cfgSeq(c, "source_fields").head, target))
 
       case "domain_label_extractor" =>
-        graft.operators.Lookup.domainLabelExtractor(df, cfgSeq(c, "source_fields").head,
-          cfgStrOpt(c, "target_field").getOrElse("domain"))
+        val target = cfgStrOpt(c, "target_field").getOrElse("domain")
+        g(df, Seq(target))(
+          Lookup.domainLabelExtractor(_, cfgSeq(c, "source_fields").head, target))
 
       case "domain_resolver" =>
-        graft.operators.Lookup.domainResolver(df, cfgSeq(c, "source_fields").head,
-          cfgStrOpt(c, "target_field").getOrElse("resolved_ip"))
+        val target = cfgStrOpt(c, "target_field").getOrElse("resolved_ip")
+        g(df, Seq(target))(
+          Lookup.domainResolver(_, cfgSeq(c, "source_fields").head, target))
 
       case "template_replacer" =>
         val table = cfgMap(c, "table")
-        graft.operators.Lookup.templateReplacer(df, cfgSeq(c, "fields"),
-          cfgStrOpt(c, "delimiter").getOrElse("-"),
-          cfgStrOpt(c, "target_field").getOrElse("replaced"), table)
+        val target = cfgStrOpt(c, "target_field").getOrElse("replaced")
+        g(df, Seq(target))(Lookup.templateReplacer(_, cfgSeq(c, "fields"),
+          cfgStrOpt(c, "delimiter").getOrElse("-"), target, table))
 
       case "clusterer" =>
         val subs = cfgMap(c, "substitutions").toSeq
-        graft.operators.PatternOps.clusterer(df,
+        val target = cfgStrOpt(c, "output_field_name").getOrElse("cluster_signature")
+        g(df, Seq(target))(PatternOps.clusterer(_,
           cfgSeq(c, "source_fields").headOption.getOrElse("message"),
-          cfgStrOpt(c, "output_field_name").getOrElse("cluster_signature"),
-          subs,
-          c.get("iterations").map(_.toString.toInt).getOrElse(1))
+          target, subs,
+          c.get("iterations").map(_.toString.toInt).getOrElse(1)))
 
       case "amides" =>
         val weights = cfgMap(c, "weights").map { case (k, v) => k -> v.toDouble }
-        graft.operators.Detection.amides(df, cfgSeq(c, "source_fields").head,
-          cfgStrOpt(c, "target_field").getOrElse("amides"),
-          weights,
-          c.get("bias").map(_.toString.toDouble).getOrElse(0.0),
-          c.get("decision_threshold").map(_.toString.toDouble).getOrElse(0.5))
+        val target = cfgStrOpt(c, "target_field").getOrElse("amides")
+        g(df, Seq(target))(
+          Detection.amides(_, cfgSeq(c, "source_fields").head, target,
+            weights,
+            c.get("bias").map(_.toString.toDouble).getOrElse(0.0),
+            c.get("decision_threshold").map(_.toString.toDouble).getOrElse(0.5)))
 
       case unknown =>
         throw new IllegalArgumentException(s"unknown processor type: $unknown")

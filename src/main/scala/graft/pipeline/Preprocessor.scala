@@ -13,15 +13,52 @@ import graft.fields.FieldOps
   */
 object Preprocessor {
 
-  /** HMAC-SHA256 of the raw event serialization into `target`. The
-    * reference compresses+base64s the raw event alongside
-    * (input.py:326+); we keep the raw JSON in `<target>.event`.
+  /** RFC 2104 HMAC-SHA256 of a binary message column, as a composition of
+    * codegen'd sha2/concat expressions: the key schedule (pad to the
+    * 64-byte block, xor with ipad/opad) is constant-folded on the driver
+    * since the key is a plan-time literal, so per row only the two SHA-256
+    * passes run. NOT sha256(key||msg) — that construction is
+    * length-extension-forgeable and doesn't match the reference (which
+    * uses Python's `hmac`, logprep/abc/input.py HmacConfig).
+    */
+  def hmacSha256(key: String, msg: Column): Column = {
+    val keyBytes0 = key.getBytes("UTF-8")
+    val keyBytes =
+      if (keyBytes0.length > 64)
+        java.security.MessageDigest.getInstance("SHA-256").digest(keyBytes0)
+      else keyBytes0
+    val block = java.util.Arrays.copyOf(keyBytes, 64)
+    val ipad = block.map(b => (b ^ 0x36).toByte)
+    val opad = block.map(b => (b ^ 0x5c).toByte)
+    val inner = unhex(sha2(concat(lit(ipad), msg), 256))
+    sha2(concat(lit(opad), inner), 256)
+  }
+
+  /** zlib-compress a binary column (RFC 1950 stream, as Python's
+    * `zlib.compress`). The one UDF in the prelude: the JVM Deflater has no
+    * SQL-function equivalent; deterministic at the default level.
+    */
+  private val zlibCompress = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(b.length / 2 + 16)
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    })
+
+  /** HMAC-SHA256 of the raw event serialization into `target`, alongside
+    * the zlib-compressed base64 of the raw event — the reference's
+    * HmacConfig output shape (logprep/abc/input.py:195-253: hmac +
+    * compressed_base64 of the target's serialization).
     */
   def hmac(df: DataFrame, key: String, target: String = "hmac"): DataFrame = {
-    val raw = to_json(struct(df.columns.map(col): _*))
-    val mac = sha2(concat(lit(key), raw), 256)
+    val raw = encode(to_json(struct(df.columns.map(col): _*)), "utf-8")
     FieldOps.set(df, target, struct(
-      mac.as("hmac"), base64(encode(raw, "utf-8")).as("compressed_base64")))
+      hmacSha256(key, raw).as("hmac"),
+      base64(zlibCompress(raw)).as("compressed_base64")))
   }
 
   /** Version-info field (reference: version_info_target_field). */
