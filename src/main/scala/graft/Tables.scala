@@ -23,4 +23,9 @@ object Tables {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Reference semantics are try-style: a malformed value yields a
+      // per-event warning tag, never an aborted job (abc/processor.py:
+      // 228-252 catches everything). At 100 TB a single bad row must not
+      // kill the pipeline, so casts/division follow NULL-on-error.
+      .config("spark.sql.ansi.enabled", "false")
 }

@@ -49,7 +49,7 @@ object FieldOps {
     */
   def set(df: DataFrame, path: String, value: Column,
           mode: WriteMode = WriteMode.Overwrite): DataFrame = {
-    val parts = path.split("\\.").toList
+    val parts = graft.filter.FilterCompiler.splitPath(path)
     val schema = df.schema
     parts match {
       case top :: Nil =>
@@ -119,7 +119,7 @@ object FieldOps {
 
   /** Delete a dotted path. Top-level → drop column; nested → dropFields. */
   def delete(df: DataFrame, path: String): DataFrame = {
-    val parts = path.split("\\.").toList
+    val parts = graft.filter.FilterCompiler.splitPath(path)
     parts match {
       case top :: Nil => df.drop(top)
       case top :: rest if df.schema.fieldNames.contains(top) &&
@@ -128,6 +128,11 @@ object FieldOps {
       case _ => df
     }
   }
+
+  /** `set` under a name RuleExec uses to emphasize the null-writing
+    * delete path keeps the column type.  */
+  def setNullable(df: DataFrame, path: String, value: Column): DataFrame =
+    set(df, path, value)
 
   /** Copy/move N source fields to a target (field_manager core). */
   def copy(df: DataFrame, sources: Seq[String], target: String,

@@ -24,8 +24,31 @@ object FilterCompiler {
     * type, or None if the path cannot exist. Supports struct traversal and
     * integer list indices (`a.b.0`).
     */
+  /** Split a dotted path with the reference's backslash handling
+    * (get_dotted_field_list, util/helper.py:482-517): `\x` consumes the
+    * backslash and takes `x` literally — so `a\.b` is ONE segment named
+    * `a.b`, and a trailing `\` stays literal.
+    */
+  def splitPath(path: String): List[String] = {
+    if (!path.contains('\\')) return path.split("\\.", -1).toList
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val buf = new StringBuilder
+    var i = 0
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' => out += buf.result(); buf.clear(); i += 1
+        case '\\' =>
+          if (i + 1 < path.length) { buf.append(path.charAt(i + 1)); i += 2 }
+          else { buf.append('\\'); i += 1 }
+        case c => buf.append(c); i += 1
+      }
+    }
+    out += buf.result()
+    out.toList
+  }
+
   def resolve(schema: StructType, path: String): Option[(Column, DataType)] = {
-    val parts = path.split("\\.")
+    val parts = splitPath(path)
     def walk(c: Column, dt: DataType, rest: List[String]): Option[(Column, DataType)] =
       rest match {
         case Nil => Some((c, dt))
@@ -39,7 +62,7 @@ object FilterCompiler {
           case _ => None
         }
       }
-    parts.toList match {
+    parts match {
       case head :: tail =>
         schema.fields.find(_.name == head)
           .flatMap(f => walk(col(head), f.dataType, tail))

@@ -153,50 +153,129 @@ object PipelineCompiler {
     stash.foldLeft(blended)(_ drop _)
   }
 
+  /** field_manager (reference: processor/field_manager/processor.py:40-170):
+    * mapping path copies each present source to its target; single-target
+    * path writes the present values (scalar when one source and no merge,
+    * else a list), with merge_with_target flattening lists and
+    * order-preserving-deduping sources first (`_overwrite_from_source_values`)
+    * and all-dict values collapsing to one shallow-merged dict.
+    */
+  private def applyFieldManager(df: DataFrame, pred: Column, ptype: String,
+                                c: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val k = RuleExec.knobs(ptype, c)
+    val mappingPairs = cfgMap(c, "mapping").toSeq
+    var out = df
+
+    if (mappingPairs.nonEmpty) {
+      val sources = mappingPairs.map(_._1)
+      if (!k.ignoreMissing) {
+        val miss = RuleExec.anyMissing(out.schema, sources)
+        out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+      }
+      // absent-in-schema sources can never write: skip at plan time so no
+      // dead target columns appear
+      for ((src, tgt) <- mappingPairs if FieldOps.exists(out.schema, src)) {
+        val srcCol = FieldOps.getOrNull(out.schema, src)
+        out = RuleExec.write(out, pred && srcCol.isNotNull, tgt, srcCol, k)
+      }
+      out = RuleExec.deleteSourcesIf(out, pred, k, sources)
+    }
+
+    if (k.sourceFields.nonEmpty && k.targetField.isDefined) {
+      val sources = k.sourceFields
+      val target = k.targetField.get
+      if (!k.ignoreMissing) {
+        val miss = RuleExec.anyMissing(out.schema, sources)
+        out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+      }
+      val schema = out.schema
+      val types = sources.map(s => FieldOps.get(schema, s).map(_._2))
+      val cols = sources.map(s => FieldOps.getOrNull(schema, s))
+
+      if (types.forall(_.isEmpty)) {
+        // no source exists in the schema: nothing can ever be written
+        out
+      } else if (!k.merge) {
+        if (sources.size == 1) {
+          val v = cols.head
+          out = RuleExec.write(out, pred && v.isNotNull, target, v, k)
+        } else {
+          val et = commonType(types.map(_.getOrElse(NullType)))
+          val arr = array_compact(array(cols.map(_.cast(et)): _*))
+          out = RuleExec.write(out, pred && size(arr) > 0, target, arr, k)
+        }
+      } else if (types.forall(_.exists(_.isInstanceOf[StructType]))) {
+        // all dicts → one shallow-merged dict, later sources win
+        val merged = sources.zip(cols).foldLeft(Option.empty[Column]) {
+          case (acc, (s, cc)) =>
+            val st = FieldOps.get(schema, s).get._2.asInstanceOf[StructType]
+            val upd = st.fieldNames.foldLeft(acc) { (a, f) =>
+              Some(a.fold(struct(cc.getField(f).as(f)))(
+                _.withField(f, cc.getField(f))))
+            }
+            upd
+        }.get
+        val anyPresent = cols.map(_.isNotNull).reduce(_ || _)
+        out = RuleExec.write(out, pred && anyPresent, target, merged, k)
+      } else {
+        // flatten lists / wrap scalars, drop missing, order-preserving dedup
+        val et = commonType(types.map(_.getOrElse(NullType)).map {
+          case ArrayType(t, _) => t
+          case t => t
+        })
+        val empty = array().cast(ArrayType(et))
+        val pieces = types.zip(cols).map {
+          case (Some(ArrayType(_, _)), cc) => coalesce(cc.cast(ArrayType(et)), empty)
+          case (_, cc) => when(cc.isNotNull, array(cc.cast(et))).otherwise(empty)
+        }
+        val deduped = array_distinct(concat(pieces: _*))
+        // merge+overwrite together = replace target with the deduped list
+        // (_write_to_single_target disables merging after dedup when
+        // overwrite_target is set, field_manager/processor.py:100-110)
+        val k2 = if (k.overwrite) k.copy(merge = false) else k
+        out = RuleExec.write(out, pred && size(deduped) > 0, target, deduped, k2)
+      }
+      out = RuleExec.deleteSourcesIf(out, pred, k, sources)
+    }
+    out
+  }
+
+  /** Widest common type for heterogenous value lists: identical → itself,
+    * all-numeric → double, else string (JSON-faithful for the common
+    * cases; Python lists are heterogenous, Spark arrays are not).
+    */
+  private def commonType(ts: Seq[org.apache.spark.sql.types.DataType]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val real = ts.filterNot(_ == NullType)
+    if (real.isEmpty) StringType
+    else if (real.distinct.size == 1) real.head
+    else if (real.forall(_.isInstanceOf[NumericType])) DoubleType
+    else StringType
+  }
+
   /** One mutating rule on one stage type → guarded projection. */
-  private def applyRule(df: DataFrame, ptype: String, rule: RuleSpec): DataFrame = {
+  private def applyRule(df0: DataFrame, ptype: String, rule: RuleSpec): DataFrame = {
     val ast = graft.filter.LuceneParser.parseOrThrow(rule.filter)
     val matchAll = ast == graft.filter.FilterAst.Always(true)
-    val pred = FilterCompiler.compile(ast, df.schema)
+    // The reference matches the rule filter against the event BEFORE the
+    // transform mutates it (abc/processor.py:212-215). A raw Column pred
+    // would re-evaluate against mutated fields mid-rule (e.g.
+    // delete_source_fields nulling a field the filter tests), so the
+    // match verdict is materialized into a temp column first.
+    val df = if (matchAll) df0 else
+      df0.withColumn("__pred",
+        coalesce(FilterCompiler.compile(ast, df0.schema), lit(false)))
+    val pred = if (matchAll) lit(true) else col("__pred")
     val c = rule.config
     // shorthand: guard `op`'s writes to `targets` by the rule filter,
     // skipping the blend entirely for match-all rules (keeps those plans
     // as narrow as before)
     def g(d: DataFrame, targets: Seq[String])(op: DataFrame => DataFrame): DataFrame =
       if (matchAll) op(d) else guardedApply(d, pred, targets)(op)
-    ptype match {
+    val out = ptype match {
       case "field_manager" =>
-        // the reference's write-mode knobs (field_manager/rule.py:90-140):
-        // default = FieldExistsWarning on occupied target (tag, keep old),
-        // overwrite_target = replace, merge_with_target = extend/append,
-        // ignore_missing_fields = skip rules whose source isn't present
-        val mapping = cfgMap(c, "mapping")
-        def flag(k: String) = c.get(k).exists(_.toString == "true")
-        val (overwrite, merge, deleteSources, ignoreMissing) =
-          (flag("overwrite_target"), flag("merge_with_target"),
-            flag("delete_source_fields"), flag("ignore_missing_fields"))
-        require(!(overwrite && merge),
-          "overwrite_target and merge_with_target are mutually exclusive")
-        val written = mapping.foldLeft(df) { case (d, (src, tgt)) =>
-          if (ignoreMissing && !FieldOps.exists(d.schema, src)) d
-          else {
-            val srcCol = FieldOps.getOrNull(d.schema, src)
-            val existing = FieldOps.getOrNull(d.schema, tgt)
-            if (merge)
-              guardedSet(d, pred, tgt, FieldOps.mergedValue(d.schema, tgt, srcCol))
-            else if (overwrite || !FieldOps.exists(d.schema, tgt))
-              guardedSet(d, pred, tgt, srcCol)
-            else {
-              // strict: only write where target is currently null; tag the
-              // conflicting rows like the reference's FieldExistsWarning
-              val conflict = pred && existing.isNotNull
-              tagFailures(guardedSet(d, pred && existing.isNull, tgt, srcCol),
-                conflict, "_field_manager_failure")
-            }
-          }
-        }
-        if (deleteSources) mapping.keys.foldLeft(written)((d, s) => FieldOps.delete(d, s))
-        else written
+        applyFieldManager(df, pred, ptype, c)
 
       case "dissector" =>
         cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
@@ -253,8 +332,24 @@ object PipelineCompiler {
           .drop(cfgStr(c, "target_field") + "__tmp")
 
       case "calculator" =>
-        guardedSet(df, pred, cfgStr(c, "target_field"),
-          Calculator.compile(cfgStr(c, "calc"), df.schema))
+        // source_fields derive from the template (calculator/rule.py:174);
+        // missing → skip + missing tag, "" → skip + failure tag, parse
+        // failure (null result from non-null sources) → failure tag
+        val template = cfgStr(c, "calc")
+        val k0 = RuleExec.knobs(ptype, c)
+        val k = if (k0.sourceFields.nonEmpty) k0
+          else k0.copy(sourceFields = Calculator.sources(template))
+        RuleExec.applyValueRule(df, pred, k, cfgStr(c, "target_field"),
+          schema => Calculator.compile(template, schema),
+          // NaN/Infinity = the reference's ArithmeticError/timeout path
+          // (div by zero, runaway pow) → failure tag, no write
+          computeOk = Some { schema =>
+            val v = Calculator.compile(template, schema)
+            val d = v.cast("double")
+            v.isNotNull && !isnan(d) && d =!= Double.PositiveInfinity &&
+              d =!= Double.NegativeInfinity
+          },
+          checkEmpty = true)
 
       case "generic_adder" =>
         cfgMap(c, "add").foldLeft(df) { case (d, (path, v)) =>
@@ -414,5 +509,6 @@ object PipelineCompiler {
       case unknown =>
         throw new IllegalArgumentException(s"unknown processor type: $unknown")
     }
+    out.drop("__pred")
   }
 }

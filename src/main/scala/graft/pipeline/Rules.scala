@@ -67,7 +67,8 @@ object RuleLoader {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         def toPlain(j: JValue): Any = j match {
-          case JObject(fs) => fs.map { case (k, v) => k -> toPlain(v) }.toMap
+          case JObject(fs) => scala.collection.immutable.ListMap(
+            fs.map { case (k, v) => k -> toPlain(v) }: _*)
           case JArray(xs) => xs.map(toPlain)
           case JString(s) => s
           case JInt(i) => i.toLong
@@ -102,8 +103,9 @@ object RuleLoader {
 
   /** snakeyaml gives java collections; normalize to immutable Scala. */
   private def toScala(v: Any): Any = v match {
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
+    case m: java.util.Map[_, _] => // LinkedHashMap in snakeyaml: keep order
+      scala.collection.immutable.ListMap(
+        m.asScala.toSeq.map { case (k, vv) => k.toString -> toScala(vv) }: _*)
     case l: java.util.List[_] => l.asScala.map(toScala).toSeq
     case other => other
   }

@@ -1,0 +1,135 @@
+package graft.conformance
+
+import graft.SparkSpec
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Reference-conformance sweep: golden (rule, input, expected) triples
+  * extracted verbatim from the reference's table-driven processor tests
+  * (tests/unit/processor/&#42;/test_&#42;.py, harness base.py:33; extraction:
+  * tools/extract_conformance.py) into src/test/resources/conformance/&#42;.json,
+  * each run through [[PipelineCompiler]] on a one-row DataFrame built from
+  * the input event.
+  *
+  * Comparison is on the JSON value level with the two static-schema
+  * compromises documented in COVERAGE.md:
+  *  - null ⇔ absent (Spark's toJSON drops nulls; the reference's MISSING
+  *    sentinel becomes null in a static schema) — nulls are stripped from
+  *    both sides before comparing;
+  *  - whole-valued doubles compare equal to longs (Spark JSON inference
+  *    reads every int as LongType; int/float distinctions survive the
+  *    DuckDB-oracle gate, not this one).
+  *
+  * Cases the engine intentionally does not replicate are listed in
+  * conformance/waivers.json with a reason; every other failure is a bug.
+  */
+class ConformanceSpec extends SparkSpec {
+
+  private def resource(name: String): Option[String] = {
+    val in = getClass.getResourceAsStream(s"/conformance/$name")
+    Option(in).map { s =>
+      try scala.io.Source.fromInputStream(s, "UTF-8").mkString finally s.close()
+    }
+  }
+
+  /** json4s → plain Scala (Map/Seq/Long/Double/String/Boolean/null). */
+  private def plain(j: JValue): Any = j match {
+    case JObject(fs) => scala.collection.immutable.ListMap(
+      fs.map { case (k, v) => k -> plain(v) }: _*)
+    case JArray(xs) => xs.map(plain)
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(i) => i
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case _ => null
+  }
+
+  /** Canonical comparison form: strip nulls, widen whole doubles to longs. */
+  private def canon(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => k -> canon(x) }
+        .filter { case (_, x) => x != null && x != Map.empty }
+    case s: Seq[_] => s.map(canon)
+    case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong
+    case i: Int => i.toLong
+    case other => other
+  }
+
+  /** Show values with their runtime types so `"0.01"` vs `0.01` and
+    * `1L` vs `true` mismatches are visible in the failure output.
+    */
+  private def show(v: Any): String = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      .map { case (k, x) => s"$k=${show(x)}" }.mkString("{", ", ", "}")
+    case s: Seq[_] => s.map(show).mkString("[", ", ", "]")
+    case s: String => "\"" + s + "\""
+    case d: Double => s"${d}d"
+    case l: Long => s"${l}L"
+    case b: Boolean => b.toString
+    case null => "null"
+    case other => s"$other:${other.getClass.getSimpleName}"
+  }
+
+  private def renderDiff(got: Any, want: Any): String =
+    s"\n  got:      ${show(got)}\n  expected: ${show(want)}"
+
+  private val waivers: Map[String, String] =
+    resource("waivers.json").map { txt =>
+      plain(JsonMethods.parse(txt)).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }
+    }.getOrElse(Map.empty)
+
+  private val processors = Seq(
+    "calculator", "concatenator", "decoder", "deduplicator", "dissector",
+    "field_manager", "generic_adder", "grokker", "ip_informer", "key_checker",
+    "list_comparison", "network_comparison", "pseudonymizer", "replacer",
+    "string_splitter", "timestamp_differ", "timestamper")
+
+  private val seen = scala.collection.mutable.Map.empty[String, Int]
+
+  for (proc <- processors; txt <- resource(s"$proc.json")) {
+    val cases = JsonMethods.parse(txt).asInstanceOf[JArray].arr
+    for (caseJson <- cases) {
+      val c = caseJson.asInstanceOf[JObject]
+      val base = (c \ "name").asInstanceOf[JString].s
+      // reference ids occasionally repeat; suffix repeats for uniqueness
+      val n = seen.updateWith(s"$proc/$base")(x => Some(x.getOrElse(0) + 1)).get
+      val name = if (n == 1) base else s"$base ($n)"
+      val isFailure = (c \ "error") != JNothing
+      val key = s"$proc/$name"
+      val testName = s"conformance: $key"
+      waivers.get(key) match {
+        case Some(reason) =>
+          ignore(testName + s" [waived: $reason]") {}
+        case None if isFailure =>
+          // failure cases assert warning tags; covered selectively — the
+          // engine tags rather than throws, matching expected-event state
+          test(testName) { runCase(proc, c) }
+        case None =>
+          test(testName) { runCase(proc, c) }
+      }
+    }
+  }
+
+  private def runCase(proc: String, c: JObject): Unit = {
+    val ruleMap = plain(c \ "rule").asInstanceOf[Map[String, Any]]
+    val inputJson = JsonMethods.compact(JsonMethods.render(c \ "input"))
+    val expected = canon(plain(c \ "expected"))
+
+    val df = spark.read.json(
+      spark.createDataset(Seq(inputJson))(Encoders.STRING))
+    val rule = RuleLoader.parseRule(proc, ruleMap)
+    val spec = PipelineSpec(Seq(StageSpec(proc, Seq(rule))))
+    val out: DataFrame = PipelineCompiler.compile(spec)(df).main
+    val rows = out.toJSON.collect()
+    val got =
+      if (rows.isEmpty) Map.empty[String, Any] // event deleted
+      else canon(plain(JsonMethods.parse(rows.head)))
+    assert(got == expected, renderDiff(got, expected))
+  }
+}
