@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   */
 object FieldOps {
 
+  /** Backquote a struct field name for withField/dropFields, whose string
+    * argument is PARSED (dots nest, hyphens break) — event keys are
+    * arbitrary.  */
+  def quote(f: String): String = "`" + f.replace("`", "``") + "`"
+
   sealed trait WriteMode
   object WriteMode {
     case object Strict extends WriteMode
@@ -91,7 +96,7 @@ object FieldOps {
           case Some((c, st: StructType)) =>
             val child = st.fields.find(_.name == p)
               .map(f => (c.getField(p), f.dataType))
-            c.withField(p, nestedSet(child, rest, value))
+            c.withField(quote(p), nestedSet(child, rest, value))
           case _ =>
             struct(nestedSet(None, rest, value).as(p))
         }
@@ -124,7 +129,7 @@ object FieldOps {
       case top :: Nil => df.drop(top)
       case top :: rest if df.schema.fieldNames.contains(top) &&
           df.schema(top).dataType.isInstanceOf[StructType] =>
-        df.withColumn(top, col(top).dropFields(rest.mkString(".")))
+        df.withColumn(top, col(top).dropFields(rest.map(quote).mkString(".")))
       case _ => df
     }
   }

@@ -212,7 +212,7 @@ object PipelineCompiler {
             val st = FieldOps.get(schema, s).get._2.asInstanceOf[StructType]
             val upd = st.fieldNames.foldLeft(acc) { (a, f) =>
               Some(a.fold(struct(cc.getField(f).as(f)))(
-                _.withField(f, cc.getField(f))))
+                _.withField(FieldOps.quote(f), cc.getField(f))))
             }
             upd
         }.get

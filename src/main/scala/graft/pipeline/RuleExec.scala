@@ -103,6 +103,15 @@ object RuleExec {
     }
   }
 
+  /** Cast any column to variant; structs need to_variant_object (a plain
+    * CAST to VARIANT is unsupported for struct inputs).
+    */
+  private def toVariant(c: Column, dt: DataType): Column = dt match {
+    case _: StructType => to_variant_object(c)
+    case ArrayType(_: StructType, _) => transform(c, x => to_variant_object(x))
+    case _ => c.cast(VariantType)
+  }
+
   /** Result of planning a write: the final value column and whether the
     * merge is statically impossible (scalar-into-scalar — the reference
     * raises FieldExistsWarning from the final else of helper.py:88-157).
@@ -118,26 +127,33 @@ object RuleExec {
     val existing = FieldOps.getOrNull(df.schema, target)
     (existingType, valueType) match {
       case (None, _) => PlannedWrite(value, staticConflict = false)
-      case (Some(_: StructType), vt: StructType) =>
-        // dict.update shallow merge: existing fields overwritten by new
-        val merged = vt.fieldNames.foldLeft(existing) { (acc, f) =>
-          acc.withField(f, value.getField(f))
-        }
-        PlannedWrite(when(existing.isNull, value).otherwise(merged), staticConflict = false)
+      case (Some(st: StructType), vt: StructType) =>
+        // dict.update shallow merge: the union struct — existing-only
+        // fields keep their values (null when existing is null), value
+        // fields overwrite / append in dict-update order
+        val keep = st.fieldNames.filterNot(vt.fieldNames.contains)
+          .map(f => existing.getField(f).as(f))
+        val put = vt.fieldNames.map(f => value.getField(f).as(f))
+        PlannedWrite(struct(keep ++ put: _*), staticConflict = false)
       case (Some(ArrayType(et, _)), ArrayType(vt, _)) =>
-        val v = if (et == vt) value else value.cast(ArrayType(et))
+        val (ex, v) =
+          if (et == vt) (existing, value)
+          else (existing.cast(ArrayType(VariantType)), value.cast(ArrayType(VariantType)))
         PlannedWrite(
-          when(existing.isNull, v).otherwise(concat(existing, v)),
+          when(existing.isNull, v).otherwise(concat(ex, v)),
           staticConflict = false)
       case (Some(ArrayType(et, _)), _) => // list target + scalar → append
-        val v = value.cast(et)
+        // heterogenous element? variant keeps the scalar's own type
+        val (ex, v) =
+          if (et == valueType) (existing, value)
+          else (existing.cast(ArrayType(VariantType)), value.cast(VariantType))
         PlannedWrite(
-          when(existing.isNull, array(v)).otherwise(concat(existing, array(v))),
+          when(existing.isNull, array(v)).otherwise(concat(ex, array(v))),
           staticConflict = false)
       case (Some(et), ArrayType(vt, _)) => // scalar target + list → prepend
-        val common = if (et == vt) et else StringType
-        val ex = existing.cast(common)
-        val v = value.cast(ArrayType(common))
+        val (ex, v) =
+          if (et == vt) (existing, value)
+          else (existing.cast(VariantType), value.cast(ArrayType(VariantType)))
         PlannedWrite(
           when(existing.isNull, v).otherwise(concat(array(ex), v)),
           staticConflict = false)
@@ -180,17 +196,30 @@ object RuleExec {
     // When the new value's type differs from the occupant's, a plain
     // when/otherwise would coerce NON-written rows too (e.g. a string
     // "0.01" silently becoming 0.01d on rows the rule never touched).
-    // A variant-typed union keeps each row's original type; toJSON
-    // renders variants natively.
+    // Structs unify to the union shape (absent fields null → invisible on
+    // the JSON boundary); other mismatches take a variant-typed union,
+    // which keeps each row's original type and renders natively in JSON.
     val existingType = FieldOps.get(df.schema, target).map(_._2)
     val valueType = df.select(planned.value.as("__v")).schema.head.dataType
-    val needsVariant = existingType.exists(et =>
-      et != NullType && valueType != NullType && et != valueType &&
-        !(et.isInstanceOf[NumericType] && valueType.isInstanceOf[NumericType]))
-    val (v, ex) =
-      if (needsVariant)
-        (planned.value.cast(VariantType), existing.cast(VariantType))
-      else (planned.value, existing)
+    val (v, ex) = (existingType, valueType) match {
+      case (None, _) => (planned.value, existing)
+      case (Some(et), vt) if et == vt || et == NullType || vt == NullType =>
+        (planned.value, existing)
+      case (Some(et: NumericType), _: NumericType) => (planned.value, existing)
+      case (Some(et: StructType), vt: StructType) =>
+        val names = (et.fieldNames ++ vt.fieldNames.filterNot(et.fieldNames.contains)).toSeq
+        def proj(c: Column, st: StructType): Column = {
+          val other = if (st == et) vt else et
+          val fields = names.map { f =>
+            if (st.fieldNames.contains(f)) c.getField(f).as(f)
+            else lit(null).cast(other(f).dataType).as(f)
+          }
+          when(c.isNotNull, struct(fields: _*))
+        }
+        (proj(planned.value, vt), proj(existing, et))
+      case (Some(et), vt) =>
+        (toVariant(planned.value, vt), toVariant(existing, et))
+    }
     val written = FieldOps.set(d0, target,
       when(col("__w_go"), v).otherwise(ex))
     val tagged =
