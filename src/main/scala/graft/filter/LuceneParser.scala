@@ -68,7 +68,12 @@ object LuceneParser extends RegexParsers {
   /** field term: `path(|modifier)? : value` or bare `path` (exists). */
   def fieldTerm: Parser[FilterAst] =
     fieldRe ~ opt("|" ~> """re|sigma""".r) >> { case rawField ~ mod =>
-      val field = unescape(rawField)
+      // Field names stay in ESCAPED form: dotted-path resolution
+      // (FilterCompiler.splitPath) is the single unescaping point, so
+      // `comp\\lex\.field` reaches it intact — unescaping here too would
+      // strip the backslashes twice (the reference likewise defers to
+      // get_dotted_field_list, util/helper.py:482-517).
+      val field = rawField
       (":" ~> valueFor(field, mod)) | success(Exists(field))
     }
 

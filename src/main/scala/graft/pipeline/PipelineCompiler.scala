@@ -241,6 +241,22 @@ object PipelineCompiler {
     out
   }
 
+  /** Config value → typed literal Column (string/long/double/boolean,
+    * lists as typed arrays).
+    */
+  private def anyLit(v: Any): Column = v match {
+    case null => lit(null)
+    case b: Boolean => lit(b)
+    case i: Int => lit(i.toLong)
+    case l: Long => lit(l)
+    case bi: BigInt => lit(bi.toLong)
+    case d: Double => lit(d)
+    case s: Seq[_] => array(s.map(anyLit): _*)
+    case l: java.util.List[_] =>
+      array(scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq.map(anyLit): _*)
+    case other => lit(other.toString)
+  }
+
   /** Widest common type for heterogenous value lists: identical → itself,
     * all-numeric → double, else string (JSON-faithful for the common
     * cases; Python lists are heterogenous, Spark arrays are not).
@@ -324,12 +340,16 @@ object PipelineCompiler {
         }
 
       case "concatenator" =>
-        guardedSet(
-          Structural.concatenator(df, cfgSeq(c, "source_fields"),
-            cfgStr(c, "separator"), cfgStr(c, "target_field") + "__tmp"),
-          pred, cfgStr(c, "target_field"),
-          col(cfgStr(c, "target_field") + "__tmp"))
-          .drop(cfgStr(c, "target_field") + "__tmp")
+        // join the present source values with the separator; missing
+        // sources tag-but-continue; "" when nothing is present is still
+        // written (Python "".join([]), concatenator/processor.py:51-60)
+        val k = RuleExec.knobs(ptype, c)
+        val sep = cfgStr(c, "separator")
+        RuleExec.applyValueRule(df, pred, k, cfgStr(c, "target_field"),
+          schema => concat_ws(sep,
+            k.sourceFields.map(s => FieldOps.getOrNull(schema, s).cast("string")): _*),
+          computeOk = Some(_ => lit(true)),
+          proceedOnMissing = true)
 
       case "calculator" =>
         // source_fields derive from the template (calculator/rule.py:174);
@@ -352,15 +372,66 @@ object PipelineCompiler {
           checkEmpty = true)
 
       case "generic_adder" =>
-        cfgMap(c, "add").foldLeft(df) { case (d, (path, v)) =>
-          guardedSet(d, pred, path, lit(v))
+        // additions from inline `add` plus YAML file(s) via add_from_file,
+        // resolved once at plan time (generic_adder/rule.py:25-74);
+        // only_first_existing_file picks the first readable path
+        val k = RuleExec.knobs(ptype, c)
+        val inline = c.getOrElse("add", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].toSeq
+        val paths: Seq[String] = c.get("add_from_file") match {
+          case Some(s: String) => Seq(s)
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case _ => Seq.empty
+        }
+        val base = sys.props.get("graft.rule.base")
+          .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+        def resolvePath(p: String): java.io.File = {
+          val f = new java.io.File(p)
+          if (f.isAbsolute) f else new java.io.File(base, p)
+        }
+        val usable =
+          if (c.get("only_first_existing_file").exists(_.toString == "true"))
+            paths.map(resolvePath).find(_.exists()).toSeq
+          else paths.map(resolvePath)
+        val fromFiles = usable.filter(_.exists()).flatMap { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+            case m: java.util.Map[_, _] =>
+              scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toSeq
+                .map { case (kk, vv) => kk.toString -> (vv: Any) }
+            case _ => Seq.empty
+          }
+        }
+        (inline ++ fromFiles).foldLeft(df) { case (d, (path, v)) =>
+          RuleExec.write(d, pred, path, anyLit(v), k)
         }
 
       case "string_splitter" =>
-        guardedSet(df, pred, cfgStrOpt(c, "target_field").getOrElse(
-            cfgSeq(c, "source_fields").head),
-          split(FieldOps.getOrNull(df.schema, cfgSeq(c, "source_fields").head),
-            java.util.regex.Pattern.quote(cfgStrOpt(c, "delimiter").getOrElse(" "))))
+        // no delimiter = Python str.split(None): whitespace runs, empties
+        // dropped; explicit delimiter keeps empties unless drop_empty
+        // (string_splitter/processor.py:38-48); non-string source →
+        // ProcessingWarning → failure tag
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.head
+        val delimOpt = cfgStrOpt(c, "delimiter")
+        val dropEmpty = c.get("drop_empty").exists(_.toString == "true")
+        RuleExec.applyValueRule(df, pred, k, k.targetField.getOrElse(src),
+          { schema =>
+            val sc = FieldOps.getOrNull(schema, src)
+            val isStr = FieldOps.get(schema, src).exists(_._2 ==
+              org.apache.spark.sql.types.StringType)
+            if (!isStr) lit(null).cast("array<string>")
+            else {
+              val parts = delimOpt match {
+                case Some(d) => split(sc, java.util.regex.Pattern.quote(d), -1)
+                case None => split(regexp_replace(sc, "^\\s+|\\s+$", ""), "\\s+", -1)
+              }
+              if (dropEmpty || delimOpt.isEmpty)
+                // Python's item.isspace() covers \t\n etc., not just spaces
+                filter(parts, x => x =!= "" && !x.rlike("^\\s+$"))
+              else parts
+            }
+          })
 
       case "pseudonymizer" =>
         cfgMap(c, "pseudonyms").foldLeft(df) { case (d, (field, _)) =>
@@ -382,8 +453,13 @@ object PipelineCompiler {
         }
 
       case "deduplicator" =>
+        // non-list fields are skipped (deduplicator/processor.py:42-44)
         cfgSeq(c, "fields").foldLeft(df) { (d, f) =>
-          guardedSet(d, pred, f, array_distinct(FieldOps.getOrNull(d.schema, f)))
+          FieldOps.get(d.schema, f) match {
+            case Some((cc, org.apache.spark.sql.types.ArrayType(_, _))) =>
+              guardedSet(d, pred, f, array_distinct(cc))
+            case _ => d
+          }
         }
 
       case "labeler" =>
@@ -401,15 +477,25 @@ object PipelineCompiler {
           }
 
       case "key_checker" =>
-        val target = cfgStrOpt(c, "target_field").getOrElse("missing_fields")
-        val required = cfgSeq(c, "source_fields")
+        // reference (key_checker/processor.py:41-59): dedup'd missing set;
+        // no missing → no write at all; existing list target → set-union;
+        // result sorted; write honors overwrite/merge knobs
+        val k = RuleExec.knobs(ptype, c)
+        val target = k.targetField.getOrElse("missing_fields")
+        val required = k.sourceFields.distinct
         val missing = required.map { f =>
           if (FieldOps.exists(df.schema, f))
             when(FieldOps.getOrNull(df.schema, f).isNull, lit(f))
           else lit(f)
         }
-        val arr = array_sort(array_compact(array(missing: _*)))
-        guardedSet(df, pred, target, when(size(arr) > 0, arr))
+        val arr = array_compact(array(missing: _*))
+        val existingArr = FieldOps.get(df.schema, target) match {
+          case Some((cc, org.apache.spark.sql.types.ArrayType(_, _))) =>
+            coalesce(cc.cast("array<string>"), array().cast("array<string>"))
+          case _ => array().cast("array<string>")
+        }
+        val unioned = array_sort(array_distinct(concat(arr, existingArr)))
+        RuleExec.write(df, pred && size(arr) > 0, target, unioned, k)
 
       case "replacer" =>
         cfgMap(c, "mapping").foldLeft(df) { case (d, (src, _)) =>

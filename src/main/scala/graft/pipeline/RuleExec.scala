@@ -245,7 +245,8 @@ object RuleExec {
       valueOf: StructType => Column,
       computeOk: Option[StructType => Column] = None,
       checkEmpty: Boolean = false,
-      sourcesOverride: Option[Seq[String]] = None): DataFrame = {
+      sourcesOverride: Option[Seq[String]] = None,
+      proceedOnMissing: Boolean = false): DataFrame = {
 
     val sources = sourcesOverride.getOrElse(k.sourceFields)
     val schema = df.schema
@@ -265,7 +266,13 @@ object RuleExec {
       .withColumn("__r_ok", coalesce(ok, lit(false)))
       .withColumn("__r_pred", coalesce(pred, lit(false)))
     val p = col("__r_pred")
-    val eligible = p && !col("__r_miss") && !col("__r_empty")
+    // FieldManager-style processors (concatenator…) proceed with the
+    // PRESENT values when some sources are missing — the miss only tags
+    // (_handle_missing_fields returns non-blocking there); calculator-style
+    // ones skip the write entirely (processor.py:44-47 early return)
+    val eligible =
+      if (proceedOnMissing) p && !col("__r_empty")
+      else p && !col("__r_miss") && !col("__r_empty")
     val written = write(d0, eligible && col("__r_ok"), target, value, k)
 
     val tagged = addTags(written,

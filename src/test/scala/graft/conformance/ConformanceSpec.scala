@@ -27,6 +27,10 @@ import org.json4s.jackson.JsonMethods
   */
 class ConformanceSpec extends SparkSpec {
 
+  // file-based rule artifacts (generic_adder add_from_file, resolver
+  // tables…) are referenced by repo-relative paths in the fixtures
+  sys.props("graft.rule.base") = "/root/reference"
+
   private def resource(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name")
     Option(in).map { s =>
@@ -127,9 +131,28 @@ class ConformanceSpec extends SparkSpec {
     val spec = PipelineSpec(Seq(StageSpec(proc, Seq(rule))))
     val out: DataFrame = PipelineCompiler.compile(spec)(df).main
     val rows = out.toJSON.collect()
-    val got =
+    val gotEvent =
       if (rows.isEmpty) Map.empty[String, Any] // event deleted
       else canon(plain(JsonMethods.parse(rows.head)))
+    // some reference suites assert only the target field's value (e.g.
+    // string_splitter): a non-object `expected` compares against the
+    // target_field extraction from the output event
+    val got = expected match {
+      case _: Map[_, _] => gotEvent
+      case _ =>
+        val cfg = ruleMap.getOrElse(proc, Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+        val target = cfg.get("target_field").map(_.toString)
+          .orElse(cfg.get("source_fields")
+            .map(_.asInstanceOf[Seq[Any]].head.toString))
+          .getOrElse("result")
+        graft.filter.FilterCompiler.splitPath(target)
+          .foldLeft(gotEvent: Any) {
+            case (m: Map[_, _], seg) =>
+              m.asInstanceOf[Map[String, Any]].getOrElse(seg, null)
+            case (_, _) => null
+          }
+    }
     assert(got == expected, renderDiff(got, expected))
   }
 }
