@@ -28,4 +28,7 @@ object Tables {
       // 228-252 catches everything). At 100 TB a single bad row must not
       // kill the pipeline, so casts/division follow NULL-on-error.
       .config("spark.sql.ansi.enabled", "false")
+      // dissect indirect-capture rewrites of the same map key must take
+      // the newest value (reference dicts overwrite in place)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 }

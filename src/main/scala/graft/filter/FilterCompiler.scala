@@ -184,11 +184,15 @@ object FilterCompiler {
       // reference means the key is present. With a declared schema, a
       // non-null value (or any parent struct present) is the closest
       // faithful semantic; parquet null ⇔ key absent for our flat tables.
+      // A NullType column is the one case where the schema PROVES the key
+      // was present with a JSON null — exists is true there.
+      case Some((_, NullType)) => lit(true)
       case Some((c, _)) => c.isNotNull
       case None => lit(false)
     }
 
     case IsNull(f) => resolve(schema, f) match {
+      case Some((_, NullType)) => lit(true)
       case Some((c, _)) => c.isNull
       case None => lit(false)
     }

@@ -294,22 +294,11 @@ object PipelineCompiler {
         applyFieldManager(df, pred, ptype, c)
 
       case "dissector" =>
-        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
-          val (regex, fields) = PatternOps.compileDissect(pattern)
-          val srcCol = FieldOps.getOrNull(d.schema, src).cast("string")
-          val matched = pred && srcCol.rlike(regex)
-          val written = fields.zipWithIndex.foldLeft(d) { case (dd, (f, i)) =>
-            val raw = regexp_extract(srcCol, regex, i + 1)
-            val v: Column = f.convert match {
-              case Some("int") => raw.cast("long")
-              case Some("float") => raw.cast("double")
-              case Some("bool") => lower(raw) === "true"
-              case _ => raw
-            }
-            guardedSet(dd, matched, f.name, v)
-          }
-          tagFailures(written, pred && !srcCol.rlike(regex), "_dissector_failure")
-        }
+        // full section grammar incl. append/indirect/strip/position/convert
+        // — see graft.operators.Dissect
+        val k = RuleExec.knobs(ptype, c)
+        Dissect.apply(df, pred, k, cfgMap(c, "mapping").toSeq,
+          cfgMap(c, "convert_datatype").toSeq)
 
       case "grokker" =>
         // a named capture only binds when its pattern full-matches (else

@@ -120,20 +120,113 @@ class ConformanceSpec extends SparkSpec {
     }
   }
 
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+
+  private def typeOf(j: JValue): DataType = j match {
+    case _: JString => StringType
+    case _: JInt | _: JLong => LongType
+    case _: JDouble | _: JDecimal => DoubleType
+    case _: JBool => BooleanType
+    case JObject(fs) =>
+      StructType(fs.map { case (k, v) => StructField(k, typeOf(v)) })
+    case JArray(xs) =>
+      ArrayType(xs.map(typeOf).reduceOption(mergeTypes).getOrElse(StringType))
+    case _ => NullType
+  }
+
+  /** Unify element types across an array: structs merge field-wise,
+    * numerics widen, anything else falls back to string.
+    */
+  private def mergeTypes(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (x: StructType, y: StructType) =>
+      val yOnly = y.fields.filterNot(f => x.fieldNames.contains(f.name))
+      StructType(x.fields.map { f =>
+        y.fields.find(_.name == f.name)
+          .map(g => StructField(f.name, mergeTypes(f.dataType, g.dataType)))
+          .getOrElse(f)
+      } ++ yOnly)
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeTypes(x, y))
+    case (_: NumericType, _: NumericType) => DoubleType
+    case _ => StringType
+  }
+
+  private def valueOf(j: JValue, dt: DataType): Any = (j, dt) match {
+    case (JInt(i), DoubleType) => i.toDouble
+    case (JLong(i), DoubleType) => i.toDouble
+    case (v, StringType) => v match {
+      case JString(s) => s
+      case JInt(i) => i.toString
+      case JLong(i) => i.toString
+      case JDouble(d) => d.toString
+      case JBool(b) => if (b) "true" else "false"
+      case _ => null
+    }
+    case (JString(s), _) => s
+    case (JInt(i), _) => i.toLong
+    case (JLong(i), _) => i
+    case (JDouble(d), _) => d
+    case (JDecimal(d), _) => d.toDouble
+    case (JBool(b), _) => b
+    case (JObject(fs), st: StructType) =>
+      Row.fromSeq(st.fields.map(f =>
+        fs.find(_._1 == f.name).map(x => valueOf(x._2, f.dataType)).orNull).toSeq)
+    case (JArray(xs), ArrayType(et, _)) => xs.map(valueOf(_, et))
+    case _ => null
+  }
+
+  private def dfFromJson(input: JValue): DataFrame = {
+    val st = typeOf(input).asInstanceOf[StructType]
+    spark.createDataFrame(
+      java.util.Arrays.asList(valueOf(input, st).asInstanceOf[Row]), st)
+  }
+
   private def runCase(proc: String, c: JObject): Unit = {
     val ruleMap = plain(c \ "rule").asInstanceOf[Map[String, Any]]
     val inputJson = JsonMethods.compact(JsonMethods.render(c \ "input"))
     val expected = canon(plain(c \ "expected"))
 
-    val df = spark.read.json(
-      spark.createDataset(Seq(inputJson))(Encoders.STRING))
+    // Schema built directly from the JSON value rather than read.json
+    // inference: an explicit null key becomes a NullType column (key
+    // present, value null — the engine's Exists treats NullType as
+    // present), and empty arrays keep a concrete element type.
+    val df = dfFromJson(c \ "input")
     val rule = RuleLoader.parseRule(proc, ruleMap)
     val spec = PipelineSpec(Seq(StageSpec(proc, Seq(rule))))
     val out: DataFrame = PipelineCompiler.compile(spec)(df).main
     val rows = out.toJSON.collect()
-    val gotEvent =
+    val gotEvent0 =
       if (rows.isEmpty) Map.empty[String, Any] // event deleted
       else canon(plain(JsonMethods.parse(rows.head)))
+    // `_dynamic` carries data-dependent field names (dissect ?/& indirect
+    // captures); the JSON boundary hoists its entries to top-level paths
+    val gotEvent = gotEvent0 match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm.get("_dynamic") match {
+          case Some(dyn: Map[_, _]) =>
+            dyn.asInstanceOf[Map[String, Any]].foldLeft(mm - "_dynamic") {
+              case (acc, (path, v)) =>
+                def setPath(cur: Map[String, Any], segs: List[String]): Map[String, Any] =
+                  segs match {
+                    case s :: Nil => cur + (s -> v)
+                    case s :: rest =>
+                      val child = cur.get(s) match {
+                        case Some(cm: Map[_, _]) => cm.asInstanceOf[Map[String, Any]]
+                        case _ => Map.empty[String, Any]
+                      }
+                      cur + (s -> setPath(child, rest))
+                    case Nil => cur
+                  }
+                setPath(acc, graft.filter.FilterCompiler.splitPath(path))
+            }
+          case _ => mm - "_dynamic"
+        }
+      case other => other
+    }
     // some reference suites assert only the target field's value (e.g.
     // string_splitter): a non-object `expected` compares against the
     // target_field extraction from the output event
