@@ -65,7 +65,10 @@ object FilterCompiler {
     parts match {
       case head :: tail =>
         schema.fields.find(_.name == head)
-          .flatMap(f => walk(col(head), f.dataType, tail))
+          // backquote: col() PARSES its argument, so a literal name with
+          // dots/hyphens must be quoted
+          .flatMap(f => walk(col("`" + head.replace("`", "``") + "`"),
+            f.dataType, tail))
           .orElse {
             // allow "a.b" to name a literal top-level column with a dot? No —
             // reference paths are strictly dotted. Give up.

@@ -310,11 +310,26 @@ object PipelineCompiler {
         }
 
       case "timestamper" =>
-        val src = cfgSeq(c, "source_fields").headOption.getOrElse("@timestamp")
-        val formats = if (cfgSeq(c, "source_format").nonEmpty)
-          cfgSeq(c, "source_format") else Seq("ISO8601")
-        val target = cfgStrOpt(c, "target_field").getOrElse("@timestamp")
-        g(df, Seq(target))(TimeOps.timestamper(_, src, formats, target))
+        // try formats in order; output = Python isoformat in target_timezone
+        // with +00:00→Z (timestamper/processor.py:42-67)
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.headOption.getOrElse("@timestamp")
+        val formats = c.get("source_format") match {
+          case Some(s: String) => Seq(s)
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case _ => Seq("ISO8601")
+        }
+        val sourceTz = cfgStrOpt(c, "source_timezone").getOrElse("UTC")
+        val targetTz = cfgStrOpt(c, "target_timezone").getOrElse("UTC")
+        val target = k.targetField.getOrElse("@timestamp")
+        RuleExec.applyValueRule(df, pred, k, target,
+          { schema =>
+            val s = FieldOps.getOrNull(schema, src).cast("string")
+            val ts = coalesce(formats.map(f =>
+              TimeOps.parseWithFormat(s, f, sourceTz)): _*)
+            TimeOps.isoformatIn(ts, targetTz)
+          },
+          sourcesOverride = Some(Seq(src)))
 
       case "dropper" =>
         // match-all rules drop the column from the schema; selective rules
@@ -517,11 +532,45 @@ object PipelineCompiler {
         g(df, Seq(target))(TimeOps.datetimeExtractor(_, src, target))
 
       case "timestamp_differ" =>
-        val Seq(a, b) = cfgSeq(c, "source_fields").take(2)
-        val target = cfgStrOpt(c, "target_field").getOrElse("time_delta")
-        g(df, Seq(target))(TimeOps.timestampDiffer(_, a, b, target,
-          cfgStrOpt(c, "output_format").getOrElse("ms"),
-          c.get("show_unit").exists(_.toString == "true")))
+        // `diff: "${a:fmt} - ${b:fmt}"` → (a - b); ints are unix seconds,
+        // fmt-less strings lenient ISO (timestamp_differ/processor.py:41-86)
+        val diffTemplate = cfgStr(c, "diff")
+        val parts = """\$\{([^}]*)\}""".r.findAllMatchIn(diffTemplate)
+          .map(_.group(1)).toSeq
+        require(parts.size == 2, s"diff template needs two fields: $diffTemplate")
+        val specs = parts.map { body =>
+          val i = body.indexOf(':')
+          if (i < 0) (body, None) else (body.take(i), Some(body.drop(i + 1)))
+        }
+        val k0 = RuleExec.knobs(ptype, c)
+        val k = k0.copy(sourceFields = specs.map(_._1))
+        val outputFormat = cfgStrOpt(c, "output_format").getOrElse("seconds")
+        val showUnit = c.get("show_unit").exists(_.toString == "true")
+        RuleExec.applyValueRule(df, pred, k,
+          k.targetField.getOrElse("time_diff"),
+          { schema =>
+            def inst(path: String, fmt: Option[String]): Column =
+              FieldOps.get(schema, path) match {
+                case Some((cc, org.apache.spark.sql.types.LongType)) =>
+                  timestamp_seconds(cc)
+                case other =>
+                  val s = other.map(_._1).getOrElse(lit(null)).cast("string")
+                  fmt match {
+                    case Some(f) => TimeOps.parseWithFormat(s, f, "UTC")
+                    case None => TimeOps.parseIso(s, "UTC")
+                  }
+              }
+            val micros = unix_micros(inst(specs(0)._1, specs(0)._2)) -
+              unix_micros(inst(specs(1)._1, specs(1)._2))
+            val (digits, unit) = outputFormat match {
+              case "milliseconds" => (3, " ms")
+              case "nanoseconds" => (0, " ns")
+              case _ => (6, " s")
+            }
+            val v = TimeOps.pyFloatOfMicros(micros, digits)
+            if (showUnit) concat(v, lit(unit)) else v
+          },
+          checkEmpty = true)
 
       case "list_comparison" =>
         val src = cfgSeq(c, "source_fields").head
