@@ -510,21 +510,55 @@ object PipelineCompiler {
         }
 
       case "decoder" =>
-        val src = cfgSeq(c, "source_fields").headOption.getOrElse("message")
-        val target = cfgStrOpt(c, "target_field").getOrElse(src)
-        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
-        cfgStrOpt(c, "source_format").getOrElse("json") match {
-          case "base64" => guardedSet(df, pred, target, unbase64(srcCol).cast("string"))
-          case "logfmt" | "kv" =>
-            guardedSet(df, pred, target, str_to_map(srcCol, lit(" "), lit("=")))
-          case "decolorize" =>
-            guardedSet(df, pred, target,
-              regexp_replace(srcCol, "\\[[;\\d]*m", ""))
-          case _ => // json with explicit schema
-            val ddl = cfgStrOpt(c, "schema").getOrElse("k STRING")
-            guardedSet(df, pred, target, from_json(srcCol,
-              org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        // all 11 reference formats (decoders.py:235-247); FieldManager
+        // write semantics; any undecodable present value fails the whole
+        // rule's writes (processor.py _decode returns [])
+        val k = RuleExec.knobs(ptype, c)
+        val format = cfgStrOpt(c, "source_format").getOrElse("json")
+        val mappingPairs = cfgMap(c, "mapping").toSeq
+        val mappingMode = mappingPairs.nonEmpty
+        val pairs =
+          if (mappingMode) mappingPairs
+          else {
+            val s = k.sourceFields.head
+            Seq(s -> k.targetField.getOrElse(s))
+          }
+        var out = df
+        val sources = pairs.map(_._1)
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, sources)
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
         }
+        val schema = out.schema
+        val present = sources.map(s =>
+          FieldOps.get(schema, s).map(_._1.isNotNull).getOrElse(lit(false)))
+        // mapping path gates on Python truthiness (any("") is False →
+        // silent skip); single-target only filters None
+        val gate =
+          if (mappingMode)
+            sources.zip(present).map { case (s, p) =>
+              p && FieldOps.getOrNull(schema, s).cast("string") =!= ""
+            }.foldLeft(lit(false))(_ || _)
+          else present.foldLeft(lit(false))(_ || _)
+        val decoded = pairs.map { case (s, _) =>
+          FieldOps.get(schema, s) match {
+            case Some((cc, _)) => Decoders.decode(format, cc.cast("string"))
+            case None => (lit(null), lit(true))
+          }
+        }
+        val okAll = sources.zip(present).zip(decoded)
+          .map { case ((_, p), (_, ok)) => !p || coalesce(ok, lit(false)) }
+          .foldLeft(lit(true))(_ && _)
+        out = out
+          .withColumn("__dec_go", coalesce(pred && gate && okAll, lit(false)))
+          .withColumn("__dec_fail", coalesce(pred && gate && !okAll, lit(false)))
+        pairs.zip(decoded).zip(present).foreach { case (((s, tgt), (v, _)), p) =>
+          if (FieldOps.exists(schema, s))
+            out = RuleExec.write(out, col("__dec_go") && p, tgt, v, k)
+        }
+        out = RuleExec.addTags(out, Seq(col("__dec_fail") -> k.failureTags))
+        out = RuleExec.deleteSourcesIf(out, pred, k, sources)
+        out.drop("__dec_go", "__dec_fail")
 
       case "datetime_extractor" =>
         val src = cfgSeq(c, "source_fields").head
