@@ -502,11 +502,38 @@ object PipelineCompiler {
         RuleExec.write(df, pred && size(arr) > 0, target, unioned, k)
 
       case "replacer" =>
-        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, _)) =>
-          val p = cfgStrOpt(c, "pattern").getOrElse("\\d+")
-          val repl = cfgStrOpt(c, "replacement").getOrElse("*")
-          guardedSet(d, pred, cfgStrOpt(c, "target_field").getOrElse(src),
-            regexp_replace(FieldOps.getOrNull(d.schema, src).cast("string"), p, repl))
+        // template parsed at plan time; the partition-based rewrite runs
+        // in a deterministic UDF (processor.py:61-131 semantics); a
+        // non-matching template writes nothing
+        val k = RuleExec.knobs(ptype, c)
+        val overwrite = c.get("overwrite_target").forall(_.toString == "true") // default TRUE (rule.py:148)
+        val kW = k.copy(overwrite = overwrite)
+        val targetOpt = k.targetField.filter(_.nonEmpty)
+        cfgMap(c, "mapping").toSeq.foldLeft(df) { case (d, (src, template)) =>
+          val tmpl = Replacer.parseTemplate(template)
+          val replaceUdf = udf { (s: String) =>
+            // reference: str(None) == "None" reaches the prefix check
+            val v = if (s == null) "None" else s
+            if (!v.startsWith(tmpl.prefix)) None
+            else Replacer.replaceByTemplates(tmpl, v)
+          }
+          var out = d
+          val srcInfo = FieldOps.get(out.schema, src)
+          if (srcInfo.isEmpty || srcInfo.exists(_._2 ==
+              org.apache.spark.sql.types.NullType)) {
+            if (!k.ignoreMissing)
+              out = RuleExec.addTags(out, Seq(pred -> k.failureTags))
+            out
+          } else {
+            val srcCol = srcInfo.get._1
+            if (!k.ignoreMissing)
+              out = RuleExec.addTags(out, Seq((pred && srcCol.isNull) -> k.failureTags))
+            val result = replaceUdf(srcCol.cast("string"))
+            out = out.withColumn("__rp", result)
+            out = RuleExec.write(out, pred && col("__rp").isNotNull,
+              targetOpt.getOrElse(src), col("__rp"), kW)
+            out.drop("__rp")
+          }
         }
 
       case "decoder" =>
