@@ -24,13 +24,21 @@ object FilterCompiler {
     * type, or None if the path cannot exist. Supports struct traversal and
     * integer list indices (`a.b.0`).
     */
-  /** Split a dotted path with the reference's backslash handling
-    * (get_dotted_field_list, util/helper.py:482-517): `\x` consumes the
-    * backslash and takes `x` literally — so `a\.b` is ONE segment named
-    * `a.b`, and a trailing `\` stays literal.
+  /** Split a dotted path with the reference's OBSERVABLE backslash
+    * semantics (exercised by its processor corpus): `\.` is a literal dot
+    * inside a segment, `\\` a literal backslash, and a backslash before
+    * any other character stays literal (`par\ent` is the key `par\ent`) —
+    * so event keys containing backslashes round-trip.
     */
   def splitPath(path: String): List[String] = {
     if (!path.contains('\\')) return path.split("\\.", -1).toList
+    // Backslash-run semantics reverse-engineered from the reference's own
+    // processor corpus (grokker/dissector/calculator escaping cases): a
+    // run of k backslashes followed by
+    //   '.'        → (k-1)/2 backslashes + a LITERAL dot (no split)
+    //   other char → (k+1)/2 backslashes + the char
+    //   end        → k/2 backslashes
+    // and an unescaped '.' splits segments.
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val buf = new StringBuilder
     var i = 0
@@ -38,8 +46,12 @@ object FilterCompiler {
       path.charAt(i) match {
         case '.' => out += buf.result(); buf.clear(); i += 1
         case '\\' =>
-          if (i + 1 < path.length) { buf.append(path.charAt(i + 1)); i += 2 }
-          else { buf.append('\\'); i += 1 }
+          var k = 0
+          while (i < path.length && path.charAt(i) == '\\') { k += 1; i += 1 }
+          if (i >= path.length) buf.append("\\" * (k / 2))
+          else if (path.charAt(i) == '.') {
+            buf.append("\\" * ((k - 1) / 2)).append('.'); i += 1
+          } else buf.append("\\" * ((k + 1) / 2))
         case c => buf.append(c); i += 1
       }
     }

@@ -301,13 +301,60 @@ object PipelineCompiler {
           cfgMap(c, "convert_datatype").toSeq)
 
       case "grokker" =>
-        // a named capture only binds when its pattern full-matches (else
-        // null) — but the rule filter must additionally keep unmatched
-        // rows' prior values, hence the guarded wrap
-        cfgMap(c, "mapping").foldLeft(df) { case (d, (src, pattern)) =>
-          val targets = PatternOps.compileGrok(pattern)._2.map(_._2).distinct
-          g(d, targets)(PatternOps.grokker(_, src, Seq(pattern)))
+        // full grok engine: ecs-v1 set + rule `patterns`, pattern lists
+        // first-match-wins, [a][b] targets, :int/:float conversions,
+        // strict-write conflicts, missing/no-match tags
+        // (grokker/processor.py:89-120, util/grok/grok.py:86-200)
+        val k = RuleExec.knobs(ptype, c)
+        val custom = cfgMap(c, "patterns") ++ cfgMap(c, "custom_patterns")
+        val mappingRaw = c.getOrElse("mapping", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].toSeq
+        var out = df
+        val matchedCols = scala.collection.mutable.ArrayBuffer.empty[Column]
+        val temps = scala.collection.mutable.ArrayBuffer.empty[String]
+        mappingRaw.zipWithIndex.foreach { case ((src, patternsAny), i) =>
+          val patterns = patternsAny match {
+            case s: String => Seq(s)
+            case xs: Seq[_] => xs.map(_.toString)
+            case other => Seq(other.toString)
+          }
+          val compiled = patterns.map(Grok.compile(_, custom))
+          FieldOps.get(out.schema, src) match {
+            case None => // missing source handled collectively below
+            case Some((srcCol, _)) =>
+              val mUdf = udf((s: String) => Grok.matchFirst(compiled, s))
+              val mc = s"__gk_$i"
+              temps += mc
+              out = out.withColumn(mc,
+                when(coalesce(pred, lit(false)), mUdf(srcCol.cast("string"))))
+              val matched = col(mc).isNotNull && size(col(mc)) > 0
+              matchedCols += coalesce(matched, lit(false))
+              // plan-time union of this source's capture targets; later
+              // captures of a target win (reference dict merge), so take
+              // the LAST conv per target
+              val targetConv = compiled.flatMap(_.captures)
+                .map(cap => cap.target -> cap.conv).toMap
+              targetConv.foreach { case (target, conv) =>
+                val raw = element_at(col(mc), target)
+                val value = conv match {
+                  case Some("int") => raw.cast("long")
+                  case Some("float") => raw.cast("double")
+                  case _ => raw
+                }
+                out = RuleExec.write(out, matched && raw.isNotNull, target, value, k)
+              }
+          }
         }
+        val anyMissing = RuleExec.anyMissing(out.schema, mappingRaw.map(_._1))
+        val anyMatched = matchedCols.foldLeft(lit(false))(_ || _)
+        val noMatchGate =
+          if (k.ignoreMissing) lit(true) else !anyMissing
+        out = RuleExec.addTags(out,
+          (if (k.ignoreMissing) Nil
+           else Seq((pred && anyMissing) -> k.missingTags)) ++
+          Seq((pred && noMatchGate && !anyMatched) -> k.failureTags))
+        temps.foldLeft(out)(_ drop _)
+
 
       case "timestamper" =>
         // try formats in order; output = Python isoformat in target_timezone
