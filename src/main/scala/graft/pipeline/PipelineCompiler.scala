@@ -680,6 +680,81 @@ object PipelineCompiler {
           },
           checkEmpty = true)
 
+      case "list_comparison" | "network_comparison"
+          if c.contains("list_paths") || c.contains("list_file_paths") =>
+        // file/HTTP comparison lists with ${LOGPREP_LIST} injection and
+        // per-event ${dotted.field} dynamic URIs
+        // (list_comparison/rule.py:360-455, processor.py:84-140)
+        val k = RuleExec.knobs(ptype, c)
+        val isNet = ptype == "network_comparison"
+        val target = k.targetField.getOrElse(ptype)
+        val base = cfgStrOpt(c, "list_search_base_path").getOrElse("")
+        val isHttp = base.startsWith("http")
+        val named = c.get("list_paths").map(_.asInstanceOf[Map[String, Any]].toSeq
+          .map { case (n, pth) => n -> pth.toString }).getOrElse(Seq.empty)
+        val files = cfgSeq(c, "list_file_paths").map { pth =>
+          val name = if (isHttp) pth else pth.split("/").last
+          name -> pth
+        }
+        val lists = named ++ files
+        val names = lists.map(_._1)
+        // URL template: LOGPREP_LIST injected literally, remaining ${ref}
+        // placeholders resolve from the event per row
+        def urlCol(schema: org.apache.spark.sql.types.StructType, path: String): Column = {
+          val template = if (base.nonEmpty) base.replace("${LOGPREP_LIST}", path) else path
+          val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+          val re = """\$\{([^}]+)\}""".r
+          var last = 0
+          re.findAllMatchIn(template).foreach { m =>
+            if (m.start > last) parts += lit(template.substring(last, m.start))
+            parts += coalesce(FieldOps.getOrNull(schema, m.group(1)).cast("string"), lit(""))
+            last = m.end
+          }
+          if (last < template.length) parts += lit(template.substring(last))
+          if (parts.isEmpty) lit(template) else concat(parts.toSeq: _*)
+        }
+        var out = df
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, k.sourceFields)
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+        }
+        val schema = out.schema
+        val src = k.sourceFields.head
+        val emptyArr = array().cast("array<string>")
+        val values = FieldOps.get(schema, src) match {
+          case Some((cc, org.apache.spark.sql.types.ArrayType(_, _))) =>
+            coalesce(cc.cast("array<string>"), emptyArr)
+          case Some((cc, _)) => when(cc.isNotNull, array(cc.cast("string"))).otherwise(emptyArr)
+          case None => emptyArr
+        }
+        val urls = array(lists.map { case (_, pth) => urlCol(schema, pth) }: _*)
+        val cmpUdf = udf { (vals: Seq[String], us: Seq[String]) =>
+          val loaded = us.map(ListSources.load)
+          if (loaded.exists(_.isEmpty)) (null: String, null: Seq[String], true, false)
+          else {
+            val anyInvalid = isNet && vals.exists(v => IpInfo.parse(v).isEmpty)
+            val matching = names.zip(loaded).collect {
+              case (n, Some(entries)) if vals.exists(v =>
+                if (isNet) ListSources.ipInList(v, entries) else entries.contains(v)) => n
+            }
+            if (matching.nonEmpty) ("in_list", matching, false, anyInvalid)
+            else ("not_in_list", names, false, anyInvalid)
+          }
+        }
+        out = out.withColumn("__lc",
+          when(coalesce(pred, lit(false)), cmpUdf(values, urls)))
+        val key = col("__lc").getField("_1")
+        val resNames = col("__lc").getField("_2")
+        val err = coalesce(col("__lc").getField("_3"), lit(false))
+        val warn = coalesce(col("__lc").getField("_4"), lit(false))
+        out = out.withColumn("__lc_err",
+          coalesce(pred, lit(false)) && (err || warn))
+        val kM = k.copy(merge = true, overwrite = false)
+        out = RuleExec.write(out, key === "in_list", s"$target.in_list", resNames, kM)
+        out = RuleExec.write(out, key === "not_in_list", s"$target.not_in_list", resNames, kM)
+        out = RuleExec.addTags(out, Seq(col("__lc_err") -> k.failureTags))
+        out.drop("__lc", "__lc_err")
+
       case "list_comparison" =>
         val src = cfgSeq(c, "source_fields").head
         val target = cfgStrOpt(c, "target_field").getOrElse("list_comparison")
@@ -701,9 +776,38 @@ object PipelineCompiler {
           Lookup.networkComparison(_, src, target, nets))
 
       case "ip_informer" =>
-        val target = cfgStrOpt(c, "target_field").getOrElse("ip_info")
-        g(df, Seq(target))(
-          Lookup.ipInformer(_, cfgSeq(c, "source_fields").head, target))
+        // flat IP list (list-valued sources' elements first, then scalar
+        // strings), per-IP stdlib-`ipaddress` property dict keyed by the
+        // IP, invalid IPs dropped + warned (processor.py:47-86); dynamic
+        // keys + mixed value types ride a variant column
+        val k = RuleExec.knobs(ptype, c)
+        val target = k.targetField.getOrElse("ip_info")
+        val props = cfgSeq(c, "properties")
+        var out = df
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, k.sourceFields)
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+        }
+        val schema = out.schema
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val emptyArr = array().cast("array<string>")
+        val listCols = k.sourceFields.flatMap(s => FieldOps.get(schema, s).collect {
+          case (cc, ArrayType(_, _)) => coalesce(cc.cast("array<string>"), emptyArr)
+        })
+        val strCols = k.sourceFields.flatMap(s => FieldOps.get(schema, s).collect {
+          case (cc, StringType) =>
+            when(cc.isNotNull, array(cc)).otherwise(emptyArr)
+        })
+        val flat = concat((listCols ++ strCols :+ emptyArr): _*)
+        val informUdf = udf((ips: Seq[String]) => IpInfo.inform(ips, props))
+        out = out.withColumn("__ipi", when(coalesce(pred, lit(false)), informUdf(flat)))
+        val json = col("__ipi").getField("_1")
+        val invalid = coalesce(col("__ipi").getField("_2"), lit(false))
+        out = out.withColumn("__ipi_inv", coalesce(pred, lit(false)) && invalid)
+        out = RuleExec.write(out, coalesce(pred, lit(false)) && json.isNotNull,
+          target, parse_json(json), k)
+        out = RuleExec.addTags(out, Seq(col("__ipi_inv") -> k.failureTags))
+        out.drop("__ipi", "__ipi_inv")
 
       case "domain_label_extractor" =>
         val target = cfgStrOpt(c, "target_field").getOrElse("domain")

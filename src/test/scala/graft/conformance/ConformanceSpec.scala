@@ -185,6 +185,22 @@ class ConformanceSpec extends SparkSpec {
   }
 
   private def runCase(proc: String, c: JObject): Unit = {
+    // HTTP comparison lists: the reference mocks every GET with a fixed
+    // body in its parametrized suites (test_list_comparison.py:546-552,
+    // test_network_comparison.py:486-492), and a 500 for failure cases —
+    // mirror that through the pluggable ListSources fetcher
+    graft.operators.ListSources.clearCache()
+    val isFailureCase = (c \ "error") != JNothing
+    graft.operators.ListSources.fetch = { uri =>
+      if (uri.startsWith("http")) {
+        if (isFailureCase) None
+        else proc match {
+          case "list_comparison" => Some("# a comment\nFranz\nAlpha\nBeta\n")
+          case "network_comparison" => Some("# a comment\n127.0.0.1\n127.0.0.0/24\n")
+          case _ => None
+        }
+      } else graft.operators.ListSources.defaultFetch(uri)
+    }
     val ruleMap = plain(c \ "rule").asInstanceOf[Map[String, Any]]
     val inputJson = JsonMethods.compact(JsonMethods.render(c \ "input"))
     val expected = canon(plain(c \ "expected"))
