@@ -485,12 +485,56 @@ object PipelineCompiler {
           })
 
       case "pseudonymizer" =>
-        cfgMap(c, "pseudonyms").foldLeft(df) { case (d, (field, _)) =>
-          val src = FieldOps.getOrNull(d.schema, field).cast("string")
-          val salt = cfgStrOpt(c, "hash_salt").getOrElse("")
-          guardedSet(d, pred, field,
-            concat(lit("<pseudonym:"), sha2(concat(lit(salt), src), 256), lit(">")))
+        // regex-mapping-selected substring pseudonymization with URL-field
+        // component handling (pseudonymizer/processor.py:274-366); regex
+        // keywords resolve through the regex_mapping file at plan time
+        val k = RuleExec.knobs(ptype, c)
+        val mapping0 = cfgMap(c, "mapping")
+        val mapping = if (mapping0.nonEmpty) mapping0 else cfgMap(c, "pseudonyms")
+        val urlFields = cfgSeq(c, "url_fields").toSet
+        val salt = cfgStrOpt(c, "hash_salt").getOrElse("")
+        val regexMapping: Map[String, String] =
+          cfgStrOpt(c, "regex_mapping").map { pth =>
+            val base = sys.props.get("graft.rule.base")
+              .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+            val f0 = new java.io.File(pth)
+            val f = if (f0.isAbsolute) f0 else new java.io.File(base, pth)
+            val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+              case m: java.util.Map[_, _] =>
+                scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+                  .map { case (a, b) => a.toString -> b.toString }.toMap
+              case _ => Map.empty[String, String]
+            }
+          }.getOrElse(Map.empty)
+        var out = df
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, mapping.keys.toSeq)
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
         }
+        mapping.foreach { case (field, keyword) =>
+          FieldOps.get(out.schema, field).foreach { case (srcCol, srcType) =>
+            // unknown keyword = raw regex (engine-level convenience; the
+            // reference rejects unknown keywords at setup)
+            val regexStr = regexMapping.getOrElse(keyword, keyword)
+            val isUrl = urlFields.contains(field)
+            val pUdf = udf { (s: String) =>
+              if (s == null) null
+              else Pseudonymize.pseudonymizeField(
+                java.util.regex.Pattern.compile(regexStr), isUrl, salt, s)
+            }
+            import org.apache.spark.sql.types.ArrayType
+            val value = srcType match {
+              case ArrayType(_, _) =>
+                transform(srcCol.cast("array<string>"), x => pUdf(x))
+              case _ => pUdf(srcCol.cast("string"))
+            }
+            val kW = k.copy(overwrite = true)
+            out = RuleExec.write(out, pred && srcCol.isNotNull, field, value, kW)
+          }
+        }
+        out
+
 
       case "generic_resolver" =>
         val mapping = cfgMap(c, "field_mapping")

@@ -201,7 +201,28 @@ class ConformanceSpec extends SparkSpec {
         }
       } else graft.operators.ListSources.defaultFetch(uri)
     }
-    val ruleMap = plain(c \ "rule").asInstanceOf[Map[String, Any]]
+    val ruleMap0 = plain(c \ "rule").asInstanceOf[Map[String, Any]]
+    // pseudonymizer: the reference suite supplies processor-level config
+    // (hash_salt, regex_mapping) via its test CONFIG, with a per-case
+    // regex_mapping override in the 5th tuple slot — inject equivalently
+    val ruleMap =
+      if (proc != "pseudonymizer") ruleMap0
+      else {
+        val overridePath = (c \ "error") match {
+          case JString(s) if s.endsWith(".yml") => Some(s)
+          case _ => (c \ "extra") match {
+            case JString(s) if s.endsWith(".yml") => Some(s)
+            case _ => None
+          }
+        }
+        val cfg = ruleMap0.getOrElse(proc, Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]] ++
+          Map(
+            "hash_salt" -> "a_secret_tasty_ingredient",
+            "regex_mapping" -> overridePath.getOrElse(
+              "tests/testdata/unit/pseudonymizer/regex_mapping.yml"))
+        ruleMap0 + (proc -> cfg)
+      }
     val inputJson = JsonMethods.compact(JsonMethods.render(c \ "input"))
     val expected = canon(plain(c \ "expected"))
 

@@ -37,14 +37,16 @@ class DynamicOpsSpec extends SparkSpec {
     import s.implicits._
     val input = s.read.json(Seq(
       """{"message":"a=1"}""", """{"message":"nomatch"}""").toDS)
+    // grokker no-match → failure tag → error channel (dissect itself
+    // never fails to match under partition semantics)
     val spec = graft.pipeline.PipelineSpec(Seq(graft.pipeline.StageSpec(
-      "dissector", Seq(graft.pipeline.RuleSpec("message",
-        Map("mapping" -> Map("message" -> "%{k}=%{v}")))))))
+      "grokker", Seq(graft.pipeline.RuleSpec("message",
+        Map("mapping" -> Map("message" -> "%{WORD:k}=%{INT:v}")))))))
     val out = graft.pipeline.PipelineCompiler.compileWithErrors(spec)(input)
     assert(out.main.count() == 2) // tagged events keep flowing
     val errs = out.extra("errors").collect()
     assert(errs.length == 1)
-    assert(errs.head.getAs[String]("errors") == "_dissector_failure")
+    assert(errs.head.getAs[String]("errors") == "_grokker_failure")
     assert(errs.head.getAs[String]("event").contains("nomatch"))
   }
 }

