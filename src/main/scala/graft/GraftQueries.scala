@@ -681,13 +681,159 @@ object GraftQueries {
     pKeyChecker, pDedup, pLabeler, pSelective, pCalc,
     pTimestamper, pDtExtract, pTsDiffer, pDissector, pGrokker)
 
+  // ======================================================================
+  // Round-2 fidelity surface: the full decoder format registry, replacer
+  // templates, substring pseudonymization, dissector append/convert —
+  // each exercised on synthesized lines whose fields the oracle can
+  // reconstruct directly from the source columns.
+  // ======================================================================
+
+  private val pDecoderSyslog = Spec("proc_decoder_syslog",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("<13>Oct 11 22:14:15 host"), col("user_id").cast("string"),
+        lit(" app"), col("user_id").cast("string"), lit("[42]: "),
+        col("event_type")))
+      val (v, _) = Decoders.decode("syslog_rfc3164", col("line"))
+      e.select(col("event_id"),
+        v.getField("host").as("host"), v.getField("ident").as("ident"),
+        v.getField("pid").as("pid"), v.getField("message").as("message"))
+    },
+    Some("""SELECT event_id, 'host' || CAST(user_id AS VARCHAR) AS host,
+            'app' || CAST(user_id AS VARCHAR) AS ident, '42' AS pid,
+            event_type AS message FROM events"""))
+
+  private val pDecoderSyslog5424 = Spec("proc_decoder_syslog5424",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("<165>1 2024-05-01T10:00:00.000Z h"), col("user_id").cast("string"),
+        lit(" appname "), col("user_id").cast("string"),
+        lit(" MSGID - "), col("event_type")))
+      val (v, _) = Decoders.decode("syslog_rfc5424", col("line"))
+      e.select(col("event_id"),
+        v.getField("host").as("host"), v.getField("pid").as("pid"),
+        v.getField("extradata").as("extradata"),
+        v.getField("message").as("message"))
+    },
+    Some("""SELECT event_id, 'h' || CAST(user_id AS VARCHAR) AS host,
+            CAST(user_id AS VARCHAR) AS pid, '-' AS extradata,
+            event_type AS message FROM events"""))
+
+  private val pDecoderClf = Spec("proc_decoder_clf",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("10.0.0.1 - user"), col("user_id").cast("string"),
+        lit(" [01/May/2025:07:20:10 +0000] \"GET /"), col("event_type"),
+        lit(" HTTP/1.1\" 200 123")))
+      val (v, _) = Decoders.decode("clf", col("line"))
+      e.select(col("event_id"),
+        v.getField("host").as("host"), v.getField("authuser").as("authuser"),
+        v.getField("request_line").as("request_line"),
+        v.getField("status").as("status"), v.getField("bytes").as("bytes"))
+    },
+    Some("""SELECT event_id, '10.0.0.1' AS host,
+            'user' || CAST(user_id AS VARCHAR) AS authuser,
+            'GET /' || event_type || ' HTTP/1.1' AS request_line,
+            '200' AS status, '123' AS bytes FROM events"""))
+
+  private val pDecoderNginx = Spec("proc_decoder_nginx",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("10.0.0.2 - u"), col("user_id").cast("string"),
+        lit(" [19/Dec/2023:14:04:39 +0000] \"GET /"), col("event_type"),
+        lit(" HTTP/1.1\" 200 77 \"-\" \"probe/1.0\"")))
+      val (v, _) = Decoders.decode("nginx", col("line"))
+      e.select(col("event_id"),
+        v.getField("user").as("user"), v.getField("method").as("method"),
+        v.getField("path").as("path"), v.getField("code").as("code"),
+        v.getField("agent").as("agent"))
+    },
+    Some("""SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS user,
+            'GET' AS method, '/' || event_type AS path, '200' AS code,
+            'probe/1.0' AS agent FROM events"""))
+
+  private val pDecoderCri = Spec("proc_decoder_cri",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("2024-01-01T00:00:00Z stdout F "), col("event_type"),
+        lit(" user "), col("user_id").cast("string")))
+      val (v, _) = Decoders.decode("cri", col("line"))
+      e.select(col("event_id"),
+        v.getField("stream").as("stream"), v.getField("flags").as("flags"),
+        v.getField("message").as("message"))
+    },
+    Some("""SELECT event_id, 'stdout' AS stream, 'F' AS flags,
+            event_type || ' user ' || CAST(user_id AS VARCHAR) AS message
+            FROM events"""))
+
+  private val pDecoderDocker = Spec("proc_decoder_docker",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        lit("{\"log\":\""), col("event_type"),
+        lit("\",\"stream\":\"stderr\",\"time\":\"2019-04-30T02:12:41Z\"}")))
+      val (v, _) = Decoders.decode("docker", col("line"))
+      e.select(col("event_id"),
+        v.getField("output").as("output"), v.getField("stream").as("stream"),
+        v.getField("timestamp").as("timestamp"))
+    },
+    Some("""SELECT event_id, event_type AS output, 'stderr' AS stream,
+            '2019-04-30T02:12:41Z' AS timestamp FROM events"""))
+
+  private val pReplacerTemplate = Spec("proc_replacer_template",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("tag",
+        concat_ws("-", col("event_type"), col("user_id")))
+      val tmpl = Replacer.parseTemplate("%{*}-%{MASKED}")
+      val rUdf = udf((v: String) =>
+        if (v == null) null
+        else Replacer.replaceByTemplates(tmpl, v).orNull)
+      e.select(col("event_id"), rUdf(col("tag")).as("masked"))
+    },
+    Some("SELECT event_id, event_type || '-MASKED' AS masked FROM events"))
+
+  private val pPseudoSub = Spec("proc_pseudonymizer_substring",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("mixed", concat(
+        lit("user="), col("user_id").cast("string"),
+        lit(" type="), col("event_type")))
+      val re = java.util.regex.Pattern.compile("user=(\\w+)")
+      val pUdf = udf((v: String) =>
+        if (v == null) null
+        else Pseudonymize.pseudonymizeField(re, isUrlField = false, "s3cr3t", v))
+      e.select(col("event_id"), pUdf(col("mixed")).as("masked"))
+    },
+    Some("""SELECT event_id,
+            'user=<pseudonym:' || sha256(CAST(user_id AS VARCHAR) || 's3cr3t')
+            || '> type=' || event_type AS masked FROM events"""))
+
+  private val pDissectorAppend = Spec("proc_dissector_append",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("line", concat(
+        col("event_type"), lit(" "), col("user_id").cast("string"),
+        lit(" "), col("user_id").cast("string")))
+      val out = graft.operators.Dissect.apply(e, lit(true),
+        graft.pipeline.RuleExec.knobs("dissector", Map.empty),
+        Seq("line" -> "%{a} %{+( )a} %{n|int}"), Seq.empty)
+      out.select(col("event_id"), col("a"),
+        col("n").cast("long").as("n"))
+    },
+    Some("""SELECT event_id,
+            event_type || ' ' || CAST(user_id AS VARCHAR) AS a,
+            user_id AS n FROM events"""))
+
   val batch2: Seq[Spec] = Seq(
     pReplacer, pDecoderJson, pDecoderB64, pDecoderLogfmt, pDecolorize,
     pClusterer, pResolver, pTemplate, pListCmp, pNetCmp, pIpInf, pGeoip,
     pDomLabel, pDomResolve, pRequester, pPreDetector, pPseudo, pPseudoMap,
     pAmides)
 
-  def all: Seq[Spec] = batch1 ++ batch2 ++ GraftQueriesML.all ++ GraftQueriesScale.all
+  val batch3: Seq[Spec] = Seq(
+    pDecoderSyslog, pDecoderSyslog5424, pDecoderClf, pDecoderNginx,
+    pDecoderCri, pDecoderDocker, pReplacerTemplate, pPseudoSub,
+    pDissectorAppend)
+
+  def all: Seq[Spec] = batch1 ++ batch2 ++ batch3 ++
+    GraftQueriesML.all ++ GraftQueriesScale.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(sp => sp.name -> sp.query).toMap
