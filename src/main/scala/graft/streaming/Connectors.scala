@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's remaining output connectors and push input, Spark-side.
+  *
+  *  - [[httpOutputSink]]    — POST event batches to a URL
+  *    (reference connector/http/output.py:54-251)
+  *  - [[opensearchBulkSink]] — _bulk index with message-backlog batching
+  *    (reference connector/opensearch/output.py:71-326: `store` :233,
+  *    `_write_backlog` :270-307)
+  *  - [[HttpInputServer]]   — push-based HTTP ingest with /json /jsonl
+  *    /plaintext endpoints (reference connector/http/input.py:335-406),
+  *    bridged to a spool directory consumed by `readStream` — the
+  *    file-bridge harness shape; a custom v2 streaming Source would slot
+  *    in behind the same endpoints on a real deployment.
+  *
+  * Both sinks run per partition with bounded batches: executors POST
+  * their partitions independently (no driver collect), so sink
+  * throughput scales with executor count like the reference scales with
+  * process_count.
+  */
+object Connectors {
+
+  /** POST each partition's rows as NDJSON batches of `backlogSize` to
+    * `url`. Failures raise, letting Structured Streaming's checkpoint
+    * retry the batch (the reference re-queues its backlog).
+    */
+  def httpOutputSink(url: String, backlogSize: Int = 500,
+                     timeoutMs: Int = 10000): DataFrame => Unit = { df =>
+    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("v"))
+    json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.map(_.getString(0)).grouped(backlogSize).foreach { batch =>
+        post(url, batch.mkString("\n"), "application/x-ndjson", timeoutMs)
+      }
+    }
+  }
+
+  /** OpenSearch `_bulk`: pairs of action+document NDJSON lines, batched
+    * by `backlogSize` per partition. `indexOf` names the target index
+    * (the reference routes via `_index` on the event, output.py:233-268).
+    */
+  def opensearchBulkSink(baseUrl: String, defaultIndex: String,
+                         backlogSize: Int = 500,
+                         timeoutMs: Int = 10000): DataFrame => Unit = { df =>
+    val hasIndex = df.columns.contains("_index")
+    val indexCol =
+      if (hasIndex) coalesce(col("_index").cast("string"), lit(defaultIndex))
+      else lit(defaultIndex)
+    val doc = to_json(struct(df.columns.filterNot(_ == "_index").map(col): _*))
+    val pairs = df.select(indexCol.as("i"), doc.as("d"))
+    pairs.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.grouped(backlogSize).foreach { batch =>
+        val body = batch.flatMap { r =>
+          Seq(s"""{"index":{"_index":"${r.getString(0)}"}}""", r.getString(1))
+        }.mkString("", "\n", "\n")
+        post(baseUrl.stripSuffix("/") + "/_bulk", body, "application/x-ndjson",
+          timeoutMs)
+      }
+    }
+  }
+
+  private def post(url: String, body: String, contentType: String,
+                   timeoutMs: Int): Unit = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Content-Type", contentType)
+      val bytes = body.getBytes("UTF-8")
+      conn.setFixedLengthStreamingMode(bytes.length)
+      val os = conn.getOutputStream
+      try { os.write(bytes); os.flush() } finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"POST $url failed: HTTP $code")
+      // drain so the connection can be reused
+      val is = conn.getInputStream
+      try { while (is.read() >= 0) {} } finally is.close()
+    } finally conn.disconnect()
+  }
+
+  /** Push-based HTTP ingest endpoint set (reference http/input.py):
+    *   POST /json      — one JSON event per request
+    *   POST /jsonl     — newline-delimited JSON events
+    *   POST /plaintext — lines wrapped as {"message": line}
+    * Received events append to `spoolDir` as JSONL files, which
+    * `spark.readStream.json`/`text` tails. Optional basic-auth
+    * credentials (input.py:138-165).
+    */
+  final class HttpInputServer(spoolDir: String, port: Int = 0,
+                              credentials: Option[(String, String)] = None) {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+    private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    private val counter = new java.util.concurrent.atomic.AtomicLong()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
+
+    def boundPort: Int = server.getAddress.getPort
+
+    private def authorized(ex: HttpExchange): Boolean = credentials match {
+      case None => true
+      case Some((u, p)) =>
+        val expected = "Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$u:$p".getBytes("UTF-8"))
+        Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expected)
+    }
+
+    private def handle(ex: HttpExchange, toJsonl: String => Seq[String]): Unit = {
+      try {
+        if (ex.getRequestMethod != "POST") { ex.sendResponseHeaders(405, -1); return }
+        if (!authorized(ex)) { ex.sendResponseHeaders(401, -1); return }
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val lines = toJsonl(body).filter(_.nonEmpty)
+        if (lines.nonEmpty) {
+          val f = java.nio.file.Paths.get(spoolDir,
+            s"ingest-${System.currentTimeMillis()}-${counter.incrementAndGet()}.jsonl")
+          java.nio.file.Files.write(f,
+            (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        }
+        ex.sendResponseHeaders(200, -1)
+      } finally ex.close()
+    }
+
+    private def quote(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    server.createContext("/json", (ex: HttpExchange) =>
+      handle(ex, body => Seq(body.trim)))
+    server.createContext("/jsonl", (ex: HttpExchange) =>
+      handle(ex, body => body.split("\n").toSeq.map(_.trim)))
+    server.createContext("/plaintext", (ex: HttpExchange) =>
+      handle(ex, body => body.split("\n").toSeq.filter(_.nonEmpty)
+        .map(l => s"""{"message":${quote(l)}}""")))
+
+    def start(): HttpInputServer = { server.start(); this }
+    def stop(): Unit = server.stop(0)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** End-to-end connector coverage: POST /jsonl → pipeline → jsonl sink
+  * (the reference's http_input acceptance shape), plus http_output and
+  * opensearch_output bulk semantics against an in-process mock server.
+  */
+class ConnectorsSpec extends SparkSpec {
+
+  private def mockServer(): (HttpServer, java.util.List[String]) = {
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      received.add(ex.getRequestURI.getPath + "\n" + body)
+      val resp = "{}".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    (server, received)
+  }
+
+  private def postTo(url: String, body: String): Int = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    conn.disconnect()
+    code
+  }
+
+  test("http_input: POST /jsonl → pipeline → jsonl sink") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-spool").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val server = new Connectors.HttpInputServer(spool).start()
+    try {
+      assert(postTo(s"http://localhost:${server.boundPort}/jsonl",
+        """{"message":"a=1 b=2"}""" + "\n" + """{"message":"c=3 d=4"}""") == 200)
+      assert(postTo(s"http://localhost:${server.boundPort}/plaintext",
+        "raw line one") == 200)
+
+      val s = spark
+      val stream = s.readStream
+        .schema("message STRING")
+        .json(spool)
+      val spec = PipelineSpec(Seq(StageSpec("grokker", Seq(RuleSpec("message",
+        Map("mapping" -> Map("message" ->
+          "%{WORD:k1}=%{INT:v1} %{WORD:k2}=%{INT:v2}")))))))
+      val q = StreamRunner.run(stream, spec,
+        Map("main" -> StreamRunner.jsonlSink(outDir)), ckpt)
+      q.awaitTermination(30000)
+
+      val out = s.read.json(outDir)
+      assert(out.count() == 3)
+      val parsed = out.filter(col("k1") === "a").head()
+      assert(parsed.getAs[String]("v1") == "1")
+      assert(out.filter(col("message") === "raw line one").count() == 1)
+    } finally server.stop()
+  }
+
+  test("http_input rejects bad credentials") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-spool2").toString
+    val server = new Connectors.HttpInputServer(spool,
+      credentials = Some(("user", "pass"))).start()
+    try {
+      assert(postTo(s"http://localhost:${server.boundPort}/jsonl",
+        """{"a":1}""") == 401)
+      val auth = java.util.Base64.getEncoder.encodeToString(
+        "user:pass".getBytes("UTF-8"))
+      val conn = new java.net.URL(
+        s"http://localhost:${server.boundPort}/jsonl").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Authorization", s"Basic $auth")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("""{"a":1}""".getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally server.stop()
+  }
+
+  test("http_output posts NDJSON batches; opensearch_output builds bulk bodies") {
+    val (server, received) = mockServer()
+    try {
+      val s = spark
+      import s.implicits._
+      val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("id", "kind")
+      val base = s"http://localhost:${server.getAddress.getPort}"
+
+      Connectors.httpOutputSink(s"$base/events", backlogSize = 2)(df)
+      val posts = received.toArray.map(_.toString).filter(_.startsWith("/events"))
+      assert(posts.map(_.linesIterator.count(_.contains("\"id\""))).sum == 3)
+      // backlog batching: 3 rows with batch size 2 → at least 2 POSTs
+      assert(posts.length >= 2)
+
+      received.clear()
+      Connectors.opensearchBulkSink(base, "logs", backlogSize = 10)(df)
+      val bulks = received.toArray.map(_.toString).filter(_.startsWith("/_bulk"))
+      assert(bulks.nonEmpty)
+      val lines = bulks.flatMap(_.linesIterator.toSeq.drop(1)).filter(_.nonEmpty)
+      val actions = lines.filter(_.startsWith("""{"index""""))
+      val docs = lines.filterNot(_.startsWith("""{"index""""))
+      assert(actions.length == 3 && docs.length == 3)
+      assert(actions.forall(_.contains(""""_index":"logs"""")))
+      assert(docs.exists(_.contains(""""kind":"beta"""")))
+
+      // per-event index routing via the _index column
+      received.clear()
+      val routed = df.withColumn("_index",
+        when(col("id") === 1, "special").otherwise("logs"))
+      Connectors.opensearchBulkSink(base, "logs")(routed)
+      val routedLines = received.toArray.map(_.toString)
+        .filter(_.startsWith("/_bulk")).flatMap(_.linesIterator.toSeq)
+      assert(routedLines.count(_.contains(""""_index":"special"""")) == 1)
+      assert(routedLines.count(_.contains(""""_index":"logs"""")) == 2)
+    } finally server.stop(0)
+  }
+}
