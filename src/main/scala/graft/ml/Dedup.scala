@@ -96,19 +96,22 @@ object Dedup {
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }
-    // Materialize the banded signature table ONCE before the self-join:
-    // without this, both join branches re-run the whole
-    // scan→shingle→md5→minhash-aggregate pipeline (the most expensive
-    // stage of the job, doubled), and AQE tends to BroadcastExchange the
-    // entire banded corpus — neither survives 100 TB. The persisted form
-    // is computed once and shuffle-hash-joined to itself on
-    // (band, band_key).
-    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
+    // Materialize the SIGNATURE table once before the self-join: without
+    // this, both join branches re-run the whole scan→shingle→md5→minhash
+    // aggregate pipeline (the most expensive stage of the job, doubled),
+    // and AQE tends to BroadcastExchange that entire recomputed subtree —
+    // neither survives 100 TB. The persisted form is the compact
+    // pre-explode signature (id + n smallints); the cheap band explode
+    // runs per branch, and AQE sizes the join off the cached table.
+    val banded = sig.persist()
+      .select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .persist()
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.hint("shuffle_hash").join(r, col("l.band") === col("r.band") &&
+    // join strategy is AQE's call: the joined input is the PERSISTED
+    // banded table (computed once), so a broadcast at small SF is cheap
+    // and a shuffle join takes over at scale based on actual size
+    l.join(r, col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
@@ -146,17 +149,16 @@ object Dedup {
     * band (2 bands of the 32-bit hash → Hamming-distance-tolerant blocking).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhashes(df, idCol, textCol)
-    // Persisted before the self-join for the same reason as [[minhashPairs]]:
-    // one simhash aggregation, not two, and no broadcast of the full corpus.
+    // persisted pre-explode for the same reason as [[minhashPairs]]:
+    // one simhash aggregation, not two
+    val sig = simhashes(df, idCol, textCol).persist()
     val banded = sig.select(col("id"), col("sh"),
       explode(array(
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
-      .persist()
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.hint("shuffle_hash").join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
   }
