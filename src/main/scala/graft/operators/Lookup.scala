@@ -149,37 +149,75 @@ object Lookup {
     out.drop("__geo_prefix", "prefix", "country", "city", "lat", "lon")
   }
 
-  /** Effective public-suffix list subset for domain splitting. */
-  val publicSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
-      "com", "org", "net", "edu", "gov", "io", "de", "fr", "uk", "jp", "au",
-      "br", "us", "info", "biz")
+  /** The FULL public-suffix list (publicsuffix.org data file, vendored as
+    * a resource like the reference vendors it at
+    * util/url/tldlist/public_suffix_list.dat): exact rules, `*.` wildcard
+    * rules, and `!` exception rules.
+    */
+  lazy val publicSuffixRules: (Set[String], Set[String], Set[String]) = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("//")).toList
+    in.close()
+    val (exceptions, rest) = lines.partition(_.startsWith("!"))
+    val (wildcards, exact) = rest.partition(_.startsWith("*."))
+    (exact.toSet, wildcards.map(_.stripPrefix("*.")).toSet,
+      exceptions.map(_.stripPrefix("!")).toSet)
+  }
+
+  /** PSL longest-match: returns the public suffix of `domain` (standard
+    * publicsuffix algorithm: exceptions beat wildcards beat exact rules;
+    * unknown TLDs fall back to the last label).
+    */
+  def publicSuffixOf(domain: String): String = {
+    val (exact, wildcards, exceptions) = publicSuffixRules
+    val labels = domain.toLowerCase.split("\\.", -1)
+    var best = ""
+    var i = labels.length - 1
+    while (i >= 0) {
+      val cand = labels.slice(i, labels.length).mkString(".")
+      val parentOfCand = labels.slice(i + 1, labels.length).mkString(".")
+      if (exceptions.contains(cand)) {
+        // an exception rule's suffix is its parent
+        return parentOfCand
+      }
+      if (exact.contains(cand)) best = cand
+      else if (i > 0 && wildcards.contains(parentOfCand)) best = cand
+      i -= 1
+    }
+    if (best.isEmpty && labels.length > 1) labels.last else best
+  }
 
   /** domain_label_extractor: split a domain into subdomain /
-    * registered_domain / top_level_domain using the public-suffix list.
-    * Longest-suffix match compiled to an ordered `when` chain (suffixes
-    * sorted longest-first at plan time).
+    * registered_domain / top_level_domain via the full PSL. The list is
+    * ~10k rules, so matching runs in a deterministic UDF over the
+    * broadcast-by-closure rule sets (the when-chain form used for small
+    * inline lists would explode the plan).
     */
   def domainLabelExtractor(df: DataFrame, source: String, target: String): DataFrame = {
     val src = FieldOps.getOrNull(df.schema, source).cast("string")
-    val ordered = publicSuffixes.sortBy(s => -s.count(_ == '.') * 100 - s.length)
-    val tld = coalesce(
-      (ordered.map { s =>
-        when(src.rlike("""(^|\.)""" + java.util.regex.Pattern.quote(s) + "$"), lit(s))
-      } :+ lit("")): _*)
-    val nTldLabels = size(split(tld, "\\."))
-    val totalLabels = size(split(src, "\\."))
-    val regLabel = element_at(split(src, "\\."), (totalLabels - nTldLabels).cast("int"))
-    val registered = when(tld =!= "" && totalLabels > nTldLabels,
-      concat(regLabel, lit("."), tld))
-    val subCount = (totalLabels - nTldLabels - 1).cast("int")
-    val subdomain = when(subCount > 0,
-      array_join(slice(split(src, "\\."), lit(1), subCount), "."))
-      .otherwise(lit(""))
+    val splitUdf = udf { (d: String) =>
+      if (d == null) null
+      else {
+        val tld = publicSuffixOf(d)
+        val labels = d.split("\\.", -1)
+        val nTld = if (tld.isEmpty) 0 else tld.count(_ == '.') + 1
+        val registered =
+          if (nTld > 0 && labels.length > nTld)
+            labels.slice(labels.length - nTld - 1, labels.length).mkString(".")
+          else ""
+        val subdomain =
+          if (labels.length > nTld + 1)
+            labels.slice(0, labels.length - nTld - 1).mkString(".")
+          else ""
+        (tld, registered, subdomain)
+      }
+    }
+    val r = splitUdf(src)
     FieldOps.set(df, target, struct(
-      coalesce(tld, lit("")).as("top_level_domain"),
-      coalesce(registered, lit("")).as("registered_domain"),
-      coalesce(subdomain, lit("")).as("subdomain")))
+      coalesce(r.getField("_1"), lit("")).as("top_level_domain"),
+      coalesce(r.getField("_2"), lit("")).as("registered_domain"),
+      coalesce(r.getField("_3"), lit("")).as("subdomain")))
   }
 
   /** domain_resolver: DNS A-lookup. Real DNS is external nondeterministic
