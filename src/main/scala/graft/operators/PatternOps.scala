@@ -245,7 +245,7 @@ object PatternOps {
     * them) is NOT a capture group — a regex-based count of '(' would shift
     * every group index after such a pattern and extract the wrong field.
     */
-  private[operators] def groupIndexOf(regex: String, g: String): Int = {
+  def groupIndexOf(regex: String, g: String): Int = {
     val target = s"(?<$g>"
     var i = 0; var count = 0; var inClass = false
     while (i < regex.length) {

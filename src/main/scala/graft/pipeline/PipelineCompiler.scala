@@ -537,15 +537,76 @@ object PipelineCompiler {
 
 
       case "generic_resolver" =>
+        // ordered resolve_list (unanchored SEARCH, first match wins) plus
+        // the file-based capture-group table: `resolve_from_file.pattern`
+        // is anchored with a named `mapping` group whose capture keys into
+        // the YAML additions table (generic_resolver/processor.py:137-203,
+        // rule.py:281-300). Both compile to codegen'd expressions —
+        // pattern tables become literal-map lookups, no UDF, no LRU
+        // (Catalyst evaluates the compiled regex once per row).
+        val k = RuleExec.knobs(ptype, c)
         val mapping = cfgMap(c, "field_mapping")
         val resolveList = cfgMap(c, "resolve_list").toSeq
-        mapping.foldLeft(df) { case (d, (src, tgt)) =>
-          val srcCol = FieldOps.getOrNull(d.schema, src).cast("string")
-          val branches = resolveList.map { case (p, v) =>
-            when(srcCol.rlike(p), lit(v))
+        val ignoreCase = c.get("ignore_case").exists(_.toString == "true")
+        val fromFile = c.get("resolve_from_file").map { rf =>
+          val m = rf.asInstanceOf[Map[String, Any]]
+          val path = m("path").toString
+          val pattern = m("pattern").toString
+          val base = sys.props.get("graft.rule.base")
+            .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+          val f0 = new java.io.File(path)
+          val f = if (f0.isAbsolute) f0 else new java.io.File(base, path)
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val additions = new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+            case mm: java.util.Map[_, _] =>
+              scala.jdk.CollectionConverters.MapHasAsScala(mm).asScala
+                .map { case (a, b) =>
+                  (if (ignoreCase) a.toString.toUpperCase else a.toString) -> b.toString
+                }.toMap
+            case _ => Map.empty[String, String]
           }
-          guardedSet(d, pred, tgt, coalesce(branches: _*))
+          (pattern, additions)
         }
+        var out = df
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, mapping.keys.toSeq)
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+        }
+        mapping.foreach { case (src, tgt) =>
+          FieldOps.get(out.schema, src).foreach { case (srcCol0, _) =>
+            val srcCol = srcCol0.cast("string")
+            val flags = if (ignoreCase) "(?i)" else ""
+            val fileResolved: Option[Column] = fromFile.map { case (pattern, additions) =>
+              val javaPattern = pattern.replace("(?P<", "(?<")
+              val anchored = s"$flags^$javaPattern$$"
+              val grpIdx = PatternOps.groupIndexOf(javaPattern, "mapping")
+              val captured0 = regexp_extract(srcCol, anchored, grpIdx)
+              val captured = if (ignoreCase) upper(captured0) else captured0
+              val table = typedLit(additions)
+              when(srcCol.rlike(anchored), element_at(table, captured))
+            }
+            val listResolved = coalesce(
+              (resolveList.map { case (p, v) =>
+                when(srcCol.rlike(flags + p), lit(v))
+              } :+ lit(null).cast("string")): _*)
+            val resolved = fileResolved
+              .map(fr => coalesce(fr, listResolved)).getOrElse(listResolved)
+            val existing = FieldOps.get(out.schema, tgt)
+            // list target that already holds the content is left alone
+            val dupSkip = existing.collect {
+              case (cc, org.apache.spark.sql.types.ArrayType(_, _)) =>
+                array_contains(cc, resolved)
+            }.getOrElse(lit(false))
+            val value =
+              if (k.merge && existing.isEmpty) array(resolved) // [content] into empty target
+              else resolved
+            out = RuleExec.write(out,
+              pred && resolved.isNotNull && !coalesce(dupSkip, lit(false)),
+              tgt, value, k)
+          }
+        }
+        out
+
 
       case "deduplicator" =>
         // non-list fields are skipped (deduplicator/processor.py:42-44)
