@@ -925,7 +925,22 @@ object PipelineCompiler {
           Lookup.domainResolver(_, cfgSeq(c, "source_fields").head, target))
 
       case "template_replacer" =>
-        val table = cfgMap(c, "table")
+        // replacement table from the inline `table` or the `template` YAML
+        // file the reference uses (template_replacer/processor.py:60-190)
+        val fileTable: Map[String, String] = cfgStrOpt(c, "template").map { pth =>
+          val base = sys.props.get("graft.rule.base")
+            .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+          val f0 = new java.io.File(pth)
+          val f = if (f0.isAbsolute) f0 else new java.io.File(base, pth)
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+            case m: java.util.Map[_, _] =>
+              scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+                .map { case (a, b) => a.toString -> b.toString }.toMap
+            case _ => Map.empty[String, String]
+          }
+        }.getOrElse(Map.empty)
+        val table = cfgMap(c, "table") ++ fileTable
         val target = cfgStrOpt(c, "target_field").getOrElse("replaced")
         g(df, Seq(target))(Lookup.templateReplacer(_, cfgSeq(c, "fields"),
           cfgStrOpt(c, "delimiter").getOrElse("-"), target, table))

@@ -55,6 +55,23 @@ object RuleLoader {
         .asInstanceOf[Map[String, Any]],
       description = m.getOrElse("description", "").toString)
 
+  /** Rules from any getter URI (reference GetterFactory.from_string,
+    * util/getter.py:56-98): `http(s)://` via the pluggable
+    * [[graft.operators.ListSources.fetch]] transport, `file://` or plain
+    * paths from disk (directories recurse).
+    */
+  def rulesFromUri(uri: String, ptype: String): Seq[RuleSpec] =
+    if (uri.startsWith("http://") || uri.startsWith("https://"))
+      graft.operators.ListSources.fetch(uri) match {
+        case Some(text) => rulesFromText(text, json = uri.endsWith(".json"), ptype)
+        case None => throw new java.io.IOException(s"rule getter failed: $uri")
+      }
+    else {
+      val path = uri.stripPrefix("file://")
+      if (new java.io.File(path).isDirectory) rulesFromDir(path, ptype)
+      else rulesFromFile(path, ptype)
+    }
+
   /** Rule files: YAML multi-doc or JSON arrays of rule dicts (reference:
     * processor/base/rule.py:149-248; loaded per processor from dirs/URIs
     * via getters, abc/processor.py:89-99). Returns the rules for `ptype`.
@@ -62,8 +79,12 @@ object RuleLoader {
   def rulesFromFile(path: String, ptype: String): Seq[RuleSpec] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
+    rulesFromText(text, json = path.endsWith(".json"), ptype)
+  }
+
+  def rulesFromText(text: String, json: Boolean, ptype: String): Seq[RuleSpec] = {
     val docs: Seq[Any] =
-      if (path.endsWith(".json")) {
+      if (json) {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         def toPlain(j: JValue): Any = j match {
