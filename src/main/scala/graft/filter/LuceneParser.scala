@@ -20,7 +20,10 @@ object LuceneParser extends RegexParsers {
   private val fieldRe = """(?:[^\s:()\[\]{}"|\\]|\\.)+""".r
   // Bare value term: anything until whitespace/paren/quote. Keeps escapes.
   private val bareRe = """(?:[^\s:()\[\]{}"\\]|\\.)+""".r
-  private val quotedRe = """"(?:[^"\\]|\\.)*"""".r
+  // second alternative: a quoted chunk whose inner backslash is LITERAL
+  // (e.g. `"\"` = one backslash) — tried when escape-aware parsing
+  // cannot close the quote
+  private val quotedRe = """"(?:[^"\\]|\\.)*"|"[^"]*"""".r
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder

@@ -79,8 +79,14 @@ object TimeOps {
     * symbols). Single-letter day/hour/month forms accept both padded and
     * unpadded values, like strptime does.
     */
-  def strptimeToJava(fmt: String): String = {
-    val map = Map(
+  def strptimeToJava(fmt: String, padded: Boolean = false): String = {
+    val map =
+      if (padded) Map(
+        'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+        'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS", 'z' -> "XXX",
+        'Z' -> "zzz", 'A' -> "EEEE", 'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM",
+        'p' -> "a", 'j' -> "DDD", '%' -> "%")
+      else Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "M", 'd' -> "d", 'H' -> "H",
       'I' -> "h", 'M' -> "m", 'S' -> "s", 'f' -> "SSSSSS", 'z' -> "XXX",
       'Z' -> "zzz", 'A' -> "EEEE", 'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM",
@@ -170,8 +176,12 @@ object TimeOps {
             (strp0.replace("%A", "").replace("%a", ""),
               regexp_replace(s0, dayNames, ""))
           else (strp0, s0)
-        val jfmt = strptimeToJava(strp)
-        val parsed = try_to_timestamp(s, lit(jfmt))
+        // adjacent numeric directives (e.g. %Y%m%d%H%M%S) are ambiguous
+        // for variable-width letters; a strict zero-padded variant is the
+        // fallback — strptime itself accepts both forms
+        val parsed = coalesce(
+          try_to_timestamp(s, lit(strptimeToJava(strp))),
+          try_to_timestamp(s, lit(strptimeToJava(strp, padded = true))))
         if (strptimeHasTz(strp)) parsed else to_utc_timestamp(parsed, sourceTz)
     }
 

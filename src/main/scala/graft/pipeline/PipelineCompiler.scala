@@ -484,6 +484,81 @@ object PipelineCompiler {
             }
           })
 
+      case "requester" =>
+        // templated HTTP enrichment (requester/processor.py:54-129):
+        // ${field} refs across url/json/data/params are the source fields
+        // (missing/empty → skip+tag); non-2xx or timeout → failure tag;
+        // JSON responses land whole in target_field and/or via dotted
+        // target_field_mapping extractions. External I/O runs in a
+        // nondeterministic UDF with a pluggable transport.
+        val k0 = RuleExec.knobs(ptype, c)
+        val method = cfgStrOpt(c, "method").getOrElse("GET")
+        val urlT = cfgStr(c, "url")
+        def asJsonText(v: Any): String = v match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            .map { case (kk, vv) => "\"" + kk + "\":" + asJsonText(vv) }
+            .mkString("{", ",", "}")
+          case s: Seq[_] => s.map(asJsonText).mkString("[", ",", "]")
+          case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case null => "null"
+          case other => other.toString
+        }
+        val jsonT = c.get("json").map(asJsonText)
+        val dataT = cfgStrOpt(c, "data")
+        val paramsT = c.get("params").map(asJsonText)
+        val mappingPairs = cfgMap(c, "target_field_mapping").toSeq
+        val templText = urlT + jsonT.getOrElse("") + dataT.getOrElse("") +
+          paramsT.getOrElse("")
+        val sources =
+          if (k0.sourceFields.nonEmpty) k0.sourceFields
+          else Requester.templateRefs(templText).distinct
+        val k = k0.copy(sourceFields = sources)
+        var out = df
+        val schema = out.schema
+        val miss = RuleExec.anyMissing(schema, sources)
+        val empty0 = RuleExec.anyEmpty(schema, sources)
+        // merge_with_target on a struct target merges INSIDE the UDF
+        // (dict.update), then writes with overwrite
+        val mergeExisting: Column = k.targetField
+          .flatMap(t => FieldOps.get(schema, t)).collect {
+            case (cc, _: org.apache.spark.sql.types.StructType) if k.merge =>
+              to_json(cc)
+          }.getOrElse(lit(null).cast("string"))
+        val valueArr = array(sources.map(s =>
+          FieldOps.getOrNull(schema, s).cast("string")): _*)
+        val mappingSources = mappingPairs.map(_._1)
+        val reqUdf = udf { (vals: Seq[String], mergeJson: String) =>
+          Requester.invoke(method, urlT, jsonT, dataT, paramsT,
+            mappingSources, Option(mergeJson), sources.zip(vals).toMap)
+        }.asNondeterministic()
+        out = out
+          .withColumn("__rq_miss", coalesce(miss, lit(false)))
+          .withColumn("__rq_empty", !coalesce(miss, lit(false)) && coalesce(empty0, lit(false)))
+        val eligible = coalesce(pred, lit(false)) &&
+          !col("__rq_miss") && !col("__rq_empty")
+        out = out.withColumn("__rq",
+          when(eligible, reqUdf(valueArr, mergeExisting)))
+        val targetJson = col("__rq").getField("_1")
+        val mappingVals = col("__rq").getField("_2")
+        val reqFailed = coalesce(col("__rq").getField("_3"), lit(false))
+        k.targetField.foreach { t =>
+          val kW = if (k.merge) k.copy(merge = false, overwrite = true) else k
+          out = RuleExec.write(out, eligible && targetJson.isNotNull, t,
+            parse_json(targetJson), kW)
+        }
+        mappingPairs.zipWithIndex.foreach { case ((_, tgt), i) =>
+          val v = element_at(mappingVals, i + 1)
+          out = RuleExec.write(out, eligible && v.isNotNull, tgt, parse_json(v), k)
+        }
+        out = RuleExec.addTags(out,
+          (if (k.ignoreMissing) Nil
+           else Seq((coalesce(pred, lit(false)) && col("__rq_miss")) -> k.missingTags)) ++
+          Seq((coalesce(pred, lit(false)) && col("__rq_empty")) -> k.failureTags,
+            (eligible && reqFailed) -> k.failureTags))
+        out = RuleExec.deleteSourcesIf(out, pred, k, sources)
+        out.drop("__rq", "__rq_miss", "__rq_empty")
+
+
       case "pseudonymizer" =>
         // regex-mapping-selected substring pseudonymization with URL-field
         // component handling (pseudonymizer/processor.py:274-366); regex

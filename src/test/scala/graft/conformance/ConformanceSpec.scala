@@ -3,6 +3,7 @@ package graft.conformance
 import graft.SparkSpec
 import graft.pipeline._
 import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -91,8 +92,9 @@ class ConformanceSpec extends SparkSpec {
   private val processors = Seq(
     "calculator", "concatenator", "decoder", "deduplicator", "dissector",
     "field_manager", "generic_adder", "grokker", "ip_informer", "key_checker",
-    "list_comparison", "network_comparison", "pseudonymizer", "replacer",
-    "string_splitter", "timestamp_differ", "timestamper")
+    "list_comparison", "network_comparison", "pre_detector", "pseudonymizer",
+    "replacer", "requester", "string_splitter", "timestamp_differ",
+    "timestamper")
 
   private val seen = scala.collection.mutable.Map.empty[String, Int]
 
@@ -200,6 +202,43 @@ class ConformanceSpec extends SparkSpec {
           case _ => None
         }
       } else graft.operators.ListSources.defaultFetch(uri)
+    }
+    // requester: the reference suite mocks requests per case (the 4th
+    // tuple slot) — mirror through the pluggable transport
+    if (proc == "requester") {
+      val mock = (c \ "extra") match {
+        case o: JObject => plain(o).asInstanceOf[Map[String, Any]]
+        case _ => Map.empty[String, Any]
+      }
+      graft.operators.Requester.transport = { (method, url, _) =>
+        val mockUrl = mock.get("url").map(_.toString).getOrElse("")
+        val matches = mock.get("method").map(_.toString).contains(method) &&
+          (url == mockUrl || url == mockUrl.stripSuffix("/") ||
+            url.stripSuffix("/") == mockUrl)
+        if (!matches) None
+        else {
+          val status = mock.get("status").map(_.toString.toInt).getOrElse(200)
+          val body = mock.get("json")
+            .map(j => JsonMethods.compact(JsonMethods.render(c \ "extra" \ "json")))
+            .orElse(mock.get("body").map(_.toString)).getOrElse("")
+          Some(graft.operators.Requester.Response(status, body))
+        }
+      }
+    }
+    // pre_detector cases pin the detection-timestamp normalization (raw
+    // string in, normalized ISO out) — drive it through the TimeOps path
+    if (proc == "pre_detector") {
+      val cfg = plain(c \ "rule").asInstanceOf[Map[String, Any]]
+        .getOrElse(proc, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+      val fmt = cfg.get("source_format").map(_.toString).getOrElse("ISO8601")
+      val raw = (c \ "input").asInstanceOf[JString].s
+      val want = (c \ "expected").asInstanceOf[JString].s
+      val got = spark.range(1).select(
+        graft.operators.TimeOps.isoformatIn(
+          graft.operators.TimeOps.parseWithFormat(lit(raw), fmt, "UTC"),
+          "UTC").as("ts")).head().getString(0)
+      assert(got == want, s"\n  got:      $got\n  expected: $want")
+      return
     }
     val ruleMap0 = plain(c \ "rule").asInstanceOf[Map[String, Any]]
     // pseudonymizer: the reference suite supplies processor-level config

@@ -40,7 +40,9 @@ def classify(args, name):
     def is_rule(x): return isinstance(x, dict) and "filter" in x
     if len(args) >= 3 and is_rule(args[0]):
         case = {"name": name, "rule": args[0], "input": args[1], "expected": args[2]}
-        if len(args) > 3: case["error"] = args[3] if isinstance(args[3], str) else None
+        if len(args) > 3:
+            if isinstance(args[3], str): case["error"] = args[3]
+            elif args[3] is not None: case["extra"] = args[3]
         return case
     if len(args) >= 4 and isinstance(args[0], str) and is_rule(args[1]):
         case = {"name": args[0], "rule": args[1], "input": args[2], "expected": args[3]}
