@@ -48,8 +48,54 @@ object Bench {
         .unionByName(det.select(col("event_key").as("k1"), col("severity").as("k2")))
     }
 
+    // the same chain expressed as RULES through PipelineCompiler — the
+    // path real configs take, including per-rule filter guards and
+    // failure-tag machinery
+    def pipelineChain(s: SparkSession, dir: String): DataFrame = {
+      val e = Tables.events(s, dir)
+        .withColumn("message",
+          concat_ws(" ", col("event_type"), col("user_id"), col("value")))
+        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      val spec = pipeline.RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: dissector
+          |    rules:
+          |      - filter: "message"
+          |        dissector:
+          |          mapping:
+          |            message: "%{etype} %{uid|int} %{val}"
+          |  - type: timestamper
+          |    rules:
+          |      - filter: "ts_str"
+          |        timestamper:
+          |          source_fields: [ts_str]
+          |          source_format: ["%Y-%m-%d %H:%M:%S"]
+          |          target_field: ts_iso
+          |  - type: calculator
+          |    rules:
+          |      - filter: "uid"
+          |        calculator:
+          |          calc: "${uid} * 2 + 1"
+          |          target_field: calc_out
+          |  - type: generic_resolver
+          |    rules:
+          |      - filter: "etype"
+          |        generic_resolver:
+          |          field_mapping:
+          |            etype: category
+          |          resolve_list:
+          |            "^pur": transaction
+          |            "^sig": account
+          |            "^err": incident
+          |            ".*": other
+          |""".stripMargin)
+      pipeline.PipelineCompiler.compile(spec)(e).main
+        .select(col("event_id"), col("category"), col("calc_out"))
+    }
+
     val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "events_chain" -> ((s, d) => eventsChain(s, d)),
+      "pipeline_chain" -> ((s, d) => pipelineChain(s, d)),
       "q1_agg" -> GraftQueries.queries("q1_agg"),
       "q2_join_broadcast" -> GraftQueries.queries("q2_join_broadcast"),
       "q3_topk_window" -> GraftQueries.queries("q3_topk_window"),
