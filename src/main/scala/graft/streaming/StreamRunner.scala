@@ -52,7 +52,9 @@ object StreamRunner {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val result = compiled(batch)
-        sinks.get("main").foreach(_(result.main))
+        // per-micro-batch counters via observe (surfaces on the
+        // StreamingQueryListener, the reference's Prometheus counters)
+        sinks.get("main").foreach(_(graft.pipeline.Metrics.observed(result.main)))
         result.extra.foreach { case (name, df) =>
           sinks.get(name).foreach(_(df))
         }
