@@ -192,6 +192,34 @@ object GraftQueriesML {
       s"SELECT vec_id, $bits AS bucket FROM embeddings"
     })
 
+  private val mCosPairs = Spec("ml_embed_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // threshold tuned to the synthetic corpus (max pairwise cosine
+      // ~0.48) so the gate checks real pairs, not an empty set
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        lshPlanes(2, 64), threshold = 0.4)
+        .orderBy("a", "b")
+    },
+    Some {
+      val planes = lshPlanes(2, 64)
+      val bits = planes.map { p =>
+        val lst = p.mkString("[", ",", "]")
+        val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
+        s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
+          pairs AS (
+            SELECT l.vec_id AS a, r.vec_id AS b,
+              ROUND(
+                list_aggregate(list_transform(range(64), i -> CAST(l.embedding[i+1] AS DOUBLE)*CAST(r.embedding[i+1] AS DOUBLE)), 'sum')
+                / NULLIF(sqrt(list_aggregate(list_transform(range(64), i -> CAST(l.embedding[i+1] AS DOUBLE)*CAST(l.embedding[i+1] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(64), i -> CAST(r.embedding[i+1] AS DOUBLE)*CAST(r.embedding[i+1] AS DOUBLE)), 'sum')), 0),
+                6) AS sim
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+          SELECT a, b, sim FROM pairs WHERE sim >= 0.4 ORDER BY a, b"""
+    })
+
   private val mIvf = Spec("ml_embed_ivf_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -325,5 +353,5 @@ object GraftQueriesML {
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mJaccardPairs,
-    mTopK, mLsh, mIvf, mLangId, mQuality, mTokenCount, mMultimodal)
+    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal)
 }

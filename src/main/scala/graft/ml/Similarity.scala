@@ -98,4 +98,26 @@ object Similarity {
       val pc = array(p.map(lit): _*)
       when(dot(vec.cast("array<double>"), pc) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * bound the candidate space (only same-bucket pairs are scored), then
+    * exact cosine keeps pairs ≥ `threshold` — the embedding analogue of
+    * [[Dedup.nearDupPairs]]. The bucketed table is persisted once before
+    * the self-join (single scan + bucket assignment; AQE sizes the join
+    * off the cached table), and pair volume is bounded per bucket instead
+    * of any all-pairs blow-up — the only shape that survives 100 TB.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         planes: Seq[Seq[Double]],
+                         threshold: Double): DataFrame = {
+    val bucketed = corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+      .persist()
+    val l = bucketed.alias("l"); val r = bucketed.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }
