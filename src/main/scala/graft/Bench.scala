@@ -110,15 +110,27 @@ object Bench {
     headline.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+      CacheSweep.sweep(spark)
     }
 
-    val results = headline.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release LSH signature caches so run N+1 recomputes honestly and
+      // nothing accumulates in the block manager across queries
+      CacheSweep.sweep(spark)
+      dt
+    }
+
+    // median of 3 timed runs per query: a single contended run (round-2
+    // driver artifact: 2.5× noise) can no longer corrupt the round signal
+    val results = headline.map { case (name, fn) =>
+      val runs = Seq.fill(3)(timeOnce(name, fn)).sorted
+      name -> runs(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -102,26 +102,44 @@ object GraftQueriesML {
            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""
     })
 
+  /** DuckDB CTE prefix computing `fps(doc_id, sh)` with the same
+    * arithmetic as [[Dedup.simhashes]] (one md5 per distinct token, sign
+    * per bit).
+    */
+  private val simhashCte: String = {
+    val sums = (0 until 32).map { j =>
+      val nib = j / 4; val bit = 1 << (j % 4)
+      s"""sum(CASE WHEN (('0x'||substr(h,${nib + 1},1))::INT & $bit) > 0
+          THEN 1 ELSE -1 END) AS b$j"""
+    }.mkString(", ")
+    val fp = (0 until 32).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id,
+          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+        FROM documents),
+        hh AS (SELECT doc_id, md5(t) AS h FROM tk),
+        b AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+        fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS sh FROM b)"""
+  }
+
   private val mSimhash = Spec("ml_simhash",
     (s, dir) => Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("sh")),
-    Some {
-      // generate the 32 bit-sum aggregates with the same arithmetic as
-      // Dedup.simhashes (one md5 per distinct token, sign per bit)
-      val sums = (0 until 32).map { j =>
-        val nib = j / 4; val bit = 1 << (j % 4)
-        s"""sum(CASE WHEN (('0x'||substr(h,${nib + 1},1))::INT & $bit) > 0
-            THEN 1 ELSE -1 END) AS b$j"""
-      }.mkString(", ")
-      val fp = (0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id,
-            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
-          FROM documents),
-          hh AS (SELECT doc_id, md5(t) AS h FROM tk),
-          b AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id)
-          SELECT doc_id, CAST($fp AS BIGINT) AS sh FROM b"""
-    })
+    Some(s"$simhashCte SELECT doc_id, sh FROM fps"))
+
+  private val mSimhashPairs = Spec("ml_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("a", "b"),
+    Some(s"""$simhashCte,
+        banded AS (
+          SELECT doc_id, 0 AS band, sh & 65535 AS key FROM fps
+          UNION ALL
+          SELECT doc_id, 1 AS band, (sh >> 16) & 65535 AS key FROM fps),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT a, b FROM cand ORDER BY a, b"""))
 
   private val mJaccardPairs = Spec("ml_jaccard_pairs",
     (s, dir) => {
@@ -172,9 +190,25 @@ object GraftQueriesML {
             FROM scored) WHERE rank <= 5"""
     })
 
-  /** Deterministic LSH hyperplanes: plane p, dim d → ((d*(p+3)) % 7) - 3. */
+  /** Deterministic LSH hyperplanes: plane p, dim d → ((d*(p+3)) % 7) - 3.
+    * Only 7 distinct planes exist in this family (mod-7) — fine for the
+    * 4-plane bucket demo below, NOT for banded LSH; see [[lshBandPlanes]].
+    */
   private def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map(p => (0 until dim).map(d => (((d * (p + 3)) % 7) - 3).toDouble))
+
+  /** Deterministic Rademacher (±1) hyperplanes from an LCG (Knuth MMIX
+    * constants): every plane distinct for any (bands × planesPerBand)
+    * count, reproducible on both engines (the oracle SQL embeds the same
+    * literal planes this generator hands the Spark plan).
+    */
+  private def lshBandPlanes(bands: Int, planesPerBand: Int,
+                            dim: Int): Seq[Seq[Seq[Double]]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.tabulate(bands, planesPerBand, dim)((_, _, _) =>
+      if (next() < 0) -1.0 else 1.0)
+  }
 
   private val mLsh = Spec("ml_embed_lsh_bucket",
     (s, dir) => {
@@ -192,32 +226,53 @@ object GraftQueriesML {
       s"SELECT vec_id, $bits AS bucket FROM embeddings"
     })
 
+  /** Banded-LSH parameters for the near-dup gate: 8 bands × 8 planes →
+    * 256 buckets per band at this corpus size; at 10⁹ vectors the same
+    * code runs r≈20 (see [[Similarity.cosineNearDupPairs]] scaladoc).
+    */
+  private val NdBands = 8
+  private val NdPlanesPerBand = 8
+  private val NdCap = 4096
+
   private val mCosPairs = Spec("ml_embed_neardup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       // threshold tuned to the synthetic corpus (max pairwise cosine
       // ~0.48) so the gate checks real pairs, not an empty set
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        lshPlanes(2, 64), threshold = 0.4)
+        lshBandPlanes(NdBands, NdPlanesPerBand, 64), threshold = 0.4,
+        maxBucketSize = NdCap)
         .orderBy("a", "b")
     },
     Some {
-      val planes = lshPlanes(2, 64)
-      val bits = planes.map { p =>
+      val bandPlanes = lshBandPlanes(NdBands, NdPlanesPerBand, 64)
+      def keySql(planes: Seq[Seq[Double]]): String = planes.map { p =>
         val lst = p.mkString("[", ",", "]")
         val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
         s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bits AS bucket FROM embeddings),
-          pairs AS (
-            SELECT l.vec_id AS a, r.vec_id AS b,
-              ROUND(
-                list_aggregate(list_transform(range(64), i -> CAST(l.embedding[i+1] AS DOUBLE)*CAST(r.embedding[i+1] AS DOUBLE)), 'sum')
-                / NULLIF(sqrt(list_aggregate(list_transform(range(64), i -> CAST(l.embedding[i+1] AS DOUBLE)*CAST(l.embedding[i+1] AS DOUBLE)), 'sum'))
-                  * sqrt(list_aggregate(list_transform(range(64), i -> CAST(r.embedding[i+1] AS DOUBLE)*CAST(r.embedding[i+1] AS DOUBLE)), 'sum')), 0),
-                6) AS sim
-            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
-          SELECT a, b, sim FROM pairs WHERE sim >= 0.4 ORDER BY a, b"""
+      val sigCols = bandPlanes.zipWithIndex
+        .map { case (p, b) => s"${keySql(p)} AS k$b" }.mkString(",\n              ")
+      val bandUnion = bandPlanes.indices
+        .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
+        .mkString("\n              UNION ALL ")
+      val cos = cosSql("ea.embedding", "eb.embedding")
+      s"""WITH sig AS (SELECT vec_id,
+              $sigCols
+            FROM embeddings),
+          banded AS (
+            SELECT * FROM (
+              $bandUnion)
+            QUALIFY count(*) OVER (PARTITION BY band, key) <= $NdCap),
+          cand AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+          scored AS (
+            SELECT cand.a, cand.b, ROUND($cos, 6) AS sim
+            FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+                      JOIN embeddings eb ON eb.vec_id = cand.b)
+          SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""
     })
 
   private val mIvf = Spec("ml_embed_ivf_topk",
@@ -352,6 +407,7 @@ object GraftQueriesML {
   // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
-    mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mJaccardPairs,
+    mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
+    mJaccardPairs,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal)
 }

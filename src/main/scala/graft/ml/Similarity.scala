@@ -99,25 +99,58 @@ object Similarity {
       when(dot(vec.cast("array<double>"), pc) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
-    * bound the candidate space (only same-bucket pairs are scored), then
-    * exact cosine keeps pairs ≥ `threshold` — the embedding analogue of
-    * [[Dedup.nearDupPairs]]. The bucketed table is persisted once before
-    * the self-join (single scan + bucket assignment; AQE sizes the join
-    * off the cached table), and pair volume is bounded per bucket instead
-    * of any all-pairs blow-up — the only shape that survives 100 TB.
+  /** Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
+    * LSH — the embedding analogue of [[Dedup.minhashPairs]]:
+    *
+    *  - `bandPlanes(b)` is the hyperplane set of band `b`; each band maps a
+    *    vector to a 2^r-ary sign-bit key (r = planes per band). Bucket
+    *    cardinality is 2^r PER BAND and is a free parameter: at 10⁹
+    *    vectors you run r ≈ 20 (≈10⁶ buckets/band, ≈10³ vectors/bucket →
+    *    ≈5·10⁵ candidate pairs/bucket, bounded), not the r you'd use at
+    *    10³. A single constant-size bucket set would make the self-join
+    *    O(n²/buckets) — the scale-killer this banding removes.
+    *  - candidates are OR-combined across bands (a pair is a candidate if
+    *    ANY band collides), deduplicated BEFORE scoring so the exact
+    *    cosine runs once per pair, not once per colliding band.
+    *  - `maxBucketSize` drops degenerate buckets (a plane set aligned with
+    *    the corpus distribution can pile mass into one key; a capped
+    *    bucket contributes ≤ cap²/2 pairs instead of unbounded). The cap
+    *    window partitions by the same (band, key) the self-join shuffles
+    *    on, so Catalyst reuses one Exchange for both.
+    *
+    * The compact signature table (id + one key per band) is persisted once
+    * and feeds both join branches; vectors are re-joined only for the
+    * verified candidates. Cache lifetime is caller-owned — see
+    * [[graft.CacheSweep]].
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         planes: Seq[Seq[Double]],
-                         threshold: Double): DataFrame = {
-    val bucketed = corpus.select(
-      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-      .persist()
-    val l = bucketed.alias("l"); val r = bucketed.alias("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("sim"))
+                         bandPlanes: Seq[Seq[Seq[Double]]],
+                         threshold: Double,
+                         maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sig = base.select(
+      col("id") +: bandPlanes.zipWithIndex.map { case (p, b) =>
+        lshBucket(col("v"), p).as(s"k$b")
+      }: _*).persist()
+    val banded = sig
+      .select(col("id"),
+        posexplode(array(bandPlanes.indices.map(b => col(s"k$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val w = Window.partitionBy(col("band"), col("key"))
+    val capped = banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val l = capped.alias("l"); val r = capped.alias("r")
+    val cand = l.join(r, col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    val va = base.select(col("id").as("a"), col("v").as("va"))
+    val vb = base.select(col("id").as("b"), col("v").as("vb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

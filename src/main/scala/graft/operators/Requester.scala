@@ -21,11 +21,21 @@ object Requester {
   @volatile var transport: (String, String, Option[String]) => Option[Response] =
     realTransport
 
-  /** method, url, body → response; None models connect timeouts. */
+  /** method, url, body → response; None models connect timeouts.
+    * Only http/https schemes are dispatched (the reference's `requests`
+    * enforces the same): URL templates start with event-controlled
+    * `${field}` values, so without the allowlist an event could steer the
+    * executor to `file:`/`jar:` URLs and exfiltrate local file contents
+    * into the event (advisor finding, round 2). Non-http schemes return
+    * None → the rule's failure tag.
+    */
   def realTransport(method: String, url: String,
                     body: Option[String]): Option[Response] =
     try {
-      val conn = new java.net.URL(url).openConnection()
+      val parsed = new java.net.URL(url)
+      if (parsed.getProtocol != "http" && parsed.getProtocol != "https")
+        return None
+      val conn = parsed.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestMethod(method)
       conn.setConnectTimeout(5000)

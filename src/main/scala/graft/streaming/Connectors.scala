@@ -53,7 +53,10 @@ object Connectors {
     pairs.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       rows.grouped(backlogSize).foreach { batch =>
         val body = batch.flatMap { r =>
-          Seq(s"""{"index":{"_index":"${r.getString(0)}"}}""", r.getString(1))
+          // the index name is event-controlled: JSON-escape it, or a
+          // quote/newline in `_index` corrupts the NDJSON framing and can
+          // inject extra bulk actions (advisor finding, round 2)
+          Seq(s"""{"index":{"_index":${jsonQuote(r.getString(0))}}}""", r.getString(1))
         }.mkString("", "\n", "\n")
         post(baseUrl.stripSuffix("/") + "/_bulk", body, "application/x-ndjson",
           timeoutMs)
@@ -61,10 +64,25 @@ object Connectors {
     }
   }
 
+  /** Minimal JSON string literal: escapes quote, backslash, and all
+    * control chars (used for event-controlled values embedded in NDJSON).
+    */
+  private[streaming] def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def post(url: String, body: String, contentType: String,
                    timeoutMs: Int): Unit = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    var reusable = false
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
@@ -76,12 +94,16 @@ object Connectors {
       val os = conn.getOutputStream
       try { os.write(bytes); os.flush() } finally os.close()
       val code = conn.getResponseCode
+      // drain the response fully so the JVM returns the socket to its
+      // per-host keep-alive pool; disconnect() would close it and force a
+      // new TCP (+TLS) handshake per batch
+      val is = if (code >= 200 && code < 300) conn.getInputStream
+               else conn.getErrorStream
+      if (is != null) try { while (is.read() >= 0) {} } finally is.close()
       if (code < 200 || code >= 300)
         throw new java.io.IOException(s"POST $url failed: HTTP $code")
-      // drain so the connection can be reused
-      val is = conn.getInputStream
-      try { while (is.read() >= 0) {} } finally is.close()
-    } finally conn.disconnect()
+      reusable = true
+    } finally if (!reusable) conn.disconnect()
   }
 
   /** Push-based HTTP ingest endpoint set (reference http/input.py):
@@ -93,11 +115,14 @@ object Connectors {
     * credentials (input.py:138-165).
     */
   final class HttpInputServer(spoolDir: String, port: Int = 0,
-                              credentials: Option[(String, String)] = None) {
+                              credentials: Option[(String, String)] = None,
+                              bindAddress: String = "127.0.0.1") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-    private val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    private val server = HttpServer.create(
+      new java.net.InetSocketAddress(bindAddress, port), 0)
     private val counter = new java.util.concurrent.atomic.AtomicLong()
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
 
     def boundPort: Int = server.getAddress.getPort
@@ -105,17 +130,31 @@ object Connectors {
     private def authorized(ex: HttpExchange): Boolean = credentials match {
       case None => true
       case Some((u, p)) =>
-        val expected = "Basic " + java.util.Base64.getEncoder
-          .encodeToString(s"$u:$p".getBytes("UTF-8"))
-        Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expected)
+        val expected = ("Basic " + java.util.Base64.getEncoder
+          .encodeToString(s"$u:$p".getBytes("UTF-8"))).getBytes("UTF-8")
+        val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .getOrElse("").getBytes("UTF-8")
+        // constant-time compare: a plain String == leaks a prefix-length
+        // timing side channel on the credential
+        java.security.MessageDigest.isEqual(expected, got)
     }
 
-    private def handle(ex: HttpExchange, toJsonl: String => Seq[String]): Unit = {
+    private def validJson(line: String): Boolean =
+      try { mapper.readTree(line); true }
+      catch { case _: java.io.IOException => false }
+
+    private def handle(ex: HttpExchange, toJsonl: String => Seq[String],
+                       requireJson: Boolean): Unit = {
       try {
         if (ex.getRequestMethod != "POST") { ex.sendResponseHeaders(405, -1); return }
         if (!authorized(ex)) { ex.sendResponseHeaders(401, -1); return }
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val lines = toJsonl(body).filter(_.nonEmpty)
+        // reject malformed JSON with a 4xx like the reference's HTTP input
+        // instead of spooling it into _corrupt_record rows downstream
+        if (requireJson && !lines.forall(validJson)) {
+          ex.sendResponseHeaders(400, -1); return
+        }
         if (lines.nonEmpty) {
           val f = java.nio.file.Paths.get(spoolDir,
             s"ingest-${System.currentTimeMillis()}-${counter.incrementAndGet()}.jsonl")
@@ -126,24 +165,13 @@ object Connectors {
       } finally ex.close()
     }
 
-    private def quote(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-
     server.createContext("/json", (ex: HttpExchange) =>
-      handle(ex, body => Seq(body.trim)))
+      handle(ex, body => Seq(body.trim), requireJson = true))
     server.createContext("/jsonl", (ex: HttpExchange) =>
-      handle(ex, body => body.split("\n").toSeq.map(_.trim)))
+      handle(ex, body => body.split("\n").toSeq.map(_.trim), requireJson = true))
     server.createContext("/plaintext", (ex: HttpExchange) =>
       handle(ex, body => body.split("\n").toSeq.filter(_.nonEmpty)
-        .map(l => s"""{"message":${quote(l)}}""")))
+        .map(l => s"""{"message":${jsonQuote(l)}}"""), requireJson = false))
 
     def start(): HttpInputServer = { server.start(); this }
     def stop(): Unit = server.stop(0)
