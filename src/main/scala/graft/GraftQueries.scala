@@ -656,9 +656,15 @@ object GraftQueries {
   private val pAmides = Spec("proc_amides",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      Detection.amides(docs, "text", "ml",
-          weights = Map("spark" -> 0.5, "join" -> 0.25, "slow" -> 0.125,
-            "filter" -> -0.25), bias = -2.0, threshold = 0.5)
+      // model ships as a models_path artifact (the production path):
+      // written once at plan time from the same constants the oracle SQL
+      // is generated from, then loaded through AmidesModel
+      val artifact = java.nio.file.Files.createTempDirectory("graft-amides")
+        .resolve("model.zip").toString
+      operators.AmidesModel.write(artifact, operators.AmidesModel.Model(
+        weights = Map("spark" -> 0.5, "join" -> 0.25, "slow" -> 0.125,
+          "filter" -> -0.25), bias = -2.0, threshold = Some(0.5)))
+      Detection.amidesFromArtifact(docs, "text", "ml", artifact)
         .select(col("doc_id"), col("ml.confidence").as("confidence"),
           col("ml.detected").as("detected"))
     },

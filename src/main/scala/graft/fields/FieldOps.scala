@@ -94,11 +94,31 @@ object FieldOps {
       case p :: rest =>
         cur match {
           case Some((c, st: StructType)) =>
-            val child = st.fields.find(_.name == p)
-              .map(f => (c.getField(p), f.dataType))
-            c.withField(quote(p), nestedSet(child, rest, value))
+            val childField = st.fields.find(_.name == p)
+            val childCur = childField.map(f => (c.getField(p), f.dataType))
+            val updated = c.withField(quote(p), nestedSet(childCur, rest, value))
+            // `withField` on a row-null struct yields null — a genuine
+            // write must still land (the reference creates intermediate
+            // dicts), so rebuild the struct from nulls; and when nothing
+            // was written, STAY null rather than materializing an `{}`
+            // shell that a later rule's Exists filter would see as a
+            // present field (conformance finding: default-rule corpora
+            // chain rules whose targets overlap other rules' filters)
+            val childNull = childField.map(f =>
+              (lit(null).cast(f.dataType), f.dataType))
+            val freshChild = nestedSet(childNull, rest, value)
+            // mirror withField's layout exactly: existing field replaced
+            // in place, NEW field appended at the end
+            val freshFields = st.fields.toSeq.map { f =>
+              if (f.name == p) freshChild.as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            } ++ (if (st.fieldNames.contains(p)) Nil else Seq(freshChild.as(p)))
+            val fresh = struct(freshFields: _*)
+            when(c.isNotNull, updated)
+              .otherwise(when(freshChild.isNotNull, fresh))
           case _ =>
-            struct(nestedSet(None, rest, value).as(p))
+            val inner = nestedSet(None, rest, value)
+            when(inner.isNotNull, struct(inner.as(p)))
         }
     }
 

@@ -190,6 +190,10 @@ object FilterCompiler {
     }
 
     case Regex(f, p) => resolve(schema, f) match {
+      // array-valued field: any element matching counts (same contract as
+      // StringEq's array_contains)
+      case Some((c, ArrayType(_, _))) =>
+        nullSafe(exists(c.cast("array<string>"), e => e.rlike(anchorRegex(p))))
       case Some((c, _)) => nullSafe(c.cast("string").rlike(anchorRegex(p)))
       case None => lit(false)
     }

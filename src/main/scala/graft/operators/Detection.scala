@@ -111,4 +111,80 @@ object Detection {
       round(confidence, 6).as("confidence"),
       (confidence >= threshold).as("detected")))
   }
+
+  /** [[amides]] with the model loaded from a `models_path` artifact — the
+    * way a trained model actually ships (reference loads a models archive,
+    * amides/processor.py:215-229).
+    */
+  def amidesFromArtifact(df: DataFrame, source: String, target: String,
+                         modelsPath: String,
+                         thresholdOverride: Option[Double] = None): DataFrame = {
+    val m = AmidesModel.load(modelsPath)
+    amides(df, source, target, m.weights, m.bias,
+      thresholdOverride.orElse(m.threshold).getOrElse(0.5))
+  }
+}
+
+/** amides model artifact: a .zip whose `model` entry (or a bare .json
+  * file) holds `{"weights": {token: w}, "bias": b, "decision_threshold"}`
+  * — the role of the reference's models_path archive (amides/processor.py:
+  * 215-229, `_load_and_unpack_models`) re-expressed as an engine-portable
+  * linear-model export instead of a pickled sklearn object (a pickle is
+  * python-runtime-specific AND an arbitrary-code-execution surface; the
+  * reference itself warns about this in its Config docs).
+  */
+object AmidesModel {
+  final case class Model(weights: Map[String, Double], bias: Double,
+                         threshold: Option[Double])
+
+  def load(path: String): Model = {
+    val text =
+      if (path.endsWith(".zip")) {
+        val zf = new java.util.zip.ZipFile(path)
+        try {
+          val entry = Option(zf.getEntry("model"))
+            .getOrElse(zf.entries().nextElement())
+          new String(zf.getInputStream(entry).readAllBytes(), "UTF-8")
+        } finally zf.close()
+      } else new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(text)
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case _ => 0.0
+    }
+    val weights = (j \ "weights") match {
+      case JObject(fs) => fs.map { case (k, v) => k -> num(v) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    val bias = (j \ "bias") match { case JNothing => 0.0; case v => num(v) }
+    val threshold = (j \ "decision_threshold") match {
+      case JNothing => None
+      case v => Some(num(v))
+    }
+    Model(weights, bias, threshold)
+  }
+
+  /** Write an artifact zip (used by tests and model-export tooling). */
+  def write(path: String, m: Model): Unit = {
+    val json = {
+      val ws = m.weights.map { case (k, v) =>
+        "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + v
+      }.mkString(",")
+      val thr = m.threshold.map(t => s""","decision_threshold":$t""").getOrElse("")
+      s"""{"weights":{$ws},"bias":${m.bias}$thr}"""
+    }
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      out.putNextEntry(new java.util.zip.ZipEntry("model"))
+      out.write(json.getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
+  }
 }

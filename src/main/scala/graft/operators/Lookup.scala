@@ -44,7 +44,10 @@ object Lookup {
     val key = concat_ws(delimiter,
       keyFields.map(f => FieldOps.getOrNull(df.schema, f).cast("string")): _*)
     val m = map(table.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    FieldOps.set(df, target, element_at(m, key))
+    // no mapping → target keeps its value (template_replacer/processor.py:
+    // value None → no replacement performed)
+    FieldOps.set(df, target,
+      coalesce(element_at(m, key), FieldOps.getOrNull(df.schema, target)))
   }
 
   /** list_comparison: which of the named term-sets contain the value?
@@ -165,6 +168,53 @@ object Lookup {
       exceptions.map(_.stripPrefix("!")).toSet)
   }
 
+  /** [[publicSuffixOf]] without the unknown-TLD fallback: "" when no PSL
+    * rule matches (the reference's own Domain() treats unrecognized TLDs
+    * as invalid, domain_label_extractor/processor.py:117-131).
+    */
+  def strictSuffixOf(domain: String): String = {
+    val (exact, wildcards, exceptions) = publicSuffixRules
+    val labels = domain.toLowerCase.split("\\.", -1)
+    var best = ""
+    var i = labels.length - 1
+    while (i >= 0) {
+      val cand = labels.slice(i, labels.length).mkString(".")
+      val parentOfCand = labels.slice(i + 1, labels.length).mkString(".")
+      if (exceptions.contains(cand)) return parentOfCand
+      if (exact.contains(cand)) best = cand
+      else if (i > 0 && wildcards.contains(parentOfCand)) best = cand
+      i -= 1
+    }
+    best
+  }
+
+  /** Split result for the compiled domain_label_extractor.
+    * kind: 0 = null source, 1 = IP literal, 2 = unrecognized TLD, 3 = valid.
+    */
+  final case class DomainParts(kind: Int, tld: String, registered: String,
+                               subdomain: String)
+
+  def domainParts(raw: String): DomainParts = {
+    if (raw == null) return DomainParts(0, null, null, null)
+    if (IpInfo.parse(raw).isDefined) return DomainParts(1, null, null, null)
+    val host = extractDomain(raw).getOrElse("")
+    val suffix = strictSuffixOf(host)
+    if (suffix.isEmpty) DomainParts(2, null, null, null)
+    else {
+      val labels = host.split("\\.", -1)
+      val nTld = suffix.count(_ == '.') + 1
+      val domainLabel =
+        if (labels.length > nTld) labels(labels.length - nTld - 1) else ""
+      val registered =
+        if (domainLabel.isEmpty) suffix else s"$domainLabel.$suffix"
+      val subdomain =
+        if (labels.length > nTld + 1)
+          labels.slice(0, labels.length - nTld - 1).mkString(".")
+        else ""
+      DomainParts(3, suffix, registered, subdomain)
+    }
+  }
+
   /** PSL longest-match: returns the public suffix of `domain` (standard
     * publicsuffix algorithm: exceptions beat wildcards beat exact rules;
     * unknown TLDs fall back to the last label).
@@ -257,7 +307,19 @@ object Lookup {
     */
   def enrichPartitioned(df: DataFrame, source: String, target: String,
                         resolve: String => String,
-                        maxCacheEntries: Int = 10000): DataFrame = {
+                        maxCacheEntries: Int = 10000): DataFrame =
+    enrichPartitionedOpt(df, source, target,
+      k => Option(resolve(k)), maxCacheEntries)
+
+  /** [[enrichPartitioned]] with failure-aware resolution: `resolve`
+    * returning None models a timeout / NXDOMAIN / invalid input — the
+    * target stays null (failures are cached too, like the reference's TTL
+    * cache caches UNKNOWN/TIMEOUT statuses, domain_resolver/processor.py:
+    * 213-235).
+    */
+  def enrichPartitionedOpt(df: DataFrame, source: String, target: String,
+                           resolve: String => Option[String],
+                           maxCacheEntries: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types._
     val outSchema = StructType(df.schema.fields :+
       StructField(target, StringType, nullable = true))
@@ -265,23 +327,71 @@ object Lookup {
     val idx = df.schema.fieldIndex(source)
     df.mapPartitions { it =>
       // per-task LRU cache (access-order LinkedHashMap)
-      val cache = new java.util.LinkedHashMap[String, String](256, 0.75f, true) {
+      val cache = new java.util.LinkedHashMap[String, Option[String]](256, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, String]): Boolean =
+            e: java.util.Map.Entry[String, Option[String]]): Boolean =
           size() > maxCacheEntries
       }
       it.map { row =>
         val key = row.get(idx)
-        val value =
+        val value: String =
           if (key == null) null
           else {
             val k = key.toString
             val hit = cache.get(k)
-            if (hit != null) hit
-            else { val v = resolve(k); cache.put(k, v); v }
+            val res = if (hit != null) hit
+                      else { val v = resolve(k); cache.put(k, v); v }
+            res.orNull
           }
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ value)
       }
     }(enc)
   }
+
+  /** The reference's domain extraction (domain_resolver/processor.py:
+    * 200-205): URL-ish values resolve their hostname, bare values resolve
+    * as-is; empty → None (no resolution attempted).
+    */
+  def extractDomain(raw: String): Option[String] = {
+    if (raw == null || raw.isEmpty) return None
+    val host =
+      if (raw.contains("://"))
+        try Option(new java.net.URI(raw).getHost).getOrElse("")
+        catch { case _: Exception => "" }
+      else raw
+    if (host.isEmpty) None else Some(host)
+  }
+
+  /** Does `domain`'s last label appear in the public-suffix list? The
+    * deterministic stand-in for "would real DNS know this TLD" used by
+    * offline resolvers (the reference leaves this to the real socket
+    * call, which NXDOMAINs unknown TLDs).
+    */
+  def hasKnownTld(domain: String): Boolean = {
+    val d = domain.trim.toLowerCase
+    val i = d.lastIndexOf('.')
+    i > 0 && i < d.length - 1 && publicSuffixRules._1.contains(d.substring(i + 1))
+  }
+}
+
+/** Pluggable DNS for the compiled domain_resolver stage, mirroring
+  * [[graft.operators.Requester.transport]]: production installs a real
+  * per-executor resolver; this zero-egress container defaults to the
+  * deterministic md5-derived fake (same arithmetic as
+  * [[Lookup.domainResolver]]); conformance tests install the reference
+  * suite's mocked answers. None models timeout/NXDOMAIN/invalid.
+  */
+object DomainResolver {
+  /** Stable fake IP: "10.a.b.c" from md5 hex pairs 2-7 — byte-identical
+    * to the column-expression fake in [[Lookup.domainResolver]].
+    */
+  def fakeResolve(domain: String): Option[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(domain.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def oct(i: Int) = Integer.parseInt(h.substring(i * 2, i * 2 + 2), 16)
+    Some(s"10.${oct(1)}.${oct(2)}.${oct(3)}")
+  }
+
+  @volatile var resolve: String => Option[String] = fakeResolve
 }

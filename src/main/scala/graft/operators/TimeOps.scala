@@ -40,13 +40,33 @@ object TimeOps {
   }
 
   /** Split a timestamp into its parts struct. */
-  def datetimeExtractor(df: DataFrame, source: String, target: String): DataFrame = {
-    val ts = toTs(FieldOps.getOrNull(df.schema, source))
-    FieldOps.set(df, target, struct(
+  def datetimeExtractor(df: DataFrame, source: String, target: String): DataFrame =
+    FieldOps.set(df, target, datetimeParts(df, source))
+
+  /** The split_@timestamp struct for `source` (see [[datetimeExtractor]]). */
+  def datetimeParts(df: DataFrame, source: String): Column = {
+    import org.apache.spark.sql.types.StringType
+    val isString = FieldOps.get(df.schema, source).exists(_._2 == StringType)
+    val (ts, tzName) =
+      if (isString) {
+        // the reference keeps the SOURCE's own offset (TimeParser
+        // .from_string, datetime_extractor/processor.py): field values are
+        // the wall-clock digits as written, timezone is the offset's name
+        // ("UTC", "UTC+01:00"). Parse the naive part; name the offset.
+        val raw = FieldOps.getOrNull(df.schema, source).cast("string")
+        val offRe = """([+-]\d{2}:\d{2}|[+-]\d{4}|Z)$"""
+        val off = regexp_extract(raw, offRe, 1)
+        val name = when(off === "" || off === "Z" ||
+            off === "+00:00" || off === "+0000", lit("UTC"))
+          .otherwise(concat(lit("UTC"), off))
+        (to_timestamp(regexp_replace(raw, offRe, "")), name)
+      } else (toTs(FieldOps.getOrNull(df.schema, source)), lit("UTC"))
+    struct(
       year(ts).as("year"), month(ts).as("month"), dayofmonth(ts).as("day"),
       hour(ts).as("hour"), minute(ts).as("minute"), second(ts).as("second"),
       (unix_micros(ts) % 1000000).as("microsecond"),
-      date_format(ts, "EEEE").as("weekday")))
+      date_format(ts, "EEEE").as("weekday"),
+      tzName.as("timezone"))
   }
 
   /** Difference `a - b` in the requested unit written to `target`, with an

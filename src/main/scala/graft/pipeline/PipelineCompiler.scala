@@ -55,6 +55,54 @@ object PipelineCompiler {
     }
   }
 
+  /** snakeyaml java collections → Scala (nested). */
+  private def toScalaAny(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      scala.collection.immutable.ListMap(
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toSeq
+          .map { case (a, b) => a.toString -> toScalaAny(b) }: _*)
+    case l: java.util.List[_] =>
+      scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq.map(toScalaAny)
+    case other => other
+  }
+
+  /** Render a config value as compact JSON (for variant-typed writes). */
+  private def jsonAny(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    case m: Map[_, _] =>
+      m.map { case (k2, x) => jsonAny(k2.toString) + ":" + jsonAny(x) }
+        .mkString("{", ",", "}")
+    case s: Seq[_] => s.map(jsonAny).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  /** Shallow dict.update of two JSON objects (helper.py:143-146); either
+    * side non-object → the new value wins.
+    */
+  private val jsonMergeUdf = udf { (existing: String, value: String) =>
+    if (value == null) null
+    else if (existing == null) value
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      try (JsonMethods.parse(existing), JsonMethods.parse(value)) match {
+        case (JObject(exFs), JObject(newFs)) =>
+          val keep = exFs.filterNot(f => newFs.exists(_._1 == f._1))
+          JsonMethods.compact(JsonMethods.render(JObject(keep ++ newFs)))
+        case _ => value
+      } catch { case _: Exception => value }
+    }
+  }
+
   private def cfgStr(c: Map[String, Any], k: String): String = c(k).toString
   private def cfgStrOpt(c: Map[String, Any], k: String): Option[String] =
     c.get(k).map(_.toString)
@@ -106,7 +154,21 @@ object PipelineCompiler {
             cfgSeq(r.config, "source_fields"))
         }
         val merged = extracts.reduce(_.unionByName(_, allowMissingColumns = true))
-        PipelineResult(acc.main, acc.extra + ("selective_extractor" -> merged))
+        // the MAIN event still gets the missing-field warning when a rule
+        // matches but a source is absent (ignore_missing_fields false —
+        // reference _handle_missing_fields via FieldManager)
+        val tagged = stage.rules.foldLeft(acc.main) { (d, r) =>
+          val k = RuleExec.knobs("selective_extractor", r.config)
+          if (k.ignoreMissing || k.sourceFields.isEmpty) d
+          else {
+            val p = coalesce(
+              graft.filter.FilterCompiler.predicate(r.filter, d.schema),
+              lit(false))
+            val miss = RuleExec.anyMissing(d.schema, k.sourceFields)
+            RuleExec.addTags(d, Seq((p && miss) -> k.missingTags))
+          }
+        }
+        PipelineResult(tagged, acc.extra + ("selective_extractor" -> merged))
 
       // ---- event-deleting / mutating stages -------------------------
       case "deleter" =>
@@ -126,7 +188,11 @@ object PipelineCompiler {
         val applied = (1 to math.max(1, repeats)).foldLeft(acc.main) { (d0, _) =>
           stage.rules.foldLeft(d0)((d, r) => applyRule(d, other, r))
         }
-        PipelineResult(applied, acc.extra)
+        // cross-rule working state (clusterer signature chain) is stage-scoped
+        val cleaned =
+          if (applied.columns.contains("__clu_sig")) applied.drop("__clu_sig")
+          else applied
+        PipelineResult(cleaned, acc.extra)
     }
   }
 
@@ -621,27 +687,36 @@ object PipelineCompiler {
         // (Catalyst evaluates the compiled regex once per row).
         val k = RuleExec.knobs(ptype, c)
         val mapping = cfgMap(c, "field_mapping")
-        val resolveList = cfgMap(c, "resolve_list").toSeq
+        val resolveListAny = c.getOrElse("resolve_list", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].toSeq
         val ignoreCase = c.get("ignore_case").exists(_.toString == "true")
-        val fromFile = c.get("resolve_from_file").map { rf =>
-          val m = rf.asInstanceOf[Map[String, Any]]
-          val path = m("path").toString
-          val pattern = m("pattern").toString
-          val base = sys.props.get("graft.rule.base")
-            .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
-          val f0 = new java.io.File(path)
-          val f = if (f0.isAbsolute) f0 else new java.io.File(base, path)
-          val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          val additions = new org.yaml.snakeyaml.Yaml().load[Any](text) match {
-            case mm: java.util.Map[_, _] =>
-              scala.jdk.CollectionConverters.MapHasAsScala(mm).asScala
-                .map { case (a, b) =>
-                  (if (ignoreCase) a.toString.toUpperCase else a.toString) -> b.toString
-                }.toMap
-            case _ => Map.empty[String, String]
+        val fromFileAny: Option[(String, Map[String, Any])] =
+          c.get("resolve_from_file").map { rf =>
+            val m = rf.asInstanceOf[Map[String, Any]]
+            val path = m("path").toString
+            val pattern = m("pattern").toString
+            val base = sys.props.get("graft.rule.base")
+              .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+            val f0 = new java.io.File(path)
+            val f = if (f0.isAbsolute) f0 else new java.io.File(base, path)
+            val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val additions = new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+              case mm: java.util.Map[_, _] =>
+                scala.jdk.CollectionConverters.MapHasAsScala(mm).asScala
+                  .map { case (a, b) =>
+                    (if (ignoreCase) a.toString.toUpperCase else a.toString) ->
+                      toScalaAny(b)
+                  }.toMap
+              case _ => Map.empty[String, Any]
+            }
+            (pattern, additions)
           }
-          (pattern, additions)
-        }
+        // all-string tables take the fast path (string map lookups, merge
+        // matrix, list-dup skip); any typed value (int/float/bool/list/
+        // dict/null — reference resolve_list values are arbitrary JSON)
+        // switches to the JSON/variant path below
+        val allStrings = resolveListAny.forall(_._2.isInstanceOf[String]) &&
+          fromFileAny.forall(_._2.values.forall(_.isInstanceOf[String]))
         var out = df
         if (!k.ignoreMissing) {
           val miss = RuleExec.anyMissing(out.schema, mapping.keys.toSeq)
@@ -651,33 +726,62 @@ object PipelineCompiler {
           FieldOps.get(out.schema, src).foreach { case (srcCol0, _) =>
             val srcCol = srcCol0.cast("string")
             val flags = if (ignoreCase) "(?i)" else ""
-            val fileResolved: Option[Column] = fromFile.map { case (pattern, additions) =>
-              val javaPattern = pattern.replace("(?P<", "(?<")
-              val anchored = s"$flags^$javaPattern$$"
-              val grpIdx = PatternOps.groupIndexOf(javaPattern, "mapping")
-              val captured0 = regexp_extract(srcCol, anchored, grpIdx)
-              val captured = if (ignoreCase) upper(captured0) else captured0
-              val table = typedLit(additions)
-              when(srcCol.rlike(anchored), element_at(table, captured))
+            def fileResolvedWith(render: Any => Column): Option[Column] =
+              fromFileAny.map { case (pattern, additions) =>
+                val javaPattern = pattern.replace("(?P<", "(?<")
+                val anchored = s"$flags^$javaPattern$$"
+                val grpIdx = PatternOps.groupIndexOf(javaPattern, "mapping")
+                val captured0 = regexp_extract(srcCol, anchored, grpIdx)
+                val captured = if (ignoreCase) upper(captured0) else captured0
+                val table = map(additions.toSeq.flatMap { case (mk, mv) =>
+                  Seq(lit(mk), render(mv))
+                }: _*)
+                when(srcCol.rlike(anchored), element_at(table, captured))
+              }
+            if (allStrings) {
+              val fileResolved = fileResolvedWith(v => lit(v.toString))
+              val listResolved = coalesce(
+                (resolveListAny.map { case (p, v) =>
+                  when(srcCol.rlike(flags + p), lit(v.toString))
+                } :+ lit(null).cast("string")): _*)
+              val resolved = fileResolved
+                .map(fr => coalesce(fr, listResolved)).getOrElse(listResolved)
+              val existing = FieldOps.get(out.schema, tgt)
+              // list target that already holds the content is left alone
+              val dupSkip = existing.collect {
+                case (cc, org.apache.spark.sql.types.ArrayType(_, _)) =>
+                  array_contains(cc, resolved)
+              }.getOrElse(lit(false))
+              val value =
+                if (k.merge && existing.isEmpty) array(resolved)
+                else resolved
+              out = RuleExec.write(out,
+                pred && resolved.isNotNull && !coalesce(dupSkip, lit(false)),
+                tgt, value, k)
+            } else {
+              // typed path: resolve in JSON space, merge shallow like
+              // dict.update (helper.py:143-146), write as variant
+              val fileResolved = fileResolvedWith(v => lit(jsonAny(v)))
+              val listResolved = coalesce(
+                (resolveListAny.map { case (p, v) =>
+                  when(srcCol.rlike(flags + p), lit(jsonAny(v)))
+                } :+ lit(null).cast("string")): _*)
+              val resolvedJ = fileResolved
+                .map(fr => coalesce(fr, listResolved)).getOrElse(listResolved)
+              val existing = FieldOps.get(out.schema, tgt)
+              val valueJ =
+                if (k.merge) existing match {
+                  case Some((ec, _: org.apache.spark.sql.types.StructType)) =>
+                    jsonMergeUdf(to_json(ec), resolvedJ)
+                  case _ => resolvedJ
+                } else resolvedJ
+              // merge handled above in JSON space → the write itself must
+              // be allowed to replace the occupied target
+              val kw = if (k.merge) k.copy(merge = false, overwrite = true)
+                       else k.copy(merge = false)
+              out = RuleExec.write(out, pred && resolvedJ.isNotNull,
+                tgt, parse_json(valueJ), kw)
             }
-            val listResolved = coalesce(
-              (resolveList.map { case (p, v) =>
-                when(srcCol.rlike(flags + p), lit(v))
-              } :+ lit(null).cast("string")): _*)
-            val resolved = fileResolved
-              .map(fr => coalesce(fr, listResolved)).getOrElse(listResolved)
-            val existing = FieldOps.get(out.schema, tgt)
-            // list target that already holds the content is left alone
-            val dupSkip = existing.collect {
-              case (cc, org.apache.spark.sql.types.ArrayType(_, _)) =>
-                array_contains(cc, resolved)
-            }.getOrElse(lit(false))
-            val value =
-              if (k.merge && existing.isEmpty) array(resolved) // [content] into empty target
-              else resolved
-            out = RuleExec.write(out,
-              pred && resolved.isNotNull && !coalesce(dupSkip, lit(false)),
-              tgt, value, k)
           }
         }
         out
@@ -815,9 +919,14 @@ object PipelineCompiler {
         out.drop("__dec_go", "__dec_fail")
 
       case "datetime_extractor" =>
+        val k = RuleExec.knobs(ptype, c)
         val src = cfgSeq(c, "source_fields").head
-        val target = cfgStrOpt(c, "target_field").getOrElse("datetime")
-        g(df, Seq(target))(TimeOps.datetimeExtractor(_, src, target))
+        val target = k.targetField.getOrElse("datetime")
+        val value = TimeOps.datetimeParts(df, src)
+        val srcCol = FieldOps.getOrNull(df.schema, src)
+        var out = RuleExec.write(df, pred && srcCol.isNotNull, target, value, k)
+        out = RuleExec.deleteSourcesIf(out, pred && srcCol.isNotNull, k, Seq(src))
+        out
 
       case "timestamp_differ" =>
         // `diff: "${a:fmt} - ${b:fmt}"` → (a - b); ints are unix seconds,
@@ -990,14 +1099,98 @@ object PipelineCompiler {
         out.drop("__ipi", "__ipi_inv")
 
       case "domain_label_extractor" =>
-        val target = cfgStrOpt(c, "target_field").getOrElse("domain")
-        g(df, Seq(target))(
-          Lookup.domainLabelExtractor(_, cfgSeq(c, "source_fields").head, target))
+        // reference contract (processor.py:74-140): IP source → tag
+        // "ip_in_<source>", unrecognized TLD → "invalid_domain_in_<source>"
+        // (APPENDED to the tagging field, insertion order kept); valid →
+        // registered_domain / top_level_domain / subdomain written as
+        // SIBLING subfields of target_field
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.head
+        val target = k.targetField.getOrElse("domain")
+        val taggingField = cfgStrOpt(c, "tagging_field_name").getOrElse("tags")
+        val tagSuffix = graft.filter.FilterCompiler.splitPath(src).mkString("_")
+        val partsUdf = udf((s: String) => Lookup.domainParts(s))
+        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
+        var out = df.withColumn("__dle", when(pred, partsUdf(srcCol)))
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, Seq(src))
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+        }
+        val kind = col("__dle").getField("kind")
+        val tagVal = when(kind === 1, lit(s"ip_in_$tagSuffix"))
+          .when(kind === 2, lit(s"invalid_domain_in_$tagSuffix"))
+        val existingTags = FieldOps.get(out.schema, taggingField)
+          .map(_._1.cast("array<string>"))
+          .getOrElse(lit(null).cast("array<string>"))
+        val appended = concat(
+          coalesce(existingTags, array().cast("array<string>")), array(tagVal))
+        out = FieldOps.set(out, taggingField,
+          when(pred && tagVal.isNotNull, appended).otherwise(existingTags))
+        def wv(d: DataFrame, sub: String, value: Column): DataFrame =
+          RuleExec.write(d, pred && kind === 3, s"$target.$sub", value, k)
+        out = wv(out, "registered_domain", col("__dle").getField("registered"))
+        out = wv(out, "top_level_domain", col("__dle").getField("tld"))
+        out = wv(out, "subdomain", col("__dle").getField("subdomain"))
+        out = RuleExec.deleteSourcesIf(out, pred && kind === 3, k, Seq(src))
+        out.drop("__dle")
 
       case "domain_resolver" =>
-        val target = cfgStrOpt(c, "target_field").getOrElse("resolved_ip")
-        g(df, Seq(target))(
-          Lookup.domainResolver(_, cfgSeq(c, "source_fields").head, target))
+        // external-I/O stage: hostname extraction (urlsplit semantics,
+        // processor.py:200-205) feeds the PLUGGABLE per-task resolver via
+        // the mapPartitions+LRU shape (Lookup.enrichPartitionedOpt) —
+        // connections and caches live in the executor, never the driver.
+        // Container default = deterministic fake; prod installs real DNS;
+        // conformance installs the reference suite's mocked answers.
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.head
+        val target = k.targetField.getOrElse("resolved_ip")
+        val domUdf = udf((s: String) => Lookup.extractDomain(s))
+        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
+        val staged = df.withColumn("__dr_dom", when(pred, domUdf(srcCol)))
+        val resolved = Lookup.enrichPartitionedOpt(
+          staged, "__dr_dom", "__dr_ip", DomainResolver.resolve)
+        var out = RuleExec.write(resolved,
+          pred && col("__dr_ip").isNotNull, target, col("__dr_ip"), k)
+        out = RuleExec.deleteSourcesIf(out, pred && col("__dr_ip").isNotNull,
+          k, Seq(src))
+        out.drop("__dr_dom", "__dr_ip")
+
+      case "geoip_enricher" =>
+        // city lookup through the pluggable per-executor GeoIp.provider
+        // (mmdb-file-backed in prod via GeoIp.mmdbProvider — the public
+        // MaxMind-DB format reader); each GEOIP_DATA_STUBS entry writes to
+        // its (possibly customize_target_subfields-remapped) dotted path,
+        // None values skipped (processor.py:118-166, skip_none semantics)
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.head
+        val target = k.targetField.getOrElse("geoip")
+        val customize = cfgMap(c, "customize_target_subfields")
+        def pathFor(stub: String) = customize.getOrElse(stub, s"$target.$stub")
+        val geoUdf = udf((ip: String) => GeoIp.udfLookup(ip))
+        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
+        var out = df.withColumn("__geo", when(pred, geoUdf(srcCol)))
+        if (!k.ignoreMissing) {
+          val miss = RuleExec.anyMissing(out.schema, Seq(src))
+          out = RuleExec.addTags(out, Seq((pred && miss) -> k.missingTags))
+        }
+        val found = col("__geo").isNotNull
+        def w(d: DataFrame, stub: String, value: Column): DataFrame =
+          RuleExec.write(d, pred && found && value.isNotNull,
+            pathFor(stub), value, k)
+        out = w(out, "type", when(found, lit("Feature")))
+        out = w(out, "geometry.type", col("__geo").getField("geometryType"))
+        out = w(out, "geometry.coordinates", col("__geo").getField("coordinates"))
+        out = w(out, "properties.accuracy_radius", col("__geo").getField("accuracyRadius"))
+        out = w(out, "properties.continent", col("__geo").getField("continent"))
+        out = w(out, "properties.continent_code", col("__geo").getField("continentCode"))
+        out = w(out, "properties.country", col("__geo").getField("country"))
+        out = w(out, "properties.country_iso_code", col("__geo").getField("countryIso"))
+        out = w(out, "properties.time_zone", col("__geo").getField("timeZone"))
+        out = w(out, "properties.city", col("__geo").getField("city"))
+        out = w(out, "properties.postal_code", col("__geo").getField("postalCode"))
+        out = w(out, "properties.subdivision", col("__geo").getField("subdivision"))
+        out = RuleExec.deleteSourcesIf(out, pred && found, k, Seq(src))
+        out.drop("__geo")
 
       case "template_replacer" =>
         // replacement table from the inline `table` or the `template` YAML
@@ -1020,6 +1213,40 @@ object PipelineCompiler {
         g(df, Seq(target))(Lookup.templateReplacer(_, cfgSeq(c, "fields"),
           cfgStrOpt(c, "delimiter").getOrElse("-"), target, table))
 
+      case "clusterer" if c.contains("pattern") =>
+        // the reference rule shape: pattern → repl substitution chained
+        // ACROSS rules on a working signature text (`__clu_sig`, seeded
+        // from the source on the first matching rule), then the cluster
+        // signature = `<+>…</+>`-tagged regions joined by " ", prefixed
+        // "facility , severity , " when the event carries syslog PRI
+        // (clusterer/processor.py:132-161, signature_phase.py:59-120)
+        val k = RuleExec.knobs(ptype, c)
+        val src = k.sourceFields.headOption.getOrElse("message")
+        val target = cfgStrOpt(c, "output_field_name").getOrElse("cluster_signature")
+        val pattern = cfgStr(c, "pattern")
+        val repl = cfgStr(c, "repl").replaceAll("""\\(\d)""", "\\$$1")
+        val srcCol = FieldOps.getOrNull(df.schema, src).cast("string")
+        val sigPrev =
+          if (df.columns.contains("__clu_sig")) col("__clu_sig")
+          else lit(null).cast("string")
+        val base = coalesce(sigPrev, srcCol)
+        val newSig = when(pred && base.isNotNull,
+          regexp_replace(base, pattern, repl)).otherwise(sigPrev)
+        var out = df.withColumn("__clu_sig", newSig)
+        val parts = regexp_extract_all(col("__clu_sig"),
+          lit("""<\+>(.*?)</\+>"""), lit(1))
+        val msgSig = array_join(parts, " ")
+        val fac = FieldOps.get(out.schema, "syslog.facility").map(_._1)
+          .getOrElse(lit(null))
+        val sev = FieldOps.get(out.schema, "event.severity").map(_._1)
+          .getOrElse(lit(null))
+        val fullSig = when(fac.isNotNull && sev.isNotNull,
+          concat_ws(" , ", fac.cast("string"), sev.cast("string"), msgSig))
+          .otherwise(msgSig)
+        out = RuleExec.write(out, pred && col("__clu_sig").isNotNull,
+          target, fullSig, k.copy(overwrite = true))
+        out
+
       case "clusterer" =>
         val subs = cfgMap(c, "substitutions").toSeq
         val target = cfgStrOpt(c, "output_field_name").getOrElse("cluster_signature")
@@ -1031,11 +1258,22 @@ object PipelineCompiler {
       case "amides" =>
         val weights = cfgMap(c, "weights").map { case (k, v) => k -> v.toDouble }
         val target = cfgStrOpt(c, "target_field").getOrElse("amides")
-        g(df, Seq(target))(
-          Detection.amides(_, cfgSeq(c, "source_fields").head, target,
-            weights,
-            c.get("bias").map(_.toString.toDouble).getOrElse(0.0),
-            c.get("decision_threshold").map(_.toString.toDouble).getOrElse(0.5)))
+        val thresholdOpt = c.get("decision_threshold").map(_.toString.toDouble)
+        val modelsPath = cfgStrOpt(c, "models_path").map { pth =>
+          val base = sys.props.get("graft.rule.base")
+            .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+          val f0 = new java.io.File(pth)
+          (if (f0.isAbsolute) f0 else new java.io.File(base, pth)).getPath
+        }
+        g(df, Seq(target))(d =>
+          if (weights.isEmpty && modelsPath.isDefined)
+            Detection.amidesFromArtifact(d, cfgSeq(c, "source_fields").head,
+              target, modelsPath.get, thresholdOpt)
+          else
+            Detection.amides(d, cfgSeq(c, "source_fields").head, target,
+              weights,
+              c.get("bias").map(_.toString.toDouble).getOrElse(0.0),
+              thresholdOpt.getOrElse(0.5)))
 
       case unknown =>
         throw new IllegalArgumentException(s"unknown processor type: $unknown")

@@ -47,13 +47,23 @@ object RuleLoader {
     PipelineSpec(stages)
   }
 
-  /** One rule document: {filter, <type>: {...}, description}. */
-  def parseRule(ptype: String, m: Map[String, Any]): RuleSpec =
+  /** One rule document: {filter, <type>: {...}, description}. A rule-level
+    * `regex_fields` list (reference: rule.py regex_fields) marks fields
+    * whose filter values match as regexes — expressed here by rewriting
+    * `field:` to the filter DSL's native `field|re:` modifier.
+    */
+  def parseRule(ptype: String, m: Map[String, Any]): RuleSpec = {
+    val filter0 = m.getOrElse("filter", "*").toString
+    val regexFields = m.getOrElse("regex_fields", Seq.empty[Any])
+      .asInstanceOf[Seq[Any]].map(_.toString)
+    val filter = regexFields.foldLeft(filter0)((f, rf) =>
+      f.replace(rf + ":", rf + "|re:"))
     RuleSpec(
-      filter = m.getOrElse("filter", "*").toString,
+      filter = filter,
       config = m.getOrElse(ptype, Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]],
       description = m.getOrElse("description", "").toString)
+  }
 
   /** Rules from any getter URI (reference GetterFactory.from_string,
     * util/getter.py:56-98): `http(s)://` via the pluggable

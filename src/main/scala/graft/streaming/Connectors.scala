@@ -116,14 +116,16 @@ object Connectors {
     */
   final class HttpInputServer(spoolDir: String, port: Int = 0,
                               credentials: Option[(String, String)] = None,
-                              bindAddress: String = "127.0.0.1") {
+                              bindAddress: String = "127.0.0.1",
+                              sink: Option[Seq[String] => Unit] = None) {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
     private val server = HttpServer.create(
       new java.net.InetSocketAddress(bindAddress, port), 0)
     private val counter = new java.util.concurrent.atomic.AtomicLong()
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
+    if (sink.isEmpty)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spoolDir))
 
     def boundPort: Int = server.getAddress.getPort
 
@@ -155,11 +157,13 @@ object Connectors {
         if (requireJson && !lines.forall(validJson)) {
           ex.sendResponseHeaders(400, -1); return
         }
-        if (lines.nonEmpty) {
-          val f = java.nio.file.Paths.get(spoolDir,
-            s"ingest-${System.currentTimeMillis()}-${counter.incrementAndGet()}.jsonl")
-          java.nio.file.Files.write(f,
-            (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        if (lines.nonEmpty) sink match {
+          case Some(push) => push(lines) // custom-Source mode: no file hop
+          case None =>
+            val f = java.nio.file.Paths.get(spoolDir,
+              s"ingest-${System.currentTimeMillis()}-${counter.incrementAndGet()}.jsonl")
+            java.nio.file.Files.write(f,
+              (lines.mkString("\n") + "\n").getBytes("UTF-8"))
         }
         ex.sendResponseHeaders(200, -1)
       } finally ex.close()

@@ -78,10 +78,91 @@ object StreamRunner {
       .option("topic", topic)
       .save()
 
-  /** Partitioned file sink — the S3-prefix-pattern equivalent
-    * (reference s3_output prefix templating): partition columns become
-    * the key prefix. Use an `s3a://` path on a real cluster.
+  /** Partitioned file sink — the columnar-analytics layout (partition
+    * columns become the key prefix). Use an `s3a://` path on a real
+    * cluster. For byte-level reference fidelity see [[jsonBatchSink]].
     */
   def partitionedParquetSink(path: String, partitionBy: Seq[String]): DataFrame => Unit =
     df => df.write.mode("append").partitionBy(partitionBy: _*).parquet(path)
+
+  /** Expand the reference's `%{<strftime>}` date patterns in a key prefix
+    * (s3/output.py:264-271 `_add_dates`): each `%{...}` body is a
+    * strftime format evaluated at write time.
+    */
+  private[streaming] def addDates(prefix: String, now: java.time.ZonedDateTime): String =
+    """%\{([^}]*)\}""".r.replaceAllIn(prefix, m => {
+      val fmt = m.group(1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+          val out = fmt.charAt(i + 1) match {
+            case 'Y' => f"${now.getYear}%04d"
+            case 'y' => f"${now.getYear % 100}%02d"
+            case 'm' => f"${now.getMonthValue}%02d"
+            case 'd' => f"${now.getDayOfMonth}%02d"
+            case 'H' => f"${now.getHour}%02d"
+            case 'M' => f"${now.getMinute}%02d"
+            case 'S' => f"${now.getSecond}%02d"
+            case 'j' => f"${now.getDayOfYear}%03d"
+            case '%' => "%"
+            case other => "%" + other
+          }
+          sb.append(out); i += 2
+        } else { sb.append(fmt.charAt(i)); i += 1 }
+      }
+      java.util.regex.Matcher.quoteReplacement(sb.toString)
+    })
+
+  /** Reference-fidelity s3_output: each event routes to the prefix named
+    * by its `prefix_field` (default_prefix when absent), prefixes expand
+    * `%{strftime}` date patterns, and every (partition, prefix) batch is
+    * ONE JSON-array object under
+    * `{base}/{basePrefix}/{prefix}/{epochSeconds}-{uuid}` —
+    * the reference's key layout and body encoding (s3/output.py:229-307:
+    * `_add_to_backlog`, `_write_backlog`, `_write_document_batch`).
+    * Executors write their partitions independently through the Hadoop
+    * filesystem API (`file:/` here, `s3a://` on a real cluster) — no
+    * driver collect, batching bounded by `backlogSize` like the
+    * reference's message_backlog_size.
+    */
+  def jsonBatchSink(basePath: String, prefixField: String,
+                    defaultPrefix: String, basePrefix: String = "",
+                    backlogSize: Int = 500): DataFrame => Unit = { df =>
+    val prefixCol = coalesce(
+      graft.fields.FieldOps.getOrNull(df.schema, prefixField).cast("string"),
+      lit(defaultPrefix))
+    val doc = to_json(struct(df.columns.map(col): _*))
+    val base = basePrefix match {
+      case "" => basePath.stripSuffix("/")
+      case bp => basePath.stripSuffix("/") + "/" + bp
+    }
+    df.select(prefixCol.as("p"), doc.as("d"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        def flush(prefix: String, docs: scala.collection.Seq[String]): Unit = {
+          val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+          val key = s"$base/${addDates(prefix, now)}/" +
+            s"${System.currentTimeMillis() / 1000}-${java.util.UUID.randomUUID()}"
+          val path = new org.apache.hadoop.fs.Path(key)
+          val fs = path.getFileSystem(conf)
+          val out = fs.create(path, true)
+          try out.write(docs.mkString("[", ",", "]").getBytes("UTF-8"))
+          finally out.close()
+        }
+        val backlog = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+        var n = 0
+        rows.foreach { r =>
+          backlog.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.ArrayBuffer.empty) += r.getString(1)
+          n += 1
+          if (n >= backlogSize) {
+            backlog.foreach { case (p, ds) => flush(p, ds) }
+            backlog.clear(); n = 0
+          }
+        }
+        backlog.foreach { case (p, ds) => flush(p, ds) }
+      }
+  }
 }

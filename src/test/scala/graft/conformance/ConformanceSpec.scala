@@ -94,7 +94,11 @@ class ConformanceSpec extends SparkSpec {
     "field_manager", "generic_adder", "grokker", "ip_informer", "key_checker",
     "list_comparison", "network_comparison", "pre_detector", "pseudonymizer",
     "replacer", "requester", "string_splitter", "timestamp_differ",
-    "timestamper")
+    "timestamper",
+    // method-style suites (tools/extract_conformance.py shape D)
+    "labeler", "clusterer", "template_replacer", "selective_extractor",
+    "datetime_extractor", "dropper", "deleter", "generic_resolver",
+    "domain_label_extractor", "domain_resolver", "geoip_enricher", "amides")
 
   private val seen = scala.collection.mutable.Map.empty[String, Int]
 
@@ -265,13 +269,124 @@ class ConformanceSpec extends SparkSpec {
     val inputJson = JsonMethods.compact(JsonMethods.render(c \ "input"))
     val expected = canon(plain(c \ "expected"))
 
+    val extraMap: Map[String, Any] = (c \ "extra") match {
+      case o: JObject => plain(o).asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+    // domain_resolver: the reference mocks socket.gethostbyname per case
+    // (constant answer or no mock at all → real DNS would NXDOMAIN). The
+    // PSL TLD check stands in for "would real DNS know this name" on the
+    // unmocked negative cases (" ", "google.thisisnotavalidtld").
+    if (proc == "domain_resolver") {
+      val dns = extraMap.get("dns").map(_.toString)
+      graft.operators.DomainResolver.resolve =
+        d => dns.filter(_ => graft.operators.Lookup.hasKnownTld(d))
+    }
+    // geoip_enricher: the suite's ReaderMock answer table
+    // (test_geoip_enricher.py:22-84)
+    if (proc == "geoip_enricher") {
+      import graft.operators.GeoIp
+      import GeoIp.GeoRecord
+      GeoIp.provider = {
+        case "8.8.8.8" => Some(GeoRecord(Some(1337L), Some(1.1), Some(2.2),
+          Some("Europe/Berlin"), Some("MyContinent"), Some("MCT"),
+          Some("MyCountry"), Some("MCR"), Some("MyCity"), Some("2342"),
+          Some("MySubdivision")))
+        case "13.21.21.37" => Some(GeoRecord(accuracyRadius = Some(1337L),
+          longitude = Some(1.1), latitude = Some(2.2)))
+        case "55.55.55.51" => Some(GeoRecord(accuracyRadius = Some(1337L)))
+        case "55.55.55.52" => Some(GeoRecord(accuracyRadius = Some(1337L),
+          latitude = Some(1.1)))
+        case "55.55.55.53" => Some(GeoRecord(accuracyRadius = Some(1337L),
+          longitude = Some(2.2)))
+        case _ => None
+      }
+    }
+
+    // per-rule rewrites for method-style suites: labeler parent-label
+    // expansion from a fixture schema (rule.add_parent_labels_from_schema,
+    // labeler/rule.py:71-81); template_replacer processor-level config
+    // (template file + pattern) folded into the rule config
+    def rewriteRule(rm: Map[String, Any]): Map[String, Any] = proc match {
+      case "labeler" =>
+        extraMap.get("schema") match {
+          case Some(schema: Map[_, _]) =>
+            val sm = schema.asInstanceOf[Map[String, Any]]
+            def parentsOf(tree: Map[String, Any], label: String): Seq[String] = {
+              def walk(t: Map[String, Any], anc: List[String]): Option[List[String]] = {
+                for ((k, v) <- t if k != "description" && k != "category") v match {
+                  case sub: Map[_, _] =>
+                    val subm = sub.asInstanceOf[Map[String, Any]]
+                    val hasDesc = subm.contains("description")
+                    if (k == label && hasDesc) return Some(anc)
+                    walk(subm, if (hasDesc) anc :+ k else anc) match {
+                      case Some(r) => return Some(r)
+                      case None => ()
+                    }
+                  case _ => ()
+                }
+                None
+              }
+              walk(tree, Nil).getOrElse(Nil)
+            }
+            val cfg = rm.getOrElse(proc, Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]]
+            val label = cfg.getOrElse("label", Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]].map { case (cat, vals) =>
+                val vs = vals.asInstanceOf[Seq[Any]].map(_.toString)
+                val catTree = sm.getOrElse(cat, Map.empty[String, Any])
+                  .asInstanceOf[Map[String, Any]]
+                cat -> (vs ++ vs.flatMap(parentsOf(catTree, _))).distinct
+              }
+            rm + (proc -> (cfg + ("label" -> label)))
+          case _ => rm
+        }
+      case "template_replacer" =>
+        extraMap.get("config") match {
+          case Some(cfg: Map[_, _]) =>
+            val cm = cfg.asInstanceOf[Map[String, Any]]
+            val pattern = cm.getOrElse("pattern", Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]]
+            val tr = rm.getOrElse(proc, Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]] ++ Map(
+                "template" -> cm.getOrElse("template", ""),
+                "fields" -> pattern.getOrElse("fields", Seq.empty[Any]),
+                "delimiter" -> pattern.getOrElse("delimiter", "-"),
+                "target_field" -> pattern.getOrElse("target_field", "replaced"))
+            rm + (proc -> tr)
+          case _ => rm
+        }
+      case "domain_label_extractor" | "clusterer" =>
+        // processor-level options carried per case (tagging_field_name,
+        // output_field_name) fold into the rule config
+        extraMap.get("config") match {
+          case Some(cfg: Map[_, _]) =>
+            val cm = cfg.asInstanceOf[Map[String, Any]]
+              .filter { case (key, _) =>
+                key == "tagging_field_name" || key == "output_field_name" }
+            if (cm.isEmpty) rm
+            else rm + (proc -> (rm.getOrElse(proc, Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]] ++ cm))
+          case _ => rm
+        }
+      case _ => rm
+    }
+
+    // method-style cases can carry the full default-rules set of the
+    // reference CONFIG rules dir; a stage applies them in file order
+    val ruleMaps: Seq[Map[String, Any]] = (c \ "rules") match {
+      case JArray(rs) =>
+        rs.map(r => rewriteRule(plain(r).asInstanceOf[Map[String, Any]]))
+      case _ => Seq(rewriteRule(ruleMap))
+    }
+
     // Schema built directly from the JSON value rather than read.json
     // inference: an explicit null key becomes a NullType column (key
     // present, value null — the engine's Exists treats NullType as
     // present), and empty arrays keep a concrete element type.
     val df = dfFromJson(c \ "input")
-    val rule = RuleLoader.parseRule(proc, ruleMap)
-    val spec = PipelineSpec(Seq(StageSpec(proc, Seq(rule))))
+    val rules = ruleMaps.map(RuleLoader.parseRule(proc, _))
+    val spec = PipelineSpec(Seq(StageSpec(proc, rules)))
     val out: DataFrame = PipelineCompiler.compile(spec)(df).main
     val rows = out.toJSON.collect()
     val gotEvent0 =
@@ -303,13 +418,67 @@ class ConformanceSpec extends SparkSpec {
         }
       case other => other
     }
+    // path-level asserts from method-style suites (document["a"]["b"],
+    // .get chains, `in`/`not in`, `is (not) None`)
+    def navigate(root: Any, segs: Seq[Any]): Any =
+      segs.foldLeft(root) {
+        case (m: Map[_, _], s: String) =>
+          m.asInstanceOf[Map[String, Any]].getOrElse(s, null)
+        case (l: Seq[_], i: Long) => l.lift(i.toInt).orNull
+        case (l: Seq[_], i: Int) => l.lift(i).orNull
+        case _ => null
+      }
+    val expectedPaths = (c \ "expected_paths") match {
+      case JArray(ps) => ps.map(p => plain(p).asInstanceOf[Map[String, Any]])
+      case _ => Nil
+    }
+    for (p <- expectedPaths) {
+      val segs = p("path").asInstanceOf[Seq[Any]]
+      val gotV = navigate(gotEvent, segs)
+      val where = segs.mkString(".")
+      if (p.get("absent").contains(true))
+        assert(gotV == null || gotV == Map.empty,
+          s"\n  path $where should be absent, got: ${show(gotV)}")
+      else if (p.get("present").contains(true))
+        assert(gotV != null && gotV != Map.empty,
+          s"\n  path $where should be present")
+      else if (p.contains("set")) { // order-insensitive list compare
+        val want = canon(p("set")).asInstanceOf[Seq[Any]].toSet
+        val gotSet = canon(gotV) match {
+          case s: Seq[_] => s.toSet
+          case other => Set(other)
+        }
+        assert(gotSet == want,
+          s"\n  path $where (as set):${renderDiff(gotSet, want)}")
+      } else {
+        val want = canon(p.getOrElse("value", null))
+        assert(canon(gotV) == want,
+          s"\n  path $where:${renderDiff(canon(gotV), want)}")
+      }
+    }
+
+    // keys the reference test popped off before its full compare
+    val gotForFull = (c \ "ignore") match {
+      case JArray(ks) => gotEvent match {
+        case m: Map[_, _] =>
+          ks.foldLeft(m.asInstanceOf[Map[String, Any]]) {
+            case (acc, JString(key)) => acc - key
+            case (acc, _) => acc
+          }
+        case other => other
+      }
+      case _ => gotEvent
+    }
+
+    if ((c \ "expected") == JNothing) return // paths-only case
+
     // some reference suites assert only the target field's value (e.g.
     // string_splitter): a non-object `expected` compares against the
     // target_field extraction from the output event
     val got = expected match {
-      case _: Map[_, _] => gotEvent
+      case _: Map[_, _] => gotForFull
       case _ =>
-        val cfg = ruleMap.getOrElse(proc, Map.empty[String, Any])
+        val cfg = ruleMaps.head.getOrElse(proc, Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]]
         val target = cfg.get("target_field").map(_.toString)
           .orElse(cfg.get("source_fields")

@@ -186,14 +186,27 @@ class GuardedRuleSpec extends SparkSpec {
   }
 
   test("guarded rules preserve pre-existing values on non-matching rows") {
-    // the stash-and-blend must restore the PRIOR value, not null, when the
-    // target field already exists
+    // reference semantics (round-3 alignment): an OCCUPIED target without
+    // overwrite_target is a FieldExistsWarning — value kept on BOTH rows,
+    // failure tag only on the matching one (domain_resolver
+    // test_field_exits_warning); with overwrite_target the matching row
+    // resolves and the non-matching row still keeps its value
     val df = twoRows.withColumn("rip", lit("keep-me"))
     val out = run(stage("domain_resolver", "kind:a",
       """          source_fields: [domain]
         |          target_field: rip""".stripMargin), df)
     val m = byKind(out, "rip")
-    assert(m("a") != "keep-me" && m("a") != null)
+    assert(m("a") == "keep-me")
     assert(m("b") == "keep-me")
+    val tags = byKind(out, "tags")
+    assert(tags("a") != null)
+    assert(tags("b") == null)
+    val out2 = run(stage("domain_resolver", "kind:a",
+      """          source_fields: [domain]
+        |          target_field: rip
+        |          overwrite_target: true""".stripMargin), df)
+    val m2 = byKind(out2, "rip")
+    assert(m2("a") != "keep-me" && m2("a") != null)
+    assert(m2("b") == "keep-me")
   }
 }
