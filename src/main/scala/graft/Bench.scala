@@ -104,6 +104,7 @@ object Bench {
       "ml_minhash_pairs" -> GraftQueries.queries("ml_minhash_pairs"),
       "ml_simhash" -> GraftQueries.queries("ml_simhash"),
       "ml_embed_topk" -> GraftQueries.queries("ml_embed_topk"),
+      "ml_embed_neardup" -> GraftQueries.queries("ml_embed_neardup"),
       "ml_quality_score" -> GraftQueries.queries("ml_quality_score"))
 
     // JVM/codegen warm-up on the smallest tier, not timed

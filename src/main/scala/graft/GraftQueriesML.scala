@@ -256,9 +256,16 @@ object GraftQueriesML {
       val bandUnion = bandPlanes.indices
         .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
         .mkString("\n              UNION ALL ")
-      val cos = cosSql("ea.embedding", "eb.embedding")
+      // mirror the engine's normalize-first verify: u = v / |v| once per
+      // vector, pair similarity = single index-ordered dot of u's
+      val normExpr = "sqrt(list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), 'sum'))"
       s"""WITH sig AS (SELECT vec_id,
               $sigCols
+            FROM embeddings),
+          un AS (SELECT vec_id,
+              CASE WHEN $normExpr > 0
+                THEN list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) / $normExpr)
+                ELSE list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) END AS u
             FROM embeddings),
           banded AS (
             SELECT * FROM (
@@ -269,9 +276,11 @@ object GraftQueriesML {
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
           scored AS (
-            SELECT cand.a, cand.b, ROUND($cos, 6) AS sim
-            FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
-                      JOIN embeddings eb ON eb.vec_id = cand.b)
+            SELECT cand.a, cand.b,
+              ROUND(list_aggregate(list_transform(range(64),
+                i -> ua.u[i+1]*ub.u[i+1]), 'sum'), 6) AS sim
+            FROM cand JOIN un ua ON ua.vec_id = cand.a
+                      JOIN un ub ON ub.vec_id = cand.b)
           SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""
     })
 

@@ -99,6 +99,37 @@ object Similarity {
       when(dot(vec.cast("array<double>"), pc) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** All per-band sign-bit keys in ONE deterministic UDF call. The
+    * column-expression form ([[lshBucket]] per band) builds b×r
+    * aggregate(zip_with(...)) trees over b×r×dim literal nodes — at 8×8×64
+    * that's a plan whose analysis + codegen dominates the query (measured
+    * ~2× the execution at sf0.1) and allocates an intermediate array per
+    * plane per row. The tight-loop UDF does the same index-ordered
+    * multiply-add (bit-identical sums) with zero allocation.
+    */
+  def lshBandKeys(vec: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column = {
+    val planes: Array[Array[Array[Double]]] =
+      bandPlanes.map(_.map(_.toArray).toArray).toArray
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else planes.map { band =>
+        val sb = new java.lang.StringBuilder(band.length)
+        var j = 0
+        while (j < band.length) {
+          val p = band(j)
+          var s = 0.0
+          var i = 0
+          val n = math.min(p.length, v.length)
+          while (i < n) { s += v(i) * p(i); i += 1 }
+          sb.append(if (s >= 0) '1' else '0')
+          j += 1
+        }
+        sb.toString
+      }.toSeq
+    }
+    f(vec)
+  }
+
   /** Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
     * LSH — the embedding analogue of [[Dedup.minhashPairs]]:
     *
@@ -128,15 +159,24 @@ object Similarity {
                          threshold: Double,
                          maxBucketSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // normalize ONCE per vector (O(corpus)), so the per-pair verify is a
+    // single dot product instead of dot + two norms (O(candidates) × 3 —
+    // measured 3-4× of the whole query at sf0.1). The norm is materialized
+    // into its own column first: an inline expression referenced from the
+    // transform lambda would be re-evaluated per element (no CSE inside
+    // lambda bodies — same pitfall as Dedup.shingles).
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    // the persisted signature table carries the normalized vector too:
+    // the verify step joins IT, not a fresh parquet scan
     val sig = base.select(
-      col("id") +: bandPlanes.zipWithIndex.map { case (p, b) =>
-        lshBucket(col("v"), p).as(s"k$b")
-      }: _*).persist()
+      col("id"),
+      when(col("n") > 0, transform(col("v"), x => x / col("n")))
+        .otherwise(col("v")).as("u"),
+      lshBandKeys(col("v"), bandPlanes).as("ks")).persist()
     val banded = sig
-      .select(col("id"),
-        posexplode(array(bandPlanes.indices.map(b => col(s"k$b")): _*)))
+      .select(col("id"), posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val w = Window.partitionBy(col("band"), col("key"))
     val capped = banded.withColumn("__n", count(lit(1)).over(w))
@@ -146,11 +186,11 @@ object Similarity {
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    val va = base.select(col("id").as("a"), col("v").as("va"))
-    val vb = base.select(col("id").as("b"), col("v").as("vb"))
+    val va = sig.select(col("id").as("a"), col("u").as("ua"))
+    val vb = sig.select(col("id").as("b"), col("u").as("ub"))
     cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(dot(col("ua"), col("ub")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
