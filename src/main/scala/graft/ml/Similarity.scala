@@ -62,6 +62,52 @@ object Similarity {
     array_position(sims, array_max(sims)).cast("int") - 1
   }
 
+  /** Train IVF centroids with distributed k-means (Lloyd's): init = the
+    * first k vectors in `idCol` order (deterministic), then `iters` rounds
+    * of broadcast-assign → per-bucket elementwise mean. Each round is ONE
+    * map-side-combined aggregation over the corpus (the k×dim result —
+    * a few KB — is all that ever reaches the driver), so a round costs a
+    * single scan at any corpus size: the training step that replaces the
+    * `vec_id < 8` seed centroids in a production IVF build. Run once at
+    * index-build time; the centroids then feed [[assignBucket]] at write
+    * time and [[ivfTopK]] at query time.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast("array<double>")
+    // deterministic spread init: k vectors evenly spaced in idCol order
+    // (taking the FIRST k would seed every centroid from one neighborhood)
+    val n = corpus.count()
+    val step = math.max(1L, n / k)
+    val ranked = corpus.select(v.as("v"),
+      row_number().over(Window.orderBy(col(idCol))).as("r"))
+    var centroids: Seq[Seq[Double]] = ranked
+      .filter((col("r") - 1) % step === 0).orderBy(col("r")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(v.as("v"),
+        assignBucket(col(vecCol), centroids).as("b"))
+      // per-bucket elementwise sums + counts in one hash aggregate
+      val sums = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i"))
+      val agg = assigned.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val updated = centroids.indices.map { b =>
+        agg.find(_.getInt(0) == b) match {
+          case Some(row) if row.getLong(1) > 0 =>
+            val n = row.getLong(1).toDouble
+            (0 until dim).map(i => row.getDouble(i + 2) / n)
+          case _ => centroids(b) // empty bucket keeps its centroid
+        }
+      }
+      centroids = updated
+    }
+    centroids
+  }
+
   /** IVF top-k: assign each query to its `nprobe` best buckets, search only
     * corpus rows in those buckets. Exactness degrades gracefully (standard
     * IVF recall/latency trade).

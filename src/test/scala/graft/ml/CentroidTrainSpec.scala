@@ -1,0 +1,45 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** k-means centroid training for the IVF index: clusters must separate
+  * well-separated synthetic blobs, and ivfTopK over trained centroids
+  * must agree with brute force on an easy corpus.
+  */
+class CentroidTrainSpec extends SparkSpec {
+
+  /** Directionally-distinct blobs (cosine k-means separates DIRECTIONS,
+    * not magnitudes): each blob concentrates its mass on its own dims.
+    */
+  private def blob(hot: Range, n: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until n).map(i => (0 until dim).map(d =>
+      (if (hot.contains(d)) 1.0 else 0.05) + 0.01 * ((i * 7 + d * 3) % 5)))
+
+  test("trainCentroids separates well-separated blobs") {
+    import spark.implicits._
+    val dim = 9
+    val vecs = blob(0 until 3, 20, dim) ++ blob(3 until 6, 20, dim) ++
+      blob(6 until 9, 20, dim)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cs.size == 3)
+    // each blob's hot dims should dominate exactly one centroid
+    for (hot <- Seq(0 until 3, 3 until 6, 6 until 9))
+      assert(cs.exists(c => hot.map(c).sum > 0.8 * c.sum),
+        s"no centroid dominated by dims $hot: $cs")
+    // assignment buckets are pure (cosine separates these blobs' signs/
+    // magnitudes poorly for scaled copies, so verify via ivf recall below)
+    val queries = df.filter(col("vec_id").isin(0L, 20L))
+      .select(col("vec_id").as("qid_src"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding",
+        queries, "qid_src", "qvec", cs, k = 3, nprobe = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        queries, "qid_src", "qvec", k = 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.toSet == brute.toSet,
+      s"IVF(nprobe=1) should match brute force on separated blobs")
+  }
+}
