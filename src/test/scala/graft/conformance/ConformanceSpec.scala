@@ -372,13 +372,40 @@ class ConformanceSpec extends SparkSpec {
       case _ => rm
     }
 
+    // tmp_path-written lookup tables (resolve_from_file fixtures): write
+    // extra.file_content to a real temp file and point the rule at it
+    val tmpFile: Option[String] = extraMap.get("file_content").map { fc =>
+      def js(v: Any): String = v match {
+        case null => "null"
+        case s: String => "\"" + s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"; case ch => ch.toString
+        } + "\""
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          .map { case (k2, x) => js(k2) + ":" + js(x) }.mkString("{", ",", "}")
+        case l: Seq[_] => l.map(js).mkString("[", ",", "]")
+        case other => other.toString
+      }
+      val p = java.nio.file.Files.createTempDirectory("conf-ext")
+        .resolve("table.json")
+      java.nio.file.Files.writeString(p, js(fc))
+      p.toString
+    }
+    def substTmp(v: Any): Any = v match {
+      case s: String if s.startsWith("__TMP__") => tmpFile.getOrElse(s)
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        .map { case (k2, x) => k2 -> substTmp(x) }
+      case l: Seq[_] => l.map(substTmp)
+      case other => other
+    }
+
     // method-style cases can carry the full default-rules set of the
     // reference CONFIG rules dir; a stage applies them in file order
-    val ruleMaps: Seq[Map[String, Any]] = (c \ "rules") match {
+    val ruleMaps: Seq[Map[String, Any]] = ((c \ "rules") match {
       case JArray(rs) =>
         rs.map(r => rewriteRule(plain(r).asInstanceOf[Map[String, Any]]))
       case _ => Seq(rewriteRule(ruleMap))
-    }
+    }).map(rm => substTmp(rm).asInstanceOf[Map[String, Any]])
 
     // Schema built directly from the JSON value rather than read.json
     // inference: an explicit null key becomes a NullType column (key

@@ -38,15 +38,31 @@ class MaxmindDbSpec extends AnyFunSuite {
     * off-path record is the no-data marker (node_count). Returns the file.
     */
   private def buildMmdb(ipVersion: Int, bits: Seq[Int],
-                        record: Array[Byte]): Array[Byte] = {
+                        record: Array[Byte],
+                        recordSize: Int = 24): Array[Byte] = {
     val nodeCount = bits.length
-    val recordSize = 24
-    def rec(v: Int) = Array(((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-      (v & 0xFF).toByte)
+    def node24(l: Int, r: Int) = Array(
+      ((l >> 16) & 0xFF).toByte, ((l >> 8) & 0xFF).toByte, (l & 0xFF).toByte,
+      ((r >> 16) & 0xFF).toByte, ((r >> 8) & 0xFF).toByte, (r & 0xFF).toByte)
+    // 28-bit: [l23-16, l15-8, l7-0, (l27-24 << 4 | r27-24), r23-16, r15-8, r7-0]
+    def node28(l: Int, r: Int) = Array(
+      ((l >> 16) & 0xFF).toByte, ((l >> 8) & 0xFF).toByte, (l & 0xFF).toByte,
+      ((((l >> 24) & 0xF) << 4) | ((r >> 24) & 0xF)).toByte,
+      ((r >> 16) & 0xFF).toByte, ((r >> 8) & 0xFF).toByte, (r & 0xFF).toByte)
+    def node32(l: Int, r: Int) = Array(
+      (l >> 24).toByte, ((l >> 16) & 0xFF).toByte, ((l >> 8) & 0xFF).toByte,
+      (l & 0xFF).toByte,
+      (r >> 24).toByte, ((r >> 16) & 0xFF).toByte, ((r >> 8) & 0xFF).toByte,
+      (r & 0xFF).toByte)
+    val mk: (Int, Int) => Array[Byte] = recordSize match {
+      case 24 => node24
+      case 28 => node28
+      case 32 => node32
+    }
     val tree = (0 until nodeCount).flatMap { i =>
       val next = if (i == nodeCount - 1) nodeCount + 16 else i + 1
       val (l, r) = if (bits(i) == 0) (next, nodeCount) else (nodeCount, next)
-      rec(l) ++ rec(r)
+      mk(l, r)
     }.toArray
     val separator = Array.fill[Byte](16)(0)
     val metadata = encMap(
@@ -109,6 +125,17 @@ class MaxmindDbSpec extends AnyFunSuite {
     assert(db.lookupCity("1.2.4.1").isEmpty)
     assert(db.lookupCity("9.9.9.9").isEmpty)
     assert(db.lookupCity("not-an-ip").isEmpty)
+  }
+
+  test("28- and 32-bit record sizes (nibble-packed middle byte)") {
+    for (rs <- Seq(28, 32)) {
+      val db = MaxmindDb.fromBytes(
+        buildMmdb(4, v4PathBits(172, 16, 5, 24), cityRecord, recordSize = rs))
+      assert(db.recordSize == rs)
+      assert(db.lookupCity("172.16.5.200").exists(_.city.contains("Berlin")),
+        s"record size $rs: hit failed")
+      assert(db.lookupCity("172.16.6.1").isEmpty, s"record size $rs: false hit")
+    }
   }
 
   test("v6 tree: v4 addresses under 96 zero bits (spec), v6 miss") {

@@ -164,8 +164,16 @@ def resolve(node, env):
             return resolve(node.args[0], env)
         if name == "create_from_dict" and node.args:  # Rule objects ≡ dicts
             return resolve(node.args[0], env)
+        if name == "str" and node.args:               # str(tmp_path / "f")
+            return str(resolve(node.args[0], env))
     if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
         return resolve(node.left, env) + resolve(node.right, env)
+    if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Div):
+        # pathlib: tmp_path / "rule.json"
+        l, r = resolve(node.left, env), resolve(node.right, env)
+        if isinstance(l, str) and isinstance(r, str):
+            return l.rstrip("/") + "/" + r
+        raise Unresolvable("div")
     raise Unresolvable(type(node).__name__)
 
 def doc_path(node):
@@ -349,8 +357,10 @@ def extract_method(fn, menv, fixtures, default_rules, preset, extra0):
     """One parametrize variant of one test method → list of case dicts."""
     env = dict(menv)
     env.update(preset)
+    env["tmp_path"] = "__TMP__"   # pathlib joins resolve to marker paths
     segments, rules_loaded, schema_extra = [], [], None
     popped = {}          # var name → key popped off the document
+    file_content = None  # json.dumps(...) written to a tmp_path file
     cur = None
     for kind, s in flatten_stmts(fn.body):
         if kind == "poison":
@@ -390,8 +400,23 @@ def extract_method(fn, menv, fixtures, default_rules, preset, extra0):
         if isinstance(s, ast.Expr) and isinstance(s.value, ast.Call):
             call = s.value
             attr = getattr(call.func, "attr", "")
+            if attr in ("write", "write_text") and call.args:
+                # stream.write(json.dumps(X)) into a tmp_path file → the
+                # harness recreates the file from extra.file_content
+                a = call.args[0]
+                if isinstance(a, ast.Call) and getattr(a.func, "attr", "") == "dumps" \
+                        and a.args:
+                    try:
+                        file_content = resolve(a.args[0], env)
+                    except Unresolvable:
+                        pass
+                continue
             if attr == "update":
                 return []   # config.update(...) → processor ≠ CONFIG
+            if attr == "add" and isinstance(call.func, ast.Attribute) \
+                    and isinstance(call.func.value, ast.Name) \
+                    and call.func.value.id == "responses":
+                return []   # per-call mocked HTTP bodies (refresh tests)
             if attr in ("_load_rule", "add_rule") and call.args:
                 try:
                     rules_loaded.append(resolve(call.args[0], env))
@@ -502,6 +527,9 @@ def extract_method(fn, menv, fixtures, default_rules, preset, extra0):
         rules = seg["rules"] if seg["rules"] is not None else default_rules
         if not rules:
             continue
+        # rules referencing tmp_path files need the captured content
+        if "__TMP__" in json.dumps(rules, default=str) and file_content is None:
+            continue
         case = {"input": seg["input"]}
         if len(rules) == 1:
             case["rule"] = rules[0]
@@ -516,6 +544,8 @@ def extract_method(fn, menv, fixtures, default_rules, preset, extra0):
         ex = dict(extra0)
         if schema_extra is not None:
             ex["schema"] = schema_extra
+        if file_content is not None and "__TMP__" in json.dumps(rules, default=str):
+            ex["file_content"] = file_content
         if ex:
             case["extra"] = ex
         suffix = f"#{i + 1}" if len(segments) > 1 else ""
@@ -562,9 +592,6 @@ def extract_method_file(path, proc):
                 skipped += 1
                 continue
             argnames = [a.arg for a in fn.args.args[1:]]
-            if "tmp_path" in argnames:
-                skipped += 1
-                continue
             variants = method_variants(fn, menv)
             if variants is None:
                 skipped += 1
