@@ -185,6 +185,54 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list → the KEEP set: the
+    * minimum doc id of each duplicate cluster survives (plus every
+    * singleton). This is the step that turns pair lists into an actual
+    * dedup decision in a training-data pipeline.
+    *
+    * Min-label propagation: each round joins the edge list with current
+    * labels and takes the per-node min — a map-side-combined aggregate on
+    * the node id, so a round is one shuffle bounded by |V|+|E|, never
+    * materializing components. Rounds run to convergence with an early
+    * stop (cluster DIAMETER rounds suffice; near-dup clusters are
+    * shallow). At extreme scale swap the inner loop for the
+    * large-star/small-star contraction — same join primitives,
+    * logarithmic round count.
+    */
+  def nearDupKeep(df: DataFrame, idCol: String, textCol: String,
+                  bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val eligible = df.filter(size(tokens(col(textCol))) >= k)
+    val pairs = nearDupPairs(eligible, idCol, textCol, bands, rowsPerBand,
+      k, threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("root", col("id")).persist()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.alias("e")
+        .join(labels.alias("l"), col("e.b") === col("l.id"))
+        .select(col("e.a").as("id"), col("l.root").as("root"))
+      val next = labels.select(col("id"), col("root")).union(prop)
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.root") =!= col("o.root")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    val kept = labels.filter(col("root") === col("id"))
+      .select(col("id").as(idCol))
+    edges.unpersist(blocking = false)
+    kept
+  }
+
   /** Exact n-gram Jaccard similarity between doc pairs (caller bounds the
     * pair space, e.g. via LSH candidates or a blocking key).
     */
