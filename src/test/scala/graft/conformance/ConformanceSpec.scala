@@ -32,6 +32,17 @@ class ConformanceSpec extends SparkSpec {
   // tables…) are referenced by repo-relative paths in the fixtures
   sys.props("graft.rule.base") = "/root/reference"
 
+  // cases install per-case mocks into the pluggable globals — restore the
+  // container defaults so suite ORDER can't leak a mock into other specs
+  override def afterAll(): Unit = {
+    graft.operators.DomainResolver.resolve =
+      graft.operators.DomainResolver.fakeResolve
+    graft.operators.GeoIp.provider = _ => None
+    graft.operators.Requester.transport = graft.operators.Requester.realTransport
+    graft.operators.ListSources.fetch = graft.operators.ListSources.defaultFetch
+    super.afterAll()
+  }
+
   private def resource(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/conformance/$name")
     Option(in).map { s =>
