@@ -30,6 +30,27 @@ object RuleSelfTest {
     }
   }
 
+  /** clusterer rule `tests: {raw, result}` (reference AutoRuleTester →
+    * SignatureEngine.apply_signature_rule, signature_phase.py:70-103):
+    * the pattern→repl substitution — repeated to fixpoint like the
+    * reference — must turn `raw` into `result` (tags kept).
+    */
+  def signatureTest(pattern: String, repl: String, raw: String,
+                    result: String): Option[Failure] = {
+    val javaRepl = repl.replaceAll("""\\(\d)""", "\\$$1")
+    var cur = raw
+    var prev: String = null
+    var i = 0
+    while (cur != prev && i < 10) {
+      prev = cur
+      cur = cur.replaceAll(pattern, javaRepl)
+      i += 1
+    }
+    if (cur == result) None
+    else Some(Failure("clusterer", s"$pattern -> $repl",
+      s"expected $result, got $cur"))
+  }
+
   private def runOne(spark: SparkSession, stage: StageSpec, rule: RuleSpec,
                      rawJson: String, processedJson: String): Option[Failure] = {
     import spark.implicits._

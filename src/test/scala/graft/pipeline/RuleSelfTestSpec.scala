@@ -39,4 +39,18 @@ class RuleSelfTestSpec extends SparkSpec {
       .selectExpr("d[0]", "d[1]", "d[2]", "d[3]").head()
     assert((0 to 3).map(r.getString) == Seq("a", "1", "b", "2"))
   }
+
+  test("clusterer signature tests: reference tests:{raw,result} shape") {
+    // the reference fixture from test_clusterer.py test_cluster
+    assert(RuleSelfTest.signatureTest(
+      "test (signature) test", "<+>\\1</+>",
+      "test signature test", "<+>signature</+>").isEmpty)
+    // substitution repeats to fixpoint
+    assert(RuleSelfTest.signatureTest(
+      "aa", "a", "aaaa bbb", "a bbb").isEmpty)
+    val fail = RuleSelfTest.signatureTest(
+      "test (signature) test", "<+>\\1</+>",
+      "test signature test", "WRONG")
+    assert(fail.exists(_.stage == "clusterer"))
+  }
 }
