@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays (codegen'd fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two `array<double>` columns via the native codegen
+    * expression ([[graft.functions.DotProductExpr]]): one fused primitive
+    * loop instead of `aggregate(zip_with(...))`'s per-row intermediate
+    * array + boxed lambda walk. Same index-ordered sum — bit-identical
+    * results, oracle-safe.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.DotProductExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
