@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DissectExpr
+import graft.functions.{DissectExpr, DotProductExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }.toList
         DissectExpr(args.head, seps,
           pattern.substring(0, ms.head.start), pattern.substring(ms.last.end))
+      }))
+    // graft_dot(array<double>, array<double>) → double: the ANN hot scalar
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_dot(a, b)")
+        DotProductExpr(args.head, args(1))
       }))
   }
 }

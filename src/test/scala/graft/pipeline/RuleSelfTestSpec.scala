@@ -40,6 +40,19 @@ class RuleSelfTestSpec extends SparkSpec {
     assert((0 to 3).map(r.getString) == Seq("a", "1", "b", "2"))
   }
 
+  test("graft_dot SQL function: native dot product") {
+    val s = spark
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    val r = s.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+    val n = s.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("clusterer signature tests: reference tests:{raw,result} shape") {
     // the reference fixture from test_clusterer.py test_cluster
     assert(RuleSelfTest.signatureTest(
