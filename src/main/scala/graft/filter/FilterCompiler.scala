@@ -124,7 +124,38 @@ object FilterCompiler {
     }
     val b1 = if (body.startsWith("^")) body.drop(1) else body
     val b2 = if (b1.endsWith("$") && !b1.endsWith("\\$")) b1.dropRight(1) else b1
-    s"$flags^$b2$$"
+    s"$flags^${pyBraces(b2)}$$"
+  }
+
+  /** Python `re` accepts a bare `{` that doesn't open a quantifier as a
+    * literal (e.g. the reference's GUID filters: `{.{8}-…}`), and accepts
+    * the `{,m}` shorthand; Java's Pattern rejects both. Escape non-quantifier
+    * `{`s (outside character classes) and rewrite `{,m}` → `{0,m}`.
+    */
+  private def pyBraces(p: String): String = {
+    val quant = """^\{(\d+(,\d*)?|,\d+)\}""".r
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < p.length) {
+      p(i) match {
+        case '\\' if i + 1 < p.length =>
+          sb.append(p(i)).append(p(i + 1)); i += 2
+        case '[' if !inClass => inClass = true; sb.append('['); i += 1
+        case ']' if inClass => inClass = false; sb.append(']'); i += 1
+        case '{' if !inClass =>
+          quant.findFirstMatchIn(p.substring(i)) match {
+            case Some(q) =>
+              val content = q.group(1)
+              if (content.startsWith(",")) sb.append("{0").append(content).append('}')
+              else sb.append(q.matched)
+              i += q.matched.length
+            case None => sb.append("\\{"); i += 1
+          }
+        case ch => sb.append(ch); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Leaves are NOT coalesce-wrapped: in a WHERE context SQL's

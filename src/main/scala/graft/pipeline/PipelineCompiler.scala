@@ -798,10 +798,21 @@ object PipelineCompiler {
         }
 
       case "labeler" =>
-        // label: {category: [values]}
+        // label: {category: [values]}; with a processor-level `schema` +
+        // `include_parent_labels` (labeler/processor.py:93-97) each label
+        // expands with its schema ancestors at plan time
+        val schemaForParents =
+          if (c.get("include_parent_labels").exists(_.toString == "true"))
+            c.get("schema").map(_.toString).filter(_.nonEmpty)
+              .map(graft.operators.Labeling.loadSchemaFile)
+          else None
         c.getOrElse("label", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
           .foldLeft(df) { case (d, (category, values)) =>
-            val vals = values.asInstanceOf[Seq[Any]].map(_.toString)
+            val vals0 = values.asInstanceOf[Seq[Any]].map(_.toString)
+            val vals = schemaForParents match {
+              case Some(sch) => graft.operators.Labeling.expand(sch, category, vals0)
+              case None => vals0
+            }
             val path = s"label.$category"
             val existing = FieldOps.get(d.schema, path).map(_._1)
               .getOrElse(lit(null).cast("array<string>"))

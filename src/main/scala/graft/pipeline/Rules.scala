@@ -122,14 +122,21 @@ object RuleLoader {
     }
   }
 
-  /** Load every .yml/.yaml/.json rule file under a directory (sorted for
-    * deterministic rule order, like the reference's sorted dir walk).
+  /** Load every .yml/.yaml/.json rule file under a directory, recursing
+    * into subdirectories (the reference's recursive glob filtered by
+    * RULE_FILE_EXTENSIONS, util/rule_loader.py:95). Entries are sorted by
+    * name at every level so rule order is deterministic — the reference
+    * inherits filesystem readdir order, which only stays stable by
+    * convention.
     */
   def rulesFromDir(dir: String, ptype: String): Seq[RuleSpec] = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches(".*\\.(ya?ml|json)$")).sortBy(_.getName)
-    files.toSeq.flatMap(f => rulesFromFile(f.getPath, ptype))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else if (f.getName.matches(".*\\.(ya?ml|json)$")) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir)).flatMap(f => rulesFromFile(f.getPath, ptype))
   }
 
   /** snakeyaml gives java collections; normalize to immutable Scala. */

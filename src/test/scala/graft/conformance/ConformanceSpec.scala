@@ -50,49 +50,9 @@ class ConformanceSpec extends SparkSpec {
     }
   }
 
-  /** json4s → plain Scala (Map/Seq/Long/Double/String/Boolean/null). */
-  private def plain(j: JValue): Any = j match {
-    case JObject(fs) => scala.collection.immutable.ListMap(
-      fs.map { case (k, v) => k -> plain(v) }: _*)
-    case JArray(xs) => xs.map(plain)
-    case JString(s) => s
-    case JInt(i) => i.toLong
-    case JLong(i) => i
-    case JDouble(d) => d
-    case JDecimal(d) => d.toDouble
-    case JBool(b) => b
-    case _ => null
-  }
-
-  /** Canonical comparison form: strip nulls, widen whole doubles to longs. */
-  private def canon(v: Any): Any = v match {
-    case m: Map[_, _] =>
-      m.asInstanceOf[Map[String, Any]]
-        .map { case (k, x) => k -> canon(x) }
-        .filter { case (_, x) => x != null && x != Map.empty }
-    case s: Seq[_] => s.map(canon)
-    case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong
-    case i: Int => i.toLong
-    case other => other
-  }
-
-  /** Show values with their runtime types so `"0.01"` vs `0.01` and
-    * `1L` vs `true` mismatches are visible in the failure output.
-    */
-  private def show(v: Any): String = v match {
-    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-      .map { case (k, x) => s"$k=${show(x)}" }.mkString("{", ", ", "}")
-    case s: Seq[_] => s.map(show).mkString("[", ", ", "]")
-    case s: String => "\"" + s + "\""
-    case d: Double => s"${d}d"
-    case l: Long => s"${l}L"
-    case b: Boolean => b.toString
-    case null => "null"
-    case other => s"$other:${other.getClass.getSimpleName}"
-  }
-
-  private def renderDiff(got: Any, want: Any): String =
-    s"\n  got:      ${show(got)}\n  expected: ${show(want)}"
+  // json4s → Scala, canonical compare form, and diff rendering live in
+  // JsonFixture (shared with the acceptance suite)
+  import JsonFixture.{plain, canon, show, renderDiff}
 
   private val waivers: Map[String, String] =
     resource("waivers.json").map { txt =>
@@ -137,69 +97,8 @@ class ConformanceSpec extends SparkSpec {
     }
   }
 
-  import org.apache.spark.sql.types._
-  import org.apache.spark.sql.Row
-
-  private def typeOf(j: JValue): DataType = j match {
-    case _: JString => StringType
-    case _: JInt | _: JLong => LongType
-    case _: JDouble | _: JDecimal => DoubleType
-    case _: JBool => BooleanType
-    case JObject(fs) =>
-      StructType(fs.map { case (k, v) => StructField(k, typeOf(v)) })
-    case JArray(xs) =>
-      ArrayType(xs.map(typeOf).reduceOption(mergeTypes).getOrElse(StringType))
-    case _ => NullType
-  }
-
-  /** Unify element types across an array: structs merge field-wise,
-    * numerics widen, anything else falls back to string.
-    */
-  private def mergeTypes(a: DataType, b: DataType): DataType = (a, b) match {
-    case (x, y) if x == y => x
-    case (NullType, y) => y
-    case (x, NullType) => x
-    case (x: StructType, y: StructType) =>
-      val yOnly = y.fields.filterNot(f => x.fieldNames.contains(f.name))
-      StructType(x.fields.map { f =>
-        y.fields.find(_.name == f.name)
-          .map(g => StructField(f.name, mergeTypes(f.dataType, g.dataType)))
-          .getOrElse(f)
-      } ++ yOnly)
-    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeTypes(x, y))
-    case (_: NumericType, _: NumericType) => DoubleType
-    case _ => StringType
-  }
-
-  private def valueOf(j: JValue, dt: DataType): Any = (j, dt) match {
-    case (JInt(i), DoubleType) => i.toDouble
-    case (JLong(i), DoubleType) => i.toDouble
-    case (v, StringType) => v match {
-      case JString(s) => s
-      case JInt(i) => i.toString
-      case JLong(i) => i.toString
-      case JDouble(d) => d.toString
-      case JBool(b) => if (b) "true" else "false"
-      case _ => null
-    }
-    case (JString(s), _) => s
-    case (JInt(i), _) => i.toLong
-    case (JLong(i), _) => i
-    case (JDouble(d), _) => d
-    case (JDecimal(d), _) => d.toDouble
-    case (JBool(b), _) => b
-    case (JObject(fs), st: StructType) =>
-      Row.fromSeq(st.fields.map(f =>
-        fs.find(_._1 == f.name).map(x => valueOf(x._2, f.dataType)).orNull).toSeq)
-    case (JArray(xs), ArrayType(et, _)) => xs.map(valueOf(_, et))
-    case _ => null
-  }
-
-  private def dfFromJson(input: JValue): DataFrame = {
-    val st = typeOf(input).asInstanceOf[StructType]
-    spark.createDataFrame(
-      java.util.Arrays.asList(valueOf(input, st).asInstanceOf[Row]), st)
-  }
+  private def dfFromJson(input: JValue): DataFrame =
+    JsonFixture.dfFromJson(spark, input)
 
   private def runCase(proc: String, c: JObject): Unit = {
     // HTTP comparison lists: the reference mocks every GET with a fixed
