@@ -625,13 +625,13 @@ object GraftQueries {
           col("severity"), array_join(col("mitre"), ",").as("mitre"),
           col("case_condition"), col("event_key"))
     },
-    Some("""SELECT sha256('rule-1:' || CAST(event_id AS VARCHAR)) AS pre_detection_id,
+    Some("""SELECT sha256(CAST(event_id AS VARCHAR)) AS pre_detection_id,
               'rule-1' AS id, 'High-value error burst' AS title, 'high' AS severity,
               'T1499,T1489' AS mitre, 'directly' AS case_condition,
               event_id AS event_key
             FROM events WHERE event_type = 'error' AND value >= 150.0
             UNION ALL
-            SELECT sha256('rule-2:' || CAST(event_id AS VARCHAR)), 'rule-2',
+            SELECT sha256(CAST(event_id AS VARCHAR)), 'rule-2',
               'Suspicious early-uid signup', 'medium', 'T1078', 'directly', event_id
             FROM events WHERE event_type = 'signup' AND user_id >= 0 AND user_id <= 5"""))
 

@@ -29,27 +29,87 @@ object Detection {
     */
   case class PreDetectorRule(filter: String, id: String, title: String,
                              severity: String, mitre: Seq[String],
-                             caseCondition: String = "directly")
+                             caseCondition: String = "directly",
+                             description: String = "",
+                             link: Option[String] = None,
+                             timestampField: String = "@timestamp",
+                             sourceFormat: String = "ISO8601",
+                             sourceTimezone: String = "UTC",
+                             targetTimezone: String = "UTC",
+                             copyFields: Seq[String] = Seq("host.name"))
+
+  /** Per-event detection id, shared by the detection sub-event and the
+    * main event's added `pre_detection_id` (processor.py:152-158; the
+    * reference uses uuid4 — nondeterministic ids break exactly-once
+    * reprocessing on a cluster, so the engine derives ids
+    * content-addressed from the event key).
+    */
+  def preDetectionId(eventKey: Column): Column =
+    sha2(eventKey.cast("string"), 256)
 
   /** Emit the detection stream for a set of rules: union of per-rule
-    * filtered projections. Catalyst merges the scans; with few rules this
-    * is a single pass with `when`-guarded projections.
+    * filtered projections (unionByName — rules may copy different field
+    * sets). Catalyst merges the scans; with few rules this is a single
+    * pass with `when`-guarded projections.
+    *
+    * Full reference sub-event shape (processor.py:157-175): detection
+    * data + normalized `rule_filter` string + rule description +
+    * `copy_fields_to_detection_event` subtrees (default `host.name`,
+    * skip-missing) + the event's `timestamp_field` normalized to
+    * isoformat + `creation_timestamp`.
     */
   def preDetector(df: DataFrame, rules: Seq[PreDetectorRule],
                   eventKey: Column): DataFrame = {
     val streams = rules.map { r =>
       val pred = FilterCompiler.predicate(r.filter, df.schema)
-      df.filter(pred).select(
-        sha2(concat(lit(r.id), lit(":"), eventKey.cast("string")), 256).as("pre_detection_id"),
+      val ruleFilter = graft.filter.LuceneParser.parse(r.filter)
+        .map(graft.filter.FilterAst.render).getOrElse(r.filter)
+      val base = Seq(
+        preDetectionId(eventKey).as("pre_detection_id"),
         lit(r.id).as("id"),
         lit(r.title).as("title"),
         lit(r.severity).as("severity"),
         array(r.mitre.map(lit): _*).as("mitre"),
         lit(r.caseCondition).as("case_condition"),
-        lit(r.filter).as("rule_filter"),
-        eventKey.as("event_key"))
+        lit(r.description).as("description"),
+        lit(ruleFilter).as("rule_filter"),
+        eventKey.as("event_key"),
+        TimeOps.isoformatIn(current_timestamp(), "UTC")
+          .as("creation_timestamp"))
+      val linkCol = r.link.map(l => lit(l).as("link")).toSeq
+      val copied = copiedFieldColumns(df, r.copyFields)
+      val ts = FieldOps.get(df.schema, r.timestampField)
+        .filterNot(_ => r.copyFields.contains(r.timestampField))
+        .map { case (c, _) =>
+          when(c.isNotNull, TimeOps.isoformatIn(
+            TimeOps.parseWithFormat(c.cast("string"), r.sourceFormat,
+              r.sourceTimezone), r.targetTimezone)).as(r.timestampField)
+        }.toSeq
+      df.filter(pred).select(base ++ linkCol ++ copied ++ ts: _*)
     }
-    streams.reduce(_.unionAll(_))
+    streams.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Dotted source paths → nested struct columns on the detection event
+    * (copy_fields_to_event, skip_missing=True): paths group by their root
+    * segment; absent paths are skipped entirely.
+    */
+  private def copiedFieldColumns(df: DataFrame, fields: Seq[String]): Seq[Column] = {
+    val present = fields.filter(f => FieldOps.exists(df.schema, f))
+    def build(paths: Seq[(List[String], Column)]): Seq[Column] =
+      paths.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (root, group) =>
+        val (leaves, deeper) = group.partition(_._1.lengthCompare(1) == 0)
+        leaves.headOption match {
+          case Some((_, c)) => c.as(root)
+          case None =>
+            struct(build(deeper.map { case (segs, c) => (segs.tail, c) }): _*)
+              .as(root)
+        }
+      }
+    build(present.map { f =>
+      (graft.filter.FilterCompiler.splitPath(f).toList,
+        FieldOps.getOrNull(df.schema, f))
+    })
   }
 
   /** pseudonymizer: replace the value (or regex-selected substrings) with

@@ -141,11 +141,31 @@ object PipelineCompiler {
           Detection.PreDetectorRule(r.filter,
             cfgStr(c, "id"), cfgStr(c, "title"),
             cfgStrOpt(c, "severity").getOrElse("low"),
-            cfgSeq(c, "mitre"))
+            cfgSeq(c, "mitre"),
+            caseCondition = cfgStrOpt(c, "case_condition").getOrElse("directly"),
+            description = r.description,
+            link = cfgStrOpt(c, "link"),
+            timestampField = cfgStrOpt(c, "timestamp_field").getOrElse("@timestamp"),
+            sourceFormat = cfgStrOpt(c, "source_format").getOrElse("ISO8601"),
+            sourceTimezone = cfgStrOpt(c, "source_timezone").getOrElse("UTC"),
+            targetTimezone = cfgStrOpt(c, "target_timezone").getOrElse("UTC"),
+            copyFields = {
+              val cf = cfgSeq(c, "copy_fields_to_detection_event")
+              if (cf.nonEmpty) cf else Seq("host.name")
+            })
         }
         val key = firstColumn(acc.main)
         val detections = Detection.preDetector(acc.main, rules, key)
-        PipelineResult(acc.main,
+        // the triggering event itself gets the (shared) pre_detection_id
+        // so it can be linked with its detections (processor.py:152-158)
+        val anyMatch = rules
+          .map(r => coalesce(
+            graft.filter.FilterCompiler.predicate(r.filter, acc.main.schema),
+            lit(false)))
+          .reduce(_ || _)
+        val linked = graft.fields.FieldOps.set(acc.main, "pre_detection_id",
+          when(anyMatch, Detection.preDetectionId(key)))
+        PipelineResult(linked,
           acc.extra + ("pre_detector" -> detections))
 
       case "selective_extractor" =>

@@ -56,8 +56,27 @@ object RuleLoader {
     val filter0 = m.getOrElse("filter", "*").toString
     val regexFields = m.getOrElse("regex_fields", Seq.empty[Any])
       .asInstanceOf[Seq[Any]].map(_.toString)
-    val filter = regexFields.foldLeft(filter0)((f, rf) =>
+    val filter1 = regexFields.foldLeft(filter0)((f, rf) =>
       f.replace(rf + ":", rf + "|re:"))
+    // sigma_fields: true (all fields) or a field list — terms become
+    // case-insensitive sigma wildcards (lucene_filter.py:643-653); the
+    // filter is rewritten through the AST so `|sigma` reaches every term
+    val sigmaFields: Option[Option[Set[String]]] =
+      m.get("sigma_fields") match {
+        case Some(b: Boolean) => if (b) Some(None) else None
+        case Some(l: Seq[_]) if l.nonEmpty =>
+          Some(Some(l.map(_.toString).toSet))
+        case _ => None
+      }
+    val filter = sigmaFields match {
+      case Some(fields) =>
+        graft.filter.LuceneParser.parse(filter1) match {
+          case Right(ast) => graft.filter.FilterAst.renderParseable(
+            graft.filter.FilterAst.sigmaize(ast, fields))
+          case Left(_) => filter1
+        }
+      case None => filter1
+    }
     RuleSpec(
       filter = filter,
       config = m.getOrElse(ptype, Map.empty[String, Any])

@@ -105,6 +105,101 @@ class AcceptanceSpec extends SparkSpec {
     compareAll(got, want)
   }
 
+  // ---- pre-detection (test_pre_detection.py) ------------------------
+
+  private def preDetectorStage: StageSpec = StageSpec("pre_detector",
+    RuleLoader.rulesFromDir(
+      s"$testdata/acceptance/pre_detector/rules", "pre_detector"))
+
+  /** Canonical detection minus the fields the reference test excludes
+    * (pre_detection_id, creation_timestamp) and the engine's event_key.
+    */
+  private def canonDetection(v: Any): Any = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] -
+      "pre_detection_id" - "creation_timestamp" - "event_key"
+    case other => other
+  }
+
+  test("acceptance: pre-detection main output passes events through " +
+      "(plus pre_detection_id on matches)") {
+    assume(fixturesPresent)
+    val events = readJsonl(
+      s"$testdata/input_logdata/kafka_raw_event_for_pre_detector.jsonl")
+    val got = runPipeline(PipelineSpec(Seq(preDetectorStage)), events)
+    assert(got.length == events.length)
+    got.zip(events).zipWithIndex.foreach { case ((g, w), i) =>
+      val gm = g.asInstanceOf[Map[String, Any]]
+      firstDiff(gm - "pre_detection_id", canon(plain(w))).foreach { d =>
+        fail(s"mismatch in event at line $i $d")
+      }
+    }
+    // the fixture's Service Control Manager events must carry the link id
+    assert(got.exists(_.asInstanceOf[Map[String, Any]]
+      .contains("pre_detection_id")))
+  }
+
+  test("acceptance: pre-detection extra outputs match the expected " +
+      "detection sub-events") {
+    assume(fixturesPresent)
+    def toScala(v: Any): Any = v match {
+      case m: java.util.Map[_, _] => scala.collection.immutable.ListMap(
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toSeq
+          .map { case (k, x) => k.toString -> toScala(x) }: _*)
+      case l: java.util.List[_] =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .toSeq.map(toScala)
+      case other => other
+    }
+    val fixture = toScala(new org.yaml.snakeyaml.Yaml().load[Any](
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$testdata/input_logdata/kafka_raw_event_for_pre_detector_extra_output.yml")),
+        "UTF-8"))).asInstanceOf[Seq[Map[String, Any]]]
+    for (cse <- fixture) {
+      val event = JsonMethods.parse(cse("input_line").toString)
+      val expected = cse("expected_output").asInstanceOf[Seq[Map[String, Any]]]
+        .map(_("pre_detector_topic"))
+      val prevBase = sys.props.get("graft.rule.base")
+      sys.props("graft.rule.base") = "/root/reference"
+      val detections = try {
+        val df = dfFromJsonLines(spark, Seq(event), "__acc_idx")
+        PipelineCompiler.compile(PipelineSpec(Seq(preDetectorStage)))(df)
+          .extra("pre_detector").toJSON.collect().toSeq
+          .map(r => canonDetection(canon(plain(JsonMethods.parse(r)))))
+      } finally {
+        prevBase match {
+          case Some(b) => sys.props("graft.rule.base") = b
+          case None => sys.props.remove("graft.rule.base")
+        }
+      }
+      for (exp <- expected) {
+        val want = canonDetection(canon(exp))
+        assert(detections.contains(want),
+          s"expected detection not produced:${renderDiff(detections, want)}")
+      }
+    }
+  }
+
+  test("acceptance: pre-detection yields no extra output for a " +
+      "non-matching event") {
+    assume(fixturesPresent)
+    val events = readJsonl(
+      s"$testdata/input_logdata/kafka_raw_event_for_pre_detector.jsonl")
+    val df = dfFromJsonLines(spark, events.take(1), "__acc_idx")
+    val prevBase = sys.props.get("graft.rule.base")
+    sys.props("graft.rule.base") = "/root/reference"
+    try {
+      val extras = PipelineCompiler
+        .compile(PipelineSpec(Seq(preDetectorStage)))(df)
+        .extra("pre_detector")
+      assert(extras.count() == 0)
+    } finally {
+      prevBase match {
+        case Some(b) => sys.props("graft.rule.base") = b
+        case None => sys.props.remove("graft.rule.base")
+      }
+    }
+  }
+
   test("acceptance: wineventlog pseudonymized correctly") {
     assume(fixturesPresent)
     val events = readJsonl(s"$testdata/input_logdata/wineventlog_raw.jsonl")
