@@ -91,26 +91,10 @@ object Detection {
   }
 
   /** Dotted source paths → nested struct columns on the detection event
-    * (copy_fields_to_event, skip_missing=True): paths group by their root
-    * segment; absent paths are skipped entirely.
+    * (copy_fields_to_event, skip_missing=True).
     */
-  private def copiedFieldColumns(df: DataFrame, fields: Seq[String]): Seq[Column] = {
-    val present = fields.filter(f => FieldOps.exists(df.schema, f))
-    def build(paths: Seq[(List[String], Column)]): Seq[Column] =
-      paths.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (root, group) =>
-        val (leaves, deeper) = group.partition(_._1.lengthCompare(1) == 0)
-        leaves.headOption match {
-          case Some((_, c)) => c.as(root)
-          case None =>
-            struct(build(deeper.map { case (segs, c) => (segs.tail, c) }): _*)
-              .as(root)
-        }
-      }
-    build(present.map { f =>
-      (graft.filter.FilterCompiler.splitPath(f).toList,
-        FieldOps.getOrNull(df.schema, f))
-    })
-  }
+  private def copiedFieldColumns(df: DataFrame, fields: Seq[String]): Seq[Column] =
+    Structural.nestedColumns(df, fields)
 
   /** pseudonymizer: replace the value (or regex-selected substrings) with
     * `<pseudonym:{sha256(salt + value)}>`; the (pseudonym → encrypted

@@ -104,11 +104,43 @@ object Structural {
   /** selective_extractor: project whitelisted fields of matching events into
     * a new sub-event stream (a side-output DataFrame). Non-matching events
     * produce nothing; the main stream is untouched by construction.
+    *
+    * The sub-event keeps the source's nested shape (reference
+    * `add_fields_to(filtered_event, flattened_fields)`,
+    * selective_extractor/processor.py:55-66): dotted paths rebuild as
+    * structs; fields absent from the schema are skipped (plan time), and
+    * an event whose present fields are all null yields NO sub-event.
     */
   def selectiveExtractor(df: DataFrame, filterString: String,
                          fields: Seq[String]): DataFrame = {
     val pred = FilterCompiler.predicate(filterString, df.schema)
-    df.filter(pred).select(fields.map(f =>
-      FieldOps.getOrNull(df.schema, f).as(f.replace('.', '_'))): _*)
+    val present = fields.filter(f => FieldOps.exists(df.schema, f))
+    if (present.isEmpty) return df.filter(lit(false)).select()
+    val anyValue = present.map(f =>
+      FieldOps.getOrNull(df.schema, f).isNotNull).reduce(_ || _)
+    df.filter(coalesce(pred, lit(false)) && anyValue)
+      .select(nestedColumns(df, present): _*)
+  }
+
+  /** Dotted source paths → nested struct columns preserving the source
+    * shape (paths group by root segment; absent paths skipped) — shared by
+    * selective_extractor sub-events and pre_detector's
+    * copy_fields_to_detection_event.
+    */
+  def nestedColumns(df: DataFrame, fields: Seq[String]): Seq[Column] = {
+    val present = fields.filter(f => FieldOps.exists(df.schema, f))
+    def build(paths: Seq[(List[String], Column)]): Seq[Column] =
+      paths.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (root, group) =>
+        val (leaves, deeper) = group.partition(_._1.lengthCompare(1) == 0)
+        leaves.headOption match {
+          case Some((_, c)) => c.as(root)
+          case None =>
+            struct(build(deeper.map { case (segs, c) => (segs.tail, c) }): _*)
+              .as(root)
+        }
+      }
+    build(present.map { f =>
+      (FilterCompiler.splitPath(f).toList, FieldOps.getOrNull(df.schema, f))
+    })
   }
 }

@@ -169,17 +169,50 @@ object PipelineCompiler {
           acc.extra + ("pre_detector" -> detections))
 
       case "selective_extractor" =>
-        val extracts = stage.rules.map { r =>
-          Structural.selectiveExtractor(acc.main, r.filter,
-            cfgSeq(r.config, "source_fields"))
+        // fields come inline (source_fields) or from a whitelist file
+        // (extract_from_file, rule.py:122-145); each rule routes its
+        // sub-events to the topics in its `outputs`
+        val ruleFields: Seq[(RuleSpec, Seq[String], Seq[String])] =
+          stage.rules.map { r =>
+            val inline = cfgSeq(r.config, "source_fields")
+            val fields =
+              if (inline.nonEmpty) inline
+              else cfgStrOpt(r.config, "extract_from_file").map { pth =>
+                val base = sys.props.get("graft.rule.base")
+                  .orElse(sys.env.get("GRAFT_RULE_BASE")).getOrElse(".")
+                val f0 = new java.io.File(pth)
+                val f = if (f0.isAbsolute) f0 else new java.io.File(base, pth)
+                new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+                  .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+              }.getOrElse(Seq.empty)
+            val topics = r.config.getOrElse("outputs", Seq.empty[Any])
+              .asInstanceOf[Seq[Any]].flatMap {
+                case m: Map[_, _] =>
+                  m.asInstanceOf[Map[String, Any]].values.map(_.toString)
+                case _ => Nil
+              }
+            (r, fields, topics)
+          }
+        val extracts = ruleFields.map { case (r, fields, _) =>
+          Structural.selectiveExtractor(acc.main, r.filter, fields)
         }
         val merged = extracts.reduce(_.unionByName(_, allowMissingColumns = true))
+        // per-topic side outputs, merged across the rules naming the topic
+        val byTopic = ruleFields.zip(extracts)
+          .flatMap { case ((_, _, topics), ex) => topics.map(_ -> ex) }
+          .groupBy(_._1).map { case (topic, exs) =>
+            s"selective_extractor:$topic" ->
+              exs.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+          }
         // the MAIN event still gets the missing-field warning when a rule
-        // matches but a source is absent (ignore_missing_fields false —
-        // reference _handle_missing_fields via FieldManager)
+        // matches but a source is absent AND the rule opts into
+        // ignore_missing_fields: false (the selective_extractor rule
+        // DEFAULTS to true, rule.py:158 — unlike other field managers)
         val tagged = stage.rules.foldLeft(acc.main) { (d, r) =>
           val k = RuleExec.knobs("selective_extractor", r.config)
-          if (k.ignoreMissing || k.sourceFields.isEmpty) d
+          val optsIntoWarning =
+            r.config.get("ignore_missing_fields").exists(_.toString == "false")
+          if (!optsIntoWarning || k.sourceFields.isEmpty) d
           else {
             val p = coalesce(
               graft.filter.FilterCompiler.predicate(r.filter, d.schema),
@@ -188,7 +221,8 @@ object PipelineCompiler {
             RuleExec.addTags(d, Seq((p && miss) -> k.missingTags))
           }
         }
-        PipelineResult(tagged, acc.extra + ("selective_extractor" -> merged))
+        PipelineResult(tagged,
+          acc.extra ++ byTopic + ("selective_extractor" -> merged))
 
       // ---- event-deleting / mutating stages -------------------------
       case "deleter" =>

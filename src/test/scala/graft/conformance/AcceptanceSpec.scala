@@ -42,22 +42,38 @@ class AcceptanceSpec extends SparkSpec {
     finally src.close()
   }
 
+  /** Compile-time file references (schemas, regex mappings, whitelist
+    * files) resolve against the reference checkout while `body` runs.
+    */
+  private def withRefBase[T](body: => T): T = {
+    val prevBase = sys.props.get("graft.rule.base")
+    sys.props("graft.rule.base") = "/root/reference"
+    try body
+    finally prevBase match {
+      case Some(b) => sys.props("graft.rule.base") = b
+      case None => sys.props.remove("graft.rule.base")
+    }
+  }
+
   /** Run a compiled pipeline over all events at once; output restored to
     * input order via an index column carried through the plan.
     */
-  private def runPipeline(spec: PipelineSpec, events: Seq[JValue]): Seq[Any] = {
-    val prevBase = sys.props.get("graft.rule.base")
-    sys.props("graft.rule.base") = "/root/reference"
-    try {
+  private def runPipeline(spec: PipelineSpec, events: Seq[JValue]): Seq[Any] =
+    withRefBase {
       val df = dfFromJsonLines(spark, events, "__acc_idx")
       val out = PipelineCompiler.compile(spec)(df)
         .main.orderBy("__acc_idx").drop("__acc_idx")
       out.toJSON.collect().toSeq.map(r => canon(plain(JsonMethods.parse(r))))
-    } finally {
-      prevBase match {
-        case Some(b) => sys.props("graft.rule.base") = b
-        case None => sys.props.remove("graft.rule.base")
-      }
+    }
+
+  /** Collect one side output as canonical values (empty if absent). */
+  private def extraRows(spec: PipelineSpec, events: Seq[JValue],
+      key: String): Seq[Any] = withRefBase {
+    val df = dfFromJsonLines(spark, events, "__acc_idx")
+    PipelineCompiler.compile(spec)(df).extra.get(key) match {
+      case Some(ex) => ex.toJSON.collect().toSeq
+        .map(r => canon(plain(JsonMethods.parse(r))))
+      case None => Seq.empty
     }
   }
 
@@ -103,6 +119,43 @@ class AcceptanceSpec extends SparkSpec {
     val want = readJsonl(
       s"$testdata/acceptance/expected_result/labeled_win_event_log_with_regex.jsonl")
     compareAll(got, want)
+  }
+
+  // ---- selective extractor (test_selective_extractor_full_pipeline_pass.py)
+
+  private def selectiveSpec = PipelineSpec(Seq(
+    StageSpec("dissector", RuleLoader.rulesFromDir(
+      s"$testdata/acceptance/dissector/rules", "dissector")),
+    StageSpec("selective_extractor", RuleLoader.rulesFromDir(
+      s"$testdata/acceptance/selective_extractor/rules", "selective_extractor"))))
+
+  test("acceptance: selective extractor routes sub-events per topic") {
+    assume(fixturesPresent)
+    val events = readJsonl(
+      s"$testdata/input_logdata/selective_extractor_events.jsonl")
+    val main = runPipeline(selectiveSpec, events)
+    assert(main == Seq(Map(
+      "user" -> Map("agent" -> "ok_admin", "other" -> "field"),
+      "event" -> Map("action" -> "less_evil_action"))))
+    assert(extraRows(selectiveSpec, events, "selective_extractor:test_topic_1")
+      == Seq(Map("user" -> Map("agent" -> "ok_admin"))))
+    assert(extraRows(selectiveSpec, events, "selective_extractor:test_topic_2")
+      == Seq(Map("event" -> Map("action" -> "less_evil_action"))))
+  }
+
+  test("acceptance: selective extractor skips whitelist fields absent " +
+      "from the event") {
+    assume(fixturesPresent)
+    val events = readJsonl(
+      s"$testdata/input_logdata/selective_extractor_events_2.jsonl")
+    val main = runPipeline(selectiveSpec, events)
+    assert(main == Seq(Map(
+      "user" -> Map("other" -> "field"),
+      "event" -> Map("action" -> "less_evil_action"))))
+    assert(extraRows(selectiveSpec, events, "selective_extractor:test_topic_1")
+      .isEmpty)
+    assert(extraRows(selectiveSpec, events, "selective_extractor:test_topic_2")
+      == Seq(Map("event" -> Map("action" -> "less_evil_action"))))
   }
 
   // ---- pre-detection (test_pre_detection.py) ------------------------
@@ -158,19 +211,8 @@ class AcceptanceSpec extends SparkSpec {
       val event = JsonMethods.parse(cse("input_line").toString)
       val expected = cse("expected_output").asInstanceOf[Seq[Map[String, Any]]]
         .map(_("pre_detector_topic"))
-      val prevBase = sys.props.get("graft.rule.base")
-      sys.props("graft.rule.base") = "/root/reference"
-      val detections = try {
-        val df = dfFromJsonLines(spark, Seq(event), "__acc_idx")
-        PipelineCompiler.compile(PipelineSpec(Seq(preDetectorStage)))(df)
-          .extra("pre_detector").toJSON.collect().toSeq
-          .map(r => canonDetection(canon(plain(JsonMethods.parse(r)))))
-      } finally {
-        prevBase match {
-          case Some(b) => sys.props("graft.rule.base") = b
-          case None => sys.props.remove("graft.rule.base")
-        }
-      }
+      val detections = extraRows(PipelineSpec(Seq(preDetectorStage)),
+        Seq(event), "pre_detector").map(canonDetection)
       for (exp <- expected) {
         val want = canonDetection(canon(exp))
         assert(detections.contains(want),
@@ -184,20 +226,8 @@ class AcceptanceSpec extends SparkSpec {
     assume(fixturesPresent)
     val events = readJsonl(
       s"$testdata/input_logdata/kafka_raw_event_for_pre_detector.jsonl")
-    val df = dfFromJsonLines(spark, events.take(1), "__acc_idx")
-    val prevBase = sys.props.get("graft.rule.base")
-    sys.props("graft.rule.base") = "/root/reference"
-    try {
-      val extras = PipelineCompiler
-        .compile(PipelineSpec(Seq(preDetectorStage)))(df)
-        .extra("pre_detector")
-      assert(extras.count() == 0)
-    } finally {
-      prevBase match {
-        case Some(b) => sys.props("graft.rule.base") = b
-        case None => sys.props.remove("graft.rule.base")
-      }
-    }
+    assert(extraRows(PipelineSpec(Seq(preDetectorStage)),
+      events.take(1), "pre_detector").isEmpty)
   }
 
   test("acceptance: wineventlog pseudonymized correctly") {
