@@ -839,7 +839,7 @@ object GraftQueries {
     pDissectorAppend)
 
   def all: Seq[Spec] = batch1 ++ batch2 ++ batch3 ++
-    GraftQueriesML.all ++ GraftQueriesScale.all
+    GraftQueriesML.all ++ GraftQueriesScale.all ++ GraftQueriesPipeline.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(sp => sp.name -> sp.query).toMap

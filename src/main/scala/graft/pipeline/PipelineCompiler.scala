@@ -224,6 +224,13 @@ object PipelineCompiler {
         PipelineResult(tagged,
           acc.extra ++ byTopic + ("selective_extractor" -> merged))
 
+      // ---- relational stage types (beyond-parity, SURVEY §2.4) ------
+      case rel if RelationalStages.stageTypes.contains(rel) =>
+        val rule = stage.rules.headOption
+          .getOrElse(RuleSpec("*", Map.empty))
+        PipelineResult(
+          RelationalStages.compile(rel, rule, acc.main), acc.extra)
+
       // ---- event-deleting / mutating stages -------------------------
       case "deleter" =>
         val remaining = stage.rules.foldLeft(acc.main)((d, r) =>

@@ -42,7 +42,15 @@ object RuleLoader {
         val rules = Option(m.getOrElse("rules", null))
           .map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
           .map(r => parseRule(ptype, r.asInstanceOf[Map[String, Any]]))
-        StageSpec(ptype, rules)
+        // rule-less stages (the relational stage types: aggregate, join,
+        // window_stats, dedup_events, sort_limit) carry their config on
+        // the stage map itself — fold it into one synthetic match-all rule
+        val stageCfg = m - "type" - "rules"
+        if (rules.isEmpty && stageCfg.nonEmpty)
+          StageSpec(ptype, Seq(RuleSpec(
+            filter = stageCfg.getOrElse("filter", "*").toString,
+            config = stageCfg - "filter")))
+        else StageSpec(ptype, rules)
       }
     PipelineSpec(stages)
   }
