@@ -445,9 +445,61 @@ object GraftQueriesML {
             FROM documents"""))
 
   // ----------------------------------------------------------------------
+  // corpus curation: repetition quality signals, deterministic splits,
+  // stratified sampling (ml/Curation.scala)
+  // ----------------------------------------------------------------------
+
+  private val mRepetition = Spec("ml_repetition",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(Curation.dupWordFrac(col("text")), 6).as("dup_word_frac"),
+        round(Curation.dupBigramFrac(col("text")), 6).as("dup_bigram_frac"),
+        round(Curation.topWordFrac(col("text")), 6).as("top_word_frac"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents)
+            SELECT doc_id,
+              round(CASE WHEN len(w) = 0 THEN 0
+                ELSE 1.0 - 1.0*len(list_distinct(w))/len(w) END, 6)
+                AS dup_word_frac,
+              round(CASE WHEN len(w) < 2 THEN 0
+                ELSE 1.0 - 1.0*len(list_distinct(list_transform(
+                  list_zip(w[1:len(w)-1], w[2:len(w)]),
+                  x -> x[1] || ' ' || x[2])))/(len(w)-1) END, 6)
+                AS dup_bigram_frac,
+              round(CASE WHEN len(w) = 0 THEN 0
+                ELSE 1.0*list_max(list_transform(list_distinct(w),
+                  u -> len(list_filter(w, x -> x = u))))/len(w) END, 6)
+                AS top_word_frac
+            FROM w"""))
+
+  private val mHashSplit = Spec("ml_hash_split",
+    (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      Curation.hashSplit(col("doc_id"), 80, 10).as("split")),
+    Some("""SELECT doc_id,
+              CASE WHEN b < 80 THEN 'train'
+                   WHEN b < 90 THEN 'validation'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS b FROM documents)"""))
+
+  private val mStratified = Spec("ml_stratified_sample",
+    (s, dir) => Curation.stratifiedSample(
+        t(s, dir, "documents"), Seq("lang"), "doc_id", 50)
+      .select("doc_id", "lang"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+              FROM documents) WHERE r <= 50"""))
+
+  // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mJaccardPairs, mNearDupKeep,
-    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal)
+    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
+    mRepetition, mHashSplit, mStratified)
 }

@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a b a b c"),       // 2 dup words of 5; bigrams: ab ba ab bc → 1 dup of 4
+      (2L, "x x x x"),         // max repetition
+      (3L, "unique words only here"),
+      (4L, "")                 // empty: all signals 0
+    ).toDF("doc_id", "text")
+  }
+
+  test("repetition signals match hand-computed fractions") {
+    val out = docs.select(col("doc_id"),
+        round(Curation.dupWordFrac(col("text")), 6).as("w"),
+        round(Curation.dupBigramFrac(col("text")), 6).as("b"),
+        round(Curation.topWordFrac(col("text")), 6).as("t"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 0.4, 0.25, 0.4)))
+    assert(out(1) == ((2L, 0.75, 0.666667, 1.0)))
+    assert(out(2) == ((3L, 0.0, 0.0, 0.25)))
+    assert(out(3) == ((4L, 0.0, 0.0, 0.0)))
+  }
+
+  test("hash split is deterministic and respects percentages roughly") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val split = ids.select(Curation.hashSplit(col("id"), 80, 10).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.keySet == Set("train", "validation", "test"))
+    assert(split("train") > 700 && split("train") < 900)
+    assert(split("validation") > 50 && split("validation") < 160)
+    // rerun → identical assignment (content-addressed, no RNG)
+    val again = ids.select(Curation.hashSplit(col("id"), 80, 10).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == split)
+  }
+
+  test("stratified sample keeps at most k per stratum, deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val sampled = Curation.stratifiedSample(df, Seq("g"), "id", 20)
+    val counts = sampled.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 20L, "b" -> 20L))
+    val ids1 = sampled.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(df, Seq("g"), "id", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+}
