@@ -49,7 +49,9 @@ object LuceneParser extends RegexParsers {
   }
 
   private val intRe = """[+-]?\d+""".r
-  private val floatRe = """[+-]?\d+\.\d+""".r
+  // decimal or scientific notation (the reference accepts `1e-3` range
+  // bounds via Python float())
+  private val floatRe = """[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r
 
   // ---- grammar ---------------------------------------------------------
   def query: Parser[FilterAst] = orExpr
@@ -101,15 +103,28 @@ object LuceneParser extends RegexParsers {
       rangeValue(field) | quotedValue(field, mod) | bareValue(field, mod) |
       ("(" ~> groupOr(field, mod) <~ ")")
 
+  /** Inside quotes only the QUOTE escape is removed (`\"` → `"`); every
+    * other backslash is literal — the reference's
+    * `_remove_one_escaping_from_quotes` (lucene_filter.py:682-745), pinned
+    * by its own unit tests: `"\a"` matches `\a`, `"\\n"` matches `\\n`.
+    */
+  private def unescapeQuotes(s: String): String = s.replace("\\\"", "\"")
+
   private def quotedValue(field: String, mod: Option[String]): Parser[FilterAst] =
-    quotedRe ^^ { q => leaf(field, unescape(q.substring(1, q.length - 1)), quoted = true, mod) }
+    quotedRe ^^ { q => leaf(field, unescapeQuotes(q.substring(1, q.length - 1)), quoted = true, mod) }
 
   private def bareValue(field: String, mod: Option[String]): Parser[FilterAst] =
     bareRe ^^ { raw => leafRaw(field, raw, mod) }
 
-  /** Range: `[lo TO hi]`, `{lo TO hi}`, mixed bounds, `*` = unbounded. */
+  /** Range: `[lo TO hi]`, `{lo TO hi}`, mixed bounds, `*` = unbounded.
+    * Bounds may contain `:` (unquoted ISO-8601 timestamps are the
+    * documented use of string ranges) — anything up to whitespace or a
+    * closing bracket.
+    */
+  private val rangeBoundRe = """(?:[^\s\]}"\\]|\\.)+""".r
   private def rangeValue(field: String): Parser[FilterAst] = {
-    val bound = quotedRe ^^ (q => unescape(q.substring(1, q.length - 1))) | bareRe
+    val bound = quotedRe ^^ (q => unescapeQuotes(q.substring(1, q.length - 1))) |
+      rangeBoundRe
     ("[" | "{") ~ bound ~ "TO" ~ bound ~ ("]" | "}") ^^ {
       case lb ~ lo ~ _ ~ hi ~ rb => mkRange(field, lo, hi, lb == "[", rb == "]")
     }
