@@ -105,7 +105,10 @@ object Bench {
       "ml_simhash" -> GraftQueries.queries("ml_simhash"),
       "ml_embed_topk" -> GraftQueries.queries("ml_embed_topk"),
       "ml_embed_neardup" -> GraftQueries.queries("ml_embed_neardup"),
-      "ml_quality_score" -> GraftQueries.queries("ml_quality_score"))
+      "ml_quality_score" -> GraftQueries.queries("ml_quality_score"),
+      // round-4 surfaces: the YAML relational stages and curation ops
+      "q14_pipeline_join" -> GraftQueries.queries("q14_pipeline_join"),
+      "ml_repetition" -> GraftQueries.queries("ml_repetition"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>

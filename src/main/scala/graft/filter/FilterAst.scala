@@ -110,7 +110,8 @@ object FilterAst {
     */
   def renderParseable(ast: FilterAst): String = ast match {
     case SigmaWildcard(f, p) => s"""$f|sigma:"${quoteValue(p)}""""
-    case Regex(f, p) => s"$f|re:$p"
+    case Regex(f, p) => s"""$f|re:"${quoteValue(p)}""""
+    case Wildcard(f, p) => s"$f:$p" // quoting would demote to string-eq
     case Exists(f) => f
     case IsNull(f) => s"$f:null"
     case StringEq(f, v) => s"""$f:"${quoteValue(v)}""""
@@ -120,6 +121,10 @@ object FilterAst {
     case other => render(other)
   }
 
-  private def quoteValue(v: String): String =
-    v.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** Quote-escape for quoted values: ONLY the quote — the parser's quoted
+    * strings keep every other backslash literal (see
+    * LuceneParser.unescapeQuotes), so escaping backslashes here would
+    * double them on re-parse.
+    */
+  private def quoteValue(v: String): String = v.replace("\"", "\\\"")
 }

@@ -48,12 +48,24 @@ object Curation {
   }
 
   /** Occurrence share of the single most frequent word (0 for empty
-    * docs) — the "top n-gram fraction" family's n=1 member.
+    * docs) — the "top n-gram fraction" family's n=1 member. Computed as
+    * the longest run in the SORTED word array (one `aggregate` pass,
+    * O(n log n)) rather than the naive O(distinct·n) count-per-word.
     */
   def topWordFrac(text: Column): Column = {
     val w = words(text)
-    val maxCount = array_max(transform(array_distinct(w),
-      u => size(filter(w, x => x === u))))
+    val runState = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val maxCount = aggregate(
+      array_sort(w), runState,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(w) === 0, 0.0)
       .otherwise(maxCount.cast("double") / size(w))
   }

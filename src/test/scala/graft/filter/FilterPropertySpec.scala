@@ -154,4 +154,35 @@ class FilterPropertySpec extends SparkSpec {
     }
     assert(checked == 300)
   }
+
+  test("renderParseable round-trips 300 random ASTs through the parser") {
+    val s = spark
+    import s.implicits._
+    val df = s.read.json(events.map { m =>
+      val fields = m.map {
+        case (k, null) => s""""$k":null"""
+        case (k, v: Seq[_]) => s""""$k":[${v.map(x => s""""$x"""").mkString(",")}]"""
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }
+      "{" + fields.mkString(",") + "}"
+    }.toDS).cache()
+    val schema = df.schema
+
+    var seed = rng.Seed(21L)
+    (0 until 300).foreach { _ =>
+      val ast = genAst(2).pureApply(Parameters.default, seed)
+      seed = seed.next
+      val rendered = FilterAst.renderParseable(ast)
+      val reparsed = LuceneParser.parse(rendered).fold(
+        e => fail(s"unparseable render: $rendered\n  from $ast\n  $e"),
+        identity)
+      val direct = df.filter(FilterCompiler.compile(ast, schema))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val roundtrip = df.filter(FilterCompiler.compile(reparsed, schema))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(roundtrip == direct,
+        s"roundtrip drift: $ast\n  rendered: $rendered\n  reparsed: $reparsed")
+    }
+  }
 }
