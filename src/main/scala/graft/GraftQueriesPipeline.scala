@@ -93,5 +93,37 @@ object GraftQueriesPipeline {
     Some("""SELECT event_id, value FROM events
             ORDER BY value DESC, event_id LIMIT 100"""))
 
-  val all: Seq[Spec] = Seq(q13, q14, q15, q16, q17)
+  private val q18 = Spec("q18_pipeline_sessionize",
+    (s, dir) => run(
+      """pipeline:
+        |  - type: sessionize
+        |    keys: [user_id]
+        |    time_field: ts
+        |    gap: "30 minutes"
+        |    aggregations:
+        |      n_events: {fn: count}
+        |""".stripMargin, ev(s, dir))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events")),
+    // gap-based sessions in portable SQL: a session breaks where the gap
+    // to the previous event exceeds 30 min; session id = running break
+    // count; session start = first event's timestamp
+    Some("""WITH br AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sid AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM br)
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+              AS session_start, count(*) AS n_events
+            FROM sid GROUP BY user_id, sid"""))
+
+  val all: Seq[Spec] = Seq(q13, q14, q15, q16, q17, q18)
 }

@@ -13,10 +13,14 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as a proper µs TimestampType column. */
+  /** events with `ts` as a proper µs TimestampType column. Nanos → micros
+    * uses INTEGER division (`div`): `/` is double division in Spark and
+    * its rounding at the 16th significant digit disagrees with the
+    * truncation every other reader (DuckDB included) applies.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =

@@ -36,7 +36,8 @@ import graft.filter.FilterCompiler
 object RelationalStages {
 
   val stageTypes: Set[String] =
-    Set("aggregate", "join", "window_stats", "dedup_events", "sort_limit")
+    Set("aggregate", "join", "window_stats", "dedup_events", "sort_limit",
+      "sessionize", "asof_join")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     val c = rule.config
@@ -50,6 +51,8 @@ object RelationalStages {
       case "window_stats" => windowStats(pre, c)
       case "dedup_events" => dedupEvents(pre, c)
       case "sort_limit" => sortLimit(pre, c)
+      case "sessionize" => sessionize(pre, c)
+      case "asof_join" => asofJoin(pre, c)
       case other => throw new IllegalArgumentException(s"not relational: $other")
     }
   }
@@ -222,6 +225,52 @@ object RelationalStages {
     if (source.isStreaming && c.contains("watermark"))
       source.dropDuplicatesWithinWatermark(keys)
     else source.dropDuplicates(keys)
+  }
+
+  // ---- sessionize ----------------------------------------------------
+
+  /** Gap-based sessions per key: `session_window` group key + configured
+    * aggregations (batch and — with `watermark:` — streaming, where Spark
+    * merges session state incrementally; state is bounded by the
+    * watermark horizon). The session struct's `start`/`end` surface as
+    * `session_start`/`session_end` columns.
+    */
+  private def sessionize(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val source = withWatermark(df, c)
+    val f = c("time_field").toString
+    val wmField = c.get("watermark").map(subMap).map(_("field").toString)
+    val t = if (wmField.contains(f)) col(f) else colOf(source, f).cast("timestamp")
+    val keys = seqOf(c, "keys").map(k => colOf(source, k).as(nameOf(k)))
+    val aggs = mapOf(c, "aggregations").toSeq.map { case (target, spec) =>
+      aggFn(source, subMap(spec)).as(target)
+    }
+    require(aggs.nonEmpty, "sessionize stage needs `aggregations`")
+    source
+      .groupBy(session_window(t, c.getOrElse("gap", "30 minutes").toString)
+        +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
+
+  // ---- asof_join -----------------------------------------------------
+
+  /** As-of join against a side table: for each event, the latest right
+    * row with `right_time` ≤ `left_time` on the matching key. Lowers to
+    * the engine's union-merge window shape (operators/AsOfJoin.scala) —
+    * one shuffle on the key, WindowGroupLimit-friendly, never a
+    * per-row range probe.
+    */
+  private def asofJoin(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val r = subMap(c.getOrElse("right",
+      throw new IllegalArgumentException("asof_join stage needs `right`")))
+    val format = r.getOrElse("format", "parquet").toString
+    val right = df.sparkSession.read.format(format).load(r("path").toString)
+    graft.operators.AsOfJoin.asofJoin(df, right,
+      c("left_on").toString, c("right_on").toString,
+      c("left_time").toString, c("right_time").toString,
+      seqOf(c, "right_values"))
   }
 
   // ---- sort_limit ----------------------------------------------------

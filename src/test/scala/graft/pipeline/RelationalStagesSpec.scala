@@ -162,6 +162,52 @@ class RelationalStagesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 30.0), ("error", 120.0)))
   }
 
+  test("sessionize stage: gap-based sessions with aggregations") {
+    val out = run(
+      """pipeline:
+        |  - type: sessionize
+        |    keys: [user_id]
+        |    time_field: ts
+        |    gap: "30 minutes"
+        |    aggregations:
+        |      n_events: {fn: count}
+        |      total: {fn: sum, field: value}
+        |""".stripMargin, events)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 7: 10:00+10:05 one session; user 8: 10:07 and 11:00 split;
+    // user 9: 11:30+11:45 one session (15 min gap)
+    assert(out.toSeq == Seq(
+      (7L, 2L, 40.0), (8L, 1L, 5.0), (8L, 1L, 20.0), (9L, 2L, 10.0)))
+  }
+
+  test("asof_join stage: latest right row at or before each event") {
+    val dir = java.nio.file.Files.createTempDirectory("rel-asof").toString
+    val s = spark
+    import s.implicits._
+    Seq(
+      (7L, ts("2024-01-01 09:00:00"), 100.0),
+      (7L, ts("2024-01-01 10:03:00"), 200.0),
+      (8L, ts("2024-01-01 12:00:00"), 300.0) // after user 8's events
+    ).toDF("uid", "otime", "price").write.mode("overwrite").parquet(dir)
+    val out = run(
+      s"""pipeline:
+         |  - type: asof_join
+         |    right: {path: "$dir"}
+         |    left_on: user_id
+         |    right_on: uid
+         |    left_time: ts
+         |    right_time: otime
+         |    right_values: [price]
+         |""".stripMargin, events)
+      .orderBy("event_id").select("event_id", "asof_price").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 100.0), (2L, 200.0), (3L, -1.0),
+      (4L, -1.0), (5L, -1.0), (6L, -1.0)))
+  }
+
   // ---- the same configs over a stream --------------------------------
 
   test("dedup_events stage: streaming dropDuplicatesWithinWatermark") {
