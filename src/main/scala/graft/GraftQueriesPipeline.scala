@@ -125,5 +125,26 @@ object GraftQueriesPipeline {
               AS session_start, count(*) AS n_events
             FROM sid GROUP BY user_id, sid"""))
 
-  val all: Seq[Spec] = Seq(q13, q14, q15, q16, q17, q18)
+  private val q19 = Spec("q19_pipeline_running",
+    (s, dir) => run(
+      """pipeline:
+        |  - type: calculator
+        |    rules:
+        |      - filter: "value"
+        |        calculator: {calc: "round(${value} * 100)", target_field: cents}
+        |  - type: window_stats
+        |    partition_by: [user_id]
+        |    order_by: [{field: ts}]
+        |    functions:
+        |      running: {fn: sum, field: cents, frame: [unbounded, current]}
+        |""".stripMargin, ev(s, dir))
+      .select(col("event_id"), col("user_id"),
+        col("running").cast("long").as("running_cents")),
+    Some("""SELECT event_id, user_id,
+              CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM events"""))
+
+  val all: Seq[Spec] = Seq(q13, q14, q15, q16, q17, q18, q19)
 }

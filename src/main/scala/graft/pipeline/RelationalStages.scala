@@ -177,15 +177,31 @@ object RelationalStages {
       if (m.get("desc").exists(_.toString == "true")) cc.desc else cc.asc
     }
 
+  /** `frame: [start, end]` — a rows-between frame for running/sliding
+    * aggregations; entries are ints or `unbounded`/`current`.
+    */
+  private def frameBound(v: Any, unboundedIsStart: Boolean): Long = v match {
+    case "unbounded" =>
+      if (unboundedIsStart) Window.unboundedPreceding else Window.unboundedFollowing
+    case "current" => Window.currentRow
+    case other => other.toString.toLong
+  }
+
   private def windowStats(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val part = seqOf(c, "partition_by").map(colOf(df, _))
     val order = orderCols(df, c)
     val base = Window.partitionBy(part: _*)
-    val spec = if (order.nonEmpty) base.orderBy(order: _*) else base
+    val ordered = if (order.nonEmpty) base.orderBy(order: _*) else base
     val out = mapOf(c, "functions").toSeq.foldLeft(df) {
       case (d, (target, fnSpecAny)) =>
         val m = subMap(fnSpecAny)
         val fn = m.getOrElse("fn", "row_number").toString
+        val spec = m.get("frame").map(_.asInstanceOf[Seq[Any]]) match {
+          case Some(Seq(s, e)) => ordered.rowsBetween(
+            frameBound(s, unboundedIsStart = true),
+            frameBound(e, unboundedIsStart = false))
+          case _ => ordered
+        }
         def field = colOf(df, m("field").toString)
         def offset = m.get("offset").map(_.toString.toInt).getOrElse(1)
         val expr = fn match {

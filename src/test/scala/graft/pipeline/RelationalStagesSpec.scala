@@ -162,6 +162,20 @@ class RelationalStagesSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 30.0), ("error", 120.0)))
   }
 
+  test("window_stats stage: running sum via a rows frame") {
+    val out = run(
+      """pipeline:
+        |  - type: window_stats
+        |    partition_by: [user_id]
+        |    order_by: [{field: ts}]
+        |    functions:
+        |      running_total: {fn: sum, field: value, frame: [unbounded, current]}
+        |""".stripMargin, events)
+    val u7 = out.filter(col("user_id") === 7).orderBy("ts")
+      .select("running_total").collect().map(_.getDouble(0)).toSeq
+    assert(u7 == Seq(10.0, 40.0))
+  }
+
   test("sessionize stage: gap-based sessions with aggregations") {
     val out = run(
       """pipeline:
