@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** Reference acceptance tests, ported end-to-end: the reference's own
-  * full-pipeline fixtures (837 real winlogbeat events,
+  * full-pipeline fixtures (838 real winlogbeat events,
   * tests/testdata/input_logdata/wineventlog_raw.jsonl) run through the
   * compiled engine as ONE DataFrame and compare per-event against the
   * reference's committed golden outputs
