@@ -230,6 +230,30 @@ class AcceptanceSpec extends SparkSpec {
       events.take(1), "pre_detector").isEmpty)
   }
 
+  // ---- preprocessing (test_preprocessing.py) ------------------------
+
+  test("acceptance: version-info preprocessing rides ahead of the pipeline") {
+    assume(fixturesPresent)
+    val events = readJsonl(
+      s"$testdata/input_logdata/selective_extractor_events.jsonl")
+    val got = withRefBase {
+      val df = Preprocessor.versionInfo(
+        dfFromJsonLines(spark, events, "__acc_idx"),
+        "version_info", engineVersion = "graft-r4", configVersion = "1")
+      val spec = PipelineSpec(Seq(StageSpec("dissector",
+        RuleLoader.rulesFromDir(s"$testdata/acceptance/dissector/rules",
+          "dissector"))))
+      PipelineCompiler.compile(spec)(df).main.toJSON.collect().toSeq
+        .map(r => canon(plain(JsonMethods.parse(r))))
+    }
+    val vi = got.head.asInstanceOf[Map[String, Any]]("version_info")
+      .asInstanceOf[Map[String, Any]]
+    assert(vi.get("logprep").exists(_.toString.nonEmpty),
+      "no engine version info found")
+    assert(vi.get("configuration").exists(_.toString.nonEmpty),
+      "no config version info found")
+  }
+
   test("acceptance: wineventlog pseudonymized correctly") {
     assume(fixturesPresent)
     val events = readJsonl(s"$testdata/input_logdata/wineventlog_raw.jsonl")
