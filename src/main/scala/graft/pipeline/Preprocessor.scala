@@ -61,6 +61,26 @@ object Preprocessor {
       base64(zlibCompress(raw)).as("compressed_base64")))
   }
 
+  /** HMAC over a dotted SOURCE field instead of the whole raw event
+    * (reference HmacConfig `target` other than `<RAW_MSG>`,
+    * abc/input.py:326+). A missing source is the reference's critical
+    * input error ("Couldn't find the hmac target field") — here the event
+    * is failure-tagged so `compileWithErrors` routes it to the error
+    * channel with the original payload intact.
+    */
+  def hmacOfField(df: DataFrame, key: String, source: String,
+      target: String): DataFrame =
+    graft.filter.FilterCompiler.resolve(df.schema, source) match {
+      case Some((c, _)) =>
+        val raw = encode(c.cast("string"), "utf-8")
+        val withHmac = FieldOps.set(df, target, when(c.isNotNull, struct(
+          hmacSha256(key, raw).as("hmac"),
+          base64(zlibCompress(raw)).as("compressed_base64"))))
+        RuleExec.addTags(withHmac, Seq(c.isNull -> Seq("_hmac_failure")))
+      case None =>
+        RuleExec.addTags(df, Seq(lit(true) -> Seq("_hmac_failure")))
+    }
+
   /** Version-info field (reference: version_info_target_field). */
   def versionInfo(df: DataFrame, target: String, engineVersion: String,
                   configVersion: String): DataFrame =

@@ -230,6 +230,23 @@ class AcceptanceSpec extends SparkSpec {
       events.take(1), "pre_detector").isEmpty)
   }
 
+  // ---- error output (test_error_output.py) --------------------------
+
+  test("acceptance: missing hmac source routes the event to the error " +
+      "output with its payload intact") {
+    val content = java.util.UUID.randomUUID().toString
+    val df = dfFromJson(spark,
+      JsonMethods.parse(s"""{"something":"$content"}"""))
+    val pre = Preprocessor.hmacOfField(df, "thisisasecureandrandomkey",
+      "doesnotexist.never.ever", "Full_event")
+    val result = PipelineCompiler.compileWithErrors(PipelineSpec(Seq.empty))(pre)
+    val errs = result.extra("errors").collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("event").contains(content))
+    assert(errs.head.getAs[String]("errors").contains("_hmac_failure"))
+    assert(errs.head.getAs[String]("@timestamp").nonEmpty)
+  }
+
   // ---- preprocessing (test_preprocessing.py) ------------------------
 
   test("acceptance: version-info preprocessing rides ahead of the pipeline") {
