@@ -130,16 +130,24 @@ object Bench {
       dt
     }
 
-    // median of 3 timed runs per query: a single contended run (round-2
-    // driver artifact: 2.5× noise) can no longer corrupt the round signal
+    // median of N timed runs per query: a single contended run (round-2
+    // driver artifact: 2.5× noise) can no longer corrupt the round signal.
+    // Sub-second queries get 5 runs instead of 3, and min is reported
+    // alongside median — min≈median proves the box was quiet, while a
+    // large median/min gap flags contention rather than a code regression.
     val results = headline.map { case (name, fn) =>
-      val runs = Seq.fill(3)(timeOnce(name, fn)).sorted
-      name -> runs(1)
+      val first = Seq.fill(3)(timeOnce(name, fn))
+      val all = (if (first.sorted.apply(1) < 1.0) first ++ Seq.fill(2)(timeOnce(name, fn))
+                 else first).sorted
+      (name, all(all.size / 2), all.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
+      .mkString("{", ",", "}")
+    val qmins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"total_min":$totalMin%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

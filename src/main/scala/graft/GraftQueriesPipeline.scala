@@ -108,12 +108,14 @@ object GraftQueriesPipeline {
           .as("session_start"),
         col("n_events")),
     // gap-based sessions in portable SQL: a session breaks where the gap
-    // to the previous event exceeds 30 min; session id = running break
-    // count; session start = first event's timestamp
+    // to the previous event reaches 30 min; session id = running break
+    // count; session start = first event's timestamp. >= because Spark's
+    // session_window end bound is exclusive — an event at exactly
+    // prev_ts + gap starts a NEW session
     Some("""WITH br AS (
               SELECT user_id, ts,
                 CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END AS brk
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             sid AS (

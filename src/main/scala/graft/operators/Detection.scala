@@ -77,9 +77,14 @@ object Detection {
         TimeOps.isoformatIn(current_timestamp(), "UTC")
           .as("creation_timestamp"))
       val linkCol = r.link.map(l => lit(l).as("link")).toSeq
-      val copied = copiedFieldColumns(df, r.copyFields)
+      // the reference copies fields first and THEN overwrites with the
+      // normalized timestamp (processor.py _apply_rules), so when a rule
+      // lists its timestamp_field in copy_fields_to_detection_event the
+      // normalized value must win: exclude it from the copies, not from
+      // the normalized-ts column
+      val copied = copiedFieldColumns(df,
+        r.copyFields.filterNot(_ == r.timestampField))
       val ts = FieldOps.get(df.schema, r.timestampField)
-        .filterNot(_ => r.copyFields.contains(r.timestampField))
         .map { case (c, _) =>
           when(c.isNotNull, TimeOps.isoformatIn(
             TimeOps.parseWithFormat(c.cast("string"), r.sourceFormat,

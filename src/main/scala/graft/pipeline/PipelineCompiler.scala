@@ -154,7 +154,7 @@ object PipelineCompiler {
               if (cf.nonEmpty) cf else Seq("host.name")
             })
         }
-        val key = firstColumn(acc.main)
+        val key = eventHashKey(acc.main)
         val detections = Detection.preDetector(acc.main, rules, key)
         // the triggering event itself gets the (shared) pre_detection_id
         // so it can be linked with its detections (processor.py:152-158)
@@ -257,7 +257,17 @@ object PipelineCompiler {
     }
   }
 
-  private def firstColumn(df: DataFrame): Column = col(df.columns.head)
+  /** Content-addressed per-event key: sha2 over the canonical JSON of ALL
+    * top-level columns. The reference assigns uuid4 per event
+    * (pre_detector/processor.py:152-158) — nondeterministic ids break
+    * exactly-once reprocessing, so the engine derives the id from the full
+    * event instead. Two BYTE-IDENTICAL events share an id (content
+    * addressing, by design); two events differing in any field do not —
+    * unlike a single-column key, which silently merged unrelated
+    * detections whenever e.g. timestamps collided.
+    */
+  private def eventHashKey(df: DataFrame): Column =
+    sha2(to_json(struct(df.columns.map(col): _*)), 256)
 
   /** Apply `op` to the whole frame, then blend each target path so rows NOT
     * matching `pred` keep their prior value (or stay null for new fields).

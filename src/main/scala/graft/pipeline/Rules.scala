@@ -42,11 +42,16 @@ object RuleLoader {
         val rules = Option(m.getOrElse("rules", null))
           .map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
           .map(r => parseRule(ptype, r.asInstanceOf[Map[String, Any]]))
-        // rule-less stages (the relational stage types: aggregate, join,
-        // window_stats, dedup_events, sort_limit) carry their config on
-        // the stage map itself — fold it into one synthetic match-all rule
+        // rule-less RELATIONAL stages (aggregate, join, window_stats,
+        // dedup_events, sessionize, asof_join, sort_limit) carry their
+        // config on the stage map itself — fold it into one synthetic
+        // match-all rule. Gated on the relational stage types: a
+        // processor stage with stray stage-level keys must stay a no-op
+        // StageSpec (its rules live under `rules:`), not compile a rule
+        // whose config isn't nested under the processor-type key.
         val stageCfg = m - "type" - "rules"
-        if (rules.isEmpty && stageCfg.nonEmpty)
+        if (rules.isEmpty && stageCfg.nonEmpty &&
+            RelationalStages.stageTypes.contains(ptype))
           StageSpec(ptype, Seq(RuleSpec(
             filter = stageCfg.getOrElse("filter", "*").toString,
             config = stageCfg - "filter")))
