@@ -36,7 +36,8 @@ object Detection {
                              sourceFormat: String = "ISO8601",
                              sourceTimezone: String = "UTC",
                              targetTimezone: String = "UTC",
-                             copyFields: Seq[String] = Seq("host.name"))
+                             copyFields: Seq[String] = Seq("host.name"),
+                             ipFields: Seq[String] = Seq.empty)
 
   /** Per-event detection id, shared by the detection sub-event and the
     * main event's added `pre_detection_id` (processor.py:152-158; the
@@ -59,9 +60,12 @@ object Detection {
     * isoformat + `creation_timestamp`.
     */
   def preDetector(df: DataFrame, rules: Seq[PreDetectorRule],
-                  eventKey: Column): DataFrame = {
+                  eventKey: Column,
+                  alertList: IpAlerter.AlertList = IpAlerter.empty,
+                  alertAsOf: java.time.Instant = java.time.Instant.now()): DataFrame = {
     val streams = rules.map { r =>
-      val pred = FilterCompiler.predicate(r.filter, df.schema)
+      val pred = FilterCompiler.predicate(r.filter, df.schema) &&
+        ruleIpGate(df, r, alertList, alertAsOf)
       val ruleFilter = graft.filter.LuceneParser.parse(r.filter)
         .map(graft.filter.FilterAst.render).getOrElse(r.filter)
       val base = Seq(
@@ -100,6 +104,18 @@ object Detection {
     */
   private def copiedFieldColumns(df: DataFrame, fields: Seq[String]): Seq[Column] =
     Structural.nestedColumns(df, fields)
+
+  /** The IP-alert gate (ip_alerter.py:82-90 via processor.py:137-141): a
+    * rule WITHOUT `ip_fields` always detects; a rule WITH them detects
+    * only when one of those event fields holds an IP with an unexpired
+    * alert-list entry. Shared by the detection stream and the main
+    * event's `pre_detection_id` link.
+    */
+  def ruleIpGate(df: DataFrame, r: PreDetectorRule,
+                 alertList: IpAlerter.AlertList,
+                 asOf: java.time.Instant): Column =
+    if (r.ipFields.isEmpty) lit(true)
+    else IpAlerter.anyFieldHit(df.schema, r.ipFields, alertList, asOf)
 
   /** pseudonymizer: replace the value (or regex-selected substrings) with
     * `<pseudonym:{sha256(salt + value)}>`; the (pseudonym → encrypted

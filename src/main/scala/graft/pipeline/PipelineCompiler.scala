@@ -152,15 +152,28 @@ object PipelineCompiler {
             copyFields = {
               val cf = cfgSeq(c, "copy_fields_to_detection_event")
               if (cf.nonEmpty) cf else Seq("host.name")
-            })
+            },
+            ipFields = cfgSeq(c, "ip_fields"))
         }
+        // alert_ip_list_path (stage-level, a path or list of paths):
+        // rules with ip_fields only detect when an event IP hits an
+        // unexpired list entry (ip_alerter.py via processor.py:137-141)
+        val alertList = stage.config.get("alert_ip_list_path") match {
+          case Some(p: String) => IpAlerter.load(Seq(p))
+          case Some(ps: Seq[_]) => IpAlerter.load(ps.map(_.toString))
+          case _ => IpAlerter.empty
+        }
+        val alertAsOf = java.time.Instant.now()
         val key = eventHashKey(acc.main)
-        val detections = Detection.preDetector(acc.main, rules, key)
+        val detections =
+          Detection.preDetector(acc.main, rules, key, alertList, alertAsOf)
         // the triggering event itself gets the (shared) pre_detection_id
-        // so it can be linked with its detections (processor.py:152-158)
+        // so it can be linked with its detections (processor.py:152-158);
+        // the IP gate applies here too — a gated-off rule adds no id
         val anyMatch = rules
           .map(r => coalesce(
-            graft.filter.FilterCompiler.predicate(r.filter, acc.main.schema),
+            graft.filter.FilterCompiler.predicate(r.filter, acc.main.schema) &&
+              Detection.ruleIpGate(acc.main, r, alertList, alertAsOf),
             lit(false)))
           .reduce(_ || _)
         val linked = graft.fields.FieldOps.set(acc.main, "pre_detection_id",

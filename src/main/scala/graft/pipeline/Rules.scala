@@ -17,7 +17,12 @@ final case class RuleSpec(
 
 final case class StageSpec(
     processorType: String,
-    rules: Seq[RuleSpec])
+    rules: Seq[RuleSpec],
+    /** Processor-block-level options (sibling keys of `type`/`rules` in
+      * the YAML — e.g. pre_detector's `alert_ip_list_path`,
+      * reference configuration.py processor blocks).
+      */
+    config: Map[String, Any] = Map.empty)
 
 final case class PipelineSpec(stages: Seq[StageSpec])
 
@@ -55,7 +60,7 @@ object RuleLoader {
           StageSpec(ptype, Seq(RuleSpec(
             filter = stageCfg.getOrElse("filter", "*").toString,
             config = stageCfg - "filter")))
-        else StageSpec(ptype, rules)
+        else StageSpec(ptype, rules, config = stageCfg)
       }
     PipelineSpec(stages)
   }
@@ -90,10 +95,18 @@ object RuleLoader {
         }
       case None => filter1
     }
+    // pre_detector's `ip_fields` is a RULE-level key (sibling of filter,
+    // pre_detector/rule.py:188) — fold it into the config map so the
+    // compiler sees it alongside the processor config
+    val cfg0 = m.getOrElse(ptype, Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]]
+    val cfg =
+      if (ptype == "pre_detector" && m.contains("ip_fields"))
+        cfg0 + ("ip_fields" -> m("ip_fields"))
+      else cfg0
     RuleSpec(
       filter = filter,
-      config = m.getOrElse(ptype, Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]],
+      config = cfg,
       description = m.getOrElse("description", "").toString)
   }
 
