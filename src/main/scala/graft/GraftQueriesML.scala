@@ -95,10 +95,13 @@ object GraftQueriesML {
           .mkString(" || '_' || ")
         s"SELECT doc_id, $b AS band, $key AS key FROM sig"
       }.mkString(" UNION ALL ")
+      // capped AS mirrors the engine's maxBucketSize=4096 window filter
       minhashSigSql(12) + s""",
-         bands AS ($bandExprs)
+         bands AS ($bandExprs),
+         capped AS (SELECT doc_id, band, key FROM bands
+           QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096)
          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         FROM bands l JOIN bands r
+         FROM capped l JOIN capped r
            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""
     })
 
@@ -135,9 +138,11 @@ object GraftQueriesML {
           SELECT doc_id, 0 AS band, sh & 65535 AS key FROM fps
           UNION ALL
           SELECT doc_id, 1 AS band, (sh >> 16) & 65535 AS key FROM fps),
+        capped AS (SELECT doc_id, band, key FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096),
         cand AS (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM banded l JOIN banded r
+          FROM capped l JOIN capped r
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
         SELECT a, b FROM cand ORDER BY a, b"""))
 

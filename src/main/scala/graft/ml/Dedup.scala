@@ -88,9 +88,21 @@ object Dedup {
     * bucket join) — the classic LSH plan that survives 100×: bucket sizes
     * are bounded by similarity structure, not corpus size, and the
     * self-join is per-bucket.
+    *
+    * `maxBucketSize` caps the per-(band, key) bucket before the
+    * self-join: a duplicate-heavy corpus — the NORMAL case in web-scale
+    * dedup — piles identical signatures into one bucket, and an uncapped
+    * self-join goes O(bucket²) on that skewed key. The count window
+    * partitions by the same (band, band_key) the join shuffles on, so
+    * Catalyst reuses one Exchange for both. For corpora with many EXACT
+    * duplicates, run [[exact]] first and LSH only the survivors — then
+    * identical docs enter LSH once and the cap only ever trims true
+    * near-dup pile-ups.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3): DataFrame = {
+                   bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                   maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = bands * rowsPerBand
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val bandKeys = (0 until bands).map { b =>
@@ -106,8 +118,11 @@ object Dedup {
     val banded = sig.persist()
       .select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val l = banded.alias("l")
-    val r = banded.alias("r")
+    val w = Window.partitionBy(col("band"), col("band_key"))
+    val capped = banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val l = capped.alias("l")
+    val r = capped.alias("r")
     // join strategy is AQE's call: the joined input is the PERSISTED
     // banded table (computed once), so a broadcast at small SF is cheap
     // and a shuffle join takes over at scale based on actual size
@@ -147,8 +162,13 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal fingerprints within the same 16-bit
     * band (2 bands of the 32-bit hash → Hamming-distance-tolerant blocking).
+    * `maxBucketSize` caps skewed buckets exactly as in [[minhashPairs]]
+    * (identical fingerprints — duplicate-heavy corpora — otherwise make
+    * the self-join O(bucket²) on one key).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // persisted pre-explode for the same reason as [[minhashPairs]]:
     // one simhash aggregation, not two
     val sig = simhashes(df, idCol, textCol).persist()
@@ -157,7 +177,10 @@ object Dedup {
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
-    val l = banded.alias("l"); val r = banded.alias("r")
+    val w = Window.partitionBy(col("band"), col("key"))
+    val capped = banded.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val l = capped.alias("l"); val r = capped.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
@@ -210,20 +233,39 @@ object Dedup {
       .persist()
     var labels = df.select(col(idCol).as("id"))
       .withColumn("root", col("id")).persist()
+    val rootType = labels.schema("root").dataType
+    // the materialized handle backing `labels` — unpersist targets the
+    // exact cached plan (unpersist on a derived select() is a no-op)
+    var backing = labels
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val prop = edges.alias("e")
         .join(labels.alias("l"), col("e.b") === col("l.id"))
         .select(col("e.a").as("id"), col("l.root").as("root"))
-      val next = labels.select(col("id"), col("root")).union(prop)
-        .groupBy(col("id")).agg(min(col("root")).as("root"))
+      // the convergence probe rides the SAME aggregate: the labels branch
+      // carries its previous root as `old` (null on the propagation
+      // branch, so min() recovers it — exactly one labels row per id);
+      // `changed` is then a filter over the persisted result instead of a
+      // second join + action recomputing the round
+      val next = labels.select(col("id"), col("root"), col("root").as("old"))
+        .union(prop.withColumn("old", lit(null).cast(rootType)))
+        .groupBy(col("id"))
+        .agg(min(col("root")).as("root"), min(col("old")).as("old"))
         .persist()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.root") =!= col("o.root")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.filter(col("root") =!= col("old")).limit(1).count()
+      backing.unpersist(blocking = false)
+      if (round % 5 == 4 && changed != 0) {
+        // truncate lineage every few rounds: each round's plan references
+        // the previous round's, and 20+ un-checkpointed rounds make plan
+        // analysis + the persisted-RDD chain a driver bottleneck at scale
+        labels = next.select(col("id"), col("root")).localCheckpoint()
+        next.unpersist(blocking = false)
+        backing = labels
+      } else {
+        labels = next.select(col("id"), col("root"))
+        backing = next
+      }
       converged = changed == 0
       round += 1
     }
