@@ -19,7 +19,12 @@ object ListSources {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
 
   def defaultFetch(uri: String): Option[String] =
-    if (uri.startsWith("http://") || uri.startsWith("https://")) None
+    if (uri.startsWith("http://") || uri.startsWith("https://"))
+      // credentialed getter (Basic/OAuth2/mTLS from the credentials
+      // file — reference util/credentials.py); only fires when a rule
+      // actually names an http(s) list, so the engine stays
+      // zero-egress otherwise
+      Credentials.get(uri).filter(_.status < 400).map(_.body)
     else {
       val path = uri.stripPrefix("file://")
       val base = sys.props.get("graft.rule.base")

@@ -30,16 +30,24 @@ object Requester {
     * None → the rule's failure tag.
     */
   def realTransport(method: String, url: String,
-                    body: Option[String]): Option[Response] =
-    try {
+                    body: Option[String]): Option[Response] = {
+    val creds = Credentials.fromTarget(url)
+    def once(): Option[Response] = try {
       val parsed = new java.net.URL(url)
       if (parsed.getProtocol != "http" && parsed.getProtocol != "https")
         return None
       val conn = parsed.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
+      for (c <- creds; m <- c.mtls) conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          https.setSSLSocketFactory(m.sslContext.getSocketFactory)
+        case _ => ()
+      }
       conn.setRequestMethod(method)
       conn.setConnectTimeout(5000)
       conn.setReadTimeout(5000)
+      creds.foreach(_.headers().foreach { case (k, v) =>
+        conn.setRequestProperty(k, v) })
       body.foreach { b =>
         conn.setDoOutput(true)
         conn.getOutputStream.write(b.getBytes("UTF-8"))
@@ -53,6 +61,13 @@ object Requester {
       conn.disconnect()
       Some(Response(status, text))
     } catch { case _: Exception => None }
+    once() match {
+      // expired server-side session: drop the cached token, retry once
+      case Some(Response(401, _)) if creds.isDefined =>
+        creds.foreach(_.invalidate()); once()
+      case other => other
+    }
+  }
 
   private def resolveTemplate(template: String, values: Map[String, String]): String =
     values.foldLeft(template) { case (acc, (k, v)) =>

@@ -130,7 +130,15 @@ object Connectors {
     def boundPort: Int = server.getAddress.getPort
 
     private def authorized(ex: HttpExchange): Boolean = credentials match {
-      case None => true
+      case None =>
+        // no explicit credentials: consult the credentials file's
+        // input.endpoints section per request path (reference
+        // util/credentials.py from_endpoint; input.py:138-165)
+        graft.operators.Credentials.fromEndpoint(ex.getRequestURI.getPath) match {
+          case Some(b: graft.operators.Credentials.BasicAuth) =>
+            b.matches(Option(ex.getRequestHeaders.getFirst("Authorization")))
+          case _ => true
+        }
       case Some((u, p)) =>
         val expected = ("Basic " + java.util.Base64.getEncoder
           .encodeToString(s"$u:$p".getBytes("UTF-8"))).getBytes("UTF-8")
