@@ -62,6 +62,87 @@ object StreamRunner {
       .start()
   }
 
+  /** Hot config reload (reference configuration.py
+    * `config_refresh_interval` :483-491 + runner.py reload): between
+    * micro-batches the runner re-reads the config source; when the
+    * content changed, the pipeline recompiles and the NEXT micro-batch
+    * runs the new plan. The `foreachBatch` closure identity is stable so
+    * the checkpoint is untouched — only the compiled function swaps.
+    * A load/compile failure keeps the old pipeline and backs the
+    * interval off to a quarter (min 5 s, the reference's
+    * MIN_CONFIG_REFRESH_INTERVAL); the next successful check restores
+    * the configured interval. A successful reload also clears the getter
+    * caches (the reference's `refresh_getters()`), so http(s)/file
+    * comparison lists re-fetch under the new config.
+    */
+  final class ConfigRefresh(load: () => PipelineSpec,
+                            intervalSec: Int,
+                            clock: () => Long = () => System.currentTimeMillis()) {
+    import ConfigRefresh.MinIntervalSec
+    private val configured = math.max(intervalSec, MinIntervalSec)
+    @volatile private var spec: PipelineSpec = load()
+    @volatile private var compiled: DataFrame => graft.pipeline.PipelineResult =
+      PipelineCompiler.compile(spec)
+    @volatile private var intervalNowSec: Int = configured
+    @volatile private var nextCheckMs: Long = clock() + configured * 1000L
+    @volatile private var reloadCount: Long = 0
+    @volatile private var failureCount: Long = 0
+
+    def reloads: Long = reloadCount
+    def failures: Long = failureCount
+    def currentIntervalSec: Int = intervalNowSec
+
+    /** The pipeline for this micro-batch, refreshing first when due. */
+    def current(): DataFrame => graft.pipeline.PipelineResult = {
+      maybeRefresh(); compiled
+    }
+
+    private def maybeRefresh(): Unit = synchronized {
+      if (clock() < nextCheckMs) return
+      try {
+        val fresh = load()
+        // reload only on change (the reference compares configurations
+        // and skips identical ones, configuration.py:827-843)
+        if (fresh != spec) {
+          compiled = PipelineCompiler.compile(fresh)
+          spec = fresh
+          reloadCount += 1
+          graft.operators.ListSources.clearCache()
+        }
+        intervalNowSec = configured
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          failureCount += 1
+          intervalNowSec = math.max(intervalNowSec / 4, MinIntervalSec)
+      }
+      nextCheckMs = clock() + intervalNowSec * 1000L
+    }
+  }
+
+  object ConfigRefresh {
+    /** reference defaults.py MIN_CONFIG_REFRESH_INTERVAL */
+    val MinIntervalSec = 5
+  }
+
+  /** [[run]] with hot config reload: the spec re-loads every
+    * `refresh.currentIntervalSec` seconds between micro-batches.
+    */
+  def runRefreshing(stream: DataFrame, refresh: ConfigRefresh,
+                    sinks: Map[String, DataFrame => Unit],
+                    checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val result = refresh.current()(batch)
+        sinks.get("main").foreach(_(graft.pipeline.Metrics.observed(result.main)))
+        result.extra.foreach { case (name, df) =>
+          sinks.get(name).foreach(_(df))
+        }
+      }
+      .start()
+
   /** JSONL append sink (reference jsonl_output). */
   def jsonlSink(path: String): DataFrame => Unit =
     df => df.write.mode("append").json(path)
