@@ -33,6 +33,23 @@ object PipelineCompiler {
     }
   }
 
+  /** [[compile]] with a per-stage `observe` after every processor stage
+    * (reference: per-processor `number_of_processed_events` /
+    * `number_of_failed_events` counters, abc/processor.py Metrics).
+    * The observes ride the same job — zero extra passes; each stage's
+    * counters surface as `graft_stage_<i>_<type>` on the
+    * `StreamingQueryListener` / `QueryExecutionListener` and feed
+    * [[MetricsRegistry]].
+    */
+  def compileInstrumented(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
+    spec.stages.zipWithIndex.foldLeft(PipelineResult(input, Map.empty)) {
+      case (acc, (stage, i)) =>
+        val applied = applyStage(acc, stage)
+        applied.copy(main =
+          Metrics.observeStage(applied.main, i + 1, stage.processorType))
+    }
+  }
+
   /** Compile with an error channel: events that accumulated failure tags
     * are additionally emitted on an "errors" side output, wrapped
     * `{event, errors, @timestamp}` like the reference's error output

@@ -52,8 +52,10 @@ object StreamRunner {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val result = compiled(batch)
-        // per-micro-batch counters via observe (surfaces on the
-        // StreamingQueryListener, the reference's Prometheus counters)
+        // per-micro-batch counters via observe — foreachBatch plans run
+        // as batch queries, so these surface on the
+        // QueryExecutionListener (MetricsRegistry.execListener), the
+        // reference's Prometheus counters
         sinks.get("main").foreach(_(graft.pipeline.Metrics.observed(result.main)))
         result.extra.foreach { case (name, df) =>
           sinks.get(name).foreach(_(df))
