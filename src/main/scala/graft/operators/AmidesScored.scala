@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.fields.FieldOps
+
+/** amides scored path: exact reference scoring semantics over an
+  * engine-portable linear-model export.
+  *
+  * The reference ships TF-IDF + linear-kernel SVC + MinMaxScaler sklearn
+  * objects per model (one misuse detector + one model per attributable
+  * rule) and scores
+  * `minmax(svc.decision_function(tfidf(normalize(cmdline))))` rounded to
+  * 3 digits (amides/detection.py:46-98). A linear-kernel SVC collapses
+  * to one dense weight vector (`w = dual_coef @ support_vectors`), so
+  * the whole model is (token → (idf, weight)) + intercept + scaler —
+  * exported by `tools/amides_export.py` as JSON; scores match the
+  * pickled original bit-for-bit on the recorded fixtures.
+  *
+  * Normalization (amides/normalize.py:36-60, features.py): strip
+  * `"^\``’`, lowercase, `\w+` tokens, drop (hex-)numeric tokens longer
+  * than 3 chars and any token longer than 30, sort.
+  */
+object AmidesScored {
+
+  /** One TF-IDF + linear model: token → (idf, collapsed SVC weight). */
+  final case class Linear(tokens: Map[String, (Double, Double)],
+                          intercept: Double, scale: Double, min: Double)
+
+  final case class Scored(misuse: Linear, rules: Seq[(String, Linear)])
+
+  final case class Attribution(rule: String, confidence: Double)
+  final case class Result(confidence: Double, attributions: Seq[Attribution])
+
+  private val dummyChars = "[\"\\^`\u2019]".r
+  // (?U): Python's \w is unicode-aware, Java's defaults to ASCII
+  private val wordRe = java.util.regex.Pattern.compile("(?U)\\w+")
+  private val numRe = java.util.regex.Pattern.compile("^(?:0x)?[0-9a-f]{4,}$")
+
+  /** CommandLineNormalizer.normalize: sorted token list. */
+  def normalize(cmdline: String): Seq[String] = {
+    val lowered = dummyChars.replaceAllIn(cmdline, "")
+      .toLowerCase(java.util.Locale.ROOT)
+    val m = wordRe.matcher(lowered)
+    val tokens = Seq.newBuilder[String]
+    while (m.find()) {
+      val t = m.group()
+      if (t.length <= 30 && !numRe.matcher(t).matches()) tokens += t
+    }
+    tokens.result().sorted
+  }
+
+  /** DetectionModel.detect: tf → ·idf → l2 → w·x + b → minmax → round 3
+    * (CPython `round` is half-to-even on the exact binary double — so is
+    * BigDecimal(HALF_EVEN) on the unconstructed value).
+    */
+  def detect(m: Linear, tokens: Seq[String]): Double = {
+    val tf = scala.collection.mutable.Map.empty[String, Int]
+    tokens.foreach { t =>
+      if (m.tokens.contains(t)) tf.update(t, tf.getOrElse(t, 0) + 1)
+    }
+    val dot =
+      if (tf.isEmpty) 0.0
+      else {
+        var norm2 = 0.0
+        var acc = 0.0
+        // sorted-token order = the exporter's summation order (tokens
+        // arrive pre-sorted there), so the float sums are bit-identical
+        tf.toSeq.sortBy(_._1).foreach { case (t, n) =>
+          val (idf, w) = m.tokens(t)
+          val x = n * idf
+          norm2 += x * x
+          acc += x * w
+        }
+        acc / math.sqrt(norm2)
+      }
+    val raw = dot + m.intercept
+    BigDecimal(raw * m.scale + m.min)
+      .setScale(3, scala.math.BigDecimal.RoundingMode.HALF_EVEN).toDouble
+  }
+
+  def load(path: String): Scored = {
+    import org.json4s._
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble
+      case _ => 0.0
+    }
+    def linear(v: JValue): Linear = Linear(
+      tokens = (v \ "tokens") match {
+        case JObject(fs) => fs.map {
+          case (t, JArray(List(idf, w))) => t -> (num(idf), num(w))
+          case (t, _) => t -> ((0.0, 0.0))
+        }.toMap
+        case _ => Map.empty
+      },
+      intercept = num(v \ "intercept"),
+      scale = num(v \ "scaler_scale"),
+      min = num(v \ "scaler_min"))
+    Scored(
+      misuse = linear(j \ "misuse"),
+      // JSON object order = model insertion order: attribution ties keep
+      // it, like the reference's stable sort over its model dict
+      rules = (j \ "rules") match {
+        case JObject(fs) => fs.map { case (n, v) => n -> linear(v) }
+        case _ => Nil
+      })
+  }
+
+  /** Is `path` a scored-model artifact (vs the plain weights export)? */
+  def isScoredArtifact(path: String): Boolean =
+    try load(path).misuse.tokens.nonEmpty
+    catch { case _: Exception => false }
+
+  /** Score `source` into `target` as `{confidence, attributions}` —
+    * attributions (top `numRuleAttributions` rule models by confidence,
+    * stable-sorted) only when confidence ≥ threshold, exactly the
+    * reference's `_evaluate_cmdline` (amides/processor.py:246-254).
+    * An empty normalization leaves the event untouched.
+    *
+    * A Scala UDF over a broadcast model is the licensed shape here
+    * (SURVEY §2.5: model scoring, like crypto/mmdb): per-row work is a
+    * few hundred hash lookups against driver-shipped state, with no
+    * Column-expression equivalent for the tf/l2 fold.
+    */
+  def apply(df: DataFrame, source: String, target: String, scored: Scored,
+            threshold: Double, numRuleAttributions: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(scored)
+    val scoreUdf = udf { (cmdline: String) =>
+      if (cmdline == null) null
+      else {
+        val toks = normalize(cmdline)
+        if (toks.isEmpty) null
+        else {
+          val m = bc.value
+          val conf = detect(m.misuse, toks)
+          val attrs =
+            if (conf >= threshold)
+              m.rules.map { case (n, lm) => Attribution(n, detect(lm, toks)) }
+                .sortBy(-_.confidence).take(numRuleAttributions)
+            else null
+          Result(conf, attrs)
+        }
+      }
+    }
+    val src = FieldOps.getOrNull(df.schema, source).cast("string")
+    val result = scoreUdf(src)
+    FieldOps.set(df, target, result)
+  }
+}

@@ -1378,7 +1378,15 @@ object PipelineCompiler {
           (if (f0.isAbsolute) f0 else new java.io.File(base, pth)).getPath
         }
         g(df, Seq(target))(d =>
-          if (weights.isEmpty && modelsPath.isDefined)
+          if (weights.isEmpty && modelsPath.isDefined &&
+              graft.operators.AmidesScored.isScoredArtifact(modelsPath.get))
+            // full-fidelity scored path: TF-IDF + collapsed SVC +
+            // MinMaxScaler export with rule attribution
+            graft.operators.AmidesScored(d, cfgSeq(c, "source_fields").head,
+              target, graft.operators.AmidesScored.load(modelsPath.get),
+              thresholdOpt.getOrElse(0.5),
+              c.get("num_rule_attributions").map(_.toString.toInt).getOrElse(10))
+          else if (weights.isEmpty && modelsPath.isDefined)
             Detection.amidesFromArtifact(d, cfgSeq(c, "source_fields").head,
               target, modelsPath.get, thresholdOpt)
           else
