@@ -92,17 +92,23 @@ object Dedup {
     * `maxBucketSize` caps the per-(band, key) bucket before the
     * self-join: a duplicate-heavy corpus — the NORMAL case in web-scale
     * dedup — piles identical signatures into one bucket, and an uncapped
-    * self-join goes O(bucket²) on that skewed key. The count window
-    * partitions by the same (band, band_key) the join shuffles on, so
-    * Catalyst reuses one Exchange for both. For corpora with many EXACT
-    * duplicates, run [[exact]] first and LSH only the survivors — then
-    * identical docs enter LSH once and the cap only ever trims true
-    * near-dup pile-ups.
+    * self-join goes O(bucket²) on that skewed key. Oversized buckets are
+    * found with one map-side-combined aggregate over the banded table
+    * (the shuffle carries distinct (band, key) pairs, not rows) and the
+    * result — tiny BY DEFINITION, only buckets above the cap — is
+    * broadcast-anti-joined away, so both self-join branches stay the
+    * narrow cached-signature → band-explode shape. (A count-over-window
+    * cap instead costs a hash-partition Exchange + Sort per branch —
+    * equal at small SF where buckets are tiny, but the sort grows with
+    * the biggest bucket, which is exactly what the cap exists to guard
+    * against.) For corpora with many EXACT duplicates,
+    * run [[exact]] first and LSH only the survivors — then identical
+    * docs enter LSH once and the cap only ever trims true near-dup
+    * pile-ups.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
                    maxBucketSize: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = bands * rowsPerBand
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val bandKeys = (0 until bands).map { b =>
@@ -118,9 +124,11 @@ object Dedup {
     val banded = sig.persist()
       .select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val w = Window.partitionBy(col("band"), col("band_key"))
-    val capped = banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val oversized = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_key"))
+    val capped = banded.join(broadcast(oversized),
+      Seq("band", "band_key"), "left_anti")
     val l = capped.alias("l")
     val r = capped.alias("r")
     // join strategy is AQE's call: the joined input is the PERSISTED
@@ -168,7 +176,6 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBucketSize: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // persisted pre-explode for the same reason as [[minhashPairs]]:
     // one simhash aggregation, not two
     val sig = simhashes(df, idCol, textCol).persist()
@@ -177,9 +184,10 @@ object Dedup {
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
-    val w = Window.partitionBy(col("band"), col("key"))
-    val capped = banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
