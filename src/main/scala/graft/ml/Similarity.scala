@@ -199,9 +199,12 @@ object Similarity {
     *    cosine runs once per pair, not once per colliding band.
     *  - `maxBucketSize` drops degenerate buckets (a plane set aligned with
     *    the corpus distribution can pile mass into one key; a capped
-    *    bucket contributes ≤ cap²/2 pairs instead of unbounded). The cap
-    *    window partitions by the same (band, key) the self-join shuffles
-    *    on, so Catalyst reuses one Exchange for both.
+    *    bucket contributes ≤ cap²/2 pairs instead of unbounded).
+    *    Oversized buckets are found with one map-side-combined aggregate
+    *    and broadcast-anti-joined away (same shape as
+    *    [[Dedup.minhashPairs]]): the self-join branches stay narrow
+    *    cached-signature → band-explode, with no per-branch
+    *    Exchange+Sort from a count window.
     *
     * The compact signature table (id + one key per band) is persisted once
     * and feeds both join branches; vectors are re-joined only for the
@@ -212,7 +215,6 @@ object Similarity {
                          bandPlanes: Seq[Seq[Seq[Double]]],
                          threshold: Double,
                          maxBucketSize: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // normalize ONCE per vector (O(corpus)), so the per-pair verify is a
     // single dot product instead of dot + two norms (O(candidates) × 3 —
     // measured 3-4× of the whole query at sf0.1). The norm is materialized
@@ -232,9 +234,10 @@ object Similarity {
     val banded = sig
       .select(col("id"), posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val w = Window.partitionBy(col("band"), col("key"))
-    val capped = banded.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
     val cand = l.join(r, col("l.band") === col("r.band") &&
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))

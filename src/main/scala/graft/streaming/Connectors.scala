@@ -114,10 +114,20 @@ object Connectors {
     * `spark.readStream.json`/`text` tails. Optional basic-auth
     * credentials (input.py:138-165).
     */
+  /** Header names whose values copy into the metadata object when
+    * `collectMeta` is on (reference DEFAULT_META_HEADERS,
+    * http/input.py:198-204; `url`/`remote_addr` are request properties,
+    * other headers key as lowercase with `-` → `_`).
+    */
+  val DefaultMetaHeaders: Seq[String] = Seq("url", "remote_addr", "user-agent")
+
   final class HttpInputServer(spoolDir: String, port: Int = 0,
                               credentials: Option[(String, String)] = None,
                               bindAddress: String = "127.0.0.1",
-                              sink: Option[Seq[String] => Unit] = None) {
+                              sink: Option[Seq[String] => Unit] = None,
+                              collectMeta: Boolean = false,
+                              metafieldName: String = "@metadata",
+                              copyHeadersToLogs: Seq[String] = DefaultMetaHeaders) {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
     private val server = HttpServer.create(
@@ -153,18 +163,48 @@ object Connectors {
       try { mapper.readTree(line); true }
       catch { case _: java.io.IOException => false }
 
+    /** Inject the `metafield_name` object (reference add_metadata,
+      * http/input.py:207-231) into one event line. Runs only when
+      * `collectMeta` is on — the default hot path is untouched.
+      */
+    private def withMetadata(line: String, ex: HttpExchange): String = {
+      val node = mapper.readTree(line)
+      node match {
+        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+          val meta = mapper.createObjectNode()
+          copyHeadersToLogs.foreach {
+            case "url" => meta.put("url", ex.getRequestURI.toString)
+            case "remote_addr" =>
+              meta.put("remote_addr", ex.getRemoteAddress.getAddress.getHostAddress)
+            case header =>
+              val key = header.replace("-", "_").toLowerCase(java.util.Locale.ROOT)
+              Option(ex.getRequestHeaders.getFirst(header)) match {
+                case Some(v) => meta.put(key, v)
+                case None => meta.putNull(key)
+              }
+          }
+          obj.set[com.fasterxml.jackson.databind.JsonNode](metafieldName, meta)
+          mapper.writeValueAsString(obj)
+        case _ => line
+      }
+    }
+
     private def handle(ex: HttpExchange, toJsonl: String => Seq[String],
                        requireJson: Boolean): Unit = {
       try {
         if (ex.getRequestMethod != "POST") { ex.sendResponseHeaders(405, -1); return }
         if (!authorized(ex)) { ex.sendResponseHeaders(401, -1); return }
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        val lines = toJsonl(body).filter(_.nonEmpty)
+        val lines0 = toJsonl(body).filter(_.nonEmpty)
         // reject malformed JSON with a 4xx like the reference's HTTP input
         // instead of spooling it into _corrupt_record rows downstream
-        if (requireJson && !lines.forall(validJson)) {
+        if (requireJson && !lines0.forall(validJson)) {
           ex.sendResponseHeaders(400, -1); return
         }
+        val lines =
+          if (collectMeta && copyHeadersToLogs.nonEmpty)
+            lines0.map(withMetadata(_, ex))
+          else lines0
         if (lines.nonEmpty) sink match {
           case Some(push) => push(lines) // custom-Source mode: no file hop
           case None =>

@@ -45,8 +45,13 @@ object StreamRunner {
   def run(stream: DataFrame, spec: PipelineSpec,
           sinks: Map[String, DataFrame => Unit],
           checkpoint: String,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val compiled = PipelineCompiler.compile(spec)
+          trigger: Trigger = Trigger.AvailableNow(),
+          instrumented: Boolean = false): StreamingQuery = {
+    // instrumented = per-stage observe counters feeding MetricsRegistry
+    // through its QueryExecutionListener bridge
+    val compiled =
+      if (instrumented) PipelineCompiler.compileInstrumented(spec)
+      else PipelineCompiler.compile(spec)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -79,12 +84,16 @@ object StreamRunner {
     */
   final class ConfigRefresh(load: () => PipelineSpec,
                             intervalSec: Int,
-                            clock: () => Long = () => System.currentTimeMillis()) {
+                            clock: () => Long = () => System.currentTimeMillis(),
+                            instrumented: Boolean = false) {
     import ConfigRefresh.MinIntervalSec
+    private def compileSpec(s: PipelineSpec): DataFrame => graft.pipeline.PipelineResult =
+      if (instrumented) PipelineCompiler.compileInstrumented(s)
+      else PipelineCompiler.compile(s)
     private val configured = math.max(intervalSec, MinIntervalSec)
     @volatile private var spec: PipelineSpec = load()
     @volatile private var compiled: DataFrame => graft.pipeline.PipelineResult =
-      PipelineCompiler.compile(spec)
+      compileSpec(spec)
     @volatile private var intervalNowSec: Int = configured
     @volatile private var nextCheckMs: Long = clock() + configured * 1000L
     @volatile private var reloadCount: Long = 0
@@ -106,7 +115,7 @@ object StreamRunner {
         // reload only on change (the reference compares configurations
         // and skips identical ones, configuration.py:827-843)
         if (fresh != spec) {
-          compiled = PipelineCompiler.compile(fresh)
+          compiled = compileSpec(fresh)
           spec = fresh
           reloadCount += 1
           graft.operators.ListSources.clearCache()

@@ -128,4 +128,49 @@ class ConnectorsSpec extends SparkSpec {
       assert(routedLines.count(_.contains(""""_index":"logs"""")) == 2)
     } finally server.stop(0)
   }
+
+  test("http_input collect_meta: @metadata with url/remote_addr/user_agent") {
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val srv = new Connectors.HttpInputServer("unused",
+      sink = Some { lines =>
+        import scala.jdk.CollectionConverters._
+        received.addAll(lines.asJava); ()
+      },
+      collectMeta = true).start()
+    try {
+      val url = s"http://127.0.0.1:${srv.boundPort}/json"
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("User-Agent", "graft-test/1.0")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write("""{"message":"m"}""".getBytes("UTF-8"))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+
+      assert(received.size == 1)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(received.get(0))
+      assert(node.get("message").asText() == "m")
+      val meta = node.get("@metadata")
+      assert(meta.get("url").asText() == "/json")
+      assert(meta.get("remote_addr").asText() == "127.0.0.1")
+      assert(meta.get("user_agent").asText() == "graft-test/1.0")
+
+      // plaintext wrapping also carries metadata
+      val c2 = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/plaintext")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c2.setRequestMethod("POST")
+      c2.setDoOutput(true)
+      c2.getOutputStream.write("a line".getBytes("UTF-8"))
+      c2.getOutputStream.close()
+      assert(c2.getResponseCode == 200)
+      c2.disconnect()
+      val plain = mapper.readTree(received.get(1))
+      assert(plain.get("message").asText() == "a line")
+      assert(plain.get("@metadata").get("remote_addr").asText() == "127.0.0.1")
+    } finally srv.stop()
+  }
 }
