@@ -115,6 +115,18 @@ object AmidesScored {
     try load(path).misuse.tokens.nonEmpty
     catch { case _: Exception => false }
 
+  // Executor-local result cache, the reference's `max_cache_entries`
+  // LRU on the NORMALIZED command line (amides/processor.py:96 + the
+  // cache metrics block). Keyed by a per-apply model id so two amides
+  // stages with different models never cross-poison. Eviction is
+  // flush-on-full rather than LRU — a cache is a per-executor
+  // performance artifact, semantics are unchanged either way.
+  private val resultCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Result]()
+
+  private[operators] def cacheSize: Int = resultCache.size()
+  private[operators] def clearCache(): Unit = resultCache.clear()
+
   /** Score `source` into `target` as `{confidence, attributions}` —
     * attributions (top `numRuleAttributions` rule models by confidence,
     * stable-sorted) only when confidence ≥ threshold, exactly the
@@ -127,23 +139,33 @@ object AmidesScored {
     * Column-expression equivalent for the tf/l2 fold.
     */
   def apply(df: DataFrame, source: String, target: String, scored: Scored,
-            threshold: Double, numRuleAttributions: Int = 10): DataFrame = {
+            threshold: Double, numRuleAttributions: Int = 10,
+            maxCacheEntries: Int = 1024 * 1024): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(scored)
+    val modelId = java.util.UUID.randomUUID().toString
     val scoreUdf = udf { (cmdline: String) =>
       if (cmdline == null) null
       else {
         val toks = normalize(cmdline)
         if (toks.isEmpty) null
         else {
-          val m = bc.value
-          val conf = detect(m.misuse, toks)
-          val attrs =
-            if (conf >= threshold)
-              m.rules.map { case (n, lm) => Attribution(n, detect(lm, toks)) }
-                .sortBy(-_.confidence).take(numRuleAttributions)
-            else null
-          Result(conf, attrs)
+          val key = modelId + "|" + toks.mkString(",")
+          val cached = resultCache.get(key)
+          if (cached != null) cached
+          else {
+            val m = bc.value
+            val conf = detect(m.misuse, toks)
+            val attrs =
+              if (conf >= threshold)
+                m.rules.map { case (n, lm) => Attribution(n, detect(lm, toks)) }
+                  .sortBy(-_.confidence).take(numRuleAttributions)
+              else null
+            val result = Result(conf, attrs)
+            if (resultCache.size() >= maxCacheEntries) resultCache.clear()
+            resultCache.put(key, result)
+            result
+          }
         }
       }
     }

@@ -1385,7 +1385,9 @@ object PipelineCompiler {
             graft.operators.AmidesScored(d, cfgSeq(c, "source_fields").head,
               target, graft.operators.AmidesScored.load(modelsPath.get),
               thresholdOpt.getOrElse(0.5),
-              c.get("num_rule_attributions").map(_.toString.toInt).getOrElse(10))
+              c.get("num_rule_attributions").map(_.toString.toInt).getOrElse(10),
+              c.get("max_cache_entries").map(_.toString.toInt)
+                .getOrElse(1024 * 1024))
           else if (weights.isEmpty && modelsPath.isDefined)
             Detection.amidesFromArtifact(d, cfgSeq(c, "source_fields").head,
               target, modelsPath.get, thresholdOpt)

@@ -64,6 +64,28 @@ object Connectors {
     }
   }
 
+  /** OpenSearch cluster health probe (reference opensearch/output.py:
+    * 309-322): GET `_cluster/health` and require `status` in
+    * `desiredClusterStatus` (default `["green"]`). Plug into
+    * `MetricsRegistry.setHealthCheck` to surface on `/health`.
+    */
+  def opensearchHealth(baseUrl: String,
+                       desiredClusterStatus: Seq[String] = Seq("green"),
+                       timeoutMs: Int = 10000): Boolean =
+    try {
+      val conn = new java.net.URL(baseUrl.stripSuffix("/") + "/_cluster/health")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val code = conn.getResponseCode
+      if (code != 200) { conn.disconnect(); return false }
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      val status = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).path("status").asText("")
+      desiredClusterStatus.contains(status)
+    } catch { case _: Exception => false }
+
   /** Minimal JSON string literal: escapes quote, backslash, and all
     * control chars (used for event-controlled values embedded in NDJSON).
     */

@@ -101,4 +101,19 @@ class AmidesScoredSpec extends SparkSpec with Matchers {
     ben.getAs[Double]("confidence") should be < 0.32
     ben.getAs[Seq[org.apache.spark.sql.Row]]("attributions") shouldBe null
   }
+
+  test("executor-local cache: duplicate cmdlines hit, results identical") {
+    val s = spark
+    import s.implicits._
+    AmidesScored.clearCache()
+    val cmd = "cmd.exe /c taskkill.exe /im cmd.exe"
+    val input = s.read.json(Seq.fill(50)(s"""{"cl":${JsonMethods.compact(
+      JsonMethods.render(JString(cmd)))}}""").toDS)
+    val out = AmidesScored(input, "cl", "amides", model, threshold = 0.32)
+      .select(org.apache.spark.sql.functions.col("amides.confidence")).collect()
+    out.map(_.getDouble(0)).distinct shouldBe Array(fixtures.head._3)
+    // one distinct normalized cmdline → exactly one cache entry
+    AmidesScored.cacheSize shouldBe 1
+    AmidesScored.clearCache()
+  }
 }

@@ -173,4 +173,24 @@ class ConnectorsSpec extends SparkSpec {
       assert(plain.get("@metadata").get("remote_addr").asText() == "127.0.0.1")
     } finally srv.stop()
   }
+
+  test("opensearch health probe: desired_cluster_status gate") {
+    val status = new java.util.concurrent.atomic.AtomicReference[String]("yellow")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_cluster/health", (ex: HttpExchange) => {
+      val body = s"""{"status":"${status.get}"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      assert(!Connectors.opensearchHealth(base)) // default desired = green
+      assert(Connectors.opensearchHealth(base, Seq("green", "yellow")))
+      status.set("green")
+      assert(Connectors.opensearchHealth(base))
+      assert(!Connectors.opensearchHealth("http://127.0.0.1:1/")) // unreachable
+    } finally server.stop(0)
+  }
 }
