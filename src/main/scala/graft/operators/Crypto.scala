@@ -48,6 +48,28 @@ object Crypto {
     Seq(wrappedKey, iv, ct).map(b64.encodeToString).mkString(":")
   }
 
+  // ---- PEM helpers for the pseudo CLI (reference util/pseudo/keygenerator) ----
+
+  def privateKeyPem(kp: KeyPair): String =
+    pemWrap("PRIVATE KEY", kp.getPrivate.getEncoded) // PKCS#8
+  def publicKeyPem(kp: KeyPair): String =
+    pemWrap("PUBLIC KEY", kp.getPublic.getEncoded)   // X.509 SubjectPublicKeyInfo
+
+  private def pemWrap(header: String, der: Array[Byte]): String = {
+    val b64 = Base64.getMimeEncoder(64, "\n".getBytes("UTF-8")).encodeToString(der)
+    s"-----BEGIN $header-----\n$b64\n-----END $header-----\n"
+  }
+
+  private def pemDer(text: String, header: String): Array[Byte] = {
+    val re = ("(?s)-----BEGIN " + header + "-----(.*?)-----END " + header + "-----").r
+    val body = re.findFirstMatchIn(text).getOrElse(throw new IllegalArgumentException(
+      s"no 'BEGIN $header' PEM block")).group(1)
+    Base64.getMimeDecoder.decode(body.replaceAll("\\s", ""))
+  }
+
+  def publicKeyDerFromPem(pemText: String): Array[Byte] = pemDer(pemText, "PUBLIC KEY")
+  def privateKeyDerFromPem(pemText: String): Array[Byte] = pemDer(pemText, "PRIVATE KEY")
+
   /** Decrypt (depseudonymization tooling / tests). */
   def decrypt(token: String, rsaPrivateKeyDer: Array[Byte]): String = {
     val priv = java.security.KeyFactory.getInstance("RSA")
