@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** `logprep test config` / `test unit` equivalents: config verification
+  * catches compile-time errors, embedded rule tests run (incl. the
+  * clusterer signature shape).
+  */
+class TestConfigSpec extends SparkSpec with Matchers {
+
+  test("valid config verifies; unknown processor and bad filter fail") {
+    val (ok, err, _) = TestConfig.verify(spark,
+      """pipeline:
+        |  - type: generic_adder
+        |    rules:
+        |      - filter: "message"
+        |        generic_adder:
+        |          add: {a: b}
+        |""".stripMargin, runUnitTests = false)
+    ok shouldBe true
+    err shouldBe None
+
+    val (badType, errType, _) = TestConfig.verify(spark,
+      """pipeline:
+        |  - type: no_such_processor
+        |    rules:
+        |      - filter: "*"
+        |        no_such_processor: {}
+        |""".stripMargin, runUnitTests = false)
+    badType shouldBe false
+    errType.get should include("unknown processor")
+
+    val (badFilter, errFilter, _) = TestConfig.verify(spark,
+      """pipeline:
+        |  - type: dropper
+        |    rules:
+        |      - filter: "a AND (b OR"
+        |        dropper: {drop: [a]}
+        |""".stripMargin, runUnitTests = false)
+    badFilter shouldBe false
+    errFilter should not be None
+  }
+
+  test("--unit: embedded {raw, processed} tests run; failures reported") {
+    val passing =
+      """pipeline:
+        |  - type: generic_adder
+        |    rules:
+        |      - filter: "message"
+        |        generic_adder:
+        |          add: {added: "yes"}
+        |        tests:
+        |          - raw: {message: "m"}
+        |            processed: {message: "m", added: "yes"}
+        |""".stripMargin
+    val (ok, _, fails) = TestConfig.verify(spark, passing, runUnitTests = true)
+    fails shouldBe empty
+    ok shouldBe true
+
+    val failing = passing.replace("""added: "yes"}""", """added: "WRONG"}""")
+      .replace("""add: {added: "WRONG"}""", """add: {added: "yes"}""")
+    val (ok2, _, fails2) = TestConfig.verify(spark, failing, runUnitTests = true)
+    ok2 shouldBe false
+    fails2 should not be empty
+  }
+
+  test("--unit: clusterer {raw, result} signature tests") {
+    val config =
+      """pipeline:
+        |  - type: clusterer
+        |    rules:
+        |      - filter: "message"
+        |        clusterer:
+        |          source_fields: [message]
+        |          pattern: "(user) \\w+"
+        |          repl: "\\1 <USER>"
+        |        tests:
+        |          - raw: "login user alice"
+        |            result: "login user <USER>"
+        |""".stripMargin
+    val (ok, _, fails) = TestConfig.verify(spark, config, runUnitTests = true)
+    withClue(fails.mkString("; ")) { ok shouldBe true }
+
+    val bad = config.replace("login user <USER>", "login user bob")
+    val (ok2, _, fails2) = TestConfig.verify(spark, bad, runUnitTests = true)
+    ok2 shouldBe false
+    fails2.head.stage shouldBe "clusterer"
+  }
+}
