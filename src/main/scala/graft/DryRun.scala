@@ -22,7 +22,7 @@ import org.json4s.jackson.JsonMethods
 object DryRun {
 
   def main(args: Array[String]): Unit = {
-    val positional = args.filterNot(_.startsWith("--"))
+    val positional = graft.streaming.Generator.positionals(args, Set("--input-type"))
     require(positional.length >= 2,
       "usage: graft.DryRun <config.yml> <events.json[l]> [--input-type json|jsonl] [--full-output]")
     val fullOutput = args.contains("--full-output")

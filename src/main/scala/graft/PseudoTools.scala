@@ -42,9 +42,12 @@ object PseudoTools {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "generate" :: rest =>
-      val bits = rest.filterNot(_.startsWith("-")).headOption
-        .flatMap(_.toIntOption).getOrElse(2048)
       val file = rest.sliding(2).collectFirst { case List("-f", f) => f }
+      // drop the "-f <basename>" pair before reading the key size, or
+      // the basename would shadow it
+      val bits = rest.zipWithIndex.filterNot { case (a, i) =>
+        a == "-f" || (i > 0 && rest(i - 1) == "-f")
+      }.map(_._1).headOption.flatMap(_.toIntOption).getOrElse(2048)
       val (priv, pub) = generate(bits)
       file match {
         case Some(f) =>

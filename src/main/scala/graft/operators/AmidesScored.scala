@@ -75,8 +75,12 @@ object AmidesScored {
         acc / math.sqrt(norm2)
       }
     val raw = dot + m.intercept
-    BigDecimal(raw * m.scale + m.min)
-      .setScale(3, scala.math.BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    // java.math.BigDecimal(double) carries the EXACT binary value —
+    // scala's BigDecimal(Double) goes through toString and would round
+    // the shortest decimal repr instead, diverging from CPython round()
+    // on midpoint-looking values (e.g. 0.0015 stored as 0.001499…)
+    new java.math.BigDecimal(raw * m.scale + m.min)
+      .setScale(3, java.math.RoundingMode.HALF_EVEN).doubleValue()
   }
 
   def load(path: String): Scored = {
@@ -110,9 +114,27 @@ object AmidesScored {
       })
   }
 
+  // parsed artifacts memoized on (path, mtime, size): a compiled
+  // pipeline function re-runs its amides branch every micro-batch, and
+  // re-parsing a multi-MB JSON per batch (twice, with the format probe)
+  // would be pure driver waste. The identity triple also serves as the
+  // STABLE result-cache key — stable across batches (so the cache
+  // actually hits batch-to-batch) but changing when the artifact file
+  // changes (so a config refresh can't serve stale scores).
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Scored]()
+
+  /** Memoized [[load]] + a model id stable for this file version. */
+  def loadCached(path: String): (Scored, String) = {
+    val f = new java.io.File(path)
+    val key = (path, f.lastModified(), f.length())
+    (modelCache.computeIfAbsent(key, _ => load(path)),
+      s"${key._1}@${key._2}:${key._3}")
+  }
+
   /** Is `path` a scored-model artifact (vs the plain weights export)? */
   def isScoredArtifact(path: String): Boolean =
-    try load(path).misuse.tokens.nonEmpty
+    try loadCached(path)._1.misuse.tokens.nonEmpty
     catch { case _: Exception => false }
 
   // Executor-local result cache, the reference's `max_cache_entries`
@@ -140,10 +162,10 @@ object AmidesScored {
     */
   def apply(df: DataFrame, source: String, target: String, scored: Scored,
             threshold: Double, numRuleAttributions: Int = 10,
-            maxCacheEntries: Int = 1024 * 1024): DataFrame = {
+            maxCacheEntries: Int = 1024 * 1024,
+            modelId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(scored)
-    val modelId = java.util.UUID.randomUUID().toString
     val scoreUdf = udf { (cmdline: String) =>
       if (cmdline == null) null
       else {

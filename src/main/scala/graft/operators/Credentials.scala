@@ -218,7 +218,7 @@ object Credentials {
   // keeps one Credentials object per getter instance)
   private val byTarget = new java.util.concurrent.ConcurrentHashMap[String, Option[Creds]]()
 
-  def clearCache(): Unit = byTarget.clear()
+  def clearCache(): Unit = { byTarget.clear(); fileCache.clear() }
 
   /** Credentials for a full URL, keyed by `scheme://netloc`
     * (credentials.py:137-163).
@@ -235,33 +235,42 @@ object Credentials {
   }
 
   /** Server-side credentials for an http_input endpoint path; exact key
-    * first, then trailing-`*` patterns (credentials.py docs `/second*`).
+    * first, then the LONGEST matching trailing-`*` pattern (deterministic
+    * when several overlap — credentials.py docs `/second*`).
     */
   def fromEndpoint(path: String): Option[Creds] =
     loadFile().flatMap { root =>
       section(root, "input").flatMap(i => section(i, "endpoints")).flatMap { eps =>
         mapAt(eps, path).orElse {
-          eps.collectFirst {
+          eps.toSeq.collect {
             case (k, v: java.util.Map[_, _])
               if k.endsWith("*") && path.startsWith(k.stripSuffix("*")) =>
-              scalaMap(v)
-          }
+              k -> scalaMap(v)
+          }.sortBy(-_._1.length).headOption.map(_._2)
         }.flatMap(fromMap)
       }
     }
 
+  // parsed credentials file memoized on (path, mtime, size): the http
+  // input consults it per REQUEST, and a YAML parse per event would
+  // dominate ingest cost (the reference parses once at startup)
+  private val fileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, Any]]()
+
   private def loadFile(): Option[Map[String, Any]] =
-    credentialsFilePath.flatMap { p =>
+    credentialsFilePath.map { p =>
       val f = new java.io.File(p)
       if (!f.exists()) throw new IllegalArgumentException(
         s"credentials file path does not exist: $p")
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // YAML is a JSON superset, so one snakeyaml parse covers both
-      // formats the reference accepts (credentials.py:202-236)
-      Option(new org.yaml.snakeyaml.Yaml().load[Any](text)).map {
-        case m: java.util.Map[_, _] => scalaMap(m)
-        case _ => throw new IllegalArgumentException(s"invalid credentials file: $p")
-      }
+      fileCache.computeIfAbsent((p, f.lastModified(), f.length()), _ => {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // YAML is a JSON superset, so one snakeyaml parse covers both
+        // formats the reference accepts (credentials.py:202-236)
+        new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+          case m: java.util.Map[_, _] => scalaMap(m)
+          case _ => throw new IllegalArgumentException(s"invalid credentials file: $p")
+        }
+      })
     }
 
   private def scalaMap(m: java.util.Map[_, _]): Map[String, Any] = {
@@ -354,7 +363,12 @@ object Credentials {
       val body = if (is == null) "" else
         try new String(is.readAllBytes(), "UTF-8") finally is.close()
       Some(Requester.Response(status, body))
-    } catch { case _: Exception => None }
+    } catch {
+      // misconfigured auth must SURFACE (reference raises it), only
+      // transport failures degrade to None
+      case e: CredentialsBadRequestError => throw e
+      case _: Exception => None
+    }
 
   // ------------------------------------------------------------------
   // PEM → SSLContext (mTLS)

@@ -60,7 +60,12 @@ object Requester {
       }
       conn.disconnect()
       Some(Response(status, text))
-    } catch { case _: Exception => None }
+    } catch {
+      // bad credentials surface (reference raises); transport errors
+      // degrade to None → the rule's failure tag
+      case e: Credentials.CredentialsBadRequestError => throw e
+      case _: Exception => None
+    }
     once() match {
       // expired server-side session: drop the cached token, retry once
       case Some(Response(401, _)) if creds.isDefined =>

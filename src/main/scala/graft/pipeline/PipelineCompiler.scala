@@ -42,12 +42,20 @@ object PipelineCompiler {
     * [[MetricsRegistry]].
     */
   def compileInstrumented(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
-    spec.stages.zipWithIndex.foldLeft(PipelineResult(input, Map.empty)) {
-      case (acc, (stage, i)) =>
-        val applied = applyStage(acc, stage)
-        applied.copy(main =
-          Metrics.observeStage(applied.main, i + 1, stage.processorType))
-    }
+    // extra channels come from the CLEAN compile: each extra sink runs
+    // its own action, and if the extras' lineage carried the observes,
+    // every such action would re-fire the same CollectMetrics nodes into
+    // the registry — per-stage counters inflated by (1 + extra sinks).
+    // Only the main channel (one action per batch) is instrumented.
+    val clean = compile(spec)(input)
+    val observedMain = spec.stages.zipWithIndex
+      .foldLeft(PipelineResult(input, Map.empty)) {
+        case (acc, (stage, i)) =>
+          val applied = applyStage(acc, stage)
+          applied.copy(main =
+            Metrics.observeStage(applied.main, i + 1, stage.processorType))
+      }.main
+    PipelineResult(observedMain, clean.extra)
   }
 
   /** Compile with an error channel: events that accumulated failure tags
@@ -1379,15 +1387,21 @@ object PipelineCompiler {
         }
         g(df, Seq(target))(d =>
           if (weights.isEmpty && modelsPath.isDefined &&
-              graft.operators.AmidesScored.isScoredArtifact(modelsPath.get))
+              graft.operators.AmidesScored.isScoredArtifact(modelsPath.get)) {
             // full-fidelity scored path: TF-IDF + collapsed SVC +
-            // MinMaxScaler export with rule attribution
+            // MinMaxScaler export with rule attribution; memoized load +
+            // file-identity model id so the result cache hits across
+            // micro-batches
+            val (model, modelId) =
+              graft.operators.AmidesScored.loadCached(modelsPath.get)
             graft.operators.AmidesScored(d, cfgSeq(c, "source_fields").head,
-              target, graft.operators.AmidesScored.load(modelsPath.get),
+              target, model,
               thresholdOpt.getOrElse(0.5),
               c.get("num_rule_attributions").map(_.toString.toInt).getOrElse(10),
               c.get("max_cache_entries").map(_.toString.toInt)
-                .getOrElse(1024 * 1024))
+                .getOrElse(1024 * 1024),
+              modelId)
+          }
           else if (weights.isEmpty && modelsPath.isDefined)
             Detection.amidesFromArtifact(d, cfgSeq(c, "source_fields").head,
               target, modelsPath.get, thresholdOpt)

@@ -165,12 +165,16 @@ object Connectors {
       case None =>
         // no explicit credentials: consult the credentials file's
         // input.endpoints section per request path (reference
-        // util/credentials.py from_endpoint; input.py:138-165)
-        graft.operators.Credentials.fromEndpoint(ex.getRequestURI.getPath) match {
+        // util/credentials.py from_endpoint; input.py:138-165).
+        // Fail CLOSED: an endpoint entry of any non-Basic type (the
+        // server side only speaks Basic) or a credentials-file error
+        // must deny, not silently disable auth.
+        try graft.operators.Credentials.fromEndpoint(ex.getRequestURI.getPath) match {
           case Some(b: graft.operators.Credentials.BasicAuth) =>
             b.matches(Option(ex.getRequestHeaders.getFirst("Authorization")))
-          case _ => true
-        }
+          case Some(_) => false
+          case None => true
+        } catch { case _: Exception => false }
       case Some((u, p)) =>
         val expected = ("Basic " + java.util.Base64.getEncoder
           .encodeToString(s"$u:$p".getBytes("UTF-8"))).getBytes("UTF-8")

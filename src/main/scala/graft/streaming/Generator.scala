@@ -214,22 +214,51 @@ object Generator {
     }
 
   /** Run the generator: batches drain through a fixed thread pool
-    * (sender.py:40-50). Returns (events sent, elapsed seconds).
+    * (sender.py:40-50) with BOUNDED submission — at most 2×threads
+    * batches are rendered ahead of the senders, so a slow target
+    * backpressures generation instead of materializing the whole corpus
+    * in the queue. A send failure stops the run (remaining queued work
+    * is cancelled) and rethrows. Returns (events sent, elapsed seconds).
     */
   def run(dataset: Seq[EventClass], cfg: Config,
           send: (String, Seq[String]) => Unit): (Long, Double) = {
     val t0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.threads)
     val sent = new java.util.concurrent.atomic.AtomicLong()
+    val inFlight = new java.util.concurrent.Semaphore(cfg.threads * 2)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     try {
-      val futures = batches(events(dataset, cfg), cfg.batchSize).map { case (t, evs) =>
+      val it = batches(events(dataset, cfg), cfg.batchSize)
+      while (it.hasNext && failure.get() == null) {
+        val (t, evs) = it.next()
+        inFlight.acquire()
         pool.submit(new Runnable {
-          def run(): Unit = { send(t, evs); sent.addAndGet(evs.length.toLong); () }
+          def run(): Unit =
+            try { send(t, evs); sent.addAndGet(evs.length.toLong); () }
+            catch { case e: Throwable => failure.compareAndSet(null, e); () }
+            finally inFlight.release()
         })
-      }.toList
-      futures.foreach(_.get())
-    } finally pool.shutdown()
+      }
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.DAYS)
+      if (failure.get() != null) throw failure.get()
+    } finally pool.shutdownNow()
     (sent.get(), (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Positional args = everything that is neither a flag nor the VALUE
+    * of a value-taking flag (`--input-type json config.yml` must not
+    * count `json` as a positional).
+    */
+  def positionals(args: Array[String],
+                                     valueFlags: Set[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      if (valueFlags.contains(args(i))) i += 2
+      else { if (!args(i).startsWith("--")) out += args(i); i += 1 }
+    }
+    out.result()
   }
 
   /** CLI: `runMain graft.streaming.Generator <dataset_dir> <target_url>
@@ -237,7 +266,8 @@ object Generator {
     * [--tag TAG] [--no-timestamp-replace]`
     */
   def main(args: Array[String]): Unit = {
-    val positional = args.filterNot(_.startsWith("--"))
+    val positional = positionals(args,
+      Set("--events", "--batch-size", "--threads", "--seed", "--tag"))
     require(positional.length >= 2,
       "usage: graft.streaming.Generator <dataset_dir> <target_url> [--events N] ...")
     def opt(name: String): Option[String] =

@@ -118,7 +118,11 @@ object StreamRunner {
           compiled = compileSpec(fresh)
           spec = fresh
           reloadCount += 1
+          // refresh_getters(): lists AND credentials re-fetch under the
+          // new config (stale tokens / cached-None targets would
+          // otherwise survive the reload)
           graft.operators.ListSources.clearCache()
+          graft.operators.Credentials.clearCache()
         }
         intervalNowSec = configured
       } catch {

@@ -135,6 +135,43 @@ class CredentialsSpec extends AnyFunSuite with Matchers with BeforeAndAfterEach 
     }
   }
 
+  test("factory: overlapping wildcard endpoints — longest prefix wins") {
+    withCredsFile(
+      """input:
+        |  endpoints:
+        |    /api*:
+        |      username: broad
+        |      password: p
+        |    /api/v2*:
+        |      username: narrow
+        |      password: p
+        |""".stripMargin) {
+      Credentials.fromEndpoint("/api/v2/logs") shouldBe
+        Some(Credentials.BasicAuth("narrow", "p"))
+      Credentials.fromEndpoint("/api/v1/logs") shouldBe
+        Some(Credentials.BasicAuth("broad", "p"))
+    }
+  }
+
+  test("get: 400 from the token endpoint PROPAGATES (not swallowed to None)") {
+    Credentials.tokenPost = (_, _, _) =>
+      Some(Requester.Response(400, """{"error":"invalid_client"}"""))
+    val server = resourceServer { _ => (200, "never reached") }
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/x"
+      withCredsFile(
+        s"""getter:
+           |  "http://127.0.0.1:${server.getAddress.getPort}":
+           |    endpoint: http://idp/token
+           |    client_id: cid
+           |    client_secret: wrong
+           |""".stripMargin) {
+        val e = intercept[Credentials.CredentialsBadRequestError](Credentials.get(url))
+        e.getMessage should include("invalid_client")
+      }
+    } finally server.stop(0)
+  }
+
   // ------------------------------------------------------------ token flows
 
   private class MockIdp {
@@ -379,6 +416,26 @@ class CredentialsSpec extends AnyFunSuite with Matchers with BeforeAndAfterEach 
         val good = "Basic " + java.util.Base64.getEncoder
           .encodeToString("ingest:pw".getBytes("UTF-8"))
         post(Some(good)) shouldBe 200
+      }
+      // fail CLOSED: a non-Basic (OAuth2-shaped) endpoint entry denies
+      // rather than silently disabling auth
+      withCredsFile(
+        """input:
+          |  endpoints:
+          |    /json:
+          |      endpoint: http://idp/token
+          |      username: u
+          |      password: p
+          |""".stripMargin) {
+        val url = s"http://127.0.0.1:${srv.boundPort}/json"
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write("""{"a":1}""".getBytes("UTF-8"))
+        conn.getOutputStream.close()
+        conn.getResponseCode shouldBe 401
+        conn.disconnect()
       }
     } finally srv.stop()
   }

@@ -73,6 +73,15 @@ class GeneratorSpec extends AnyFunSuite with Matchers {
     a shouldBe b
   }
 
+  test("positionals: value-flags don't leak into positional args") {
+    Generator.positionals(
+      Array("--input-type", "json", "config.yml", "events.json"),
+      Set("--input-type")) shouldBe Seq("config.yml", "events.json")
+    Generator.positionals(
+      Array("ds", "--events", "100", "http://x", "--shuffle"),
+      Set("--events")) shouldBe Seq("ds", "http://x")
+  }
+
   test("batches group per target and flush tails") {
     val evs = Iterator(("/a", "1"), ("/b", "2"), ("/a", "3"), ("/a", "4"), ("/b", "5"))
     val out = Generator.batches(evs, batchSize = 2).toList
