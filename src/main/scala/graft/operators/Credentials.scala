@@ -286,26 +286,38 @@ object Credentials {
 
   /** Match one credential mapping to its method, after resolving
     * `<key>_file` indirections (credentials.py:236-258, 283-401).
+    * Values of USED keys must be strings — a null (`cert:` with no
+    * value) or a bare number raises like the reference's
+    * InvalidConfigurationError ("Wrong type in given credentials file");
+    * extra ignored keys are not validated, matching the
+    * attrs-validate-on-construction behavior.
     */
   def fromMap(raw: Map[String, Any]): Option[Creds] = {
-    val resolved: Map[String, String] = raw.map {
+    def strValue(k: String, v: Any): String = v match {
+      case s: String => s
+      case _ => throw new IllegalArgumentException(
+        s"Wrong type in given credentials file on argument: $k")
+    }
+    val resolved: Map[String, Any] = raw.map {
       case (k, v) if k.endsWith("_file") && k != "token_file" =>
-        k.stripSuffix("_file") -> readFile(String.valueOf(v))
-      case ("token_file", v) => "token" -> readFile(String.valueOf(v))
-      case (k, v) => k -> String.valueOf(v)
+        k.stripSuffix("_file") -> readFile(strValue(k, v))
+      case ("token_file", v) => "token" -> readFile(strValue("token_file", v))
+      case (k, v) => k -> v
     }
     def has(k: String) = resolved.contains(k)
-    if (has("token")) Some(StaticToken(resolved("token")))
+    def str(k: String): String = strValue(k, resolved(k))
+    def strOpt(k: String): Option[String] = resolved.get(k).map(strValue(k, _))
+    if (has("token")) Some(StaticToken(str("token")))
     else if (has("client_key") && has("cert"))
-      Some(MTls(resolved("client_key"), resolved("cert"), resolved.get("ca_cert")))
+      Some(MTls(str("client_key"), str("cert"), strOpt("ca_cert")))
     else if (has("endpoint") && has("username") && has("password"))
-      Some(OAuth2PasswordFlow(resolved("endpoint"), resolved("username"),
-        resolved("password"), resolved.get("client_id"), resolved.get("client_secret")))
+      Some(OAuth2PasswordFlow(str("endpoint"), str("username"),
+        str("password"), strOpt("client_id"), strOpt("client_secret")))
     else if (has("endpoint") && has("client_id") && has("client_secret"))
-      Some(OAuth2ClientFlow(resolved("endpoint"), resolved("client_id"),
-        resolved("client_secret")))
+      Some(OAuth2ClientFlow(str("endpoint"), str("client_id"),
+        str("client_secret")))
     else if (has("username") && has("password"))
-      Some(BasicAuth(resolved("username"), resolved("password")))
+      Some(BasicAuth(str("username"), str("password")))
     else None
   }
 
