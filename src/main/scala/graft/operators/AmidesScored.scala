@@ -50,11 +50,24 @@ object AmidesScored {
     tokens.result().sorted
   }
 
-  /** DetectionModel.detect: tf → ·idf → l2 → w·x + b → minmax → round 3
-    * (CPython `round` is half-to-even on the exact binary double — so is
-    * BigDecimal(HALF_EVEN) on the unconstructed value).
+  /** CPython `round(x, 3)` — half-to-even on the exact binary double, so
+    * BigDecimal(HALF_EVEN) on the unconstructed value.
+    * java.math.BigDecimal(double) carries the EXACT binary value —
+    * scala's BigDecimal(Double) goes through toString and would round
+    * the shortest decimal repr instead, diverging from CPython round()
+    * on midpoint-looking values (e.g. 0.0015 stored as 0.001499…).
     */
-  def detect(m: Linear, tokens: Seq[String]): Double = {
+  def round3(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(3, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  /** DetectionModel.detect UNROUNDED: tf → ·idf → l2 → w·x + b → minmax.
+    * The reference thresholds this raw value and rounds only for output
+    * (detection.py:94-98), so the gate must see the raw double — a raw
+    * confidence in [threshold−ε, threshold) rounds UP to the threshold
+    * but still yields no attributions.
+    */
+  def detectRaw(m: Linear, tokens: Seq[String]): Double = {
     val tf = scala.collection.mutable.Map.empty[String, Int]
     tokens.foreach { t =>
       if (m.tokens.contains(t)) tf.update(t, tf.getOrElse(t, 0) + 1)
@@ -75,13 +88,12 @@ object AmidesScored {
         acc / math.sqrt(norm2)
       }
     val raw = dot + m.intercept
-    // java.math.BigDecimal(double) carries the EXACT binary value —
-    // scala's BigDecimal(Double) goes through toString and would round
-    // the shortest decimal repr instead, diverging from CPython round()
-    // on midpoint-looking values (e.g. 0.0015 stored as 0.001499…)
-    new java.math.BigDecimal(raw * m.scale + m.min)
-      .setScale(3, java.math.RoundingMode.HALF_EVEN).doubleValue()
+    raw * m.scale + m.min
   }
+
+  /** Rounded form, for callers that want the output value directly. */
+  def detect(m: Linear, tokens: Seq[String]): Double =
+    round3(detectRaw(m, tokens))
 
   def load(path: String): Scored = {
     import org.json4s._
@@ -177,13 +189,16 @@ object AmidesScored {
           if (cached != null) cached
           else {
             val m = bc.value
-            val conf = detect(m.misuse, toks)
+            // gate on the UNROUNDED confidence (detection.py:94-98);
+            // rule attributions round before the stable sort, like the
+            // reference's _calculate_rule_confidence_values (:153-158)
+            val rawConf = detectRaw(m.misuse, toks)
             val attrs =
-              if (conf >= threshold)
+              if (rawConf >= threshold)
                 m.rules.map { case (n, lm) => Attribution(n, detect(lm, toks)) }
                   .sortBy(-_.confidence).take(numRuleAttributions)
               else null
-            val result = Result(conf, attrs)
+            val result = Result(round3(rawConf), attrs)
             if (resultCache.size() >= maxCacheEntries) resultCache.clear()
             resultCache.put(key, result)
             result

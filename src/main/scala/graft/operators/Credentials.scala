@@ -215,10 +215,20 @@ object Credentials {
       .orElse(sys.env.get("LOGPREP_CREDENTIALS_FILE"))
 
   // per-target cache so token state survives across calls (the reference
-  // keeps one Credentials object per getter instance)
+  // keeps one Credentials object per getter instance). Invalidated when
+  // the credentials FILE identity changes, so an edited file takes
+  // effect without an explicit clearCache() — same freshness rule as
+  // fileCache and fromEndpoint's per-request resolution.
   private val byTarget = new java.util.concurrent.ConcurrentHashMap[String, Option[Creds]]()
+  @volatile private var byTargetIdentity: (String, Long, Long) = null
 
   def clearCache(): Unit = { byTarget.clear(); fileCache.clear() }
+
+  private def fileIdentity(): Option[(String, Long, Long)] =
+    credentialsFilePath.map { p =>
+      val f = new java.io.File(p)
+      (p, f.lastModified(), f.length())
+    }
 
   /** Credentials for a full URL, keyed by `scheme://netloc`
     * (credentials.py:137-163).
@@ -228,28 +238,65 @@ object Credentials {
       val u = new java.net.URI(url)
       s"${u.getScheme}://${u.getAuthority}"
     } catch { case _: Exception => return None }
-    byTarget.computeIfAbsent(key, k =>
-      loadFile().flatMap { root =>
-        section(root, "getter").flatMap(g => mapAt(g, k)).flatMap(fromMap)
-      })
+    fileIdentity() match {
+      case None => None
+      case Some(id) =>
+        // a changed file drops ALL memoized targets (including cached
+        // token state — re-authenticating once after a credentials-file
+        // edit is the safe direction)
+        if (id != byTargetIdentity) { byTarget.clear(); byTargetIdentity = id }
+        byTarget.computeIfAbsent(key, k =>
+          loadFile().flatMap { root =>
+            section(root, "getter").flatMap(g => mapAt(g, k)).flatMap(fromMap)
+          })
+    }
   }
+
+  /** First usable credential for an http_input endpoint path — see
+    * [[fromEndpointAll]] for the full list form.
+    */
+  def fromEndpoint(path: String): Option[Creds] =
+    fromEndpointAll(path).flatMap(_.headOption)
 
   /** Server-side credentials for an http_input endpoint path; exact key
     * first, then the LONGEST matching trailing-`*` pattern (deterministic
     * when several overlap — credentials.py docs `/second*`).
+    *
+    * An endpoint entry may be a single mapping or a LIST of mappings
+    * (credentials.py from_endpoint:190-197 + from_list:260-273;
+    * http/input.py:272-298 accepts ANY matching Basic credential).
+    * `None` = no entry for this path (auth not configured);
+    * `Some(seq)` = an entry exists and resolved to `seq` usable
+    * credentials. `seq` may be EMPTY — callers must fail CLOSED on
+    * that (an endpoint with a configured-but-unusable entry denies,
+    * it does not silently disable auth).
     */
-  def fromEndpoint(path: String): Option[Creds] =
+  def fromEndpointAll(path: String): Option[Seq[Creds]] =
     loadFile().flatMap { root =>
       section(root, "input").flatMap(i => section(i, "endpoints")).flatMap { eps =>
-        mapAt(eps, path).orElse {
+        def isEntry(v: Any): Boolean = v match {
+          case _: java.util.Map[_, _] | _: java.util.List[_] => true
+          case _ => false
+        }
+        eps.get(path).filter(isEntry).orElse {
           eps.toSeq.collect {
-            case (k, v: java.util.Map[_, _])
-              if k.endsWith("*") && path.startsWith(k.stripSuffix("*")) =>
-              k -> scalaMap(v)
+            case (k, v) if k.endsWith("*") &&
+              path.startsWith(k.stripSuffix("*")) && isEntry(v) => k -> v
           }.sortBy(-_._1.length).headOption.map(_._2)
-        }.flatMap(fromMap)
+        }.map(resolveEntry)
       }
     }
+
+  private def resolveEntry(entry: Any): Seq[Creds] = entry match {
+    case m: java.util.Map[_, _] => fromMap(scalaMap(m)).toSeq
+    case l: java.util.List[_] =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.flatMap {
+        case m: java.util.Map[_, _] => fromMap(scalaMap(m))
+        case _ => None
+      }
+    case _ => Seq.empty
+  }
 
   // parsed credentials file memoized on (path, mtime, size): the http
   // input consults it per REQUEST, and a YAML parse per event would
@@ -321,9 +368,14 @@ object Credentials {
     else None
   }
 
+  // byte-for-byte like the reference's Path.read_text
+  // (credentials.py:248-250): a secret file's trailing newline is PART
+  // of the secret in both implementations, so cross-implementation auth
+  // against the same server agrees (server-side BasicAuth.matches
+  // compares whatever was configured, consistently)
   private def readFile(path: String): String =
     new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8").trim
+      java.nio.file.Paths.get(path)), "UTF-8")
 
   // ------------------------------------------------------------------
   // authenticated GET — the engine's credentialed getter

@@ -169,11 +169,20 @@ object Connectors {
         // Fail CLOSED: an endpoint entry of any non-Basic type (the
         // server side only speaks Basic) or a credentials-file error
         // must deny, not silently disable auth.
-        try graft.operators.Credentials.fromEndpoint(ex.getRequestURI.getPath) match {
-          case Some(b: graft.operators.Credentials.BasicAuth) =>
-            b.matches(Option(ex.getRequestHeaders.getFirst("Authorization")))
-          case Some(_) => false
+        // An endpoint entry may be a LIST of credentials; any matching
+        // Basic credential authorizes (reference http/input.py:272-298,
+        // 150-158). An entry that resolves to NO usable Basic credential
+        // (empty list, wrong types, non-Basic methods the server side
+        // can't verify) denies — configured-but-broken auth never
+        // degrades to open.
+        try graft.operators.Credentials.fromEndpointAll(ex.getRequestURI.getPath) match {
           case None => true
+          case Some(creds) =>
+            val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
+            val basics = creds.collect {
+              case b: graft.operators.Credentials.BasicAuth => b
+            }
+            basics.nonEmpty && basics.exists(_.matches(header))
         } catch { case _: Exception => false }
       case Some((u, p)) =>
         val expected = ("Basic " + java.util.Base64.getEncoder

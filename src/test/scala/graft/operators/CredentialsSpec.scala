@@ -45,7 +45,9 @@ class CredentialsSpec extends AnyFunSuite with Matchers with BeforeAndAfterEach 
          |    password_file: $pw
          |""".stripMargin) {
       val c = Credentials.fromTarget("http://target.example/rules/a.yml")
-      c shouldBe Some(Credentials.BasicAuth("alice", "s3cret"))
+      // byte-for-byte like the reference's Path.read_text
+      // (credentials.py:248-250): the trailing newline is kept
+      c shouldBe Some(Credentials.BasicAuth("alice", "s3cret\n"))
       c.get.headers()("Authorization") should startWith("Basic ")
     }
   }
@@ -132,6 +134,73 @@ class CredentialsSpec extends AnyFunSuite with Matchers with BeforeAndAfterEach 
       Credentials.fromEndpoint("/json") shouldBe Some(Credentials.BasicAuth("u1", "p1"))
       Credentials.fromEndpoint("/second") shouldBe Some(Credentials.BasicAuth("u2", "p2"))
       Credentials.fromEndpoint("/other") shouldBe None
+    }
+  }
+
+  test("factory: input endpoints — LIST of credentials resolves all usable entries") {
+    // reference from_endpoint:190-197 + from_list:260-273: a list entry
+    // resolves every dict element; http/input.py accepts any matching Basic
+    withCredsFile(
+      """input:
+        |  endpoints:
+        |    /multi:
+        |      - username: u1
+        |        password: p1
+        |      - username: u2
+        |        password: p2
+        |    /mixed:
+        |      - token: tok
+        |      - username: u3
+        |        password: p3
+        |""".stripMargin) {
+      Credentials.fromEndpointAll("/multi") shouldBe Some(Seq(
+        Credentials.BasicAuth("u1", "p1"), Credentials.BasicAuth("u2", "p2")))
+      Credentials.fromEndpointAll("/mixed") shouldBe Some(Seq(
+        Credentials.StaticToken("tok"), Credentials.BasicAuth("u3", "p3")))
+      Credentials.fromEndpointAll("/other") shouldBe None
+    }
+  }
+
+  test("factory: input endpoints — entry present but unusable yields Some(empty), not None") {
+    // the distinction callers need to fail CLOSED: a configured-but-broken
+    // entry must NOT look like "no auth configured"
+    withCredsFile(
+      """input:
+        |  endpoints:
+        |    /broken: []
+        |""".stripMargin) {
+      Credentials.fromEndpointAll("/broken") shouldBe Some(Seq.empty)
+      Credentials.fromEndpoint("/broken") shouldBe None
+    }
+  }
+
+  test("factory: fromTarget re-resolves after the credentials file changes on disk") {
+    val path = tmpFile(
+      """getter:
+        |  "http://t.example":
+        |    username: before
+        |    password: p
+        |""".stripMargin)
+    sys.props("graft.credentials.file") = path
+    Credentials.clearCache()
+    try {
+      Credentials.fromTarget("http://t.example/a") shouldBe
+        Some(Credentials.BasicAuth("before", "p"))
+      val f = new java.io.File(path)
+      java.nio.file.Files.write(f.toPath,
+        """getter:
+          |  "http://t.example":
+          |    username: after
+          |    password: p
+          |""".stripMargin.getBytes("UTF-8"))
+      // force a distinct mtime even on coarse-granularity filesystems
+      f.setLastModified(f.lastModified() + 2000)
+      // NO clearCache(): the file-identity key must invalidate by itself
+      Credentials.fromTarget("http://t.example/a") shouldBe
+        Some(Credentials.BasicAuth("after", "p"))
+    } finally {
+      sys.props.remove("graft.credentials.file")
+      Credentials.clearCache()
     }
   }
 

@@ -91,6 +91,56 @@ class ConnectorsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  private def postWithAuth(url: String, body: String,
+                           user: String, pass: String): Int = {
+    val auth = java.util.Base64.getEncoder.encodeToString(
+      s"$user:$pass".getBytes("UTF-8"))
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Authorization", s"Basic $auth")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    conn.disconnect()
+    code
+  }
+
+  test("http_input endpoint auth: LIST entry accepts any matching Basic; broken entry denies") {
+    // reference http/input.py:272-298,150-158 — a list-configured
+    // endpoint builds every Basic b64 and accepts any match
+    val spool = java.nio.file.Files.createTempDirectory("graft-spool3").toString
+    val credsFile = java.io.File.createTempFile("endpoint-creds", ".yml")
+    credsFile.deleteOnExit()
+    java.nio.file.Files.write(credsFile.toPath,
+      """input:
+        |  endpoints:
+        |    /jsonl:
+        |      - username: u1
+        |        password: p1
+        |      - username: u2
+        |        password: p2
+        |    /plaintext: []
+        |""".stripMargin.getBytes("UTF-8"))
+    sys.props("graft.credentials.file") = credsFile.getAbsolutePath
+    graft.operators.Credentials.clearCache()
+    val server = new Connectors.HttpInputServer(spool).start()
+    try {
+      val base = s"http://localhost:${server.boundPort}"
+      assert(postTo(s"$base/jsonl", """{"a":1}""") == 401)
+      assert(postWithAuth(s"$base/jsonl", """{"a":1}""", "u1", "p1") == 200)
+      assert(postWithAuth(s"$base/jsonl", """{"a":1}""", "u2", "p2") == 200)
+      assert(postWithAuth(s"$base/jsonl", """{"a":1}""", "u1", "wrong") == 401)
+      // configured-but-unusable entry fails CLOSED, even with any header
+      assert(postWithAuth(s"$base/plaintext", "x", "u1", "p1") == 401)
+    } finally {
+      server.stop()
+      sys.props.remove("graft.credentials.file")
+      graft.operators.Credentials.clearCache()
+    }
+  }
+
   test("http_output posts NDJSON batches; opensearch_output builds bulk bodies") {
     val (server, received) = mockServer()
     try {
