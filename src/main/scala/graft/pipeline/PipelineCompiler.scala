@@ -27,10 +27,17 @@ final case class PipelineResult(main: DataFrame,
 
 object PipelineCompiler {
 
-  def compile(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
-    spec.stages.foldLeft(PipelineResult(input, Map.empty)) { (acc, stage) =>
-      applyStage(acc, stage)
-    }
+  // spec→function compilations, observable by specs: a stream must pay
+  // this ONCE, not per micro-batch (PLANS.md "Chain compile cost")
+  private val compileCount = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def compileInvocations: Long = compileCount.get
+
+  def compile(spec: PipelineSpec): DataFrame => PipelineResult = {
+    compileCount.incrementAndGet()
+    input =>
+      spec.stages.foldLeft(PipelineResult(input, Map.empty)) { (acc, stage) =>
+        applyStage(acc, stage)
+      }
   }
 
   /** [[compile]] with a per-stage `observe` after every processor stage

@@ -35,6 +35,37 @@ class StreamingOpsSpec extends SparkSpec {
       .contains(("a", 2L, 300L)))
   }
 
+  test("pipeline compiles ONCE per stream, not per micro-batch") {
+    // PLANS.md "Chain compile cost": spec→function compilation happens at
+    // stream start; foreachBatch re-applies the same function per batch
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF.toDF("message")
+    val spec = graft.pipeline.RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: dissector
+        |    rules:
+        |      - filter: "message"
+        |        dissector:
+        |          mapping: {message: "%{k}=%{v}"}
+        |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val before = graft.pipeline.PipelineCompiler.compileInvocations
+    val q = StreamRunner.run(df, spec,
+      Map("main" -> ((b: org.apache.spark.sql.DataFrame) => { seen.addAndGet(b.count()); () })),
+      ckpt, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      (1 to 3).foreach { i =>
+        mem.addData(s"a$i=1"); q.processAllAvailable()
+      }
+      assert(seen.get() == 3)
+      assert(graft.pipeline.PipelineCompiler.compileInvocations - before == 1)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within horizon") {
     val s = spark
     import s.implicits._
