@@ -213,6 +213,85 @@ object Generator {
       conn.disconnect()
     }
 
+  /** Minimal producer seam for the Kafka target. The real implementation
+    * binds kafka-clients REFLECTIVELY ([[reflectiveKafkaProducer]]) so the
+    * library carries no Kafka dependency (none ships in this container);
+    * specs inject a recording fake. [[BufferFull]] maps the client's
+    * buffer-exhausted signal so [[kafkaSend]] can flush-and-retry like the
+    * reference (generator/confluent_kafka/output.py store_custom:
+    * BufferError → flush, not an error).
+    */
+  trait EventProducer extends AutoCloseable {
+    def produce(topic: String, value: String): Unit
+    def flush(): Unit
+    override def close(): Unit = ()
+  }
+  final class BufferFull(cause: Throwable) extends RuntimeException(cause)
+
+  /** `org.apache.kafka.clients.producer.KafkaProducer` via reflection.
+    * Fails with a clear message when kafka-clients is absent.
+    */
+  def reflectiveKafkaProducer(kafkaConfig: Map[String, String]): EventProducer = {
+    val cls =
+      try Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+      catch { case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          "kafka target requires kafka-clients on the classpath")
+      }
+    val recordCls = Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+    val bufferExhausted =
+      Class.forName("org.apache.kafka.clients.producer.BufferExhaustedException")
+    val props = new java.util.Properties()
+    kafkaConfig.foreach { case (k, v) => props.put(k, v) }
+    props.putIfAbsent("key.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    props.putIfAbsent("value.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    val producer = cls.getConstructor(classOf[java.util.Properties])
+      .newInstance(props)
+    val send = cls.getMethod("send", recordCls)
+    val flushM = cls.getMethod("flush")
+    val closeM = cls.getMethod("close")
+    val recordCtor = recordCls.getConstructor(
+      classOf[String], classOf[Object], classOf[Object])
+    new EventProducer {
+      def produce(topic: String, value: String): Unit =
+        try { send.invoke(producer, recordCtor.newInstance(topic, null, value)
+          .asInstanceOf[Object]); () }
+        catch {
+          case e: java.lang.reflect.InvocationTargetException
+            if bufferExhausted.isInstance(e.getCause) =>
+            throw new BufferFull(e.getCause)
+        }
+      def flush(): Unit = { flushM.invoke(producer); () }
+      override def close(): Unit = { closeM.invoke(producer); () }
+    }
+  }
+
+  /** Topic from a batch's target path: the segment after the last `/`
+    * (reference generator output store(): `topic.rpartition("/")`).
+    */
+  private[streaming] def topicOf(target: String): String =
+    target.substring(target.lastIndexOf('/') + 1)
+
+  /** Kafka batch sender, the reference's `generate kafka` path
+    * (generator/confluent_kafka/output.py store/store_custom): each
+    * event in the batch produces individually to the topic named by the
+    * target path's last segment; a full client buffer flushes and
+    * retries instead of failing the run.
+    */
+  def kafkaSend(producer: EventProducer): (String, Seq[String]) => Unit =
+    (target, evs) => {
+      val topic = topicOf(target)
+      evs.foreach { ev =>
+        try producer.produce(topic, ev)
+        catch { case _: BufferFull =>
+          producer.flush()
+          producer.produce(topic, ev)
+        }
+      }
+    }
+
   /** Run the generator: batches drain through a fixed thread pool
     * (sender.py:40-50) with BOUNDED submission — at most 2×threads
     * batches are rendered ahead of the senders, so a slow target
@@ -261,15 +340,40 @@ object Generator {
     out.result()
   }
 
+  /** Parse a `--output-config` value: inline JSON, or `@path` to a JSON
+    * file (reference `generate kafka --output-config`,
+    * run_logprep.py:253-272; values stringify like click's str type).
+    */
+  private[streaming] def parseOutputConfig(v: String): Map[String, String] = {
+    val text =
+      if (v.startsWith("@")) new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(v.substring(1))), "UTF-8")
+      else v
+    JsonMethods.parse(text) match {
+      case JObject(fields) => fields.map {
+        case (k, JString(s)) => k -> s
+        case (k, other) => k -> JsonMethods.compact(JsonMethods.render(other))
+      }.toMap
+      case _ => throw new IllegalArgumentException(
+        s"--output-config must be a JSON object: $text")
+    }
+  }
+
   /** CLI: `runMain graft.streaming.Generator <dataset_dir> <target_url>
     * [--events N] [--batch-size B] [--threads T] [--shuffle] [--seed S]
-    * [--tag TAG] [--no-timestamp-replace]`
+    * [--tag TAG] [--no-timestamp-replace]` — or, mirroring the
+    * reference's `generate kafka`:
+    * `runMain graft.streaming.Generator <dataset_dir> kafka
+    * --output-config '{"bootstrap.servers":"..."}'`. Topics come from
+    * each event class's target path (last segment), like the reference's
+    * generator output.
     */
   def main(args: Array[String]): Unit = {
     val positional = positionals(args,
-      Set("--events", "--batch-size", "--threads", "--seed", "--tag"))
+      Set("--events", "--batch-size", "--threads", "--seed", "--tag",
+        "--output-config", "--send-timeout"))
     require(positional.length >= 2,
-      "usage: graft.streaming.Generator <dataset_dir> <target_url> [--events N] ...")
+      "usage: graft.streaming.Generator <dataset_dir> <target_url|kafka> [--events N] ...")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val cfg = Config(
@@ -281,7 +385,18 @@ object Generator {
       replaceTimestamp = !args.contains("--no-timestamp-replace"),
       tag = opt("--tag").getOrElse("loadtest"))
     val dataset = loadDataset(positional(0))
-    val (sent, secs) = run(dataset, cfg, httpSend(positional(1)))
+    val (sent, secs) =
+      if (positional(1) == "kafka") {
+        val kafkaCfg = parseOutputConfig(opt("--output-config").getOrElse(
+          throw new IllegalArgumentException(
+            "kafka target requires --output-config")))
+        val producer = reflectiveKafkaProducer(kafkaCfg - "topic")
+        try {
+          val r = run(dataset, cfg, kafkaSend(producer))
+          producer.flush()
+          r
+        } finally producer.close()
+      } else run(dataset, cfg, httpSend(positional(1)))
     println(f"sent $sent events in $secs%.2f s (${sent / secs}%.0f events/s)")
   }
 }

@@ -25,13 +25,45 @@ import graft.pipeline.{PipelineCompiler, PipelineSpec}
   */
 object StreamRunner {
 
+  /** Translate a reference `confluentkafka_input` `kafka_config` + topic
+    * (connector/confluent_kafka/input.py:64-69 DEFAULTS, :238-308) into
+    * Spark Kafka source options:
+    *
+    *  - `auto.offset.reset` earliest/latest → `startingOffsets`; like a
+    *    consumer group's stored offsets, it only applies on FIRST start —
+    *    afterwards the checkpoint's offsets win.
+    *  - the group-commit knobs (`enable.auto.commit`,
+    *    `enable.auto.offset.store`) are dropped: Spark owns offsets in
+    *    the checkpoint (exactly-once with idempotent sinks — strictly
+    *    stronger than the reference's store-after-batch at-least-once,
+    *    input.py:493-510), and the Kafka source rejects these options.
+    *  - everything else (bootstrap.servers, group.id, security.protocol,
+    *    ssl.*, sasl.*, …) passes through with Spark's `kafka.` prefix.
+    *
+    * Pure so specs can assert the exact wire options without a broker.
+    */
+  def kafkaSourceOptions(kafkaConfig: Map[String, String],
+                         topic: String): Map[String, String] = {
+    val startingOffsets = kafkaConfig.get("auto.offset.reset") match {
+      case Some("latest") => "latest"
+      case _ => "earliest" // the reference's DEFAULTS value
+    }
+    val sparkOwned = Set("enable.auto.commit", "enable.auto.offset.store",
+      "auto.offset.reset")
+    (kafkaConfig -- sparkOwned).map { case (k, v) => s"kafka.$k" -> v } ++
+      Map("subscribe" -> topic, "startingOffsets" -> startingOffsets)
+  }
+
   /** Kafka source (structured streaming). `value` is the raw event. */
-  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+  def kafkaSource(spark: SparkSession, kafkaConfig: Map[String, String],
+                  topic: String): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
+      .options(kafkaSourceOptions(kafkaConfig, topic))
       .load()
       .select(col("value").cast("string").as("message"))
+
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    kafkaSource(spark, Map("bootstrap.servers" -> bootstrap), topic)
 
   /** File-tail source over a directory of text logs. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
@@ -166,13 +198,25 @@ object StreamRunner {
   def consoleSink(n: Int = 20): DataFrame => Unit =
     df => df.show(n, truncate = false)
 
+  /** Reference `confluentkafka_output` `kafka_config` + topic →
+    * Spark Kafka sink options (producer config passes through with the
+    * `kafka.` prefix; `flush_timeout`/`send_timeout` are reference
+    * poll-loop knobs with no Spark equivalent — the sink's save() is
+    * synchronous per batch). Pure for broker-less wire specs.
+    */
+  def kafkaSinkOptions(kafkaConfig: Map[String, String],
+                       topic: String): Map[String, String] =
+    kafkaConfig.map { case (k, v) => s"kafka.$k" -> v } + ("topic" -> topic)
+
   /** Kafka sink (reference confluentkafka_output). */
-  def kafkaSink(bootstrap: String, topic: String): DataFrame => Unit =
+  def kafkaSink(kafkaConfig: Map[String, String], topic: String): DataFrame => Unit =
     df => df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
+      .options(kafkaSinkOptions(kafkaConfig, topic))
       .save()
+
+  def kafkaSink(bootstrap: String, topic: String): DataFrame => Unit =
+    kafkaSink(Map("bootstrap.servers" -> bootstrap), topic)
 
   /** Partitioned file sink — the columnar-analytics layout (partition
     * columns become the key prefix). Use an `s3a://` path on a real

@@ -92,6 +92,65 @@ class GeneratorSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](Generator.batches(Iterator.empty, 0).toList)
   }
 
+  /** Recording producer for the kafka target; optionally signals a full
+    * buffer once to exercise the flush-and-retry path.
+    */
+  private final class FakeProducer(failFirst: Boolean = false)
+      extends Generator.EventProducer {
+    val produced = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val flushes = new java.util.concurrent.atomic.AtomicInteger()
+    private val tripped = new java.util.concurrent.atomic.AtomicBoolean(!failFirst)
+    def produce(topic: String, value: String): Unit = {
+      if (!tripped.getAndSet(true))
+        throw new Generator.BufferFull(new RuntimeException("buffer full"))
+      produced.add(topic -> value); ()
+    }
+    def flush(): Unit = { flushes.incrementAndGet(); () }
+  }
+
+  test("kafka target: topic from target path's last segment; all events produced") {
+    // reference generator/confluent_kafka/output.py store():
+    // topic = target.rpartition("/"), one produce per `;`-joined item
+    val ds = Generator.loadDataset(mkDataset())
+    val producer = new FakeProducer()
+    val (sent, _) = Generator.run(ds,
+      Generator.Config(events = 5, batchSize = 2, threads = 2),
+      Generator.kafkaSend(producer))
+    sent shouldBe 5
+    val byTopic = producer.produced.toArray
+      .map(_.asInstanceOf[(String, String)]).groupBy(_._1)
+    // /jsonl → "jsonl", /other → "other" (last path segment)
+    byTopic.keySet shouldBe Set("jsonl", "other")
+    byTopic("jsonl").length + byTopic("other").length shouldBe 5
+    byTopic("jsonl").foreach { case (_, v) =>
+      (JsonMethods.parse(v) \ "message").isInstanceOf[JString] shouldBe true
+    }
+  }
+
+  test("kafka target: full buffer flushes and retries, not an error") {
+    val ds = Generator.loadDataset(mkDataset())
+    val producer = new FakeProducer(failFirst = true)
+    val (sent, _) = Generator.run(ds,
+      Generator.Config(events = 3, batchSize = 10),
+      Generator.kafkaSend(producer))
+    sent shouldBe 3
+    producer.flushes.get() shouldBe 1
+    producer.produced.size() shouldBe 3
+  }
+
+  test("kafka target: topicOf and --output-config parsing") {
+    Generator.topicOf("/path/to/topicA") shouldBe "topicA"
+    Generator.topicOf("plain") shouldBe "plain"
+    Generator.parseOutputConfig(
+      """{"bootstrap.servers":"b:9092","topic":"producer","linger.ms":5}""") shouldBe
+      Map("bootstrap.servers" -> "b:9092", "topic" -> "producer", "linger.ms" -> "5")
+    // reflective binding fails with a clear message when kafka-clients
+    // is absent (it is, in this container)
+    val e = intercept[IllegalStateException](
+      Generator.reflectiveKafkaProducer(Map("bootstrap.servers" -> "b:9092")))
+    e.getMessage should include("kafka-clients")
+  }
+
   test("end-to-end: threaded send into the engine's HTTP input") {
     val received = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
