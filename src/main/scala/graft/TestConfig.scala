@@ -38,6 +38,37 @@ object TestConfig {
       case e: Exception => (false, Some(e.toString), Nil)
     }
 
+  /** Rule-test coverage quota (reference AutoRuleTester
+    * `_check_which_rule_files_miss_tests`, auto_rule_tester.py:527-556):
+    * rules carrying at least one embedded test over all rules, as a
+    * percentage, with the with/without file lists.
+    */
+  final case class Coverage(withTests: Seq[String], withoutTests: Seq[String]) {
+    def pct: Double =
+      if (withTests.isEmpty && withoutTests.isEmpty) 0.0
+      else withTests.size.toDouble / (withTests.size + withoutTests.size) * 100.0
+  }
+
+  private[graft] def coverage(yaml: String): Coverage = {
+    val (withT, withoutT) = walkRules(yaml).zipWithIndex.partition {
+      case ((_, m), _) => testEntries(m).exists(t =>
+        t.contains("raw") && (t.contains("processed") || t.contains("result")))
+    }
+    def label(e: ((String, Map[String, Any]), Int)): String = e match {
+      case ((ptype, m), i) =>
+        s"$ptype#${i + 1}: " + m.get("description").map(_.toString)
+          .orElse(m.get("filter").map(f => s"filter '$f'")).getOrElse("rule")
+    }
+    Coverage(withT.map(label), withoutT.map(label))
+  }
+
+  /** Count embedded tests in a config (denominator for the result block). */
+  private[graft] def totalTests(yaml: String): Int =
+    walkRules(yaml).map { case (_, m) =>
+      testEntries(m).count(t =>
+        t.contains("raw") && (t.contains("processed") || t.contains("result")))
+    }.sum
+
   /** Extract `{raw, processed}` rule tests (reference
     * Rule.Config.tests, rule.py:169-186) keyed by the SAME RuleSpec the
     * loader builds, so [[RuleSelfTest.run]] can match them.
@@ -140,7 +171,18 @@ object TestConfig {
           ok = false
           err.foreach(e => println(s"$path: INVALID - $e"))
           failures.foreach(f =>
-            println(s"$path: TEST FAILED [${f.stage}] ${f.description}: ${f.detail}"))
+            println(s"$path: TEST FAILED [${f.stage}] ${f.description}:\n${f.detail}"))
+        }
+        if (runUnit && err.isEmpty) {
+          // the reference's result block (auto_rule_tester.py:254-260 +
+          // print_rules): per-rule coverage quota and test counters
+          val cov = coverage(text)
+          val total = totalTests(text)
+          cov.withoutTests.foreach(r => println(s"~ RULE WITHOUT TEST: $r"))
+          println(s"+ Successful Tests: ${total - failures.size}")
+          println(s"- Failed Tests: ${failures.size}")
+          println(f"Rule Test Coverage: ${cov.pct}%.1f")
+          println(s"Total Tests: $total")
         }
       }
       if (!ok) sys.exit(1)

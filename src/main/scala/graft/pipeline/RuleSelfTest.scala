@@ -18,6 +18,60 @@ object RuleSelfTest {
 
   final case class Failure(stage: String, description: String, detail: String)
 
+  /** Render a JSON event the way the reference diffs it
+    * (auto_rule_tester.py:565-586): keys sorted, lists of scalars
+    * sorted, indent 4.
+    */
+  private[graft] def prettySorted(json: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    def normalize(n: JsonNode): JsonNode = n match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.fieldNames().asScala.toSeq.sorted.foreach { n =>
+          out.set[JsonNode](n, normalize(o.get(n))) }
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        val kids = (0 until a.size).map(i => normalize(a.get(i)))
+        val sorted =
+          if (kids.forall(k => k.isValueNode)) kids.sortBy(_.asText)
+          else kids
+        sorted.foreach(out.add)
+        out
+      case other => other
+    }
+    mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(normalize(mapper.readTree(json)))
+  }
+
+  /** Minimal `difflib.ndiff`-style line diff: `- ` lines only in the
+    * actual output, `+ ` lines only in the expected event, `  ` common
+    * (the reference's `?` hint lines are rendering sugar and omitted;
+    * failure detection keys on +/- exactly like
+    * auto_rule_tester._check_if_different).
+    */
+  private[graft] def ndiff(actual: String, expected: String): Seq[String] = {
+    val a = actual.split("\n", -1).toIndexedSeq
+    val b = expected.split("\n", -1).toIndexedSeq
+    // LCS table, then walk back emitting diff lines in order
+    val lcs = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- a.indices.reverse; j <- b.indices.reverse)
+      lcs(i)(j) = if (a(i) == b(j)) lcs(i + 1)(j + 1) + 1
+                  else math.max(lcs(i + 1)(j), lcs(i)(j + 1))
+    val out = Seq.newBuilder[String]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { out += "  " + a(i); i += 1; j += 1 }
+      else if (lcs(i + 1)(j) >= lcs(i)(j + 1)) { out += "- " + a(i); i += 1 }
+      else { out += "+ " + b(j); j += 1 }
+    }
+    while (i < a.length) { out += "- " + a(i); i += 1 }
+    while (j < b.length) { out += "+ " + b(j); j += 1 }
+    out.result()
+  }
+
   /** Run the embedded tests of every rule; return failures (empty = pass). */
   def run(spark: SparkSession, spec: PipelineSpec,
           testsByRule: Map[RuleSpec, Seq[(String, String)]]): Seq[Failure] = {
@@ -67,8 +121,11 @@ object RuleSelfTest {
       val got = out.main.select(expCols.map(c => col(c).cast("string")): _*).head()
       val want = expected.select(expCols.map(c => col(c).cast("string")): _*).head()
       if (got != want)
+        // per-rule diff like the reference's AutoRuleTester output:
+        // the full processed event against the expected one
         Some(Failure(stage.processorType, rule.description,
-          s"expected $want, got $got"))
+          ndiff(prettySorted(out.main.toJSON.head()),
+            prettySorted(processedJson)).mkString("\n")))
       else None
     } catch {
       case e: Exception =>

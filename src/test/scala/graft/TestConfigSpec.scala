@@ -64,6 +64,51 @@ class TestConfigSpec extends SparkSpec with Matchers {
     fails2 should not be empty
   }
 
+  test("--unit: coverage quota over partially-tested rules; failure carries an ndiff") {
+    // reference auto_rule_tester.py:527-556 (Rule Test Coverage) and
+    // :565-586 (per-rule ndiff on failure)
+    val config =
+      """pipeline:
+        |  - type: generic_adder
+        |    rules:
+        |      - filter: "message"
+        |        generic_adder:
+        |          add: {added: "yes"}
+        |        tests:
+        |          - raw: {message: "m"}
+        |            processed: {message: "m", added: "yes"}
+        |      - filter: "other"
+        |        generic_adder:
+        |          add: {more: "x"}
+        |  - type: dropper
+        |    rules:
+        |      - filter: "noise"
+        |        dropper: {drop: [noise]}
+        |""".stripMargin
+    val cov = TestConfig.coverage(config)
+    cov.withTests.size shouldBe 1
+    cov.withoutTests.size shouldBe 2
+    cov.pct shouldBe (100.0 / 3) +- 0.01
+    TestConfig.totalTests(config) shouldBe 1
+
+    val failing = config.replace("""processed: {message: "m", added: "yes"}""",
+      """processed: {message: "m", added: "WRONG"}""")
+    val (ok, _, fails) = TestConfig.verify(spark, failing, runUnitTests = true)
+    ok shouldBe false
+    // the diff shows the actual line removed and the expected line added
+    fails.head.detail should include("- ")
+    fails.head.detail should include("+ ")
+    fails.head.detail should include("WRONG")
+    fails.head.detail should include("yes")
+  }
+
+  test("ndiff: +/- mark differing lines, common lines unmarked") {
+    val d = graft.pipeline.RuleSelfTest.ndiff("a\nb\nc", "a\nx\nc")
+    d shouldBe Seq("  a", "- b", "+ x", "  c")
+    graft.pipeline.RuleSelfTest.prettySorted("""{"b":1,"a":["z","y"]}""") shouldBe
+      graft.pipeline.RuleSelfTest.prettySorted("""{"a":["y","z"],"b":1}""")
+  }
+
   test("--unit: clusterer {raw, result} signature tests") {
     val config =
       """pipeline:
