@@ -24,78 +24,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def eventsChain(s: SparkSession, dir: String): DataFrame = {
-      val e = Tables.events(s, dir)
-        .withColumn("message",
-          concat_ws(" ", col("event_type"), col("user_id"), col("value")))
-      val dissected = operators.PatternOps.dissector(e, "message",
-        "%{etype} %{uid|int} %{val|float}")
-      val decoded = operators.PatternOps.decodeJson(dissected, "props", "parsed", "k BIGINT")
-      val stamped = operators.TimeOps.datetimeExtractor(decoded, "ts", "dt")
-      val managed = operators.Structural.fieldManager(stamped,
-        Map("etype" -> "event_class"))
-      val calc = operators.Calculator.calculator(managed,
-        "${val} * 2 + ${parsed.k}", "calc_out")
-      val labeled = operators.Lookup.genericResolver(calc, "event_class", "category",
-        Seq("^pur" -> "transaction", "^sig" -> "account", "^err" -> "incident",
-          ".*" -> "other"))
-      // pre_detector side output unioned in (both channels materialized)
-      val det = operators.Detection.preDetector(labeled, Seq(
-        operators.Detection.PreDetectorRule(
-          "event_type:error AND value:[150.0 TO *]",
-          "rule-1", "High-value error", "high", Seq("T1499"))), col("event_id"))
-      labeled.select(col("event_id").as("k1"), col("category").as("k2"))
-        .unionByName(det.select(col("event_key").as("k1"), col("severity").as("k2")))
-    }
-
-    // the same chain expressed as RULES through PipelineCompiler — the
-    // path real configs take, including per-rule filter guards and
-    // failure-tag machinery
-    def pipelineChain(s: SparkSession, dir: String): DataFrame = {
-      val e = Tables.events(s, dir)
-        .withColumn("message",
-          concat_ws(" ", col("event_type"), col("user_id"), col("value")))
-        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-      val spec = pipeline.RuleLoader.fromYaml(
-        """pipeline:
-          |  - type: dissector
-          |    rules:
-          |      - filter: "message"
-          |        dissector:
-          |          mapping:
-          |            message: "%{etype} %{uid|int} %{val}"
-          |  - type: timestamper
-          |    rules:
-          |      - filter: "ts_str"
-          |        timestamper:
-          |          source_fields: [ts_str]
-          |          source_format: ["%Y-%m-%d %H:%M:%S"]
-          |          target_field: ts_iso
-          |  - type: calculator
-          |    rules:
-          |      - filter: "uid"
-          |        calculator:
-          |          calc: "${uid} * 2 + 1"
-          |          target_field: calc_out
-          |  - type: generic_resolver
-          |    rules:
-          |      - filter: "etype"
-          |        generic_resolver:
-          |          field_mapping:
-          |            etype: category
-          |          resolve_list:
-          |            "^pur": transaction
-          |            "^sig": account
-          |            "^err": incident
-          |            ".*": other
-          |""".stripMargin)
-      pipeline.PipelineCompiler.compile(spec)(e).main
-        .select(col("event_id"), col("category"), col("calc_out"))
-    }
-
     val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "events_chain" -> ((s, d) => eventsChain(s, d)),
-      "pipeline_chain" -> ((s, d) => pipelineChain(s, d)),
+      "events_chain" -> ((s, d) => BenchChains.eventsChain(s, d)),
+      "pipeline_chain" -> ((s, d) => BenchChains.pipelineChain(s, d)),
       "q1_agg" -> GraftQueries.queries("q1_agg"),
       "q2_join_broadcast" -> GraftQueries.queries("q2_join_broadcast"),
       "q3_topk_window" -> GraftQueries.queries("q3_topk_window"),

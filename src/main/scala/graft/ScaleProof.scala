@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness (VERDICT r5 item 5): replicate the sf0.1 tables
+  * 10× into structure-preserving, non-colliding copies (≈ sf1), run the
+  * headline queries at both tiers, and report wall time + plan shape so
+  * BASELINE.md can record near-linear scaling evidence.
+  *
+  * Replication must keep the WORKLOAD shape honest — naive 10× copies
+  * would make every document an exact dup of its 9 clones and blow the
+  * near-dup pair count up 100×, proving nothing about 10× data. Instead
+  * each replica is an isomorphic copy that cannot collide with the
+  * others:
+  *
+  *  - documents: replica i rotates letters and digits by i
+  *    (`translate`) — shingle sets within a replica keep EXACTLY the
+  *    same Jaccard structure, while shingles across replicas are
+  *    disjoint → near-dup pairs scale exactly 10×.
+  *  - embeddings: replica i flips the sign of dimension j iff
+  *    hash(i,j) is odd — a diagonal orthogonal map, so all in-replica
+  *    cosines (and norms) are bit-preserved while cross-replica cosines
+  *    decorrelate → ANN/near-dup structure scales exactly 10×.
+  *  - events: ids offset per replica; the chain queries are narrow
+  *    per-row pipelines, so replication is plain row growth.
+  *
+  * Usage: `runMain graft.ScaleProof [outDir]` — writes replicas under
+  * outDir (default /tmp/graft-sf1) once (reused if present), then
+  * prints one JSON line per (query, tier).
+  */
+object ScaleProof {
+
+  val Replicas = 10
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase(java.util.Locale.ROOT)
+  private val digits = "0123456789"
+
+  private def rot(s: String, i: Int): String =
+    s.substring(i % s.length) + s.substring(0, i % s.length)
+
+  /** Letter/digit rotation for replica `i` — identity at i=0. */
+  private[graft] def rotated(i: Int): (String, String) =
+    (lower + upper + digits,
+      rot(lower, i) + rot(upper, i) + rot(digits, i))
+
+  def buildReplicas(spark: SparkSession, src: String, out: String): Unit = {
+    val done = new java.io.File(out, "_REPLICAS_OK")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+
+    val ev = Tables.table(spark, src, "events")
+    val evMax = ev.agg(max("event_id")).head().getLong(0) + 1
+    (0 until Replicas).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evMax))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val docs = Tables.table(spark, src, "documents")
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until Replicas).map { i =>
+      val (from, to) = rotated(i)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i * docMax))
+        .withColumn("text", translate(col("text"), from, to))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.table(spark, src, "embeddings")
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until Replicas).map { i =>
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(i * embMax))
+        .withColumn("embedding",
+          // diagonal ±1 map per (replica, dimension): orthogonal, so
+          // in-replica cosines are preserved bit-for-bit
+          transform(col("embedding"), (x, j) =>
+            when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildReplicas(spark, src, out)
+
+    val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "events_chain" -> ((s, d) => BenchChains.eventsChain(s, d)),
+      "pipeline_chain" -> ((s, d) => BenchChains.pipelineChain(s, d)),
+      "ml_minhash_pairs" -> GraftQueries.queries("ml_minhash_pairs"),
+      "ml_embed_neardup" -> GraftQueries.queries("ml_embed_neardup"),
+      "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"))
+
+    // warm-up (JIT + codegen), not timed
+    headline.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      CacheSweep.sweep(spark)
+    }
+
+    for ((name, fn) <- headline; (tier, dir) <- Seq("sf0.1" -> src, "sf1" -> out)) {
+      val df = fn(spark, dir)
+      val planStr = df.queryExecution.executedPlan.toString
+      val exchanges = planStr.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheSweep.sweep(spark)
+        dt
+      }
+      val rows = fn(spark, dir).count()
+      CacheSweep.sweep(spark)
+      // pair queries at sf1: split true (in-replica) pairs from chance
+      // cross-replica collisions — the latter measure the THRESHOLD's
+      // selectivity at 10× corpus size, not replication leakage
+      val sameReplica =
+        if (tier == "sf1" && Set("ml_embed_neardup", "ml_minhash_pairs")(name)) {
+          val idOffset = if (name == "ml_embed_neardup")
+            Tables.table(spark, src, "embeddings").agg(max("vec_id")).head().getLong(0) + 1
+          else
+            Tables.table(spark, src, "documents").agg(max("doc_id")).head().getLong(0) + 1
+          val n = fn(spark, dir)
+            .filter(floor(col("a") / idOffset) === floor(col("b") / idOffset)).count()
+          CacheSweep.sweep(spark)
+          s""","same_replica_rows":$n"""
+        } else ""
+      println(f"""{"query":"$name","tier":"$tier","rows":$rows,"sec_min":${times.min}%.3f,"sec_all":[${times.map(t => f"$t%.3f").mkString(",")}],"exchanges":$exchanges$sameReplica}""")
+    }
+    spark.stop()
+  }
+}
