@@ -55,4 +55,102 @@ object DynamicOps {
     */
   def ingest(df: DataFrame, rawCol: String): DataFrame =
     df.withColumn("_event", toVariant(col(rawCol)))
+
+  // ------------------------------------------------------------------
+  // overflow pipeline: declared fields typed, everything else rides raw
+  // ------------------------------------------------------------------
+
+  /** Typed columns for the DECLARED dotted fields of a pipeline, built
+    * from one variant column. Dotted paths reassemble into nested
+    * structs (`winlog.event_id` → `winlog` struct with `event_id`), so
+    * the static FieldOps/PipelineCompiler path runs unchanged on top.
+    */
+  def declaredColumns(v: Column, fields: Map[String, String]): Seq[Column] = {
+    def build(prefix: List[String],
+              group: Seq[(List[String], String)]): Seq[Column] =
+      group.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (head, entries) =>
+        val leaves = entries.filter(_._1.lengthIs == 1)
+        val deeper = entries.filter(_._1.lengthIs > 1)
+        if (deeper.isEmpty)
+          typed(v, (prefix :+ head).mkString("."), leaves.head._2).as(head)
+        else
+          // null (not an empty struct) when the branch is absent in the
+          // event — otherwise a declared-but-missing branch would
+          // materialize as `{}` in the merged output
+          when(existsAt(v, (prefix :+ head).mkString(".")),
+            struct(build(prefix :+ head,
+              deeper.map { case (p, t) => (p.tail, t) }): _*)).as(head)
+      }
+    build(Nil, fields.toSeq.map { case (p, t) => (p.split("\\.").toList, t) })
+  }
+
+  private def typed(v: Column, path: String, tpe: String): Column =
+    try_variant_get(v, jsonPath(path), tpe)
+
+  /** Run a compiled pipeline over SCHEMA-LESS JSON events (VERDICT r5
+    * stretch / SURVEY §1.5 dynamic path): fields no rule declares never
+    * enter any inferred schema and survive to the sink byte-identically.
+    *
+    *  1. each event's declared fields are extracted from a variant into
+    *     typed (possibly nested) columns — a narrow codegen'd projection;
+    *  2. the static pipeline runs on those columns exactly as on
+    *     schema'd input;
+    *  3. the pipeline's output row is serialized and deep-merged back
+    *     into the ORIGINAL event JSON: declared paths are first removed
+    *     from the original (so a field the pipeline dropped or nulled
+    *     disappears rather than resurrecting), then the output object
+    *     wins recursively; undeclared fields pass through untouched.
+    *
+    * The merge step is a Scala UDF — a JSON-boundary serialization
+    * surface like the decoder family (SURVEY §2.5): there is no Column
+    * algebra over two dynamic JSON documents, and the per-row work is
+    * one Jackson parse of data that is already strings at the boundary.
+    *
+    * Returns one `json` string column.
+    */
+  def runWithOverflow(raw: DataFrame, rawCol: String,
+                      fields: Map[String, String],
+                      pipe: DataFrame => graft.pipeline.PipelineResult): DataFrame = {
+    val v = toVariant(col(rawCol))
+    val extracted = raw.select(
+      col(rawCol).as("__raw") +: declaredColumns(v, fields): _*)
+    val result = pipe(extracted)
+    val out = result.main
+    val processedCols = out.columns.filterNot(_ == "__raw")
+    val processedJson = to_json(struct(processedCols.map(col): _*))
+    val declaredPaths = fields.keys.toSeq.map(_.split("\\.").toList)
+    val merge = udf { (rawJson: String, processed: String) =>
+      mergeOverflow(rawJson, processed, declaredPaths)
+    }
+    out.select(merge(col("__raw"), processedJson).as("json"))
+  }
+
+  private[graft] def mergeOverflow(rawJson: String, processedJson: String,
+                                   declared: Seq[List[String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    def deletePath(node: JsonNode, path: List[String]): Unit = (node, path) match {
+      case (o: ObjectNode, last :: Nil) => o.remove(last); ()
+      case (o: ObjectNode, head :: rest) =>
+        val child = o.get(head)
+        if (child != null) deletePath(child, rest)
+      case _ => ()
+    }
+    def deepMerge(base: JsonNode, over: JsonNode): JsonNode = (base, over) match {
+      case (b: ObjectNode, o: ObjectNode) =>
+        import scala.jdk.CollectionConverters._
+        o.fieldNames().asScala.foreach { n =>
+          val merged =
+            if (b.has(n)) deepMerge(b.get(n), o.get(n)) else o.get(n)
+          b.set[JsonNode](n, merged)
+        }
+        b
+      case _ => over
+    }
+    val base = mapper.readTree(rawJson)
+    val over = mapper.readTree(processedJson)
+    declared.foreach(deletePath(base, _))
+    mapper.writeValueAsString(deepMerge(base, over))
+  }
 }

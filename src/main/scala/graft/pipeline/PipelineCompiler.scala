@@ -48,21 +48,28 @@ object PipelineCompiler {
     * `StreamingQueryListener` / `QueryExecutionListener` and feed
     * [[MetricsRegistry]].
     */
-  def compileInstrumented(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
-    // extra channels come from the CLEAN compile: each extra sink runs
-    // its own action, and if the extras' lineage carried the observes,
-    // every such action would re-fire the same CollectMetrics nodes into
-    // the registry — per-stage counters inflated by (1 + extra sinks).
-    // Only the main channel (one action per batch) is instrumented.
-    val clean = compile(spec)(input)
-    val observedMain = spec.stages.zipWithIndex
-      .foldLeft(PipelineResult(input, Map.empty)) {
-        case (acc, (stage, i)) =>
-          val applied = applyStage(acc, stage)
-          applied.copy(main =
-            Metrics.observeStage(applied.main, i + 1, stage.processorType))
-      }.main
-    PipelineResult(observedMain, clean.extra)
+  def compileInstrumented(spec: PipelineSpec): DataFrame => PipelineResult = {
+    // spec→function compilation happens ONCE here (not per batch — the
+    // compileInvocations counter and the one-time-compile contract hold
+    // for the instrumented path too)
+    val clean = compile(spec)
+    input => {
+      // extra channels — INCLUDING the error channel — come from the
+      // CLEAN compile: each extra sink runs its own action, and if the
+      // extras' lineage carried the observes, every such action would
+      // re-fire the same CollectMetrics nodes into the registry —
+      // per-stage counters inflated by (1 + extra sinks). Only the main
+      // channel (one action per batch) is instrumented.
+      val cleanResult = withErrorChannel(clean(input))
+      val observedMain = spec.stages.zipWithIndex
+        .foldLeft(PipelineResult(input, Map.empty)) {
+          case (acc, (stage, i)) =>
+            val applied = applyStage(acc, stage)
+            applied.copy(main =
+              Metrics.observeStage(applied.main, i + 1, stage.processorType))
+        }.main
+      PipelineResult(observedMain, cleanResult.extra)
+    }
   }
 
   /** Compile with an error channel: events that accumulated failure tags
@@ -73,7 +80,14 @@ object PipelineCompiler {
     * events flowing too, tags are diagnostic.
     */
   def compileWithErrors(spec: PipelineSpec): DataFrame => PipelineResult = { input =>
-    val result = compile(spec)(input)
+    withErrorChannel(compile(spec)(input))
+  }
+
+  /** Attach the "errors" side channel to an already-compiled result —
+    * streaming callers compose this per micro-batch around whatever
+    * compile path they run (plain / instrumented / config-refreshed).
+    */
+  def withErrorChannel(result: PipelineResult): PipelineResult = {
     val main = result.main
     if (!main.columns.contains("tags")) result
     else {
