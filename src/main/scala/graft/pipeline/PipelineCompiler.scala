@@ -727,9 +727,9 @@ object PipelineCompiler {
           Requester.invoke(method, urlT, jsonT, dataT, paramsT,
             mappingSources, Option(mergeJson), sources.zip(vals).toMap)
         }.asNondeterministic()
-        out = out
-          .withColumn("__rq_miss", coalesce(miss, lit(false)))
-          .withColumn("__rq_empty", !coalesce(miss, lit(false)) && coalesce(empty0, lit(false)))
+        out = out.withColumns(Map(
+          "__rq_miss" -> coalesce(miss, lit(false)),
+          "__rq_empty" -> (!coalesce(miss, lit(false)) && coalesce(empty0, lit(false)))))
         val eligible = coalesce(pred, lit(false)) &&
           !col("__rq_miss") && !col("__rq_empty")
         out = out.withColumn("__rq",
@@ -1048,9 +1048,9 @@ object PipelineCompiler {
         val okAll = sources.zip(present).zip(decoded)
           .map { case ((_, p), (_, ok)) => !p || coalesce(ok, lit(false)) }
           .foldLeft(lit(true))(_ && _)
-        out = out
-          .withColumn("__dec_go", coalesce(pred && gate && okAll, lit(false)))
-          .withColumn("__dec_fail", coalesce(pred && gate && !okAll, lit(false)))
+        out = out.withColumns(Map(
+          "__dec_go" -> coalesce(pred && gate && okAll, lit(false)),
+          "__dec_fail" -> coalesce(pred && gate && !okAll, lit(false))))
         pairs.zip(decoded).zip(present).foreach { case (((s, tgt), (v, _)), p) =>
           if (FieldOps.exists(schema, s))
             out = RuleExec.write(out, col("__dec_go") && p, tgt, v, k)

@@ -188,11 +188,11 @@ object RuleExec {
     // projection: Columns re-resolve by name, so a predicate referencing
     // the target would otherwise be evaluated against the POST-write value
     // (wrong verdicts, or analysis errors once the type changed).
-    val d0 = df
-      .withColumn("__w_go", coalesce(cond, lit(false)) && !coalesce(conflict, lit(false)))
-      .withColumn("__w_tag",
-        if (mayConflict) coalesce(cond, lit(false)) && coalesce(conflict, lit(false))
-        else lit(false))
+    val d0 = df.withColumns(Map(
+      "__w_go" -> (coalesce(cond, lit(false)) && !coalesce(conflict, lit(false))),
+      "__w_tag" ->
+        (if (mayConflict) coalesce(cond, lit(false)) && coalesce(conflict, lit(false))
+         else lit(false))))
     // When the new value's type differs from the occupant's, a plain
     // when/otherwise would coerce NON-written rows too (e.g. a string
     // "0.01" silently becoming 0.01d on rows the rule never touched).
@@ -259,12 +259,14 @@ object RuleExec {
     val value = valueOf(schema)
     val ok = computeOk.map(_(schema)).getOrElse(value.isNotNull)
 
-    // snapshot guards pre-write (see [[write]] for why)
-    val d0 = df
-      .withColumn("__r_miss", coalesce(miss, lit(false)))
-      .withColumn("__r_empty", coalesce(emptyC, lit(false)))
-      .withColumn("__r_ok", coalesce(ok, lit(false)))
-      .withColumn("__r_pred", coalesce(pred, lit(false)))
+    // snapshot guards pre-write (see [[write]] for why); ONE batched
+    // projection — every chained withColumn re-analyzes the whole
+    // accumulated plan, and this runs per rule (PLANS.md compile cost)
+    val d0 = df.withColumns(Map(
+      "__r_miss" -> coalesce(miss, lit(false)),
+      "__r_empty" -> coalesce(emptyC, lit(false)),
+      "__r_ok" -> coalesce(ok, lit(false)),
+      "__r_pred" -> coalesce(pred, lit(false))))
     val p = col("__r_pred")
     // FieldManager-style processors (concatenator…) proceed with the
     // PRESENT values when some sources are missing — the miss only tags
