@@ -389,7 +389,10 @@ object GraftQueriesML {
 
   private val mQuality = Spec("ml_quality_score",
     (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
+      .select(col("doc_id"), col("text"),
+        ml.Dedup.tokens(lower(col("text"))).as("__wl"))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreOf(col("text"), col("__wl")).as("quality")),
     Some {
       val stopList = TextAnalysis.langMarkers.values.flatten.toSeq.distinct
         .map(m => s"'$m'").mkString("[", ",", "]")
@@ -457,10 +460,13 @@ object GraftQueriesML {
   private val mRepetition = Spec("ml_repetition",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        round(Curation.dupWordFrac(col("text")), 6).as("dup_word_frac"),
-        round(Curation.dupBigramFrac(col("text")), 6).as("dup_bigram_frac"),
-        round(Curation.topWordFrac(col("text")), 6).as("top_word_frac"))
+      // the token array stages ONCE per row; the three signals read it
+      // (the per-signal split was most of the query's cost, PLANS.md r6)
+      d.select(col("doc_id"), Curation.words(col("text")).as("__w"))
+        .select(col("doc_id"),
+          round(Curation.dupWordFracOf(col("__w")), 6).as("dup_word_frac"),
+          round(Curation.dupBigramFracOf(col("__w")), 6).as("dup_bigram_frac"),
+          round(Curation.topWordFracOf(col("__w")), 6).as("top_word_frac"))
     },
     Some("""WITH w AS (SELECT doc_id,
               list_filter(string_split(text, ' '), x -> x <> '') AS w

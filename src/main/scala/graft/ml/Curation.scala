@@ -21,24 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private def words(text: Column): Column =
+  /** Split on single spaces, empties removed — the signals' shared
+    * token array. Exposed so callers computing SEVERAL signals stage it
+    * ONCE per row (a `.select` alias column): the split dominated the
+    * repetition query when evaluated per signal (PLANS.md r6).
+    */
+  def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
   /** Fraction of word occurrences that are repeats of an earlier word:
     * `1 - distinct/total` (0 for empty docs). High values flag
     * keyword-stuffed or boilerplate text.
     */
-  def dupWordFrac(text: Column): Column = {
-    val w = words(text)
+  def dupWordFrac(text: Column): Column = dupWordFracOf(words(text))
+
+  def dupWordFracOf(w: Column): Column =
     when(size(w) === 0, 0.0).otherwise(
       lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
-  }
 
   /** Same signal over adjacent word bigrams — catches phrase-level
     * repetition that unigram stats miss (0 for docs under 2 words).
     */
-  def dupBigramFrac(text: Column): Column = {
-    val w = words(text)
+  def dupBigramFrac(text: Column): Column = dupBigramFracOf(words(text))
+
+  def dupBigramFracOf(w: Column): Column = {
     val n = size(w)
     val bigrams = zip_with(
       slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
@@ -48,24 +54,18 @@ object Curation {
   }
 
   /** Occurrence share of the single most frequent word (0 for empty
-    * docs) — the "top n-gram fraction" family's n=1 member. Computed as
-    * the longest run in the SORTED word array (one `aggregate` pass,
-    * O(n log n)) rather than the naive O(distinct·n) count-per-word.
+    * docs) — the "top n-gram fraction" family's n=1 member. The max
+    * multiplicity is ONE native sort+run-scan expression
+    * ([[graft.functions.TopRunExpr]]); the previous
+    * `aggregate`-over-sorted-runs was interpreted (CodegenFallback HOF)
+    * and measured ~40% of the whole repetition query.
     */
-  def topWordFrac(text: Column): Column = {
-    val w = words(text)
-    val runState = struct(
-      lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0L).as("best"))
-    val maxCount = aggregate(
-      array_sort(w), runState,
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(1L)
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+  def topWordFrac(text: Column): Column = topWordFracOf(words(text))
+
+  def topWordFracOf(w: Column): Column = {
+    val maxCount = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TopRunExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(w)))
     when(size(w) === 0, 0.0)
       .otherwise(maxCount.cast("double") / size(w))
   }

@@ -42,12 +42,19 @@ object TextAnalysis {
     * stopword ratio, mean word length band. Deterministic arithmetic,
     * rounded for cross-engine stability.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, Dedup.tokens(lower(text)))
+
+  /** [[qualityScore]] over a pre-staged LOWERCASED token array — callers
+    * alias `Dedup.tokens(lower(text))` into a column first so the split
+    * runs once per row (lowering doesn't change token count, so one
+    * array serves both the count and the stopword intersect).
+    */
+  def qualityScoreOf(text: Column, wl: Column): Column = {
     val len = length(text).cast("double")
-    val toks = Dedup.tokens(text)
-    val nTok = size(toks).cast("double")
+    val nTok = size(wl).cast("double")
     val punct = (length(regexp_replace(text, """[^.,;:!?]""", ""))).cast("double")
-    val stop = size(array_intersect(Dedup.tokens(lower(text)),
+    val stop = size(array_intersect(wl,
       array(langMarkers.values.flatten.toSeq.distinct.map(lit): _*))).cast("double")
     val lenScore = least(len / 500.0, lit(1.0))
     val punctRatio = when(len > 0, punct / len).otherwise(lit(0.0))
