@@ -16,24 +16,17 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), """\s+""")
 
-  /** k-word shingles, distinct, of a text column.
-    *
-    * Built as an elementwise `zip_with` of k shifted `slice`s of the token
-    * array — NOT a `transform` whose lambda indexes into the array:
-    * Catalyst does no common-subexpression elimination inside lambda
-    * bodies, so an inline `split` referenced from a lambda is re-executed
-    * per element (measured 8× slower at sf0.1). Here `split` appears only
-    * in top-level slice arguments where CSE hoists it to once per row.
+  /** k-word shingles, distinct, of a text column — one native pass
+    * ([[graft.functions.ShinglesExpr]]). The previous
+    * `array_distinct(zip_with(slice…))` composition was all
+    * CodegenFallback higher-order functions and measured ~60% of the
+    * MinHash signature job; the expression replicates its semantics
+    * bit-for-bit (Spark-trim, `\s+` split, n<k fallback shingle).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    val n = size(t)
-    val len = greatest(n - (k - 1), lit(0))
-    val base = slice(t, lit(1), len)
-    val sh = (1 until k).foldLeft(base)((acc, j) =>
-      zip_with(acc, slice(t, lit(j + 1), len), (a, b) => concat(a, lit(" "), b)))
-    array_distinct(when(n >= k, sh).otherwise(array(concat_ws(" ", t))))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), k))
 
   /** Exact dedup: keep the first (min orderKey) row per md5(text).
     * One shuffle on the 32-hex key; at scale use this over full-row
@@ -74,9 +67,14 @@ object Dedup {
                         n: Int, k: Int = 3): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), k)).as("s"))
+    // native digest halves ([[graft.functions.Md5HalfExpr]]): same value
+    // as conv(substring(md5(s), …), 16, 10), no hex-string round-trip
+    def md5half(c: Column, half: Int): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.Md5HalfExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), half))
     val h = ex.select(col("id"),
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("h2"))
+      md5half(col("s"), 0).as("h1"),
+      md5half(col("s"), 1).as("h2"))
     val aggs = (0 until n).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % MinhashPrime).as(s"mh$i"))
     h.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
