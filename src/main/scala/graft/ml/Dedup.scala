@@ -16,6 +16,14 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), """\s+""")
 
+  /** One 32-bit half of md5 as a long ([[graft.functions.Md5HalfExpr]]):
+    * same value as `conv(substring(md5(c), 1+8·half, 8), 16, 10)`, no
+    * hex-string round-trip.
+    */
+  def md5half(c: Column, half: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.Md5HalfExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), half))
+
   /** k-word shingles, distinct, of a text column — one native pass
     * ([[graft.functions.ShinglesExpr]]). The previous
     * `array_distinct(zip_with(slice…))` composition was all
@@ -67,11 +75,6 @@ object Dedup {
                         n: Int, k: Int = 3): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), k)).as("s"))
-    // native digest halves ([[graft.functions.Md5HalfExpr]]): same value
-    // as conv(substring(md5(s), …), 16, 10), no hex-string round-trip
-    def md5half(c: Column, half: Int): Column =
-      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.Md5HalfExpr(
-        org.apache.spark.sql.GraftSqlBridge.expression(c), half))
     val h = ex.select(col("id"),
       md5half(col("s"), 0).as("h1"),
       md5half(col("s"), 1).as("h2"))
@@ -152,12 +155,15 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", md5(col("t")))
+      // first 32 digest bits as ONE long; hex char nib's nibble is bits
+      // 4·(7−nib)..4·(7−nib)+3, so every per-bit test below is long
+      // arithmetic — same values as the conv(substring(hex)) form, no 32
+      // string ops per token
+      .withColumn("h1", md5half(col("t"), 0))
     val sums = (0 until 32).map { j =>
-      val nib = j / 4
-      val bit = 1 << (j % 4)
-      sum(when((conv(substring(col("h"), nib + 1, 1), 16, 10).cast("int")
-        .bitwiseAND(lit(bit))) > 0, 1).otherwise(-1)).as(s"b$j")
+      val pos = 4 * (7 - j / 4) + (j % 4)
+      sum(when(shiftright(col("h1"), pos).bitwiseAND(lit(1L)) > 0, 1)
+        .otherwise(-1)).as(s"b$j")
     }
     ex.groupBy(col("id")).agg(sums.head, sums.tail: _*)
       .select(col("id"),
