@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DissectExpr, DotProductExpr}
+import graft.functions.{DissectExpr, DotProductExpr, Md5HalfExpr, ShinglesExpr, TopRunExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -42,6 +42,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_dot(a, b)")
         DotProductExpr(args.head, args(1))
+      }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal int, got $other")
+    }
+    // graft_shingles(text, k) → array<string>: distinct k-word shingles
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_shingles(text, k)")
+        ShinglesExpr(args.head, intLit(args(1), "k"))
+      }))
+    // graft_md5half(s, half) → bigint: 32-bit digest half, no hex round-trip
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5half"),
+      new ExpressionInfo(classOf[Md5HalfExpr].getName, "graft_md5half"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_md5half(s, half)")
+        Md5HalfExpr(args.head, intLit(args(1), "half"))
+      }))
+    // graft_toprun(array<string>) → bigint: max element multiplicity
+    ext.injectFunction((
+      FunctionIdentifier("graft_toprun"),
+      new ExpressionInfo(classOf[TopRunExpr].getName, "graft_toprun"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_toprun(arr)")
+        TopRunExpr(args.head)
       }))
   }
 }

@@ -53,6 +53,36 @@ class RuleSelfTestSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("graft_shingles / graft_md5half / graft_toprun SQL functions") {
+    val s = spark
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.asInstanceOf[Literal].value.toString.toInt
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_shingles",
+      exprs => graft.functions.ShinglesExpr(exprs.head, lit(exprs(1))), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_md5half",
+      exprs => graft.functions.Md5HalfExpr(exprs.head, lit(exprs(1))), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("graft_toprun",
+      exprs => graft.functions.TopRunExpr(exprs.head), "scala_udf")
+
+    val sh = s.sql("SELECT graft_shingles('a b c d a b c', 3) AS x").head()
+      .getSeq[String](0)
+    // distinct, first-occurrence order, 5 windows with one repeat
+    assert(sh == Seq("a b c", "b c d", "c d a", "d a b"))
+    val short = s.sql("SELECT graft_shingles('a b', 3) AS x").head()
+      .getSeq[String](0)
+    assert(short == Seq("a b"))
+    // equal to the hex/substring/conv formulation it replaces
+    val eq = s.sql(
+      """SELECT graft_md5half('hello', 0) = CAST(conv(substring(md5('hello'), 1, 8), 16, 10) AS BIGINT)
+         AND graft_md5half('hello', 1) = CAST(conv(substring(md5('hello'), 9, 8), 16, 10) AS BIGINT) AS ok""")
+      .head().getBoolean(0)
+    assert(eq)
+    assert(s.sql("SELECT graft_toprun(array('b','a','b','c','b')) AS n")
+      .head().getLong(0) == 3L)
+    assert(s.sql("SELECT graft_toprun(array() ) AS n").head().getLong(0) == 0L)
+  }
+
   test("clusterer signature tests: reference tests:{raw,result} shape") {
     // the reference fixture from test_clusterer.py test_cluster
     assert(RuleSelfTest.signatureTest(
