@@ -86,15 +86,24 @@ object Bench {
         df.write.mode("overwrite").format("noop").save()
         val firstExec = nowS() - f0
         CacheSweep.sweep(spark)
-        val steady = Seq.fill(3) {
-          val t0 = nowS()
-          df.write.mode("overwrite").format("noop").save()
-          val dt = nowS() - t0
-          // release LSH signature caches so run N+1 recomputes honestly and
-          // nothing accumulates in the block manager across queries
-          CacheSweep.sweep(spark)
-          dt
-        }
+        // steady-state re-execution is only meaningful for plans without
+        // internal persists: after the sweep, an unpersisted
+        // InMemoryRelation re-executes UNCACHED (each join branch
+        // recomputes the subtree), which measures neither compile nor the
+        // honest data path — report -1 for those (r6 footnote, BASELINE.md)
+        val cachesInternally =
+          df.queryExecution.executedPlan.toString.contains("InMemoryTableScan")
+        val steady =
+          if (cachesInternally) Seq(-1.0)
+          else Seq.fill(3) {
+            val t0 = nowS()
+            df.write.mode("overwrite").format("noop").save()
+            val dt = nowS() - t0
+            // release LSH signature caches so run N+1 recomputes honestly
+            // and nothing accumulates in the block manager across queries
+            CacheSweep.sweep(spark)
+            dt
+          }
         def fullOnce(): Double = {
           val t0 = nowS()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
