@@ -139,8 +139,13 @@ object Bench {
     val qlast = jmap(chainsLast.flatMap(m => Seq(
       m.name + "_last" -> m.fullMedian, m.name + "_last_steady" -> m.steadyMedian,
       m.name + "_last_compile" -> m.compile)))
-    val total = results.map(_.fullMedian).sum
-    val totalMin = results.map(_.fullMin).sum
+    // failed queries report -1 sentinels; summing those would make a
+    // crashed run look FASTER — exclude them and name them instead
+    val failed = results.filter(_.fullMedian < 0).map(_.name)
+    val ok = results.filter(_.fullMedian >= 0)
+    val total = ok.map(_.fullMedian).sum
+    val totalMin = ok.map(_.fullMin).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // environment block: GC/JIT totals and load average let the artifact
     // distinguish a contended or GC-thrashed box from a code regression
@@ -155,7 +160,7 @@ object Bench {
     val procs = Runtime.getRuntime.availableProcessors()
     val env = f"""{"gc_ms":$gcMs,"jit_ms":$jitMs,"load_avg":$load%.2f,"heap_max_mb":$heapMb,"procs":$procs}"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"chains_last":$qlast,"total_min":$totalMin%.3f,"env":$env,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"chains_last":$qlast,"total_min":$totalMin%.3f,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

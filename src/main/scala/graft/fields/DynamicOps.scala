@@ -71,6 +71,11 @@ object DynamicOps {
       group.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (head, entries) =>
         val leaves = entries.filter(_._1.lengthIs == 1)
         val deeper = entries.filter(_._1.lengthIs > 1)
+        if (leaves.nonEmpty && deeper.nonEmpty)
+          // silently extracting only one of the two would drop the other
+          throw new IllegalArgumentException(
+            s"conflicting declared fields: '${(prefix :+ head).mkString(".")}' " +
+              s"is both a leaf and a parent of deeper paths")
         if (deeper.isEmpty)
           typed(v, (prefix :+ head).mkString("."), leaves.head._2).as(head)
         else
@@ -112,24 +117,38 @@ object DynamicOps {
                       fields: Map[String, String],
                       pipe: DataFrame => graft.pipeline.PipelineResult): DataFrame = {
     val v = toVariant(col(rawCol))
+    val declared = declaredColumns(v, fields)
+    // snapshot of what EXTRACTION saw, carried through the pipeline: a
+    // declared path absent here (missing OR failed its type cast) never
+    // reached the rules, so the merge must keep the original value
+    // rather than treating the pipeline's silence as a drop
     val extracted = raw.select(
-      col(rawCol).as("__raw") +: declaredColumns(v, fields): _*)
+      col(rawCol).as("__raw") +:
+        to_json(struct(declared: _*)).as("__decl") +: declared: _*)
     val result = pipe(extracted)
     val out = result.main
-    val processedCols = out.columns.filterNot(_ == "__raw")
+    val processedCols = out.columns.filterNot(c => c == "__raw" || c == "__decl")
     val processedJson = to_json(struct(processedCols.map(col): _*))
     val declaredPaths = fields.keys.toSeq.map(_.split("\\.").toList)
-    val merge = udf { (rawJson: String, processed: String) =>
-      mergeOverflow(rawJson, processed, declaredPaths)
+    val merge = udf { (rawJson: String, processed: String, decl: String) =>
+      mergeOverflow(rawJson, processed, decl, declaredPaths)
     }
-    out.select(merge(col("__raw"), processedJson).as("json"))
+    out.select(merge(col("__raw"), processedJson, col("__decl")).as("json"))
   }
 
   private[graft] def mergeOverflow(rawJson: String, processedJson: String,
+                                   declJson: String,
                                    declared: Seq[List[String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import com.fasterxml.jackson.databind.JsonNode
     import com.fasterxml.jackson.databind.node.ObjectNode
+    def hasPath(node: JsonNode, path: List[String]): Boolean = (node, path) match {
+      case (o: ObjectNode, last :: Nil) => o.has(last)
+      case (o: ObjectNode, head :: rest) =>
+        val child = o.get(head)
+        child != null && hasPath(child, rest)
+      case _ => false
+    }
     def deletePath(node: JsonNode, path: List[String]): Unit = (node, path) match {
       case (o: ObjectNode, last :: Nil) => o.remove(last); ()
       case (o: ObjectNode, head :: rest) =>
@@ -150,7 +169,11 @@ object DynamicOps {
     }
     val base = mapper.readTree(rawJson)
     val over = mapper.readTree(processedJson)
-    declared.foreach(deletePath(base, _))
+    val decl = mapper.readTree(declJson)
+    // replace only the declared paths the pipeline actually SAW: seen +
+    // absent from output = dropped (delete); never-seen (missing or
+    // type-mismatched extraction) = keep the original bytes
+    declared.filter(hasPath(decl, _)).foreach(deletePath(base, _))
     mapper.writeValueAsString(deepMerge(base, over))
   }
 }

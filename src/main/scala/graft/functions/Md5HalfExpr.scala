@@ -12,6 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature job). `half` 0 = digest bytes 0-3, 1 = bytes 4-7.
   */
 case class Md5HalfExpr(child: Expression, half: Int) extends UnaryExpression {
+  // fail at construction (analysis time for SQL callers), not with an
+  // ArrayIndexOutOfBounds from generated code mid-query
+  require(half >= 0 && half <= 3, s"half must be 0..3 (got $half)")
 
   override def dataType: DataType = LongType
 

@@ -73,7 +73,13 @@ object Credentials {
       val body = if (is == null) "" else
         try new String(is.readAllBytes(), "UTF-8") finally is.close()
       Some(Requester.Response(status, body))
-    } catch { case _: Exception => None }
+    } catch {
+      // malformed header values (e.g. a *_file secret ending in a
+      // newline) are config errors and must surface, not read as
+      // "endpoint unreachable"
+      case e: IllegalArgumentException => throw e
+      case _: Exception => None
+    }
 
   sealed trait Creds {
     /** Headers for an outgoing request; may fetch/refresh a token. */
@@ -274,14 +280,13 @@ object Credentials {
   def fromEndpointAll(path: String): Option[Seq[Creds]] =
     loadFile().flatMap { root =>
       section(root, "input").flatMap(i => section(i, "endpoints")).flatMap { eps =>
-        def isEntry(v: Any): Boolean = v match {
-          case _: java.util.Map[_, _] | _: java.util.List[_] => true
-          case _ => false
-        }
-        eps.get(path).filter(isEntry).orElse {
+        // ANY present entry counts as configured — a scalar or null value
+        // (an easy YAML typo) resolves to Seq.empty and DENIES, it does
+        // not silently disable auth
+        (if (eps.contains(path)) Some(eps(path)) else None).orElse {
           eps.toSeq.collect {
             case (k, v) if k.endsWith("*") &&
-              path.startsWith(k.stripSuffix("*")) && isEntry(v) => k -> v
+              path.startsWith(k.stripSuffix("*")) => k -> v
           }.sortBy(-_._1.length).headOption.map(_._2)
         }.map(resolveEntry)
       }
@@ -429,8 +434,14 @@ object Credentials {
       Some(Requester.Response(status, body))
     } catch {
       // misconfigured auth must SURFACE (reference raises it), only
-      // transport failures degrade to None
+      // transport failures degrade to None. IllegalArgumentException is
+      // the JDK rejecting a malformed header VALUE (e.g. a token_file
+      // whose byte-for-byte content ends in a newline) — that is a
+      // config error like the reference's InvalidHeader, not a
+      // transport blip, and silently returning None would make it
+      // indistinguishable from a network outage.
       case e: CredentialsBadRequestError => throw e
+      case e: IllegalArgumentException => throw e
       case _: Exception => None
     }
 

@@ -89,7 +89,11 @@ object PipelineCompiler {
     */
   def withErrorChannel(result: PipelineResult): PipelineResult = {
     val main = result.main
-    if (!main.columns.contains("tags")) result
+    // idempotent: compileInstrumented already attaches the channel from
+    // its CLEAN lineage — re-deriving it from the observed main would
+    // re-fire the stage observes on every errors-count action
+    if (result.extra.contains("errors")) result
+    else if (!main.columns.contains("tags")) result
     else {
       val failed = main.filter(size(col("tags")) > 0)
         .select(

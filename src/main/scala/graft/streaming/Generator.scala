@@ -230,8 +230,12 @@ object Generator {
 
   /** `org.apache.kafka.clients.producer.KafkaProducer` via reflection.
     * Fails with a clear message when kafka-clients is absent.
+    * `sendTimeoutSec` > 0 bounds the final close/flush wait (the
+    * reference's `--send-timeout` poll/flush knob,
+    * run_logprep.py:258-264); 0 waits for full delivery.
     */
-  def reflectiveKafkaProducer(kafkaConfig: Map[String, String]): EventProducer = {
+  def reflectiveKafkaProducer(kafkaConfig: Map[String, String],
+                              sendTimeoutSec: Int = 0): EventProducer = {
     val cls =
       try Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
       catch { case _: ClassNotFoundException =>
@@ -252,6 +256,7 @@ object Generator {
     val send = cls.getMethod("send", recordCls)
     val flushM = cls.getMethod("flush")
     val closeM = cls.getMethod("close")
+    val closeTimedM = cls.getMethod("close", classOf[java.time.Duration])
     val recordCtor = recordCls.getConstructor(
       classOf[String], classOf[Object], classOf[Object])
     new EventProducer {
@@ -264,7 +269,12 @@ object Generator {
             throw new BufferFull(e.getCause)
         }
       def flush(): Unit = { flushM.invoke(producer); () }
-      override def close(): Unit = { closeM.invoke(producer); () }
+      override def close(): Unit = {
+        if (sendTimeoutSec > 0)
+          closeTimedM.invoke(producer, java.time.Duration.ofSeconds(sendTimeoutSec.toLong))
+        else closeM.invoke(producer)
+        ()
+      }
     }
   }
 
@@ -390,7 +400,8 @@ object Generator {
         val kafkaCfg = parseOutputConfig(opt("--output-config").getOrElse(
           throw new IllegalArgumentException(
             "kafka target requires --output-config")))
-        val producer = reflectiveKafkaProducer(kafkaCfg - "topic")
+        val producer = reflectiveKafkaProducer(kafkaCfg - "topic",
+          opt("--send-timeout").map(_.toInt).getOrElse(0))
         try {
           val r = run(dataset, cfg, kafkaSend(producer))
           producer.flush()

@@ -88,7 +88,10 @@ object StreamRunner {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = compiled(batch)
+        // error channel attaches for BOTH compile paths (no-op when the
+        // instrumented compile already carries it) — an "errors" sink
+        // must never be silently dead because the metrics flag is off
+        val result = PipelineCompiler.withErrorChannel(compiled(batch))
         // per-micro-batch counters via observe — foreachBatch plans run
         // as batch queries, so these surface on the
         // QueryExecutionListener (MetricsRegistry.execListener), the
@@ -182,7 +185,7 @@ object StreamRunner {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = refresh.current()(batch)
+        val result = PipelineCompiler.withErrorChannel(refresh.current()(batch))
         sinks.get("main").foreach(_(graft.pipeline.Metrics.observed(result.main)))
         result.extra.foreach { case (name, df) =>
           sinks.get(name).foreach(_(df))

@@ -93,11 +93,46 @@ class DynamicOverflowSpec extends SparkSpec with Matchers {
     DynamicOps.mergeOverflow(
       """{"a":{"b":1,"z":9},"u":"keep"}""",
       """{"a":{"b":2},"new":true}""",
+      """{"a":{"b":1}}""",
       Seq(List("a", "b"))) shouldBe
       """{"a":{"z":9,"b":2},"u":"keep","new":true}"""
-    // pipeline dropped the declared field → it disappears
+    // pipeline saw the declared field (decl has it) and dropped it → gone
     DynamicOps.mergeOverflow(
-      """{"gone":1,"u":2}""", """{"u":2}""", Seq(List("gone"))) shouldBe
+      """{"gone":1,"u":2}""", """{"u":2}""", """{"gone":1}""",
+      Seq(List("gone"))) shouldBe
       """{"u":2}"""
+    // extraction NEVER saw the field (type mismatch → decl lacks it):
+    // the original value survives instead of being destroyed
+    DynamicOps.mergeOverflow(
+      """{"gone":"not-a-long","u":2}""", """{"u":2}""", """{}""",
+      Seq(List("gone"))) shouldBe
+      """{"gone":"not-a-long","u":2}"""
+  }
+
+  test("type-mismatched declared field survives end-to-end; leaf/parent conflict rejected") {
+    val s = spark
+    import s.implicits._
+    val events = Seq("""{"nested":{"uid":"not-a-long"},"keep":1}""").toDF("value")
+    val spec = RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: generic_adder
+        |    rules:
+        |      - filter: "*"
+        |        generic_adder:
+        |          add: {tagged: "y"}
+        |""".stripMargin)
+    val out = DynamicOps.runWithOverflow(events, "value",
+      Map("nested.uid" -> "long"), PipelineCompiler.compile(spec))
+      .head().getString(0)
+    val node = mapper.readTree(out)
+    node.get("nested").get("uid").asText() shouldBe "not-a-long"
+    node.get("keep").asInt() shouldBe 1
+    node.get("tagged").asText() shouldBe "y"
+
+    val e = intercept[IllegalArgumentException](
+      DynamicOps.declaredColumns(
+        DynamicOps.toVariant(org.apache.spark.sql.functions.lit("{}")),
+        Map("a" -> "string", "a.b" -> "long")))
+    e.getMessage should include("conflicting")
   }
 }

@@ -163,13 +163,21 @@ class CredentialsSpec extends AnyFunSuite with Matchers with BeforeAndAfterEach 
 
   test("factory: input endpoints — entry present but unusable yields Some(empty), not None") {
     // the distinction callers need to fail CLOSED: a configured-but-broken
-    // entry must NOT look like "no auth configured"
+    // entry must NOT look like "no auth configured" — empty list, null
+    // value (the easy YAML typo `/path:` with nothing), or a scalar all
+    // count as configured
     withCredsFile(
       """input:
         |  endpoints:
         |    /broken: []
+        |    /nullval:
+        |    /scalar: creds.yml
+        |    /typo*: oops
         |""".stripMargin) {
       Credentials.fromEndpointAll("/broken") shouldBe Some(Seq.empty)
+      Credentials.fromEndpointAll("/nullval") shouldBe Some(Seq.empty)
+      Credentials.fromEndpointAll("/scalar") shouldBe Some(Seq.empty)
+      Credentials.fromEndpointAll("/typo-match") shouldBe Some(Seq.empty)
       Credentials.fromEndpoint("/broken") shouldBe None
     }
   }

@@ -70,6 +70,7 @@ class SoakSpec extends SparkSpec with Matchers {
     val errRows = new java.util.concurrent.atomic.AtomicLong()
     val batches = new java.util.concurrent.atomic.AtomicLong()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-soak-ckpt").toString
+    val persistentBefore = s.sparkContext.getPersistentRDDs.size
 
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -121,16 +122,15 @@ class SoakSpec extends SparkSpec with Matchers {
       snap.getOrElse(("events_failed", "2_timestamper"), -1L) shouldBe
         errRows.get +- batchSlack
       // nothing accumulated BY THIS STREAM: suites share one session (and
-      // run in parallel — a global cacheManager.isEmpty would race other
-      // suites' caches), so assert attribution-scoped — no persisted RDD
-      // derived from this stream's plans survives, and the query itself
-      // ran stateless (no state-store operators). The pipeline path has
-      // no persist/cache call; an InMemoryRelation would surface here as
-      // an `In-memory table`/`rate` RDD.
-      val soakRdds = s.sparkContext.getPersistentRDDs.values
-        .filter(r => Option(r.name).exists(n =>
-          n.contains("rate") || n.contains("soak")))
-      soakRdds shouldBe empty
+      // run in parallel — a global emptiness check would race other
+      // suites' caches), so assert GROWTH-scoped: a per-batch leak over
+      // the ~dozens of batches above would add dozens of persistent
+      // RDDs; concurrent suites add at most a handful transiently. And
+      // the query itself ran stateless (no state-store operators).
+      val persistentAfter = s.sparkContext.getPersistentRDDs.size
+      withClue(s"persistent RDDs before=$persistentBefore after=$persistentAfter: ") {
+        (persistentAfter - persistentBefore).toLong should be < (batches.get / 2).max(5L)
+      }
       Option(q.lastProgress).foreach(p => p.stateOperators.length shouldBe 0)
     }
   }
