@@ -153,35 +153,25 @@ object Similarity {
       when(dot(vec.cast("array<double>"), pc) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** All per-band sign-bit keys in ONE deterministic UDF call. The
+  /** All per-band sign-bit keys in ONE native expression. The
     * column-expression form ([[lshBucket]] per band) builds b×r
     * aggregate(zip_with(...)) trees over b×r×dim literal nodes — at 8×8×64
     * that's a plan whose analysis + codegen dominates the query (measured
     * ~2× the execution at sf0.1) and allocates an intermediate array per
-    * plane per row. The tight-loop UDF does the same index-ordered
-    * multiply-add (bit-identical sums) with zero allocation.
+    * plane per row. [[graft.functions.LshBandKeysExpr]] carries the plane
+    * matrices as ONE plan reference and does the same index-ordered
+    * multiply-add (bit-identical sums) with zero allocation, inside
+    * whole-stage codegen (it replaced a tight-loop UDF in r6).
     */
   def lshBandKeys(vec: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column = {
     val planes: Array[Array[Array[Double]]] =
       bandPlanes.map(_.map(_.toArray).toArray).toArray
-    val f = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else planes.map { band =>
-        val sb = new java.lang.StringBuilder(band.length)
-        var j = 0
-        while (j < band.length) {
-          val p = band(j)
-          var s = 0.0
-          var i = 0
-          val n = math.min(p.length, v.length)
-          while (i < n) { s += v(i) * p(i); i += 1 }
-          sb.append(if (s >= 0) '1' else '0')
-          j += 1
-        }
-        sb.toString
-      }.toSeq
-    }
-    f(vec)
+    // native expression (graft.functions.LshBandKeysExpr): the former
+    // Scala UDF paid a Row→Seq conversion per vector and broke codegen;
+    // same index-ordered sums, bit-identical keys
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LshBandKeysExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), planes))
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
