@@ -170,6 +170,29 @@ object DynamicOps {
     val base = mapper.readTree(rawJson)
     val over = mapper.readTree(processedJson)
     val decl = mapper.readTree(declJson)
+    def at(node: JsonNode, path: List[String]): Option[JsonNode] = path match {
+      case Nil => Some(node)
+      case head :: rest => node match {
+        case o: ObjectNode if o.has(head) => at(o.get(head), rest)
+        case _ => None
+      }
+    }
+    // Extraction emits a struct for every declared PARENT whose path
+    // exists — including when it exists as a SCALAR or with no declared
+    // children, where the struct is empty. That artifact rides through
+    // the pipeline output and deepMerge would clobber the original
+    // scalar with `{}`. Prune: an empty object in the output at a
+    // declared parent prefix whose decl snapshot also carries no
+    // content is an extraction artifact, not pipeline data.
+    val parentPrefixes = declared.flatMap(p => p.inits.toSeq.drop(1))
+      .filter(_.nonEmpty).distinct.sortBy(-_.length)
+    parentPrefixes.foreach { prefix =>
+      val overEmpty = at(over, prefix).exists(n =>
+        n.isInstanceOf[ObjectNode] && n.asInstanceOf[ObjectNode].isEmpty)
+      val declEmpty = at(decl, prefix).forall(n =>
+        n.isInstanceOf[ObjectNode] && n.asInstanceOf[ObjectNode].isEmpty)
+      if (overEmpty && declEmpty) deletePath(over, prefix)
+    }
     // replace only the declared paths the pipeline actually SAW: seen +
     // absent from output = dropped (delete); never-seen (missing or
     // type-mismatched extraction) = keep the original bytes

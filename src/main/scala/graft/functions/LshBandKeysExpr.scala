@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** All random-hyperplane LSH band keys of an `array<double>` vector in
@@ -20,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LshBandKeysExpr(child: Expression,
                            planes: Array[Array[Array[Double]]])
     extends UnaryExpression {
+
+  // the replaced UDF's Seq[Double] signature coerced any numeric array;
+  // the Column wrapper casts, and this rejects a raw mis-typed input at
+  // analysis instead of misreading 4-byte elements as doubles
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_keys requires array<double>, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -169,9 +169,12 @@ object Similarity {
     // native expression (graft.functions.LshBandKeysExpr): the former
     // Scala UDF paid a Row→Seq conversion per vector and broke codegen;
     // same index-ordered sums, bit-identical keys
+    // cast like the replaced UDF's Seq[Double] coercion did, so float
+    // embedding columns keep working for any caller
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.LshBandKeysExpr(
-        org.apache.spark.sql.GraftSqlBridge.expression(vec), planes))
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          vec.cast("array<double>")), planes))
   }
 
   /** Embedding-cosine near-duplicate pairs via BANDED random-hyperplane

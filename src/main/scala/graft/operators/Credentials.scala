@@ -282,8 +282,9 @@ object Credentials {
       section(root, "input").flatMap(i => section(i, "endpoints")).flatMap { eps =>
         // ANY present entry counts as configured — a scalar or null value
         // (an easy YAML typo) resolves to Seq.empty and DENIES, it does
-        // not silently disable auth
-        (if (eps.contains(path)) Some(eps(path)) else None).orElse {
+        // not silently disable auth (Map.get returns Some(null) for a
+        // null-valued key, which resolveEntry maps to Seq.empty)
+        eps.get(path).orElse {
           eps.toSeq.collect {
             case (k, v) if k.endsWith("*") &&
               path.startsWith(k.stripSuffix("*")) => k -> v

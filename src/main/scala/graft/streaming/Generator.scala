@@ -256,7 +256,9 @@ object Generator {
     val send = cls.getMethod("send", recordCls)
     val flushM = cls.getMethod("flush")
     val closeM = cls.getMethod("close")
-    val closeTimedM = cls.getMethod("close", classOf[java.time.Duration])
+    // close(Duration) is kafka-clients >= 2.0 (KIP-266); resolve lazily
+    // so a 1.x client still constructs when no timeout is requested
+    lazy val closeTimedM = cls.getMethod("close", classOf[java.time.Duration])
     val recordCtor = recordCls.getConstructor(
       classOf[String], classOf[Object], classOf[Object])
     new EventProducer {
@@ -400,11 +402,14 @@ object Generator {
         val kafkaCfg = parseOutputConfig(opt("--output-config").getOrElse(
           throw new IllegalArgumentException(
             "kafka target requires --output-config")))
-        val producer = reflectiveKafkaProducer(kafkaCfg - "topic",
-          opt("--send-timeout").map(_.toInt).getOrElse(0))
+        val sendTimeout = opt("--send-timeout").map(_.toInt).getOrElse(0)
+        val producer = reflectiveKafkaProducer(kafkaCfg - "topic", sendTimeout)
         try {
           val r = run(dataset, cfg, kafkaSend(producer))
-          producer.flush()
+          // with a timeout, the bounded close() below does the final
+          // flush — an explicit flush() here would block unbounded on a
+          // hung broker, defeating the knob
+          if (sendTimeout == 0) producer.flush()
           r
         } finally producer.close()
       } else run(dataset, cfg, httpSend(positional(1)))

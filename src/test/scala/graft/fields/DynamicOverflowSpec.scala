@@ -135,4 +135,27 @@ class DynamicOverflowSpec extends SparkSpec with Matchers {
         Map("a" -> "string", "a.b" -> "long")))
     e.getMessage should include("conflicting")
   }
+
+  test("declared path under a SCALAR parent: the scalar survives") {
+    // extraction emits an empty struct for the declared parent (the path
+    // exists — as a scalar); the merge must not clobber 5 with {}
+    val s = spark
+    import s.implicits._
+    val events = Seq("""{"a":5,"u":"keep"}""").toDF("value")
+    val spec = RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: generic_adder
+        |    rules:
+        |      - filter: "*"
+        |        generic_adder:
+        |          add: {tagged: "y"}
+        |""".stripMargin)
+    val out = DynamicOps.runWithOverflow(events, "value",
+      Map("a.b" -> "long"), PipelineCompiler.compile(spec))
+      .head().getString(0)
+    val node = mapper.readTree(out)
+    node.get("a").asInt() shouldBe 5
+    node.get("u").asText() shouldBe "keep"
+    node.get("tagged").asText() shouldBe "y"
+  }
 }

@@ -129,7 +129,11 @@ class SoakSpec extends SparkSpec with Matchers {
       // the query itself ran stateless (no state-store operators).
       val persistentAfter = s.sparkContext.getPersistentRDDs.size
       withClue(s"persistent RDDs before=$persistentBefore after=$persistentAfter: ") {
-        (persistentAfter - persistentBefore).toLong should be < (batches.get / 2).max(5L)
+        // fixed threshold: a per-batch leak adds dozens over the run;
+        // parallel suites add at most a handful transiently. (A
+        // non-per-batch one-time leak can hide under this — precise
+        // attribution isn't possible on a shared session.)
+        (persistentAfter - persistentBefore).toLong should be < 10L
       }
       Option(q.lastProgress).foreach(p => p.stateOperators.length shouldBe 0)
     }
