@@ -111,6 +111,10 @@ object DynamicOps {
     * algebra over two dynamic JSON documents, and the per-row work is
     * one Jackson parse of data that is already strings at the boundary.
     *
+    * Limitation: declared paths address OBJECT fields only — a path
+    * segment through an array (`items.0.name`) is not extractable here
+    * (arrays pass through whole, untouched, like any undeclared value).
+    *
     * Returns one `json` string column.
     */
   def runWithOverflow(raw: DataFrame, rawCol: String,
