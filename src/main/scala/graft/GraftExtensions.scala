@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DissectExpr, DotProductExpr, Md5HalfExpr, ShinglesExpr, TopRunExpr}
+import graft.functions.{DissectExpr, DotProductExpr, Md5HalfExpr, NgramsExpr, ShinglesExpr, TopRunExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Activate with
@@ -64,6 +64,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_md5half(s, half)")
         Md5HalfExpr(args.head, intLit(args(1), "half"))
+      }))
+    // graft_ngrams(text, n) → array<string>: consecutive word n-grams,
+    // multiplicity kept (the counting complement of graft_shingles)
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NgramsExpr].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_ngrams(text, n)")
+        val n = intLit(args(1), "n")
+        require(n >= 1, s"n must be >= 1, got $n")
+        NgramsExpr(args.head, n)
       }))
     // graft_toprun(array<string>) → bigint: max element multiplicity
     ext.injectFunction((

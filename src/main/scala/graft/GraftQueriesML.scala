@@ -507,10 +507,117 @@ object GraftQueriesML {
               FROM documents) WHERE r <= 50"""))
 
   // ----------------------------------------------------------------------
+  // corpus statistics: n-gram frequency, benchmark contamination, token
+  // document-frequency rarity (ml/CorpusStats.scala) — round 7
+  // ----------------------------------------------------------------------
+
+  private val mNgramTopK = Spec("ml_ngram_topk",
+    (s, dir) => CorpusStats.ngramTopK(t(s, dir, "documents"), "text",
+      n = 2, k = 20),
+    Some("""WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT unnest(list_transform(range(len(w)-1),
+                i -> w[i+1]||' '||w[i+2])) AS ngram
+              FROM w WHERE len(w) >= 2)
+            SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 20"""))
+
+  private val mContamination = Spec("ml_contamination",
+    (s, dir) => {
+      // benchmark = every 53rd doc (an eval set drawn from the corpus
+      // distribution); corpus = the rest; same ≥3-token contract as the
+      // MinHash family
+      val d = t(s, dir, "documents")
+        .filter(size(Dedup.tokens(col("text"))) >= 3)
+      val bench = d.filter(col("doc_id") % 53 === 0)
+      val corpus = d.filter(col("doc_id") % 53 =!= 0)
+      CorpusStats.contamination(corpus, "doc_id", "text", bench, "text",
+        k = 3, threshold = 0.05)
+    },
+    Some(shinglesCte + """,
+         bsh AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 53 = 0),
+         corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 53 <> 0),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM corpus),
+         shared AS (SELECT ex.doc_id, count(*) AS n_shared
+           FROM ex JOIN bsh USING (g) GROUP BY ex.doc_id)
+         SELECT c.doc_id, CAST(len(c.s) AS BIGINT) AS n_shingles,
+           coalesce(n_shared, 0) AS n_shared,
+           round(coalesce(n_shared, 0)*1.0/len(c.s), 6) AS overlap_frac,
+           CAST(round(coalesce(n_shared, 0)*1.0/len(c.s), 6) >= 0.05 AS INT)
+             AS contaminated
+         FROM corpus c LEFT JOIN shared USING (doc_id)"""))
+
+  private val mDocFreq = Spec("ml_doc_freq",
+    (s, dir) => CorpusStats.docFreqStats(t(s, dir, "documents"),
+      "doc_id", "text"),
+    Some("""WITH dt AS (SELECT doc_id,
+              unnest(list_distinct(list_filter(string_split(text, ' '),
+                x -> x <> ''))) AS t FROM documents),
+            dfreq AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+            stats AS (SELECT doc_id, count(*) AS n_distinct,
+                min(df) AS min_df, sum(df) AS sum_df
+              FROM dt JOIN dfreq USING (t) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_distinct, 0) AS n_distinct,
+              coalesce(min_df, 0) AS min_df,
+              coalesce(round(CAST(sum_df AS DOUBLE)/n_distinct, 6), 0.0) AS avg_df
+            FROM documents d LEFT JOIN stats USING (doc_id)"""))
+
+  private val mPackChunks = Spec("ml_pack_chunks",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tok"))
+      Curation.packChunks(d, "doc_id", col("tok"), ctxLen = 512, buckets = 16)
+    },
+    // the sequential window cumsum verifies the engine's DISTRIBUTED
+    // prefix sum (bucket totals + within-bucket window) integer-exactly
+    Some("""WITH b AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+              FROM documents),
+            o AS (SELECT doc_id, tok,
+              CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS tok_offset FROM b)
+            SELECT doc_id, tok AS n_tokens, tok_offset,
+              tok_offset // 512 AS first_chunk,
+              (tok_offset + greatest(tok, 1) - 1) // 512 AS last_chunk,
+              CASE WHEN tok = 0 THEN CAST(0 AS BIGINT)
+                ELSE (tok_offset + tok - 1) // 512 - tok_offset // 512 + 1 END
+                AS n_chunks
+            FROM o"""))
+
+  private val mPiiRedact = Spec("ml_pii_redact",
+    (s, dir) => {
+      // the synthetic corpus carries no PII, so the query CONSTRUCTS a
+      // deterministic contact line from events columns (identically in
+      // both engines) and redacts it — the gate proves the redaction
+      // fires, not just that clean text passes through
+      val e = t(s, dir, "events")
+      val contact = concat(lit("user"), col("user_id").cast("string"),
+        lit("@example.com via 10.0."), (col("user_id") % 256).cast("string"),
+        lit(".7 or call +49 151 "),
+        (col("event_id") % 9000000 + 1000000).cast("string"),
+        lit(" re "), col("event_type"))
+      e.select(col("event_id"),
+        TextAnalysis.redactPii(contact).as("clean"))
+    },
+    Some("""SELECT event_id,
+            regexp_replace(regexp_replace(regexp_replace(
+              'user' || CAST(user_id AS VARCHAR) || '@example.com via 10.0.'
+                || CAST(user_id % 256 AS VARCHAR) || '.7 or call +49 151 '
+                || CAST(event_id % 9000000 + 1000000 AS VARCHAR)
+                || ' re ' || event_type,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+              '[+(]?\d[\d\s().-]{5,}\d', '<PHONE>', 'g') AS clean
+            FROM events"""))
+
+  // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mJaccardPairs, mNearDupKeep,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
-    mRepetition, mHashSplit, mStratified)
+    mRepetition, mHashSplit, mStratified,
+    mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact)
 }

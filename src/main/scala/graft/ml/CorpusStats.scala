@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for training-data curation: n-gram frequency
+  * tables, benchmark-contamination detection, and token document-frequency
+  * (rarity) signals. These are the cross-document complement of
+  * [[TextAnalysis]]'s per-row signals — each involves exactly the shuffles
+  * its semantics force and nothing more.
+  *
+  * Scale shapes (the 100 TB reading):
+  *  - n-gram counts: explode → ONE map-side-combined hash aggregate;
+  *    the shuffle carries (gram, partial count) pairs — vocabulary-sized,
+  *    not corpus-sized. Top-k is `TakeOrderedAndProject` (per-partition
+  *    heaps + driver merge of k rows), never a global sort.
+  *  - contamination: the benchmark side of the join is an eval set —
+  *    small BY DEFINITION — so it broadcasts; the corpus side stays a
+  *    narrow explode feeding one per-doc aggregate.
+  *  - document frequency: two aggregates (per-token df, per-doc stats)
+  *    plus one token-keyed join; all integer arithmetic until a single
+  *    final division, so engine and oracle agree bit-exactly.
+  */
+object CorpusStats {
+
+  /** Consecutive word n-grams, multiplicity kept, via the native
+    * [[graft.functions.NgramsExpr]] kernel (the HOF composition —
+    * `transform(sequence(...))` over a split — is CodegenFallback and
+    * interpreted per row). Words = single-space split, empties removed
+    * ([[Curation.words]] semantics). Under n words → empty array.
+    */
+  def ngramArray(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
+  /** Corpus n-gram frequency table: (ngram, cnt). One explode + one
+    * map-side-combined aggregate.
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(ngramArray(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+
+  /** Top-k corpus n-grams with a total-order tie-break (count desc, gram
+    * asc) so the cut is deterministic across engines and runs. The
+    * orderBy+limit pair plans as TakeOrderedAndProject: per-partition
+    * top-k heaps, k rows to the driver — no global sort at any scale.
+    */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    ngramCounts(df, textCol, n)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Benchmark-contamination check (the train/test-leak gate every
+    * training-data pipeline needs): for each corpus document, how many of
+    * its distinct k-word shingles also appear anywhere in the benchmark
+    * set, and the overlap fraction of the document's own shingle set.
+    *
+    * `contaminated` = overlap_frac ≥ threshold (as int for cross-engine
+    * stability). Documents with fewer than k words carry no shingle
+    * evidence and must be pre-filtered by the caller (same contract as
+    * the MinHash family).
+    *
+    * The benchmark's distinct-shingle set is broadcast — eval benchmarks
+    * are small by definition, and this keeps the corpus side a narrow
+    * explode feeding one per-doc aggregate (no corpus shuffle beyond it).
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val benchSh = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), k)).as("s"))
+      .distinct()
+    val docSh = corpus.select(col(idCol).as("id"),
+      Dedup.shingles(col(textCol), k).as("sh"))
+    val shared = docSh.select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(benchSh), Seq("s"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    docSh.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated",
+        (col("overlap_frac") >= threshold).cast("int"))
+  }
+
+  /** Per-document token-rarity signals from corpus document frequency:
+    * over each document's DISTINCT words, the df of its rarest word
+    * (`min_df`), the mean df (`avg_df`), and the distinct-word count.
+    * Low `min_df`/`avg_df` flags documents built from corpus-rare
+    * vocabulary — the threshold-free form of a "rare token fraction"
+    * filter (a fixed rarity cutoff is corpus-dependent; min/mean df is
+    * not).
+    *
+    * Words = [[Curation.words]] (single-space split, empties removed).
+    * Documents with no words keep a row with zeros. All-integer until
+    * the one final division, so the oracle matches bit-exactly.
+    */
+  def docFreqStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = df.select(col(idCol).as("id"),
+      explode(array_distinct(Curation.words(col(textCol)))).as("t"))
+    val dfreq = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = dt.join(dfreq, Seq("t"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_distinct"),
+        min(col("df")).as("min_df"),
+        sum(col("df")).as("__sum_df"))
+    df.select(col(idCol).as("id")).join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("min_df"), lit(0L)).as("min_df"),
+        coalesce(round(col("__sum_df").cast("double") / col("n_distinct"), 6),
+          lit(0.0)).as("avg_df"))
+  }
+}

@@ -88,6 +88,68 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Exact integer division that stays in Column algebra: subtract the
+    * remainder first so the double division is of an exact multiple
+    * (bit-exact for quotients < 2^53 — `floor(a/b)` on raw doubles is
+    * not, and `Column` has no `div`).
+    */
+  private def idiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Concat-and-chunk sequence packing — the standard LLM pre-training
+    * layout: documents are conceptually concatenated in `idCol` order and
+    * cut into fixed `ctxLen`-token chunks; each document's global token
+    * offset determines which chunks it lands in. Returns the input ids
+    * with `n_tokens`, `tok_offset` (tokens before this doc), and the
+    * `first_chunk`/`last_chunk`/`n_chunks` span (empty docs span no
+    * chunk).
+    *
+    * The global offset is a DISTRIBUTED PREFIX SUM, not a single-partition
+    * window: documents bucket by id range; per-bucket token totals (at
+    * most `buckets` rows — driver-small like
+    * [[Similarity.trainCentroids]]'s k×dim sums) come back to the driver,
+    * prefix offsets per bucket go back out as a broadcast join, and the
+    * within-bucket cumulative sum is a window partitioned BY BUCKET. A
+    * naive `Window.orderBy(id)` with no partition spec would pull the
+    * entire corpus through one task — the canonical scale-killer this
+    * two-phase shape exists to avoid.
+    */
+  def packChunks(df: DataFrame, idCol: String, nTokens: Column, ctxLen: Int,
+                 buckets: Int = 256): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      nTokens.cast("long").as("tok"))
+    val bounds = base.agg(min(col("id")), max(col("id"))).head()
+    if (bounds.isNullAt(0))
+      return base.select(col("id").as(idCol), col("tok").as("n_tokens"),
+        lit(0L).as("tok_offset"), lit(0L).as("first_chunk"),
+        lit(0L).as("last_chunk"), lit(0L).as("n_chunks"))
+    val minId = bounds.getLong(0)
+    val span = math.max(1L, (bounds.getLong(1) - minId) / buckets + 1)
+    val bucketed = base.withColumn("__b", idiv(col("id") - minId, span))
+    val totals = bucketed.groupBy(col("__b")).agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) =>
+      (b, acc + t)
+    }.sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val s = df.sparkSession
+    import s.implicits._
+    val baseDf = bases.toDF("__b", "__base")
+    val w = Window.partitionBy(col("__b")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = col("__base") + coalesce(sum(col("tok")).over(w), lit(0L))
+    val firstChunk = idiv(col("tok_offset"), ctxLen.toLong)
+    val lastChunk =
+      idiv(col("tok_offset") + greatest(col("tok"), lit(1L)) - 1, ctxLen.toLong)
+    bucketed.join(broadcast(baseDf), Seq("__b"))
+      .withColumn("tok_offset", off)
+      .select(col("id").as(idCol), col("tok").as("n_tokens"),
+        col("tok_offset"), firstChunk.as("first_chunk"),
+        lastChunk.as("last_chunk"),
+        when(col("tok") === 0, 0L)
+          .otherwise(lastChunk - firstChunk + 1).as("n_chunks"))
+  }
+
   /** Keep at most `k` rows per stratum, chosen deterministically by md5
     * of the id (a content-addressed "random" order). One shuffle on the
     * stratum key; the rank filter executes as a group limit below the

@@ -76,6 +76,22 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
 
+  /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`, then
+    * phone-shaped digit runs → `<PHONE>` — three codegen'd
+    * `regexp_replace` passes, scan-speed at any corpus size. Order is
+    * load-bearing: emails first (their local part may look phone-like),
+    * IPs before phones (dots and digits match the phone class), and both
+    * engines must apply the same order. The patterns stay inside the
+    * RE2-compatible subset so the DuckDB oracle runs them verbatim.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+    val ip = regexp_replace(email,
+      """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>")
+    regexp_replace(ip, """[+(]?\d[\d\s().-]{5,}\d""", "<PHONE>")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable under formatting noise; the cheap exact-dup key.
     */

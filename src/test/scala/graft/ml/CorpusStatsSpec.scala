@@ -1,0 +1,134 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("ngramArray keeps multiplicity, drops empties, empty under n words") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b"),    // bigrams: "a b", "b a", "a b" — dup kept
+      (2L, "  x   y  "),  // multi-space: words are x, y
+      (3L, "solo"),       // under n → empty
+      (4L, "")            // empty → empty
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        CorpusStats.ngramArray(col("text"), 2).as("g"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(out(0) == Seq("a b", "b a", "a b"))
+    assert(out(1) == Seq("x y"))
+    assert(out(2).isEmpty && out(3).isEmpty)
+  }
+
+  test("ngramTopK counts and deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a b a b", "a b c", "c a").toDF("text")
+    // bigrams: "a b"×3, "b a"×1, "b c"×1, "c a"×1
+    val top = CorpusStats.ngramTopK(df, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("contamination counts shared shingles against the benchmark set") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox" with bench
+      (2L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox", "unrelated benchmark text")
+      .toDF("text")
+    val out = CorpusStats.contamination(corpus, "doc_id", "text",
+        bench, "text", k = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    // doc 1: 3 shingles, 2 shared (bench has "the quick brown","quick brown fox")
+    assert(out(0) == ((1L, 3L, 2L, 0.666667, 1)))
+    assert(out(1) == ((2L, 2L, 0L, 0.0, 0)))
+  }
+
+  test("docFreqStats: df over distinct words, zero row for empty doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b"),   // df(a)=3, df(b)=2 → min 2, avg 2.5
+      (2L, "a b a"), // distinct a,b → same stats
+      (3L, "a"),     // df(a)=3
+      (4L, "")       // no words → zeros
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docFreqStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 2L, 2.5)))
+    assert(out(1) == ((2L, 2L, 2L, 2.5)))
+    assert(out(2) == ((3L, 1L, 3L, 3.0)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("packChunks matches the sequential fold and spans boundaries") {
+    val s = spark
+    import s.implicits._
+    // 100 docs, irregular token counts incl. zeros; ctx 64 so many docs
+    // straddle chunk boundaries
+    val docs = (0L until 100L).map(i => (i, (i * 7 % 50))).toDF("id", "tok")
+    val out = Curation.packChunks(docs, "id", col("tok"), ctxLen = 64,
+        buckets = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // sequential reference
+    var off = 0L
+    (0L until 100L).foreach { i =>
+      val tok = i * 7 % 50
+      val first = off / 64
+      val last = (off + math.max(tok, 1) - 1) / 64
+      val n = if (tok == 0) 0L else last - first + 1
+      assert(out(i.toInt) == ((i, tok, off, first, last, n)),
+        s"doc $i: got ${out(i.toInt)}")
+      off += tok
+    }
+    // at least one doc must span 2+ chunks for the boundary math to count
+    assert(out.exists(_._6 >= 2))
+    // the prefix sum must be distributed: no single-partition exchange
+    val plan = Curation.packChunks(docs, "id", col("tok"), 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window detected in plan:\n$plan")
+  }
+
+  test("packChunks handles empty input and a single doc") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "tok")
+    assert(Curation.packChunks(empty, "id", col("tok"), 64).count() == 0)
+    val one = Seq((7L, 200L)).toDF("id", "tok")
+    val r = Curation.packChunks(one, "id", col("tok"), 64).collect()(0)
+    assert((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((7L, 0L, 0L, 3L, 4L)))
+  }
+
+  test("redactPii masks emails, IPs, phones; leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "src 192.168.0.1 dst 10.0.255.7",
+      "call +49 151 1234567 today",
+      "phone (030) 123-4567 works",
+      "nothing to hide here",
+      "v1.2 is not an ip, 1.2.3 neither"
+    ).toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect()
+      .map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "src <IP> dst <IP>")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "phone <PHONE> works")
+    assert(out(4) == "nothing to hide here")
+    assert(out(5) == "v1.2 is not an ip, 1.2.3 neither")
+  }
+}
