@@ -612,6 +612,64 @@ object GraftQueriesML {
               '[+(]?\d[\d\s().-]{5,}\d', '<PHONE>', 'g') AS clean
             FROM events"""))
 
+  private val mUnigramLP = Spec("ml_unigram_logprob",
+    (s, dir) => CorpusStats.unigramLogProb(t(s, dir, "documents"),
+      "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            n AS (SELECT sum(c) AS n FROM cnt),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+              round(avg(ln(c) - ln(n)), 6) AS avg_logprob
+              FROM tok JOIN cnt USING (t) CROSS JOIN n GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+              coalesce(avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)"""))
+
+  private val mDupNgrams = Spec("ml_dup_ngrams",
+    (s, dir) => CorpusStats.dupNgramStats(t(s, dir, "documents"),
+      "doc_id", "text", n = 3),
+    Some("""WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(len(w)-2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))) AS g
+              FROM w WHERE len(w) >= 3),
+            gc AS (SELECT g, count(*) AS docs FROM dg GROUP BY g),
+            per AS (SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM dg JOIN gc USING (g) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+              coalesce(n_dup, 0) AS n_dup,
+              coalesce(round(n_dup*1.0/n_grams, 6), 0.0) AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)"""))
+
+  private val mEmbedOutlier = Spec("ml_embed_outlier",
+    (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
+      "vec_id", "embedding", zThresh = 2.0),
+    Some("""WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+            c AS (SELECT i, avg(v) AS m FROM u GROUP BY i),
+            d AS (SELECT vec_id, round(sqrt(sum((v-m)*(v-m))), 6) AS dist
+              FROM u JOIN c USING (i) GROUP BY vec_id),
+            st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM d)
+            SELECT vec_id, dist, round((dist-mu)/sd, 4) AS z,
+              CAST(round((dist-mu)/sd, 4) > 2.0 AS INT) AS is_outlier
+            FROM d CROSS JOIN st"""))
+
+  private val mWeightedSample = Spec("ml_weighted_sample",
+    (s, dir) => Curation.weightedSample(t(s, dir, "documents"),
+        "doc_id", "source",
+        rates = Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.8),
+        defaultRate = 0.65)
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source FROM (SELECT doc_id, source,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 10000 AS b FROM documents)
+            WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 8000 ELSE 6500 END"""))
+
   // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
@@ -619,5 +677,6 @@ object GraftQueriesML {
     mJaccardPairs, mNearDupKeep,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
     mRepetition, mHashSplit, mStratified,
-    mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact)
+    mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
+    mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample)
 }

@@ -86,6 +86,67 @@ object CorpusStats {
         (col("overlap_frac") >= threshold).cast("int"))
   }
 
+  /** Per-document unigram language-model score — the corpus-aware quality
+    * signal (a cheap stand-in for model perplexity): the average natural
+    * log-probability of the document's token occurrences under the
+    * corpus's own unigram MLE distribution, `avg(ln cnt(t) − ln N)`.
+    * Boilerplate and template text scores high (common tokens); garbage
+    * and wrong-language text scores low. Returns every input row with
+    * `n_tokens` and `avg_logprob` (0.0 for empty docs).
+    *
+    * Scale: ONE token-count aggregate (vocabulary-sized output), the
+    * corpus total folded in as a broadcast single-row cross join (the
+    * count never touches the driver), one token-keyed join back, one
+    * per-doc aggregate. The same two-aggregate shape as [[docFreqStats]].
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(Curation.words(col(textCol))).as("t"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c")).as("n"))
+    val per = tok.join(cnt, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double")) - log(col("n").cast("double"))), 6)
+          .as("avg_logprob"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Substring-level duplication signal (the n-gram approximation of
+    * suffix-array dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): per document, how many of its
+    * DISTINCT word n-grams also occur in at least one OTHER document,
+    * and that count as a fraction of the document's n-gram set. High
+    * `dup_frac` with a low exact/MinHash signal flags partially-copied
+    * text (quotes, boilerplate paragraphs) that whole-document dedup
+    * misses.
+    *
+    * Scale: same two-aggregate + token-keyed-join shape as
+    * [[docFreqStats]] — the gram table is vocabulary-sized, the join key
+    * is the gram, nothing is ever pairwise.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val dg = df.select(col(idCol).as("id"),
+      explode(array_distinct(ngramArray(col(textCol), n))).as("g"))
+    // dg is distinct per (id, g), so count(*) = number of docs carrying g
+    val gc = dg.groupBy(col("g")).agg(count(lit(1)).as("docs"))
+    val per = dg.join(gc, Seq("g"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(round(col("n_dup").cast("double") / col("n_grams"), 6),
+          lit(0.0)).as("dup_frac"))
+  }
+
   /** Per-document token-rarity signals from corpus document frequency:
     * over each document's DISTINCT words, the df of its rarest word
     * (`min_df`), the mean df (`avg_df`), and the distinct-word count.

@@ -150,6 +150,28 @@ object Curation {
           .otherwise(lastChunk - firstChunk + 1).as("n_chunks"))
   }
 
+  /** Data-mixing sampler: keep each row with a per-stratum RATE (e.g.
+    * up-weight books, down-weight web), decided content-addressed — the
+    * row survives iff `hashBucket(id, buckets) < rate·buckets`. The same
+    * document keeps the same fate across runs, engines, and clusters
+    * (no RNG state), and a rate change only adds/removes the delta
+    * (buckets are nested: rate 0.5's kept set contains rate 0.3's).
+    *
+    * Purely narrow — a codegen'd filter at scan speed, no shuffle; the
+    * rate table is config-sized and compiles to a literal CASE chain.
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     rates: Map[String, Double], defaultRate: Double = 1.0,
+                     buckets: Int = 10000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val cut = rates.foldLeft(lit(math.round(defaultRate * buckets).toInt)) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, math.round(r * buckets).toInt).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < cut)
+  }
+
   /** Keep at most `k` rows per stratum, chosen deterministically by md5
     * of the id (a content-addressed "random" order). One shuffle on the
     * stratum key; the rank filter executes as a group limit below the

@@ -56,6 +56,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding outlier detection against the corpus centroid: each
+    * vector's Euclidean distance to the per-dimension corpus mean,
+    * z-scored over the distance distribution; `is_outlier` = z above
+    * `zThresh`. Far-from-centroid vectors flag mislabeled, corrupted, or
+    * out-of-distribution rows — the embedding-space complement of the
+    * text quality signals.
+    *
+    * Scale: the centroid is a posexplode → per-dimension avg (a
+    * dim-sized aggregate — map-side combined, tiny shuffle), folded back
+    * in as a BROADCAST join on the dimension index; the distance stats
+    * are one scalar aggregate folded in as a broadcast single-row cross
+    * join. Nothing ever reaches the driver; three scans of the corpus
+    * total, no pairwise anything.
+    *
+    * Float determinism: distances round to 6 before the z stats, z
+    * rounds to 4 before the threshold — both engines aggregate the same
+    * rounded values, so sum-order noise (~1e-12) cannot flip a flag.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       zThresh: Double = 2.0): DataFrame = {
+    val u = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+    val c = u.groupBy(col("i")).agg(avg(col("v")).as("m"))
+    val d = u.join(broadcast(c), Seq("i"))
+      .groupBy(col("id"))
+      .agg(round(sqrt(sum((col("v") - col("m")) * (col("v") - col("m")))), 6)
+        .as("dist"))
+    val st = d.agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sd"))
+    val z = round((col("dist") - col("mu")) / col("sd"), 4)
+    d.crossJoin(broadcast(st))
+      .select(col("id").as(idCol), col("dist"), z.as("z"),
+        (z > zThresh).cast("int").as("is_outlier"))
+  }
+
   /** IVF bucket assignment: nearest centroid index (argmax cosine).
     * Centroids are a small broadcast array-of-arrays literal. At write
     * time: `corpus.withColumn("bucket", assignBucket(...)).write.partitionBy("bucket")`

@@ -111,6 +111,82 @@ class CorpusStatsSpec extends SparkSpec {
       r.getLong(5)) == ((7L, 0L, 0L, 3L, 4L)))
   }
 
+  test("unigramLogProb: corpus MLE averages, zero row for empty doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a a b"), // corpus: a×2, b×2, c×1 → N=5
+      (2L, "b c"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def lp(counts: Seq[Int]) =
+      math.round(counts.map(c => math.log(c) - math.log(5)).sum
+        / counts.size * 1e6) / 1e6
+    assert(out(0) == ((1L, 3L, lp(Seq(2, 2, 2)))))
+    assert(out(1) == ((2L, 2L, lp(Seq(2, 1)))))
+    assert(out(2) == ((3L, 0L, 0.0)))
+  }
+
+  test("dupNgramStats: grams shared across docs counted once per doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d"
+      (2L, "x a b c y"), // grams: "x a b", "a b c", "b c y"
+      (3L, "q r")        // under n → zero grams
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.dupNgramStats(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 1L, 0.5)))       // "a b c" shared
+    assert(out(1) == ((2L, 3L, 1L, 0.333333)))
+    assert(out(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("centroidOutliers: distances, z-scores, and the flag") {
+    val s = spark
+    import s.implicits._
+    // nine origin vectors + one far point (pop-z caps at sqrt(n-1), so
+    // n must be large enough for z>2 to be reachable at all):
+    // centroid (3,4), inlier dist 5, outlier dist 45 → mu 9, sd 12,
+    // z_out = 3.0, z_in = -0.3333 — all exact in floating point
+    val df = ((1L to 9L).map(i => (i, Seq(0.0f, 0.0f))) :+
+      (10L, Seq(30.0f, 40.0f))).toDF("vec_id", "embedding")
+    val out = graft.ml.Similarity.centroidOutliers(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._4).toSeq == Seq.fill(9)(0) :+ 1)
+    assert(out(0) == ((1L, 5.0, -0.3333, 0)))
+    assert(out(9) == ((10L, 45.0, 3.0, 1)))
+  }
+
+  test("weightedSample: deterministic, nested across rates, rate-shaped") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val lo = Curation.weightedSample(df, "id", "src",
+      Map("src0" -> 0.3), defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    val hi = Curation.weightedSample(df, "id", "src",
+      Map("src0" -> 0.6), defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "rate increase must only ADD rows")
+    val again = Curation.weightedSample(df, "id", "src",
+      Map("src0" -> 0.3), defaultRate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(again == lo, "content-addressed: identical across runs")
+    // rough rate check: src0 at 0.3 keeps ~75 of 250, others ~125 of 250
+    val bySrc = Curation.weightedSample(df, "id", "src",
+        Map("src0" -> 0.3), defaultRate = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") < bySrc("src1"))
+    assert(math.abs(bySrc("src0") - 75L) < 25)
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, "id", "src", Map("src0" -> 1.5))
+    }
+  }
+
   test("redactPii masks emails, IPs, phones; leaves clean text alone") {
     val s = spark
     import s.implicits._
