@@ -671,6 +671,144 @@ object GraftQueriesML {
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
   // ----------------------------------------------------------------------
+  // tokenizer training: distributed BPE merge learning (ml/Tokenize.scala)
+  // ----------------------------------------------------------------------
+
+  private val bpeK = 6
+
+  /** DuckDB CTE chain replaying `k` BPE rounds: v0 = word-freq table with
+    * the sentinel-wrapped representation; each round counts pairs (p_i),
+    * picks the argmax with the engine's tie-break (m_i), and applies the
+    * merge by plain string replace (v_i) — the same left-to-right
+    * non-overlapping semantics as the engine's `replace` column. Generated
+    * from the same k, so engine and oracle can't drift.
+    */
+  private def bpeCtes(k: Int): String = {
+    val v0 =
+      """WITH v0 AS (SELECT w AS word, count(*) AS freq,
+           '|' || array_to_string(regexp_split_to_array(w, ''), '||') || '|' AS r
+         FROM (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> x <> '' AND NOT contains(x, '|'))) AS w FROM documents)
+         GROUP BY w)"""
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (SELECT z[1] AS lhs, z[2] AS rhs,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z
+                FROM (SELECT freq, string_split(trim(r, '|'), '||') AS s
+                      FROM v${i - 1}))
+          GROUP BY lhs, rhs),
+        m$i AS (SELECT lhs, rhs, cnt FROM p$i
+          ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        v$i AS (SELECT word, freq,
+            replace(r, '|'||m$i.lhs||'||'||m$i.rhs||'|',
+                       '|'||m$i.lhs||m$i.rhs||'|') AS r
+          FROM v${i - 1} CROSS JOIN m$i)"""
+    }
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  private val mBpeMerges = Spec("ml_bpe_merges",
+    (s, dir) => Tokenize.bpeMergeTable(t(s, dir, "documents"), "text", bpeK),
+    Some(bpeCtes(bpeK) + "\n" +
+      (1 to bpeK).map(i =>
+        s"SELECT $i AS rank, lhs, rhs, cnt FROM m$i")
+        .mkString(" UNION ALL ")))
+
+  private val mBpeTokens = Spec("ml_bpe_tokens",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = Tokenize.trainBpeMerges(d, "text", bpeK)
+      d.select(col("doc_id"),
+        size(Tokenize.applyMerges(col("text"), merges))
+          .cast("long").as("n_subwords"))
+    },
+    Some {
+      // r0..rk: the merge chain applied to each word via the m_i scalar
+      // subqueries; sentinel words count as one token (training excluded
+      // them, applyMerges emits them whole)
+      val chain = (1 to bpeK).foldLeft("r0") { (acc, i) =>
+        s"""replace($acc, (SELECT '|'||lhs||'||'||rhs||'|' FROM m$i),
+                          (SELECT '|'||lhs||rhs||'|' FROM m$i))"""
+      }
+      bpeCtes(bpeK) + s""",
+        tok AS (SELECT doc_id, w,
+            CASE WHEN contains(w, '|') THEN NULL
+              ELSE '|' || array_to_string(regexp_split_to_array(w, ''), '||') || '|'
+            END AS r0
+          FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS w FROM documents)),
+        cnts AS (SELECT doc_id, CAST(sum(CASE WHEN r0 IS NULL THEN 1
+            ELSE len(string_split(trim($chain, '|'), '||')) END) AS BIGINT)
+            AS n_subwords
+          FROM tok GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_subwords, 0) AS n_subwords
+        FROM documents d LEFT JOIN cnts USING (doc_id)"""
+    })
+
+  /** A COMPOSED curation pipeline driven entirely from YAML — the
+    * CurationStages family (SURVEY §2b as pipeline stages): quality
+    * signals → filter-DSL delete of repetitious docs → exact dedup →
+    * content-addressed split → per-source mixture sampling. The oracle
+    * replays every stage in SQL, so the gate covers the stage WIRING
+    * (config parsing, column flow, compose order), not just the
+    * underlying ml/ functions the other queries pin.
+    */
+  private val mCurationPipeline = Spec("ml_curation_pipeline",
+    (s, dir) => {
+      val yaml =
+        s"""pipeline:
+           |  - type: quality_signals
+           |    text_field: text
+           |    signals: [top_word_frac, n_tokens]
+           |  - type: deleter
+           |    rules:
+           |      - filter: "q_top_word_frac:[0.2 TO *]"
+           |        deleter: {delete: true}
+           |  - type: dedup_exact
+           |    id_field: doc_id
+           |    text_field: text
+           |  - type: hash_split
+           |    id_field: doc_id
+           |    train_pct: 80
+           |    valid_pct: 10
+           |  - type: weighted_sample
+           |    id_field: doc_id
+           |    strata_field: source
+           |    rates: {src0: 0.3, src1: 0.7}
+           |    default_rate: 0.9
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(t(s, dir, "documents"))
+        .main
+        .select(col("doc_id"), col("source"), col("q_top_word_frac"),
+          col("q_n_tokens"), col("split"))
+    },
+    Some("""WITH sig AS (SELECT doc_id, source, text,
+              round(CASE WHEN len(w) = 0 THEN 0
+                ELSE 1.0*list_max(list_transform(list_distinct(w),
+                  u -> len(list_filter(w, x -> x = u))))/len(w) END, 6)
+                AS q_top_word_frac,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                AS q_n_tokens
+              FROM (SELECT *, list_filter(string_split(text, ' '),
+                x -> x <> '') AS w FROM documents)),
+            kept AS (SELECT * FROM sig WHERE q_top_word_frac < 0.2),
+            dedup AS (SELECT * FROM kept WHERE doc_id IN
+              (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+            split AS (SELECT *, CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
+              FROM (SELECT *, CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+                AS b FROM dedup))
+            SELECT doc_id, source, q_top_word_frac, q_n_tokens, split
+            FROM split
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 10000 <
+              CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 7000
+                ELSE 9000 END"""))
+
+  // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
@@ -678,5 +816,6 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
-    mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample)
+    mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
+    mBpeMerges, mBpeTokens, mCurationPipeline)
 }

@@ -1,0 +1,252 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ml.{CorpusStats, Curation, Dedup, TextAnalysis}
+
+/** Training-data curation as first-class pipeline stages: the `graft.ml`
+  * operator families (dedup, quality signals, splits, sampling,
+  * contamination gating, PII redaction, sequence packing) exposed in the
+  * same YAML config that drives processors and relational stages — so a
+  * corpus-curation run is one declarative pipeline, not a bespoke driver
+  * program:
+  *
+  * {{{
+  * pipeline:
+  *   - type: quality_signals
+  *     text_field: text
+  *   - type: deleter            # engine's own filter DSL over the signals
+  *     rules: [{filter: "q_dup_word_frac:[0.5 TO *]", deleter: {delete: true}}]
+  *   - type: dedup_exact
+  *     id_field: doc_id
+  *     text_field: text
+  *   - type: dedup_near
+  *     id_field: doc_id
+  *     text_field: text
+  *   - type: hash_split
+  *     id_field: doc_id
+  * }}}
+  *
+  * Scale shapes are inherited verbatim from the ml/ implementations (see
+  * their docs): the signal/redact/split/sample stages are NARROW codegen'd
+  * projections (stream-safe, scan speed at any corpus size); dedup and
+  * contamination shuffle exactly once on content-derived keys; near-dup
+  * runs the banded-LSH + label-propagation plan. Batch-only stages
+  * (anything whose semantics need the whole corpus: dedup_near,
+  * contamination_filter, stratified_sample, pack_chunks) say so rather
+  * than silently mis-computing on a stream — dedup_exact on a stream
+  * composes from the existing `dedup_events` stage with a watermark.
+  */
+object CurationStages {
+
+  val stageTypes: Set[String] = Set(
+    "quality_signals", "pii_redact", "hash_split", "weighted_sample",
+    "stratified_sample", "dedup_exact", "dedup_near",
+    "contamination_filter", "pack_chunks")
+
+  /** Stage types whose semantics require the full corpus — rejected on
+    * streaming inputs at compile time (plan-build), not at runtime.
+    */
+  val batchOnly: Set[String] = Set(
+    "dedup_exact", "dedup_near", "contamination_filter", "pack_chunks",
+    "stratified_sample")
+
+  def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
+    if (df.isStreaming && batchOnly.contains(ptype))
+      throw new IllegalArgumentException(
+        s"curation stage `$ptype` needs the whole corpus and cannot run " +
+        "on a streaming input (for streaming exact dedup use the " +
+        "`dedup_events` stage with a watermark)")
+    val c = rule.config
+    val pre =
+      if (rule.filter == "*") df
+      else df.filter(coalesce(
+        graft.filter.FilterCompiler.predicate(rule.filter, df.schema),
+        lit(false)))
+    ptype match {
+      case "quality_signals" => qualitySignals(pre, c)
+      case "pii_redact" => piiRedact(pre, c)
+      case "hash_split" => hashSplit(pre, c)
+      case "weighted_sample" => weightedSample(pre, c)
+      case "stratified_sample" => stratifiedSample(pre, c)
+      case "dedup_exact" => dedupExact(pre, c)
+      case "dedup_near" => dedupNear(pre, c)
+      case "contamination_filter" => contaminationFilter(pre, c)
+      case "pack_chunks" => packChunks(pre, c)
+      case other => throw new IllegalArgumentException(s"not curation: $other")
+    }
+  }
+
+  // ---- helpers -------------------------------------------------------
+
+  private def str(c: Map[String, Any], k: String, default: String): String =
+    c.get(k).map(_.toString).getOrElse(default)
+
+  private def reqStr(c: Map[String, Any], k: String, stage: String): String =
+    c.getOrElse(k,
+      throw new IllegalArgumentException(s"$stage stage needs `$k`")).toString
+
+  private def int(c: Map[String, Any], k: String, default: Int): Int =
+    c.get(k).map(_.toString.toInt).getOrElse(default)
+
+  private def dbl(c: Map[String, Any], k: String, default: Double): Double =
+    c.get(k).map(_.toString.toDouble).getOrElse(default)
+
+  private def idField(c: Map[String, Any], stage: String): String =
+    reqStr(c, "id_field", stage)
+
+  private def textField(c: Map[String, Any]): String =
+    str(c, "text_field", "text")
+
+  // ---- quality_signals ----------------------------------------------
+  //
+  // Adds per-document text-quality columns (prefix configurable,
+  // default `q_`): language id, quality score, token count, and the
+  // Gopher repetition trio. `signals:` selects a subset. One narrow
+  // projection; the token array stages once per row and feeds every
+  // selected signal (the per-signal split was most of the cost,
+  // PLANS.md r6).
+
+  private val allSignals = Seq("lang", "quality", "n_tokens",
+    "dup_word_frac", "dup_bigram_frac", "top_word_frac", "fingerprint")
+
+  private def qualitySignals(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val text = col(textField(c))
+    val prefix = str(c, "prefix", "q_")
+    val wanted = c.get("signals")
+      .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(allSignals)
+    val unknown = wanted.filterNot(allSignals.contains)
+    require(unknown.isEmpty,
+      s"quality_signals: unknown signals ${unknown.mkString(", ")} " +
+      s"(available: ${allSignals.mkString(", ")})")
+    // two staged token arrays, each computed once per row: the repetition
+    // trio reads Curation.words (single-space split); quality reads the
+    // lowercased whitespace split its stopword intersect is defined over
+    val staged = df.withColumn("__w", Curation.words(text))
+      .withColumn("__wl", Dedup.tokens(lower(text)))
+    val wc = col("__w")
+    val cols = wanted.map {
+      case "lang" => TextAnalysis.langId(text).as(prefix + "lang")
+      case "quality" => TextAnalysis.qualityScoreOf(text, col("__wl"))
+        .as(prefix + "quality")
+      case "n_tokens" => TextAnalysis.tokenCount(text).as(prefix + "n_tokens")
+      case "dup_word_frac" => round(Curation.dupWordFracOf(wc), 6)
+        .as(prefix + "dup_word_frac")
+      case "dup_bigram_frac" => round(Curation.dupBigramFracOf(wc), 6)
+        .as(prefix + "dup_bigram_frac")
+      case "top_word_frac" => round(Curation.topWordFracOf(wc), 6)
+        .as(prefix + "top_word_frac")
+      case "fingerprint" => TextAnalysis.fingerprint(text)
+        .as(prefix + "fingerprint")
+    }
+    staged.select(df.columns.map(col) ++ cols: _*)
+  }
+
+  // ---- pii_redact ----------------------------------------------------
+  //
+  // In-place email/IP/phone redaction over the listed string fields
+  // (default: the text field). Narrow, stream-safe.
+
+  private def piiRedact(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val fields = c.get("fields")
+      .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+      .getOrElse(Seq(textField(c)))
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f, TextAnalysis.redactPii(col(f))))
+  }
+
+  // ---- hash_split ----------------------------------------------------
+
+  private def hashSplit(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val train = int(c, "train_pct", 80)
+    val valid = int(c, "valid_pct", 10)
+    require(train >= 0 && valid >= 0 && train + valid <= 100,
+      s"hash_split: train_pct + valid_pct must be <= 100, " +
+      s"got $train + $valid")
+    df.withColumn(str(c, "target_field", "split"),
+      Curation.hashSplit(col(idField(c, "hash_split")), train, valid))
+  }
+
+  // ---- weighted_sample ----------------------------------------------
+
+  private def weightedSample(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val rates = c.get("rates").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(Map.empty)
+      .map { case (k, v) => k -> v.toString.toDouble }
+    Curation.weightedSample(df, idField(c, "weighted_sample"),
+      reqStr(c, "strata_field", "weighted_sample"), rates,
+      defaultRate = dbl(c, "default_rate", 1.0))
+  }
+
+  // ---- stratified_sample --------------------------------------------
+
+  private def stratifiedSample(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val strata = c.getOrElse("strata",
+        throw new IllegalArgumentException(
+          "stratified_sample stage needs `strata`"))
+      .asInstanceOf[Seq[Any]].map(_.toString)
+    Curation.stratifiedSample(df, strata,
+      idField(c, "stratified_sample"), int(c, "k", 1000))
+  }
+
+  // ---- dedup_exact ---------------------------------------------------
+
+  private def dedupExact(df: DataFrame, c: Map[String, Any]): DataFrame =
+    Dedup.exact(df, textField(c), idField(c, "dedup_exact"))
+
+  // ---- dedup_near ----------------------------------------------------
+  //
+  // MinHash-LSH near-duplicate REMOVAL: keep one representative (the
+  // min id) per connected near-dup cluster. Documents under the
+  // shingle size carry no near-dup evidence and are always kept.
+
+  private def dedupNear(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "dedup_near")
+    val kept = Dedup.nearDupKeep(df, id, textField(c),
+      bands = int(c, "bands", 4), rowsPerBand = int(c, "rows_per_band", 3),
+      k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
+    df.alias("d").join(kept.alias("keep"),
+        col(s"d.$id") === col(s"keep.$id"), "left_semi")
+  }
+
+  // ---- contamination_filter -----------------------------------------
+  //
+  // Drop documents whose shingle overlap with a benchmark side table
+  // reaches the threshold (the train/test-leak gate). The benchmark
+  // reads like the join stage's `right` and is broadcast by
+  // construction (eval sets are small by definition). Documents under
+  // the shingle size carry no evidence and are kept.
+
+  private def contaminationFilter(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val bench = c.get("benchmark").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "contamination_filter stage needs `benchmark: {path, text_field}`"))
+    val benchDf = df.sparkSession.read
+      .format(str(bench, "format", "parquet")).load(bench("path").toString)
+    val id = idField(c, "contamination_filter")
+    val k = int(c, "shingle_k", 3)
+    val eligible = df.filter(size(Dedup.tokens(col(textField(c)))) >= k)
+    val scored = CorpusStats.contamination(eligible, id, textField(c),
+      benchDf, str(bench, "text_field", "text"), k = k,
+      threshold = dbl(c, "threshold", 0.5))
+    val dirty = scored.filter(col("contaminated") === 1).select(col(id))
+    df.alias("d").join(dirty.alias("x"),
+        col(s"d.$id") === col(s"x.$id"), "left_anti")
+  }
+
+  // ---- pack_chunks ---------------------------------------------------
+  //
+  // Sequence-packing layout columns from a token count that is either a
+  // precomputed column (`tokens_field`) or derived from the text field.
+  // Joins the chunk span back onto the full rows so the stage composes
+  // (downstream stages keep every input column).
+
+  private def packChunks(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "pack_chunks")
+    val nTokens = c.get("tokens_field").map(f => col(f.toString))
+      .getOrElse(TextAnalysis.tokenCount(col(textField(c))))
+    val spans = Curation.packChunks(df, id, nTokens,
+      ctxLen = int(c, "ctx_len", 2048), buckets = int(c, "buckets", 256))
+    df.join(spans, Seq(id))
+  }
+}

@@ -294,6 +294,13 @@ object PipelineCompiler {
         PipelineResult(
           RelationalStages.compile(rel, rule, acc.main), acc.extra)
 
+      // ---- corpus-curation stage types (SURVEY §2b) -----------------
+      case cur if CurationStages.stageTypes.contains(cur) =>
+        val rule = stage.rules.headOption
+          .getOrElse(RuleSpec("*", Map.empty))
+        PipelineResult(
+          CurationStages.compile(cur, rule, acc.main), acc.extra)
+
       // ---- event-deleting / mutating stages -------------------------
       case "deleter" =>
         val remaining = stage.rules.foldLeft(acc.main)((d, r) =>

@@ -56,7 +56,8 @@ object RuleLoader {
         // whose config isn't nested under the processor-type key.
         val stageCfg = m - "type" - "rules"
         if (rules.isEmpty && stageCfg.nonEmpty &&
-            RelationalStages.stageTypes.contains(ptype))
+            (RelationalStages.stageTypes.contains(ptype) ||
+             CurationStages.stageTypes.contains(ptype)))
           StageSpec(ptype, Seq(RuleSpec(
             filter = stageCfg.getOrElse("filter", "*").toString,
             config = stageCfg - "filter")))

@@ -1,0 +1,302 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation stage types driven through the YAML pipeline config —
+  * the graft.ml operator families as declarative stages. Batch semantics pin
+  * against hand-built corpora; the narrow stages (quality_signals,
+  * pii_redact, hash_split, weighted_sample) additionally run over a
+  * MemoryStream, and the batch-only stages must REFUSE a streaming input
+  * at compile time rather than mis-compute.
+  */
+class CurationStagesSpec extends SparkSpec {
+
+  private def docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat today", "books"), // near-dup of 1
+      (4L, "completely different content about spark engines", "web"),
+      (5L, "spam spam spam spam spam spam spam spam", "web"),
+      (6L, "mail me at a.b@example.org from 10.1.2.3", "web"),
+      (7L, "xy", "books") // under the shingle size: always kept by near-dup
+    ).toDF("doc_id", "text", "source")
+  }
+
+  private def run(yaml: String, df: DataFrame): DataFrame =
+    PipelineCompiler.compile(RuleLoader.fromYaml(yaml))(df).main
+
+  test("quality_signals stage: adds the signal columns in one projection") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |""".stripMargin, docs)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source", "q_lang",
+      "q_quality", "q_n_tokens", "q_dup_word_frac", "q_dup_bigram_frac",
+      "q_top_word_frac", "q_fingerprint"))
+    val r5 = out.filter(col("doc_id") === 5L).head()
+    assert(r5.getAs[Double]("q_dup_word_frac") === 0.875)
+    assert(r5.getAs[Double]("q_top_word_frac") === 1.0)
+    val r1 = out.filter(col("doc_id") === 1L).head()
+    assert(r1.getAs[String]("q_lang") == "en")
+    assert(r1.getAs[Int]("q_n_tokens") == 9)
+    // match the library functions bit-for-bit
+    val direct = graft.ml.TextAnalysis.qualityScore(col("text"))
+    val exp = docs.filter(col("doc_id") === 1L).select(direct).head().getDouble(0)
+    assert(r1.getAs[Double]("q_quality") == exp)
+  }
+
+  test("quality_signals stage: signal subset + prefix; unknown signal throws") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    prefix: "sig_"
+        |    signals: [lang, n_tokens]
+        |""".stripMargin, docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "source", "sig_lang", "sig_n_tokens"))
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """pipeline:
+          |  - type: quality_signals
+          |    signals: [nope]
+          |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("unknown signals nope"))
+  }
+
+  test("quality_signals + deleter: the filter DSL reads the signals") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [dup_word_frac]
+        |  - type: deleter
+        |    rules:
+        |      - filter: "q_dup_word_frac:[0.5 TO *]"
+        |        deleter: {delete: true}
+        |""".stripMargin, docs)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
+  test("pii_redact stage: in-place redaction of listed fields") {
+    val out = run(
+      """pipeline:
+        |  - type: pii_redact
+        |    fields: [text]
+        |""".stripMargin, docs)
+    val r6 = out.filter(col("doc_id") === 6L).head().getAs[String]("text")
+    assert(r6 == "mail me at <EMAIL> from <IP>")
+    // untouched rows stay byte-identical
+    val r1 = out.filter(col("doc_id") === 1L).head().getAs[String]("text")
+    assert(r1 == "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("hash_split stage: deterministic split column; bad pcts throw") {
+    val out = run(
+      """pipeline:
+        |  - type: hash_split
+        |    id_field: doc_id
+        |    train_pct: 80
+        |    valid_pct: 10
+        |""".stripMargin, docs)
+    val direct = docs.select(col("doc_id"),
+      graft.ml.Curation.hashSplit(col("doc_id"), 80, 10).as("split"))
+    assert(out.select("doc_id", "split").except(direct).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """pipeline:
+          |  - type: hash_split
+          |    id_field: doc_id
+          |    train_pct: 95
+          |    valid_pct: 10
+          |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("<= 100"))
+  }
+
+  test("weighted_sample stage: per-stratum content-addressed rates") {
+    val out = run(
+      """pipeline:
+        |  - type: weighted_sample
+        |    id_field: doc_id
+        |    strata_field: source
+        |    rates: {web: 0.5, books: 1.0}
+        |    default_rate: 0.0
+        |""".stripMargin, docs)
+    val direct = graft.ml.Curation.weightedSample(docs, "doc_id", "source",
+      Map("web" -> 0.5, "books" -> 1.0), defaultRate = 0.0)
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+    // books stratum at rate 1.0 survives entirely
+    assert(out.filter(col("source") === "books").count() == 2)
+  }
+
+  test("stratified_sample stage: at most k rows per stratum") {
+    val out = run(
+      """pipeline:
+        |  - type: stratified_sample
+        |    id_field: doc_id
+        |    strata: [source]
+        |    k: 2
+        |""".stripMargin, docs)
+    val perStratum = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum("web") == 2 && perStratum("books") == 2)
+    // deterministic across runs
+    val again = run(
+      """pipeline:
+        |  - type: stratified_sample
+        |    id_field: doc_id
+        |    strata: [source]
+        |    k: 2
+        |""".stripMargin, docs)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("dedup_exact stage: keeps the min-id representative per text") {
+    val out = run(
+      """pipeline:
+        |  - type: dedup_exact
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, docs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L, 6L, 7L)) // doc 2 (dup of 1) dropped
+    assert(out.columns.toSeq == docs.columns.toSeq) // schema preserved
+  }
+
+  test("dedup_near stage: drops the near-dup cluster, keeps short docs") {
+    val out = run(
+      """pipeline:
+        |  - type: dedup_near
+        |    id_field: doc_id
+        |    text_field: text
+        |    threshold: 0.4
+        |""".stripMargin, docs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // {1,2,3} is one near-dup cluster → keep 1; 7 is under the shingle
+    // size and must survive
+    assert(ids == Seq(1L, 4L, 5L, 6L, 7L))
+    assert(out.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("contamination_filter stage: drops docs overlapping the benchmark") {
+    val dir = java.nio.file.Files.createTempDirectory("cur-bench").toString
+    val s = spark
+    import s.implicits._
+    Seq(("the quick brown fox jumps over the lazy dog", "x"))
+      .toDF("text", "meta").write.mode("overwrite").parquet(dir)
+    val out = run(
+      s"""pipeline:
+         |  - type: contamination_filter
+         |    id_field: doc_id
+         |    text_field: text
+         |    threshold: 0.5
+         |    benchmark: {path: "$dir", text_field: text}
+         |""".stripMargin, docs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // docs 1+2 share every shingle with the benchmark; doc 3 shares 6 of
+    // 8 (0.75 ≥ 0.5) → all three dropped; short doc 7 carries no evidence
+    assert(ids == Seq(4L, 5L, 6L, 7L))
+  }
+
+  test("pack_chunks stage: spans join back onto full rows") {
+    val out = run(
+      """pipeline:
+        |  - type: pack_chunks
+        |    id_field: doc_id
+        |    text_field: text
+        |    ctx_len: 16
+        |""".stripMargin, docs)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source", "n_tokens",
+      "tok_offset", "first_chunk", "last_chunk", "n_chunks"))
+    // offsets are the running sum of token counts in doc_id order
+    val rows = out.orderBy("doc_id").collect()
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val offs = rows.map(_.getAs[Long]("tok_offset"))
+    assert(offs.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
+  }
+
+  test("curation pipeline composes end-to-end: signals → dedup → split") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [top_word_frac]
+        |  - type: deleter
+        |    rules:
+        |      - filter: "q_top_word_frac:[0.9 TO *]"
+        |        deleter: {delete: true}
+        |  - type: dedup_exact
+        |    id_field: doc_id
+        |    text_field: text
+        |  - type: dedup_near
+        |    id_field: doc_id
+        |    text_field: text
+        |    threshold: 0.4
+        |  - type: hash_split
+        |    id_field: doc_id
+        |""".stripMargin, docs)
+    val got = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 5 (spam) and 7 ("xy", a single word) have top_word_frac 1.0 and are
+    // deleted by the quality filter; 2 exact-dup'd; 3 near-dup'd
+    assert(got.keySet == Set(1L, 4L, 6L))
+    val expSplit = docs.select(col("doc_id"),
+        graft.ml.Curation.hashSplit(col("doc_id"), 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, sp) => expSplit(id) == sp })
+  }
+
+  test("narrow curation stages run on a stream; batch-only ones refuse") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((1L, "the quick brown fox at a.b@example.org", "web"),
+      (2L, "spam spam spam spam", "web"))
+    val streamDf = mem.toDF().toDF("doc_id", "text", "source")
+    val yaml =
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [top_word_frac, n_tokens]
+        |  - type: pii_redact
+        |    fields: [text]
+        |  - type: hash_split
+        |    id_field: doc_id
+        |  - type: weighted_sample
+        |    id_field: doc_id
+        |    strata_field: source
+        |    default_rate: 1.0
+        |""".stripMargin
+    val out = PipelineCompiler.compile(RuleLoader.fromYaml(yaml))(streamDf).main
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("cur_stream").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("text")
+      == "the quick brown fox at <EMAIL>")
+    assert(rows(0).getAs[String]("split").nonEmpty)
+    // batch-only stages refuse the stream AT COMPILE TIME
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: dedup_exact
+          |    id_field: doc_id
+          |    text_field: text
+          |""".stripMargin))(streamDf).main
+    }
+    assert(e.getMessage.contains("dedup_events"))
+  }
+}
