@@ -670,6 +670,19 @@ object GraftQueriesML {
             WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
+  private val mShuffleLayout = Spec("ml_shuffle_layout",
+    (s, dir) => Curation.shuffleLayout(t(s, dir, "documents"), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some("""SELECT doc_id,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 8 AS shard,
+              CAST(row_number() OVER (
+                PARTITION BY CAST(concat('0x',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                AS pos
+            FROM documents"""))
+
   // ----------------------------------------------------------------------
   // tokenizer training: distributed BPE merge learning (ml/Tokenize.scala)
   // ----------------------------------------------------------------------
@@ -817,5 +830,5 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
-    mBpeMerges, mBpeTokens, mCurationPipeline)
+    mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

@@ -100,7 +100,12 @@ object ScaleProof {
       "pipeline_chain" -> ((s, d) => BenchChains.pipelineChain(s, d)),
       "ml_minhash_pairs" -> GraftQueries.queries("ml_minhash_pairs"),
       "ml_embed_neardup" -> GraftQueries.queries("ml_embed_neardup"),
-      "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"))
+      "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"),
+      // round-7 surfaces: corpus-aggregate ops and the composed curation
+      // pipeline (stage wiring + dedup + split + sample), BPE training
+      "ml_dup_ngrams" -> GraftQueries.queries("ml_dup_ngrams"),
+      "ml_bpe_merges" -> GraftQueries.queries("ml_bpe_merges"),
+      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"))
 
     // warm-up (JIT + codegen), not timed
     headline.foreach { case (_, fn) =>

@@ -62,10 +62,62 @@ object DynamicOps {
 
   /** Typed columns for the DECLARED dotted fields of a pipeline, built
     * from one variant column. Dotted paths reassemble into nested
-    * structs (`winlog.event_id` → `winlog` struct with `event_id`), so
-    * the static FieldOps/PipelineCompiler path runs unchanged on top.
+    * structs (`winlog.event_id` → `winlog` struct with `event_id`); a
+    * digit segment (`items.0.name`) reassembles into an ARRAY column
+    * spanning indices 0..max-declared, so the static
+    * FieldOps/PipelineCompiler path (whose resolver reads digit segments
+    * as `element_at`) runs unchanged on top.
+    *
+    * Array elements must share one Spark type, so the element subtree is
+    * the UNION of every declared index's subpaths — each subpath is
+    * extracted at every spanned index (a value the caller didn't name at
+    * some index still round-trips byte-identically through the decl
+    * snapshot). Conflicting types for the same subpath, mixed digit and
+    * name segments under one parent, and leaf+parent conflicts are
+    * rejected at build time.
     */
   def declaredColumns(v: Column, fields: Map[String, String]): Seq[Column] = {
+    def isIndex(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    /** The value at `prefix` built from subpath declarations (tails all
+      * non-empty). Null (not an empty container) when the branch is
+      * absent in the event — otherwise a declared-but-missing branch
+      * would materialize as `{}`/`[null…]` in the merged output.
+      */
+    def value(prefix: List[String],
+              entries: Seq[(List[String], String)]): Column = {
+      val heads = entries.map(_._1.head).distinct
+      if (heads.exists(isIndex) && !heads.forall(isIndex))
+        throw new IllegalArgumentException(
+          s"conflicting declared fields under '${prefix.mkString(".")}': " +
+            "mixed array-index and object-key segments")
+      if (heads.forall(isIndex)) arrayValue(prefix, entries)
+      else when(existsAt(v, prefix.mkString(".")),
+        struct(build(prefix, entries): _*))
+    }
+    def arrayValue(prefix: List[String],
+                   entries: Seq[(List[String], String)]): Column = {
+      // union subtree across the declared indices, with type-conflict check
+      val union = entries.map { case (p, t) => (p.tail, t) }.distinct
+      union.groupBy(_._1).foreach { case (p, ts) =>
+        if (ts.map(_._2).distinct.lengthIs > 1)
+          throw new IllegalArgumentException(
+            s"conflicting declared fields: '${(prefix ++ p).mkString(".")}' " +
+              s"declared with types ${ts.map(_._2).distinct.mkString(" and ")}")
+      }
+      val leaves = union.filter(_._1.isEmpty)
+      val deeper = union.filter(_._1.nonEmpty)
+      if (leaves.nonEmpty && deeper.nonEmpty)
+        throw new IllegalArgumentException(
+          s"conflicting declared fields: '${prefix.mkString(".")}' array " +
+            "elements are both leaves and parents of deeper paths")
+      val maxIdx = entries.map(_._1.head.toInt).max
+      val elems = (0 to maxIdx).map { i =>
+        val p = prefix :+ i.toString
+        if (deeper.isEmpty) typed(v, p.mkString("."), leaves.head._2)
+        else value(p, deeper)
+      }
+      when(existsAt(v, prefix.mkString(".")), array(elems: _*))
+    }
     def build(prefix: List[String],
               group: Seq[(List[String], String)]): Seq[Column] =
       group.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (head, entries) =>
@@ -82,9 +134,8 @@ object DynamicOps {
           // null (not an empty struct) when the branch is absent in the
           // event — otherwise a declared-but-missing branch would
           // materialize as `{}` in the merged output
-          when(existsAt(v, (prefix :+ head).mkString(".")),
-            struct(build(prefix :+ head,
-              deeper.map { case (p, t) => (p.tail, t) }): _*)).as(head)
+          value(prefix :+ head,
+            deeper.map { case (p, t) => (p.tail, t) }).as(head)
       }
     build(Nil, fields.toSeq.map { case (p, t) => (p.split("\\.").toList, t) })
   }
@@ -111,9 +162,13 @@ object DynamicOps {
     * algebra over two dynamic JSON documents, and the per-row work is
     * one Jackson parse of data that is already strings at the boundary.
     *
-    * Limitation: declared paths address OBJECT fields only — a path
-    * segment through an array (`items.0.name`) is not extractable here
-    * (arrays pass through whole, untouched, like any undeclared value).
+    * Digit path segments address ARRAY indices (`items.0.name`), same
+    * as the static resolver and the reference's `_get_item`
+    * (helper.py:243-258): declared array coordinates extract into real
+    * array columns and merge back index-wise (undeclared elements and
+    * base elements past the declared span survive untouched; a JSON
+    * object under a digit KEY is not addressable — digit segments
+    * always mean indices).
     *
     * Returns one `json` string column.
     */
@@ -145,19 +200,33 @@ object DynamicOps {
                                    declared: Seq[List[String]]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import com.fasterxml.jackson.databind.JsonNode
-    import com.fasterxml.jackson.databind.node.ObjectNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    def isIndex(s: String) = s.nonEmpty && s.forall(_.isDigit)
     def hasPath(node: JsonNode, path: List[String]): Boolean = (node, path) match {
       case (o: ObjectNode, last :: Nil) => o.has(last)
+      case (a: ArrayNode, last :: Nil) if isIndex(last) =>
+        last.toInt < a.size() && !a.get(last.toInt).isNull
       case (o: ObjectNode, head :: rest) =>
         val child = o.get(head)
         child != null && hasPath(child, rest)
+      case (a: ArrayNode, head :: rest) if isIndex(head) =>
+        head.toInt < a.size() && hasPath(a.get(head.toInt), rest)
       case _ => false
     }
+    // deleting AT an array index nulls it (removal would shift the
+    // indices every other declared coordinate depends on)
     def deletePath(node: JsonNode, path: List[String]): Unit = (node, path) match {
       case (o: ObjectNode, last :: Nil) => o.remove(last); ()
+      case (a: ArrayNode, last :: Nil) if isIndex(last) =>
+        if (last.toInt < a.size())
+          a.set(last.toInt,
+            com.fasterxml.jackson.databind.node.NullNode.getInstance())
+        ()
       case (o: ObjectNode, head :: rest) =>
         val child = o.get(head)
         if (child != null) deletePath(child, rest)
+      case (a: ArrayNode, head :: rest) if isIndex(head) =>
+        if (head.toInt < a.size()) deletePath(a.get(head.toInt), rest)
       case _ => ()
     }
     def deepMerge(base: JsonNode, over: JsonNode): JsonNode = (base, over) match {
@@ -169,6 +238,16 @@ object DynamicOps {
           b.set[JsonNode](n, merged)
         }
         b
+      case (b: ArrayNode, o: ArrayNode) =>
+        // index-wise: a null over-element is extraction's "nothing at
+        // this index" placeholder and keeps the base element; base
+        // elements past over's span survive; over never EXTENDS base
+        // (the overflow pipeline cannot create array elements — a
+        // longer over is declared-index padding, i.e. nulls)
+        (0 until math.min(b.size(), o.size())).foreach { i =>
+          if (!o.get(i).isNull) b.set(i, deepMerge(b.get(i), o.get(i)))
+        }
+        b
       case _ => over
     }
     val base = mapper.readTree(rawJson)
@@ -178,23 +257,31 @@ object DynamicOps {
       case Nil => Some(node)
       case head :: rest => node match {
         case o: ObjectNode if o.has(head) => at(o.get(head), rest)
+        case a: ArrayNode if isIndex(head) && head.toInt < a.size() =>
+          at(a.get(head.toInt), rest)
         case _ => None
       }
     }
-    // Extraction emits a struct for every declared PARENT whose path
+    // Extraction emits a container for every declared PARENT whose path
     // exists — including when it exists as a SCALAR or with no declared
-    // children, where the struct is empty. That artifact rides through
-    // the pipeline output and deepMerge would clobber the original
-    // scalar with `{}`. Prune: an empty object in the output at a
-    // declared parent prefix whose decl snapshot also carries no
-    // content is an extraction artifact, not pipeline data.
+    // children, where the container is contentless (`{}` after to_json
+    // drops null struct fields; `[null…]` for arrays, whose positions
+    // to_json keeps). That artifact rides through the pipeline output
+    // and deepMerge would clobber the original scalar. Prune: a
+    // contentless container in the output at a declared parent prefix
+    // whose decl snapshot also carries no content there is an
+    // extraction artifact, not pipeline data.
+    def contentless(n: JsonNode): Boolean = n match {
+      case o: ObjectNode => o.isEmpty
+      case a: ArrayNode =>
+        (0 until a.size()).forall(i => a.get(i).isNull)
+      case _ => false
+    }
     val parentPrefixes = declared.flatMap(p => p.inits.toSeq.drop(1))
       .filter(_.nonEmpty).distinct.sortBy(-_.length)
     parentPrefixes.foreach { prefix =>
-      val overEmpty = at(over, prefix).exists(n =>
-        n.isInstanceOf[ObjectNode] && n.asInstanceOf[ObjectNode].isEmpty)
-      val declEmpty = at(decl, prefix).forall(n =>
-        n.isInstanceOf[ObjectNode] && n.asInstanceOf[ObjectNode].isEmpty)
+      val overEmpty = at(over, prefix).exists(contentless)
+      val declEmpty = at(decl, prefix).forall(contentless)
       if (overEmpty && declEmpty) deletePath(over, prefix)
     }
     // replace only the declared paths the pipeline actually SAW: seen +

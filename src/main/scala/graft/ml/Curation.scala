@@ -172,6 +172,29 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Deterministic global shuffle layout — the final step of a
+    * training-data writer (examples must reach the trainer in an order
+    * uncorrelated with curation order, and the order must be
+    * reproducible): each row gets a content-addressed shard and a
+    * position within it, ordered by md5 of the id.
+    *
+    * The scale shape is the whole point: a naive `orderBy(md5(id))` is a
+    * GLOBAL SORT — range exchange plus full sort of the corpus. Sharding
+    * first means one hash exchange on the shard key and a sort of only
+    * each shard's rows (`shards` ≫ executor count keeps them small);
+    * writers then emit one file per shard (`partitionBy(shard)`) and
+    * trainers read shards in any order, rows in position order. md5
+    * ordering within shard + md5 shard assignment = the same uniform
+    * shuffle a RNG would give, with no RNG state to coordinate.
+    */
+  def shuffleLayout(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Keep at most `k` rows per stratum, chosen deterministically by md5
     * of the id (a content-addressed "random" order). One shuffle on the
     * stratum key; the rank filter executes as a group limit below the

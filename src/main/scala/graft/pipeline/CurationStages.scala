@@ -42,14 +42,14 @@ object CurationStages {
   val stageTypes: Set[String] = Set(
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near",
-    "contamination_filter", "pack_chunks")
+    "contamination_filter", "pack_chunks", "shuffle_layout")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
     */
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "contamination_filter", "pack_chunks",
-    "stratified_sample")
+    "stratified_sample", "shuffle_layout")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -73,6 +73,9 @@ object CurationStages {
       case "dedup_near" => dedupNear(pre, c)
       case "contamination_filter" => contaminationFilter(pre, c)
       case "pack_chunks" => packChunks(pre, c)
+      case "shuffle_layout" =>
+        Curation.shuffleLayout(pre, idField(c, "shuffle_layout"),
+          int(c, "shards", 1024))
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }

@@ -136,6 +136,88 @@ class DynamicOverflowSpec extends SparkSpec with Matchers {
     e.getMessage should include("conflicting")
   }
 
+  test("array paths: declared coordinates extract, undeclared elements survive") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      """{"items":[{"name":"a","keep":1},{"name":"b"},{"name":"c"}],"u":"x"}""",
+      """{"items":"scalar","u":"y"}""",
+      """{"u":"z"}"""
+    ).toDF("value")
+    // a pipeline that READS items.0.name through the static resolver
+    // (digit segment → element_at) and copies it to a new field
+    val spec = RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: field_manager
+        |    rules:
+        |      - filter: "items.0.name: a"
+        |        field_manager:
+        |          source_fields: ["items.0.name"]
+        |          target_field: first_item
+        |""".stripMargin)
+    val out = DynamicOps.runWithOverflow(events, "value",
+      Map("items.0.name" -> "string", "items.1.name" -> "string"),
+      PipelineCompiler.compile(spec))
+      .collect().map(_.getString(0)).map(mapper.readTree)
+
+    val e1 = out.find(_.has("items")).get
+    e1.get("first_item").asText() shouldBe "a"
+    // declared coordinates round-trip; undeclared element fields and the
+    // element past the declared span survive (key order at a REWRITTEN
+    // coordinate follows the merge, same as object paths — Jackson node
+    // equality is key-order-insensitive)
+    e1.get("items") shouldBe mapper.readTree(
+      """[{"name":"a","keep":1},{"name":"b"},{"name":"c"}]""")
+    e1.get("u").asText() shouldBe "x"
+
+    // items exists as a SCALAR: extraction saw nothing, scalar survives
+    val e2 = out.find(n => n.has("u") && n.get("u").asText() == "y").get
+    e2.get("items").asText() shouldBe "scalar"
+    e2.has("first_item") shouldBe false
+
+    // items entirely absent: nothing materializes
+    val e3 = out.find(n => n.has("u") && n.get("u").asText() == "z").get
+    e3.has("items") shouldBe false
+  }
+
+  test("array paths: scalar-element arrays and merge of MODIFIED coordinates") {
+    // timestamper-style rewrite of a declared array coordinate
+    DynamicOps.mergeOverflow(
+      """{"tags":["old","two","three"],"u":1}""",
+      """{"tags":["NEW","two"]}""",
+      """{"tags":["old","two"]}""",
+      Seq(List("tags", "0"), List("tags", "1"))) shouldBe
+      """{"tags":["NEW","two","three"],"u":1}"""
+    // base array SHORTER than the declared span: padding nulls in the
+    // output never extend the original
+    DynamicOps.mergeOverflow(
+      """{"tags":["only"]}""",
+      """{"tags":["only",null,null]}""",
+      """{"tags":["only",null,null]}""",
+      Seq(List("tags", "0"), List("tags", "1"), List("tags", "2"))) shouldBe
+      """{"tags":["only"]}"""
+    // array-of-objects declared against an array of SCALARS: elements
+    // survive (the artifact {} elements prune against the decl snapshot)
+    DynamicOps.mergeOverflow(
+      """{"items":["x","y"]}""",
+      """{"items":[{},{}]}""",
+      """{"items":[{},{}]}""",
+      Seq(List("items", "0", "name"), List("items", "1", "name"))) shouldBe
+      """{"items":["x","y"]}"""
+    // mixed digit/name segments under one parent are rejected
+    val e = intercept[IllegalArgumentException](
+      DynamicOps.declaredColumns(
+        DynamicOps.toVariant(org.apache.spark.sql.functions.lit("{}")),
+        Map("a.0" -> "string", "a.b" -> "long")))
+    e.getMessage should include("mixed array-index")
+    // index type conflicts are rejected
+    val e2 = intercept[IllegalArgumentException](
+      DynamicOps.declaredColumns(
+        DynamicOps.toVariant(org.apache.spark.sql.functions.lit("{}")),
+        Map("a.0.x" -> "string", "a.1.x" -> "long")))
+    e2.getMessage should include("types")
+  }
+
   test("declared path under a SCALAR parent: the scalar survives") {
     // extraction emits an empty struct for the declared parent (the path
     // exists — as a scalar); the merge must not clobber 5 with {}

@@ -225,6 +225,31 @@ class CurationStagesSpec extends SparkSpec {
     assert(offs.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
   }
 
+  test("shuffle_layout stage: content-addressed shard + position") {
+    val out = run(
+      """pipeline:
+        |  - type: shuffle_layout
+        |    id_field: doc_id
+        |    shards: 3
+        |""".stripMargin, docs)
+    assert(out.columns.toSeq == docs.columns.toSeq ++ Seq("shard", "pos"))
+    val rows = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 7)
+    // positions are 1..n within each shard
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // deterministic across runs
+    val again = run(
+      """pipeline:
+        |  - type: shuffle_layout
+        |    id_field: doc_id
+        |    shards: 3
+        |""".stripMargin, docs)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("curation pipeline composes end-to-end: signals → dedup → split") {
     val out = run(
       """pipeline:
