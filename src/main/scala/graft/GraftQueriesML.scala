@@ -670,6 +670,24 @@ object GraftQueriesML {
             WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
+  private val mChunkSpans = Spec("ml_chunk_spans",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.chunkSpans(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), size = 32, overlap = 8)
+    },
+    Some("""WITH b AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                AS n_tokens FROM documents)
+            SELECT doc_id, n_tokens,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS BIGINT) AS chunk_idx,
+              s AS start, least(s + 32, n_tokens) AS "end"
+            FROM (SELECT doc_id, n_tokens,
+                unnest(range(0, greatest(n_tokens, 1), 24)) AS s
+              FROM b WHERE n_tokens > 0)"""))
+
   private val mShuffleLayout = Spec("ml_shuffle_layout",
     (s, dir) => Curation.shuffleLayout(t(s, dir, "documents"), "doc_id", 8)
       .select(col("doc_id"), col("shard"), col("pos")),
@@ -830,5 +848,5 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
-    mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
+    mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

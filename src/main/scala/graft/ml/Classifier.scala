@@ -1,0 +1,101 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable document-quality classifier — the learned complement of
+  * [[TextAnalysis.qualityScore]]'s heuristics (the fasttext-style linear
+  * filter every production curation pipeline ends up training on labeled
+  * good/bad examples, cf. the CCNet/GPT-3 quality-filter recipe):
+  * hashed bag-of-words features + binary logistic regression trained by
+  * full-batch gradient descent.
+  *
+  * Scale shapes:
+  *  - featurization is a per-row Column expression (one md5 per token,
+  *    then `dim` codegen'd bucket comparisons) — no shuffle, no UDF;
+  *  - each training iteration is ONE explode + map-side-combined
+  *    aggregate whose output is `dim+1` rows (the gradient vector) —
+  *    the same driver-small shape as [[Similarity.trainCentroids]]; the
+  *    corpus is never collected, labels never move;
+  *  - scoring with trained weights is a pure narrow projection (the
+  *    weights fold into the plan as literals) — scan speed at 100 TB.
+  *
+  * Training is float-iterative (like k-means), so it is spec-gated on
+  * convergence/separation rather than bit-gated against a SQL oracle —
+  * the [[Similarity.trainCentroids]] precedent.
+  */
+object Classifier {
+
+  /** Deterministic token bucket in [0, dim): first 4 hex digits of the
+    * token's md5 — the same content-addressed construction as
+    * [[Curation.hashBucket]], so featurization is identical across
+    * engines, runs, and cluster layouts.
+    */
+  private def bucketOf(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dim
+
+  /** Hashed bag-of-words feature vector: `dim` l2-normalized bucket
+    * counts plus a trailing bias component fixed at 1.0 (so the model's
+    * intercept rides in the same weight vector). Lowercased whitespace
+    * tokens. Empty documents featurize to the bias alone.
+    */
+  def features(text: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // the whitespace split of "" is [""] — drop empty tokens so blank
+    // documents featurize to the bias alone
+    val bkts = transform(
+      filter(Dedup.tokens(lower(text)), t => t =!= ""),
+      t => bucketOf(t, dim))
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(bkts, b => b === i)).cast("double"))
+    val nrm = sqrt(aggregate(counts, lit(0.0), (acc, v) => acc + v * v))
+    concat(
+      transform(counts, v => when(nrm > 0, v / nrm).otherwise(lit(0.0))),
+      array(lit(1.0)))
+  }
+
+  /** σ(w·x) for a literal weight vector — scoring stays whole-stage
+    * codegen with the weights inlined as an array literal.
+    */
+  def score(text: Column, weights: Seq[Double], dim: Int): Column = {
+    require(weights.length == dim + 1,
+      s"weights must have dim+1=${dim + 1} components, got ${weights.length}")
+    val x = features(text, dim)
+    val w = array(weights.map(lit): _*)
+    val margin = aggregate(zip_with(w, x, _ * _), lit(0.0), _ + _)
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** Train binary logistic regression (labels 0/1) with L2
+    * regularization. Returns `dim+1` weights (bias last). Each
+    * iteration: one aggregate producing the `dim+1`-component gradient
+    * (explode the per-row contribution `x·(σ(w·x) − y)` to (component,
+    * value) pairs → hash aggregate → dim+1 rows to the driver), then a
+    * driver-side weight update — gradient descent with the corpus
+    * staying put.
+    */
+  def trainLogReg(df: DataFrame, textCol: String, labelCol: String,
+                  dim: Int, iters: Int = 50, lr: Double = 1.0,
+                  l2: Double = 0.0): Seq[Double] = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val data = df.select(features(col(textCol), dim).as("x"),
+      col(labelCol).cast("double").as("y")).persist()
+    val n = data.count().toDouble
+    require(n > 0, "training set is empty")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val wc = array(w.toSeq.map(lit): _*)
+      val margin = aggregate(zip_with(wc, col("x"), _ * _), lit(0.0), _ + _)
+      val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
+      val grad = data
+        .select(posexplode(transform(col("x"), v => v * err)))
+        .groupBy(col("pos")).agg(sum(col("col")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - lr * (grad.getOrElse(i, 0.0) / n + l2 * wi)
+      }
+    }
+    data.unpersist(blocking = false)
+    w.toSeq
+  }
+}

@@ -150,6 +150,30 @@ object Curation {
           .otherwise(lastChunk - firstChunk + 1).as("n_chunks"))
   }
 
+  /** Sliding-window chunk spans — the retrieval/fine-tuning complement
+    * of [[packChunks]]'s concat-and-chunk layout: each document yields
+    * windows of `size` tokens stepping by `size - overlap`, the last
+    * window truncated at the document end (empty docs yield none). One
+    * row per (doc, window): purely narrow — a per-row `sequence` +
+    * `explode`, no shuffle, stream-safe — so it chunks 100 TB at scan
+    * speed. Integer-only arithmetic: engine and oracle agree exactly.
+    */
+  def chunkSpans(df: DataFrame, idCol: String, nTokens: Column,
+                 size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val step = size - overlap
+    val tok = nTokens.cast("long")
+    val starts = when(tok <= 0, array().cast("array<long>"))
+      .otherwise(sequence(lit(0L), tok - 1, lit(step.toLong)))
+    df.select(col(idCol), tok.as("n_tokens"), posexplode(starts))
+      .select(col(idCol), col("n_tokens"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start"),
+        least(col("col") + size, col("n_tokens")).as("end"))
+  }
+
   /** Data-mixing sampler: keep each row with a per-stratum RATE (e.g.
     * up-weight books, down-weight web), decided content-addressed — the
     * row survives iff `hashBucket(id, buckets) < rate·buckets`. The same

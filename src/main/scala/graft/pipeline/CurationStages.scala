@@ -42,7 +42,8 @@ object CurationStages {
   val stageTypes: Set[String] = Set(
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near",
-    "contamination_filter", "pack_chunks", "shuffle_layout")
+    "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
+    "quality_model", "bpe_tokenize")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -76,6 +77,9 @@ object CurationStages {
       case "shuffle_layout" =>
         Curation.shuffleLayout(pre, idField(c, "shuffle_layout"),
           int(c, "shards", 1024))
+      case "chunk_spans" => chunkSpans(pre, c)
+      case "quality_model" => qualityModel(pre, c)
+      case "bpe_tokenize" => bpeTokenize(pre, c)
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }
@@ -235,6 +239,105 @@ object CurationStages {
     val dirty = scored.filter(col("contaminated") === 1).select(col(id))
     df.alias("d").join(dirty.alias("x"),
         col(s"d.$id") === col(s"x.$id"), "left_anti")
+  }
+
+  // ---- chunk_spans ---------------------------------------------------
+  //
+  // Sliding-window chunk rows (one per (doc, window)), all input
+  // columns carried through the explode — purely narrow and
+  // stream-safe, unlike pack_chunks' whole-corpus prefix sum. Token
+  // count from `tokens_field` or derived from the text field.
+
+  private def chunkSpans(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val size = int(c, "size", 2048)
+    val overlap = int(c, "overlap", 0)
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunk_spans: need size > 0 and 0 <= overlap < size, " +
+      s"got size=$size overlap=$overlap")
+    val step = size - overlap
+    val tok = c.get("tokens_field").map(f => col(f.toString))
+      .getOrElse(TextAnalysis.tokenCount(col(textField(c)))).cast("long")
+    val n = col("n_tokens")
+    val starts = when(n <= 0, array().cast("array<long>"))
+      .otherwise(sequence(lit(0L), n - 1, lit(step.toLong)))
+    df.withColumn("n_tokens", tok)
+      .select(col("*"), posexplode(starts))
+      .withColumn("chunk_idx", col("pos").cast("long"))
+      .withColumn("start", col("col"))
+      .withColumn("end", least(col("col") + size, col("n_tokens")))
+      .drop("pos", "col")
+  }
+
+  // ---- quality_model -------------------------------------------------
+  //
+  // Score with a TRAINED quality classifier ([[graft.ml.Classifier]]):
+  // weights inline (`weights: [..]`) or from a JSON-array file
+  // (`weights_path`, resolved once at plan build — the file never
+  // touches executors; the weights fold into the plan as literals).
+  // Narrow, stream-safe — train offline, score 100 TB at scan speed.
+
+  private def qualityModel(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val weights: Seq[Double] = (c.get("weights"), c.get("weights_path")) match {
+      case (Some(w), _) =>
+        w.asInstanceOf[Seq[Any]].map(_.toString.toDouble)
+      case (None, Some(p)) =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.toString)), "UTF-8")) match {
+          case JArray(xs) => xs.map {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case JLong(l) => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"quality_model: non-numeric weight $other in $p")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"quality_model: $p must hold a JSON array of weights")
+        }
+      case _ => throw new IllegalArgumentException(
+        "quality_model stage needs `weights` or `weights_path`")
+    }
+    val dim = weights.length - 1
+    require(dim > 0, "quality_model: weights must have dim+1 components")
+    df.withColumn(str(c, "target_field", "q_model_score"),
+      round(graft.ml.Classifier.score(col(textField(c)), weights, dim), 6))
+  }
+
+  // ---- bpe_tokenize --------------------------------------------------
+  //
+  // Tokenize with TRAINED BPE merges ([[graft.ml.Tokenize]]): merges
+  // inline (`merges: [[lhs, rhs], ...]`, order = merge priority) or
+  // from a JSONL file of [lhs, rhs] pairs. The merge chain compiles to
+  // literal replaces — narrow, stream-safe.
+
+  private def bpeTokenize(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    def pair(x: Any): (String, String) = x.asInstanceOf[Seq[Any]] match {
+      case Seq(l, r) => (l.toString, r.toString)
+      case other => throw new IllegalArgumentException(
+        s"bpe_tokenize: merge entry must be a [lhs, rhs] pair, got $other")
+    }
+    val merges: Seq[graft.ml.Tokenize.Merge] =
+      (c.get("merges"), c.get("merges_path")) match {
+        case (Some(m), _) => m.asInstanceOf[Seq[Any]].map(pair)
+            .map { case (l, r) => graft.ml.Tokenize.Merge(l, r, 0L) }
+        case (None, Some(p)) =>
+          import org.json4s.jackson.JsonMethods
+          scala.io.Source.fromFile(p.toString, "UTF-8").getLines()
+            .filter(_.trim.nonEmpty).map { line =>
+              import org.json4s._
+              JsonMethods.parse(line) match {
+                case JArray(List(JString(l), JString(r))) =>
+                  graft.ml.Tokenize.Merge(l, r, 0L)
+                case other => throw new IllegalArgumentException(
+                  s"bpe_tokenize: bad merges line $other in $p")
+              }
+            }.toSeq
+        case _ => throw new IllegalArgumentException(
+          "bpe_tokenize stage needs `merges` or `merges_path`")
+      }
+    val toks = graft.ml.Tokenize.applyMerges(col(textField(c)), merges)
+    df.withColumn(str(c, "target_field", "bpe_tokens"), toks)
   }
 
   // ---- pack_chunks ---------------------------------------------------

@@ -225,6 +225,44 @@ class CurationStagesSpec extends SparkSpec {
     assert(offs.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
   }
 
+  test("chunk_spans stage: sliding windows carry all columns, stream-safe") {
+    val out = run(
+      """pipeline:
+        |  - type: chunk_spans
+        |    text_field: text
+        |    size: 4
+        |    overlap: 1
+        |""".stripMargin, docs)
+    assert(out.columns.toSeq == docs.columns.toSeq ++
+      Seq("n_tokens", "chunk_idx", "start", "end"))
+    // doc 1: 9 tokens, step 3 → starts 0,3,6; ends 4,7,9
+    val d1 = out.filter(col("doc_id") === 1L)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    assert(d1.toSeq == Seq((0L, 4L), (3L, 7L), (6L, 9L)))
+    // every chunk keeps the doc's own columns
+    assert(out.filter(col("doc_id") === 1L)
+      .select("source").distinct().head().getString(0) == "web")
+    // runs on a stream (narrow explode, no state)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a b c d e"))
+    val sOut = PipelineCompiler.compile(RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: chunk_spans
+        |    text_field: text
+        |    size: 4
+        |    overlap: 1
+        |""".stripMargin))(mem.toDF().toDF("doc_id", "text")).main
+    assert(sOut.isStreaming)
+    val q = sOut.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("chunk_stream").count() == 2) // starts 0, 3
+  }
+
   test("shuffle_layout stage: content-addressed shard + position") {
     val out = run(
       """pipeline:
@@ -248,6 +286,59 @@ class CurationStagesSpec extends SparkSpec {
         |    shards: 3
         |""".stripMargin, docs)
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("quality_model stage: trained weights score at scan speed") {
+    val dim = 8
+    val w = graft.ml.Classifier.trainLogReg(
+      docs.withColumn("label",
+        when(col("doc_id") === 5L, 0.0).otherwise(1.0)),
+      "text", "label", dim, iters = 30, lr = 2.0)
+    val wfile = java.nio.file.Files.createTempFile("qm", ".json")
+    java.nio.file.Files.writeString(wfile,
+      w.mkString("[", ",", "]"))
+    val out = run(
+      s"""pipeline:
+         |  - type: quality_model
+         |    text_field: text
+         |    weights_path: "$wfile"
+         |""".stripMargin, docs)
+    assert(out.columns.contains("q_model_score"))
+    val scores = out.select("doc_id", "q_model_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the spam doc the model was trained against scores lowest
+    assert(scores(5L) == scores.values.min)
+    // inline weights give identical scores
+    val inline = run(
+      s"""pipeline:
+         |  - type: quality_model
+         |    text_field: text
+         |    weights: [${w.mkString(", ")}]
+         |""".stripMargin, docs)
+      .select("doc_id", "q_model_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inline == scores)
+    // scoring plan stays narrow
+    val plan = run(
+      s"""pipeline:
+         |  - type: quality_model
+         |    text_field: text
+         |    weights: [${w.mkString(", ")}]
+         |""".stripMargin, docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("bpe_tokenize stage: trained merges tokenize from YAML") {
+    val out = run(
+      """pipeline:
+        |  - type: bpe_tokenize
+        |    text_field: text
+        |    merges: [[t, h], [th, e]]
+        |""".stripMargin, docs)
+    val toks = out.filter(col("doc_id") === 1L)
+      .select("bpe_tokens").head().getSeq[String](0)
+    assert(toks.take(4) == Seq("the", "q", "u", "i"))
+    assert(toks.mkString == "thequickbrownfoxjumpsoverthelazydog")
   }
 
   test("curation pipeline composes end-to-end: signals → dedup → split") {
