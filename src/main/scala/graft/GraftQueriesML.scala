@@ -757,9 +757,14 @@ object GraftQueriesML {
       // r0..rk: the merge chain applied to each word via the m_i scalar
       // subqueries; sentinel words count as one token (training excluded
       // them, applyMerges emits them whole)
+      // coalesce each scalar subquery: if training exhausts before k
+      // merges some m_i is EMPTY and a NULL search would NULL-propagate
+      // through the whole replace chain; chr(1) cannot appear in a
+      // sentinel representation, so the fallback replace is a no-op
       val chain = (1 to bpeK).foldLeft("r0") { (acc, i) =>
-        s"""replace($acc, (SELECT '|'||lhs||'||'||rhs||'|' FROM m$i),
-                          (SELECT '|'||lhs||rhs||'|' FROM m$i))"""
+        s"""replace($acc,
+             coalesce((SELECT '|'||lhs||'||'||rhs||'|' FROM m$i), chr(1)),
+             coalesce((SELECT '|'||lhs||rhs||'|' FROM m$i), chr(1)))"""
       }
       bpeCtes(bpeK) + s""",
         tok AS (SELECT doc_id, w,

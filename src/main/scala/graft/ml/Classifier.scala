@@ -26,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Deterministic token bucket in [0, dim): first 4 hex digits of the
-    * token's md5 — the same content-addressed construction as
-    * [[Curation.hashBucket]], so featurization is identical across
-    * engines, runs, and cluster layouts.
+  /** Deterministic token bucket in [0, dim): [[Curation.hashBucket]] —
+    * ONE implementation of the content-addressed bucketing, so
+    * featurization is identical across engines, runs, and cluster
+    * layouts by construction.
     */
   private def bucketOf(tok: Column, dim: Int): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dim
+    Curation.hashBucket(tok, dim)
 
   /** Hashed bag-of-words feature vector: `dim` l2-normalized bucket
     * counts plus a trailing bias component fixed at 1.0 (so the model's
@@ -92,7 +92,10 @@ object Classifier {
         .groupBy(col("pos")).agg(sum(col("col")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) =>
-        wi - lr * (grad.getOrElse(i, 0.0) / n + l2 * wi)
+        // standard LR: the intercept (last component) is unregularized —
+        // shrinking it would bias every probability toward 0.5
+        val reg = if (i == dim) 0.0 else l2 * wi
+        wi - lr * (grad.getOrElse(i, 0.0) / n + reg)
       }
     }
     data.unpersist(blocking = false)

@@ -117,6 +117,11 @@ object Curation {
   def packChunks(df: DataFrame, idCol: String, nTokens: Column, ctxLen: Int,
                  buckets: Int = 256): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packChunks needs a numeric id to range-bucket the prefix sum; " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
+        "derive one first (e.g. shuffleLayout's shard+pos)")
     val base = df.select(col(idCol).cast("long").as("id"),
       nTokens.cast("long").as("tok"))
     val bounds = base.agg(min(col("id")), max(col("id"))).head()
@@ -158,20 +163,31 @@ object Curation {
     * `explode`, no shuffle, stream-safe — so it chunks 100 TB at scan
     * speed. Integer-only arithmetic: engine and oracle agree exactly.
     */
-  def chunkSpans(df: DataFrame, idCol: String, nTokens: Column,
-                 size: Int, overlap: Int): DataFrame = {
+  /** Window starts for [[chunkSpans]] — shared by the op and the
+    * `chunk_spans` stage so the boundary rule (and the DuckDB oracle
+    * pinning it) has exactly one implementation.
+    */
+  private[graft] def chunkStarts(tok: Column, size: Int, overlap: Int): Column = {
     require(size > 0, s"size must be positive, got $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap (size $size)")
     val step = size - overlap
-    val tok = nTokens.cast("long")
-    val starts = when(tok <= 0, array().cast("array<long>"))
+    when(tok <= 0, array().cast("array<long>"))
       .otherwise(sequence(lit(0L), tok - 1, lit(step.toLong)))
-    df.select(col(idCol), tok.as("n_tokens"), posexplode(starts))
+  }
+
+  private[graft] def chunkEnd(start: Column, size: Int, tok: Column): Column =
+    least(start + size, tok)
+
+  def chunkSpans(df: DataFrame, idCol: String, nTokens: Column,
+                 size: Int, overlap: Int): DataFrame = {
+    val tok = nTokens.cast("long")
+    df.select(col(idCol), tok.as("n_tokens"),
+        posexplode(chunkStarts(tok, size, overlap)))
       .select(col(idCol), col("n_tokens"),
         col("pos").cast("long").as("chunk_idx"),
         col("col").as("start"),
-        least(col("col") + size, col("n_tokens")).as("end"))
+        chunkEnd(col("col"), size, col("n_tokens")).as("end"))
   }
 
   /** Data-mixing sampler: keep each row with a per-stratum RATE (e.g.

@@ -85,10 +85,15 @@ object Tokenize {
         case Some(r) =>
           val m = Merge(r.getString(0), r.getString(1), r.getLong(2))
           merges += m
-          val next = vocab.withColumn("repr", replace(col("repr"),
+          val next0 = vocab.withColumn("repr", replace(col("repr"),
             lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.lhs}${m.rhs}|")))
-            .persist()
-          next.count()
+          // truncate lineage periodically: each round nests one replace
+          // over the previous plan, and thousands of merge rounds would
+          // make analysis quadratic / overflow the optimizer (the
+          // nearDupKeep pattern)
+          val next =
+            if (merges.size % 32 == 0) next0.localCheckpoint()
+            else { val p = next0.persist(); p.count(); p }
           vocab.unpersist(blocking = false)
           vocab = next
         case None => exhausted = true

@@ -75,6 +75,10 @@ object CurationStages {
       case "contamination_filter" => contaminationFilter(pre, c)
       case "pack_chunks" => packChunks(pre, c)
       case "shuffle_layout" =>
+        val clash = Seq("shard", "pos").filter(pre.columns.contains)
+        require(clash.isEmpty,
+          s"shuffle_layout would overwrite existing column(s) " +
+            s"${clash.mkString(", ")} — rename them upstream")
         Curation.shuffleLayout(pre, idField(c, "shuffle_layout"),
           int(c, "shards", 1024))
       case "chunk_spans" => chunkSpans(pre, c)
@@ -251,21 +255,24 @@ object CurationStages {
   private def chunkSpans(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val size = int(c, "size", 2048)
     val overlap = int(c, "overlap", 0)
-    require(size > 0 && overlap >= 0 && overlap < size,
-      s"chunk_spans: need size > 0 and 0 <= overlap < size, " +
-      s"got size=$size overlap=$overlap")
-    val step = size - overlap
+    val added = Seq("n_tokens", "chunk_idx", "start", "end")
+    val clash = added.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"chunk_spans would overwrite existing column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream")
     val tok = c.get("tokens_field").map(f => col(f.toString))
       .getOrElse(TextAnalysis.tokenCount(col(textField(c)))).cast("long")
-    val n = col("n_tokens")
-    val starts = when(n <= 0, array().cast("array<long>"))
-      .otherwise(sequence(lit(0L), n - 1, lit(step.toLong)))
+    // explicit generator aliases: the default posexplode names (pos,
+    // col) collide with e.g. shuffle_layout's `pos`
     df.withColumn("n_tokens", tok)
-      .select(col("*"), posexplode(starts))
-      .withColumn("chunk_idx", col("pos").cast("long"))
-      .withColumn("start", col("col"))
-      .withColumn("end", least(col("col") + size, col("n_tokens")))
-      .drop("pos", "col")
+      .select(col("*"),
+        posexplode(Curation.chunkStarts(col("n_tokens"), size, overlap))
+          .as(Seq("__cs_pos", "__cs_start")))
+      .withColumn("chunk_idx", col("__cs_pos").cast("long"))
+      .withColumn("start", col("__cs_start"))
+      .withColumn("end",
+        Curation.chunkEnd(col("__cs_start"), size, col("n_tokens")))
+      .drop("__cs_pos", "__cs_start")
   }
 
   // ---- quality_model -------------------------------------------------
@@ -322,17 +329,19 @@ object CurationStages {
         case (Some(m), _) => m.asInstanceOf[Seq[Any]].map(pair)
             .map { case (l, r) => graft.ml.Tokenize.Merge(l, r, 0L) }
         case (None, Some(p)) =>
+          import scala.jdk.CollectionConverters._
+          import org.json4s._
           import org.json4s.jackson.JsonMethods
-          scala.io.Source.fromFile(p.toString, "UTF-8").getLines()
+          java.nio.file.Files.readAllLines(
+              java.nio.file.Paths.get(p.toString)).asScala.toSeq
             .filter(_.trim.nonEmpty).map { line =>
-              import org.json4s._
               JsonMethods.parse(line) match {
                 case JArray(List(JString(l), JString(r))) =>
                   graft.ml.Tokenize.Merge(l, r, 0L)
                 case other => throw new IllegalArgumentException(
                   s"bpe_tokenize: bad merges line $other in $p")
               }
-            }.toSeq
+            }
         case _ => throw new IllegalArgumentException(
           "bpe_tokenize stage needs `merges` or `merges_path`")
       }
@@ -353,6 +362,11 @@ object CurationStages {
       .getOrElse(TextAnalysis.tokenCount(col(textField(c))))
     val spans = Curation.packChunks(df, id, nTokens,
       ctxLen = int(c, "ctx_len", 2048), buckets = int(c, "buckets", 256))
-    df.join(spans, Seq(id))
+    // input columns win on name collisions (e.g. `tokens_field:
+    // n_tokens` — the span side's n_tokens duplicates it): drop the
+    // overlap from the span side so the join never emits ambiguous
+    // duplicate columns
+    val overlap = spans.columns.filter(cn => cn != id && df.columns.contains(cn))
+    df.join(spans.drop(overlap: _*), Seq(id))
   }
 }

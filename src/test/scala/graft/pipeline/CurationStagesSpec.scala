@@ -288,6 +288,50 @@ class CurationStagesSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("review regressions: collisions rejected/handled, bad ids rejected") {
+    // pack_chunks with a precomputed n_tokens column named n_tokens:
+    // no ambiguous duplicate column in the output
+    val withTok = docs.withColumn("n_tokens",
+      graft.ml.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val packed = run(
+      """pipeline:
+        |  - type: pack_chunks
+        |    id_field: doc_id
+        |    tokens_field: n_tokens
+        |    ctx_len: 16
+        |""".stripMargin, withTok)
+    assert(packed.columns.count(_ == "n_tokens") == 1)
+    packed.select("n_tokens").collect() // would throw on ambiguity
+    // chunk_spans after shuffle_layout (which adds `pos`): generator
+    // aliases avoid the collision
+    val chunked = run(
+      """pipeline:
+        |  - type: shuffle_layout
+        |    id_field: doc_id
+        |    shards: 2
+        |  - type: chunk_spans
+        |    text_field: text
+        |    size: 4
+        |""".stripMargin, docs)
+    assert(chunked.columns.count(_ == "pos") == 1)
+    assert(chunked.filter(col("doc_id") === 1L).count() == 3)
+    // chunk_spans refuses to overwrite an existing span column
+    val e1 = intercept[IllegalArgumentException](run(
+      """pipeline:
+        |  - type: chunk_spans
+        |    text_field: text
+        |    size: 4
+        |""".stripMargin, docs.withColumn("start", lit(0L))))
+    assert(e1.getMessage.contains("overwrite"))
+    // pack_chunks on a non-numeric id fails loudly, not with empty output
+    val e2 = intercept[IllegalArgumentException](run(
+      """pipeline:
+        |  - type: pack_chunks
+        |    id_field: text
+        |""".stripMargin, docs))
+    assert(e2.getMessage.contains("numeric"))
+  }
+
   test("quality_model stage: trained weights score at scan speed") {
     val dim = 8
     val w = graft.ml.Classifier.trainLogReg(
