@@ -39,7 +39,10 @@ object Bench {
       "ml_quality_score" -> GraftQueries.queries("ml_quality_score"),
       // round-4 surfaces: the YAML relational stages and curation ops
       "q14_pipeline_join" -> GraftQueries.queries("q14_pipeline_join"),
-      "ml_repetition" -> GraftQueries.queries("ml_repetition"))
+      "ml_repetition" -> GraftQueries.queries("ml_repetition"),
+      // round-7 surface: the composed YAML curation pipeline (signals →
+      // filter-DSL delete → exact dedup → split → mixture sample)
+      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>
