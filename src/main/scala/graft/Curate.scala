@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch curation driver: run a YAML curation pipeline over a parquet
+  * corpus and write the result as training-data layout — the one-command
+  * counterpart of [[graft.streaming.StreamRunner]] for the corpus side:
+  *
+  * {{{
+  * runMain graft.Curate curation.yaml in.parquet outDir \
+  *   [--partition-by split[,shard]] [--format parquet|json]
+  * }}}
+  *
+  * `--partition-by` columns (e.g. the `hash_split` stage's `split`, the
+  * `shuffle_layout` stage's `shard`) become directory partitions, so a
+  * trainer reads `outDir/split=train/` and shard files in position
+  * order. Extra-data channels (pre_detector-style side outputs, if the
+  * config produces any) write under `outDir/_extra/<channel>/`.
+  */
+object Curate {
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length == 3,
+      "usage: Curate <config.yaml> <input.parquet> <outDir> " +
+        "[--partition-by cols] [--format parquet|json]")
+    val Array(cfgPath, inPath, outDir) = pos
+    def flag(name: String): Option[String] =
+      flags.collectFirst {
+        case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=")
+      }
+    val partitionBy = flag("partition-by")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val format = flag("format").getOrElse("parquet")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfgPath, inPath, outDir, partitionBy, format)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfgPath: String, inPath: String,
+          outDir: String, partitionBy: Seq[String], format: String): Unit = {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfgPath)), "UTF-8")
+    val spec = pipeline.RuleLoader.fromYaml(yaml)
+    val result = pipeline.PipelineCompiler.compile(spec)(
+      spark.read.parquet(inPath))
+    val missing = partitionBy.filterNot(result.main.columns.contains)
+    require(missing.isEmpty,
+      s"--partition-by column(s) ${missing.mkString(", ")} not in the " +
+        s"pipeline output (have: ${result.main.columns.mkString(", ")})")
+    val writer = result.main.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).save(s"$outDir/data")
+    result.extra.foreach { case (channel, df) =>
+      df.write.mode("overwrite").format(format)
+        .save(s"$outDir/_extra/$channel")
+    }
+    val rows = spark.read.format(format).load(s"$outDir/data").count()
+    println(s"""{"curate":"ok","rows":$rows,"out":"$outDir/data"""" +
+      s""","partition_by":"${partitionBy.mkString(",")}"}""")
+  }
+}

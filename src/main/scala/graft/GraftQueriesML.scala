@@ -670,6 +670,94 @@ object GraftQueriesML {
             WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
+  /** Deterministic PQ codebooks for the oracle-gated ENCODE step (small
+    * exact rationals — quarters — so distances are identical across
+    * engines and argmin ties are structurally impossible on real data).
+    * Training itself is float-iterative → spec-gated (PqSpec), like
+    * k-means.
+    */
+  private val pqM = 8
+  private val pqK = 16
+  private val pqSubdim = 8 // embeddings are 64-dim
+  private def pqBook(j: Int): Seq[Seq[Double]] =
+    (0 until pqK).map(c => (0 until pqSubdim).map(d =>
+      ((c * 31 + d * 17 + j * 7) % 13 - 6) / 4.0))
+
+  private val mPqEncode = Spec("ml_embed_pq_encode",
+    (s, dir) => {
+      val books = (0 until pqM).map(pqBook)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        concat_ws(",", (0 until pqM).map(j =>
+          Similarity.pqEncode(col("embedding"), books).getItem(j)): _*)
+          .as("codes"))
+    },
+    Some {
+      // per-distance SQL is an index-ordered LEFT FOLD (0.0 + t0) + t1 …
+      // — the same operation order as the engine's aggregate(zip_with)
+      // kernel, so the doubles match bitwise and argmin cannot flip
+      def codeSql(j: Int): String = {
+        val dists = (0 until pqK).map(c =>
+          (0 until pqSubdim).foldLeft("0.0") { (acc, d) =>
+            val cb = pqBook(j)(c)(d)
+            val v = s"CAST(embedding[${j * pqSubdim + d + 1}] AS DOUBLE)"
+            s"($acc + ($v - ($cb))*($v - ($cb)))"
+          }).mkString(", ")
+        s"CAST(list_position([$dists], list_min([$dists])) - 1 AS VARCHAR)"
+      }
+      "SELECT vec_id, " + (0 until pqM).map(codeSql)
+        .mkString(" || ',' || ") + " AS codes FROM embeddings"
+    })
+
+  // incremental-ingestion dedup: the "new batch vs existing corpus"
+  // split every continuous-crawl pipeline runs. Incoming = every 5th
+  // doc, reference = the rest — meaningful sizes on both sides.
+
+  private val mDedupAgainst = Spec("ml_dedup_against",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupAgainstExact(
+          d.filter(col("doc_id") % 5 === 0),
+          d.filter(col("doc_id") % 5 =!= 0), "text")
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE doc_id % 5 = 0 AND md5(text) NOT IN
+              (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)"""))
+
+  private val mNearDupAgainst = Spec("ml_neardup_against",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.nearDupAgainst(
+          d.filter(col("doc_id") % 5 === 0),
+          d.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", bands = 4, rowsPerBand = 3, k = 3,
+          threshold = 0.4)
+        .select(col("doc_id"))
+    },
+    Some {
+      val bandExprs = (0 until 4).map { b =>
+        val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      minhashSigSql(12) + s""",
+         bands AS ($bandExprs),
+         capped AS (SELECT doc_id, band, key FROM bands
+           QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096),
+         cands AS (SELECT DISTINCT l.doc_id AS iid, r.doc_id AS rid
+           FROM capped l JOIN capped r
+             ON l.band = r.band AND l.key = r.key
+           WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0),
+         dirty AS (SELECT DISTINCT iid FROM cands
+           JOIN sh i ON i.doc_id = cands.iid
+           JOIN sh r ON r.doc_id = cands.rid
+           WHERE round(len(list_intersect(i.s, r.s))*1.0 /
+             (len(i.s) + len(r.s) - len(list_intersect(i.s, r.s))), 6)
+             >= 0.4)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT iid FROM dirty)"""
+    })
+
   private val mChunkSpans = Spec("ml_chunk_spans",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -853,5 +941,6 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
+    mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

@@ -287,6 +287,81 @@ object Dedup {
     kept
   }
 
+  /** Incremental-ingestion exact dedup: drop `incoming` rows whose text
+    * already exists in the REFERENCE corpus — the continuous-crawl
+    * complement of [[exact]] (which dedups within one corpus). The
+    * reference side reduces to DISTINCT 16-byte keys before the
+    * left-anti join, so at 100 TB the shuffle carries md5s, never
+    * reference documents; AQE broadcasts the key set when the reference
+    * is small.
+    */
+  def dedupAgainstExact(incoming: DataFrame, ref: DataFrame,
+                        textCol: String): DataFrame = {
+    val refKeys = ref.select(md5(col(textCol)).as("__rh")).distinct()
+    incoming.withColumn("__h", md5(col(textCol)))
+      .join(refKeys, col("__h") === col("__rh"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Incremental-ingestion NEAR dedup: drop `incoming` rows whose
+    * MinHash-LSH candidates in the REFERENCE corpus verify at ≥
+    * `threshold` n-gram Jaccard. Same two-shuffle LSH shape as
+    * [[minhashPairs]] but the band join is incoming×reference instead
+    * of a self-join — incremental batches never pair with themselves,
+    * and the reference signatures can be precomputed/persisted by the
+    * caller's ingestion loop. Under-`k`-token rows carry no evidence
+    * and are always kept. The bucket cap counts BOTH sides (a pile-up
+    * on either blows up the same join).
+    */
+  def nearDupAgainst(incoming: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String, bands: Int = 4, rowsPerBand: Int = 3,
+                     k: Int = 3, threshold: Double = 0.5,
+                     maxBucketSize: Int = 4096): DataFrame = {
+    val n = bands * rowsPerBand
+    def banded(df: DataFrame) = {
+      val sig = minhashSignatures(
+        df.filter(size(tokens(col(textCol))) >= k), idCol, textCol, n, k)
+      val bandKeys = (0 until bands).map { b =>
+        concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      }
+      sig.select(col("id"), posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    }
+    val inc = banded(incoming).persist()
+    val rf = banded(ref).persist()
+    val oversized = inc.union(rf).groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_key"))
+    val cappedInc = inc.join(broadcast(oversized),
+      Seq("band", "band_key"), "left_anti")
+    val cappedRef = rf.join(broadcast(oversized),
+      Seq("band", "band_key"), "left_anti")
+    val cands = cappedInc.alias("l")
+      .join(cappedRef.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key"))
+      .select(col("l.id").as("iid"), col("r.id").as("rid"))
+      .distinct()
+    // shingle sets computed ONCE PER DOC on each side of the verify join
+    // (inside the join they would rebuild per candidate pair)
+    val incSh = incoming.select(col(idCol).as("iid"),
+      shingles(col(textCol), k).as("ish"))
+    val refSh = ref.select(col(idCol).as("rid"),
+      shingles(col(textCol), k).as("rsh"))
+    val inter = size(array_intersect(col("ish"), col("rsh"))).cast("double")
+    val uni = size(array_union(col("ish"), col("rsh"))).cast("double")
+    val dirty = cands.join(incSh, Seq("iid")).join(refSh, Seq("rid"))
+      .filter(when(uni > 0, round(inter / uni, 6)).otherwise(lit(0.0))
+        >= threshold)
+      .select(col("iid").as(idCol)).distinct()
+    // the persisted banded tables stay cached until the query's
+    // CacheSweep (unpersisting here would drop them BEFORE the returned
+    // plan executes — the minhashPairs convention)
+    incoming.alias("d").join(dirty.alias("x"),
+      col(s"d.$idCol") === col(s"x.$idCol"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity between doc pairs (caller bounds the
     * pair space, e.g. via LSH candidates or a blocking key).
     */

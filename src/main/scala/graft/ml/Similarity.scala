@@ -150,6 +150,123 @@ object Similarity {
     centroids
   }
 
+  /** Squared L2 distance between two double-array columns — index-ordered
+    * fold, so engine and SQL oracle share the operation order.
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Argmin assignment to literal centroids by squared L2 (first-wins
+    * tie-break) — the PQ metric, vs [[assignBucket]]'s cosine.
+    */
+  def assignNearestL2(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val dists = array(centroids.map(c => l2Sq(v, array(c.map(lit): _*))): _*)
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search"): the memory-scale path for ANN — a
+  // dim-float vector compresses to m small codes (dim·4 bytes → m
+  // bytes at k ≤ 256), and distances compute from per-subspace lookup
+  // tables without touching the original vectors.
+  // ------------------------------------------------------------------
+
+  /** Train per-subspace PQ codebooks with distributed L2 k-means. ALL m
+    * subspaces train in each pass: one posexplode to (subspace,
+    * subvector) rows, one map-side-combined aggregate per round
+    * producing m×k×(dim/m) sums — exactly k×dim doubles to the driver
+    * per round, the [[trainCentroids]] shape, regardless of corpus
+    * size. Deterministic init (evenly spaced rows in `idCol` order).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast("array<double>")
+    val dim = corpus.select(size(v)).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subdim = dim / m
+    val slices = array((0 until m).map(j =>
+      slice(v, j * subdim + 1, subdim)): _*)
+    // deterministic spread init, same row indices for every subspace
+    val n = corpus.count()
+    require(n >= k, s"need at least k=$k vectors, got $n")
+    val step = math.max(1L, n / k)
+    val seed = corpus.select(v.as("v"),
+        row_number().over(Window.orderBy(col(idCol))).as("r"))
+      .filter((col("r") - 1) % step === 0).orderBy(col("r")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      seed.toSeq.map(full => full.slice(j * subdim, (j + 1) * subdim).toSeq))
+    val exploded = corpus
+      .select(posexplode(slices).as(Seq("j", "sub"))).persist()
+    exploded.count()
+    for (_ <- 1 to iters) {
+      // per-row assignment against THIS row's subspace codebook: a
+      // when-chain on j keeps everything in one codegen'd projection
+      val assign = (0 until m).map(j =>
+        when(col("j") === j, assignNearestL2(col("sub"), books(j))))
+        .reduce((a, b) => coalesce(a, b))
+      val sums = (0 until subdim).map(i =>
+        sum(col("sub").getItem(i)).as(s"s$i"))
+      val agg = exploded.withColumn("b", assign)
+        .groupBy(col("j"), col("b"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      books = (0 until m).map { j =>
+        (0 until k).map { b =>
+          agg.find(r => r.getInt(0) == j && r.getInt(1) == b) match {
+            case Some(row) if row.getLong(2) > 0 =>
+              val cnt = row.getLong(2).toDouble
+              (0 until subdim).map(i => row.getDouble(i + 3) / cnt)
+            case _ => books(j)(b)
+          }
+        }
+      }
+    }
+    exploded.unpersist(blocking = false)
+    books
+  }
+
+  /** PQ-encode a vector to its m codes — a narrow codegen'd expression
+    * (the codebooks inline as literals); at 100 TB this is the
+    * compression pass of an index build, running at scan speed.
+    */
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.length
+    val subdim = books.head.head.length
+    val v = vec.cast("array<double>")
+    array((0 until m).map(j =>
+      assignNearestL2(slice(v, j * subdim + 1, subdim), books(j))): _*)
+  }
+
+  /** Asymmetric-distance (ADC) scores from codes alone: the query's
+    * per-subspace lookup tables compute ON THE DRIVER (m×k distances),
+    * and each corpus row's approximate squared L2 is m table lookups on
+    * its code array — the original vectors are never read. By
+    * construction `adc(q, codes(x)) == l2Sq(q, decode(codes(x)))`
+    * exactly (the per-subspace sums partition the dimensions).
+    */
+  def pqAdcScore(codes: Column, query: Seq[Double],
+                 books: Seq[Seq[Seq[Double]]]): Column = {
+    val subdim = books.head.head.length
+    val luts: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, j) =>
+      val q = query.slice(j * subdim, (j + 1) * subdim)
+      book.map(c => c.zip(q).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+    }
+    luts.zipWithIndex.map { case (lut, j) =>
+      element_at(array(lut.map(lit): _*), codes.getItem(j) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The reconstruction a code array stands for (driver-side helper for
+    * verification and re-ranking).
+    */
+  def pqDecode(codes: Seq[Int], books: Seq[Seq[Seq[Double]]]): Seq[Double] =
+    codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+
   /** IVF top-k: assign each query to its `nprobe` best buckets, search only
     * corpus rows in those buckets. Exactness degrades gracefully (standard
     * IVF recall/latency trade).

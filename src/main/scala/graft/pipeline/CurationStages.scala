@@ -43,14 +43,14 @@ object CurationStages {
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
-    "quality_model", "bpe_tokenize")
+    "quality_model", "bpe_tokenize", "dedup_against")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
     */
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "contamination_filter", "pack_chunks",
-    "stratified_sample", "shuffle_layout")
+    "stratified_sample", "shuffle_layout", "dedup_against")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -84,6 +84,7 @@ object CurationStages {
       case "chunk_spans" => chunkSpans(pre, c)
       case "quality_model" => qualityModel(pre, c)
       case "bpe_tokenize" => bpeTokenize(pre, c)
+      case "dedup_against" => dedupAgainst(pre, c)
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }
@@ -273,6 +274,40 @@ object CurationStages {
       .withColumn("end",
         Curation.chunkEnd(col("__cs_start"), size, col("n_tokens")))
       .drop("__cs_pos", "__cs_start")
+  }
+
+  // ---- dedup_against -------------------------------------------------
+  //
+  // Incremental-ingestion dedup: drop events duplicating a REFERENCE
+  // corpus read like the join stage's `right` (`reference: {path,
+  // format, text_field}`). `mode: exact` (default) anti-joins on the
+  // text md5; `mode: near` runs MinHash-LSH + Jaccard verify against
+  // the reference only.
+
+  private def dedupAgainst(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val refCfg = c.get("reference").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "dedup_against stage needs `reference: {path, text_field}`"))
+    val ref0 = df.sparkSession.read
+      .format(str(refCfg, "format", "parquet")).load(refCfg("path").toString)
+    val refText = str(refCfg, "text_field", "text")
+    val ref = if (refText == textField(c)) ref0
+      else ref0.withColumnRenamed(refText, textField(c))
+    str(c, "mode", "exact") match {
+      case "exact" => Dedup.dedupAgainstExact(df, ref, textField(c))
+      case "near" =>
+        val id = idField(c, "dedup_against")
+        // the reference id only keys its own shingles internally — a
+        // reference table without one gets a synthetic id
+        val refId = if (ref.columns.contains(id)) ref
+          else ref.withColumn(id, monotonically_increasing_id())
+        Dedup.nearDupAgainst(df, refId, id, textField(c),
+          bands = int(c, "bands", 4),
+          rowsPerBand = int(c, "rows_per_band", 3),
+          k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
+      case other => throw new IllegalArgumentException(
+        s"dedup_against: unknown mode `$other` (exact | near)")
+    }
   }
 
   // ---- quality_model -------------------------------------------------

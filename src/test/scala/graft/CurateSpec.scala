@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The batch curation driver end-to-end: YAML config over a parquet
+  * corpus → split-partitioned training-data layout on disk.
+  */
+class CurateSpec extends SparkSpec {
+
+  test("curate CLI run: dedup + split + shuffle layout, partitioned write") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curate").toString
+    val in = s"$tmp/in.parquet"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "some different content about distributed engines"),
+      (4L, "yet another unique document body right here")
+    ).toDF("doc_id", "text").write.parquet(in)
+    val cfg = s"$tmp/curation.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      """pipeline:
+        |  - type: dedup_exact
+        |    id_field: doc_id
+        |    text_field: text
+        |  - type: hash_split
+        |    id_field: doc_id
+        |  - type: shuffle_layout
+        |    id_field: doc_id
+        |    shards: 2
+        |""".stripMargin)
+    val out = s"$tmp/out"
+    Curate.run(spark, cfg, in, out,
+      partitionBy = Seq("split", "shard"), format = "parquet")
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() == 3) // dup dropped
+    assert(back.columns.contains("pos"))
+    // partition directories exist for the split values present
+    val dirs = new java.io.File(s"$out/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("split=")))
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L))
+    // partition-by of a missing column fails loudly
+    val e = intercept[IllegalArgumentException](
+      Curate.run(spark, cfg, in, s"$tmp/out2",
+        partitionBy = Seq("nope"), format = "parquet"))
+    assert(e.getMessage.contains("nope"))
+  }
+}

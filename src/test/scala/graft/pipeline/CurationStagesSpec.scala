@@ -332,6 +332,37 @@ class CurationStagesSpec extends SparkSpec {
     assert(e2.getMessage.contains("numeric"))
   }
 
+  test("dedup_against stage: drops rows duplicating the reference corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("cur-ref").toString
+    val s = spark
+    import s.implicits._
+    Seq(("the quick brown fox jumps over the lazy dog", 1),
+        ("other reference material entirely", 2))
+      .toDF("content", "rid").write.mode("overwrite").parquet(dir)
+    val exact = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    text_field: text
+         |    reference: {path: "$dir", text_field: content}
+         |""".stripMargin, docs)
+    // docs 1+2 exactly match the reference line; everything else kept
+    assert(exact.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L, 6L, 7L))
+    val near = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    mode: near
+         |    id_field: doc_id
+         |    text_field: text
+         |    threshold: 0.4
+         |    reference: {path: "$dir", text_field: content}
+         |""".stripMargin, docs)
+    // near mode also drops doc 3 (near-dup of the reference line);
+    // short doc 7 carries no shingle evidence
+    assert(near.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 5L, 6L, 7L))
+  }
+
   test("quality_model stage: trained weights score at scan speed") {
     val dim = 8
     val w = graft.ml.Classifier.trainLogReg(
