@@ -105,7 +105,9 @@ object ScaleProof {
       // pipeline (stage wiring + dedup + split + sample), BPE training
       "ml_dup_ngrams" -> GraftQueries.queries("ml_dup_ngrams"),
       "ml_bpe_merges" -> GraftQueries.queries("ml_bpe_merges"),
-      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"))
+      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"),
+      "ml_neardup_against" -> GraftQueries.queries("ml_neardup_against"),
+      "ml_embed_pq_encode" -> GraftQueries.queries("ml_embed_pq_encode"))
 
     // warm-up (JIT + codegen), not timed
     headline.foreach { case (_, fn) =>
