@@ -20,19 +20,37 @@ import org.apache.spark.sql.SparkSession
 object Curate {
 
   def main(args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("--"))
-    require(pos.length == 3,
-      "usage: Curate <config.yaml> <input.parquet> <outDir> " +
-        "[--partition-by cols] [--format parquet|json]")
-    val Array(cfgPath, inPath, outDir) = pos
-    def flag(name: String): Option[String] =
-      flags.collectFirst {
-        case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=")
-      }
-    val partitionBy = flag("partition-by")
+    val usage = "usage: Curate <config.yaml> <input.parquet> <outDir> " +
+      "[--partition-by cols] [--format parquet|json]"
+    // accept both `--name value` and `--name=value`; unknown flags fail
+    // loudly instead of silently running with defaults
+    val known = Set("partition-by", "format")
+    val flagVals = scala.collection.mutable.Map.empty[String, String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val (name, value) = a.indexOf('=') match {
+          case -1 =>
+            require(i + 1 < args.length, s"flag $a needs a value\n$usage")
+            i += 1
+            (a.stripPrefix("--"), args(i))
+          case eq => (a.substring(2, eq), a.substring(eq + 1))
+        }
+        require(known.contains(name), s"unknown flag --$name\n$usage")
+        flagVals(name) = value
+      } else pos += a
+      i += 1
+    }
+    require(pos.length == 3, usage)
+    val Seq(cfgPath, inPath, outDir) = pos.toSeq
+    val partitionBy = flagVals.get("partition-by")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    val format = flag("format").getOrElse("parquet")
+    val format = flagVals.getOrElse("format", "parquet")
+    require(Set("parquet", "json").contains(format),
+      s"unsupported --format $format\n$usage")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()

@@ -686,10 +686,16 @@ object GraftQueriesML {
   private val mPqEncode = Spec("ml_embed_pq_encode",
     (s, dir) => {
       val books = (0 until pqM).map(pqBook)
-      t(s, dir, "embeddings").select(col("vec_id"),
-        concat_ws(",", (0 until pqM).map(j =>
-          Similarity.pqEncode(col("embedding"), books).getItem(j)): _*)
-          .as("codes"))
+      // stage the codes array ONCE: building pqEncode inside each
+      // getItem(j) would inline the full m×k×subdim literal tree m
+      // times (CollapseProject keeps a non-cheap multi-referenced
+      // alias staged)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.pqEncode(col("embedding"), books).as("__codes"))
+        .select(col("vec_id"),
+          concat_ws(",", (0 until pqM).map(j =>
+            col("__codes").getItem(j)): _*).as("codes"))
     },
     Some {
       // per-distance SQL is an index-ordered LEFT FOLD (0.0 + t0) + t1 …
@@ -720,9 +726,13 @@ object GraftQueriesML {
           d.filter(col("doc_id") % 5 =!= 0), "text")
         .select(col("doc_id"), col("source"))
     },
-    Some("""SELECT doc_id, source FROM documents
-            WHERE doc_id % 5 = 0 AND md5(text) NOT IN
-              (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)"""))
+    // NOT EXISTS, not NOT IN: a NULL text on the reference side would
+    // make NOT IN three-valued-UNKNOWN for every row, while the
+    // engine's left_anti join just never matches null keys
+    Some("""SELECT doc_id, source FROM documents d
+            WHERE doc_id % 5 = 0 AND NOT EXISTS
+              (SELECT 1 FROM documents r
+               WHERE r.doc_id % 5 <> 0 AND md5(r.text) = md5(d.text))"""))
 
   private val mNearDupAgainst = Spec("ml_neardup_against",
     (s, dir) => {

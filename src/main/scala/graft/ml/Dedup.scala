@@ -318,9 +318,14 @@ object Dedup {
                      k: Int = 3, threshold: Double = 0.5,
                      maxBucketSize: Int = 4096): DataFrame = {
     val n = bands * rowsPerBand
+    // persist the COMPACT signatures (id + n smallints) and re-run the
+    // cheap band explode per use — caching the exploded form would cost
+    // bands× the rows with wide string keys (the minhashPairs
+    // convention, see its comment)
     def banded(df: DataFrame) = {
       val sig = minhashSignatures(
         df.filter(size(tokens(col(textCol))) >= k), idCol, textCol, n, k)
+        .persist()
       val bandKeys = (0 until bands).map { b =>
         concat_ws("_",
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
@@ -328,8 +333,8 @@ object Dedup {
       sig.select(col("id"), posexplode(array(bandKeys: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     }
-    val inc = banded(incoming).persist()
-    val rf = banded(ref).persist()
+    val inc = banded(incoming)
+    val rf = banded(ref)
     val oversized = inc.union(rf).groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
       .select(col("band"), col("band_key"))

@@ -184,22 +184,27 @@ object Similarity {
               m: Int, k: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     import org.apache.spark.sql.expressions.Window
     val v = col(vecCol).cast("array<double>")
-    val dim = corpus.select(size(v)).head().getInt(0)
+    val dimRow = corpus.select(size(v)).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrain: corpus is empty")
+    val dim = dimRow.head.getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subdim = dim / m
     val slices = array((0 until m).map(j =>
       slice(v, j * subdim + 1, subdim)): _*)
-    // deterministic spread init, same row indices for every subspace
-    val n = corpus.count()
-    require(n >= k, s"need at least k=$k vectors, got $n")
+    // deterministic spread init, same row indices for every subspace;
+    // null / wrong-dimension vectors are excluded up front (they would
+    // surface rounds later as an opaque null aggregate row)
+    val clean = corpus.filter(v.isNotNull && size(v) === dim)
+    val n = clean.count()
+    require(n >= k, s"need at least k=$k well-formed vectors, got $n")
     val step = math.max(1L, n / k)
-    val seed = corpus.select(v.as("v"),
+    val seed = clean.select(v.as("v"),
         row_number().over(Window.orderBy(col(idCol))).as("r"))
       .filter((col("r") - 1) % step === 0).orderBy(col("r")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       seed.toSeq.map(full => full.slice(j * subdim, (j + 1) * subdim).toSeq))
-    val exploded = corpus
+    val exploded = clean
       .select(posexplode(slices).as(Seq("j", "sub"))).persist()
     exploded.count()
     for (_ <- 1 to iters) {

@@ -289,19 +289,31 @@ object CurationStages {
       .getOrElse(throw new IllegalArgumentException(
         "dedup_against stage needs `reference: {path, text_field}`"))
     val ref0 = df.sparkSession.read
-      .format(str(refCfg, "format", "parquet")).load(refCfg("path").toString)
+      .format(str(refCfg, "format", "parquet"))
+      .load(reqStr(refCfg, "path", "dedup_against reference"))
     val refText = str(refCfg, "text_field", "text")
-    val ref = if (refText == textField(c)) ref0
-      else ref0.withColumnRenamed(refText, textField(c))
+    val textCol = textField(c)
     str(c, "mode", "exact") match {
-      case "exact" => Dedup.dedupAgainstExact(df, ref, textField(c))
+      case "exact" =>
+        // project ONLY the text (renamed to the main text field): a
+        // plain rename would duplicate an existing same-named column,
+        // and a select of a misspelled field fails loudly here
+        Dedup.dedupAgainstExact(df,
+          ref0.select(col(refText).as(textCol)), textCol)
       case "near" =>
         val id = idField(c, "dedup_against")
-        // the reference id only keys its own shingles internally — a
-        // reference table without one gets a synthetic id
-        val refId = if (ref.columns.contains(id)) ref
-          else ref.withColumn(id, monotonically_increasing_id())
-        Dedup.nearDupAgainst(df, refId, id, textField(c),
+        // the reference id only keys its own shingles internally; a
+        // reference without one gets a DETERMINISTIC synthetic id (the
+        // text md5 — nearDupAgainst reads the ref in two plan subtrees,
+        // so a nondeterministic id would key them differently;
+        // duplicate ids from duplicate texts are harmless, the dirty
+        // set is distinct on the INCOMING id)
+        val ref =
+          if (ref0.columns.contains(id) && id != refText)
+            ref0.select(col(id), col(refText).as(textCol))
+          else ref0.select(md5(col(refText)).as(id),
+            col(refText).as(textCol))
+        Dedup.nearDupAgainst(df, ref, id, textCol,
           bands = int(c, "bands", 4),
           rowsPerBand = int(c, "rows_per_band", 3),
           k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))

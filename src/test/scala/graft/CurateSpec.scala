@@ -48,4 +48,17 @@ class CurateSpec extends SparkSpec {
         partitionBy = Seq("nope"), format = "parquet"))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("CLI flag parsing: both syntaxes accepted, mistakes fail loudly") {
+    // flag errors throw before any Spark work
+    val unknown = intercept[IllegalArgumentException](
+      Curate.main(Array("c.yaml", "in", "out", "--fromat=json")))
+    assert(unknown.getMessage.contains("--fromat"))
+    val dangling = intercept[IllegalArgumentException](
+      Curate.main(Array("c.yaml", "in", "out", "--partition-by")))
+    assert(dangling.getMessage.contains("needs a value"))
+    val badFormat = intercept[IllegalArgumentException](
+      Curate.main(Array("c.yaml", "in", "out", "--format", "csv")))
+    assert(badFormat.getMessage.contains("unsupported"))
+  }
 }

@@ -27,11 +27,6 @@ class PqSpec extends SparkSpec {
   }
 
   test("pqTrain returns m×k×subdim codebooks and reduces distortion") {
-    def distortion(books: Seq[Seq[Seq[Double]]]): Double =
-      vecs.select(Similarity.pqAdcScore(
-          Similarity.pqEncode(col("embedding"), books),
-          query = Seq.fill(dim)(0.0), books).as("s"))
-        .agg(sum(col("s"))).head().getDouble(0)
     val trained = Similarity.pqTrain(vecs, "vec_id", "embedding", m, k,
       iters = 4)
     assert(trained.length == m)
