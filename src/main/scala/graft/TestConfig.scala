@@ -22,12 +22,23 @@ object TestConfig {
                           testFailures: Seq[RuleSelfTest.Failure])
 
   def verify(spark: SparkSession, configText: String,
-             runUnitTests: Boolean): (Boolean, Option[String], Seq[RuleSelfTest.Failure]) =
+             runUnitTests: Boolean,
+             schemaDdl: Option[String] = None): (Boolean, Option[String], Seq[RuleSelfTest.Failure]) =
     try {
       val spec = RuleLoader.fromYaml(configText)
       // force stage compilation against an empty frame: rule filters,
-      // expressions, and processor configs all materialize here
-      PipelineCompiler.compile(spec)(spark.emptyDataFrame)
+      // expressions, and processor configs all materialize here.
+      // Processor stages null-guard missing fields, so the empty frame
+      // suffices; data-dependent stages (curation/relational) resolve
+      // real columns, so `--schema "doc_id BIGINT, text STRING"` gives
+      // the verifier the input shape to compile against.
+      val frame = schemaDdl match {
+        case Some(ddl) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None => spark.emptyDataFrame
+      }
+      PipelineCompiler.compile(spec)(frame)
       val failures =
         if (runUnitTests)
           RuleSelfTest.run(spark, spec, testsFromYaml(configText)) ++
@@ -152,8 +163,13 @@ object TestConfig {
 
   def main(args: Array[String]): Unit = {
     val runUnit = args.contains("--unit")
+    val schemaDdl = args.sliding(2).collectFirst {
+      case Array("--schema", ddl) => ddl
+    }
     val configs = args.filterNot(_.startsWith("--"))
-    require(configs.nonEmpty, "usage: graft.TestConfig [--unit] <config.yml>...")
+      .filterNot(a => schemaDdl.contains(a))
+    require(configs.nonEmpty,
+      "usage: graft.TestConfig [--unit] [--schema <ddl>] <config.yml>...")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-test-config")
@@ -165,7 +181,7 @@ object TestConfig {
       configs.foreach { path =>
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
-        val (valid, err, failures) = verify(spark, text, runUnit)
+        val (valid, err, failures) = verify(spark, text, runUnit, schemaDdl)
         if (valid) println(s"$path: the verification of the configuration was successful")
         else {
           ok = false

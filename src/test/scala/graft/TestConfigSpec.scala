@@ -41,6 +41,35 @@ class TestConfigSpec extends SparkSpec with Matchers {
     errFilter should not be None
   }
 
+  test("curation stage configs verify with --schema; bad configs fail with context") {
+    val curation =
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |  - type: hash_split
+        |    id_field: doc_id
+        |""".stripMargin
+    val (ok, err, _) = TestConfig.verify(spark, curation,
+      runUnitTests = false, schemaDdl = Some("doc_id BIGINT, text STRING"))
+    ok shouldBe true
+    err shouldBe None
+    // without the schema hint the data-dependent stage reports the
+    // missing column (the verifier's empty frame carries no fields)
+    val (noSchema, noSchemaErr, _) =
+      TestConfig.verify(spark, curation, runUnitTests = false)
+    noSchema shouldBe false
+    noSchemaErr.get.toLowerCase should include("text")
+    // a curation stage with an invalid config fails verification
+    val (bad, badErr, _) = TestConfig.verify(spark,
+      """pipeline:
+        |  - type: quality_signals
+        |    signals: [nope]
+        |""".stripMargin, runUnitTests = false,
+      schemaDdl = Some("doc_id BIGINT, text STRING"))
+    bad shouldBe false
+    badErr.get should include("unknown signals")
+  }
+
   test("--unit: embedded {raw, processed} tests run; failures reported") {
     val passing =
       """pipeline:
