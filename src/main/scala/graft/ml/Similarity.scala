@@ -150,6 +150,45 @@ object Similarity {
     centroids
   }
 
+  /** Materialize an IVF index: the corpus written partitioned by its
+    * centroid bucket. At query time [[ivfReadTopK]]'s bucket filter
+    * becomes a PARTITION FILTER on this layout — a 100 TB corpus scan
+    * touches only `nprobe` directories. (The docs on [[assignBucket]]
+    * promised this layout; this is the write half, and IvfIndexSpec
+    * proves the pruning appears in the executed plan.)
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], path: String): Unit =
+    corpus.withColumn("bucket", assignBucket(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Query a written IVF index: the query's `nprobe` nearest centroids
+    * compute ON THE DRIVER (k small by definition), the scan filters to
+    * those bucket partitions (pruned at planning, never read), and only
+    * the surviving rows score. Same recall/latency trade as [[ivfTopK]]
+    * with the scan cost of the probed fraction.
+    */
+  def ivfReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, vecCol: String, query: Seq[Double],
+                  centroids: Seq[Seq[Double]], k: Int,
+                  nprobe: Int = 1): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(query, c), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Squared L2 distance between two double-array columns — index-ordered
     * fold, so engine and SQL oracle share the operation order.
     */
