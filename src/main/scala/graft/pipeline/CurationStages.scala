@@ -47,6 +47,11 @@ object CurationStages {
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
+    * Inside StreamRunner's foreachBatch these compile against BATCH
+    * frames and run with micro-batch scope (dedup_exact dedups within
+    * each batch; cross-batch dedup is `dedup_events` with a watermark,
+    * or `dedup_against` a reference table) — StreamCurationSpec pins
+    * that scoping.
     */
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "contamination_filter", "pack_chunks",
