@@ -714,6 +714,50 @@ object GraftQueriesML {
         .mkString(" || ',' || ") + " AS codes FROM embeddings"
     })
 
+  /** Hashed-BoW featurization + linear margin with FIXED weights — the
+    * deterministic slice of the trainable classifier ([[Classifier]]):
+    * every operation (md5 bucket, count, /norm with IEEE sqrt, the
+    * index-ordered dot fold) is exactly rounded, so the oracle matches
+    * bitwise; only the sigmoid (library `exp`) stays convergence-gated.
+    * SQL is generated from the same dim/weights.
+    */
+  private val clfDim = 8
+  private def clfW(i: Int): Double = (i * 3 % 7 - 3) / 2.0
+
+  private val mClassifierMargin = Spec("ml_classifier_margin",
+    (s, dir) => {
+      val w = (0 to clfDim).map(clfW)
+      // + 0.0 after rounding: IEEE −0.0 + 0.0 = +0.0, so a signed-zero
+      // margin prints identically in both engines (Catalyst does NOT
+      // fold double +0.0 — it isn't an identity for −0.0, which is the
+      // point)
+      t(s, dir, "documents").select(col("doc_id"),
+        (round(Classifier.margin(col("text"), w, clfDim), 6) + lit(0.0))
+          .as("margin"))
+    },
+    Some {
+      val cnt = (0 until clfDim).map(i =>
+        s"""CAST(len(list_filter(tk, t ->
+            CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) % $clfDim
+              = $i)) AS DOUBLE)""").mkString(", ")
+      // norm² and the dot product as index-ordered LEFT folds, matching
+      // the engine's aggregate(zip_with) evaluation order
+      val nrmSq = (0 until clfDim).foldLeft("0.0")((acc, i) =>
+        s"($acc + c[${i + 1}]*c[${i + 1}])")
+      val dot = (0 until clfDim).foldLeft("0.0")((acc, i) =>
+        s"($acc + (${clfW(i)})*f[${i + 1}])") + s" + (${clfW(clfDim)})*1.0"
+      s"""WITH tok AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> t <> '') AS tk FROM documents),
+          cc AS (SELECT doc_id, [$cnt] AS c FROM tok),
+          ff AS (SELECT doc_id,
+            CASE WHEN sqrt($nrmSq) > 0
+              THEN list_transform(c, v -> v / sqrt($nrmSq))
+              ELSE list_transform(c, v -> 0.0) END AS f
+            FROM cc)
+          SELECT doc_id, round(($dot), 6) + 0.0 AS margin FROM ff"""
+    })
+
   // incremental-ingestion dedup: the "new batch vs existing corpus"
   // split every continuous-crawl pipeline runs. Incoming = every 5th
   // doc, reference = the rest — meaningful sizes on both sides.
@@ -951,6 +995,6 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
-    mDedupAgainst, mNearDupAgainst, mPqEncode,
+    mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

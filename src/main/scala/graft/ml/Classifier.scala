@@ -54,17 +54,25 @@ object Classifier {
       array(lit(1.0)))
   }
 
-  /** σ(w·x) for a literal weight vector — scoring stays whole-stage
-    * codegen with the weights inlined as an array literal.
+  /** The linear margin w·x for a literal weight vector — an
+    * index-ordered left fold over IEEE-exact operations (+, *, /,
+    * sqrt), so it is bit-identical across engines and oracle-gateable;
+    * [[score]] adds the sigmoid (whose `exp` is library-dependent and
+    * therefore only convergence-gated).
     */
-  def score(text: Column, weights: Seq[Double], dim: Int): Column = {
+  def margin(text: Column, weights: Seq[Double], dim: Int): Column = {
     require(weights.length == dim + 1,
       s"weights must have dim+1=${dim + 1} components, got ${weights.length}")
     val x = features(text, dim)
     val w = array(weights.map(lit): _*)
-    val margin = aggregate(zip_with(w, x, _ * _), lit(0.0), _ + _)
-    lit(1.0) / (lit(1.0) + exp(-margin))
+    aggregate(zip_with(w, x, _ * _), lit(0.0), _ + _)
   }
+
+  /** σ(w·x) for a literal weight vector — scoring stays whole-stage
+    * codegen with the weights inlined as an array literal.
+    */
+  def score(text: Column, weights: Seq[Double], dim: Int): Column =
+    lit(1.0) / (lit(1.0) + exp(-margin(text, weights, dim)))
 
   /** Train binary logistic regression (labels 0/1) with L2
     * regularization. Returns `dim+1` weights (bias last). Each
