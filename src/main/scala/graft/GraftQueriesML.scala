@@ -654,8 +654,11 @@ object GraftQueriesML {
             d AS (SELECT vec_id, round(sqrt(sum((v-m)*(v-m))), 6) AS dist
               FROM u JOIN c USING (i) GROUP BY vec_id),
             st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM d)
-            SELECT vec_id, dist, round((dist-mu)/sd, 4) AS z,
-              CAST(round((dist-mu)/sd, 4) > 2.0 AS INT) AS is_outlier
+            SELECT vec_id, dist,
+              CASE WHEN sd > 0 THEN round((dist-mu)/sd, 4)
+                   ELSE 0.0 END AS z,
+              CAST(CASE WHEN sd > 0 THEN round((dist-mu)/sd, 4)
+                        ELSE 0.0 END > 2.0 AS INT) AS is_outlier
             FROM d CROSS JOIN st"""))
 
   private val mWeightedSample = Spec("ml_weighted_sample",

@@ -38,20 +38,27 @@ object Classifier {
     * counts plus a trailing bias component fixed at 1.0 (so the model's
     * intercept rides in the same weight vector). Lowercased whitespace
     * tokens. Empty documents featurize to the bias alone.
+    *
+    * Histogram + l2-normalize + bias run as ONE native pass over the
+    * token buckets ([[graft.functions.HashedBowExpr]], O(tokens + dim)
+    * per row) — the former per-slot `transform(sequence(...), i ->
+    * size(filter(bkts, b == i)))` walked the bucket array dim times per
+    * row (O(dim·tokens)), a 1000×+ blowup at realistic hashed-BoW dims
+    * (2^12–2^18). Counts are exact integers and the norm the
+    * index-ordered sum of their squares, so the fused kernel is
+    * bit-identical to the old formulation — the `ml_classifier_margin`
+    * oracle holds unchanged.
     */
   def features(text: Column, dim: Int): Column = {
     require(dim > 0, s"dim must be positive, got $dim")
+    import org.apache.spark.sql.GraftSqlBridge
     // the whitespace split of "" is [""] — drop empty tokens so blank
     // documents featurize to the bias alone
     val bkts = transform(
       filter(Dedup.tokens(lower(text)), t => t =!= ""),
       t => bucketOf(t, dim))
-    val counts = transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(bkts, b => b === i)).cast("double"))
-    val nrm = sqrt(aggregate(counts, lit(0.0), (acc, v) => acc + v * v))
-    concat(
-      transform(counts, v => when(nrm > 0, v / nrm).otherwise(lit(0.0))),
-      array(lit(1.0)))
+    GraftSqlBridge.column(graft.functions.HashedBowExpr(
+      GraftSqlBridge.expression(bkts), dim))
   }
 
   /** The linear margin w·x for a literal weight vector — an
@@ -65,7 +72,9 @@ object Classifier {
       s"weights must have dim+1=${dim + 1} components, got ${weights.length}")
     val x = features(text, dim)
     val w = array(weights.map(lit): _*)
-    aggregate(zip_with(w, x, _ * _), lit(0.0), _ + _)
+    // same index-ordered multiply-add as aggregate(zip_with(...)), as a
+    // native codegen'd loop — bit-identical, oracle-safe
+    Similarity.dot(w, x)
   }
 
   /** σ(w·x) for a literal weight vector — scoring stays whole-stage
@@ -93,11 +102,24 @@ object Classifier {
     var w = Array.fill(dim + 1)(0.0)
     for (_ <- 0 until iters) {
       val wc = array(w.toSeq.map(lit): _*)
-      val margin = aggregate(zip_with(wc, col("x"), _ * _), lit(0.0), _ + _)
+      val margin = Similarity.dot(wc, col("x"))
       val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
+      // err is staged BEFORE the explode: an expression referenced from
+      // inside a transform lambda is re-evaluated per element (no CSE in
+      // lambda bodies), which made the r7 gradient O(dim²) per row; a
+      // Generate's child projection evaluates it exactly once per row.
+      // And hashed-BoW vectors are sparse: most of the dim+1 exploded
+      // slots are exact ±0.0 contributions. Dropping them before the
+      // aggregate cuts its input from dim·rows to ~tokens·rows (adding a
+      // true zero to a double sum can never change it, and absent slots
+      // already read as 0.0 below) — at dim 2^12+ this is the difference
+      // between a gradient shuffle sized by the corpus and one sized by
+      // the vocabulary
       val grad = data
-        .select(posexplode(transform(col("x"), v => v * err)))
-        .groupBy(col("pos")).agg(sum(col("col")).as("g"))
+        .select(err.as("e"), posexplode(col("x")))
+        .select(col("pos"), (col("col") * col("e")).as("c"))
+        .filter(col("c") =!= 0.0)
+        .groupBy(col("pos")).agg(sum(col("c")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) =>
         // standard LR: the intercept (last component) is unregularized —

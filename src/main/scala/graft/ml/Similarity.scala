@@ -84,7 +84,11 @@ object Similarity {
       .agg(round(sqrt(sum((col("v") - col("m")) * (col("v") - col("m")))), 6)
         .as("dist"))
     val st = d.agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sd"))
-    val z = round((col("dist") - col("mu")) / col("sd"), 4)
+    // sd = 0 (degenerate corpus: all-identical embeddings, or one row)
+    // would make z NaN, and NaN > thresh is true — flagging EVERY row as
+    // an outlier. A zero-spread distribution has no outliers: z = 0.
+    val z = when(col("sd") > 0,
+      round((col("dist") - col("mu")) / col("sd"), 4)).otherwise(lit(0.0))
     d.crossJoin(broadcast(st))
       .select(col("id").as(idCol), col("dist"), z.as("z"),
         (z > zThresh).cast("int").as("is_outlier"))
@@ -104,8 +108,69 @@ object Similarity {
     array_position(sims, array_max(sims)).cast("int") - 1
   }
 
-  /** Train IVF centroids with distributed k-means (Lloyd's): init = the
-    * first k vectors in `idCol` order (deterministic), then `iters` rounds
+  /** Deterministic content-addressed seed sample: the `sampleN` rows with
+    * the smallest `md5(id)` — a uniform pseudo-random subset whose
+    * membership depends only on ids, selected by a distributed
+    * per-partition top-k (`TakeOrderedAndProject`: every task keeps at
+    * most `sampleN` candidates, the driver merges heads). This replaces
+    * the former `row_number().over(Window.orderBy(id))` init, which
+    * funneled the ENTIRE corpus through one task before every index
+    * build — the canonical scale-killer this file's own callers warn
+    * about. Exposed package-private so specs can assert the executed
+    * plan carries no Window and no global sort.
+    */
+  private[ml] def seedCandidates(corpus: DataFrame, idCol: String,
+                                 v: Column, sampleN: Int): DataFrame =
+    corpus.filter(v.isNotNull)
+      .select(v.as("v"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h")).limit(sampleN)
+
+  /** Greedy maximin (farthest-point) seeding over a driver-small sample:
+    * seed 0 is the sample head (smallest md5 — content-addressed,
+    * deterministic), each next seed is the sample point with the largest
+    * min-distance to the seeds chosen so far (ties broken by sample
+    * order). O(sampleN·k·dim) driver compute on a k×128-row sample —
+    * independent of corpus size — and a strictly better spread property
+    * than the evenly-spaced-by-id init it replaces (ids need not
+    * correlate with content; farthest-point provably 2-approximates the
+    * k-center optimum on the sample).
+    */
+  private[ml] def maximinSeeds(sample: IndexedSeq[Seq[Double]],
+                               k: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty, "seed sample is empty")
+    def l2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val picked = Array.fill(sample.length)(false); picked(0) = true
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.length < k) {
+      val last = sample(chosen.last)
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = l2(sample(i), last)
+        if (d < minD(i)) minD(i) = d
+        if (!picked(i) && minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      chosen += best; picked(best) = true
+    }
+    chosen.map(sample).toSeq
+  }
+
+  /** How many sample rows the seed selection reads to the driver: enough
+    * for maximin to see every real cluster at practical k, still tiny
+    * (k×128 vectors) at any corpus size.
+    */
+  private def seedSampleN(k: Int): Int = math.max(256, 128 * k)
+
+  /** Train IVF centroids with distributed k-means (Lloyd's): init =
+    * deterministic maximin seeding over a content-addressed sample
+    * ([[seedCandidates]] + [[maximinSeeds]] on direction-normalized
+    * vectors — cosine k-means clusters directions), then `iters` rounds
     * of broadcast-assign → per-bucket elementwise mean. Each round is ONE
     * map-side-combined aggregation over the corpus (the k×dim result —
     * a few KB — is all that ever reaches the driver), so a round costs a
@@ -116,18 +181,20 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.expressions.Window
     val v = col(vecCol).cast("array<double>")
-    // deterministic spread init: k vectors evenly spaced in idCol order
-    // (taking the FIRST k would seed every centroid from one neighborhood)
-    val n = corpus.count()
-    val step = math.max(1L, n / k)
-    val ranked = corpus.select(v.as("v"),
-      row_number().over(Window.orderBy(col(idCol))).as("r"))
-    var centroids: Seq[Seq[Double]] = ranked
-      .filter((col("r") - 1) % step === 0).orderBy(col("r")).limit(k)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
+    val sample = seedCandidates(corpus, idCol, v, seedSampleN(k))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+      .toIndexedSeq
+    require(sample.length >= k,
+      s"need at least k=$k vectors to seed centroids, got ${sample.length}")
+    // maximin on unit vectors: cosine k-means separates DIRECTIONS, so
+    // the spread that matters for seeding is angular, not magnitude
+    val unit = sample.map { s =>
+      val n = math.sqrt(s.map(x => x * x).sum)
+      if (n > 0) s.map(_ / n) else s
+    }
+    var centroids: Seq[Seq[Double]] =
+      maximinSeeds(unit, k).map(_.toSeq)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val assigned = corpus.select(v.as("v"),
@@ -221,7 +288,6 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.sql.expressions.Window
     val v = col(vecCol).cast("array<double>")
     val dimRow = corpus.select(size(v)).limit(1).collect()
     require(dimRow.nonEmpty, "pqTrain: corpus is empty")
@@ -230,19 +296,21 @@ object Similarity {
     val subdim = dim / m
     val slices = array((0 until m).map(j =>
       slice(v, j * subdim + 1, subdim)): _*)
-    // deterministic spread init, same row indices for every subspace;
+    // deterministic maximin seeding over a content-addressed sample
+    // (same TakeOrdered shape as trainCentroids — NOT a global window);
     // null / wrong-dimension vectors are excluded up front (they would
     // surface rounds later as an opaque null aggregate row)
     val clean = corpus.filter(v.isNotNull && size(v) === dim)
-    val n = clean.count()
-    require(n >= k, s"need at least k=$k well-formed vectors, got $n")
-    val step = math.max(1L, n / k)
-    val seed = clean.select(v.as("v"),
-        row_number().over(Window.orderBy(col(idCol))).as("r"))
-      .filter((col("r") - 1) % step === 0).orderBy(col("r")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val sample = seedCandidates(clean, idCol, v, seedSampleN(k))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+      .toIndexedSeq
+    require(sample.length >= k,
+      s"need at least k=$k well-formed vectors, got ${sample.length}")
+    // seeds chosen on FULL vectors (raw L2 — the PQ metric), sliced per
+    // subspace below: the same row seeds code c in every subspace
+    val seed = maximinSeeds(sample, k)
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-      seed.toSeq.map(full => full.slice(j * subdim, (j + 1) * subdim).toSeq))
+      seed.map(full => full.slice(j * subdim, (j + 1) * subdim).toSeq))
     val exploded = clean
       .select(posexplode(slices).as(Seq("j", "sub"))).persist()
     exploded.count()

@@ -42,4 +42,34 @@ class CentroidTrainSpec extends SparkSpec {
     assert(ivf.toSet == brute.toSet,
       s"IVF(nprobe=1) should match brute force on separated blobs")
   }
+
+  test("seed selection is a distributed top-k: no Window, no global sort") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, Seq.fill(4)(i * 0.1)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.seedCandidates(df, "vec_id",
+        col("embedding").cast("array<double>"), 16)
+      .queryExecution.executedPlan.toString
+    // the r7 init funneled the corpus through row_number() over an
+    // unpartitioned Window — the one-task full-corpus sort this guards
+    assert(!plan.contains("Window"), s"seed init regressed to a Window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed init should be a per-partition top-k merge:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"seed init should not shuffle:\n$plan")
+  }
+
+  test("maximinSeeds: deterministic, spread across clusters") {
+    val pts = IndexedSeq(
+      Seq(0.0, 0.0), Seq(0.1, 0.0), Seq(0.0, 0.1),   // cluster A
+      Seq(10.0, 10.0), Seq(10.1, 10.0),              // cluster B
+      Seq(-10.0, 10.0), Seq(-10.1, 10.1))            // cluster C
+    val seeds = Similarity.maximinSeeds(pts, 3)
+    // one seed per cluster: farthest-point cannot pick two neighbors
+    // while another cluster is uncovered
+    def cluster(p: Seq[Double]): Int =
+      if (p(0) > 5) 1 else if (p(0) < -5) 2 else 0
+    assert(seeds.map(cluster).toSet == Set(0, 1, 2), s"seeds: $seeds")
+    assert(Similarity.maximinSeeds(pts, 3) == seeds, "must be deterministic")
+  }
 }

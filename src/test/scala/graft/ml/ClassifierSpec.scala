@@ -74,6 +74,60 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("features histogram matches the per-slot formulation exactly") {
+    val s = spark
+    import s.implicits._
+    // the r7 formulation: one filter pass per output slot (the
+    // O(dim·tokens) shape BucketCountsExpr replaced) — kept here as the
+    // reference semantics the kernel must reproduce bit-for-bit
+    def slowFeatures(text: org.apache.spark.sql.Column, d: Int) = {
+      val bkts = transform(
+        filter(Dedup.tokens(lower(text)), t => t =!= ""),
+        t => Curation.hashBucket(t, d))
+      val counts = transform(sequence(lit(0), lit(d - 1)),
+        i => size(filter(bkts, b => b === i)).cast("double"))
+      val nrm = sqrt(aggregate(counts, lit(0.0), (acc, v) => acc + v * v))
+      concat(
+        transform(counts, v => when(nrm > 0, v / nrm).otherwise(lit(0.0))),
+        array(lit(1.0)))
+    }
+    val docs = Seq("the quick brown fox the fox", "a b c a b a", "",
+      "one token", "repeat repeat repeat repeat").toDF("text")
+    val fast = docs.select(Classifier.features(col("text"), 17).as("x"))
+      .collect().map(_.getSeq[Double](0))
+    val slow = docs.select(slowFeatures(col("text"), 17).as("x"))
+      .collect().map(_.getSeq[Double](0))
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("featurization cost scales with tokens, not dim") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 400).map(i =>
+      (0 until 12).map(j => s"tok${(i * 7 + j * 3) % 50}").mkString(" "))
+      .toDF("text")
+    docs.persist().count()
+    def time(d: Int): Long = {
+      def once(): Long = {
+        val t0 = System.nanoTime()
+        docs.select(Classifier.features(col("text"), d).as("x"))
+          .select(sum(element_at(col("x"), 1))).head()
+        System.nanoTime() - t0
+      }
+      once(); math.min(once(), once()) // warm, then min of two
+    }
+    val small = time(64)
+    val big = time(8192)
+    docs.unpersist(blocking = false)
+    // dim grew 128×; the one-pass kernel's per-row cost is
+    // O(tokens + dim) (three linear passes), so the wall ratio must stay
+    // far below linear-in-dim. The replaced O(dim·tokens) shape measured
+    // >40× here; generous bound to keep CI quiet on a loaded machine.
+    assert(big < small * 24,
+      s"featurization at dim 8192 took ${big / 1e6}%.1f ms vs " +
+        s"${small / 1e6}%.1f ms at dim 64 — scaling with dim")
+  }
+
   test("more iterations do not hurt training loss") {
     def loss(w: Seq[Double]): Double = {
       val p = Classifier.score(col("text"), w, dim)

@@ -163,6 +163,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(9) == ((10L, 45.0, 3.0, 1)))
   }
 
+  test("centroidOutliers: zero-spread corpus flags NOTHING (sd = 0)") {
+    val s = spark
+    import s.implicits._
+    // all-identical embeddings → every dist = 0 → sd = 0. The naive
+    // (dist-mu)/sd is NaN, and NaN > thresh is TRUE in both Spark and
+    // DuckDB — which would flag every row. Guarded: z = 0, no outliers.
+    val df = (1L to 5L).map(i => (i, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = graft.ml.Similarity.centroidOutliers(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq.fill(5)((0.0, 0)))
+  }
+
   test("weightedSample: deterministic, nested across rates, rate-shaped") {
     val s = spark
     import s.implicits._
