@@ -52,6 +52,12 @@ object BenchChains {
         |        dissector:
         |          mapping:
         |            message: "%{etype} %{uid|int} %{val}"
+        |  - type: grokker
+        |    rules:
+        |      - filter: "message"
+        |        grokker:
+        |          mapping:
+        |            message: ["%{WORD:g_type} %{INT:g_uid:int} %{NUMBER:g_val}"]
         |  - type: timestamper
         |    rules:
         |      - filter: "ts_str"
@@ -77,7 +83,10 @@ object BenchChains {
         |            "^err": incident
         |            ".*": other
         |""".stripMargin)
+    // g_uid stays in the projection so column pruning cannot drop the
+    // grok stage's work from the measurement (added r8: the grokker now
+    // rides the native GrokMatchExpr on this hot path)
     pipeline.PipelineCompiler.compile(spec)(e).main
-      .select(col("event_id"), col("category"), col("calc_out"))
+      .select(col("event_id"), col("category"), col("calc_out"), col("g_uid"))
   }
 }

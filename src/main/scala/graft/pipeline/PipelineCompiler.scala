@@ -529,11 +529,17 @@ object PipelineCompiler {
           FieldOps.get(out.schema, src) match {
             case None => // missing source handled collectively below
             case Some((srcCol, _)) =>
-              val mUdf = udf((s: String) => Grok.matchFirst(compiled, s))
+              // native expression (graft.functions.GrokMatchExpr): the
+              // former per-row Scala UDF broke codegen on the events hot
+              // path; same first-match-wins sweep + backtracking budget
+              val matchCol = org.apache.spark.sql.GraftSqlBridge.column(
+                graft.functions.GrokMatchExpr(
+                  org.apache.spark.sql.GraftSqlBridge.expression(
+                    srcCol.cast("string")), compiled))
               val mc = s"__gk_$i"
               temps += mc
               out = out.withColumn(mc,
-                when(coalesce(pred, lit(false)), mUdf(srcCol.cast("string"))))
+                when(coalesce(pred, lit(false)), matchCol))
               val matched = col(mc).isNotNull && size(col(mc)) > 0
               matchedCols += coalesce(matched, lit(false))
               // plan-time union of this source's capture targets; later

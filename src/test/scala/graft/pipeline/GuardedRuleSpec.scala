@@ -50,6 +50,18 @@ class GuardedRuleSpec extends SparkSpec {
     assert(m("b") == null) // msg parses, but the filter says no
   }
 
+  test("grokker compiles to a native expression — no ScalaUDF in the plan") {
+    // the last interpreted per-row cost in the structural/pattern
+    // families (r7 verdict item 3): the match must ride GrokMatchExpr
+    // inside codegen, not a udf() closure
+    val out = run(stage("grokker", "kind:a",
+      """          mapping:
+        |            msg: "%{IPV4:client} %{WORD:verb}"""".stripMargin), twoRows)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("timestamper writes only on filter-matching rows") {
     val out = run(stage("timestamper", "kind:a",
       """          source_fields: [t1]
