@@ -1,0 +1,145 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall harness: recall@k of the approximate paths (IVF bucket
+  * probing, PQ/ADC code scoring) against exact brute force, per tuning
+  * knob — the curve a tuner reads to pick nprobe / m for a target
+  * recall. The reference has no ANN surface; this gates OUR scale paths
+  * on the metric that actually matters (exactness gates alone cannot
+  * say "nprobe=4 reaches 0.9 recall here").
+  *
+  * Scale shapes: ground truth is [[Similarity.bruteForceTopK]] (one
+  * broadcast of the query set, no corpus shuffle); each IVF point is one
+  * [[Similarity.ivfTopK]] run; recall joins are (|queries|·k)-row joins
+  * — driver-tiny. PQ scoring reads codes only (m bytes/vector).
+  */
+object Recall {
+
+  /** recall@k: fraction of (qid, id) pairs in `truth` also present in
+    * `approx`. Both frames carry qid/id columns (the top-k outputs).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select(col("qid"), col("id")).persist()
+    val n = t.count().toDouble
+    val hits = t.join(approx.select(col("qid"), col("id")), Seq("qid", "id"))
+      .count().toDouble
+    t.unpersist(blocking = false)
+    if (n == 0) 0.0 else hits / n
+  }
+
+  /** IVF recall curve: recall@k for each nprobe, against cosine brute
+    * force on the same corpus/queries. nprobe = |centroids| probes every
+    * bucket — that point is exhaustive and must read 1.0 (the harness's
+    * built-in sanity anchor).
+    */
+  def ivfRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     centroids: Seq[Seq[Double]], k: Int,
+                     nprobes: Seq[Int]): Seq[(Int, Double)] = {
+    val truth = Similarity.bruteForceTopK(corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, k).persist()
+    truth.count()
+    val curve = nprobes.map { np =>
+      np -> recallAtK(truth, Similarity.ivfTopK(corpus, idCol, vecCol,
+        queries, qidCol, qvecCol, centroids, k, np))
+    }
+    truth.unpersist(blocking = false)
+    curve
+  }
+
+  /** Exact L2 top-k (the metric PQ approximates — cosine truth would
+    * conflate quantization error with metric mismatch).
+    */
+  def bruteForceTopKL2(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = joined.select(
+      col(qidCol).as("qid"), col(idCol).as("id"),
+      Similarity.l2Sq(col(vecCol).cast("array<double>"),
+        col(qvecCol).cast("array<double>")).as("d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
+  /** PQ/ADC top-k for one query against a pre-encoded code table
+    * (id, codes): m lookups per row, vectors never read.
+    */
+  def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
+             query: Seq[Double], books: Seq[Seq[Seq[Double]]],
+             k: Int): DataFrame =
+    codes.select(col(idCol).as("id"),
+        Similarity.pqAdcScore(col(codesCol), query, books).as("d2"))
+      .orderBy(col("d2").asc, col("id").asc)
+      .limit(k)
+
+  /** PQ recall curve over subquantizer counts `ms`: for each m, train
+    * codebooks, encode ONCE, then per query score codes via ADC and
+    * compare to exact-L2 truth. Queries ride the driver (they are the
+    * small side by definition); each is one TakeOrdered over the codes.
+    */
+  def pqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                    queryRows: Seq[(Long, Seq[Double])], k: Int,
+                    ms: Seq[Int], pqK: Int = 16,
+                    iters: Int = 3): Seq[(Int, Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queries = queryRows.toDF("qid_src", "qvec")
+    val truth = bruteForceTopKL2(corpus, idCol, vecCol,
+      queries, "qid_src", "qvec", k).persist()
+    truth.count()
+    val curve = ms.map { m =>
+      val books = Similarity.pqTrain(corpus, idCol, vecCol, m, pqK, iters)
+      val codes = corpus.select(col(idCol).as("id"),
+        Similarity.pqEncode(col(vecCol), books).as("codes")).persist()
+      codes.count()
+      val approx = queryRows.map { case (qid, qvec) =>
+        pqTopK(codes, "id", "codes", qvec, books, k)
+          .select(lit(qid).as("qid"), col("id"))
+      }.reduce(_ unionAll _)
+      val r = recallAtK(truth, approx)
+      codes.unpersist(blocking = false)
+      m -> r
+    }
+    truth.unpersist(blocking = false)
+    curve
+  }
+
+  /** One-shot harness main: prints the IVF and PQ recall tables for the
+    * embeddings table of a testdata tier (recorded in BASELINE.md).
+    * Usage: runMain graft.ml.Recall [sfDir] [k]
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.Tables.table(spark, sfDir, "embeddings")
+    val queryRows = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    import spark.implicits._
+    val queries = queryRows.toDF("qid_src", "qvec")
+    val nCentroids = 16
+    val cs = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nCentroids, iters = 4)
+    val ivf = ivfRecallCurve(emb, "vec_id", "embedding",
+      queries, "qid_src", "qvec", cs, k,
+      Seq(1, 2, 4, 8, nCentroids))
+    println(s"IVF recall@$k (C=$nCentroids): " +
+      ivf.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+    val pq = pqRecallCurve(emb, "vec_id", "embedding", queryRows, k,
+      ms = Seq(4, 8, 16, 32))
+    println(s"PQ/ADC recall@$k (k'=16): " +
+      pq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
+    spark.stop()
+  }
+}

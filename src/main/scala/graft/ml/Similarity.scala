@@ -95,17 +95,23 @@ object Similarity {
   }
 
   /** IVF bucket assignment: nearest centroid index (argmax cosine).
-    * Centroids are a small broadcast array-of-arrays literal. At write
-    * time: `corpus.withColumn("bucket", assignBucket(...)).write.partitionBy("bucket")`
-    * → query-time partition pruning touches only probed buckets.
+    * At write time: `corpus.withColumn("bucket", assignBucket(...))
+    * .write.partitionBy("bucket")` → query-time partition pruning
+    * touches only probed buckets.
+    *
+    * Native kernel ([[graft.functions.CosineArgMaxExpr]]): the former
+    * k-literal-tree form (one cosine subtree per centroid +
+    * array_position/array_max) was bit-identical but plan-hostile —
+    * Catalyst's per-task subexpression analysis over k nested CaseWhen
+    * cosine trees measured tens of MINUTES at k=16/dim=64. The kernel
+    * carries the centroid matrix as one plan reference, same
+    * index-ordered arithmetic and first-equal argmax semantics.
     */
   def assignBucket(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val sims = array(centroids.map { c =>
-      val cc = array(c.map(lit): _*)
-      cosine(vec.cast("array<double>"), cc)
-    }: _*)
-    // argmax with first-wins tie-break
-    array_position(sims, array_max(sims)).cast("int") - 1
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.CosineArgMaxExpr(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      centroids.map(_.toArray).toArray))
   }
 
   /** Deterministic content-addressed seed sample: the `sampleN` rows with
@@ -315,11 +321,15 @@ object Similarity {
       .select(posexplode(slices).as(Seq("j", "sub"))).persist()
     exploded.count()
     for (_ <- 1 to iters) {
-      // per-row assignment against THIS row's subspace codebook: a
-      // when-chain on j keeps everything in one codegen'd projection
-      val assign = (0 until m).map(j =>
-        when(col("j") === j, assignNearestL2(col("sub"), books(j))))
-        .reduce((a, b) => coalesce(a, b))
+      // per-row assignment against THIS row's subspace codebook — one
+      // native dispatch (the former m-branch CaseWhen chain of literal
+      // trees was the subexpression-analysis blowup assignBucket's doc
+      // describes, multiplied by m)
+      val assign = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PqSubAssignExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("j")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("sub")),
+          books.map(_.map(_.toArray).toArray).toArray))
       val sums = (0 until subdim).map(i =>
         sum(col("sub").getItem(i)).as(s"s$i"))
       val agg = exploded.withColumn("b", assign)
@@ -341,16 +351,16 @@ object Similarity {
     books
   }
 
-  /** PQ-encode a vector to its m codes — a narrow codegen'd expression
-    * (the codebooks inline as literals); at 100 TB this is the
-    * compression pass of an index build, running at scan speed.
+  /** PQ-encode a vector to its m codes — one native pass over all m
+    * subspaces ([[graft.functions.PqEncodeExpr]]; the codebooks ride as
+    * one plan reference, not m×k×subdim literal nodes); at 100 TB this
+    * is the compression pass of an index build, running at scan speed.
     */
   def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
-    val m = books.length
-    val subdim = books.head.head.length
-    val v = vec.cast("array<double>")
-    array((0 until m).map(j =>
-      assignNearestL2(slice(v, j * subdim + 1, subdim), books(j))): _*)
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.PqEncodeExpr(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      books.map(_.map(_.toArray).toArray).toArray))
   }
 
   /** Asymmetric-distance (ADC) scores from codes alone: the query's
@@ -389,14 +399,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val bucketed = corpus.withColumn("__bucket",
       assignBucket(col(vecCol), centroids))
-    // nprobe buckets per query: indices of the nprobe largest centroid sims
-    val qsims = array(centroids.indices.map { i =>
-      val cc = array(centroids(i).map(lit): _*)
-      struct(cosine(col(qvecCol).cast("array<double>"), cc).as("sim"),
-        lit(i).as("idx"))
-    }: _*)
+    // nprobe buckets per query: indices of the nprobe largest centroid
+    // sims (native kernel; same reverse(array_sort(struct(sim, idx)))
+    // order — sim desc, ties idx desc)
     val probed = queries.withColumn("__probe",
-      transform(slice(reverse(array_sort(qsims)), 1, nprobe), s => s.getField("idx")))
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CosineTopIdxExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            col(qvecCol).cast("array<double>")),
+          centroids.map(_.toArray).toArray, nprobe)))
     val joined = bucketed.join(broadcast(probed),
       array_contains(col("__probe"), col("__bucket")))
     val scored = joined.select(col(qidCol).as("qid"), col(idCol).as("id"),

@@ -59,15 +59,32 @@ object Tokenize {
 
   /** Train `k` BPE merges over the corpus. Returns the ordered merge
     * list — driver-small by definition (k rows; real tokenizers train
-    * tens of thousands of merges, each still ONE aggregate + a 1-row
-    * argmax). Ties break deterministically (count desc, then pair asc)
-    * so the learned tokenizer is identical across engines and runs.
-    * Training stops early when no pair remains (all words fully merged).
+    * tens of thousands of merges). Ties break deterministically (count
+    * desc, then pair asc in UTF-8 byte order) so the learned tokenizer
+    * is identical across engines and runs. Training stops early when no
+    * pair remains (all words fully merged).
+    *
+    * Execution: ONE corpus scan builds the word-frequency table; when
+    * that table is at most `localThreshold` rows it is collected and the
+    * merge rounds run DRIVER-LOCAL — a real 32k-merge train would
+    * otherwise schedule 32k+ Spark jobs of pure fixed overhead (~hours)
+    * against a table that is vocabulary-sized by construction. Above the
+    * threshold the rounds run distributed (one vocabulary-sized
+    * aggregate + a 1-row TakeOrdered per round). Both paths compute the
+    * same exact integer pair counts with the same tie order, so the
+    * merges are identical by construction (spec-pinned both ways).
     */
-  def trainBpeMerges(df: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  def trainBpeMerges(df: DataFrame, textCol: String, k: Int,
+                     localThreshold: Long = 2_000_000L): Seq[Merge] = {
     require(k >= 0, s"merge count must be non-negative, got $k")
     var vocab = wordFreq(df, textCol).persist()
-    vocab.count() // materialize before the round loop reuses it
+    val vocabRows = vocab.count() // materialize before the rounds reuse it
+    if (vocabRows <= localThreshold) {
+      val entries = vocab.select(col("freq"), col("repr")).collect()
+        .map(r => (r.getLong(0), localSymbols(r.getString(1))))
+      vocab.unpersist(blocking = false)
+      return trainLocalMerges(entries, k)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     var i = 0
@@ -101,6 +118,97 @@ object Tokenize {
       i += 1
     }
     vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Symbols of a wrapped repr string, driver-side (the [[symbols]]
+    * Column expression's exact semantics: strip the outer sentinels,
+    * split on the inter-symbol `||`; symbols never contain `|`).
+    */
+  private[ml] def localSymbols(repr: String): Array[String] =
+    repr.substring(1, repr.length - 1).split("\\|\\|")
+
+  /** UTF-8 byte-order comparison — Spark orders strings by UTF8String
+    * bytes (code-point order); Java's `String.compareTo` is UTF-16
+    * code-unit order, which disagrees above the BMP. The local path must
+    * break count ties exactly like the distributed `orderBy`.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge rounds over the collected (freq, symbols)
+    * vocabulary — the same counts, argmax, and greedy non-overlapping
+    * merge application as the distributed loop:
+    *  - pair counts sum `freq` over EVERY adjacent position (the
+    *    distributed zip_with counts overlapping occurrences too);
+    *  - argmax = count desc, then (lhs, rhs) asc in UTF-8 byte order;
+    *  - application scans left-to-right, consuming both symbols on a
+    *    match ("aaa" + (a,a) → "aa","a") — the sentinel string-replace
+    *    semantics.
+    */
+  private def trainLocalMerges(entries: Array[(Long, Array[String])],
+                               k: Int): Seq[Merge] = {
+    var words = entries
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (f, syms) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val key = (syms(j), syms(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        val ((lhs, rhs), cnt) = best
+        merges += Merge(lhs, rhs, cnt)
+        val joined = lhs + rhs
+        words = words.map { case (f, syms) =>
+          if (syms.length < 2) (f, syms)
+          else {
+            var has = false
+            var j = 0
+            while (!has && j + 1 < syms.length) {
+              if (syms(j) == lhs && syms(j + 1) == rhs) has = true
+              j += 1
+            }
+            if (!has) (f, syms)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == lhs && syms(j + 1) == rhs) {
+                  out += joined; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              (f, out.toArray)
+            }
+          }
+        }
+      }
+      i += 1
+    }
     merges.toSeq
   }
 

@@ -1,0 +1,52 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN recall gates: the IVF and PQ approximate paths must (a) anchor at
+  * exact behavior where the math says they are exhaustive, (b) improve
+  * monotonically with their tuning knob, and (c) clear conservative
+  * floors on the driver testdata — the curve itself is recorded in
+  * BASELINE.md (sf0.1) by `runMain graft.ml.Recall`.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val k = 10
+  private val nCentroids = 8
+
+  private def emb = graft.Tables.table(spark, dir, "embeddings")
+
+  private def queryRows = emb.orderBy(col("vec_id")).limit(8)
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  test("IVF: nprobe=C is exhaustive (recall 1.0), curve monotone") {
+    val s = spark
+    import s.implicits._
+    val queries = queryRows.toDF("qid_src", "qvec")
+    val cs = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nCentroids, iters = 3)
+    val curve = Recall.ivfRecallCurve(emb, "vec_id", "embedding",
+      queries, "qid_src", "qvec", cs, k, Seq(1, 2, 4, nCentroids))
+    val byNp = curve.toMap
+    assert(byNp(nCentroids) == 1.0,
+      s"probing every bucket must be exact, got $curve")
+    // monotone non-decreasing in nprobe (a superset of buckets can only
+    // add candidates)
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a - 1e-12, s"recall fell as nprobe grew: $curve")
+    }
+    // conservative floor: half the buckets must recover most neighbors
+    assert(byNp(4) >= 0.5, s"nprobe=C/2 recall too low: $curve")
+  }
+
+  test("PQ/ADC: recall grows with m; m=dim is near-lossless on top-1") {
+    val curve = Recall.pqRecallCurve(emb, "vec_id", "embedding",
+      queryRows, k, ms = Seq(4, 16), pqK = 16, iters = 2)
+    val byM = curve.toMap
+    assert(byM(16) >= byM(4) - 1e-12,
+      s"recall fell as m grew: $curve")
+    assert(byM(16) >= 0.3, s"m=16 recall floor: $curve")
+  }
+}

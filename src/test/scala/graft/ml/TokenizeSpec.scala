@@ -31,6 +31,42 @@ class TokenizeSpec extends SparkSpec {
       Seq(("l", "o", 6L), ("lo", "w", 6L), ("e", "r", 3L)))
   }
 
+  test("driver-local and distributed rounds learn IDENTICAL merges") {
+    val s = spark
+    import s.implicits._
+    // varied corpus incl. ties and repeated substrings; force the
+    // distributed path with localThreshold = -1 and compare verbatim
+    val df = Seq(
+      (1L, "abab abab abc bcd cde abab"),
+      (2L, "xyz xyzw wxyz zyx zyx"),
+      (3L, "mississippi mississauga missing mission"),
+      (4L, "aaa aaaa aa a baaab")
+    ).toDF("doc_id", "text")
+    val local = Tokenize.trainBpeMerges(df, "text", 12)
+    val dist = Tokenize.trainBpeMerges(df, "text", 12, localThreshold = -1L)
+    assert(local == dist)
+  }
+
+  test("1000 driver-local merge rounds complete in seconds") {
+    val s = spark
+    import s.implicits._
+    // ~1500 distinct 8-char words → thousands of distinct pairs: 1000
+    // merge rounds exist. The point of the local path: the distributed
+    // loop pays one scheduled Spark job per round (a 32k-merge train
+    // would be hours of fixed overhead); local rounds are microseconds.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val words = (0 until 1500).map { i =>
+      md.digest(s"word$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val t0 = System.nanoTime()
+    val merges = Tokenize.trainBpeMerges(df, "text", 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"only ${merges.size} merges learned")
+    assert(secs < 30.0, f"local training took $secs%.1f s")
+  }
+
   test("greedy left-to-right merge: aaa + (a,a) gives [aa, a]") {
     val s = spark
     import s.implicits._
