@@ -83,19 +83,13 @@ object ScaleProof {
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
   }
 
-  def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
-    val out = args.headOption.getOrElse("/tmp/graft-sf1")
-    val spark = Tables.configure(SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  final case class TierResult(query: String, tier: String, rows: Long,
+                              secMin: Double, secs: Seq[Double], exchanges: Int)
 
-    buildReplicas(spark, src, out)
-
-    val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  /** The two-tier headline subset (shared with [[Bench]]'s embedded
+    * scale section).
+    */
+  def headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "events_chain" -> ((s, d) => BenchChains.eventsChain(s, d)),
       "pipeline_chain" -> ((s, d) => BenchChains.pipelineChain(s, d)),
       "ml_minhash_pairs" -> GraftQueries.queries("ml_minhash_pairs"),
@@ -109,19 +103,17 @@ object ScaleProof {
       "ml_neardup_against" -> GraftQueries.queries("ml_neardup_against"),
       "ml_embed_pq_encode" -> GraftQueries.queries("ml_embed_pq_encode"))
 
-    // warm-up (JIT + codegen), not timed
-    headline.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      CacheSweep.sweep(spark)
-    }
-
-    for ((name, fn) <- headline; (tier, dir) <- Seq("sf0.1" -> src, "sf1" -> out)) {
+  /** Run the two-tier headline subset; one [[TierResult]] per
+    * (query, tier). Callers own warm-up.
+    */
+  def run(spark: SparkSession, tiers: Seq[(String, String)],
+          runs: Int = 2): Seq[TierResult] =
+    for ((name, fn) <- headline; (tier, dir) <- tiers) yield {
       val df = fn(spark, dir)
       val planStr = df.queryExecution.executedPlan.toString
       val exchanges = planStr.linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -130,6 +122,32 @@ object ScaleProof {
       }
       val rows = fn(spark, dir).count()
       CacheSweep.sweep(spark)
+      TierResult(name, tier, rows, times.min, times, exchanges)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildReplicas(spark, src, out)
+
+    // warm-up (JIT + codegen), not timed
+    headline.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      CacheSweep.sweep(spark)
+    }
+
+    for (r <- run(spark, Seq("sf0.1" -> src, "sf1" -> out))) {
+      val name = r.query; val tier = r.tier
+      val fn = headline.find(_._1 == name).get._2
+      val dir = if (tier == "sf0.1") src else out
       // pair queries at sf1: split true (in-replica) pairs from chance
       // cross-replica collisions — the latter measure the THRESHOLD's
       // selectivity at 10× corpus size, not replication leakage
@@ -144,7 +162,7 @@ object ScaleProof {
           CacheSweep.sweep(spark)
           s""","same_replica_rows":$n"""
         } else ""
-      println(f"""{"query":"$name","tier":"$tier","rows":$rows,"sec_min":${times.min}%.3f,"sec_all":[${times.map(t => f"$t%.3f").mkString(",")}],"exchanges":$exchanges$sameReplica}""")
+      println(f"""{"query":"$name","tier":"$tier","rows":${r.rows},"sec_min":${r.secMin}%.3f,"sec_all":[${r.secs.map(t => f"$t%.3f").mkString(",")}],"exchanges":${r.exchanges}$sameReplica}""")
     }
     spark.stop()
   }

@@ -162,12 +162,29 @@ object TestConfig {
   }
 
   def main(args: Array[String]): Unit = {
-    val runUnit = args.contains("--unit")
-    val schemaDdl = args.sliding(2).collectFirst {
-      case Array("--schema", ddl) => ddl
+    // positional flag parsing (the Curate CLI's strictness): a dangling
+    // `--schema` must fail loudly, not silently verify against the empty
+    // frame, and only the CONSUMED value token is removed from the
+    // config list (a config path string-equal to the DDL survived the
+    // old equality filter's complement — i.e. was wrongly dropped)
+    var runUnit = false
+    var schemaDdl: Option[String] = None
+    val configsB = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--unit" => runUnit = true
+        case "--schema" =>
+          require(i + 1 < args.length, "--schema requires a DDL value")
+          schemaDdl = Some(args(i + 1))
+          i += 1
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag: $f")
+        case path => configsB += path
+      }
+      i += 1
     }
-    val configs = args.filterNot(_.startsWith("--"))
-      .filterNot(a => schemaDdl.contains(a))
+    val configs = configsB.toSeq
     require(configs.nonEmpty,
       "usage: graft.TestConfig [--unit] [--schema <ddl>] <config.yml>...")
     val spark = SparkSession.builder()

@@ -261,12 +261,17 @@ object CurationStages {
   private def chunkSpans(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val size = int(c, "size", 2048)
     val overlap = int(c, "overlap", 0)
+    val tokensField = c.get("tokens_field").map(_.toString)
     val added = Seq("n_tokens", "chunk_idx", "start", "end")
+    // a precomputed count ALREADY named n_tokens is not a clash: the
+    // withColumn below re-assigns it to its own cast — no ambiguity
+    // (pack_chunks' input-wins handling, mirrored)
     val clash = added.filter(df.columns.contains)
+      .filterNot(a => a == "n_tokens" && tokensField.contains("n_tokens"))
     require(clash.isEmpty,
       s"chunk_spans would overwrite existing column(s) " +
         s"${clash.mkString(", ")} — rename them upstream")
-    val tok = c.get("tokens_field").map(f => col(f.toString))
+    val tok = tokensField.map(col)
       .getOrElse(TextAnalysis.tokenCount(col(textField(c)))).cast("long")
     // explicit generator aliases: the default posexplode names (pos,
     // col) collide with e.g. shuffle_layout's `pos`

@@ -1,11 +1,18 @@
 package graft
 
-/** Plan-shape regression guard: the exchange budget of every headline
+/** Plan-shape regression guard: the exchange budget of EVERY oracle
   * query is pinned, so a future change that silently adds a shuffle —
   * the classic 100 TB regression, invisible at test scale — fails CI
   * instead of the cluster. Counts use the ScaleProof convention
   * (Exchange lines, ReusedExchange excluded) on the pre-execution
-  * physical plan; narrow queries pin to EXACTLY zero.
+  * physical plan; narrow queries pin to EXACTLY zero, shuffling queries
+  * to a ceiling (AQE may plan fewer).
+  *
+  * `ml_neardup_keep` is excluded by design: its label-propagation loop
+  * materializes each round behind persist/localCheckpoint boundaries,
+  * and the printed plan re-prints every cached round's subtree — the
+  * line count measures print nesting, not executed shuffles (each round
+  * is one join + one aggregate, lineage-truncated every 5 rounds).
   */
 class PlanGuardSpec extends SparkSpec {
 
@@ -16,34 +23,108 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.linesIterator
       .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
 
+  /** Queries whose plan must be completely narrow: any Exchange at all
+    * is a regression (scan-speed operators at 100 TB).
+    */
+  private val narrow = Seq(
+    // filter DSL compiles to a pushed-down scan predicate
+    "filter_lucene_bool", "filter_lucene_daterange", "filter_lucene_group",
+    "filter_lucene_null", "filter_lucene_range", "filter_lucene_sigma",
+    "filter_lucene_wildcard",
+    // per-row text / embedding / curation kernels
+    "ml_quality_score", "ml_repetition", "ml_lang_id", "ml_token_count",
+    "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
+    "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
+    "ml_embed_pq_encode", "ml_classifier_margin", "ml_multimodal_decode",
+    // driver-side merge table (computed before the plan; the result is
+    // a parallelized literal) and the merge-application projection
+    "ml_bpe_merges", "ml_bpe_tokens",
+    // every processor conformance query is a guarded narrow projection
+    "proc_amides", "proc_calculator", "proc_clusterer", "proc_concatenator",
+    "proc_datetime_extractor", "proc_decoder_base64", "proc_decoder_clf",
+    "proc_decoder_cri", "proc_decoder_decolorize", "proc_decoder_docker",
+    "proc_decoder_json", "proc_decoder_logfmt", "proc_decoder_nginx",
+    "proc_decoder_syslog", "proc_decoder_syslog5424", "proc_deduplicator",
+    "proc_deleter", "proc_dissector", "proc_dissector_append",
+    "proc_domain_label_extractor", "proc_domain_resolver", "proc_dropper",
+    "proc_field_manager", "proc_generic_adder", "proc_generic_resolver",
+    "proc_grokker", "proc_ip_informer", "proc_key_checker", "proc_labeler",
+    "proc_list_comparison", "proc_network_comparison", "proc_pre_detector",
+    "proc_pseudonymizer", "proc_pseudonymizer_substring", "proc_replacer",
+    "proc_replacer_template", "proc_requester", "proc_selective_extractor",
+    "proc_string_splitter", "proc_template_replacer", "proc_timestamp_differ",
+    "proc_timestamper",
+    // sort_limit plans as TakeOrderedAndProject — no exchange
+    "q17_pipeline_sort")
+
+  /** Ceilings for the shuffling queries (measured r8, sf0.001; a bump
+    * above the ceiling means a new shuffle crept into the plan).
+    */
+  private val budgets = Map(
+    "ml_contamination" -> 4,
+    "ml_curation_pipeline" -> 2,
+    "ml_dedup_against" -> 2,
+    "ml_dedup_exact" -> 3,
+    "ml_doc_freq" -> 4,
+    "ml_dup_ngrams" -> 4,
+    "ml_embed_ivf_topk" -> 2,
+    "ml_embed_neardup" -> 9,
+    "ml_embed_outlier" -> 8,
+    "ml_embed_topk" -> 2,
+    "ml_jaccard_pairs" -> 12,
+    "ml_minhash_pairs" -> 10,
+    "ml_minhash_signature" -> 1,
+    "ml_neardup_against" -> 16,
+    "ml_ngram_topk" -> 1,
+    "ml_pack_chunks" -> 3,
+    "ml_shuffle_layout" -> 1,
+    "ml_simhash" -> 1,
+    "ml_simhash_pairs" -> 11,
+    "ml_stratified_sample" -> 1,
+    "ml_unigram_logprob" -> 7,
+    "proc_geoip_enricher" -> 1,   // mmdb ranges broadcast-joined
+    "proc_pseudonym_mapping" -> 1, // mapping side output aggregate
+    "q10_rollup" -> 1,
+    "q11_sessionize" -> 1,
+    "q12_asof_join" -> 2,
+    "q13_pipeline_agg" -> 2,
+    "q14_pipeline_join" -> 3,
+    "q15_pipeline_window" -> 1,
+    "q16_pipeline_dedup" -> 1,
+    "q18_pipeline_sessionize" -> 1,
+    "q19_pipeline_running" -> 1,
+    "q1_agg" -> 1,
+    "q2_join_broadcast" -> 4,
+    "q3_topk_window" -> 1,
+    "q4_running_window" -> 1,
+    "q5_semi_join" -> 1,
+    "q6_anti_join" -> 1,
+    "q7_distinct_agg" -> 2,
+    "q8_set_ops" -> 5,
+    "q9_wordcount_explode" -> 1)
+
+  test("every oracle query is covered by a budget (or excluded by design)") {
+    val covered = narrow.toSet ++ budgets.keySet + "ml_neardup_keep"
+    val missing = SparkEntry.queries.keySet -- covered
+    assert(missing.isEmpty,
+      s"queries without an exchange budget: ${missing.toSeq.sorted}")
+    val stale = covered - "ml_neardup_keep" -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budgets for removed queries: ${stale.toSeq.sorted}")
+  }
+
   test("narrow queries plan ZERO exchanges") {
-    val narrow = Seq("ml_quality_score", "ml_repetition", "ml_lang_id",
-      "ml_token_count", "ml_fingerprint", "ml_hash_split",
-      "ml_weighted_sample", "ml_pii_redact", "ml_chunk_spans",
-      "ml_embed_lsh_bucket", "ml_embed_pq_encode")
-    narrow.foreach { q =>
-      assert(exchanges(q) == 0, s"$q grew a shuffle")
+    val bad = narrow.flatMap { q =>
+      val n = exchanges(q)
+      if (n != 0) Some(s"$q planned $n exchanges") else None
     }
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 
   test("shuffling queries stay within their exchange budget") {
-    val budgets = Map(
-      "ml_dedup_exact" -> 3,       // key aggregate + keep-set join
-      "ml_shuffle_layout" -> 1,    // ONE hash exchange on the shard
-      "ml_stratified_sample" -> 1, // ONE exchange on the stratum key
-      "ml_dedup_against" -> 2,     // key distinct + anti join
-      "ml_minhash_pairs" -> 10,
-      "ml_embed_neardup" -> 9,
-      "ml_neardup_against" -> 16,
-      "ml_dup_ngrams" -> 4,
-      "ml_doc_freq" -> 4,
-      "ml_curation_pipeline" -> 2,
-      "ml_ngram_topk" -> 1,        // one aggregate; top-k is TakeOrdered
-      "ml_pack_chunks" -> 3,
-      "q1_agg" -> 1)
-    budgets.foreach { case (q, budget) =>
+    val bad = budgets.toSeq.sortBy(_._1).flatMap { case (q, budget) =>
       val n = exchanges(q)
-      assert(n <= budget, s"$q plans $n exchanges, budget $budget")
+      if (n > budget) Some(s"$q plans $n exchanges, budget $budget") else None
     }
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 }

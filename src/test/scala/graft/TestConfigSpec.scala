@@ -131,6 +131,17 @@ class TestConfigSpec extends SparkSpec with Matchers {
     fails.head.detail should include("yes")
   }
 
+  test("CLI: dangling --schema and unknown flags fail loudly") {
+    // a dangling --schema used to be silently dropped (verification ran
+    // against the empty frame); strict positional parsing, like Curate
+    val e1 = intercept[IllegalArgumentException](
+      TestConfig.main(Array("cfg.yml", "--schema")))
+    e1.getMessage should include("--schema requires a DDL value")
+    val e2 = intercept[IllegalArgumentException](
+      TestConfig.main(Array("--bogus", "cfg.yml")))
+    e2.getMessage should include("unknown flag")
+  }
+
   test("ndiff: +/- mark differing lines, common lines unmarked") {
     val d = graft.pipeline.RuleSelfTest.ndiff("a\nb\nc", "a\nx\nc")
     d shouldBe Seq("  a", "- b", "+ x", "  c")

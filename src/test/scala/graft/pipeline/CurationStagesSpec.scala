@@ -225,6 +225,31 @@ class CurationStagesSpec extends SparkSpec {
     assert(offs.toSeq == toks.scanLeft(0L)(_ + _).init.toSeq)
   }
 
+  test("chunk_spans: a precomputed column NAMED n_tokens is accepted") {
+    // tokens_field: n_tokens (the natural precomputed-column name) must
+    // not trip the clash check — the stage re-assigns it to its own cast
+    val withCounts = docs.withColumn("n_tokens", lit(6L))
+    val out = run(
+      """pipeline:
+        |  - type: chunk_spans
+        |    text_field: text
+        |    tokens_field: n_tokens
+        |    size: 4
+        |    overlap: 1
+        |""".stripMargin, withCounts)
+    // 6 tokens, step 3 → starts 0,3; ends 4,6 — from the PRECOMPUTED count
+    val d1 = out.filter(col("doc_id") === 1L).orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end")))
+    assert(d1.toSeq == Seq((0L, 4L), (3L, 6L)))
+    // a clash on a column the stage actually ADDS still fails loudly
+    val e = intercept[IllegalArgumentException](run(
+      """pipeline:
+        |  - type: chunk_spans
+        |    text_field: text
+        |""".stripMargin, docs.withColumn("chunk_idx", lit(0))))
+    assert(e.getMessage.contains("chunk_idx"))
+  }
+
   test("chunk_spans stage: sliding windows carry all columns, stream-safe") {
     val out = run(
       """pipeline:
