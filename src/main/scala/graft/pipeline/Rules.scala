@@ -185,6 +185,11 @@ object RuleLoader {
     walk(new java.io.File(dir)).flatMap(f => rulesFromFile(f.getPath, ptype))
   }
 
+  /** [[toScala]] for callers outside the loader (e.g. graft.Run's full
+    * service config, whose non-`pipeline` sections this loader ignores).
+    */
+  def toScalaPublic(v: Any): Any = toScala(v)
+
   /** snakeyaml gives java collections; normalize to immutable Scala. */
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] => // LinkedHashMap in snakeyaml: keep order
