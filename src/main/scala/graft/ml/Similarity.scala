@@ -64,25 +64,34 @@ object Similarity {
     * text quality signals.
     *
     * Scale: the centroid is a posexplode → per-dimension avg (a
-    * dim-sized aggregate — map-side combined, tiny shuffle), folded back
-    * in as a BROADCAST join on the dimension index; the distance stats
-    * are one scalar aggregate folded in as a broadcast single-row cross
-    * join. Nothing ever reaches the driver; three scans of the corpus
-    * total, no pairwise anything.
+    * dim-sized aggregate — map-side combined, tiny shuffle) COLLECTED
+    * to the driver (dim doubles — bounded regardless of corpus size)
+    * and folded back in as an array literal, so each row's distance is
+    * a NARROW index-ordered fold — the r7 shape instead re-joined the
+    * exploded table and re-aggregated by id, shuffling dim× the corpus
+    * through an Exchange just to undo its own explode. The distance
+    * stats are one scalar aggregate folded in as a broadcast single-row
+    * cross join. Two corpus scans + one narrow pass, no pairwise
+    * anything.
     *
     * Float determinism: distances round to 6 before the z stats, z
     * rounds to 4 before the threshold — both engines aggregate the same
-    * rounded values, so sum-order noise (~1e-12) cannot flip a flag.
+    * rounded values, so sum-order noise (~1e-12) cannot flip a flag
+    * (the per-dimension sum order inside `dist` was already
+    * engine-dependent before rounding, in r7 as now).
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        zThresh: Double = 2.0): DataFrame = {
     val u = df.select(col(idCol).as("id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
-    val c = u.groupBy(col("i")).agg(avg(col("v")).as("m"))
-    val d = u.join(broadcast(c), Seq("i"))
-      .groupBy(col("id"))
-      .agg(round(sqrt(sum((col("v") - col("m")) * (col("v") - col("m")))), 6)
-        .as("dist"))
+    val centroid = u.groupBy(col("i")).agg(avg(col("v")).as("m"))
+      .orderBy(col("i")).collect().map(r => r.getDouble(1))
+    val m = array(centroid.toSeq.map(lit): _*)
+    val d = df.select(col(idCol).as("id"),
+      round(sqrt(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), m,
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), _ + _)), 6).as("dist"))
     val st = d.agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sd"))
     // sd = 0 (degenerate corpus: all-identical embeddings, or one row)
     // would make z NaN, and NaN > thresh is true — flagging EVERY row as

@@ -69,7 +69,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_dup_ngrams" -> 4,
     "ml_embed_ivf_topk" -> 2,
     "ml_embed_neardup" -> 9,
-    "ml_embed_outlier" -> 8,
+    "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_jaccard_pairs" -> 12,
     "ml_minhash_pairs" -> 10,
