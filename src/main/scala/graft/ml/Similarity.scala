@@ -277,14 +277,14 @@ object Similarity {
   def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
-  /** Argmin assignment to literal centroids by squared L2 (first-wins
-    * tie-break) — the PQ metric, vs [[assignBucket]]'s cosine.
+  /** Argmin assignment to centroids by squared L2 (first-wins
+    * tie-break) — the PQ metric, vs [[assignBucket]]'s cosine. Rides
+    * [[pqEncode]]'s native kernel as the m=1 case (one codebook = the
+    * centroid set): the former per-centroid literal-tree form was the
+    * plan-analysis blowup documented on [[assignBucket]].
     */
-  def assignNearestL2(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val dists = array(centroids.map(c => l2Sq(v, array(c.map(lit): _*))): _*)
-    array_position(dists, array_min(dists)).cast("int") - 1
-  }
+  def assignNearestL2(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    pqEncode(vec, Seq(centroids)).getItem(0)
 
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011, "Product Quantization for
