@@ -119,44 +119,53 @@ object Run {
     spark.streams.addListener(MetricsRegistry.listener)
     spark.listenerManager.register(MetricsRegistry.execListener)
 
-    val inputCfg = asMap(root("input")).values.headOption
+    val inputCfg = root.get("input").map(asMap).flatMap(_.values.headOption)
       .map(asMap).getOrElse(
         throw new IllegalArgumentException("config needs an input section"))
-    val outputs = asMap(root.getOrElse("output", Map.empty)).values
-      .map(asMap).toSeq
-    require(outputs.nonEmpty, "config needs at least one output")
-    val sinks: Map[String, DataFrame => Unit] = outputs.map { o =>
-      o.getOrElse("channel", "main").toString -> sink(o)
-    }.toMap
+    // anything failing between exporter start and query start must NOT
+    // leave a wedged pod: the exporter's dispatcher thread is non-daemon
+    // (it would keep the JVM alive) and the default health probe is
+    // healthy — a config typo would otherwise serve /health 200 forever
+    // while processing nothing
+    try {
+      val outputs = asMap(root.getOrElse("output", Map.empty)).values
+        .map(asMap).toSeq
+      require(outputs.nonEmpty, "config needs at least one output")
+      val sinks: Map[String, DataFrame => Unit] = outputs.map { o =>
+        o.getOrElse("channel", "main").toString -> sink(o)
+      }.toMap
 
-    val checkpoint = root.getOrElse("checkpoint",
-      s"/tmp/graft-run-checkpoint").toString
-    val trig = trigger(root.getOrElse("trigger", "processing=1 second").toString)
-    val refreshSec = root.getOrElse("config_refresh_interval", 0).toString.toInt
+      val checkpoint = root.getOrElse("checkpoint",
+        s"/tmp/graft-run-checkpoint").toString
+      val trig = trigger(root.getOrElse("trigger", "processing=1 second").toString)
+      val refreshSec = root.getOrElse("config_refresh_interval", 0).toString.toInt
 
-    val stream = source(spark, inputCfg)
-    val query =
-      if (refreshSec > 0) {
-        val refresh = new StreamRunner.ConfigRefresh(
-          () => RuleLoader.fromYaml(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(cfgPath)), "UTF-8")),
-          refreshSec, instrumented = true)
-        StreamRunner.runRefreshing(stream, refresh, sinks, checkpoint, trig)
-      } else {
-        val spec = RuleLoader.fromYaml(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(cfgPath)), "UTF-8"))
-        StreamRunner.run(stream, spec, sinks, checkpoint, trig,
-          instrumented = true)
-      }
-    // readiness/liveness: healthy iff the query is alive (the
-    // reference's health check functions aggregate component health)
-    MetricsRegistry.setHealthCheck(() => query.isActive)
+      val stream = source(spark, inputCfg)
+      val query =
+        if (refreshSec > 0) {
+          val refresh = new StreamRunner.ConfigRefresh(
+            () => RuleLoader.fromYaml(new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(cfgPath)), "UTF-8")),
+            refreshSec, instrumented = true)
+          StreamRunner.runRefreshing(stream, refresh, sinks, checkpoint, trig)
+        } else {
+          val spec = RuleLoader.fromYaml(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+          StreamRunner.run(stream, spec, sinks, checkpoint, trig,
+            instrumented = true)
+        }
+      // readiness/liveness: healthy iff the query is alive (the
+      // reference's health check functions aggregate component health)
+      MetricsRegistry.setHealthCheck(() => query.isActive)
 
-    query.awaitTermination()
-    // AvailableNow drains and terminates: report healthy=false from now
-    // on so an orchestrator restarts or completes the pod deliberately
-    MetricsRegistry.setHealthCheck(() => false)
-    exporter.foreach(_.stop())
-    spark.stop()
+      query.awaitTermination()
+    } finally {
+      // AvailableNow drains and terminates; a startup failure lands here
+      // too: report unhealthy and release the exporter thread so the JVM
+      // can exit and the orchestrator restarts the pod deliberately
+      MetricsRegistry.setHealthCheck(() => false)
+      exporter.foreach(_.stop())
+      spark.stop()
+    }
   }
 }

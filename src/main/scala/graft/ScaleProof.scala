@@ -45,9 +45,29 @@ object ScaleProof {
     (lower + upper + digits,
       rot(lower, i) + rot(upper, i) + rot(digits, i))
 
+  /** Fingerprint of the source tables (path, length, mtime per file) —
+    * the reuse marker carries it so replicas of REGENERATED testdata
+    * rebuild instead of silently comparing base-vs-x10 across different
+    * corpora in the official artifact.
+    */
+  private def sourceFingerprint(src: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    Seq("events", "documents", "embeddings").flatMap { t =>
+      val f = new java.io.File(src, s"$t.parquet")
+      if (f.exists()) walk(f).map(x =>
+        s"${x.getPath}:${x.length}:${x.lastModified}")
+      else Seq.empty
+    }.mkString("\n")
+  }
+
   def buildReplicas(spark: SparkSession, src: String, out: String): Unit = {
     val done = new java.io.File(out, "_REPLICAS_OK")
-    if (done.exists()) return
+    val fp = sourceFingerprint(src)
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath),
+          "UTF-8") == fp) return
     new java.io.File(out).mkdirs()
 
     val ev = Tables.table(spark, src, "events")
@@ -80,7 +100,7 @@ object ScaleProof {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
   }
 
   final case class TierResult(query: String, tier: String, rows: Long,

@@ -132,6 +132,11 @@ object VectorKernels {
   def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val subdim = books(0)(0).length
+    // wrong-dimension vector → null, not a fabricated code: the old
+    // Column form's null-padding made every distance null on a short
+    // vector; a partial-prefix argmin would silently file a malformed
+    // vector under code 0 as if valid
+    if (v.numElements() != m * subdim) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -195,18 +200,24 @@ case class CosineTopIdxExpr(child: Expression,
 }
 
 /** All m PQ codes in one pass — `Similarity.pqEncode`'s semantics
-  * (per-subspace argmin of the index-ordered squared L2).
+  * (per-subspace argmin of the index-ordered squared L2). Null for a
+  * vector whose length is not m×subdim (the Column form surfaced those
+  * as null-element code arrays; the contract either way is "malformed
+  * in, null out", never a fabricated code).
   */
 case class PqEncodeExpr(child: Expression,
                         books: Array[Array[Array[Double]]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     VectorKernels.pqEncode(v.asInstanceOf[ArrayData], books)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "double[][][]")
-    defineCodeGen(ctx, ev,
-      v => s"graft.functions.VectorKernels.pqEncode($v, $ref)")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.VectorKernels.pqEncode($v, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)

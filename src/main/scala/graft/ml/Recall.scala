@@ -87,6 +87,8 @@ object Recall {
                     queryRows: Seq[(Long, Seq[Double])], k: Int,
                     ms: Seq[Int], pqK: Int = 16,
                     iters: Int = 3): Seq[(Int, Double)] = {
+    // recallAtK's n==0 convention, before any training is paid for
+    if (queryRows.isEmpty) return ms.map(_ -> 0.0)
     val spark = corpus.sparkSession
     import spark.implicits._
     val queries = queryRows.toDF("qid_src", "qvec")

@@ -82,16 +82,21 @@ object Similarity {
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        zThresh: Double = 2.0): DataFrame = {
+    val vc = col(vecCol).cast("array<double>")
     val u = df.select(col(idCol).as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      posexplode(vc).as(Seq("i", "v")))
     val centroid = u.groupBy(col("i")).agg(avg(col("v")).as("m"))
       .orderBy(col("i")).collect().map(r => r.getDouble(1))
     val m = array(centroid.toSeq.map(lit): _*)
-    val d = df.select(col(idCol).as("id"),
-      round(sqrt(aggregate(
-        zip_with(col(vecCol).cast("array<double>"), m,
-          (x, c) => (x - c) * (x - c)),
-        lit(0.0), _ + _)), 6).as("dist"))
+    // join-shape fidelity on malformed rows: null/empty vectors had no
+    // exploded rows → no output row; a null element or missing trailing
+    // dim contributed nothing to the sum (inner join + null-skipping
+    // sum) → coalesce each squared term to 0
+    val d = df.filter(vc.isNotNull && size(vc) > 0)
+      .select(col(idCol).as("id"),
+        round(sqrt(aggregate(
+          zip_with(vc, m, (x, c) => coalesce((x - c) * (x - c), lit(0.0))),
+          lit(0.0), _ + _)), 6).as("dist"))
     val st = d.agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sd"))
     // sd = 0 (degenerate corpus: all-identical embeddings, or one row)
     // would make z NaN, and NaN > thresh is true — flagging EVERY row as
@@ -136,7 +141,9 @@ object Similarity {
     */
   private[ml] def seedCandidates(corpus: DataFrame, idCol: String,
                                  v: Column, sampleN: Int): DataFrame =
-    corpus.filter(v.isNotNull)
+    // null / null-element vectors are excluded: the sample feeds DRIVER
+    // arithmetic (maximin), which must not NPE on a malformed row
+    corpus.filter(v.isNotNull && !exists(v, x => x.isNull))
       .select(v.as("v"), md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h")).limit(sampleN)
 
@@ -197,11 +204,20 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
     val v = col(vecCol).cast("array<double>")
-    val sample = seedCandidates(corpus, idCol, v, seedSampleN(k))
+    // sample only the majority-shape vectors: driver maximin must not
+    // index past a ragged row (the Lloyd rounds tolerate them — the
+    // min-length cosine just scores the common prefix)
+    val dimRow = corpus.filter(v.isNotNull).select(size(v)).limit(1).collect()
+    require(dimRow.nonEmpty, "trainCentroids: corpus has no vectors")
+    val vdim = dimRow.head.getInt(0)
+    val sample = seedCandidates(corpus.filter(size(v) === vdim),
+        idCol, v, seedSampleN(k))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq
-    require(sample.length >= k,
-      s"need at least k=$k vectors to seed centroids, got ${sample.length}")
+    require(sample.nonEmpty, "trainCentroids: no well-formed vectors")
+    // fewer vectors than k: train with what exists (the pre-r8 init
+    // degraded the same way) — callers get sample.length centroids
+    val kEff = math.min(k, sample.length)
     // maximin on unit vectors: cosine k-means separates DIRECTIONS, so
     // the spread that matters for seeding is angular, not magnitude
     val unit = sample.map { s =>
@@ -209,7 +225,7 @@ object Similarity {
       if (n > 0) s.map(_ / n) else s
     }
     var centroids: Seq[Seq[Double]] =
-      maximinSeeds(unit, k).map(_.toSeq)
+      maximinSeeds(unit, kEff).map(_.toSeq)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val assigned = corpus.select(v.as("v"),

@@ -133,17 +133,17 @@ object Tokenize {
     * code-unit order, which disagrees above the BMP. The local path must
     * break count ties exactly like the distributed `orderBy`.
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
       val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
+      if (d != 0) return d
       i += 1
     }
-    x.length < y.length
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   /** Driver-local merge rounds over the collected (freq, symbols)
@@ -155,59 +155,111 @@ object Tokenize {
     *  - application scans left-to-right, consuming both symbols on a
     *    match ("aaa" + (a,a) → "aa","a") — the sentinel string-replace
     *    semantics.
+    *
+    * INCREMENTAL, the way real BPE trainers run: pair counts build once
+    * (one pass over all symbols), each round touches only the words
+    * containing the merged pair (an occurrence index), and selection is
+    * a lazy max-heap — an entry is pushed on every count change and
+    * validated against the live count on pop, so stale entries discard
+    * themselves. A naive per-round full recount is O(rounds × corpus
+    * symbols): at the 2M-row threshold × the motivating 32k merges
+    * that is ~10^11 driver operations — hours, not seconds.
     */
   private def trainLocalMerges(entries: Array[(Long, Array[String])],
                                k: Int): Seq[Merge] = {
-    var words = entries
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var i = 0
-    var exhausted = false
-    while (i < k && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (f, syms) =>
-        var j = 0
-        while (j + 1 < syms.length) {
-          val key = (syms(j), syms(j + 1))
-          counts.update(key, counts.getOrElse(key, 0L) + f)
-          j += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        var best: ((String, String), Long) = null
-        counts.foreach { kv =>
-          if (best == null || kv._2 > best._2 ||
-            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
-              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
-            best = kv
-        }
-        val ((lhs, rhs), cnt) = best
-        merges += Merge(lhs, rhs, cnt)
-        val joined = lhs + rhs
-        words = words.map { case (f, syms) =>
-          if (syms.length < 2) (f, syms)
+    import scala.collection.mutable
+    val freqs = entries.map(_._1)
+    val words = entries.map(e => mutable.ArrayBuffer.from(e._2))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max count first; ties smallest (lhs, rhs) in UTF-8 byte order
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
           else {
-            var has = false
-            var j = 0
-            while (!has && j + 1 < syms.length) {
-              if (syms(j) == lhs && syms(j + 1) == rhs) has = true
-              j += 1
-            }
-            if (!has) (f, syms)
-            else {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              j = 0
-              while (j < syms.length) {
-                if (j + 1 < syms.length && syms(j) == lhs && syms(j + 1) == rhs) {
-                  out += joined; j += 2
-                } else { out += syms(j); j += 1 }
-              }
-              (f, out.toArray)
-            }
+            val l = utf8Cmp(a._2, b._2)
+            if (l != 0) -l else -utf8Cmp(a._3, b._3)
           }
         }
       }
-      i += 1
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def bump(p: (String, String), delta: Long, w: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0) counts.remove(p) else counts(p) = c
+      if (delta > 0) occ.getOrElseUpdate(p, mutable.Set.empty) += w
+      // push the LIVE value on every change — pop-side validation
+      // discards anything stale
+      if (c > 0) heap.enqueue((c, p._1, p._2))
+    }
+
+    var w = 0
+    while (w < words.length) {
+      val syms = words(w)
+      var j = 0
+      while (j + 1 < syms.length) {
+        bump((syms(j), syms(j + 1)), freqs(w), w)
+        j += 1
+      }
+      w += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      var chosen: (Long, String, String) = null
+      while (chosen == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) chosen = e
+      }
+      if (chosen == null) exhausted = true
+      else {
+        val (cnt, lhs, rhs) = chosen
+        merges += Merge(lhs, rhs, cnt)
+        val joined = lhs + rhs
+        val affected = occ.remove((lhs, rhs)).map(_.toArray)
+          .getOrElse(Array.emptyIntArray)
+        java.util.Arrays.sort(affected)
+        affected.foreach { wi =>
+          val syms = words(wi)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < syms.length) {
+            if (syms(j) == lhs && syms(j + 1) == rhs) has = true
+            j += 1
+          }
+          if (has) {
+            val f = freqs(wi)
+            // retract every old adjacent pair of this word ...
+            j = 0
+            while (j + 1 < syms.length) {
+              bump((syms(j), syms(j + 1)), -f, wi)
+              j += 1
+            }
+            // ... greedy left-to-right rebuild ...
+            val out = mutable.ArrayBuffer.empty[String]
+            j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == lhs && syms(j + 1) == rhs) {
+                out += joined; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            words(wi) = out
+            // ... and count the new adjacencies
+            j = 0
+            while (j + 1 < out.length) {
+              bump((out(j), out(j + 1)), f, wi)
+              j += 1
+            }
+          }
+        }
+        // counts[(lhs,rhs)] is exactly 0 here by the retract/add
+        // arithmetic (a merged pair cannot re-form within its own
+        // round: the joined symbol differs from both halves), and bump
+        // already dropped the key at 0
+      }
     }
     merges.toSeq
   }

@@ -59,6 +59,29 @@ class CentroidTrainSpec extends SparkSpec {
       s"seed init should not shuffle:\n$plan")
   }
 
+  test("fewer vectors than k trains with what exists (no crash)") {
+    import spark.implicits._
+    val df = (0L until 5L).map(i => (i, Seq(i * 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 16, iters = 2)
+    assert(cs.size == 5) // degraded gracefully, like the pre-r8 init
+  }
+
+  test("ragged / null-element vectors cannot crash the driver seeding") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, null, 3.0)), // null element
+      (3L, Seq[java.lang.Double](9.0)),            // ragged
+      (4L, Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (5L, Seq[java.lang.Double](7.0, 8.0, 9.0))
+    ).toDF("vec_id", "embedding")
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 1)
+    assert(cs.size == 2 && cs.forall(_.size == 3))
+  }
+
   test("maximinSeeds: deterministic, spread across clusters") {
     val pts = IndexedSeq(
       Seq(0.0, 0.0), Seq(0.1, 0.0), Seq(0.0, 0.1),   // cluster A

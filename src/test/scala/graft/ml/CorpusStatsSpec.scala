@@ -163,6 +163,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(9) == ((10L, 45.0, 3.0, 1)))
   }
 
+  test("centroidOutliers: null/empty vectors drop, null elements skip") {
+    val s = spark
+    import s.implicits._
+    // join-shape fidelity: a null/empty vector had no exploded rows →
+    // no output row; a null ELEMENT contributed nothing to the sum
+    val df = Seq(
+      (1L, Seq[java.lang.Float](0.0f, 0.0f)),
+      (2L, Seq[java.lang.Float](3.0f, null)), // null element: dist from dim 0 only
+      (3L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (4L, Seq.empty[java.lang.Float])
+    ).toDF("vec_id", "embedding")
+    val out = graft.ml.Similarity.centroidOutliers(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // 3, 4 dropped
+    assert(!out.exists(_.isNullAt(1)), "no null distances")
+  }
+
   test("centroidOutliers: zero-spread corpus flags NOTHING (sd = 0)") {
     val s = spark
     import s.implicits._

@@ -79,6 +79,23 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("wrong-dimension vector encodes to null, never a fabricated code") {
+    val s = spark
+    import s.implicits._
+    val books = (0 until m).map(j => (0 until k).map(c =>
+      (0 until dim / m).map(d => (c + d + j) * 0.25)))
+    val rows = Seq(
+      (1L, (0 until dim).map(_ * 0.1).toArray), // well-formed
+      (2L, Array(0.1, 0.2))                     // short
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("c"))
+      .orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Int](1).length == m)
+    assert(rows(1).isNullAt(1),
+      "a malformed vector must not silently land in code 0")
+  }
+
   test("codes are dense in [0, k) and deterministic") {
     val books = (0 until m).map(j => (0 until k).map(c =>
       (0 until dim / m).map(d => ((c * 31 + d * 17 + j * 7) % 13 - 6) / 4.0)))
