@@ -281,7 +281,16 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    val kept = labels.filter(col("root") === col("id"))
+    // truncate the final lineage too: without this the RETURNED plan
+    // nests every round's subtree behind the persist boundaries — 451
+    // printed "Exchange" lines at 20 rounds, which poisons any
+    // plan-shape accounting (the executed work reads the caches, but
+    // the artifact can't tell) and re-runs the whole propagation if the
+    // caller's action outlives the caches. One eager localCheckpoint =
+    // one bounded id→root table, a scan-shaped plan.
+    val settled = labels.localCheckpoint()
+    backing.unpersist(blocking = false)
+    val kept = settled.filter(col("root") === col("id"))
       .select(col("id").as(idCol))
     edges.unpersist(blocking = false)
     kept
