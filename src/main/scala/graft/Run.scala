@@ -119,15 +119,16 @@ object Run {
     spark.streams.addListener(MetricsRegistry.listener)
     spark.listenerManager.register(MetricsRegistry.execListener)
 
-    val inputCfg = root.get("input").map(asMap).flatMap(_.values.headOption)
-      .map(asMap).getOrElse(
-        throw new IllegalArgumentException("config needs an input section"))
-    // anything failing between exporter start and query start must NOT
-    // leave a wedged pod: the exporter's dispatcher thread is non-daemon
-    // (it would keep the JVM alive) and the default health probe is
-    // healthy — a config typo would otherwise serve /health 200 forever
-    // while processing nothing
+    // EVERYTHING after the exporter starts — including config
+    // validation — runs inside try/finally: the exporter's dispatcher
+    // thread is non-daemon (it would keep the JVM alive) and the
+    // default health probe is healthy, so any failure before
+    // setHealthCheck would otherwise serve /health 200 forever while
+    // processing nothing — a permanently wedged pod
     try {
+      val inputCfg = root.get("input").map(asMap).flatMap(_.values.headOption)
+        .map(asMap).getOrElse(
+          throw new IllegalArgumentException("config needs an input section"))
       val outputs = asMap(root.getOrElse("output", Map.empty)).values
         .map(asMap).toSeq
       require(outputs.nonEmpty, "config needs at least one output")

@@ -132,11 +132,18 @@ object VectorKernels {
   def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val subdim = books(0)(0).length
-    // wrong-dimension vector → null, not a fabricated code: the old
-    // Column form's null-padding made every distance null on a short
-    // vector; a partial-prefix argmin would silently file a malformed
-    // vector under code 0 as if valid
-    if (v.numElements() != m * subdim) return null
+    // malformed vector → null, not a fabricated code: the old Column
+    // form's null-padding made every distance null on a short or
+    // null-element vector (a partial-prefix argmin would silently file
+    // it under code 0 as if valid); a LONGER vector scores its prefix,
+    // exactly like the old per-subspace slice
+    if (v.numElements() < m * subdim) return null
+    var i = 0
+    val n = m * subdim
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {

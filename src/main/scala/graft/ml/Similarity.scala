@@ -82,21 +82,30 @@ object Similarity {
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        zThresh: Double = 2.0): DataFrame = {
+    // NOTE: the centroid job runs EAGERLY at construction (the
+    // bpeMergeTable precedent) — the returned frame folds it in as a
+    // literal. Batch-only by design, like every whole-corpus stage.
     val vc = col(vecCol).cast("array<double>")
     val u = df.select(col(idCol).as("id"),
       posexplode(vc).as(Seq("i", "v")))
     val centroid = u.groupBy(col("i")).agg(avg(col("v")).as("m"))
-      .orderBy(col("i")).collect().map(r => r.getDouble(1))
-    val m = array(centroid.toSeq.map(lit): _*)
+      .orderBy(col("i")).collect()
+      .map(r => if (r.isNullAt(1)) null
+                else java.lang.Double.valueOf(r.getDouble(1)))
+    // a dimension null in EVERY row averages to null — keep it null in
+    // the literal so its terms drop below, like the old join shape
+    val m = array(centroid.toSeq.map(c =>
+      if (c == null) lit(null).cast("double") else lit(c.doubleValue())): _*)
     // join-shape fidelity on malformed rows: null/empty vectors had no
     // exploded rows → no output row; a null element or missing trailing
-    // dim contributed nothing to the sum (inner join + null-skipping
-    // sum) → coalesce each squared term to 0
+    // dim contributed nothing to the null-skipping sum → drop null
+    // terms; a row with NO usable term keeps a null dist (both engines)
+    val terms = filter(
+      zip_with(vc, m, (x, c) => (x - c) * (x - c)), t => t.isNotNull)
     val d = df.filter(vc.isNotNull && size(vc) > 0)
       .select(col(idCol).as("id"),
-        round(sqrt(aggregate(
-          zip_with(vc, m, (x, c) => coalesce((x - c) * (x - c), lit(0.0))),
-          lit(0.0), _ + _)), 6).as("dist"))
+        when(size(terms) > 0,
+          round(sqrt(aggregate(terms, lit(0.0), _ + _)), 6)).as("dist"))
     val st = d.agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sd"))
     // sd = 0 (degenerate corpus: all-identical embeddings, or one row)
     // would make z NaN, and NaN > thresh is true — flagging EVERY row as
@@ -204,14 +213,20 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
     val v = col(vecCol).cast("array<double>")
-    // sample only the majority-shape vectors: driver maximin must not
-    // index past a ragged row (the Lloyd rounds tolerate them — the
-    // min-length cosine just scores the common prefix)
-    val dimRow = corpus.filter(v.isNotNull).select(size(v)).limit(1).collect()
+    // train on the MAJORITY shape (the modal vector length, ties to the
+    // smaller — one tiny aggregate): an arbitrary first row would let a
+    // single truncated vector at the head of the corpus poison the
+    // whole training. Malformed rows (other lengths, null elements) are
+    // excluded from seeding AND the Lloyd rounds — a null bucket key or
+    // null per-dimension sum would otherwise NPE the driver fold.
+    val dimRow = corpus.filter(v.isNotNull)
+      .groupBy(size(v).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).limit(1).collect()
     require(dimRow.nonEmpty, "trainCentroids: corpus has no vectors")
     val vdim = dimRow.head.getInt(0)
-    val sample = seedCandidates(corpus.filter(size(v) === vdim),
-        idCol, v, seedSampleN(k))
+    val clean = corpus.filter(v.isNotNull && size(v) === vdim &&
+      !exists(v, x => x.isNull))
+    val sample = seedCandidates(clean, idCol, v, seedSampleN(k))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq
     require(sample.nonEmpty, "trainCentroids: no well-formed vectors")
@@ -228,7 +243,7 @@ object Similarity {
       maximinSeeds(unit, kEff).map(_.toSeq)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(v.as("v"),
+      val assigned = clean.select(v.as("v"),
         assignBucket(col(vecCol), centroids).as("b"))
       // per-bucket elementwise sums + counts in one hash aggregate
       val sums = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i"))
@@ -297,7 +312,11 @@ object Similarity {
     * tie-break) — the PQ metric, vs [[assignBucket]]'s cosine. Rides
     * [[pqEncode]]'s native kernel as the m=1 case (one codebook = the
     * centroid set): the former per-centroid literal-tree form was the
-    * plan-analysis blowup documented on [[assignBucket]].
+    * plan-analysis blowup documented on [[assignBucket]]. Malformed
+    * vectors (shorter than the centroid dim, or carrying null elements)
+    * assign to NULL — the old form surfaced them as null too (its
+    * null-padded distances made the argmin null); longer vectors score
+    * their prefix, like the old slice.
     */
   def assignNearestL2(vec: Column, centroids: Seq[Seq[Double]]): Column =
     pqEncode(vec, Seq(centroids)).getItem(0)
@@ -320,7 +339,11 @@ object Similarity {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
     val v = col(vecCol).cast("array<double>")
-    val dimRow = corpus.select(size(v)).limit(1).collect()
+    // modal vector length (ties to the smaller), not an arbitrary first
+    // row — a truncated head row must not poison the subspace split
+    val dimRow = corpus.filter(v.isNotNull)
+      .groupBy(size(v).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).limit(1).collect()
     require(dimRow.nonEmpty, "pqTrain: corpus is empty")
     val dim = dimRow.head.getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -331,7 +354,8 @@ object Similarity {
     // (same TakeOrdered shape as trainCentroids — NOT a global window);
     // null / wrong-dimension vectors are excluded up front (they would
     // surface rounds later as an opaque null aggregate row)
-    val clean = corpus.filter(v.isNotNull && size(v) === dim)
+    val clean = corpus.filter(v.isNotNull && size(v) === dim &&
+      !exists(v, x => x.isNull))
     val sample = seedCandidates(clean, idCol, v, seedSampleN(k))
       .select(col("v")).collect().map(_.getSeq[Double](0).toIndexedSeq)
       .toIndexedSeq

@@ -172,12 +172,14 @@ class CorpusStatsSpec extends SparkSpec {
       (1L, Seq[java.lang.Float](0.0f, 0.0f)),
       (2L, Seq[java.lang.Float](3.0f, null)), // null element: dist from dim 0 only
       (3L, null.asInstanceOf[Seq[java.lang.Float]]),
-      (4L, Seq.empty[java.lang.Float])
+      (4L, Seq.empty[java.lang.Float]),
+      (5L, Seq[java.lang.Float](null, null)) // no usable term: null dist row
     ).toDF("vec_id", "embedding")
     val out = graft.ml.Similarity.centroidOutliers(df, "vec_id", "embedding")
       .orderBy("vec_id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // 3, 4 dropped
-    assert(!out.exists(_.isNullAt(1)), "no null distances")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L)) // 3, 4 dropped
+    assert(!out.take(2).exists(_.isNullAt(1)), "no null distances for usable rows")
+    assert(out(2).isNullAt(1), "all-null row keeps a null dist (oracle parity)")
   }
 
   test("centroidOutliers: zero-spread corpus flags NOTHING (sd = 0)") {

@@ -33,9 +33,10 @@ class VectorKernelSpec extends SparkSpec {
     }
     val a = planMs(df.select(Similarity.assignBucket(col("embedding"), centroids)))
     val p = planMs(df.select(Similarity.pqEncode(col("embedding"), books)))
-    // generous CI bound; the literal-tree form took minutes here
-    assert(a < 5000, s"assignBucket planning took $a ms at k=32")
-    assert(p < 5000, s"pqEncode planning took $p ms at m=16,k=16")
+    // generous CI bound (cold JIT / loaded box); the literal-tree form
+    // took MINUTES here, so the signal survives the slack
+    assert(a < 20000, s"assignBucket planning took $a ms at k=32")
+    assert(p < 20000, s"pqEncode planning took $p ms at m=16,k=16")
     // and the kernels really execute (no silent nulls on valid input)
     val buckets = df.select(Similarity.assignBucket(col("embedding"), centroids))
       .collect().map(_.getInt(0))
