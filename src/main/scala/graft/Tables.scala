@@ -3,28 +3,45 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Test-table loaders. `events.parquet` carries TIMESTAMP(NANOS) which
-  * Spark's µs-native reader rejects; we read nanos-as-long
-  * (spark.sql.legacy.parquet.nanosAsLong) and floor-convert to a µs
-  * timestamp — the same truncation DuckDB applies casting TIMESTAMP_NS →
-  * TIMESTAMP, keeping engine and oracle bit-identical.
+/** Test-table loaders. `events.parquet` has shipped with two physical
+  * `ts` encodings across testdata generations: TIMESTAMP(NANOS) (which
+  * Spark's µs-native reader rejects — we read nanos-as-long via
+  * spark.sql.legacy.parquet.nanosAsLong and floor-convert) and plain
+  * TIMESTAMP(MICROS) (readable directly). `events` normalizes both to a
+  * µs TimestampType column so every consumer sees one schema.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` as a proper µs TimestampType column. Nanos → micros
-    * uses INTEGER division (`div`): `/` is double division in Spark and
-    * its rounding at the 16th significant digit disagrees with the
-    * truncation every other reader (DuckDB included) applies.
+  /** events with `ts` as a proper µs TimestampType column. When the file
+    * carries nanos (surfaced as LongType under nanosAsLong), nanos →
+    * micros uses INTEGER division (`div`): `/` is double division in
+    * Spark and its rounding at the 16th significant digit disagrees with
+    * the truncation every other reader (DuckDB included) applies. A
+    * native µs TIMESTAMP column passes through untouched.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is pinned UTC, so NTZ→instant is the identity the
+        // oracle (DuckDB TIMESTAMP, also naive-as-UTC) applies
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs parquet timestamps without isAdjustedToUTC would otherwise
+      // infer TIMESTAMP_NTZ (Spark ≥3.4), which unix_micros/convert_tz
+      // reject; classic TimestampType under the UTC session timezone is
+      // bit-identical to DuckDB's naive-as-UTC TIMESTAMP reads.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // Reference semantics are try-style: a malformed value yields a
