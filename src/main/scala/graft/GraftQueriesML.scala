@@ -645,6 +645,90 @@ object GraftQueriesML {
               coalesce(round(n_dup*1.0/n_grams, 6), 0.0) AS dup_frac
             FROM documents d LEFT JOIN per USING (doc_id)"""))
 
+  // Exact-substring dedup (Lee et al. 2022): positional spans + removal.
+  // The oracle recomputes the covered-position islands with window
+  // functions — an independent formulation of the same semantics.
+  private val mDupSpans = Spec("ml_dup_spans",
+    (s, dir) => Dedup.dupSpans(t(s, dir, "documents"),
+      "doc_id", "text", k = 8),
+    Some("""WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT doc_id, i AS p,
+                md5(array_to_string(w[i+1:i+8], ' ')) AS g
+              FROM w, unnest(range(len(w)-7)) AS u(i) WHERE len(w) >= 8),
+            dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+            occ AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+            b AS (SELECT doc_id, p, CASE WHEN p >
+                lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                THEN 1 ELSE 0 END AS brk FROM occ),
+            isl AS (SELECT doc_id, p, sum(brk)
+                OVER (PARTITION BY doc_id ORDER BY p) AS island FROM b)
+            SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+              CAST(max(p) + 8 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island"""))
+
+  private val mDupSpansClean = Spec("ml_dup_spans_clean",
+    (s, dir) => Dedup.removeDupSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("text")),
+    Some("""WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            g AS (SELECT doc_id, i AS p,
+                md5(array_to_string(w[i+1:i+8], ' ')) AS g
+              FROM w, unnest(range(len(w)-7)) AS u(i) WHERE len(w) >= 8),
+            dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+            occ AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+            cover AS (SELECT DISTINCT occ.doc_id, u.pp AS p
+              FROM occ, unnest(range(occ.p, occ.p + 8)) AS u(pp)),
+            toks AS (SELECT doc_id, unnest(w) AS word,
+              generate_subscripts(w, 1) - 1 AS p FROM w),
+            kept AS (SELECT t.doc_id, t.word, t.p FROM toks t
+              LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.doc_id IS NULL),
+            cleaned AS (SELECT doc_id,
+              string_agg(word, ' ' ORDER BY p) AS text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+              CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM occ)
+                   THEN coalesce(cl.text, '') ELSE d.text END AS text
+            FROM documents d LEFT JOIN cleaned cl USING (doc_id)"""))
+
+  // Semantic dedup (SemDeDup): cluster on the first-8 deterministic
+  // centroids (the mIvf convention), drop rows with a senior in-cluster
+  // neighbor at cosine ≥ 0.35. The oracle recomputes assignment and the
+  // greedy min-id sweep with window functions + EXISTS.
+  private val mSemanticKeep = Spec("ml_semantic_keep",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toSeq)
+        .toSeq
+      Similarity.semanticKeep(emb, "vec_id", "embedding",
+          centroids, threshold = 0.35)
+        .select(col("vec_id"))
+    },
+    Some {
+      val cosAssign = cosSql("e.embedding", "c.embedding")
+      val cosPair = cosSql("x.embedding", "y.embedding")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings
+            WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, cid AS bucket FROM (
+              SELECT e.vec_id, c.cid, row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+              FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+          ea AS (SELECT e.vec_id, e.embedding, a.bucket
+            FROM embeddings e JOIN assign a USING (vec_id))
+          SELECT x.vec_id FROM ea x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ea y
+            WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+              AND round($cosPair, 6) >= 0.35)"""
+    })
+
   private val mEmbedOutlier = Spec("ml_embed_outlier",
     (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
       "vec_id", "embedding", zThresh = 2.0),
@@ -997,7 +1081,8 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
-    mUnigramLP, mDupNgrams, mEmbedOutlier, mWeightedSample,
+    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean,
+    mSemanticKeep, mEmbedOutlier, mWeightedSample,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

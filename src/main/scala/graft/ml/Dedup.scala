@@ -376,6 +376,96 @@ object Dedup {
       col(s"d.$idCol") === col(s"x.$idCol"), "left_anti")
   }
 
+  /** Exact-substring duplicate spans (the positional operator behind
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" §4.1 ExactSubstr — the published standard for LLM
+    * pretraining dedup; [[graft.ml.CorpusStats.dupNgramStats]] is its
+    * statistical approximation). Emits, per document, the maximal
+    * token spans `[span_start, span_end)` (0-based, end-exclusive)
+    * whose every position lies inside some substring of ≥ `k` tokens
+    * that occurs at least twice in the corpus (counting repeats within
+    * one document, as the paper does).
+    *
+    * Correctness note — why k-gram coverage IS the exact answer, not an
+    * approximation: a substring of length ≥ k occurring twice implies
+    * each of its k-grams occurs twice; conversely a k-gram occurring
+    * twice is itself a duplicated substring of length k. So "position
+    * covered by a duplicated k-gram" ⇔ "position inside a duplicated
+    * substring of length ≥ k", and merging the covered intervals per
+    * document reproduces the suffix-array result positionally without
+    * building a suffix array.
+    *
+    * Scale shape (the distributed replacement for the paper's
+    * single-machine suffix array): posexplode → one md5 per k-gram →
+    * ONE map-side-combined count aggregate (vocabulary-sized shuffle,
+    * 16-byte keys) → gram-keyed join back (never pairwise) → one
+    * id-keyed aggregate. Interval merging is LOCAL arithmetic: with
+    * positions sorted, span ends `p+k` are monotone, so island breaks
+    * are adjacent-pair comparisons (`p_i > p_{i-1}+k`) — O(positions)
+    * per doc via array lambdas, no per-doc quadratic fold, no window.
+    * Words = [[graft.ml.Curation.words]] semantics (single-space split,
+    * empties removed) so the gram table matches the rest of the corpus
+    * operators.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("id"),
+        posexplode(CorpusStats.ngramArray(col(textCol), k))
+          .as(Seq("p", "g")))
+      // shuffle 16-byte digests, not k-token strings
+      .withColumn("g", md5(col("g")))
+    val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("g"))
+    val ps = occ.join(dup, Seq("g"))
+      .groupBy(col("id")).agg(sort_array(collect_list(col("p"))).as("ps"))
+    // span starts: first position, or a gap > k from the predecessor;
+    // span ends: last position, or a gap > k to the successor (+k for
+    // the gram width). element_at is 1-based; lambda index is 0-based.
+    val spans = ps.select(col("id"),
+      expr(s"""zip_with(
+        filter(ps, (p, i) -> i = 0 OR p > element_at(ps, i) + $k),
+        transform(
+          filter(ps, (p, i) -> i = size(ps) - 1
+                               OR element_at(ps, i + 2) > p + $k),
+          e -> e + $k),
+        (s, e) -> struct(s AS span_start, e AS span_end))""").as("sp"))
+    spans.select(col("id").as(idCol), explode(col("sp")).as("span"))
+      .select(col(idCol),
+        col("span.span_start").cast("long").as("span_start"),
+        col("span.span_end").cast("long").as("span_end"))
+  }
+
+  /** Apply [[dupSpans]] removal: cut every token whose position falls in
+    * a duplicate span (ALL occurrences go, as in the paper) and rejoin
+    * with single spaces. Documents without spans pass through verbatim
+    * (including their original whitespace — only edited documents are
+    * re-tokenized). One id-keyed aggregate on the (small) span table +
+    * one id-keyed left join; the token surgery is a narrow lambda.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    // token positions must be the SAME positions dupSpans numbered, so
+    // the word split is Curation.words (single-space, empties removed) —
+    // the ngramArray convention — not a regex re-tokenization
+    val indexed = transform(Curation.words(col(textCol)),
+      (w, i) => struct(w.as("w"), i.as("i")))
+    val keptText = array_join(
+      transform(
+        filter(indexed, c => !exists(col("__spans"),
+          s => c("i") >= s("span_start") && c("i") < s("span_end"))),
+        c => c("w")),
+      " ")
+    df.join(spans, col(idCol) === col("__sid"), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol)).otherwise(keptText))
+      .drop("__sid", "__spans")
+  }
+
   /** Exact n-gram Jaccard similarity between doc pairs (caller bounds the
     * pair space, e.g. via LSH candidates or a blocking key).
     */

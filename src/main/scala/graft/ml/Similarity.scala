@@ -527,6 +527,54 @@ object Similarity {
     * verified candidates. Cache lifetime is caller-owned — see
     * [[graft.CacheSweep]].
     */
+  /** Semantic dedup keep-set (SemDeDup, Abbas et al. 2023 "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings, then inside each cluster drop
+    * every row that has a senior (smaller-id) neighbor at cosine ≥
+    * `threshold`. The third leg of corpus dedup — exact ([[Dedup.exact]])
+    * catches copies, MinHash ([[Dedup.nearDupKeep]]) catches edits,
+    * this catches REPHRASINGS that share no n-grams.
+    *
+    * The keep rule is the greedy min-id sweep (a row survives unless a
+    * smaller-id row in its cluster is near it) — deterministic,
+    * engine-independent, and exactly expressible in the SQL oracle,
+    * unlike "keep the one closest to the centroid" which ties through
+    * float centroid sums.
+    *
+    * Scale shape: assignment is a narrow broadcast argmax
+    * ([[assignBucket]], centroids ride the plan as one reference);
+    * vectors normalize ONCE before the self-join (the
+    * [[cosineNearDupPairs]] lesson); the pair space is bounded by the
+    * cluster partition — SemDeDup's own design point is k large enough
+    * that clusters stay small (the paper uses 50k clusters for LAION).
+    * Oversized clusters (> `maxClusterSize`) are exempted from pairing
+    * wholesale (all their rows kept) instead of quadratically blowing
+    * the join — the same conservative cap as the LSH band joins.
+    */
+  def semanticKeep(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[Seq[Double]], threshold: Double,
+                   maxClusterSize: Int = 4096): DataFrame = {
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("b", assignBucket(col("v"), centroids))
+      .withColumn("n", norm(col("v")))
+    val sig = base.select(col("id"), col("b"),
+      when(col("n") > 0, transform(col("v"), x => x / col("n")))
+        .otherwise(col("v")).as("u"))
+    val oversized = sig.groupBy(col("b")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxClusterSize).select(col("b"))
+    val capped = sig.join(broadcast(oversized), Seq("b"), "left_anti")
+    val l = capped.alias("l"); val r = capped.alias("r")
+    // left_semi: each row needs ONE senior neighbor to be dropped — no
+    // pair materialization, no distinct
+    val dropped = l.join(r,
+        col("l.b") === col("r.b") && col("r.id") < col("l.id") &&
+          round(dot(col("l.u"), col("r.u")), 6) >= threshold,
+        "left_semi")
+      .select(col("l.id").as("__drop_id"))
+    corpus.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          bandPlanes: Seq[Seq[Seq[Double]]],
                          threshold: Double,

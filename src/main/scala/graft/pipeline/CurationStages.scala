@@ -41,7 +41,7 @@ object CurationStages {
 
   val stageTypes: Set[String] = Set(
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
-    "stratified_sample", "dedup_exact", "dedup_near",
+    "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against")
 
@@ -54,8 +54,8 @@ object CurationStages {
     * that scoping.
     */
   val batchOnly: Set[String] = Set(
-    "dedup_exact", "dedup_near", "contamination_filter", "pack_chunks",
-    "stratified_sample", "shuffle_layout", "dedup_against")
+    "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
+    "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -77,6 +77,7 @@ object CurationStages {
       case "stratified_sample" => stratifiedSample(pre, c)
       case "dedup_exact" => dedupExact(pre, c)
       case "dedup_near" => dedupNear(pre, c)
+      case "dedup_semantic" => dedupSemantic(pre, c)
       case "contamination_filter" => contaminationFilter(pre, c)
       case "pack_chunks" => packChunks(pre, c)
       case "shuffle_layout" =>
@@ -224,6 +225,27 @@ object CurationStages {
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
     df.alias("d").join(kept.alias("keep"),
         col(s"d.$id") === col(s"keep.$id"), "left_semi")
+  }
+
+  // ---- dedup_semantic ------------------------------------------------
+  //
+  // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding column
+  // (trainCentroids — one map-side aggregate per Lloyd round), then
+  // drop rows with a senior in-cluster neighbor at cosine ≥ threshold
+  // (Similarity.semanticKeep). The third dedup leg next to dedup_exact
+  // (copies) and dedup_near (edits): catches rephrasings that share no
+  // n-grams. Training is a plan-time action, so the stage is batch-only
+  // like the other whole-corpus stages. `clusters` bounds the pair
+  // space — size it so corpus/clusters stays ≪ max_cluster_size.
+
+  private def dedupSemantic(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "dedup_semantic")
+    val vec = str(c, "vec_field", "embedding")
+    val centroids = graft.ml.Similarity.trainCentroids(df, id, vec,
+      k = int(c, "clusters", 64), iters = int(c, "iters", 3))
+    graft.ml.Similarity.semanticKeep(df, id, vec, centroids,
+      threshold = dbl(c, "threshold", 0.9),
+      maxClusterSize = int(c, "max_cluster_size", 4096))
   }
 
   // ---- contamination_filter -----------------------------------------

@@ -67,6 +67,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_dedup_exact" -> 3,
     "ml_doc_freq" -> 4,
     "ml_dup_ngrams" -> 4,
+    "ml_dup_spans" -> 3,       // gram count agg + gram join + id agg
+    "ml_dup_spans_clean" -> 4, // dupSpans + span-table id agg; doc join broadcasts
+    "ml_semantic_keep" -> 6,   // cluster-size agg + in-cluster self-join + anti
     "ml_embed_ivf_topk" -> 2,
     "ml_embed_neardup" -> 9,
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
