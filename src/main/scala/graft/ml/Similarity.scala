@@ -29,6 +29,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Elementwise vector-sum aggregate ([[graft.functions.VectorSumAgg]]):
+    * one array-typed aggregate column regardless of dim.
+    */
+  private[ml] def vecSum(c: Column, dim: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.VectorSumAgg(
+      GraftSqlBridge.expression(c), dim).toAggregateExpression())
+  }
+
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
@@ -245,16 +254,18 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = clean.select(v.as("v"),
         assignBucket(col(vecCol), centroids).as("b"))
-      // per-bucket elementwise sums + counts in one hash aggregate
-      val sums = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i"))
+      // per-bucket elementwise sums + counts in one hash aggregate; the
+      // sum is ONE array-typed aggregate expression (VectorSumAgg), so
+      // plan width is constant in dim — the former per-dimension
+      // sum(v[i]) fan-out carried dim expressions through the aggregate
       val agg = assigned.groupBy(col("b"))
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .agg(count(lit(1)).as("n"), vecSum(col("v"), dim).as("vs"))
         .collect()
       val updated = centroids.indices.map { b =>
         agg.find(_.getInt(0) == b) match {
           case Some(row) if row.getLong(1) > 0 =>
             val n = row.getLong(1).toDouble
-            (0 until dim).map(i => row.getDouble(i + 2) / n)
+            row.getSeq[Double](2).map(_ / n)
           case _ => centroids(b) // empty bucket keeps its centroid
         }
       }
@@ -379,18 +390,18 @@ object Similarity {
           org.apache.spark.sql.GraftSqlBridge.expression(col("j")),
           org.apache.spark.sql.GraftSqlBridge.expression(col("sub")),
           books.map(_.map(_.toArray).toArray).toArray))
-      val sums = (0 until subdim).map(i =>
-        sum(col("sub").getItem(i)).as(s"s$i"))
+      // one array-typed sum (VectorSumAgg) — plan width constant in
+      // subdim, same data path (see trainCentroids)
       val agg = exploded.withColumn("b", assign)
         .groupBy(col("j"), col("b"))
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .agg(count(lit(1)).as("n"), vecSum(col("sub"), subdim).as("vs"))
         .collect()
       books = (0 until m).map { j =>
         (0 until k).map { b =>
           agg.find(r => r.getInt(0) == j && r.getInt(1) == b) match {
             case Some(row) if row.getLong(2) > 0 =>
               val cnt = row.getLong(2).toDouble
-              (0 until subdim).map(i => row.getDouble(i + 3) / cnt)
+              row.getSeq[Double](3).map(_ / cnt)
             case _ => books(j)(b)
           }
         }

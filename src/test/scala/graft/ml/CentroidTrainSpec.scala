@@ -95,4 +95,50 @@ class CentroidTrainSpec extends SparkSpec {
     assert(seeds.map(cluster).toSet == Set(0, 1, 2), s"seeds: $seeds")
     assert(Similarity.maximinSeeds(pts, 3) == seeds, "must be deterministic")
   }
+
+  test("VectorSumAgg is bit-identical to the per-dimension sum fan-out") {
+    import spark.implicits._
+    val dim = 7
+    // values chosen to exercise float non-associativity: large + tiny
+    val df = (0L until 300L).map { i =>
+      (i, (0 until dim).map(d =>
+        math.pow(10.0, (i + d) % 8) * (if ((i + d) % 3 == 0) -1 else 1)
+          + 1e-7 * i))
+    }.toDF("vec_id", "embedding").coalesce(1) // one partition: one add order
+    val v = col("embedding").cast("array<double>")
+    val viaAgg = df.select(v.as("v"))
+      .agg(Similarity.vecSum(col("v"), dim).as("vs"))
+      .collect().head.getSeq[Double](0)
+    val viaFanout = df.select(v.as("v"))
+      .agg(sum(col("v").getItem(0)),
+        (1 until dim).map(i => sum(col("v").getItem(i))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+    assert(viaAgg.zip(viaFanout).forall { case (a, b) =>
+      java.lang.Double.doubleToRawLongBits(a) ==
+        java.lang.Double.doubleToRawLongBits(b) },
+      s"agg=$viaAgg fanout=$viaFanout")
+  }
+
+  test("trainCentroids at dim 1024: plan width constant, one pass per round") {
+    import spark.implicits._
+    val dim = 1024
+    val df = (0L until 64L).map { i =>
+      (i, (0 until dim).map(d =>
+        if (d / 256 == (i % 4)) 1.0 + 0.01 * (i % 7) else 0.01))
+    }.toDF("vec_id", "embedding")
+    // the former per-dimension fan-out built a 1024-expression aggregate
+    // here; with the array-typed aggregate the round is wall-clock-bounded
+    // the same as dim 64 (plan work, not data, was the cost)
+    val t0 = System.nanoTime()
+    val cs = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(cs.size == 4 && cs.head.size == dim)
+    // generous wall ceiling — the fan-out form took minutes at this dim
+    assert(sec < 60.0, f"dim-1024 train took $sec%.1f s")
+    // each blob direction dominates exactly one centroid
+    for (q <- 0 until 4)
+      assert(cs.exists(c => (q * 256 until (q + 1) * 256).map(c).sum >
+        0.5 * c.sum), s"no centroid dominated by quarter $q")
+  }
 }
