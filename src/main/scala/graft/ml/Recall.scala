@@ -112,8 +112,44 @@ object Recall {
     curve
   }
 
+  /** Deterministic structure-bearing corpus for the recall harness: each
+    * cluster owns a `dim/nClusters` block of hot dimensions plus a
+    * deterministic jitter on every dimension, so intra-cluster cosine is
+    * high and inter-cluster cosine low — the corpus shape IVF/PQ are FOR
+    * (the driver `embeddings` table is near-uniform on the sphere, the
+    * worst case, and its curves alone would mis-size nprobe/m for real
+    * workloads; BASELINE.md records both). Generated columnar via
+    * `spark.range` — no driver-side materialization, any size.
+    */
+  def clusteredEmbeddings(spark: SparkSession, nClusters: Int,
+                          perCluster: Int, dim: Int,
+                          secondaryWeight: Double = 0.0): DataFrame = {
+    require(dim % nClusters == 0, "dim must divide into nClusters blocks")
+    val block = dim / nClusters
+    // secondaryWeight > 0 lights a second, weaker block per vector
+    // (cycling through the other clusters) — mixed-topic documents whose
+    // true neighbors partly live in OTHER primary buckets, so the
+    // recall curve interpolates between the clean-cluster bound (all
+    // knobs saturate at 1.0) and the uniform worst case
+    spark.range(nClusters.toLong * perCluster)
+      .select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}), d ->
+          (CASE WHEN CAST(d DIV $block AS INT) = CAST(id % $nClusters AS INT)
+                THEN 1.0
+                WHEN CAST(d DIV $block AS INT) =
+                  CAST((id % $nClusters + 1 + (id DIV $nClusters)
+                        % ${nClusters - 1}) % $nClusters AS INT)
+                THEN ${secondaryWeight}d
+                ELSE 0.05 END)
+          + 0.013d * CAST((id * 31 + d * 7) % 11 AS DOUBLE)
+          + 0.003d * CAST((id * 13 + d * 5) % 23 AS DOUBLE))""")
+          .as("embedding"))
+  }
+
   /** One-shot harness main: prints the IVF and PQ recall tables for the
-    * embeddings table of a testdata tier (recorded in BASELINE.md).
+    * embeddings table of a testdata tier (worst-case near-uniform
+    * corpus) AND the clustered fixture (the corpus shape ANN indexes
+    * are built for) — both recorded in BASELINE.md.
     * Usage: runMain graft.ml.Recall [sfDir] [k]
     */
   def main(args: Array[String]): Unit = {
@@ -142,6 +178,29 @@ object Recall {
       ms = Seq(4, 8, 16, 32))
     println(s"PQ/ADC recall@$k (k'=16): " +
       pq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
+
+    // clustered fixtures: clean (the easy bound — every knob should
+    // saturate) and mixed (secondary topic block — the realistic curve)
+    for ((label, w) <- Seq("CLUSTERED" -> 0.0, "MIXED" -> 0.85)) {
+      val cl = clusteredEmbeddings(spark, nClusters = 16,
+        perCluster = 250, dim = 64, secondaryWeight = w).persist()
+      cl.count()
+      val clQueryRows = cl.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      val clQueries = clQueryRows.toDF("qid_src", "qvec")
+      val clCs = Similarity.trainCentroids(cl, "vec_id", "embedding",
+        nCentroids, iters = 4)
+      val clIvf = ivfRecallCurve(cl, "vec_id", "embedding",
+        clQueries, "qid_src", "qvec", clCs, k, Seq(1, 2, 4, 8, nCentroids))
+      println(s"$label IVF recall@$k (C=$nCentroids): " +
+        clIvf.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+      val clPq = pqRecallCurve(cl, "vec_id", "embedding", clQueryRows, k,
+        ms = Seq(4, 8, 16, 32))
+      println(s"$label PQ/ADC recall@$k (k'=16): " +
+        clPq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
+      cl.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

@@ -43,7 +43,7 @@ object CurationStages {
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
-    "quality_model", "bpe_tokenize", "dedup_against")
+    "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -55,7 +55,8 @@ object CurationStages {
     */
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
-    "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against")
+    "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
+    "dedup_ingest")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -91,6 +92,7 @@ object CurationStages {
       case "quality_model" => qualityModel(pre, c)
       case "bpe_tokenize" => bpeTokenize(pre, c)
       case "dedup_against" => dedupAgainst(pre, c)
+      case "dedup_ingest" => dedupIngest(pre, c)
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }
@@ -352,6 +354,44 @@ object CurationStages {
       case other => throw new IllegalArgumentException(
         s"dedup_against: unknown mode `$other` (exact | near)")
     }
+  }
+
+  // ---- dedup_ingest --------------------------------------------------
+  //
+  // Incremental-ingestion exact dedup with a GROWING reference: each
+  // batch dedups in-batch (min-id keeps), drops rows whose md5(text)
+  // is already in the key store, then APPENDS the admitted keys — so a
+  // document admitted in micro-batch N is rejected in batch N+1
+  // (`dedup_against` reads a static reference; this is the ingest-loop
+  // form VERDICT r8 item 4 describes). State is the key store: one
+  // 16-byte digest per DISTINCT admitted text, bounded by corpus
+  // cardinality, never by stream length.
+  //
+  // Eager-settle ordering matters: the kept rows localCheckpoint
+  // BEFORE the append. A lazy return frame would re-read the store at
+  // sink time — after the append — and reject its own batch.
+
+  private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val textCol = textField(c)
+    val id = idField(c, "dedup_ingest")
+    val store = reqStr(c, "store", "dedup_ingest")
+    val spark = df.sparkSession
+    val inBatch = Dedup.exact(df, textCol, id)
+    val withKey = inBatch.withColumn("__h", md5(col(textCol)))
+    // bootstrap: a store that does not exist yet is an empty key set
+    // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
+    val refKeys =
+      try Some(spark.read.parquet(store))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val kept = refKeys match {
+      case Some(ks) =>
+        withKey.join(ks, col("__h") === col("h"), "left_anti")
+      case None => withKey
+    }
+    val settled = kept.localCheckpoint(true)
+    settled.select(col("__h").as("h")).distinct()
+      .write.mode("append").parquet(store)
+    settled.drop("__h")
   }
 
   // ---- quality_model -------------------------------------------------

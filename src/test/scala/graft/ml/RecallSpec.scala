@@ -49,4 +49,47 @@ class RecallSpec extends SparkSpec {
       s"recall fell as m grew: $curve")
     assert(byM(16) >= 0.3, s"m=16 recall floor: $curve")
   }
+
+  // -------------------------------------------------------------------
+  // Clustered corpus: the driver embeddings are near-uniform on the
+  // sphere (worst case — the curves above are lower bounds). On a
+  // corpus with cluster structure, the shape ANN indexes exist for,
+  // the floors are MEANINGFUL: low nprobe must already recover most
+  // neighbors because neighborhoods live inside clusters.
+
+  test("clustered corpus: IVF reaches 0.9 recall by nprobe=2 of 8") {
+    val s = spark
+    import s.implicits._
+    val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 50, dim = 64).persist()
+    cl.count()
+    val qs = cl.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val queries = qs.toDF("qid_src", "qvec")
+    val cs = Similarity.trainCentroids(cl, "vec_id", "embedding",
+      k = 8, iters = 4)
+    val curve = Recall.ivfRecallCurve(cl, "vec_id", "embedding",
+      queries, "qid_src", "qvec", cs, k, Seq(1, 2, 4, 8))
+    val byNp = curve.toMap
+    assert(byNp(8) == 1.0, s"probing every bucket must be exact: $curve")
+    assert(byNp(1) >= 0.8,
+      s"on clustered data nprobe=1 must find the home cluster: $curve")
+    assert(byNp(2) >= 0.9, s"nprobe=2 floor on clustered data: $curve")
+    cl.unpersist(blocking = false)
+  }
+
+  test("clustered corpus: PQ m=8 clears 0.6 recall") {
+    val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 50, dim = 64).persist()
+    cl.count()
+    val qs = cl.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val curve = Recall.pqRecallCurve(cl, "vec_id", "embedding",
+      qs, k, ms = Seq(8), pqK = 16, iters = 2)
+    assert(curve.head._2 >= 0.6,
+      s"PQ m=8 on clustered data should beat the uniform-corpus floor: $curve")
+    cl.unpersist(blocking = false)
+  }
 }

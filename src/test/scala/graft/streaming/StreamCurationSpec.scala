@@ -59,4 +59,55 @@ class StreamCurationSpec extends SparkSpec {
     q2.awaitTermination()
     assert(seen.map(_._1).sorted.toSeq == Seq(1L, 3L, 4L))
   }
+
+  test("dedup_ingest: admitted in batch N, rejected in batch N+1, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-store").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ck").toString
+
+    // batch 1: two distinct texts + one in-batch duplicate
+    mem.addData((1L, "first unique document"), (2L, "second unique document"),
+      (3L, "first unique document"))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L), s"batch 1 admitted: $seen")
+
+    // batch 2: a batch-1 text (must now be REJECTED cross-batch — the
+    // key store grew) + one genuinely new text
+    mem.addData((4L, "first unique document"), (5L, "third unique document"))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 5L), s"after batch 2: $seen")
+
+    // batch 3: replay of EVERY text seen so far → all rejected
+    mem.addData((6L, "first unique document"), (7L, "second unique document"),
+      (8L, "third unique document"))
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 5L), s"after batch 3: $seen")
+
+    // state bounded: the store holds exactly one key per DISTINCT
+    // admitted text — 3 keys after 8 offered docs
+    val keys = s.read.parquet(store)
+    assert(keys.columns.toSeq == Seq("h"))
+    assert(keys.count() == 3L)
+    assert(keys.distinct().count() == 3L)
+  }
 }
