@@ -452,6 +452,73 @@ object GraftQueriesML {
             round((octet_length(encode(text)) % 1000) / 1000.0, 6) AS mean_luma
             FROM documents"""))
 
+  // Audio envelope round-trip: the query CONSTRUCTS a canonical PCM WAV
+  // per row from deterministic parameters (expression-built bytes), the
+  // REAL RIFF parser reads them back, and DuckDB predicts the fields
+  // from the same parameters. The absolute byte layout is pinned
+  // separately by golden bytes in MultimodalSpec — together the two
+  // gates mean "the parser reads real WAV, and reads it correctly".
+  private val mMultimodalAudio = Spec("ml_multimodal_audio",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val rate = (lit(8000) * (col("doc_id") % 4 + 1)).cast("int")
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val bits = (lit(8) * (col("doc_id") % 2 + 1)).cast("int")
+      val n = (col("doc_id") % 40 + 1).cast("int")
+      val wav = d.withColumn("payload",
+        Multimodal.wavBytes(rate, ch, bits, n))
+      Multimodal.decodeAudio(wav, "payload")
+        .select(col("doc_id"),
+          col("audio_features.format").as("format"),
+          col("audio_features.sample_rate").as("sample_rate"),
+          col("audio_features.channels").as("channels"),
+          col("audio_features.bits_per_sample").as("bits_per_sample"),
+          col("audio_features.n_samples").as("n_samples"),
+          col("audio_features.duration_ms").as("duration_ms"))
+    },
+    Some("""SELECT doc_id, 'wav' AS format,
+            CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
+            CAST(doc_id % 2 + 1 AS INT) AS channels,
+            CAST(8 * (doc_id % 2 + 1) AS INT) AS bits_per_sample,
+            CAST(doc_id % 40 + 1 AS BIGINT) AS n_samples,
+            CAST((doc_id % 40 + 1) * 1000 // (8000 * (doc_id % 4 + 1))
+              AS BIGINT) AS duration_ms
+            FROM documents"""))
+
+  // Document envelope round-trip: expression-built PDF-shaped bytes
+  // (version header + n `/Type /Page` objects + a `/Type /Pages` tree
+  // node the exact-token scan must NOT count), real byte-scan parser.
+  private val mMultimodalPdf = Spec("ml_multimodal_pdf",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ver = concat(lit("1."), (col("doc_id") % 4 + 3).cast("string"))
+      val pages = (col("doc_id") % 7 + 1).cast("int")
+      val body = concat(
+        lit("%PDF-"), ver, lit("\n1 0 obj <</Type /Pages>> endobj\n"),
+        array_join(transform(sequence(lit(1), pages),
+          i => concat((i + 1).cast("string"),
+            lit(" 0 obj <</Type /Page>> endobj\n"))), ""))
+      val pdf = d.withColumn("payload", encode(body, "utf-8"))
+      Multimodal.decodeDocs(pdf, "payload")
+        .select(col("doc_id"),
+          col("doc_features.format").as("format"),
+          col("doc_features.version").as("version"),
+          col("doc_features.n_pages").as("n_pages"),
+          col("doc_features.n_bytes").as("n_bytes"))
+    },
+    Some("""SELECT doc_id, 'pdf' AS format,
+            '1.' || CAST(doc_id % 4 + 3 AS VARCHAR) AS version,
+            CAST(doc_id % 7 + 1 AS INT) AS n_pages,
+            CAST(octet_length(encode(
+              '%PDF-1.' || CAST(doc_id % 4 + 3 AS VARCHAR)
+              || chr(10) || '1 0 obj <</Type /Pages>> endobj' || chr(10)
+              || list_aggr(list_transform(range(1, CAST(doc_id % 7 + 2 AS INT)),
+                   i -> CAST(i + 1 AS VARCHAR)
+                        || ' 0 obj <</Type /Page>> endobj' || chr(10)),
+                 'string_agg', '')
+            )) AS INT) AS n_bytes
+            FROM documents"""))
+
   // ----------------------------------------------------------------------
   // corpus curation: repetition quality signals, deterministic splits,
   // stratified sampling (ml/Curation.scala)
@@ -1079,6 +1146,7 @@ object GraftQueriesML {
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mJaccardPairs, mNearDupKeep,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
+    mMultimodalAudio, mMultimodalPdf,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean,
