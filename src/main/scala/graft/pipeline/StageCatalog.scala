@@ -1,0 +1,553 @@
+package graft.pipeline
+
+/** The user-facing stage reference, reified: one entry per pipeline
+  * stage type (processor / relational / curation) with a working YAML
+  * example. `graft.Docs` renders this catalog into `doc/` (the engine's
+  * analogue of the reference's sphinx processor pages), and
+  * StageCatalogSpec force-compiles EVERY example — documentation that
+  * stops compiling fails CI, so the pages cannot drift from the
+  * compiler.
+  *
+  * `schemaKind` names the input-frame shape an example compiles
+  * against: `events`-like, `documents`-like, `embeddings`-like typed
+  * frames (with rows — training stages act at plan time), or `any`
+  * (processors null-guard missing fields, so an empty dynamic frame
+  * suffices — the TestConfig contract).
+  */
+final case class StageDoc(
+    name: String,
+    kind: String,          // processor | relational | curation
+    summary: String,
+    example: String,       // complete `pipeline:` YAML document
+    schemaKind: String = "any",     // any | events | documents | embeddings
+    oracle: Seq[String] = Nil,      // oracle queries gating the semantics
+    notes: String = "")
+
+object StageCatalog {
+
+  private def y(s: String): String = s.stripMargin.trim + "\n"
+
+  // ---- processors (reference parity; registry order) -----------------
+
+  private val processors = Seq(
+    StageDoc("field_manager", "processor",
+      "Copy/move/merge source fields into a target (or field→field mapping), with merge/overwrite/delete flags.",
+      y("""pipeline:
+          |  - type: field_manager
+          |    rules:
+          |      - filter: "host.name"
+          |        field_manager: {source_fields: [host.name], target_field: meta.host}"""),
+      oracle = Seq("proc_field_manager")),
+    StageDoc("dissector", "processor",
+      "Logstash-dissect tokenizing: %{field} patterns with append/indirect/strip/position/convert operators.",
+      y("""pipeline:
+          |  - type: dissector
+          |    rules:
+          |      - filter: "message"
+          |        dissector:
+          |          mapping: {message: "%{meta.head} %{meta.rest}"}"""),
+      oracle = Seq("proc_dissector", "proc_dissector_append")),
+    StageDoc("grokker", "processor",
+      "Grok patterns (vendored ecs-v1 set + custom), first-match-wins lists, native regex kernel.",
+      y("""pipeline:
+          |  - type: grokker
+          |    rules:
+          |      - filter: "message"
+          |        grokker:
+          |          mapping: {message: ["%{WORD:meta.first} %{GREEDYDATA:meta.rest}"]}"""),
+      oracle = Seq("proc_grokker")),
+    StageDoc("dropper", "processor",
+      "Delete fields (optionally pruning emptied parents).",
+      y("""pipeline:
+          |  - type: dropper
+          |    rules:
+          |      - filter: "agent.ephemeral_id"
+          |        dropper: {drop: [agent.ephemeral_id]}""")),
+    StageDoc("deleter", "processor",
+      "Drop the entire event when the filter matches (an anti-filter).",
+      y("""pipeline:
+          |  - type: deleter
+          |    rules:
+          |      - filter: "event_type: debug"
+          |        deleter: {delete: true}"""),
+      oracle = Seq("proc_deleter")),
+    StageDoc("concatenator", "processor",
+      "Join several source values with a separator into a target field.",
+      y("""pipeline:
+          |  - type: concatenator
+          |    rules:
+          |      - filter: "host.name AND log.level"
+          |        concatenator:
+          |          source_fields: [host.name, log.level]
+          |          separator: "-"
+          |          target_field: meta.hostlevel""")),
+    StageDoc("calculator", "processor",
+      "Arithmetic/comparison over ${field} templates, compiled to native Catalyst expressions at plan time.",
+      y("""pipeline:
+          |  - type: calculator
+          |    rules:
+          |      - filter: "event.code"
+          |        calculator: {calc: "${event.code} + 1", target_field: meta.codeplus}""")),
+    StageDoc("timestamper", "processor",
+      "Parse a timestamp via a format list (ISO8601 | UNIX | strptime) with timezone handling, normalize to ISO-8601 Z.",
+      y("""pipeline:
+          |  - type: timestamper
+          |    rules:
+          |      - filter: "event.created"
+          |        timestamper:
+          |          source_fields: [event.created]
+          |          source_format: [ISO8601]
+          |          target_field: "@timestamp""""),
+      oracle = Seq("proc_timestamper")),
+    StageDoc("datetime_extractor", "processor",
+      "Split a timestamp into a {year…microsecond, weekday, timezone} struct.",
+      y("""pipeline:
+          |  - type: datetime_extractor
+          |    rules:
+          |      - filter: "@timestamp"
+          |        datetime_extractor:
+          |          source_fields: ["@timestamp"]
+          |          target_field: meta.dt"""),
+      oracle = Seq("proc_datetime_extractor")),
+    StageDoc("timestamp_differ", "processor",
+      "Difference of two templated timestamps in s/ms/ns with optional unit suffix.",
+      y("""pipeline:
+          |  - type: timestamp_differ
+          |    rules:
+          |      - filter: "event.created AND @timestamp"
+          |        timestamp_differ:
+          |          diff: "${event.created:ISO8601} - ${@timestamp:ISO8601}"
+          |          target_field: meta.age"""),
+      oracle = Seq("proc_timestamp_differ")),
+    StageDoc("string_splitter", "processor",
+      "Split a string field by a delimiter into an array.",
+      y("""pipeline:
+          |  - type: string_splitter
+          |    rules:
+          |      - filter: "host.os.kernel"
+          |        string_splitter:
+          |          source_fields: [host.os.kernel]
+          |          delimiter: " "
+          |          target_field: meta.kernel_parts"""),
+      oracle = Seq("proc_string_splitter")),
+    StageDoc("replacer", "processor",
+      "Template-based partial string rewrite: %{new} segments, wildcard keep, greedy |g.",
+      y("""pipeline:
+          |  - type: replacer
+          |    rules:
+          |      - filter: "log.level"
+          |        replacer:
+          |          mapping: {log.level: "normal%{}"}"""),
+      oracle = Seq("proc_replacer", "proc_replacer_template")),
+    StageDoc("generic_adder", "processor",
+      "Add literal fields (inline or from a YAML file) under merge control.",
+      y("""pipeline:
+          |  - type: generic_adder
+          |    rules:
+          |      - filter: "*"
+          |        generic_adder: {add: {meta.engine: graft}}"""),
+      oracle = Seq("proc_generic_adder")),
+    StageDoc("generic_resolver", "processor",
+      "Regex-pattern table lookup: first matching pattern key maps to a value (inline list or file with capture pattern).",
+      y("""pipeline:
+          |  - type: generic_resolver
+          |    rules:
+          |      - filter: "log.level"
+          |        generic_resolver:
+          |          field_mapping: {log.level: meta.level_class}
+          |          resolve_list: {"^inf": low, "^warn": mid, ".*": other}"""),
+      oracle = Seq("proc_generic_resolver")),
+    StageDoc("template_replacer", "processor",
+      "Composite-key (e.g. provider-event_id) lookup into a template file.",
+      y("""pipeline:
+          |  - type: template_replacer
+          |    rules:
+          |      - filter: "winlog.channel"
+          |        template_replacer:
+          |          template: "tests/testdata/unit/template_replacer/replacer_template.yml"
+          |          fields: [winlog.channel, winlog.event_id]
+          |          delimiter: "-"
+          |          target_field: message"""),
+      oracle = Seq("proc_template_replacer"),
+      notes = "The template path resolves through the getter layer (file:// or http(s):// with credentials)."),
+    StageDoc("key_checker", "processor",
+      "Report missing required fields into a target list.",
+      y("""pipeline:
+          |  - type: key_checker
+          |    rules:
+          |      - filter: "*"
+          |        key_checker:
+          |          source_fields: [host.name, meta.surely_missing]
+          |          target_field: meta.missing"""),
+      oracle = Seq("proc_key_checker")),
+    StageDoc("deduplicator", "processor",
+      "Order-preserving dedup of list-valued fields.",
+      y("""pipeline:
+          |  - type: deduplicator
+          |    rules:
+          |      - filter: "winlog.keywords"
+          |        deduplicator: {fields: [winlog.keywords]}"""),
+      oracle = Seq("proc_deduplicator")),
+    StageDoc("labeler", "processor",
+      "Add labels under label.<category> per a jsonref schema, with optional parent-label expansion.",
+      y("""pipeline:
+          |  - type: labeler
+          |    rules:
+          |      - filter: "winlog.api: \"wineventlog\""
+          |        labeler:
+          |          schema: "tests/testdata/acceptance/labeler/no_regex/labeling/schema.json"
+          |          include_parent_labels: true
+          |          label: {reporter: [windows]}"""),
+      oracle = Seq("proc_labeler")),
+    StageDoc("list_comparison", "processor",
+      "Membership of a value in named term lists (inline, file, or credentialed HTTP) → in_list / not_in_list.",
+      y("""pipeline:
+          |  - type: list_comparison
+          |    rules:
+          |      - filter: "winlog.provider_name"
+          |        list_comparison:
+          |          source_fields: [winlog.provider_name]
+          |          target_field: meta.provlist
+          |          lists: {known_providers: [EventLog, VSS, volsnap]}"""),
+      oracle = Seq("proc_list_comparison")),
+    StageDoc("network_comparison", "processor",
+      "IP membership in named CIDR sets (v4/v6).",
+      y("""pipeline:
+          |  - type: network_comparison
+          |    rules:
+          |      - filter: "host.ip"
+          |        network_comparison:
+          |          source_fields: [host.ip]
+          |          target_field: meta.netcheck
+          |          networks: {private10: ["10.0.0.0/8"]}"""),
+      oracle = Seq("proc_network_comparison")),
+    StageDoc("ip_informer", "processor",
+      "Per-IP property map (version, is_private, …) for v4/v6.",
+      y("""pipeline:
+          |  - type: ip_informer
+          |    rules:
+          |      - filter: "host.ip"
+          |        ip_informer: {source_fields: [host.ip], target_field: meta.ipinfo}"""),
+      oracle = Seq("proc_ip_informer")),
+    StageDoc("geoip_enricher", "processor",
+      "MaxMind GeoLite2 lookup into a geo struct (real .mmdb reader, per-executor lazily opened).",
+      y("""pipeline:
+          |  - type: geoip_enricher
+          |    rules:
+          |      - filter: "host.ip"
+          |        geoip_enricher: {source_fields: [host.ip], target_field: meta.geo}"""),
+      oracle = Seq("proc_geoip_enricher")),
+    StageDoc("domain_label_extractor", "processor",
+      "Split a domain into registered/top-level/subdomain via the public-suffix list.",
+      y("""pipeline:
+          |  - type: domain_label_extractor
+          |    rules:
+          |      - filter: "agent.hostname"
+          |        domain_label_extractor:
+          |          source_fields: [agent.hostname]
+          |          target_field: meta.domain"""),
+      oracle = Seq("proc_domain_label_extractor")),
+    StageDoc("domain_resolver", "processor",
+      "DNS A-lookup with per-executor cache (pluggable resolver; container default is a deterministic fake).",
+      y("""pipeline:
+          |  - type: domain_resolver
+          |    rules:
+          |      - filter: "agent.hostname"
+          |        domain_resolver: {source_fields: [agent.hostname]}"""),
+      oracle = Seq("proc_domain_resolver")),
+    StageDoc("requester", "processor",
+      "Templated HTTP request per event through the credentialed transport; JSON/text response into target field(s).",
+      y("""pipeline:
+          |  - type: requester
+          |    rules:
+          |      - filter: "meta.needs_lookup"
+          |        requester:
+          |          method: GET
+          |          url: "http://enrich.internal.example/api?q=${host.name}"
+          |          target_field: meta.req"""),
+      oracle = Seq("proc_requester")),
+    StageDoc("pre_detector", "processor",
+      "SIEM detection side output: on match emit a detection sub-event (id/title/severity/mitre…) routed to named outputs.",
+      y("""pipeline:
+          |  - type: pre_detector
+          |    rules:
+          |      - filter: "event_type: alert"
+          |        pre_detector:
+          |          id: example-rule
+          |          title: suspicious activity
+          |          severity: low
+          |          mitre: [T0000]"""),
+      oracle = Seq("proc_pre_detector")),
+    StageDoc("pseudonymizer", "processor",
+      "GDPR pseudonymization: regex-selected substrings → <pseudonym:sha256>, originals hybrid-encrypted as extra data.",
+      y("""pipeline:
+          |  - type: pseudonymizer
+          |    rules:
+          |      - filter: "winlog.event_data.SubjectUserName"
+          |        pseudonymizer:
+          |          mapping: {winlog.event_data.SubjectUserName: RE_WHOLE_FIELD}
+          |          hash_salt: a_secret_tasty_ingredient
+          |          regex_mapping: "tests/testdata/acceptance/pseudonymizer/regex_mapping.yml""""),
+      oracle = Seq("proc_pseudonymizer", "proc_pseudonymizer_substring",
+        "proc_pseudonym_mapping")),
+    StageDoc("selective_extractor", "processor",
+      "Project whitelisted fields into a sub-event routed to named outputs.",
+      y("""pipeline:
+          |  - type: selective_extractor
+          |    rules:
+          |      - filter: "*"
+          |        selective_extractor:
+          |          source_fields: [host.name]
+          |          outputs: [{jsonl: extracted_topic}]"""),
+      oracle = Seq("proc_selective_extractor")),
+    StageDoc("clusterer", "processor",
+      "SLCT/Drain-lite log clustering: tagged-signature substitutions, bounded fixpoint, signature output.",
+      y("""pipeline:
+          |  - type: clusterer
+          |    rules:
+          |      - filter: "message"
+          |        clusterer:
+          |          source_fields: [message]
+          |          pattern: "service"
+          |          repl: "<+>service</+>"
+          |          output_field_name: meta.cluster"""),
+      oracle = Seq("proc_clusterer")),
+    StageDoc("amides", "processor",
+      "AMIDES misuse detection on command lines: TF-IDF + linear model scoring with rule attribution.",
+      y("""pipeline:
+          |  - type: amides
+          |    rules:
+          |      - filter: "message"
+          |        amides:
+          |          source_fields: [message]
+          |          weights: {service: 0.9, stopped: -0.3}
+          |          decision_threshold: 0.5
+          |          target_field: meta.amides"""),
+      oracle = Seq("proc_amides")),
+    StageDoc("decoder", "processor",
+      "Decode a string field: json, base64, clf, nginx, syslog (3164/5424), logfmt, cri, docker, decolorize.",
+      y("""pipeline:
+          |  - type: decoder
+          |    rules:
+          |      - filter: "message"
+          |        decoder:
+          |          source_fields: [message]
+          |          source_format: decolorize
+          |          target_field: meta.msg_clean"""),
+      oracle = Seq("proc_decoder_json", "proc_decoder_base64",
+        "proc_decoder_clf", "proc_decoder_nginx", "proc_decoder_syslog",
+        "proc_decoder_syslog5424", "proc_decoder_logfmt",
+        "proc_decoder_cri", "proc_decoder_docker",
+        "proc_decoder_decolorize")))
+
+  // ---- relational stages (beyond the reference) ----------------------
+
+  private val relational = Seq(
+    StageDoc("aggregate", "relational",
+      "groupBy + aggregations (count, count_distinct, sum, min, max, avg), with optional event-time windows + watermark on streams.",
+      y("""pipeline:
+          |  - type: aggregate
+          |    filter: "NOT event_type: click"
+          |    group_by: [event_type]
+          |    aggregations:
+          |      n: {fn: count}
+          |      uniq_users: {fn: count_distinct, field: user_id}
+          |      maxv: {fn: max, field: value}"""),
+      schemaKind = "events", oracle = Seq("q13_pipeline_agg")),
+    StageDoc("join", "relational",
+      "Join against a side table (broadcast-pinnable for small dimensions).",
+      y("""pipeline:
+          |  - type: join
+          |    right: {path: "/root/testdata/sf0.001/customer.parquet"}
+          |    left_on: [user_id]
+          |    right_on: [c_custkey]
+          |    select: [c_custkey, c_mktsegment]
+          |    broadcast: true"""),
+      schemaKind = "events", oracle = Seq("q14_pipeline_join")),
+    StageDoc("window_stats", "relational",
+      "Analytic window functions with a `keep:` top-k filter in the engine's own filter DSL.",
+      y("""pipeline:
+          |  - type: window_stats
+          |    partition_by: [user_id]
+          |    order_by: [{field: value, desc: true}, {field: event_id}]
+          |    functions:
+          |      pos: {fn: row_number}
+          |    keep: "pos:[1 TO 3]""""),
+      schemaKind = "events", oracle = Seq("q15_pipeline_window")),
+    StageDoc("dedup_events", "relational",
+      "Key-based event dedup; on streams uses dropDuplicatesWithinWatermark (state horizon-bounded).",
+      y("""pipeline:
+          |  - type: dedup_events
+          |    keys: [user_id, event_type]"""),
+      schemaKind = "events", oracle = Seq("q16_pipeline_dedup")),
+    StageDoc("sort_limit", "relational",
+      "Total-ordered top-N (plans as TakeOrderedAndProject — no global sort materialization).",
+      y("""pipeline:
+          |  - type: sort_limit
+          |    order_by: [{field: value, desc: true}, {field: event_id}]
+          |    limit: 100"""),
+      schemaKind = "events", oracle = Seq("q17_pipeline_sort")),
+    StageDoc("sessionize", "relational",
+      "Gap-based sessionization per key with per-session aggregations.",
+      y("""pipeline:
+          |  - type: sessionize
+          |    keys: [user_id]
+          |    time_field: ts
+          |    gap: "30 minutes"
+          |    aggregations:
+          |      n_events: {fn: count}"""),
+      schemaKind = "events", oracle = Seq("q18_pipeline_sessionize")),
+    StageDoc("asof_join", "relational",
+      "As-of join: latest right row at-or-before each left event time, per key.",
+      y("""pipeline:
+          |  - type: asof_join
+          |    right: {path: "/root/testdata/sf0.001/orders.parquet"}
+          |    left_on: user_id
+          |    right_on: o_custkey
+          |    left_time: ts
+          |    right_time: o_orderdate
+          |    select: [o_orderkey, o_totalprice]"""),
+      schemaKind = "events", oracle = Seq("q12_asof_join")))
+
+  // ---- curation stages (training-data pipeline) ----------------------
+
+  private val curation = Seq(
+    StageDoc("quality_signals", "curation",
+      "Per-document text-quality columns: language id, quality score, token count, Gopher repetition trio, fingerprint.",
+      y("""pipeline:
+          |  - type: quality_signals
+          |    text_field: text
+          |    signals: [lang, quality, n_tokens, top_word_frac]"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_lang_id", "ml_quality_score", "ml_token_count",
+        "ml_repetition")),
+    StageDoc("pii_redact", "curation",
+      "Email/IP/phone redaction over the listed string fields (narrow, stream-safe).",
+      y("""pipeline:
+          |  - type: pii_redact
+          |    fields: [text]"""),
+      schemaKind = "documents", oracle = Seq("ml_pii_redact")),
+    StageDoc("hash_split", "curation",
+      "Content-addressed train/validation/test split — reproducible across engines and runs.",
+      y("""pipeline:
+          |  - type: hash_split
+          |    id_field: doc_id
+          |    train_pct: 80
+          |    valid_pct: 10"""),
+      schemaKind = "documents", oracle = Seq("ml_hash_split")),
+    StageDoc("weighted_sample", "curation",
+      "Per-source mixture sampling at configured rates (content-addressed, rate-nested across changes).",
+      y("""pipeline:
+          |  - type: weighted_sample
+          |    id_field: doc_id
+          |    strata_field: source
+          |    rates: {src0: 0.2, src1: 0.5}
+          |    default_rate: 0.65"""),
+      schemaKind = "documents", oracle = Seq("ml_weighted_sample")),
+    StageDoc("stratified_sample", "curation",
+      "Top-k rows per stratum (rank below the sort — plans as WindowGroupLimit).",
+      y("""pipeline:
+          |  - type: stratified_sample
+          |    id_field: doc_id
+          |    strata: [lang]
+          |    k: 100"""),
+      schemaKind = "documents", oracle = Seq("ml_stratified_sample")),
+    StageDoc("dedup_exact", "curation",
+      "Exact dedup on md5(text), min-id keeps — one shuffle on a 16-byte key.",
+      y("""pipeline:
+          |  - type: dedup_exact
+          |    id_field: doc_id
+          |    text_field: text"""),
+      schemaKind = "documents", oracle = Seq("ml_dedup_exact")),
+    StageDoc("dedup_near", "curation",
+      "MinHash-LSH near-dup keep-set (banded join + label propagation), edits caught without O(n²) pairs.",
+      y("""pipeline:
+          |  - type: dedup_near
+          |    id_field: doc_id
+          |    text_field: text
+          |    bands: 4
+          |    rows_per_band: 3
+          |    threshold: 0.5"""),
+      schemaKind = "documents", oracle = Seq("ml_neardup_keep")),
+    StageDoc("dedup_semantic", "curation",
+      "SemDeDup: k-means-cluster the embedding column, drop rows with a senior in-cluster neighbor at cosine ≥ threshold.",
+      y("""pipeline:
+          |  - type: dedup_semantic
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    clusters: 4
+          |    iters: 2
+          |    threshold: 0.9"""),
+      schemaKind = "embeddings", oracle = Seq("ml_semantic_keep")),
+    StageDoc("dedup_against", "curation",
+      "Incremental dedup vs a STATIC reference corpus (exact digests or MinHash near mode).",
+      y("""pipeline:
+          |  - type: dedup_against
+          |    id_field: doc_id
+          |    text_field: text
+          |    mode: exact
+          |    reference:
+          |      path: "/root/testdata/sf0.001/documents.parquet"
+          |      text_field: text"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_dedup_against", "ml_neardup_against")),
+    StageDoc("dedup_ingest", "curation",
+      "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
+      y("""pipeline:
+          |  - type: dedup_ingest
+          |    id_field: doc_id
+          |    text_field: text
+          |    store: "/tmp/graft-docs-ingest-keys""""),
+      schemaKind = "documents",
+      notes = "State = one 16-byte digest per distinct admitted text; bounded by corpus cardinality, not stream length."),
+    StageDoc("contamination_filter", "curation",
+      "Drop documents whose shingle overlap with a benchmark side table reaches the threshold (train/test-leak gate).",
+      y("""pipeline:
+          |  - type: contamination_filter
+          |    id_field: doc_id
+          |    text_field: text
+          |    shingle_k: 3
+          |    threshold: 0.5
+          |    benchmark:
+          |      path: "/root/testdata/sf0.001/documents.parquet"
+          |      text_field: text"""),
+      schemaKind = "documents", oracle = Seq("ml_contamination")),
+    StageDoc("pack_chunks", "curation",
+      "Sequence-packing layout (concat-and-chunk) via a distributed prefix sum — window partitioned by bucket, never global.",
+      y("""pipeline:
+          |  - type: pack_chunks
+          |    id_field: doc_id
+          |    ctx_len: 2048
+          |    buckets: 256"""),
+      schemaKind = "documents", oracle = Seq("ml_pack_chunks")),
+    StageDoc("chunk_spans", "curation",
+      "Sliding-window chunk spans per document (stream-safe, integer-exact).",
+      y("""pipeline:
+          |  - type: chunk_spans
+          |    size: 512
+          |    overlap: 64"""),
+      schemaKind = "documents", oracle = Seq("ml_chunk_spans")),
+    StageDoc("shuffle_layout", "curation",
+      "Deterministic shard-hash training layout (per-shard sort, one file per shard — never a global sort).",
+      y("""pipeline:
+          |  - type: shuffle_layout
+          |    id_field: doc_id
+          |    shards: 1024"""),
+      schemaKind = "documents", oracle = Seq("ml_shuffle_layout")),
+    StageDoc("quality_model", "curation",
+      "Score text with a TRAINED quality classifier (hashed-BoW features, literal weights — narrow codegen projection).",
+      y("""pipeline:
+          |  - type: quality_model
+          |    text_field: text
+          |    weights: [0.1, -0.2, 0.3, 0.05, -0.1, 0.2, 0.15, -0.05, 0.4]"""),
+      schemaKind = "documents", oracle = Seq("ml_classifier_margin")),
+    StageDoc("bpe_tokenize", "curation",
+      "Tokenize with trained BPE merges (inline or JSONL file) — the merge chain compiles to literal replaces.",
+      y("""pipeline:
+          |  - type: bpe_tokenize
+          |    text_field: text
+          |    merges: [[t, h], [th, e]]"""),
+      schemaKind = "documents", oracle = Seq("ml_bpe_merges", "ml_bpe_tokens")))
+
+  val all: Seq[StageDoc] = processors ++ relational ++ curation
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The documentation drift gate: every StageCatalog entry (the source
+  * of the generated `doc/` tree) must name a real stage type, compile
+  * its example YAML against a frame of its declared shape, and cite
+  * only oracle queries that exist. A doc page that stops compiling
+  * fails here before it can mislead a user.
+  */
+class StageCatalogSpec extends SparkSpec {
+
+  private def fixturesPresent =
+    new java.io.File("/root/reference/tests/testdata").isDirectory
+
+  private def frame(kind: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    kind match {
+      case "events" =>
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+            7L, "click", 1.5, "{}"),
+          (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"),
+            8L, "view", 2.5, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      case "documents" =>
+        Seq((1L, "alpha beta gamma delta", "en", "src0"),
+          (2L, "epsilon zeta eta theta", "en", "src1"))
+          .toDF("doc_id", "text", "lang", "source")
+      case "embeddings" =>
+        Seq((1L, Seq(1.0, 0.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0, 0.1)),
+          (3L, Seq(0.0, 1.0, 0.1, 0.0)), (4L, Seq(0.1, 0.9, 0.0, 0.0)))
+          .toDF("vec_id", "embedding")
+      case _ => spark.emptyDataFrame
+    }
+  }
+
+  test("catalog names cover the three dispatch tables, with no strays") {
+    val names = StageCatalog.all.map(_.name).toSet
+    assert(StageCatalog.all.map(_.name).distinct.size ==
+      StageCatalog.all.size, "duplicate catalog entries")
+    val rel = RelationalStages.stageTypes
+    val cur = CurationStages.stageTypes
+    assert(rel.subsetOf(names),
+      s"relational stages undocumented: ${(rel -- names).toSeq.sorted}")
+    assert(cur.subsetOf(names),
+      s"curation stages undocumented: ${(cur -- names).toSeq.sorted}")
+    // 31 reference processors + 7 relational + curation set
+    assert(StageCatalog.all.count(_.kind == "processor") == 31)
+    assert(names.filter(rel) == rel && names.filter(cur) == cur)
+  }
+
+  test("every documented example compiles (the pages cannot drift)") {
+    assume(fixturesPresent)
+    val prevBase = sys.props.get("graft.rule.base")
+    sys.props("graft.rule.base") = "/root/reference"
+    try {
+      val failures = StageCatalog.all.flatMap { d =>
+        try {
+          PipelineCompiler.compile(
+            RuleLoader.fromYaml(d.example))(frame(d.schemaKind))
+          None
+        } catch {
+          case e: Exception => Some(s"${d.name}: ${e.getMessage}")
+        }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally prevBase match {
+      case Some(b) => sys.props("graft.rule.base") = b
+      case None => sys.props.remove("graft.rule.base")
+    }
+  }
+
+  test("cited oracle queries exist in SparkEntry") {
+    val known = graft.SparkEntry.queries.keySet
+    val bad = StageCatalog.all.flatMap(d =>
+      d.oracle.filterNot(known).map(q => s"${d.name} cites unknown $q"))
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("generated doc tree matches the catalog (regenerate with runMain graft.Docs)") {
+    val docDir = new java.io.File("doc/stages")
+    assume(docDir.isDirectory) // first generation creates it
+    val pages = docDir.listFiles().map(_.getName).toSet
+    val expected = StageCatalog.all.map(_.name + ".md").toSet
+    assert(pages == expected,
+      s"stale: ${(pages -- expected).toSeq.sorted} " +
+        s"missing: ${(expected -- pages).toSeq.sorted}")
+  }
+}
