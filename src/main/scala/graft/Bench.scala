@@ -42,7 +42,11 @@ object Bench {
       "ml_repetition" -> GraftQueries.queries("ml_repetition"),
       // round-7 surface: the composed YAML curation pipeline (signals →
       // filter-DSL delete → exact dedup → split → mixture sample)
-      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"))
+      "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"),
+      // round-10 surfaces: positional exact-substring dedup and
+      // SemDeDup semantic dedup
+      "ml_dup_spans" -> GraftQueries.queries("ml_dup_spans"),
+      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>

@@ -82,6 +82,13 @@ object Recall {
     * codebooks, encode ONCE, then per query score codes via ADC and
     * compare to exact-L2 truth. Queries ride the driver (they are the
     * small side by definition); each is one TakeOrdered over the codes.
+    *
+    * Bound: the per-query loop schedules |queries| jobs per m — sized
+    * for a MEASUREMENT harness (tens of queries), not a serving path.
+    * A large query set should broadcast-join the query table against
+    * the codes instead (the [[Similarity.bruteForceTopK]] shape with
+    * per-query ADC lookup tables); the harness keeps the loop because
+    * per-query literal LUTs keep each scan in whole-stage codegen.
     */
   def pqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
                     queryRows: Seq[(Long, Seq[Double])], k: Int,

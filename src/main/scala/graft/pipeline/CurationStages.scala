@@ -43,7 +43,8 @@ object CurationStages {
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
-    "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest")
+    "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
+    "dedup_spans")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -56,7 +57,7 @@ object CurationStages {
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
-    "dedup_ingest")
+    "dedup_ingest", "dedup_spans")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -93,6 +94,12 @@ object CurationStages {
       case "bpe_tokenize" => bpeTokenize(pre, c)
       case "dedup_against" => dedupAgainst(pre, c)
       case "dedup_ingest" => dedupIngest(pre, c)
+      case "dedup_spans" =>
+        // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
+        // cut every token inside a corpus-duplicated substring of ≥
+        // min_tokens, all occurrences — whole-corpus by construction
+        Dedup.removeDupSpans(pre, idField(c, "dedup_spans"), textField(c),
+          k = int(c, "min_tokens", 8))
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }

@@ -491,6 +491,15 @@ object StageCatalog {
           |      text_field: text"""),
       schemaKind = "documents",
       oracle = Seq("ml_dedup_against", "ml_neardup_against")),
+    StageDoc("dedup_spans", "curation",
+      "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
+      y("""pipeline:
+          |  - type: dedup_spans
+          |    id_field: doc_id
+          |    text_field: text
+          |    min_tokens: 8"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_dup_spans", "ml_dup_spans_clean")),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:
