@@ -114,18 +114,27 @@ object Multimodal {
   private[ml] def parseAudio(b: Array[Byte]): Row = {
     if (b == null) null
     else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
-      // walk chunks: fmt_ carries the layout, data carries the payload
-      var off = 12
+      // walk chunks: fmt_ carries the layout, data carries the payload.
+      // Offsets advance in Long and every declared chunk length is
+      // bounds-checked BEFORE use — a malformed 32-bit length (e.g.
+      // 0xFFFFFFF8, whose truncated Int is negative) must yield null,
+      // not an infinite loop or a thrown index error (the per-row
+      // never-fail contract).
+      var off = 12L
       var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
       while (off + 8 <= b.length) {
-        val id = ascii(b, off, 4)
-        val len = le(b, off + 4, 4)
+        val id = ascii(b, off.toInt, 4)
+        val len = le(b, off.toInt + 4, 4) // unsigned 32-bit, 0..2^32-1
         if (id == "fmt " && off + 24 <= b.length) {
-          ch = le(b, off + 10, 2).toInt
-          rate = le(b, off + 12, 4).toInt
-          bits = le(b, off + 22, 2).toInt
+          ch = le(b, off.toInt + 10, 2).toInt
+          rate = le(b, off.toInt + 12, 4).toInt
+          bits = le(b, off.toInt + 22, 2).toInt
         } else if (id == "data") dataLen = len
-        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // advance in Long: len is non-negative by construction, so the
+        // cursor strictly moves and an oversized declared length simply
+        // ends the walk past b.length (the former Int truncation turned
+        // 0xFFFFFFF8 into -8 — a frozen cursor and a spinning task)
+        off += 8L + len + (len & 1L) // chunks are word-aligned
       }
       if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) null
       else {
@@ -133,7 +142,11 @@ object Multimodal {
         val n = if (block > 0) dataLen / block else 0L
         Row("wav", rate, ch, bits, n, if (rate > 0) n * 1000L / rate else 0L)
       }
-    } else if (ascii(b, 0, 4) == "fLaC" && b.length >= 26) {
+    } else if (ascii(b, 0, 4) == "fLaC" && b.length >= 26
+               && (b(4) & 0x7f) == 0) {
+      // block type must be STREAMINFO (0) — any other first block means
+      // the layout at offset 18 is NOT the packed stream word, and
+      // decoding it would be a guess, not a parse
       // METADATA_BLOCK_HEADER (4 bytes) + STREAMINFO: sample rate is 20
       // bits at byte offset 10 of STREAMINFO, channels-1 next 3 bits,
       // bits-1 next 5, total samples the following 36
@@ -251,9 +264,13 @@ object Multimodal {
       lit("64617461"),                  // "data"
       leHex(dataLen, 4),
       // silent payload: dataLen zero bytes (repeat() wants a literal
-      // count, so the hex pairs come from a transform over a sequence)
-      array_join(transform(sequence(lit(1), dataLen.cast("int")),
-        _ => lit("00")), ""))
+      // count, so the hex pairs come from a transform over a sequence).
+      // Guarded: sequence(1, 0) is DESCENDING [1, 0] in Spark, which
+      // would append two junk bytes to a zero-sample file.
+      when(dataLen > 0,
+        array_join(transform(sequence(lit(1), dataLen.cast("int")),
+          _ => lit("00")), ""))
+        .otherwise(lit("")))
     unhex(hexStr)
   }
 }

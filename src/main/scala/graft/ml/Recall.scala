@@ -138,15 +138,23 @@ object Recall {
     // true neighbors partly live in OTHER primary buckets, so the
     // recall curve interpolates between the clean-cluster bound (all
     // knobs saturate at 1.0) and the uniform worst case
+    // the secondary branch only exists when a weight is requested: at
+    // w=0 it would still MATCH and emit 0.0 where the cold floor is
+    // 0.05, silently giving every vector an id-dependent "dark block"
+    // and making the clean fixture not the documented one-block shape
+    val secondary =
+      if (secondaryWeight > 0)
+        s"""WHEN CAST(d DIV $block AS INT) =
+              CAST((id % $nClusters + 1 + (id DIV $nClusters)
+                    % ${nClusters - 1}) % $nClusters AS INT)
+            THEN ${secondaryWeight}d"""
+      else ""
     spark.range(nClusters.toLong * perCluster)
       .select(col("id").as("vec_id"),
         expr(s"""transform(sequence(0, ${dim - 1}), d ->
           (CASE WHEN CAST(d DIV $block AS INT) = CAST(id % $nClusters AS INT)
                 THEN 1.0
-                WHEN CAST(d DIV $block AS INT) =
-                  CAST((id % $nClusters + 1 + (id DIV $nClusters)
-                        % ${nClusters - 1}) % $nClusters AS INT)
-                THEN ${secondaryWeight}d
+                $secondary
                 ELSE 0.05 END)
           + 0.013d * CAST((id * 31 + d * 7) % 11 AS DOUBLE)
           + 0.003d * CAST((id * 13 + d * 5) % 23 AS DOUBLE))""")

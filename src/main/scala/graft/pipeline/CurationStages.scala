@@ -371,8 +371,21 @@ object CurationStages {
   // document admitted in micro-batch N is rejected in batch N+1
   // (`dedup_against` reads a static reference; this is the ingest-loop
   // form VERDICT r8 item 4 describes). State is the key store: one
-  // 16-byte digest per DISTINCT admitted text, bounded by corpus
-  // cardinality, never by stream length.
+  // (16-byte digest, batch id) row per DISTINCT admitted text, bounded
+  // by corpus cardinality, never by stream length.
+  //
+  // Replay safety: the append happens BEFORE the sink commits (the
+  // stage cannot see the sink), so a batch that fails downstream and
+  // is replayed by Structured Streaming would otherwise find its own
+  // keys in the store and silently drop every row. Keys are therefore
+  // stored WITH the batch id that admitted them
+  // (StreamRunner.currentBatchId — replays reuse the id), and the
+  // anti-join excludes keys written by the CURRENT batch id: a
+  // replayed attempt re-admits its own rows (at-least-once delivery
+  // preserved, nothing lost), while every other batch still dedups
+  // against them. In batch mode (graft.Curate) each invocation gets a
+  // fresh unique id, so keys from PREVIOUS runs always count — the
+  // cross-run ingest-loop semantics.
   //
   // Eager-settle ordering matters: the kept rows localCheckpoint
   // BEFORE the append. A lazy return frame would re-read the store at
@@ -383,6 +396,9 @@ object CurationStages {
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
     val spark = df.sparkSession
+    val bid = graft.streaming.StreamRunner.currentBatchId.value
+      .map(b => s"batch-$b")
+      .getOrElse("run-" + java.util.UUID.randomUUID().toString)
     val inBatch = Dedup.exact(df, textCol, id)
     val withKey = inBatch.withColumn("__h", md5(col(textCol)))
     // bootstrap: a store that does not exist yet is an empty key set
@@ -392,11 +408,14 @@ object CurationStages {
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     val kept = refKeys match {
       case Some(ks) =>
-        withKey.join(ks, col("__h") === col("h"), "left_anti")
+        withKey.join(
+          ks.filter(col("bid") =!= bid).select(col("h")),
+          col("__h") === col("h"), "left_anti")
       case None => withKey
     }
     val settled = kept.localCheckpoint(true)
     settled.select(col("__h").as("h")).distinct()
+      .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
     settled.drop("__h")
   }

@@ -25,6 +25,14 @@ import graft.pipeline.{PipelineCompiler, PipelineSpec}
   */
 object StreamRunner {
 
+  /** The foreachBatch batch id of the micro-batch currently compiling,
+    * for stages whose side effects must be keyed by attempt identity
+    * (Structured Streaming replays a batch under the SAME id after a
+    * failure; CurationStages.dedupIngest relies on that to stay
+    * replay-safe). None outside a streaming batch.
+    */
+  val currentBatchId = new scala.util.DynamicVariable[Option[Long]](None)
+
   /** Translate a reference `confluentkafka_input` `kafka_config` + topic
     * (connector/confluent_kafka/input.py:64-69 DEFAULTS, :238-308) into
     * Spark Kafka source options:
@@ -87,11 +95,17 @@ object StreamRunner {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         // error channel attaches for BOTH compile paths (no-op when the
         // instrumented compile already carries it) — an "errors" sink
-        // must never be silently dead because the metrics flag is off
-        val result = PipelineCompiler.withErrorChannel(compiled(batch))
+        // must never be silently dead because the metrics flag is off.
+        // The batch id is exposed to stages with replay-sensitive side
+        // effects (dedup_ingest keys its store appends by it: a
+        // replayed attempt of the SAME batch must re-admit its own
+        // rows, not find them "already seen" and lose them)
+        val result = StreamRunner.currentBatchId.withValue(Some(bid)) {
+          PipelineCompiler.withErrorChannel(compiled(batch))
+        }
         // per-micro-batch counters via observe — foreachBatch plans run
         // as batch queries, so these surface on the
         // QueryExecutionListener (MetricsRegistry.execListener), the

@@ -90,6 +90,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAudio(goldenFlac.take(12)) == null)
   }
 
+  test("malformed RIFF chunk length cannot freeze or crash the walk") {
+    // a chunk declaring length 0xFFFFFFF8: the former Int truncation
+    // made it -8, leaving the cursor frozen (infinite loop in an
+    // executor task); Long arithmetic must just end the walk → null
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .putInt(0)
+    assert(Multimodal.parseAudio(bb.array()) == null)
+  }
+
+  test("fLaC whose first block is not STREAMINFO is null, not a guess") {
+    val b = goldenFlac.clone()
+    b(4) = 0x01 // PADDING block type — bytes 18-25 are NOT the stream word
+    assert(Multimodal.parseAudio(b) == null)
+  }
+
+  test("wavBytes with zero samples is exactly the 44-byte header") {
+    val s = spark
+    import s.implicits._
+    val built = Seq(1).toDF("x")
+      .select(Multimodal.wavBytes(lit(8000), lit(1), lit(8), lit(0)).as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(built.length == 44, s"zero-sample WAV carried junk: ${built.length}")
+    val r = Multimodal.parseAudio(built)
+    assert(r != null && r.getLong(4) == 0L)
+  }
+
   test("expression-built WAV is byte-identical to the hand assembly") {
     val s = spark
     import s.implicits._

@@ -58,8 +58,18 @@ class StageCatalogSpec extends SparkSpec {
     try {
       val failures = StageCatalog.all.flatMap { d =>
         try {
+          // dedup_ingest's compile IS a run (it appends to its key
+          // store) — point the documented path at a fresh temp dir so
+          // the test neither leaks global /tmp state nor collides with
+          // a store another user/run left behind
+          val example =
+            if (d.example.contains("/tmp/graft-docs-ingest-keys"))
+              d.example.replace("/tmp/graft-docs-ingest-keys",
+                java.nio.file.Files.createTempDirectory("catalog-ingest")
+                  .toString + "/keys")
+            else d.example
           PipelineCompiler.compile(
-            RuleLoader.fromYaml(d.example))(frame(d.schemaKind))
+            RuleLoader.fromYaml(example))(frame(d.schemaKind))
           None
         } catch {
           case e: Exception => Some(s"${d.name}: ${e.getMessage}")

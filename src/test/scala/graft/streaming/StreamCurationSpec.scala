@@ -103,11 +103,59 @@ class StreamCurationSpec extends SparkSpec {
     q3.awaitTermination()
     assert(seen.sorted.toSeq == Seq(1L, 2L, 5L), s"after batch 3: $seen")
 
-    // state bounded: the store holds exactly one key per DISTINCT
-    // admitted text — 3 keys after 8 offered docs
+    // state bounded: the store holds exactly one (key, batch id) row
+    // per DISTINCT admitted text — 3 keys after 8 offered docs
     val keys = s.read.parquet(store)
-    assert(keys.columns.toSeq == Seq("h"))
+    assert(keys.columns.sorted.toSeq == Seq("bid", "h"))
     assert(keys.count() == 3L)
-    assert(keys.distinct().count() == 3L)
+    assert(keys.select("h").distinct().count() == 3L)
+  }
+
+  test("dedup_ingest: a replayed batch re-admits its own rows (no silent loss)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-replay").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var failFirst = true
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("doc_id").collect().map(_.getLong(0))
+      if (failFirst) { failFirst = false; sys.error("downstream sink down") }
+      seen.synchronized { seen ++= rows }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ck").toString
+
+    // attempt 1: the stage runs (keys APPENDED to the store), then the
+    // sink fails — the batch is uncommitted
+    mem.addData((1L, "replay me"), (2L, "other text"))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q1.awaitTermination() }
+    assert(seen.isEmpty, "failed attempt must not have delivered")
+
+    // attempt 2 from the same checkpoint: Structured Streaming replays
+    // the batch under the SAME id — its own stored keys must not
+    // swallow it (the batch-id-keyed anti-join)
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L),
+      s"replayed batch lost rows: $seen")
+
+    // and a LATER batch with the same text still dedups against it
+    mem.addData((3L, "replay me"))
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L), s"cross-batch dedup broke: $seen")
   }
 }
