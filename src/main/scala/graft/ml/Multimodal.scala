@@ -125,11 +125,17 @@ object Multimodal {
       while (off + 8 <= b.length) {
         val id = ascii(b, off.toInt, 4)
         val len = le(b, off.toInt + 4, 4) // unsigned 32-bit, 0..2^32-1
-        if (id == "fmt " && off + 24 <= b.length) {
+        // a chunk's fields are only trusted when its DECLARED length is
+        // plausible and its payload is actually present — a short fmt
+        // chunk must not read the next chunk's bytes as rate/channels,
+        // and a data chunk declaring 4 GiB over 0 real bytes must not
+        // become n_samples (well-formed or null, never a guess)
+        val payloadPresent = off + 8 + len <= b.length
+        if (id == "fmt " && len >= 16 && payloadPresent) {
           ch = le(b, off.toInt + 10, 2).toInt
           rate = le(b, off.toInt + 12, 4).toInt
           bits = le(b, off.toInt + 22, 2).toInt
-        } else if (id == "data") dataLen = len
+        } else if (id == "data" && payloadPresent) dataLen = len
         // advance in Long: len is non-negative by construction, so the
         // cursor strictly moves and an oversized declared length simply
         // ends the walk past b.length (the former Int truncation turned

@@ -378,34 +378,45 @@ object CurationStages {
   // stage cannot see the sink), so a batch that fails downstream and
   // is replayed by Structured Streaming would otherwise find its own
   // keys in the store and silently drop every row. Keys are therefore
-  // stored WITH the batch id that admitted them
-  // (StreamRunner.currentBatchId — replays reuse the id), and the
-  // anti-join excludes keys written by the CURRENT batch id: a
-  // replayed attempt re-admits its own rows (at-least-once delivery
-  // preserved, nothing lost), while every other batch still dedups
-  // against them. In batch mode (graft.Curate) each invocation gets a
-  // fresh unique id, so keys from PREVIOUS runs always count — the
-  // cross-run ingest-loop semantics.
+  // stored WITH the attempt token that admitted them
+  // (StreamRunner.currentBatchToken = checkpoint digest + batch id —
+  // replays reuse it, OTHER checkpoints' streams never collide on
+  // it), and the anti-join excludes keys written under the CURRENT
+  // token: a replayed attempt re-admits its own rows (at-least-once
+  // delivery preserved, nothing lost), while every other batch and
+  // every other stream still dedups against them. A replay appends
+  // only keys it has not already stored under its token, keeping the
+  // one-row-per-distinct-text state bound through retries. In batch
+  // mode (graft.Curate) each invocation gets a fresh unique token, so
+  // keys from PREVIOUS runs always count — the cross-run ingest-loop
+  // semantics. (Operator caveat: clearing a query's checkpoint while
+  // keeping its store restarts batch numbering under the same
+  // checkpoint digest; clear or compact the store with it.) Stores
+  // written by the pre-token layout (bare `h` column) are read as
+  // foreign keys (empty token ≠ any attempt) — an upgrade keeps
+  // dedup state without migration.
   //
   // Eager-settle ordering matters: the kept rows localCheckpoint
-  // BEFORE the append. A lazy return frame would re-read the store at
-  // sink time — after the append — and reject its own batch.
+  // BEFORE the append, and the append's own replay-dedupe plan (which
+  // reads the store) localCheckpoints before writing to it — a plan
+  // that reads the path it appends to is undefined behavior.
 
   private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val textCol = textField(c)
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
     val spark = df.sparkSession
-    val bid = graft.streaming.StreamRunner.currentBatchId.value
-      .map(b => s"batch-$b")
+    val bid = graft.streaming.StreamRunner.currentBatchToken.value
       .getOrElse("run-" + java.util.UUID.randomUUID().toString)
     val inBatch = Dedup.exact(df, textCol, id)
     val withKey = inBatch.withColumn("__h", md5(col(textCol)))
     // bootstrap: a store that does not exist yet is an empty key set
     // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
     val refKeys =
-      try Some(spark.read.parquet(store))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      (try Some(spark.read.parquet(store))
+       catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map(ks => if (ks.columns.contains("bid")) ks
+                   else ks.select(col("h"), lit("").as("bid")))
     val kept = refKeys match {
       case Some(ks) =>
         withKey.join(
@@ -414,7 +425,15 @@ object CurationStages {
       case None => withKey
     }
     val settled = kept.localCheckpoint(true)
-    settled.select(col("__h").as("h")).distinct()
+    val newKeys = settled.select(col("__h").as("h")).distinct()
+    // replay idempotence: skip keys this attempt already appended
+    val toAppend = refKeys match {
+      case Some(ks) =>
+        newKeys.join(ks.filter(col("bid") === bid).select(col("h")),
+          Seq("h"), "left_anti")
+      case None => newKeys
+    }
+    toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
     settled.drop("__h")

@@ -25,13 +25,23 @@ import graft.pipeline.{PipelineCompiler, PipelineSpec}
   */
 object StreamRunner {
 
-  /** The foreachBatch batch id of the micro-batch currently compiling,
-    * for stages whose side effects must be keyed by attempt identity
-    * (Structured Streaming replays a batch under the SAME id after a
-    * failure; CurationStages.dedupIngest relies on that to stay
-    * replay-safe). None outside a streaming batch.
+  /** Attempt-identity token of the micro-batch currently compiling,
+    * for stages whose side effects must be keyed by it
+    * (CurationStages.dedupIngest). Structured Streaming replays a
+    * failed batch under the same batch id WITHIN one checkpoint, and a
+    * bare batch id is reused by every OTHER checkpoint's stream too —
+    * so the token scopes the id by a checkpoint-path digest:
+    * stable across restarts/replays of one checkpointed query, unique
+    * across queries. None outside a streaming batch.
     */
-  val currentBatchId = new scala.util.DynamicVariable[Option[Long]](None)
+  val currentBatchToken = new scala.util.DynamicVariable[Option[String]](None)
+
+  private def batchToken(checkpoint: String, bid: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"ck$d-b$bid"
+  }
 
   /** Translate a reference `confluentkafka_input` `kafka_config` + topic
     * (connector/confluent_kafka/input.py:64-69 DEFAULTS, :238-308) into
@@ -99,13 +109,14 @@ object StreamRunner {
         // error channel attaches for BOTH compile paths (no-op when the
         // instrumented compile already carries it) — an "errors" sink
         // must never be silently dead because the metrics flag is off.
-        // The batch id is exposed to stages with replay-sensitive side
-        // effects (dedup_ingest keys its store appends by it: a
+        // The attempt token is exposed to stages with replay-sensitive
+        // side effects (dedup_ingest keys its store appends by it: a
         // replayed attempt of the SAME batch must re-admit its own
         // rows, not find them "already seen" and lose them)
-        val result = StreamRunner.currentBatchId.withValue(Some(bid)) {
-          PipelineCompiler.withErrorChannel(compiled(batch))
-        }
+        val result = StreamRunner.currentBatchToken
+          .withValue(Some(batchToken(checkpoint, bid))) {
+            PipelineCompiler.withErrorChannel(compiled(batch))
+          }
         // per-micro-batch counters via observe — foreachBatch plans run
         // as batch queries, so these surface on the
         // QueryExecutionListener (MetricsRegistry.execListener), the
@@ -198,8 +209,14 @@ object StreamRunner {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = PipelineCompiler.withErrorChannel(refresh.current()(batch))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // same attempt-token discipline as [[run]] — the hot-reload
+        // path is a production path, and dedup_ingest under it must be
+        // exactly as replay-safe (review r10 wave 2, finding 1)
+        val result = StreamRunner.currentBatchToken
+          .withValue(Some(batchToken(checkpoint, bid))) {
+            PipelineCompiler.withErrorChannel(refresh.current()(batch))
+          }
         sinks.get("main").foreach(_(graft.pipeline.Metrics.observed(result.main)))
         result.extra.foreach { case (name, df) =>
           sinks.get(name).foreach(_(df))

@@ -59,14 +59,16 @@ class StageCatalogSpec extends SparkSpec {
       val failures = StageCatalog.all.flatMap { d =>
         try {
           // dedup_ingest's compile IS a run (it appends to its key
-          // store) — point the documented path at a fresh temp dir so
-          // the test neither leaks global /tmp state nor collides with
-          // a store another user/run left behind
+          // store) — rewrite WHATEVER store path the example documents
+          // to a fresh temp dir, keyed on the stage name rather than a
+          // path literal so a future edit of the documented path cannot
+          // silently reintroduce shared global state
           val example =
-            if (d.example.contains("/tmp/graft-docs-ingest-keys"))
-              d.example.replace("/tmp/graft-docs-ingest-keys",
-                java.nio.file.Files.createTempDirectory("catalog-ingest")
-                  .toString + "/keys")
+            if (d.name == "dedup_ingest")
+              d.example.replaceAll("(?m)^(\\s*store:).*$",
+                "$1 \"" + java.nio.file.Files
+                  .createTempDirectory("catalog-ingest")
+                  .toString + "/keys\"")
             else d.example
           PipelineCompiler.compile(
             RuleLoader.fromYaml(example))(frame(d.schemaKind))

@@ -157,5 +157,78 @@ class StreamCurationSpec extends SparkSpec {
       Map("main" -> sink), ckpt, Trigger.AvailableNow())
     q3.awaitTermination()
     assert(seen.sorted.toSeq == Seq(1L, 2L), s"cross-batch dedup broke: $seen")
+
+    // replay-append idempotence: the failed attempt and the successful
+    // replay wrote the SAME batch's keys once, not twice — the state
+    // bound (one row per distinct admitted text) survives retries
+    val keys = s.read.parquet(store)
+    assert(keys.count() == keys.select("h").distinct().count(),
+      s"replay duplicated store keys: ${keys.collect().toSeq}")
+  }
+
+  test("dedup_ingest reads a pre-upgrade store (bare h column) without crashing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-legacy").toString + "/keys"
+    // legacy layout: keys only, no bid column (written by the pre-token
+    // stage version) — md5 of "known text"
+    Seq("known text").toDF("t")
+      .select(md5(col("t")).as("h"))
+      .write.parquet(store)
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("legacy-ck").toString
+    // the legacy key must still dedup; the new text must pass
+    mem.addData((1L, "known text"), (2L, "new text"))
+    val q = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(2L), s"legacy store handling: $seen")
+  }
+
+  test("dedup_ingest is replay-safe under the hot-reload runner too") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-refresh").toString + "/keys"
+    val yaml =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin
+    val refresh = new StreamRunner.ConfigRefresh(
+      () => RuleLoader.fromYaml(yaml), intervalSec = 3600)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var failFirst = true
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("doc_id").collect().map(_.getLong(0))
+      if (failFirst) { failFirst = false; sys.error("sink down") }
+      seen.synchronized { seen ++= rows }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("refresh-ck").toString
+    mem.addData((1L, "refresh replay text"))
+    val q1 = StreamRunner.runRefreshing(mem.toDF().toDF("doc_id", "text"),
+      refresh, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q1.awaitTermination() }
+    val q2 = StreamRunner.runRefreshing(mem.toDF().toDF("doc_id", "text"),
+      refresh, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L),
+      s"hot-reload replay lost or duplicated rows: $seen")
   }
 }
