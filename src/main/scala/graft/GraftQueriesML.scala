@@ -519,6 +519,52 @@ object GraftQueriesML {
             )) AS INT) AS n_bytes
             FROM documents"""))
 
+  // Video envelope round-trip: expression-built minimal MP4 (ftyp +
+  // moov/mvhd/trak/tkhd/mdia/hdlr), real ISO-BMFF box-walk parser, and
+  // the frame-sampling plumbing exercised on the parsed duration.
+  // DuckDB predicts every field from the same parameters; the absolute
+  // box layout (and parsing of realistic files with sibling boxes the
+  // builder does not emit) is pinned by golden bytes in MultimodalSpec.
+  private val mMultimodalVideo = Spec("ml_multimodal_video",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val ts = (lit(1000) * (col("doc_id") % 3 + 1)).cast("int")
+      val dur = (col("doc_id") % 5000 + 100).cast("int")
+      val w = (lit(160) * (col("doc_id") % 8 + 2)).cast("int")
+      val h = (lit(120) * (col("doc_id") % 8 + 2)).cast("int")
+      val mp4 = d.withColumn("payload", Multimodal.mp4Bytes(ts, dur, w, h))
+      val dec = Multimodal.decodeVideo(mp4, "payload")
+      // frame-sample plumbing: 30 fps assumed, every 10th frame, max 5
+      val nFrames = (col("video_features.duration_ms") * 30 / 1000)
+        .cast("int")
+      dec.select(col("doc_id"),
+        col("video_features.format").as("format"),
+        col("video_features.brand").as("brand"),
+        col("video_features.timescale").as("timescale"),
+        col("video_features.duration_ms").as("duration_ms"),
+        col("video_features.n_tracks").as("n_tracks"),
+        col("video_features.width").as("width"),
+        col("video_features.height").as("height"),
+        array_join(Multimodal.sampleFrameIndices(nFrames, 10, 5)
+          .cast("array<string>"), ",").as("frame_sample"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+              CAST(1000 * (doc_id % 3 + 1) AS INT) AS timescale,
+              (doc_id % 5000 + 100) AS dur,
+              CAST(160 * (doc_id % 8 + 2) AS INT) AS width,
+              CAST(120 * (doc_id % 8 + 2) AS INT) AS height
+            FROM documents),
+            m AS (SELECT *, CAST(dur * 1000 // timescale AS BIGINT)
+              AS duration_ms FROM p),
+            f AS (SELECT *, CAST(duration_ms * 30 // 1000 AS INT) AS nf
+              FROM m)
+            SELECT doc_id, 'mp4' AS format, 'isom' AS brand, timescale,
+              duration_ms, CAST(1 AS INT) AS n_tracks, width, height,
+              list_aggr(list_transform(
+                list_slice(range(0, greatest(nf - 1, 0) + 1, 10), 1, 5),
+                x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS frame_sample
+            FROM f"""))
+
   // ----------------------------------------------------------------------
   // corpus curation: repetition quality signals, deterministic splits,
   // stratified sampling (ml/Curation.scala)
@@ -1146,7 +1192,7 @@ object GraftQueriesML {
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mJaccardPairs, mNearDupKeep,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
-    mMultimodalAudio, mMultimodalPdf,
+    mMultimodalAudio, mMultimodalPdf, mMultimodalVideo,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean,

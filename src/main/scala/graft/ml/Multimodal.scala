@@ -236,6 +236,139 @@ object Multimodal {
     }(enc)
   }
 
+  // -------------------------------------------------------------------
+  // Video envelope: ISO-BMFF (MP4/MOV) box walk. Same doctrine as audio:
+  // the CONTAINER header is pure byte layout and gets a real parser
+  // (brand, movie timescale/duration, track count, video track
+  // dimensions from tkhd, handler type from trak/mdia/hdlr); only the
+  // codec payload (frame pixels) stays behind the stub contract.
+  // -------------------------------------------------------------------
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("brand", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Walk the ISO-BMFF boxes in `[start, end)`, invoking `f(type,
+    * payloadStart, payloadEnd)` per box. Returns false on a malformed
+    * layout (declared size smaller than its own header, or overrunning
+    * the window) — the caller must then yield a null envelope, never a
+    * guess. All cursor arithmetic is in Long: a 32-bit size of
+    * 0xFFFFFFFF stays positive and simply fails the bounds check (the
+    * RIFF walk's frozen-cursor lesson). size==1 → 64-bit largesize
+    * follows; size==0 → box extends to the end of the window.
+    */
+  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long) => Unit): Boolean = {
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val size32 = be(b, off.toInt, 4)
+      val typ = ascii(b, off.toInt + 4, 4)
+      var header = 8L
+      var size = size32
+      if (size32 == 1L && off + 16 <= end) {
+        size = be(b, off.toInt + 8, 8); header = 16L
+      } else if (size32 == 0L) size = end - off
+      // a negative 64-bit largesize (top bit set) is < header and fails
+      if (size < header || off + size > end) ok = false
+      else { f(typ, off + header, off + size); off += size }
+    }
+    ok
+  }
+
+  /** Parse one MP4/ISO-BMFF container header. Recognition rule: the
+    * first box must be `ftyp` (the de-facto requirement for modern
+    * files). Extracted: major brand, movie timescale + duration (mvhd
+    * v0/v1), track count, and the FIRST video track's presentation
+    * width/height (tkhd 16.16 fixed point, track declared `vide` by
+    * its trak/mdia/hdlr handler). Any malformed box layout anywhere in
+    * the walk yields null — well-formed or null, never a guess.
+    */
+  private[ml] def parseMp4(b: Array[Byte]): Row = {
+    if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp") return null
+    var bad = false
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var vidW: Integer = null
+    var vidH: Integer = null
+    val ok = walkBoxes(b, 0L, b.length.toLong) { (typ, ps, pe) =>
+      typ match {
+        case "ftyp" =>
+          if (brand == null && pe - ps >= 4) brand = ascii(b, ps.toInt, 4)
+        case "moov" =>
+          val okMoov = walkBoxes(b, ps, pe) { (t2, qs, qe) =>
+            t2 match {
+              case "mvhd" =>
+                val v = if (qe - qs >= 1) b(qs.toInt) & 0xff else -1
+                if (v == 0 && qe - qs >= 20) {
+                  timescale = be(b, qs.toInt + 12, 4)
+                  duration = be(b, qs.toInt + 16, 4)
+                } else if (v == 1 && qe - qs >= 32) {
+                  timescale = be(b, qs.toInt + 20, 4)
+                  duration = be(b, qs.toInt + 24, 8)
+                } else bad = true
+              case "trak" =>
+                nTracks += 1
+                var w = -1; var h = -1; var isVideo = false
+                val okTrak = walkBoxes(b, qs, qe) { (t3, rs, re) =>
+                  t3 match {
+                    case "tkhd" =>
+                      val v = if (re - rs >= 1) b(rs.toInt) & 0xff else -1
+                      val wOff = if (v == 1) 88 else 76
+                      if ((v == 0 || v == 1) && re - rs >= wOff + 8) {
+                        w = (be(b, rs.toInt + wOff, 4) >>> 16).toInt
+                        h = (be(b, rs.toInt + wOff + 4, 4) >>> 16).toInt
+                      } else bad = true
+                    case "mdia" =>
+                      val okMdia = walkBoxes(b, rs, re) { (t4, ss, se) =>
+                        if (t4 == "hdlr" && se - ss >= 12
+                            && ascii(b, ss.toInt + 8, 4) == "vide")
+                          isVideo = true
+                      }
+                      if (!okMdia) bad = true
+                    case _ => ()
+                  }
+                }
+                if (!okTrak) bad = true
+                if (isVideo && vidW == null && w >= 0) { vidW = w; vidH = h }
+              case _ => ()
+            }
+          }
+          if (!okMoov) bad = true
+        case _ => ()
+      }
+    }
+    if (!ok || bad || brand == null || timescale <= 0 || duration < 0) null
+    else Row("mp4", brand, timescale.toInt, duration * 1000L / timescale,
+      nTracks, vidW, vidH)
+  }
+
+  /** Batched video-envelope extraction (real ISO-BMFF box walk, see
+    * [[parseMp4]]): input columns + `video_features` struct.
+    */
+  def decodeVideo(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("video_features", videoFeatureSchema))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ parseMp4(bytes))
+      }
+    }(enc)
+  }
+
   // ---- expression-side WAV builder (for the oracle round-trip) -------
 
   private def leHex(v: Column, nBytes: Int): Column =
@@ -277,6 +410,69 @@ object Multimodal {
         array_join(transform(sequence(lit(1), dataLen.cast("int")),
           _ => lit("00")), ""))
         .otherwise(lit("")))
+    unhex(hexStr)
+  }
+
+  // ---- expression-side MP4 builder (for the oracle round-trip) -------
+
+  private def beHex(v: Column, nBytes: Int): Column =
+    concat((nBytes - 1 to 0 by -1).map(i =>
+      lpad(lower(hex(shiftrightunsigned(v.cast("long"), 8 * i) % 256)),
+        2, "0")): _*)
+
+  /** Unity transform matrix (tkhd/mvhd): 0x00010000 diagonals, 0x40000000
+    * in the w position — 36 bytes as hex.
+    */
+  private val matrixHex =
+    "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
+  /** Canonical minimal MP4: `ftyp(isom)` + `moov(mvhd + trak(tkhd +
+    * mdia(hdlr 'vide')))`, built ENTIRELY from Catalyst expressions.
+    * Every box is fixed-size (ftyp 20, mvhd 108, tkhd 92, hdlr 33,
+    * mdia 41, trak 141, moov 257 — 277 bytes total), so the size words
+    * are constants and only timescale/duration/width/height vary per
+    * row. The absolute byte layout is pinned separately by golden
+    * hand-assembled bytes in MultimodalSpec (including a realistic
+    * variant with sibling boxes the builder does NOT emit), so the
+    * oracle round-trip gates real-MP4 parsing, not self-inversion.
+    */
+  def mp4Bytes(timescale: Column, duration: Column, width: Column,
+               height: Column): Column = {
+    val hexStr = concat(
+      // ftyp (20): major 'isom', minor 0x200, compatible 'isom'
+      lit("00000014" + "66747970" + "69736f6d" + "00000200" + "69736f6d"),
+      // moov (257)
+      lit("00000101" + "6d6f6f76"),
+      //   mvhd (108) v0
+      lit("0000006c" + "6d766864" + "00000000"   // ver/flags
+        + "00000000" + "00000000"),              // creation, modification
+      beHex(timescale, 4),
+      beHex(duration, 4),
+      lit("00010000" + "0100" + "0000"           // rate 1.0, volume, reserved
+        + "0000000000000000"                     // reserved[2]
+        + matrixHex
+        + "000000000000000000000000000000000000000000000000" // pre_defined
+        + "00000002"),                           // next_track_ID
+      //   trak (141)
+      lit("0000008d" + "7472616b"),
+      //     tkhd (92) v0, flags=7 (enabled|in-movie|in-preview)
+      lit("0000005c" + "746b6864" + "00000007"
+        + "00000000" + "00000000"                // creation, modification
+        + "00000001" + "00000000"),              // track_ID, reserved
+      beHex(duration, 4),
+      lit("0000000000000000"                     // reserved[2]
+        + "0000" + "0000" + "0000" + "0000"      // layer, alt, volume, reserved
+        + matrixHex),
+      beHex(width, 2), lit("0000"),              // 16.16 fixed width
+      beHex(height, 2), lit("0000"),             // 16.16 fixed height
+      //     mdia (41) > hdlr (33) 'vide'
+      lit("00000029" + "6d646961"
+        + "00000021" + "68646c72" + "00000000"   // ver/flags
+        + "00000000" + "76696465"                // pre_defined, handler
+        + "000000000000000000000000"             // reserved[3]
+        + "00"))                                 // empty name (NUL)
     unhex(hexStr)
   }
 }

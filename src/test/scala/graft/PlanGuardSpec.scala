@@ -36,7 +36,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
     "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
     "ml_embed_pq_encode", "ml_classifier_margin", "ml_multimodal_decode",
-    "ml_multimodal_audio", "ml_multimodal_pdf",
+    "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",
     // driver-side merge table (computed before the plan; the result is
     // a parallelized literal) and the merge-application projection
     "ml_bpe_merges", "ml_bpe_tokens",

@@ -132,6 +132,155 @@ class MultimodalSpec extends SparkSpec {
         s"${built.toSeq.zip(goldenWav.toSeq).indexWhere(t => t._1 != t._2)}")
   }
 
+  // -- ISO-BMFF (MP4) golden bytes ------------------------------------
+
+  private def beInt(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vs.foreach(bb.putInt); bb.array()
+  }
+  private def beShort(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 * vs.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vs.foreach(v => bb.putShort(v.toShort)); bb.array()
+  }
+  private def beLong(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * vs.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vs.foreach(bb.putLong); bb.array()
+  }
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(8 + body.length).put(fourcc(typ)).put(body)
+    bb.array()
+  }
+  private val unityMatrix = beInt(0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+    0x40000000)
+
+  private def hdlrBox(handler: String, name: String = ""): Array[Byte] =
+    mp4Box("hdlr", beInt(0, 0), fourcc(handler), new Array[Byte](12),
+      name.getBytes("US-ASCII") :+ 0.toByte)
+
+  private def tkhdV0(trackId: Int, dur: Int, w: Int, h: Int): Array[Byte] =
+    mp4Box("tkhd", beInt(0x7, 0, 0, trackId, 0, dur), beLong(0L),
+      beShort(0, 0, 0, 0), unityMatrix, beInt(w << 16, h << 16))
+
+  /** A REALISTIC file the expression builder does NOT emit: mp42 brand
+    * with two compatible brands, a free box, v1 mvhd (64-bit times),
+    * the SOUND track first (its tkhd says 0×0 — the parser must not
+    * take dimensions from it), the video track second with mdhd and a
+    * named hdlr as siblings, and a trailing largesize (size==1 +
+    * 64-bit) mdat. 90 kHz timescale, duration 630000 → 7000 ms.
+    */
+  private def goldenMp4: Array[Byte] = {
+    val mvhdV1 = mp4Box("mvhd",
+      Array[Byte](1, 0, 0, 0),           // version 1, flags 0
+      beLong(0L, 0L),                    // creation, modification (64-bit)
+      beInt(90000), beLong(630000L),     // timescale, duration (64-bit)
+      beInt(0x10000), beShort(0x0100, 0), beLong(0L),
+      unityMatrix, beInt(0, 0, 0, 0, 0, 0), beInt(3))
+    val mdhd = mp4Box("mdhd", beInt(0, 0, 0, 90000, 630000), beShort(0x55c4, 0))
+    val sounTrak = mp4Box("trak", tkhdV0(1, 630000, 0, 0),
+      mp4Box("mdia", mdhd, hdlrBox("soun", "SoundHandler")))
+    val videTrak = mp4Box("trak", tkhdV0(2, 630000, 1280, 720),
+      mp4Box("mdia", mdhd, hdlrBox("vide", "VideoHandler"),
+        mp4Box("minf")))
+    val moov = mp4Box("moov", mvhdV1, sounTrak, videTrak)
+    val ftyp = mp4Box("ftyp", fourcc("mp42"), beInt(0),
+      fourcc("mp42"), fourcc("isom"))
+    val free = mp4Box("free", new Array[Byte](8))
+    val mdatPayload = new Array[Byte](24)
+    val mdat = java.nio.ByteBuffer.allocate(16 + 24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(1).put(fourcc("mdat")).putLong(16L + 24)
+      .put(mdatPayload).array()
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  test("golden MP4: v1 mvhd, handler-selected video dims, largesize mdat") {
+    val r = Multimodal.parseMp4(goldenMp4)
+    assert(r != null)
+    assert(r.getString(0) == "mp4" && r.getString(1) == "mp42")
+    assert(r.getInt(2) == 90000 && r.getLong(3) == 7000L)
+    assert(r.getInt(4) == 2, s"track count: $r")
+    assert(r.getInt(5) == 1280 && r.getInt(6) == 720,
+      s"dims must come from the vide track, not the first trak: $r")
+  }
+
+  test("MP4 with only a sound track: parses with null dimensions") {
+    val moov = mp4Box("moov",
+      mp4Box("mvhd", beInt(0, 0, 0, 1000, 5000, 0x10000),
+        beShort(0x0100, 0), beLong(0L), unityMatrix,
+        beInt(0, 0, 0, 0, 0, 0), beInt(2)),
+      mp4Box("trak", tkhdV0(1, 5000, 0, 0),
+        mp4Box("mdia", hdlrBox("soun"))))
+    val ftyp = mp4Box("ftyp", fourcc("isom"), beInt(0x200), fourcc("isom"))
+    val r = Multimodal.parseMp4(ftyp ++ moov)
+    assert(r != null)
+    assert(r.getLong(3) == 5000L && r.getInt(4) == 1)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("malformed MP4 layouts yield null, never a frozen walk or throw") {
+    assert(Multimodal.parseMp4(null) == null)
+    assert(Multimodal.parseMp4("not a movie".getBytes) == null)
+    assert(Multimodal.parseMp4(goldenMp4.take(30)) == null) // truncated ftyp tail ok, moov cut
+    // declared box size smaller than its own header (frozen-cursor bait)
+    val tiny = mp4Box("ftyp", fourcc("isom"), beInt(0), fourcc("isom"))
+    val badSize = tiny ++ beInt(4) ++ fourcc("moov")
+    assert(Multimodal.parseMp4(badSize) == null)
+    // box declaring 0xFFFFFFFF bytes over a short payload
+    val overrun = tiny ++ beInt(-1) ++ fourcc("moov") ++ new Array[Byte](8)
+    assert(Multimodal.parseMp4(overrun) == null)
+    // mvhd payload shorter than its declared version needs
+    val shortMvhd = tiny ++ mp4Box("moov", mp4Box("mvhd", beInt(0, 0)))
+    assert(Multimodal.parseMp4(shortMvhd) == null)
+    // mdat-first file: recognition requires ftyp as the opening box
+    assert(Multimodal.parseMp4(mp4Box("mdat", new Array[Byte](16))) == null)
+  }
+
+  test("expression-built MP4 is byte-identical to the hand assembly") {
+    val s = spark
+    import s.implicits._
+    val built = Seq(1).toDF("x")
+      .select(Multimodal.mp4Bytes(lit(2000), lit(3000), lit(640), lit(480))
+        .as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    val mvhd = mp4Box("mvhd", beInt(0, 0, 0, 2000, 3000, 0x10000),
+      beShort(0x0100, 0), beLong(0L), unityMatrix,
+      beInt(0, 0, 0, 0, 0, 0), beInt(2))
+    val trak = mp4Box("trak", tkhdV0(1, 3000, 640, 480),
+      mp4Box("mdia", hdlrBox("vide")))
+    val hand = mp4Box("ftyp", fourcc("isom"), beInt(0x200), fourcc("isom")) ++
+      mp4Box("moov", mvhd, trak)
+    assert(built.length == hand.length,
+      s"length ${built.length} vs hand ${hand.length}")
+    assert(built.toSeq == hand.toSeq,
+      s"expression bytes diverge from spec assembly at index " +
+        s"${built.toSeq.zip(hand.toSeq).indexWhere(t => t._1 != t._2)}")
+    val r = Multimodal.parseMp4(built)
+    assert(r != null && r.getInt(2) == 2000 && r.getLong(3) == 1500L
+      && r.getInt(5) == 640 && r.getInt(6) == 480)
+  }
+
+  test("decodeVideo: batched kernel attaches the feature struct") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, goldenMp4), (2L, "junk bytes".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeVideo(df, "payload")
+      .select(col("id"), col("video_features.brand"),
+        col("video_features.width"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toMap
+    assert(out(1L) == (Some("mp42"), Some(1280)))
+    assert(out(2L) == (None, None))
+  }
+
   test("decodeAudio/decodeDocs: batched kernels attach feature structs") {
     val s = spark
     import s.implicits._
