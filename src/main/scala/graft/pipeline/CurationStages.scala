@@ -401,7 +401,32 @@ object CurationStages {
   // reads the store) localCheckpoints before writing to it — a plan
   // that reads the path it appends to is undefined behavior.
 
-  private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
+  private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame =
+    str(c, "mode", "exact") match {
+      case "exact" => dedupIngestExact(df, c)
+      case "near" => dedupIngestNear(df, c)
+      case other => throw new IllegalArgumentException(
+        s"dedup_ingest: unknown mode `$other` (exact | near)")
+    }
+
+  /** Read the growing key store, tolerating bootstrap (no store yet →
+    * None) and layout evolution: pre-token stores gain an empty `bid`
+    * (foreign keys ≠ any attempt), exact-mode stores read by near mode
+    * gain a null `sig`. mergeSchema because an upgraded store holds
+    * files of both layouts.
+    */
+  private def readIngestStore(spark: org.apache.spark.sql.SparkSession,
+                              store: String): Option[DataFrame] =
+    (try Some(spark.read.option("mergeSchema", "true").parquet(store))
+     catch { case _: org.apache.spark.sql.AnalysisException => None })
+      .map { ks0 =>
+        val ks = if (ks0.columns.contains("bid")) ks0
+                 else ks0.withColumn("bid", lit(""))
+        if (ks.columns.contains("sig")) ks
+        else ks.withColumn("sig", lit(null).cast("array<bigint>"))
+      }
+
+  private def dedupIngestExact(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val textCol = textField(c)
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
@@ -412,11 +437,7 @@ object CurationStages {
     val withKey = inBatch.withColumn("__h", md5(col(textCol)))
     // bootstrap: a store that does not exist yet is an empty key set
     // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
-    val refKeys =
-      (try Some(spark.read.parquet(store))
-       catch { case _: org.apache.spark.sql.AnalysisException => None })
-        .map(ks => if (ks.columns.contains("bid")) ks
-                   else ks.select(col("h"), lit("").as("bid")))
+    val refKeys = readIngestStore(spark, store)
     val kept = refKeys match {
       case Some(ks) =>
         withKey.join(
@@ -436,6 +457,137 @@ object CurationStages {
     toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
+    settled.drop("__h")
+  }
+
+  // Near mode (`mode: near`): the growing store additionally keeps the
+  // n-component MinHash signature of every admitted document, and a
+  // batch row is rejected when EITHER its exact digest is stored OR an
+  // LSH band match — against the store, or against a SENIOR
+  // (smaller-id) row of its own batch — verifies at ≥
+  // ceil(threshold·n) matching signature components. Signature
+  // agreement is the streaming-safe estimate of n-gram Jaccard
+  // (E[agreement] = Jaccard): verifying against stored SHINGLE SETS
+  // would make state document-sized, while the signature keeps state
+  // at n longs + one digest per distinct admitted text. Short rows
+  // (< shingle_k tokens) carry no signature and are only ever
+  // exact-deduped. The in-batch sweep is the semanticKeep convention —
+  // one senior-neighbor pass, no transitive clustering. Oversized band
+  // buckets (> max_bucket across both sides) are exempted wholesale
+  // before the joins (the minhashPairs cap). Replay safety is
+  // dedupIngestExact's token discipline, unchanged.
+  private def dedupIngestNear(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val textCol = textField(c)
+    val id = idField(c, "dedup_ingest")
+    val store = reqStr(c, "store", "dedup_ingest")
+    val bands = int(c, "bands", 4)
+    val rpb = int(c, "rows_per_band", 3)
+    val k = int(c, "shingle_k", 3)
+    val threshold = dbl(c, "threshold", 0.8)
+    val maxBucket = int(c, "max_bucket", 4096)
+    val n = bands * rpb
+    val minMatch = math.ceil(threshold * n).toInt
+    val spark = df.sparkSession
+    val bid = graft.streaming.StreamRunner.currentBatchToken.value
+      .getOrElse("run-" + java.util.UUID.randomUUID().toString)
+
+    val inBatch = Dedup.exact(df, textCol, id)
+    val withKey = inBatch.withColumn("__h", md5(col(textCol)))
+    val refKeys = readIngestStore(spark, store)
+
+    // compact batch signatures: id + ONE long array (the store layout)
+    val sigs = Dedup.minhashSignatures(
+      inBatch.filter(size(Dedup.tokens(col(textCol))) >= k),
+      id, textCol, n, k)
+      .select(col("id"),
+        array((0 until n).map(i => col(s"mh$i")): _*).as("sig"))
+      .persist()
+
+    def explodeBands(t: DataFrame, idC: String): DataFrame = {
+      val keys = (0 until bands).map { b =>
+        concat_ws("_",
+          (0 until rpb).map(r => element_at(col("sig"), b * rpb + r + 1)): _*)
+      }
+      t.select(col(idC), posexplode(array(keys: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    }
+
+    val refSigs = refKeys.map(_
+      .filter(col("bid") =!= bid && col("sig").isNotNull)
+      .select(col("h").as("rh"), col("sig").as("rsig")).persist())
+
+    val batchBanded = explodeBands(sigs, "id")
+    val refBanded = refSigs.map(r =>
+      explodeBands(r.withColumnRenamed("rsig", "sig"), "rh"))
+
+    val oversized = refBanded
+      .map(r => batchBanded.select("band", "band_key")
+        .union(r.select("band", "band_key")))
+      .getOrElse(batchBanded.select("band", "band_key"))
+      .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("band", "band_key")
+    val cappedBatch = batchBanded.join(broadcast(oversized),
+      Seq("band", "band_key"), "left_anti")
+
+    // signature agreement between the candidate's `sig` and `rsig`
+    val agree = aggregate(
+      zip_with(col("sig"), col("rsig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+    // juniors with a verified senior neighbor IN THIS BATCH
+    val sigsSenior = sigs.select(col("id").as("__sid"), col("sig").as("rsig"))
+    val dropInBatch = cappedBatch.alias("l")
+      .join(cappedBatch.alias("r"),
+        col("l.band") === col("r.band")
+          && col("l.band_key") === col("r.band_key")
+          && col("l.id") > col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("__sid")).distinct()
+      .join(sigs, Seq("id")).join(sigsSenior, Seq("__sid"))
+      .filter(agree >= minMatch).select(col("id")).distinct()
+
+    // batch rows with a verified neighbor in the STORE
+    val dropVsStore = (refBanded, refSigs) match {
+      case (Some(rb), Some(rs)) =>
+        val cappedRef = rb.join(broadcast(oversized),
+          Seq("band", "band_key"), "left_anti")
+        Some(cappedBatch.join(cappedRef, Seq("band", "band_key"))
+          .select(col("id"), col("rh")).distinct()
+          .join(sigs, Seq("id")).join(rs, Seq("rh"))
+          .filter(agree >= minMatch).select(col("id")).distinct())
+      case _ => None
+    }
+    val nearDrop = dropVsStore
+      .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
+
+    val exactKept = refKeys match {
+      case Some(ks) =>
+        withKey.join(ks.filter(col("bid") =!= bid).select(col("h")),
+          col("__h") === col("h"), "left_anti")
+      case None => withKey
+    }
+    val kept = exactKept.join(
+      nearDrop.withColumnRenamed("id", "__drop"),
+      col(id) === col("__drop"), "left_anti")
+    val settled = kept.localCheckpoint(true)
+
+    // append admitted (digest, signature) pairs; replay-token skip as
+    // in exact mode. The left join keeps short (signature-less) rows'
+    // digests in the store with a null sig.
+    val newKeys = settled.select(col(id).as("id"), col("__h").as("h"))
+      .join(sigs, Seq("id"), "left")
+      .select(col("h"), col("sig")).distinct()
+    val toAppend = refKeys match {
+      case Some(ks) =>
+        newKeys.join(ks.filter(col("bid") === bid).select(col("h")),
+          Seq("h"), "left_anti")
+      case None => newKeys
+    }
+    toAppend.localCheckpoint(true)
+      .withColumn("bid", lit(bid))
+      .write.mode("append").parquet(store)
+    sigs.unpersist()
+    refSigs.foreach(_.unpersist())
     settled.drop("__h")
   }
 

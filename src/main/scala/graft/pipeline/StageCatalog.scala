@@ -506,9 +506,14 @@ object StageCatalog {
           |  - type: dedup_ingest
           |    id_field: doc_id
           |    text_field: text
-          |    store: "/tmp/graft-docs-ingest-keys""""),
+          |    store: "/tmp/graft-docs-ingest-keys"
+          |    mode: near          # exact (default) | near
+          |    bands: 4
+          |    rows_per_band: 3
+          |    shingle_k: 3
+          |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
-      notes = "State = one 16-byte digest per distinct admitted text; bounded by corpus cardinality, not stream length."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard."),
     StageDoc("contamination_filter", "curation",
       "Drop documents whose shingle overlap with a benchmark side table reaches the threshold (train/test-leak gate).",
       y("""pipeline:

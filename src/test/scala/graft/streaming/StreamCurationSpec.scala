@@ -231,4 +231,105 @@ class StreamCurationSpec extends SparkSpec {
     assert(seen.sorted.toSeq == Seq(1L),
       s"hot-reload replay lost or duplicated rows: $seen")
   }
+
+  test("dedup_ingest mode near: fuzzy rejection against the growing store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-near").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |    mode: near
+         |    threshold: 0.5
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("near-ck").toString
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the warm windowsill in the late afternoon sun"
+    val edited = base.replace("late afternoon", "early morning") // near-dup
+    val other = "completely different content about distributed query " +
+      "engines shuffling compact signatures across a thousand executors"
+
+    // batch 1: base + an IN-BATCH near-dup junior (dropped) + short row
+    mem.addData((1L, base), (2L, edited), (3L, "hi"))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L),
+      s"batch 1 (junior near-dup must drop, short row must pass): $seen")
+
+    // batch 2: another edit of the admitted text (fuzzy cross-batch
+    // reject — NOT an exact match), a genuinely new text, and an EXACT
+    // replay of the short row (exact path still applies to short rows)
+    val edited2 = base.replace("warm windowsill", "cold doorstep")
+    mem.addData((4L, edited2), (5L, other), (6L, "hi"))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 5L),
+      s"batch 2 (fuzzy cross-batch reject + exact short reject): $seen")
+
+    // state: one (digest, signature) row per distinct admitted text;
+    // the short row's digest rides with a null signature
+    val keys = s.read.parquet(store)
+    assert(keys.columns.sorted.toSeq == Seq("bid", "h", "sig"))
+    assert(keys.count() == 3L, s"store rows: ${keys.collect().toSeq}")
+    assert(keys.filter(col("sig").isNull).count() == 1L)
+    assert(keys.select("h").distinct().count() == 3L)
+  }
+
+  test("dedup_ingest mode near: an exact-mode store upgrades in place") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-upgrade").toString + "/keys"
+    val exactYaml =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin
+    val nearYaml = exactYaml + "    mode: near\n    threshold: 0.5\n"
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+
+    // batch 1 under EXACT mode: digests only, no signatures
+    val text = "an exact era document admitted before the near upgrade " +
+      "carrying enough tokens to have had a signature if one were kept"
+    mem.addData((1L, text))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"),
+      RuleLoader.fromYaml(exactYaml), Map("main" -> sink),
+      java.nio.file.Files.createTempDirectory("up-ck1").toString,
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+
+    // batch 2 under NEAR mode: the exact replay still rejects (digest
+    // path), and a new doc is admitted WITH a signature — mixed-layout
+    // store reads fine thereafter
+    mem.addData((2L, text), (3L, "a brand new near era document with its " +
+      "own distinct content and signature"))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"),
+      RuleLoader.fromYaml(nearYaml), Map("main" -> sink),
+      java.nio.file.Files.createTempDirectory("up-ck2").toString,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L), s"upgrade path: $seen")
+    val keys = s.read.option("mergeSchema", "true").parquet(store)
+    assert(keys.count() == 2L)
+    assert(keys.filter(col("sig").isNotNull).count() == 1L,
+      "near-mode admission must store its signature")
+  }
 }
