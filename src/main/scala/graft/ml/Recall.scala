@@ -79,17 +79,21 @@ object Recall {
       .limit(k)
 
   /** PQ recall curve over subquantizer counts `ms`: for each m, train
-    * codebooks, encode ONCE, then per query score codes via ADC and
-    * compare to exact-L2 truth. Queries ride the driver (they are the
-    * small side by definition); each is one TakeOrdered over the codes.
+    * codebooks, encode ONCE, then score codes via ADC and compare to
+    * exact-L2 truth. Queries ride the driver (they are the small side
+    * by definition).
     *
-    * Bound: the per-query loop schedules |queries| jobs per m — sized
-    * for a MEASUREMENT harness (tens of queries), not a serving path.
-    * A large query set should broadcast-join the query table against
-    * the codes instead (the [[Similarity.bruteForceTopK]] shape with
-    * per-query ADC lookup tables); the harness keeps the loop because
-    * per-query literal LUTs keep each scan in whole-stage codegen.
+    * Two scoring shapes, chosen by query-set size: up to
+    * [[BatchQueryThreshold]] queries, one TakeOrdered per query with
+    * its LUT as a folded literal (whole-stage codegen, the measurement
+    * harness's case); above it, ONE job via
+    * [[Similarity.pqAdcTopKBatch]] — the per-query LUTs broadcast as a
+    * table and every query scores in the same scan (the former
+    * per-query loop scheduled |queries| jobs per m, the r8-documented
+    * bound).
     */
+  val BatchQueryThreshold = 64
+
   def pqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
                     queryRows: Seq[(Long, Seq[Double])], k: Int,
                     ms: Seq[Int], pqK: Int = 16,
@@ -107,10 +111,14 @@ object Recall {
       val codes = corpus.select(col(idCol).as("id"),
         Similarity.pqEncode(col(vecCol), books).as("codes")).persist()
       codes.count()
-      val approx = queryRows.map { case (qid, qvec) =>
-        pqTopK(codes, "id", "codes", qvec, books, k)
-          .select(lit(qid).as("qid"), col("id"))
-      }.reduce(_ unionAll _)
+      val approx =
+        if (queryRows.length > BatchQueryThreshold)
+          Similarity.pqAdcTopKBatch(codes, "id", "codes", queryRows,
+            books, k).select(col("qid"), col("id"))
+        else queryRows.map { case (qid, qvec) =>
+          pqTopK(codes, "id", "codes", qvec, books, k)
+            .select(lit(qid).as("qid"), col("id"))
+        }.reduce(_ unionAll _)
       val r = recallAtK(truth, approx)
       codes.unpersist(blocking = false)
       m -> r

@@ -443,6 +443,45 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Batched ADC top-k: ONE broadcast of a (qid, lut) table — each
+    * query's m×k' lookup table computed on the driver and flattened to
+    * a single array, `lut[j·k' + c]` — joined against the codes table;
+    * every (query, row) pair costs the same m lookups as
+    * [[pqAdcScore]] but the whole query set is one job, not |queries|
+    * scheduled TakeOrdereds. This is the shape a LARGE query set rides
+    * (the per-query-literal form keeps its place for small sets, where
+    * literal LUTs fold into whole-stage codegen). Top-k per qid via
+    * the bruteForceTopK window (partitioned by qid — never global).
+    */
+  def pqAdcTopKBatch(codes: DataFrame, idCol: String, codesCol: String,
+                     queryRows: Seq[(Long, Seq[Double])],
+                     books: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val kk = books.head.length
+    val subdim = books.head.head.length
+    val luts = queryRows.map { case (qid, q) =>
+      (qid, books.zipWithIndex.flatMap { case (book, j) =>
+        val qs = q.slice(j * subdim, (j + 1) * subdim)
+        book.map(c => c.zip(qs).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+      })
+    }
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val lutDf = luts.toDF("qid", "__lut")
+    val score = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("__lut"), (j * kk + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+    val scored = codes.crossJoin(broadcast(lutDf))
+      .select(col("qid"), col(idCol).as("id"), score.as("d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).drop("rank", "__lut")
+  }
+
   /** The reconstruction a code array stands for (driver-side helper for
     * verification and re-ranking).
     */

@@ -106,4 +106,31 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getSeq[Int](0))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("batched ADC top-k equals the per-query TakeOrdered loop") {
+    val books = Similarity.pqTrain(vecs, "vec_id", "embedding", m, k,
+      iters = 2)
+    val codes = vecs.select(col("vec_id").as("id"),
+      Similarity.pqEncode(col("embedding"), books).as("codes"))
+    val queryRows: Seq[(Long, Seq[Double])] = (0 until 5).map(i =>
+      (100L + i, (0 until dim).map(d => 0.2 * i - 0.4 + 0.05 * d): Seq[Double]))
+    val topK = 6
+    val looped = queryRows.flatMap { case (qid, q) =>
+      Recall.pqTopK(codes, "id", "codes", q, books, topK)
+        .select(lit(qid).as("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    val batched = Similarity.pqAdcTopKBatch(codes, "id", "codes",
+      queryRows, books, topK)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batched == looped,
+      s"batched ADC diverged: only-batched=${batched -- looped} " +
+        s"only-looped=${looped -- batched}")
+    // ONE broadcast join, no per-query jobs: the plan must carry a
+    // BroadcastExchange of the LUT table and a qid-partitioned window
+    val plan = Similarity.pqAdcTopKBatch(codes, "id", "codes",
+      queryRows, books, topK).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
 }
