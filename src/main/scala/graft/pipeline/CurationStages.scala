@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ml.{CorpusStats, Curation, Dedup, TextAnalysis}
+import graft.ml.{CorpusStats, Curation, Dedup, Multimodal, TextAnalysis}
 
 /** Training-data curation as first-class pipeline stages: the `graft.ml`
   * operator families (dedup, quality signals, splits, sampling,
@@ -44,7 +44,7 @@ object CurationStages {
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
-    "dedup_spans")
+    "dedup_spans", "media_envelope")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -94,6 +94,7 @@ object CurationStages {
       case "bpe_tokenize" => bpeTokenize(pre, c)
       case "dedup_against" => dedupAgainst(pre, c)
       case "dedup_ingest" => dedupIngest(pre, c)
+      case "media_envelope" => mediaEnvelope(pre, c)
       case "dedup_spans" =>
         // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
         // cut every token inside a corpus-duplicated substring of ≥
@@ -589,6 +590,29 @@ object CurationStages {
     sigs.unpersist()
     refSigs.foreach(_.unpersist())
     settled.drop("__h")
+  }
+
+  // ---- media_envelope ------------------------------------------------
+  //
+  // Multimodal envelope extraction as a pipeline stage: attach the
+  // typed `<kind>_features` struct parsed from an opaque binary column
+  // ([[graft.ml.Multimodal]] — real container-header parsers for
+  // audio/doc/video, the stubbed batched pixel kernel for image).
+  // Narrow (batched mapPartitions), stream-safe; malformed or
+  // non-binary payloads yield null structs, never failed batches.
+
+  private def mediaEnvelope(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val f = reqStr(c, "bytes_field", "media_envelope")
+    require(df.columns.contains(f),
+      s"media_envelope: no `$f` column in [${df.columns.mkString(", ")}]")
+    str(c, "kind", "image") match {
+      case "image" => Multimodal.decodeImages(df, f)
+      case "audio" => Multimodal.decodeAudio(df, f)
+      case "doc" => Multimodal.decodeDocs(df, f)
+      case "video" => Multimodal.decodeVideo(df, f)
+      case other => throw new IllegalArgumentException(
+        s"media_envelope: unknown kind `$other` (image | audio | doc | video)")
+    }
   }
 
   // ---- quality_model -------------------------------------------------

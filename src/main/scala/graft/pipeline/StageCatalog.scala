@@ -19,7 +19,7 @@ final case class StageDoc(
     kind: String,          // processor | relational | curation
     summary: String,
     example: String,       // complete `pipeline:` YAML document
-    schemaKind: String = "any",     // any | events | documents | embeddings
+    schemaKind: String = "any",     // any | events | documents | embeddings | media
     oracle: Seq[String] = Nil,      // oracle queries gating the semantics
     notes: String = "")
 
@@ -514,6 +514,16 @@ object StageCatalog {
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
       notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard."),
+    StageDoc("media_envelope", "curation",
+      "Attach a typed `<kind>_features` struct parsed from an opaque binary column: real audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF) container-header parsers; batched stub kernel for image pixels.",
+      y("""pipeline:
+          |  - type: media_envelope
+          |    bytes_field: payload
+          |    kind: video         # image | audio | doc | video"""),
+      schemaKind = "media",
+      oracle = Seq("ml_multimodal_decode", "ml_multimodal_audio",
+        "ml_multimodal_pdf", "ml_multimodal_video"),
+      notes = "Narrow and stream-safe (batched mapPartitions - a real decoder amortizes its init per task, never per row). Malformed or unrecognized headers yield null structs, never failed jobs."),
     StageDoc("contamination_filter", "curation",
       "Drop documents whose shingle overlap with a benchmark side table reaches the threshold (train/test-leak gate).",
       y("""pipeline:

@@ -515,4 +515,61 @@ class CurationStagesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dedup_events"))
   }
+
+  test("media_envelope stage: typed feature structs from binary payloads") {
+    val s = spark
+    import s.implicits._
+    // a real 44-byte WAV header (the MultimodalSpec golden layout) and
+    // a payload no parser recognizes
+    val wav = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(16000 * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(0)
+      bb.array()
+    }
+    val df = Seq((1L, wav), (2L, "junk".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val out = run(
+      """pipeline:
+        |  - type: media_envelope
+        |    bytes_field: payload
+        |    kind: audio
+        |""".stripMargin, df)
+    val rows = out.orderBy("doc_id")
+      .select(col("doc_id"), col("audio_features.format"),
+        col("audio_features.sample_rate")).collect()
+    assert(rows(0).getString(1) == "wav" && rows(0).getInt(2) == 16000)
+    assert(rows(1).isNullAt(1), "unrecognized payload must yield null")
+    // stream-safe: the stage is narrow and runs inside a stream
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData((1L, wav))
+    val streamOut = PipelineCompiler.compile(RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: media_envelope
+        |    bytes_field: payload
+        |    kind: audio
+        |""".stripMargin))(mem.toDF().toDF("doc_id", "payload")).main
+    assert(streamOut.isStreaming)
+    val q = streamOut.writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("media_stream")
+      .select(col("audio_features.sample_rate")).head().getInt(0) == 16000)
+    // misconfiguration fails loudly at compile time
+    val e1 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: media_envelope\n    bytes_field: nope\n", df)
+    }
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: media_envelope\n    bytes_field: payload\n" +
+        "    kind: hologram\n", df)
+    }
+    assert(e2.getMessage.contains("hologram"))
+  }
 }

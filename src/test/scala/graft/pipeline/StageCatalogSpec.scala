@@ -32,6 +32,10 @@ class StageCatalogSpec extends SparkSpec {
         Seq((1L, Seq(1.0, 0.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0, 0.1)),
           (3L, Seq(0.0, 1.0, 0.1, 0.0)), (4L, Seq(0.1, 0.9, 0.0, 0.0)))
           .toDF("vec_id", "embedding")
+      case "media" =>
+        Seq((1L, "not a real container".getBytes("US-ASCII")),
+          (2L, Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload")
       case _ => spark.emptyDataFrame
     }
   }
