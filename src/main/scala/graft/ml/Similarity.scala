@@ -459,34 +459,174 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val kk = books.head.length
-    val subdim = books.head.head.length
-    val luts = queryRows.map { case (qid, q) =>
-      (qid, books.zipWithIndex.flatMap { case (book, j) =>
-        val qs = q.slice(j * subdim, (j + 1) * subdim)
-        book.map(c => c.zip(qs).map { case (a, b) =>
-          (a - b) * (a - b) }.sum)
-      })
-    }
+    val luts = queryRows.map { case (qid, q) => (qid, flatAdcLut(q, books)) }
     val spark = codes.sparkSession
     import spark.implicits._
     val lutDf = luts.toDF("qid", "__lut")
-    val score = aggregate(
-      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(col("__lut"), (j * kk + c + 1).cast("int"))),
-      lit(0.0), _ + _)
     val scored = codes.crossJoin(broadcast(lutDf))
-      .select(col("qid"), col(idCol).as("id"), score.as("d2"))
+      .select(col("qid"), col(idCol).as("id"),
+        adcLutScore(col(codesCol), col("__lut"), m, kk).as("d2"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).drop("rank", "__lut")
   }
 
+  /** Flattened ADC lookup table for one query vector (driver-side,
+    * m·k' doubles): `lut(j·k' + c) = ||q_j − books(j)(c)||²`.
+    */
+  private def flatAdcLut(q: Seq[Double],
+                         books: Seq[Seq[Seq[Double]]]): Seq[Double] = {
+    val subdim = books.head.head.length
+    books.zipWithIndex.flatMap { case (book, j) =>
+      val qs = q.slice(j * subdim, (j + 1) * subdim)
+      book.map(c => c.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+  }
+
+  /** ADC score of a code array against a flattened-LUT column: m
+    * element lookups, codegen'd array lambdas.
+    */
+  private def adcLutScore(codes: Column, lut: Column, m: Int,
+                          kk: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(lut, (j * kk + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+
   /** The reconstruction a code array stands for (driver-side helper for
     * verification and re-ranking).
     */
   def pqDecode(codes: Seq[Int], books: Seq[Seq[Seq[Double]]]): Seq[Double] =
     codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the combined coarse + product quantizer (Jégou et al. 2011
+  // §IV, IVFADC) — the architecture a 100 TB ANN corpus actually
+  // ships. The coarse L2 quantizer partitions the corpus; PQ codes
+  // store each vector's RESIDUAL against its bucket centroid; search
+  // reads only the probed partitions' codes. IO is bounded by
+  // nprobe/C of the index, memory by m bytes/vector, and the original
+  // vectors are never read at query time because they are never
+  // stored.
+  // ------------------------------------------------------------------
+
+  /** The bucket's centroid as a column: ONE `typedlit` plan reference
+    * for the whole centroid table (never a per-element literal tree —
+    * the CosineArgMaxExpr lesson).
+    */
+  private def centroidAt(bucket: Column,
+                         centroids: Seq[Seq[Double]]): Column =
+    element_at(typedlit(centroids.map(_.toSeq)), (bucket + 1).cast("int"))
+
+  /** Train SHARED residual codebooks for an IVF-PQ index: every
+    * vector's residual against its L2-assigned coarse centroid feeds
+    * the same distributed k-means as [[pqTrain]] (shared books are the
+    * standard choice — per-bucket books multiply model size by C for
+    * marginal gain). One residual projection deep; the corpus is
+    * scanned exactly as often as pqTrain scans it.
+    */
+  def ivfPqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Seq[Double]], m: Int, k: Int,
+                 iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val v = col(vecCol).cast("array<double>")
+    val b = assignNearestL2(v, centroids)
+    val res = corpus.select(col(idCol),
+      zip_with(v, centroidAt(b, centroids), (x, y) => x - y).as("__res"))
+    pqTrain(res, idCol, "__res", m, k, iters)
+  }
+
+  /** Write an IVF-PQ index: bucket-partitioned parquet of (id, codes)
+    * where codes are the residual PQ codes — m small ints per vector,
+    * vectors NOT stored. A malformed vector (wrong dim / null
+    * elements) gets a null bucket and null codes: it lands in the
+    * default partition and never matches a probe, surfacing in an
+    * audit scan rather than poisoning search results.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    val v = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol), v.as("__v"),
+        assignNearestL2(v, centroids).as("bucket"))
+      .select(col(idCol), col("bucket"),
+        pqEncode(zip_with(col("__v"),
+          centroidAt(col("bucket"), centroids), (x, y) => x - y), books)
+          .as("codes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  private def l2Driver(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Query a written IVF-PQ index: the probe set and the per-probe
+    * RESIDUAL lookup tables (`q − c_b` against the shared books)
+    * compute on the driver — nprobe·m·k' doubles — the scan prunes to
+    * the probed bucket partitions at planning, and each surviving row
+    * scores with m lookups on its code array. The score is exact
+    * squared L2 to the row's reconstruction (bucket centroid +
+    * decoded residual): the IVFADC estimator.
+    */
+  def ivfPqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, query: Seq[Double],
+                    centroids: Seq[Seq[Double]],
+                    books: Seq[Seq[Seq[Double]]], k: Int,
+                    nprobe: Int = 1): DataFrame = {
+    val m = books.length
+    val kk = books.head.length
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (l2Driver(query, c), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    import spark.implicits._
+    val luts = probes.map { b =>
+      (b, flatAdcLut(query.zip(centroids(b))
+        .map { case (a, c) => a - c }, books))
+    }.toDF("bucket", "__lut")
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .join(broadcast(luts), Seq("bucket"))
+      .select(col(idCol),
+        adcLutScore(col("codes"), col("__lut"), m, kk).as("d2"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batched IVF-PQ search: ONE job for a whole query set. The
+    * (qid, bucket, lut) probe table — |queries|·nprobe rows —
+    * broadcasts against the partition-pruned scan (the union of all
+    * probed buckets), each (query, row) pair costs m lookups, and the
+    * qid-partitioned window takes top-k. The serving-path shape for
+    * large query sets, mirroring [[pqAdcTopKBatch]].
+    */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, queryRows: Seq[(Long, Seq[Double])],
+                     centroids: Seq[Seq[Double]],
+                     books: Seq[Seq[Seq[Double]]], k: Int,
+                     nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.length
+    val kk = books.head.length
+    val probeRows = queryRows.flatMap { case (qid, q) =>
+      centroids.zipWithIndex
+        .sortBy { case (c, i) => (l2Driver(q, c), i) }
+        .take(math.max(1, nprobe))
+        .map { case (c, b) =>
+          (qid, b, flatAdcLut(q.zip(c).map { case (a, x) => a - x }, books))
+        }
+    }
+    val allBuckets = probeRows.map(_._2).distinct
+    import spark.implicits._
+    val luts = probeRows.toDF("qid", "bucket", "__lut")
+    val scored = spark.read.parquet(path)
+      .filter(col("bucket").isin(allBuckets: _*))
+      .join(broadcast(luts), Seq("bucket"))
+      .select(col("qid"), col(idCol).as("id"),
+        adcLutScore(col("codes"), col("__lut"), m, kk).as("d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).drop("rank", "__lut")
+  }
 
   /** IVF top-k: assign each query to its `nprobe` best buckets, search only
     * corpus rows in those buckets. Exactness degrades gracefully (standard
