@@ -127,6 +127,42 @@ object Recall {
     curve
   }
 
+  /** IVF-PQ recall curve: recall@k vs exact L2 truth for each nprobe at
+    * fixed (m, k') — the probe-width trade of the COMBINED index
+    * ([[Similarity.ivfPqWriteIndex]]), which compounds IVF's missed
+    * buckets with PQ's quantization error. Trains residual books, writes
+    * a real bucket-partitioned index to a temp dir (the measurement runs
+    * the same pruned-scan path production runs), and scores every nprobe
+    * with ONE batched job ([[Similarity.ivfPqTopKBatch]]). Coarse
+    * centroids come from the caller — on near-unit-norm corpora the
+    * cosine-trained [[Similarity.trainCentroids]] output serves as the
+    * L2 coarse quantizer.
+    */
+  def ivfPqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+                       queryRows: Seq[(Long, Seq[Double])],
+                       centroids: Seq[Seq[Double]], k: Int, m: Int,
+                       pqK: Int, nprobes: Seq[Int],
+                       iters: Int = 3): Seq[(Int, Double)] = {
+    if (queryRows.isEmpty) return nprobes.map(_ -> 0.0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queries = queryRows.toDF("qid_src", "qvec")
+    val truth = bruteForceTopKL2(corpus, idCol, vecCol,
+      queries, "qid_src", "qvec", k).persist()
+    truth.count()
+    val books = Similarity.ivfPqTrain(corpus, idCol, vecCol,
+      centroids, m, pqK, iters)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-recall").toString
+    Similarity.ivfPqWriteIndex(corpus, idCol, vecCol, centroids, books, dir)
+    val curve = nprobes.map { np =>
+      np -> recallAtK(truth, Similarity.ivfPqTopKBatch(spark, dir, idCol,
+        queryRows, centroids, books, k, np))
+    }
+    truth.unpersist(blocking = false)
+    curve
+  }
+
   /** Deterministic structure-bearing corpus for the recall harness: each
     * cluster owns a `dim/nClusters` block of hot dimensions plus a
     * deterministic jitter on every dimension, so intra-cluster cosine is
@@ -201,6 +237,10 @@ object Recall {
       ms = Seq(4, 8, 16, 32))
     println(s"PQ/ADC recall@$k (k'=16): " +
       pq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
+    val ipq = ivfPqRecallCurve(emb, "vec_id", "embedding", queryRows,
+      cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids))
+    println(s"IVFPQ recall@$k (C=$nCentroids, m=8, k'=16): " +
+      ipq.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
 
     // clustered fixtures: clean (the easy bound — every knob should
     // saturate) and mixed (secondary topic block — the realistic curve)
@@ -222,6 +262,10 @@ object Recall {
         ms = Seq(4, 8, 16, 32))
       println(s"$label PQ/ADC recall@$k (k'=16): " +
         clPq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
+      val clIpq = ivfPqRecallCurve(cl, "vec_id", "embedding", clQueryRows,
+        clCs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids))
+      println(s"$label IVFPQ recall@$k (C=$nCentroids, m=8, k'=16): " +
+        clIpq.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
       cl.unpersist(blocking = false)
     }
     spark.stop()

@@ -92,4 +92,32 @@ class RecallSpec extends SparkSpec {
       s"PQ m=8 on clustered data should beat the uniform-corpus floor: $curve")
     cl.unpersist(blocking = false)
   }
+
+  test("clustered corpus: IVF-PQ curve is monotone and beats IVF-alone floors at full probe") {
+    val s = spark
+    import s.implicits._
+    val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 50, dim = 64).persist()
+    cl.count()
+    val qs = cl.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val cs = Similarity.trainCentroids(cl, "vec_id", "embedding",
+      k = 8, iters = 4)
+    val curve = Recall.ivfPqRecallCurve(cl, "vec_id", "embedding",
+      qs, cs, k, m = 8, pqK = 16, nprobes = Seq(1, 2, 8), iters = 2)
+    val byNp = curve.toMap
+    // monotone in nprobe (within one measurement point of slack: PQ
+    // error is fixed, probing can only add candidates)
+    assert(byNp(1) <= byNp(2) + 1e-9 && byNp(2) <= byNp(8) + 1e-9,
+      s"curve must be monotone: $curve")
+    // at full probe the only loss left is quantization — the PQ m=8
+    // clustered floor applies
+    assert(byNp(8) >= 0.6,
+      s"full-probe IVF-PQ = PQ-only loss, floor 0.6: $curve")
+    // one probe on clustered data still finds most of the home cluster
+    // through the quantized metric
+    assert(byNp(1) >= 0.5, s"nprobe=1 IVF-PQ floor: $curve")
+    cl.unpersist(blocking = false)
+  }
 }
