@@ -141,8 +141,8 @@ object Recall {
   def ivfPqRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
                        queryRows: Seq[(Long, Seq[Double])],
                        centroids: Seq[Seq[Double]], k: Int, m: Int,
-                       pqK: Int, nprobes: Seq[Int],
-                       iters: Int = 3): Seq[(Int, Double)] = {
+                       pqK: Int, nprobes: Seq[Int], iters: Int = 3,
+                       refine: Int = 0): Seq[(Int, Double)] = {
     if (queryRows.isEmpty) return nprobes.map(_ -> 0.0)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -156,8 +156,13 @@ object Recall {
       .createTempDirectory("ivfpq-recall").toString
     Similarity.ivfPqWriteIndex(corpus, idCol, vecCol, centroids, books, dir)
     val curve = nprobes.map { np =>
-      np -> recallAtK(truth, Similarity.ivfPqTopKBatch(spark, dir, idCol,
-        queryRows, centroids, books, k, np))
+      val approx =
+        if (refine > 0)
+          Similarity.ivfPqTopKRefined(spark, dir, corpus, idCol, vecCol,
+            queryRows, centroids, books, k, np, refine)
+        else Similarity.ivfPqTopKBatch(spark, dir, idCol,
+          queryRows, centroids, books, k, np)
+      np -> recallAtK(truth, approx)
     }
     truth.unpersist(blocking = false)
     curve
@@ -241,6 +246,10 @@ object Recall {
       cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids))
     println(s"IVFPQ recall@$k (C=$nCentroids, m=8, k'=16): " +
       ipq.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+    val ipqR = ivfPqRecallCurve(emb, "vec_id", "embedding", queryRows,
+      cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids), refine = 4)
+    println(s"IVFPQ+R recall@$k (C=$nCentroids, m=8, k'=16, refine=4): " +
+      ipqR.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
 
     // clustered fixtures: clean (the easy bound — every knob should
     // saturate) and mixed (secondary topic block — the realistic curve)

@@ -500,6 +500,40 @@ object Similarity {
   def pqDecode(codes: Seq[Int], books: Seq[Seq[Seq[Double]]]): Seq[Double] =
     codes.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
 
+  /** ADC shortlist + exact re-rank (IVFADC+R): take k·refine candidates
+    * per query from the codes-only index, fetch ONLY those rows'
+    * vectors from the corpus (the shortlist — |queries|·k·refine rows —
+    * broadcasts against the corpus scan), score exact squared L2, keep
+    * top-k. The production refinement pattern: index IO stays nprobe/C
+    * of the codes, the vector fetch is bounded by the shortlist rather
+    * than the corpus, and quantization-noise displacement (the
+    * non-monotone uniform tail recorded in BASELINE.md) disappears for
+    * every neighbor the shortlist covers.
+    */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+                       path: String, corpus: DataFrame, idCol: String,
+                       vecCol: String, queryRows: Seq[(Long, Seq[Double])],
+                       centroids: Seq[Seq[Double]],
+                       books: Seq[Seq[Seq[Double]]], k: Int,
+                       nprobe: Int = 1, refine: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = ivfPqTopKBatch(spark, path, idCol, queryRows,
+      centroids, books, k * math.max(1, refine), nprobe)
+      .select(col("qid"), col("id"))
+    import spark.implicits._
+    val queries = queryRows.toDF("qid", "qvec")
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__vec"))
+      .join(broadcast(short), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"),
+        l2Sq(col("__vec"), col("qvec")).as("d2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).drop("rank", "__vec")
+  }
+
   // ------------------------------------------------------------------
   // IVF-PQ: the combined coarse + product quantizer (Jégou et al. 2011
   // §IV, IVFADC) — the architecture a 100 TB ANN corpus actually

@@ -139,4 +139,32 @@ class IvfPqSpec extends SparkSpec {
     assert(got.toSet == brute.toSet, s"got=$got brute=$brute")
     assert(got.head == brute.head, s"top-1: got=${got.head} brute=${brute.head}")
   }
+
+  test("exact re-rank (IVFADC+R): shortlist covering the probes reproduces brute force exactly") {
+    // coarse m=4/k'=4 books — DELIBERATELY lossy, so the unrefined ADC
+    // ordering diverges; the re-rank must still reproduce brute-force
+    // L2 exactly because the shortlist (k·refine = 30 ≥ corpus) covers
+    // every candidate and the final scoring reads true vectors
+    val books = Similarity.ivfPqTrain(corpus, "vec_id", "embedding",
+      centroids, m, kk, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq4").toString
+    Similarity.ivfPqWriteIndex(corpus, "vec_id", "embedding",
+      centroids, books, dir)
+    val queryRows: Seq[(Long, Seq[Double])] = Seq(
+      200L -> Seq(0.9, 0.2, 0.1, 0.01, 0.02, 0.0, 0.0, 0.01),
+      201L -> Seq(0.1, 0.8, 0.2, 0.0, 0.03, 0.01, 0.0, 0.0))
+    val got = Similarity.ivfPqTopKRefined(spark, dir, corpus,
+      "vec_id", "embedding", queryRows, centroids, books,
+      k = 10, nprobe = centroids.length, refine = 3)
+      .orderBy(col("qid"), col("d2"), col("id"))
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val all = corpus.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    queryRows.foreach { case (qid, q) =>
+      val brute = all.map { case (id, v) => (id, l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qid) == brute, s"qid=$qid got=${got(qid)} brute=$brute")
+    }
+  }
 }
