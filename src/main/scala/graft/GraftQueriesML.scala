@@ -414,6 +414,35 @@ object GraftQueriesML {
             + stop_score*0.3 + word_score*0.2, 6) AS quality FROM c"""
     })
 
+  // Pretraining text cleanup: the query CONSTRUCTS messy text per row
+  // (HTML wrapper, tab, entities including the &amp;lt; double-decode
+  // trap, a combining-accent sequence NFC must compose, a BEL control
+  // char, trailing spaces), the engine cleans it, and DuckDB predicts
+  // the result through the same pipeline (nfc_normalize + replace
+  // chain in the SAME order — &amp; last).
+  private val mTextNormalize = Spec("ml_text_normalize",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val messy = concat(
+        lit("<p class=\"x\">"), col("text"),
+        lit("</p>\t&amp;lt; kept &lt;3 &quot;q&quot; e\u0301 \u0007 end  "))
+      d.select(col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("clean"))
+    },
+    Some("""SELECT doc_id, trim(regexp_replace(nfc_normalize(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(
+                  '<p class="x">' || text || '</p>' || chr(9) ||
+                  '&amp;lt; kept &lt;3 &quot;q&quot; e' || chr(769) ||
+                  ' ' || chr(7) || ' end  ',
+                  '<[^>]*>', ' ', 'g'),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+              '&amp;', '&')),
+              '\s+', ' ', 'g')) AS clean
+            FROM documents"""))
+
   private val mTokenCount = Spec("ml_token_count",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1191,7 +1220,8 @@ object GraftQueriesML {
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mJaccardPairs, mNearDupKeep,
-    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount, mMultimodal,
+    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
+    mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,

@@ -95,6 +95,43 @@ object TextAnalysis {
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable under formatting noise; the cheap exact-dup key.
     */
+  /** Unicode normalization via the native codegen expression
+    * ([[graft.functions.UnicodeNormalizeExpr]]) — no builtin exists and
+    * a UDF would break whole-stage codegen in the cleanup hot path.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.UnicodeNormalizeExpr(
+      GraftSqlBridge.expression(text.cast("string")), form))
+  }
+
+  /** HTML entities the cleanup decodes, in APPLICATION ORDER: `&amp;`
+    * must decode LAST or "&amp;lt;" double-decodes to "<" instead of
+    * the literal "&lt;" the author wrote. `&nbsp;` maps to a plain
+    * space deliberately (cleanup semantics — a U+00A0 would survive
+    * the whitespace collapse and fragment tokenization downstream).
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Pretraining text cleanup — the normalization pass every web-scale
+    * corpus pipeline runs before signals/dedup/tokenization: strip HTML
+    * tags, drop control characters, decode the common HTML entities,
+    * Unicode-NFC normalize (native kernel), collapse whitespace, trim.
+    * One narrow codegen'd projection; scan speed at any corpus size.
+    */
+  def normalizeText(text: Column): Column = {
+    val noHtml = regexp_replace(text, "<[^>]*>", " ")
+    val noCtl = regexp_replace(noHtml,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val decoded = htmlEntities.foldLeft(noCtl) { case (c, (k, v)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(k), v)
+    }
+    val nfc = unicodeNormalize(decoded)
+    trim(regexp_replace(nfc, "\\s+", " "))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), """\s+""", " "))
 }

@@ -44,7 +44,7 @@ object CurationStages {
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
-    "dedup_spans", "media_envelope")
+    "dedup_spans", "media_envelope", "text_normalize")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -95,6 +95,7 @@ object CurationStages {
       case "dedup_against" => dedupAgainst(pre, c)
       case "dedup_ingest" => dedupIngest(pre, c)
       case "media_envelope" => mediaEnvelope(pre, c)
+      case "text_normalize" => textNormalize(pre, c)
       case "dedup_spans" =>
         // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
         // cut every token inside a corpus-duplicated substring of ≥
@@ -181,6 +182,25 @@ object CurationStages {
       .getOrElse(Seq(textField(c)))
     fields.foldLeft(df)((d, f) =>
       d.withColumn(f, TextAnalysis.redactPii(col(f))))
+  }
+
+  // ---- text_normalize ------------------------------------------------
+  //
+  // In-place pretraining text cleanup over the listed string fields
+  // (default: the text field): HTML-tag strip, control-char drop,
+  // common-entity decode (&amp; LAST — no double-decode), Unicode NFC
+  // (native kernel), whitespace collapse + trim. Narrow, stream-safe;
+  // runs BEFORE signals/dedup/tokenization in a typical pipeline.
+
+  private def textNormalize(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val fields = c.get("fields")
+      .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+      .getOrElse(Seq(textField(c)))
+    fields.foldLeft(df) { (d, f) =>
+      require(d.columns.contains(f),
+        s"text_normalize: no `$f` column in [${d.columns.mkString(", ")}]")
+      d.withColumn(f, TextAnalysis.normalizeText(col(f)))
+    }
   }
 
   // ---- hash_split ----------------------------------------------------

@@ -514,6 +514,13 @@ object StageCatalog {
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
       notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard."),
+    StageDoc("text_normalize", "curation",
+      "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
+      y("""pipeline:
+          |  - type: text_normalize
+          |    fields: [text]"""),
+      schemaKind = "documents", oracle = Seq("ml_text_normalize"),
+      notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization."),
     StageDoc("media_envelope", "curation",
       "Attach a typed `<kind>_features` struct parsed from an opaque binary column: real audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF) container-header parsers; batched stub kernel for image pixels.",
       y("""pipeline:

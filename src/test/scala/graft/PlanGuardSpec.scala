@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkSpec {
     "filter_lucene_wildcard",
     // per-row text / embedding / curation kernels
     "ml_quality_score", "ml_repetition", "ml_lang_id", "ml_token_count",
+    "ml_text_normalize",
     "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
     "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
     "ml_embed_pq_encode", "ml_classifier_margin", "ml_multimodal_decode",

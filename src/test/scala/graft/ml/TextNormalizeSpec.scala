@@ -1,0 +1,74 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The pretraining cleanup pass: each hazard it claims to handle gets a
+  * direct case — tag strip, control chars, entity order (the
+  * `&amp;lt;` double-decode trap), NFC composition through the native
+  * kernel, whitespace collapse — plus idempotence (cleaning clean text
+  * changes nothing) and the narrow-plan/no-UDF gate.
+  */
+class TextNormalizeSpec extends SparkSpec {
+
+  private def clean(s: String): String = {
+    val sp = spark
+    import sp.implicits._
+    Seq(s).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("c"))
+      .collect().head.getString(0)
+  }
+
+  test("strips tags, collapses whitespace, trims") {
+    assert(clean("<p class=\"big\">hello <b>world</b></p>") == "hello world")
+    assert(clean("  a \t\n  b  ") == "a b")
+  }
+
+  test("control characters drop; tab and newline survive as spaces") {
+    assert(clean("a\u0007b\u0000c") == "abc")
+    assert(clean("a\tb\nc") == "a b c")
+  }
+
+  test("entity decode order: &amp; last, so &amp;lt; stays literal") {
+    assert(clean("x &lt;3 &gt; &quot;q&quot; &#39;a&#39; &nbsp; y")
+      == "x <3 > \"q\" 'a' y")
+    assert(clean("&amp;lt;") == "&lt;",
+      "&amp;lt; is the LITERAL text '&lt;' — decoding &amp; first would double-decode")
+    assert(clean("&amp;&amp;") == "&&")
+  }
+
+  test("NFC composes combining sequences via the native kernel") {
+    assert(clean("e\u0301") == "\u00e9")
+    // already-normalized fast path returns the input unchanged
+    assert(clean("caf\u00e9") == "caf\u00e9")
+    val direct = {
+      val sp = spark
+      import sp.implicits._
+      Seq("A\u030a").toDF("t")
+        .select(TextAnalysis.unicodeNormalize(col("t"), "NFC").as("c"))
+        .collect().head.getString(0)
+    }
+    assert(direct == "\u00c5")
+  }
+
+  test("idempotent on clean text; null passes through") {
+    val sp = spark
+    import sp.implicits._
+    val once = clean("plain clean text, nothing to do.")
+    assert(once == "plain clean text, nothing to do.")
+    assert(clean(once) == once)
+    val n = Seq((1, Option.empty[String])).toDF("i", "t")
+      .select(TextAnalysis.normalizeText(col("t")).as("c"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("plan is narrow and UDF-free") {
+    val sp = spark
+    import sp.implicits._
+    val plan = Seq("x").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+}
