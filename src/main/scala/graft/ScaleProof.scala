@@ -121,7 +121,11 @@ object ScaleProof {
       "ml_bpe_merges" -> GraftQueries.queries("ml_bpe_merges"),
       "ml_curation_pipeline" -> GraftQueries.queries("ml_curation_pipeline"),
       "ml_neardup_against" -> GraftQueries.queries("ml_neardup_against"),
-      "ml_embed_pq_encode" -> GraftQueries.queries("ml_embed_pq_encode"))
+      "ml_embed_pq_encode" -> GraftQueries.queries("ml_embed_pq_encode"),
+      // round-10 surfaces: the positional ExactSubstr dedup (gram-keyed,
+      // corpus-token-sized shuffle) and SemDeDup (cluster-bounded pairs)
+      "ml_dup_spans" -> GraftQueries.queries("ml_dup_spans"),
+      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.
