@@ -19,21 +19,26 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
 
   override def dataType: DataType = StringType
 
+  // the Form is fixed at analysis time — resolve the enum ONCE, not
+  // per row in the kernel (interpreted path caches here; generated
+  // code references the enum constant directly)
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(a: Any): Any =
-    UnicodeNormalizeExpr.normalize(a.asInstanceOf[UTF8String], form)
+    UnicodeNormalizeExpr.normalize(a.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      a => s"""graft.functions.UnicodeNormalizeExpr.normalize($a, "$form")""")
+      a => s"graft.functions.UnicodeNormalizeExpr.normalize($a, " +
+        s"java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(
       newChild: Expression): UnicodeNormalizeExpr = copy(child = newChild)
 }
 
 object UnicodeNormalizeExpr {
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+  def normalize(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

@@ -295,6 +295,7 @@ object Multimodal {
     var brand: String = null
     var timescale = -1L
     var duration = -1L
+    var durUnknown = false
     var nTracks = 0
     var vidW: Integer = null
     var vidH: Integer = null
@@ -306,13 +307,23 @@ object Multimodal {
           val okMoov = walkBoxes(b, ps, pe) { (t2, qs, qe) =>
             t2 match {
               case "mvhd" =>
+                // unsigned-32 extremes (ISO 14496-12 §8.2.2): the
+                // all-ones duration is the spec'd "duration cannot be
+                // determined" sentinel (fragmented/live captures) —
+                // surfaced as a NULL duration_ms, not a ~13-hour guess;
+                // a v1 duration that would overflow the *1000 ms
+                // conversion is treated the same (garbage-tolerant,
+                // never a wrapped number)
                 val v = if (qe - qs >= 1) b(qs.toInt) & 0xff else -1
                 if (v == 0 && qe - qs >= 20) {
                   timescale = be(b, qs.toInt + 12, 4)
                   duration = be(b, qs.toInt + 16, 4)
+                  if (duration == 0xffffffffL) durUnknown = true
                 } else if (v == 1 && qe - qs >= 32) {
                   timescale = be(b, qs.toInt + 20, 4)
                   duration = be(b, qs.toInt + 24, 8)
+                  if (duration == -1L || duration > Long.MaxValue / 1000)
+                    durUnknown = true
                 } else bad = true
               case "trak" =>
                 nTracks += 1
@@ -345,9 +356,15 @@ object Multimodal {
         case _ => ()
       }
     }
-    if (!ok || bad || brand == null || timescale <= 0 || duration < 0) null
-    else Row("mp4", brand, timescale.toInt, duration * 1000L / timescale,
-      nTracks, vidW, vidH)
+    // timescale is u32: a value above Int.MaxValue would wrap negative
+    // in the Int struct field — no real container uses one; malformed
+    if (!ok || bad || brand == null || timescale <= 0
+        || timescale > Int.MaxValue || (duration < 0 && !durUnknown)) null
+    else {
+      val durMs: java.lang.Long =
+        if (durUnknown) null else duration * 1000L / timescale
+      Row("mp4", brand, timescale.toInt, durMs, nTracks, vidW, vidH)
+    }
   }
 
   /** Batched video-envelope extraction (real ISO-BMFF box walk, see

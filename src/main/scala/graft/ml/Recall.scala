@@ -142,8 +142,23 @@ object Recall {
                        queryRows: Seq[(Long, Seq[Double])],
                        centroids: Seq[Seq[Double]], k: Int, m: Int,
                        pqK: Int, nprobes: Seq[Int], iters: Int = 3,
-                       refine: Int = 0): Seq[(Int, Double)] = {
-    if (queryRows.isEmpty) return nprobes.map(_ -> 0.0)
+                       refine: Int = 0): Seq[(Int, Double)] =
+    ivfPqRecallCurves(corpus, idCol, vecCol, queryRows, centroids, k, m,
+      pqK, nprobes, Seq(refine), iters)(refine)
+
+  /** Several refine variants against ONE trained/written index and ONE
+    * brute-force truth — the harness measures refine=0 and refine=N on
+    * the same books without retraining, re-cross-joining, or
+    * re-writing (each of which dominates the curve's cost). The temp
+    * index is removed when the curves are computed.
+    */
+  def ivfPqRecallCurves(corpus: DataFrame, idCol: String, vecCol: String,
+                        queryRows: Seq[(Long, Seq[Double])],
+                        centroids: Seq[Seq[Double]], k: Int, m: Int,
+                        pqK: Int, nprobes: Seq[Int], refines: Seq[Int],
+                        iters: Int = 3): Map[Int, Seq[(Int, Double)]] = {
+    if (queryRows.isEmpty)
+      return refines.map(_ -> nprobes.map(_ -> 0.0)).toMap
     val spark = corpus.sparkSession
     import spark.implicits._
     val queries = queryRows.toDF("qid_src", "qvec")
@@ -152,20 +167,30 @@ object Recall {
     truth.count()
     val books = Similarity.ivfPqTrain(corpus, idCol, vecCol,
       centroids, m, pqK, iters)
-    val dir = java.nio.file.Files
-      .createTempDirectory("ivfpq-recall").toString
-    Similarity.ivfPqWriteIndex(corpus, idCol, vecCol, centroids, books, dir)
-    val curve = nprobes.map { np =>
-      val approx =
-        if (refine > 0)
-          Similarity.ivfPqTopKRefined(spark, dir, corpus, idCol, vecCol,
-            queryRows, centroids, books, k, np, refine)
-        else Similarity.ivfPqTopKBatch(spark, dir, idCol,
-          queryRows, centroids, books, k, np)
-      np -> recallAtK(truth, approx)
+    val dirPath = java.nio.file.Files.createTempDirectory("ivfpq-recall")
+    val dir = dirPath.toString
+    try {
+      Similarity.ivfPqWriteIndex(corpus, idCol, vecCol, centroids, books,
+        dir)
+      refines.map { refine =>
+        refine -> nprobes.map { np =>
+          val approx =
+            if (refine > 0)
+              Similarity.ivfPqTopKRefined(spark, dir, corpus, idCol,
+                vecCol, queryRows, centroids, books, k, np, refine)
+            else Similarity.ivfPqTopKBatch(spark, dir, idCol,
+              queryRows, centroids, books, k, np)
+          np -> recallAtK(truth, approx)
+        }
+      }.toMap
+    } finally {
+      truth.unpersist(blocking = false)
+      // recallAtK consumed every scan — the index is safe to delete
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    truth.unpersist(blocking = false)
-    curve
   }
 
   /** Deterministic structure-bearing corpus for the recall harness: each
@@ -242,14 +267,13 @@ object Recall {
       ms = Seq(4, 8, 16, 32))
     println(s"PQ/ADC recall@$k (k'=16): " +
       pq.map { case (m, r) => f"m=$m:$r%.3f" }.mkString(" "))
-    val ipq = ivfPqRecallCurve(emb, "vec_id", "embedding", queryRows,
-      cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids))
+    val ipqBoth = ivfPqRecallCurves(emb, "vec_id", "embedding", queryRows,
+      cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids),
+      refines = Seq(0, 4))
     println(s"IVFPQ recall@$k (C=$nCentroids, m=8, k'=16): " +
-      ipq.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
-    val ipqR = ivfPqRecallCurve(emb, "vec_id", "embedding", queryRows,
-      cs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids), refine = 4)
+      ipqBoth(0).map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
     println(s"IVFPQ+R recall@$k (C=$nCentroids, m=8, k'=16, refine=4): " +
-      ipqR.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+      ipqBoth(4).map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
 
     // clustered fixtures: clean (the easy bound — every knob should
     // saturate) and mixed (secondary topic block — the realistic curve)

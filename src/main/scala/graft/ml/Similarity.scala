@@ -453,12 +453,25 @@ object Similarity {
     * literal LUTs fold into whole-stage codegen). Top-k per qid via
     * the bruteForceTopK window (partitioned by qid — never global).
     */
+  /** Upper bound on a single job's broadcast LUT payload, in doubles
+    * (256 MB): per-qid top-k is independent, so a larger query set
+    * splits into chunks whose results union exactly — the broadcast
+    * never grows with |queries| toward Spark's 8 GB hard cap (or the
+    * driver's heap building it).
+    */
+  private val MaxLutDoublesPerBatch = 32 << 20
+
   def pqAdcTopKBatch(codes: DataFrame, idCol: String, codesCol: String,
                      queryRows: Seq[(Long, Seq[Double])],
                      books: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val kk = books.head.length
+    val chunk = math.max(1, MaxLutDoublesPerBatch / (m * kk))
+    if (queryRows.length > chunk)
+      return queryRows.grouped(chunk)
+        .map(pqAdcTopKBatch(codes, idCol, codesCol, _, books, k))
+        .reduce(_ unionAll _)
     val luts = queryRows.map { case (qid, q) => (qid, flatAdcLut(q, books)) }
     val spark = codes.sparkSession
     import spark.implicits._
@@ -469,7 +482,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).drop("rank", "__lut")
+      .filter(col("rank") <= k).drop("rank")
   }
 
   /** Flattened ADC lookup table for one query vector (driver-side,
@@ -531,7 +544,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).drop("rank", "__vec")
+      .filter(col("rank") <= k).drop("rank")
   }
 
   // ------------------------------------------------------------------
@@ -605,25 +618,13 @@ object Similarity {
                     idCol: String, query: Seq[Double],
                     centroids: Seq[Seq[Double]],
                     books: Seq[Seq[Seq[Double]]], k: Int,
-                    nprobe: Int = 1): DataFrame = {
-    val m = books.length
-    val kk = books.head.length
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (l2Driver(query, c), i) }
-      .take(math.max(1, nprobe)).map(_._2)
-    import spark.implicits._
-    val luts = probes.map { b =>
-      (b, flatAdcLut(query.zip(centroids(b))
-        .map { case (a, c) => a - c }, books))
-    }.toDF("bucket", "__lut")
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(probes: _*))
-      .join(broadcast(luts), Seq("bucket"))
-      .select(col(idCol),
-        adcLutScore(col("codes"), col("__lut"), m, kk).as("d2"))
+                    nprobe: Int = 1): DataFrame =
+    // the one-query projection of [[ivfPqTopKBatch]] — ONE probe/LUT/
+    // prune/score implementation, not two copies to keep in sync
+    ivfPqTopKBatch(spark, path, idCol, Seq(0L -> query),
+      centroids, books, k, nprobe)
+      .select(col("id").as(idCol), col("d2"))
       .orderBy(col("d2").asc, col(idCol).asc)
-      .limit(k)
-  }
 
   /** Batched IVF-PQ search: ONE job for a whole query set. The
     * (qid, bucket, lut) probe table — |queries|·nprobe rows —
@@ -640,6 +641,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val kk = books.head.length
+    // bound the probe-LUT broadcast like pqAdcTopKBatch (nprobe LUTs
+    // per query); chunked results union exactly per qid
+    val chunk = math.max(1,
+      MaxLutDoublesPerBatch / (math.max(1, nprobe) * m * kk))
+    if (queryRows.length > chunk)
+      return queryRows.grouped(chunk)
+        .map(ivfPqTopKBatch(spark, path, idCol, _, centroids, books, k,
+          nprobe))
+        .reduce(_ unionAll _)
     val probeRows = queryRows.flatMap { case (qid, q) =>
       centroids.zipWithIndex
         .sortBy { case (c, i) => (l2Driver(q, c), i) }
@@ -659,7 +669,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).drop("rank", "__lut")
+      .filter(col("rank") <= k).drop("rank")
   }
 
   /** IVF top-k: assign each query to its `nprobe` best buckets, search only

@@ -447,7 +447,12 @@ object CurationStages {
         else ks.withColumn("sig", lit(null).cast("array<bigint>"))
       }
 
-  private def dedupIngestExact(df: DataFrame, c: Map[String, Any]): DataFrame = {
+  // ONE implementation of the token/store discipline for both modes
+  // (a fix to replay semantics cannot silently miss one of them): the
+  // near path only adds a signature table, an extra drop set before
+  // the settle, and the sig column on the append.
+  private def dedupIngestCore(df: DataFrame, c: Map[String, Any],
+                              near: Boolean): DataFrame = {
     val textCol = textField(c)
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
@@ -459,15 +464,34 @@ object CurationStages {
     // bootstrap: a store that does not exist yet is an empty key set
     // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
     val refKeys = readIngestStore(spark, store)
-    val kept = refKeys match {
+
+    val nearState =
+      if (near) Some(nearDropSet(inBatch, refKeys, bid, c, id, textCol))
+      else None
+
+    val exactKept = refKeys match {
       case Some(ks) =>
         withKey.join(
           ks.filter(col("bid") =!= bid).select(col("h")),
           col("__h") === col("h"), "left_anti")
       case None => withKey
     }
+    val kept = nearState match {
+      case Some((drop, _, _)) =>
+        exactKept.join(drop.withColumnRenamed("id", "__drop"),
+          col(id) === col("__drop"), "left_anti")
+      case None => exactKept
+    }
     val settled = kept.localCheckpoint(true)
-    val newKeys = settled.select(col("__h").as("h")).distinct()
+    // exact layout: bare digests; near layout: (digest, signature) with
+    // a null sig for short (signature-less) rows via the left join
+    val newKeys = nearState match {
+      case Some((_, sigs, _)) =>
+        settled.select(col(id).as("id"), col("__h").as("h"))
+          .join(sigs, Seq("id"), "left")
+          .select(col("h"), col("sig")).distinct()
+      case None => settled.select(col("__h").as("h")).distinct()
+    }
     // replay idempotence: skip keys this attempt already appended
     val toAppend = refKeys match {
       case Some(ks) =>
@@ -478,8 +502,12 @@ object CurationStages {
     toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
+    nearState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h")
   }
+
+  private def dedupIngestExact(df: DataFrame, c: Map[String, Any]): DataFrame =
+    dedupIngestCore(df, c, near = false)
 
   // Near mode (`mode: near`): the growing store additionally keeps the
   // n-component MinHash signature of every admitted document, and a
@@ -497,10 +525,19 @@ object CurationStages {
   // buckets (> max_bucket across both sides) are exempted wholesale
   // before the joins (the minhashPairs cap). Replay safety is
   // dedupIngestExact's token discipline, unchanged.
-  private def dedupIngestNear(df: DataFrame, c: Map[String, Any]): DataFrame = {
-    val textCol = textField(c)
-    val id = idField(c, "dedup_ingest")
-    val store = reqStr(c, "store", "dedup_ingest")
+  private def dedupIngestNear(df: DataFrame, c: Map[String, Any]): DataFrame =
+    dedupIngestCore(df, c, near = true)
+
+  /** The near-mode LSH machinery: compact batch signatures, banded
+    * candidate joins (in-batch senior sweep + store sweep, both behind
+    * the broadcast oversized-bucket cap), signature-agreement verify.
+    * Returns (drop set of batch ids, the persisted signature table for
+    * the append step, caches to release after the batch settles).
+    */
+  private def nearDropSet(inBatch: DataFrame, refKeys: Option[DataFrame],
+                          bid: String, c: Map[String, Any], id: String,
+                          textCol: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val bands = int(c, "bands", 4)
     val rpb = int(c, "rows_per_band", 3)
     val k = int(c, "shingle_k", 3)
@@ -508,13 +545,6 @@ object CurationStages {
     val maxBucket = int(c, "max_bucket", 4096)
     val n = bands * rpb
     val minMatch = math.ceil(threshold * n).toInt
-    val spark = df.sparkSession
-    val bid = graft.streaming.StreamRunner.currentBatchToken.value
-      .getOrElse("run-" + java.util.UUID.randomUUID().toString)
-
-    val inBatch = Dedup.exact(df, textCol, id)
-    val withKey = inBatch.withColumn("__h", md5(col(textCol)))
-    val refKeys = readIngestStore(spark, store)
 
     // compact batch signatures: id + ONE long array (the store layout)
     val sigs = Dedup.minhashSignatures(
@@ -580,36 +610,7 @@ object CurationStages {
     }
     val nearDrop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
-
-    val exactKept = refKeys match {
-      case Some(ks) =>
-        withKey.join(ks.filter(col("bid") =!= bid).select(col("h")),
-          col("__h") === col("h"), "left_anti")
-      case None => withKey
-    }
-    val kept = exactKept.join(
-      nearDrop.withColumnRenamed("id", "__drop"),
-      col(id) === col("__drop"), "left_anti")
-    val settled = kept.localCheckpoint(true)
-
-    // append admitted (digest, signature) pairs; replay-token skip as
-    // in exact mode. The left join keeps short (signature-less) rows'
-    // digests in the store with a null sig.
-    val newKeys = settled.select(col(id).as("id"), col("__h").as("h"))
-      .join(sigs, Seq("id"), "left")
-      .select(col("h"), col("sig")).distinct()
-    val toAppend = refKeys match {
-      case Some(ks) =>
-        newKeys.join(ks.filter(col("bid") === bid).select(col("h")),
-          Seq("h"), "left_anti")
-      case None => newKeys
-    }
-    toAppend.localCheckpoint(true)
-      .withColumn("bid", lit(bid))
-      .write.mode("append").parquet(store)
-    sigs.unpersist()
-    refSigs.foreach(_.unpersist())
-    settled.drop("__h")
+    (nearDrop, sigs, Seq(sigs) ++ refSigs)
   }
 
   // ---- media_envelope ------------------------------------------------

@@ -242,6 +242,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4(mp4Box("mdat", new Array[Byte](16))) == null)
   }
 
+  test("mvhd unsigned-32 extremes: unknown-duration sentinel → null ms; wild timescale → null") {
+    // duration 0xFFFFFFFF is the spec'd "cannot be determined" sentinel
+    // (fragmented/live captures): the envelope parses, duration_ms is
+    // NULL — never a ~13-hour guess
+    val ftyp = mp4Box("ftyp", fourcc("isom"), beInt(0x200), fourcc("isom"))
+    def mvhdV0(ts: Int, dur: Int) = mp4Box("mvhd",
+      beInt(0, 0, 0, ts, dur, 0x10000), beShort(0x0100, 0), beLong(0L),
+      unityMatrix, beInt(0, 0, 0, 0, 0, 0), beInt(2))
+    val live = ftyp ++ mp4Box("moov", mvhdV0(90000, 0xFFFFFFFF.toInt))
+    val r = Multimodal.parseMp4(live)
+    assert(r != null && r.getInt(2) == 90000, s"$r")
+    assert(r.isNullAt(3), s"sentinel duration must surface as null ms: $r")
+    // v1 all-ones duration: same sentinel through the 64-bit read
+    val mvhdV1Sentinel = mp4Box("mvhd", Array[Byte](1, 0, 0, 0),
+      beLong(0L, 0L), beInt(90000), beLong(-1L),
+      beInt(0x10000), beShort(0x0100, 0), beLong(0L),
+      unityMatrix, beInt(0, 0, 0, 0, 0, 0), beInt(2))
+    val r1 = Multimodal.parseMp4(ftyp ++ mp4Box("moov", mvhdV1Sentinel))
+    assert(r1 != null && r1.isNullAt(3), s"$r1")
+    // timescale beyond Int.MaxValue (u32 top bit set) would wrap
+    // negative in the struct — well-formed or null, never a wrap
+    val wild = ftyp ++ mp4Box("moov", mvhdV0(0x80000000.toInt, 90000))
+    assert(Multimodal.parseMp4(wild) == null)
+  }
+
   test("expression-built MP4 is byte-identical to the hand assembly") {
     val s = spark
     import s.implicits._
@@ -279,6 +304,32 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(out(1L) == (Some("mp42"), Some(1280)))
     assert(out(2L) == (None, None))
+  }
+
+  test("parser fuzz: no byte soup can throw or hang any envelope parser") {
+    // deterministic pseudo-random corpora, including adversarial
+    // prefixes that enter each parser's walk before the soup starts —
+    // the per-row contract is parse-or-null in bounded time, NEVER a
+    // thrown error or a spun cursor inside an executor task
+    val rnd = new scala.util.Random(20260814L)
+    val prefixes = Seq(Array.emptyByteArray,
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1, -1) ++
+        "WAVE".getBytes("US-ASCII"),
+      "fLaC".getBytes("US-ASCII"),
+      "%PDF-".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII")) // largesize bait
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    for (i <- 0 until 300) {
+      val body = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(body)
+      val bytes = prefixes(i % prefixes.length) ++ body
+      Multimodal.parseAudio(bytes) // may be null or a Row — must return
+      Multimodal.parsePdf(bytes)
+      Multimodal.parseMp4(bytes)
+      assert(System.nanoTime() < deadline,
+        s"parsers wedged on fuzz case $i (${bytes.take(16).toSeq})")
+    }
   }
 
   test("decodeAudio/decodeDocs: batched kernels attach feature structs") {
