@@ -899,6 +899,36 @@ object GraftQueriesML {
             WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
+  // Token-budget mixture sampling: rates derive from per-stratum token
+  // totals BOTH engines compute from the data (min(1, budget/total),
+  // IEEE division + the same half-up rounding to 1/10000), keep/drop is
+  // the content-addressed hashBucket convention.
+  private val mTokenBudget = Spec("ml_token_budget_sample",
+    (s, dir) => Curation.tokenBudgetSample(t(s, dir, "documents"),
+        "doc_id", "text", "source",
+        budgets = Map("src0" -> 3000L, "src1" -> 6000L),
+        defaultBudget = 9000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("mix_rate"), 6).as("mix_rate")),
+    Some("""WITH t AS (SELECT doc_id, CAST(source AS VARCHAR) AS source,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS INT) AS n_tokens
+              FROM documents),
+            tot AS (SELECT source, SUM(n_tokens) AS total
+              FROM t GROUP BY source),
+            r AS (SELECT source,
+              CAST(round(least(1.0,
+                (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 6000
+                 ELSE 9000 END) / CAST(total AS DOUBLE)) * 10000) AS INT)
+                AS cut
+              FROM tot)
+            SELECT t.doc_id, t.source, t.n_tokens,
+              round(CAST(cut AS DOUBLE) / 10000, 6) AS mix_rate
+            FROM t JOIN r USING (source)
+            WHERE CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR)),
+              1, 4)) AS INTEGER) % 10000 < cut"""))
+
   /** Deterministic PQ codebooks for the oracle-gated ENCODE step (small
     * exact rationals — quarters — so distances are identical across
     * engines and argmin ties are structurally impossible on real data).
@@ -1226,7 +1256,7 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean,
-    mSemanticKeep, mEmbedOutlier, mWeightedSample,
+    mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
 }

@@ -212,6 +212,49 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Token-budget mixture sampling — the data-mixing step of a training
+    * recipe ("30 B tokens of web, all of code, at most 5 B of forums"):
+    * each stratum's sampling rate scales so its EXPECTED kept-token
+    * count hits its token budget (`min(1, budget/total)`), and rows
+    * keep/drop content-addressed on the [[hashBucket]] convention —
+    * reproducible across engines and runs, no RNG state. Strata already
+    * inside budget keep everything. Returns surviving rows plus
+    * `n_tokens` and the applied `mix_rate` (quantized to 1/buckets) for
+    * audit.
+    *
+    * Scale shape: ONE map-side-combined aggregate for the per-stratum
+    * token totals (≤ |strata| rows to the driver — a mixture has tens
+    * of sources, not millions), rates fold back as a literal CASE, and
+    * the keep filter is narrow. The budget is STATISTICAL
+    * (hash-uniform): at corpus scale the kept-token count concentrates
+    * tightly around it; an exact cut would need a global sort by hash —
+    * the scale-killer [[shuffleLayout]]'s doc warns about.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        strataCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = Long.MaxValue,
+                        buckets: Int = 10000): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "token budgets must be non-negative")
+    require(buckets > 0, "buckets must be positive")
+    val withTok = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)))
+    // per-stratum totals at plan time (the quality_model/bpe training
+    // convention): a driver-small map, never a per-row subquery
+    val totals = withTok.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(col("n_tokens")).as("__total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val cut = totals.foldLeft(lit(buckets)) { case (acc, (s, total)) =>
+      val budget = budgets.getOrElse(s, defaultBudget)
+      val rate = if (total <= 0) 1.0
+        else math.min(1.0, budget.toDouble / total)
+      when(col(strataCol).cast("string") === s,
+        math.round(rate * buckets).toInt).otherwise(acc)
+    }
+    withTok.filter(hashBucket(col(idCol), buckets) < cut)
+      .withColumn("mix_rate", cut.cast("double") / buckets)
+  }
+
   /** Deterministic global shuffle layout — the final step of a
     * training-data writer (examples must reach the trainer in an order
     * uncorrelated with curation order, and the order must be

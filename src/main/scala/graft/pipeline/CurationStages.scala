@@ -44,7 +44,8 @@ object CurationStages {
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
-    "dedup_spans", "media_envelope", "text_normalize")
+    "dedup_spans", "media_envelope", "text_normalize",
+    "token_budget_sample")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -57,7 +58,7 @@ object CurationStages {
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
-    "dedup_ingest", "dedup_spans")
+    "dedup_ingest", "dedup_spans", "token_budget_sample")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -96,6 +97,18 @@ object CurationStages {
       case "dedup_ingest" => dedupIngest(pre, c)
       case "media_envelope" => mediaEnvelope(pre, c)
       case "text_normalize" => textNormalize(pre, c)
+      case "token_budget_sample" =>
+        // data-mixing: per-stratum rates from token totals (plan-time
+        // aggregate, the quality_model training convention)
+        Curation.tokenBudgetSample(pre, idField(c, "token_budget_sample"),
+          textField(c), reqStr(c, "strata_field", "token_budget_sample"),
+          budgets = c.get("budgets")
+            .map(_.asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.toString.toLong })
+            .getOrElse(Map.empty),
+          defaultBudget = c.get("default_budget")
+            .map(_.toString.toLong).getOrElse(Long.MaxValue),
+          buckets = int(c, "buckets", 10000))
       case "dedup_spans" =>
         // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
         // cut every token inside a corpus-duplicated substring of ≥

@@ -543,6 +543,16 @@ object StageCatalog {
           |      path: "/root/testdata/sf0.001/documents.parquet"
           |      text_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_contamination")),
+    StageDoc("token_budget_sample", "curation",
+      "Data-mixing by token budget: scale each stratum's content-addressed sampling rate so its expected kept-token count hits the budget (min(1, budget/total)); strata inside budget keep everything.",
+      y("""pipeline:
+          |  - type: token_budget_sample
+          |    id_field: doc_id
+          |    strata_field: source
+          |    budgets: {src0: 3000, src1: 6000}
+          |    default_budget: 9000"""),
+      schemaKind = "documents", oracle = Seq("ml_token_budget_sample"),
+      notes = "The budget is statistical (hash-uniform sampling concentrates tightly at corpus scale); rates quantize to 1/buckets. Adds n_tokens and the applied mix_rate for audit."),
     StageDoc("pack_chunks", "curation",
       "Sequence-packing layout (concat-and-chunk) via a distributed prefix sum — window partitioned by bucket, never global.",
       y("""pipeline:

@@ -35,6 +35,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_quality_score", "ml_repetition", "ml_lang_id", "ml_token_count",
     "ml_text_normalize",
     "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
+    // token totals collect at plan time (the bpe_merges convention);
+    // the returned plan is the narrow keep filter
+    "ml_token_budget_sample",
     "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
     "ml_embed_pq_encode", "ml_classifier_margin", "ml_multimodal_decode",
     "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",

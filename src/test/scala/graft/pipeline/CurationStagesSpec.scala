@@ -516,6 +516,49 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("dedup_events"))
   }
 
+  test("token_budget_sample stage: rates from token totals, content-addressed keeps") {
+    // hand-countable corpus: web docs total 38 tokens (9+9+6+8+6),
+    // books 11. budget web=19 → rate exactly 0.5 (cut 5000 of 10000);
+    // books default-huge → rate 1.0, everything kept
+    val out = run(
+      """pipeline:
+        |  - type: token_budget_sample
+        |    id_field: doc_id
+        |    strata_field: source
+        |    budgets: {web: 19}
+        |""".stripMargin, docs)
+    val rows = out.select("doc_id", "source", "n_tokens", "mix_rate")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val books = rows.filter(_._2 == "books")
+    assert(books.map(_._1).sorted.toSeq == Seq(3L, 7L),
+      s"books inside budget must keep everything: ${rows.toSeq}")
+    assert(books.forall(_._4 == 1.0))
+    val web = rows.filter(_._2 == "web")
+    assert(web.forall(_._4 == 0.5), s"web rate must be 19/38: ${web.toSeq}")
+    // keeps are EXACTLY the hashBucket convention — no RNG
+    val expectedWeb = docs.filter(col("source") === "web")
+      .filter(graft.ml.Curation.hashBucket(col("doc_id"), 10000) < 5000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(web.map(_._1).sorted.toSeq == expectedWeb)
+    // n_tokens audit column matches tokenCount
+    assert(rows.find(_._1 == 3L).get._3 == 10)
+    // whole-corpus semantics: refuses a stream at compile time
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: token_budget_sample
+          |    id_field: doc_id
+          |    strata_field: source
+          |""".stripMargin))(mem.toDF().toDF("doc_id", "text", "source")).main
+    }
+    assert(e.getMessage.contains("token_budget_sample"))
+  }
+
   test("media_envelope stage: typed feature structs from binary payloads") {
     val s = spark
     import s.implicits._
