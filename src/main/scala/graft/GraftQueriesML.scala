@@ -1245,6 +1245,87 @@ object GraftQueriesML {
               CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 7000
                 ELSE 9000 END"""))
 
+  /** BM25 lexical retrieval: queries = every 97th document's first five
+    * words (the contamination-style deterministic split), corpus = the
+    * rest; top-10 per query with the rounded-score/doc-id total order.
+    * The oracle recomputes the full Okapi pipeline in SQL with the same
+    * literal structure so per-term scores are bit-identical.
+    */
+  private val mBm25 = Spec("ml_bm25_topk",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val queries = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(Curation.words(col("text")), 1, 5), " ").as("qtext"))
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      CorpusStats.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+    },
+    Some("""WITH q AS (SELECT doc_id AS qid,
+              array_to_string(list_filter(string_split(text, ' '),
+                x -> x <> '')[1:5], ' ') AS qtext
+              FROM documents WHERE doc_id % 97 = 0),
+            docs AS (SELECT doc_id AS id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents WHERE doc_id % 97 <> 0),
+            d2 AS (SELECT id, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              avg(dl) AS avgdl FROM d2),
+            qt AS (SELECT qid, unnest(list_distinct(list_filter(
+              string_split(qtext, ' '), x -> x <> ''))) AS t FROM q),
+            tok AS (SELECT id, unnest(w) AS t FROM docs),
+            tf AS (SELECT id, t, count(*) AS tf FROM tok
+              WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY id, t),
+            dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            sc AS (SELECT qid, id, round(sum(
+                ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                  * (tf * (1.2 + 1.0))
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+              FROM tf JOIN dfx USING (t) JOIN qt USING (t)
+                JOIN d2 USING (id) CROSS JOIN stats
+              GROUP BY qid, id)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, id ASC) AS BIGINT) AS rank,
+              id AS doc, score
+            FROM sc QUALIFY rank <= 10"""))
+
+  /** Paragraph-level boilerplate dedup: the flat synthetic corpus gets
+    * blank-line breaks CONSTRUCTED every five words — identically in both
+    * engines, the pii_redact convention — and [[Dedup.paragraphDedup]]
+    * then genuinely splits, cross-doc-counts, removes, and reassembles
+    * (257 duplicated paragraphs fire at sf0.01; the gate is not a
+    * pass-through).
+    */
+  private val mParaDedup = Spec("ml_para_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){5})", "$1\n\n"))
+      Dedup.paragraphDedup(d, "doc_id", "text", minDocs = 2)
+        .select(col("doc_id"), col("text"), col("n_paras"), col("n_removed"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_replace(text, '((\S+ ){5})',
+                '\1' || chr(10) || chr(10), 'g') AS text
+              FROM documents),
+            p AS (SELECT doc_id, list_filter(list_transform(
+                regexp_split_to_array(text, '\n{2,}'), x -> trim(x)),
+                x -> x <> '') AS ps FROM t),
+            paras AS (SELECT doc_id, i AS pos, ps[i+1] AS para
+              FROM p, unnest(range(len(ps))) AS u(i)),
+            dup AS (SELECT h FROM
+              (SELECT DISTINCT md5(para) AS h, doc_id FROM paras)
+              GROUP BY h HAVING count(*) >= 2),
+            kept AS (SELECT doc_id,
+                string_agg(para, chr(10) || chr(10) ORDER BY pos) AS ktext,
+                count(*) AS nk
+              FROM paras WHERE md5(para) NOT IN (SELECT h FROM dup)
+              GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(ktext, '') AS text,
+              CAST(len(ps) AS BIGINT) AS n_paras,
+              CAST(len(ps) - coalesce(nk, 0) AS BIGINT) AS n_removed
+            FROM t JOIN p USING (doc_id) LEFT JOIN kept USING (doc_id)"""))
+
   // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
@@ -1255,7 +1336,7 @@ object GraftQueriesML {
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
-    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean,
+    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)

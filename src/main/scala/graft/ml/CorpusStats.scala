@@ -147,6 +147,74 @@ object CorpusStats {
           lit(0.0)).as("dup_frac"))
   }
 
+  /** BM25 top-k text retrieval (Robertson/Spärck Jones; the Okapi
+    * formulation with the Lucene-style always-positive idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`): for each query, the k
+    * highest-scoring corpus documents with a deterministic total order
+    * (rounded score desc, doc id asc). This is the lexical complement of
+    * the embedding ANN family — decontamination sweeps, quality-example
+    * mining, and eval-set retrieval all want it over raw text.
+    *
+    * Scale (the 100 TB reading): the query set is small BY DEFINITION
+    * (like [[contamination]]'s benchmark side), so its distinct term set
+    * broadcasts and prunes the exploded corpus token stream BEFORE any
+    * shuffle — the only corpus-wide work is the scan + explode + broadcast
+    * semi-filter, which runs at scan speed. Everything downstream
+    * (tf, df, scoring) operates on the query-term-matched subset:
+    *  - `tf` groups (id, term) — all occurrences of a doc's terms live in
+    *    ONE input row, so the partial aggregate collapses them map-side
+    *    and the exchange carries distinct (doc, query-term) pairs only;
+    *  - `df` is a query-term-sized aggregate, rebroadcast with the
+    *    corpus stats (N, avgdl — one tiny aggregate; doc lengths are
+    *    integer-valued doubles so the sum is exact in any order);
+    *  - per-query top-k is a row_number window that plans as
+    *    WindowGroupLimit (per-partition heaps, never a full sort).
+    * Nothing is ever pairwise in the corpus.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = corpus.select(col(idCol).as("id"),
+        Curation.words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(Curation.words(col(qtextCol)))).as("t"))
+    val qset = qterms.select(col("t")).distinct()
+    // persisted (the minhashPairs convention): tf feeds BOTH the df
+    // aggregate and the scoring join — without the persist each branch
+    // replans the corpus scan + explode, doubling the only
+    // corpus-proportional work in the query
+    val tf = docs.select(col("id"), col("dl"), explode(col("__w")).as("t"))
+      .join(broadcast(qset), Seq("t"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .persist()
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // the term-score arithmetic mirrors the oracle SQL token for token
+    // (same literal structure, same association) so both engines compute
+    // bit-identical per-term scores; only the ≤|query|-term sum is
+    // order-sensitive, and the final round(…, 6) absorbs that ulp
+    val termScore =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+      (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dfreq), Seq("t"))
+      .join(broadcast(qterms), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(termScore), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc"), col("score"))
+  }
+
   /** Per-document token-rarity signals from corpus document frequency:
     * over each document's DISTINCT words, the df of its rarest word
     * (`min_df`), the mean df (`avg_df`), and the distinct-word count.

@@ -498,4 +498,51 @@ object Dedup {
       .select(col("l.id").as("a"), col("r.id").as("b"), sim.as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Paragraph-level dedup (the MassiveText/RefinedWeb boilerplate pass):
+    * remove every paragraph whose EXACT text occurs in ≥ `minDocs`
+    * DISTINCT documents, from all of them, and reassemble each document
+    * from its surviving paragraphs in original order. This is the middle
+    * granularity of the dedup ladder — whole-document ([[exact]]/
+    * [[minhashPairs]]) misses shared boilerplate inside otherwise-unique
+    * pages; token-positional ([[dupSpans]]) is finer but costlier.
+    * Within-document repetition is deliberately NOT removed here (that is
+    * the `repetition` quality signal's business — a doc quoting itself is
+    * a quality problem, not cross-corpus boilerplate).
+    *
+    * Paragraphs are `delimPattern` splits (default blank lines), trimmed,
+    * empties dropped. All input columns are preserved; `textCol` is
+    * overwritten with the reassembled text ("" when everything was
+    * boilerplate) and `n_paras`/`n_removed` audit columns are appended —
+    * the same contract as [[removeDupSpans]].
+    *
+    * Scale: the shuffles carry 16-byte md5 paragraph digests, never
+    * paragraph text — one (digest, doc) distinct + digest-keyed count
+    * (paragraph-vocabulary-sized), one digest-keyed anti-join, one
+    * id-keyed reassembly aggregate. Nothing pairwise, no window.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     minDocs: Int = 2,
+                     delimPattern: String = "\n{2,}"): DataFrame = {
+    def parasOf(text: Column): Column =
+      filter(transform(split(text, delimPattern), p => trim(p)), p => p =!= "")
+    val paras = df.select(col(idCol).as("__pid"),
+        posexplode(parasOf(col(textCol))).as(Seq("__pos", "__para")))
+      .withColumn("__h", md5(col("__para")))
+    val dup = paras.select(col("__h"), col("__pid")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs).select(col("__h"))
+    val kept = paras.join(dup, Seq("__h"), "left_anti")
+      .groupBy(col("__pid")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          c => c("__para")), "\n\n").as("__kept"),
+        count(lit(1)).as("__n_kept"))
+    df.withColumn("__np", size(parasOf(col(textCol))).cast("long"))
+      .join(kept, col(idCol) === col("__pid"), "left")
+      .withColumn(textCol, coalesce(col("__kept"), lit("")))
+      .withColumn("n_paras", col("__np"))
+      .withColumn("n_removed", col("__np") - coalesce(col("__n_kept"), lit(0L)))
+      .drop("__pid", "__kept", "__n_kept", "__np")
+  }
 }

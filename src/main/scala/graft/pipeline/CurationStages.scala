@@ -45,7 +45,7 @@ object CurationStages {
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
-    "token_budget_sample")
+    "token_budget_sample", "dedup_paragraph", "bm25_topk")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -58,7 +58,8 @@ object CurationStages {
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
-    "dedup_ingest", "dedup_spans", "token_budget_sample")
+    "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
+    "bm25_topk")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -109,6 +110,17 @@ object CurationStages {
           defaultBudget = c.get("default_budget")
             .map(_.toString.toLong).getOrElse(Long.MaxValue),
           buckets = int(c, "buckets", 10000))
+      case "dedup_paragraph" =>
+        // MassiveText/RefinedWeb boilerplate pass (Dedup.paragraphDedup):
+        // remove paragraphs occurring in >= min_docs distinct documents
+        val clash = Seq("n_paras", "n_removed").filter(pre.columns.contains)
+        require(clash.isEmpty,
+          s"dedup_paragraph would overwrite existing column(s) " +
+            s"${clash.mkString(", ")} — rename them upstream")
+        Dedup.paragraphDedup(pre, idField(c, "dedup_paragraph"),
+          textField(c), minDocs = int(c, "min_docs", 2),
+          delimPattern = str(c, "delim", "\n{2,}"))
+      case "bm25_topk" => bm25Stage(pre, c)
       case "dedup_spans" =>
         // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
         // cut every token inside a corpus-duplicated substring of ≥
@@ -358,6 +370,26 @@ object CurationStages {
   // format, text_field}`). `mode: exact` (default) anti-joins on the
   // text md5; `mode: near` runs MinHash-LSH + Jaccard verify against
   // the reference only.
+
+  // ---- bm25_topk -----------------------------------------------------
+  //
+  // Lexical retrieval as a terminal stage: the output IS the result set
+  // (qid, rank, doc, score), not the input rows — the retrieval analogue
+  // of selective_extractor's side output. The query table is small by
+  // definition (dedup_against's reference convention), so its term set
+  // broadcasts and prunes the corpus token stream before any shuffle.
+
+  private def bm25Stage(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "bm25_topk stage needs `queries: {path, qid_field, qtext_field}`"))
+    val q = df.sparkSession.read
+      .format(str(qCfg, "format", "parquet"))
+      .load(reqStr(qCfg, "path", "bm25_topk queries"))
+    CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
+      q, str(qCfg, "qid_field", "qid"), str(qCfg, "qtext_field", "qtext"),
+      k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+  }
 
   private def dedupAgainst(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val refCfg = c.get("reference").map(_.asInstanceOf[Map[String, Any]])

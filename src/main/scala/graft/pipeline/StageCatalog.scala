@@ -500,6 +500,29 @@ object StageCatalog {
           |    min_tokens: 8"""),
       schemaKind = "documents",
       oracle = Seq("ml_dup_spans", "ml_dup_spans_clean")),
+    StageDoc("dedup_paragraph", "curation",
+      "Paragraph-level boilerplate dedup (MassiveText/RefinedWeb): remove every paragraph whose exact text occurs in >= min_docs distinct documents, reassemble the rest in order.",
+      y("""pipeline:
+          |  - type: dedup_paragraph
+          |    id_field: doc_id
+          |    text_field: text
+          |    min_docs: 2
+          |    delim: "\n{2,}"    # paragraph-split regex"""),
+      schemaKind = "documents", oracle = Seq("ml_para_dedup"),
+      notes = "The middle rung of the dedup ladder: whole-document dedup misses shared boilerplate inside otherwise-unique pages; token-positional dedup_spans is finer but costlier. Within-document repetition is deliberately kept (that is the repetition quality signal's business). Shuffles carry 16-byte paragraph digests, never text; adds n_paras / n_removed audit columns."),
+    StageDoc("bm25_topk", "curation",
+      "BM25 lexical retrieval: top-k corpus documents per query (Okapi with the always-positive Lucene idf) - the text-side complement of the embedding ANN family.",
+      y("""pipeline:
+          |  - type: bm25_topk
+          |    id_field: doc_id
+          |    text_field: text
+          |    k: 10
+          |    queries:
+          |      path: "/root/testdata/sf0.001/documents.parquet"
+          |      qid_field: doc_id
+          |      qtext_field: text"""),
+      schemaKind = "documents", oracle = Seq("ml_bm25_topk"),
+      notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:

@@ -75,6 +75,12 @@ class PlanGuardSpec extends SparkSpec {
     "ml_dup_spans" -> 3,       // gram count agg + gram join + id agg
     "ml_dup_spans_clean" -> 4, // dupSpans + span-table id agg; doc join broadcasts
     "ml_semantic_keep" -> 6,   // cluster-size agg + in-cluster self-join + anti
+    "ml_bm25_topk" -> 13,      // 10 executed, all post-broadcast-prune
+                               // (query-term-sized); tf persisted — ONE
+                               // corpus scan subtree, whose cached plan
+                               // PRINTS once per scan site (the
+                               // minhash_pairs accounting convention)
+    "ml_para_dedup" -> 5,      // digest distinct+count, anti-join, reassembly agg
     "ml_embed_ivf_topk" -> 2,
     "ml_embed_neardup" -> 9,
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow

@@ -615,4 +615,67 @@ class CurationStagesSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("hologram"))
   }
+
+  test("dedup_paragraph stage: cross-doc boilerplate removed, audit columns") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val paraDocs = Seq(
+      (1L, "subscribe now\n\nreal article one"),
+      (2L, "subscribe now\n\nreal article two"),
+      (3L, "standalone text")).toDF("doc_id", "text")
+    val out = run(
+      """pipeline:
+        |  - type: dedup_paragraph
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, paraDocs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "real article one", 2L, 1L),
+      (2L, "real article two", 2L, 1L),
+      (3L, "standalone text", 1L, 0L)))
+    // audit-column clash fails loudly
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: dedup_paragraph\n    id_field: doc_id\n",
+        paraDocs.withColumn("n_paras", lit(0)))
+    }
+    assert(e.getMessage.contains("n_paras"))
+    // whole-corpus semantics: refuses a stream at compile time
+    val mem = MemoryStream[(Long, String)]
+    val eStream = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        "pipeline:\n  - type: dedup_paragraph\n    id_field: doc_id\n"))(
+        mem.toDF().toDF("doc_id", "text")).main
+    }
+    assert(eStream.getMessage.contains("dedup_paragraph"))
+  }
+
+  test("bm25_topk stage: retrieval result set from a queries side table") {
+    val s = spark
+    import s.implicits._
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-q").toString
+    Seq((100L, "spark engines")).toDF("qid", "qtext")
+      .write.mode("overwrite").parquet(qDir)
+    val out = run(
+      s"""pipeline:
+         |  - type: bm25_topk
+         |    id_field: doc_id
+         |    text_field: text
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, docs)
+      .orderBy("rank").collect()
+    // only doc 4 contains either query term; schema is the result set
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L))
+    assert(out.head.getLong(0) == 100L && out.head.getLong(1) == 1L)
+    // missing queries config fails loudly
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: bm25_topk\n    id_field: doc_id\n", docs)
+    }
+    assert(e.getMessage.contains("queries"))
+  }
 }
