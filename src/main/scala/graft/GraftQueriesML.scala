@@ -1289,6 +1289,29 @@ object GraftQueriesML {
               id AS doc, score
             FROM sc QUALIFY rank <= 10"""))
 
+  /** Feature covariance of the embedding corpus as (i, j, cov) rows —
+    * the distributed kernel under PCA/whitening ([[Similarity.pcaTrain]]
+    * consumes the same one-row moment aggregate; the eigensolve on top
+    * is driver-local and spec-gated in PcaSpec, the trainCentroids
+    * convention). The oracle recomputes all dim² entries by exploding
+    * index pairs.
+    */
+  private val mCovariance = Spec("ml_embed_covariance",
+    (s, dir) => Similarity.covarianceMatrix(
+      t(s, dir, "embeddings"), "embedding", dim = 64),
+    Some("""WITH e AS (SELECT list_transform(embedding,
+              x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+            m AS (SELECT i, sum(v[i+1]) AS si
+              FROM e, unnest(range(64)) AS u(i) GROUP BY i),
+            o AS (SELECT i, j, sum(v[i+1]*v[j+1]) AS sp
+              FROM e, unnest(range(64)) AS u(i), unnest(range(64)) AS w(j)
+              GROUP BY i, j)
+            SELECT o.i, o.j,
+              round(sp/n - (mi.si/n)*(mj.si/n), 6) + 0.0 AS cov
+            FROM o CROSS JOIN n
+              JOIN m mi ON mi.i = o.i JOIN m mj ON mj.i = o.j"""))
+
   /** Paragraph-level boilerplate dedup: the flat synthetic corpus gets
     * blank-line breaks CONSTRUCTED every five words — identically in both
     * engines, the pii_redact convention — and [[Dedup.paragraphDedup]]
@@ -1337,6 +1360,7 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
+    mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)

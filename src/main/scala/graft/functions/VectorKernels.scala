@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native centroid-assignment kernels for the IVF/PQ family.
   *
@@ -168,6 +168,33 @@ object VectorKernels {
     while (c < book.length) { dists(c) = l2Sq(sub, 0, book(c)); c += 1 }
     argminFirstEq(dists)
   }
+
+  /** Centered matrix-vector projection: out[r] = Σᵢ (v[i] − center[i])
+    * · mat[r][i] — PCA projection/whitening as one primitive loop (the
+    * matrix and center ride the plan as references, never literal
+    * trees). Malformed in (null elements / shorter than the center) →
+    * null out, the [[pqEncode]] contract.
+    */
+  def projectCentered(v: ArrayData, mat: Array[Array[Double]],
+                      center: Array[Double]): ArrayData = {
+    if (v.numElements() < center.length) return null
+    var i = 0
+    while (i < center.length) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Double](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      var s = 0.0
+      i = 0
+      while (i < row.length) { s += (v.getDouble(i) - center(i)) * row(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Nearest-centroid index by cosine — `Similarity.assignBucket`'s
@@ -248,4 +275,28 @@ case class PqSubAssignExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqSubAssignExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Centered matrix-vector projection — PCA project/whiten as one native
+  * loop ([[VectorKernels.projectCentered]]); components and mean ride
+  * the plan as two references.
+  */
+case class ProjectCenteredExpr(child: Expression,
+                               mat: Array[Array[Double]],
+                               center: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.projectCentered(v.asInstanceOf[ArrayData], mat, center)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    val ctrRef = ctx.addReferenceObj("center", center, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.VectorKernels.projectCentered($v, $matRef, $ctrRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProjectCenteredExpr =
+    copy(child = newChild)
 }

@@ -848,4 +848,160 @@ object Similarity {
         round(dot(col("ua"), col("ub")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ======================================================================
+  // PCA / whitening
+  // ======================================================================
+
+  /** Outer-product-sum aggregate
+    * ([[graft.functions.OuterProductSumAgg]]): one row-major dim²
+    * array-typed aggregate column.
+    */
+  private[ml] def outerSum(c: Column, dim: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.OuterProductSumAgg(
+      GraftSqlBridge.expression(c), dim).toAggregateExpression())
+  }
+
+  /** The one-row (n, Σv, Σv·vᵀ) moment aggregate every covariance/PCA
+    * consumer shares: ONE map-side-combined pass over the corpus, dim²+
+    * dim+1 doubles on the exchange regardless of corpus size.
+    */
+  private def momentAgg(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.select(col(vecCol).cast("array<double>").as("__v"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        vecSum(col("__v"), dim).as("s"),
+        outerSum(col("__v"), dim).as("o"))
+
+  /** Population covariance matrix of an embedding column as (i, j, cov)
+    * rows — the feature-correlation diagnostic of a corpus (and the
+    * distributed kernel under [[pcaTrain]]). cov(i,j) =
+    * Σvᵢvⱼ/n − (Σvᵢ/n)(Σvⱼ/n), rounded to 6 for cross-engine stability.
+    *
+    * Scale: the corpus collapses to ONE dim²-buffer aggregate row
+    * (map-side combined); the (i, j) explosion is a narrow projection of
+    * that single row. Nothing else moves.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    momentAgg(df, vecCol, dim)
+      .select(col("n"), col("s"), posexplode(col("o")).as(Seq("p", "sp")))
+      .select(
+        (col("p") / dim).cast("long").as("i"),
+        (col("p") % dim).cast("long").as("j"),
+        // + 0.0 normalizes -0.0 → 0.0 (IEEE): DuckDB's round keeps the
+        // negative zero of a tiny negative, Spark's drops it — same
+        // number, different bytes, and the oracle hash compares bytes
+        (round(col("sp") / col("n")
+          - (element_at(col("s"), (col("p") / dim).cast("int") + 1) / col("n"))
+          * (element_at(col("s"), (col("p") % dim).cast("int") + 1) / col("n")),
+          6) + lit(0.0)).as("cov"))
+
+  /** A trained PCA basis: `mean` (dim), `eigvals` desc (m), `components`
+    * row-major (m × dim, orthonormal, sign-fixed so each row's
+    * largest-|·| entry is positive — deterministic across runs).
+    */
+  case class PcaModel(mean: Array[Double], eigvals: Array[Double],
+                      components: Array[Array[Double]])
+
+  /** Train a PCA basis on an embedding column: the corpus collapses to
+    * the single [[momentAgg]] row (dim² doubles to the driver — the
+    * trainCentroids convention: model-sized driver state, never
+    * corpus-sized), then a driver-local cyclic Jacobi eigensolve of the
+    * dim×dim covariance. At dim ≤ a few thousand the solve is
+    * milliseconds-to-seconds and independent of corpus size — the
+    * distributed work is exactly one aggregate pass.
+    */
+  def pcaTrain(df: DataFrame, vecCol: String, dim: Int, m: Int): PcaModel = {
+    require(m >= 1 && m <= dim, s"pcaTrain: m=$m out of range [1, $dim]")
+    val row = momentAgg(df, vecCol, dim).head()
+    val n = row.getDouble(0)
+    require(n > 0, "pcaTrain: empty input")
+    val s = row.getSeq[Double](1).toArray
+    val o = row.getSeq[Double](2).toArray
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      o(i * dim + j) / n - mean(i) * mean(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => -vals(i)).take(m)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(r => vecs(r)(c))
+      // deterministic sign: largest-|entry| (first on ties) positive
+      var best = 0
+      for (i <- 1 until dim) if (math.abs(v(i)) > math.abs(v(best))) best = i
+      if (v(best) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, order.map(vals).toArray, comps)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-columns). O(dim³) per sweep, a
+    * handful of sweeps to 1e-12 — driver-local by design (the matrix is
+    * model-sized; distributing an eigensolve of a dim≤4096 matrix would
+    * be all coordination and no work).
+    */
+  private[ml] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 → 45° rotation
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project an embedding column onto a trained PCA basis (optionally
+    * whitened — each component scaled by 1/√eigval, making the projected
+    * population covariance the identity). One narrow native-kernel
+    * projection ([[graft.functions.ProjectCenteredExpr]] — basis and
+    * mean ride the plan as references, never literal trees); malformed
+    * vectors project to null, the pqEncode contract.
+    */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
+                 outCol: String = "pca",
+                 whiten: Boolean = false): DataFrame = {
+    val eps = 1e-12
+    val mat =
+      if (!whiten) model.components
+      else model.components.zip(model.eigvals).map { case (row, ev) =>
+        val scale = 1.0 / math.sqrt(math.max(ev, eps))
+        row.map(_ * scale)
+      }
+    import org.apache.spark.sql.GraftSqlBridge
+    df.withColumn(outCol, GraftSqlBridge.column(
+      graft.functions.ProjectCenteredExpr(
+        GraftSqlBridge.expression(col(vecCol).cast("array<double>")),
+        mat, model.mean)))
+  }
 }

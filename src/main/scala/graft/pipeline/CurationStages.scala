@@ -45,7 +45,7 @@ object CurationStages {
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
-    "token_budget_sample", "dedup_paragraph", "bm25_topk")
+    "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -59,7 +59,7 @@ object CurationStages {
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
-    "bm25_topk")
+    "bm25_topk", "pca_project")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -121,6 +121,20 @@ object CurationStages {
           textField(c), minDocs = int(c, "min_docs", 2),
           delimPattern = str(c, "delim", "\n{2,}"))
       case "bm25_topk" => bm25Stage(pre, c)
+      case "pca_project" =>
+        // PCA basis trained on the input corpus at plan time (the
+        // dedup_semantic convention: one moment-aggregate pass, dim²
+        // doubles to the driver, eigensolve driver-local), projection a
+        // narrow native kernel
+        val vec = str(c, "vec_field", "embedding")
+        require(pre.columns.contains(vec),
+          s"pca_project: no `$vec` column (set vec_field)")
+        val dim = int(c, "dim", 64)
+        val model = graft.ml.Similarity.pcaTrain(pre, vec, dim,
+          m = int(c, "components", math.min(8, dim)))
+        graft.ml.Similarity.pcaProject(pre, vec, model,
+          outCol = str(c, "target_field", "pca"),
+          whiten = c.get("whiten").exists(_.toString.toBoolean))
       case "dedup_spans" =>
         // Lee et al. 2022 ExactSubstr removal (ml/Dedup.removeDupSpans):
         // cut every token inside a corpus-duplicated substring of ≥

@@ -523,6 +523,17 @@ object StageCatalog {
           |      qtext_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_bm25_topk"),
       notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit."),
+    StageDoc("pca_project", "curation",
+      "Project embeddings onto a PCA basis trained on the input corpus (optionally whitened) - embedding post-processing before ANN indexing or semantic dedup.",
+      y("""pipeline:
+          |  - type: pca_project
+          |    vec_field: embedding
+          |    dim: 64
+          |    components: 8
+          |    whiten: true
+          |    target_field: pca"""),
+      schemaKind = "embeddings", oracle = Seq("ml_embed_covariance"),
+      notes = "Training is ONE map-side-combined moment aggregate (dim^2 doubles to the driver - the distributed kernel is the oracle-gated ml_embed_covariance); the eigensolve is driver-local Jacobi (model-sized, corpus-independent) and the projection a narrow native kernel carrying basis+mean as plan references. Malformed vectors project to null."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:

@@ -678,4 +678,35 @@ class CurationStagesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("queries"))
   }
+
+  test("pca_project stage: plan-time-trained whitened projection") {
+    val s = spark
+    import s.implicits._
+    // anisotropic 3-dim cloud (hash-derived, no RNG)
+    val emb = (0 until 200).map { i =>
+      val t = ((i * 2654435761L) % 1000) / 1000.0 - 0.5
+      (i.toLong, Seq((6.0 * t + 0.01 * (i % 7)).toFloat,
+        (6.0 * t - 0.01 * (i % 7)).toFloat, (0.001 * (i % 11)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = run(
+      """pipeline:
+        |  - type: pca_project
+        |    vec_field: embedding
+        |    dim: 3
+        |    components: 2
+        |    whiten: true
+        |""".stripMargin, emb)
+    assert(out.columns.contains("pca"))
+    // whitened projected covariance ≈ identity
+    val cov = graft.ml.Similarity.covarianceMatrix(out, "pca", dim = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(cov((0L, 0L)) - 1.0) < 1e-3 &&
+      math.abs(cov((1L, 1L)) - 1.0) < 1e-3)
+    assert(math.abs(cov((0L, 1L))) < 1e-3)
+    // missing vector column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: pca_project\n    vec_field: nope\n", emb)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
