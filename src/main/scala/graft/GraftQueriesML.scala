@@ -1350,6 +1350,246 @@ object GraftQueriesML {
             FROM t JOIN p USING (doc_id) LEFT JOIN kept USING (doc_id)"""))
 
   // ----------------------------------------------------------------------
+  // round 10: Gopher rule filter, bigram-LM perplexity leg, DSIR
+  // importance resampling, positional benchmark decontamination
+  // ----------------------------------------------------------------------
+
+  /** Gopher quality rules over a line-structured, deterministically
+    * "decorated" corpus: the flat synthetic text gets newlines every five
+    * words and, keyed on doc_id, bullet-prefixed or ellipsis-suffixed
+    * lines — constructed identically in both engines (the pii_redact
+    * convention) so the bullet/ellipsis/dup-line rules genuinely fire.
+    */
+  private val mGopher = Spec("ml_gopher_quality",
+    (s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){5})", "$1\n"))
+      val decorated = lined.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("• "), regexp_replace(col("text"), "\n", "\n• ")))
+        .when(col("doc_id") % 11 === 0,
+          regexp_replace(col("text"), "\n", "...\n"))
+        .otherwise(col("text")))
+      TextAnalysis.gopherSignals(decorated, "text")
+        .select("doc_id", "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+          "g_bullet_frac", "g_ellipsis_frac", "g_alpha_frac", "g_stop_hits",
+          "g_dup_line_frac", "gopher_pass")
+    },
+    Some {
+      val stopList = TextAnalysis.gopherStopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH lined AS (SELECT doc_id,
+            regexp_replace(text, '((\\S+ ){5})', '\\1' || chr(10), 'g') AS text
+            FROM documents),
+          dec AS (SELECT doc_id, CASE
+              WHEN doc_id % 7 = 0
+                THEN '• ' || replace(text, chr(10), chr(10) || '• ')
+              WHEN doc_id % 11 = 0
+                THEN replace(text, chr(10), '...' || chr(10))
+              ELSE text END AS text FROM lined),
+          st AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> x <> '') AS w,
+            list_filter(list_transform(string_split(text, chr(10)),
+              x -> trim(x)), x -> x <> '') AS lines
+            FROM dec),
+          m AS (SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS g_n_words,
+            CASE WHEN len(w) > 0 THEN round(
+              CAST(length(array_to_string(w, '')) AS DOUBLE)/len(w), 6)
+              ELSE 0.0 END AS g_mean_word_len,
+            CASE WHEN len(w) > 0 THEN round(CAST(
+              len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '…'))
+              + len(regexp_extract_all(text, '\\.\\.\\.'))
+              AS DOUBLE)/len(w), 6) ELSE 0.0 END AS g_symbol_ratio,
+            CASE WHEN len(lines) > 0 THEN round(CAST(
+              len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %'
+                OR l LIKE '* %')) AS DOUBLE)/len(lines), 6)
+              ELSE 0.0 END AS g_bullet_frac,
+            CASE WHEN len(lines) > 0 THEN round(CAST(
+              len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+              AS DOUBLE)/len(lines), 6) ELSE 0.0 END AS g_ellipsis_frac,
+            CASE WHEN len(w) > 0 THEN round(CAST(
+              len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE)/len(w), 6) ELSE 0.0 END AS g_alpha_frac,
+            CAST(len(list_filter($stopList::VARCHAR[],
+              s -> list_contains(list_transform(w, x -> lower(x)), s)))
+              AS BIGINT) AS g_stop_hits,
+            CASE WHEN len(lines) > 0 THEN round(1.0 -
+              CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines), 6)
+              ELSE 0.0 END AS g_dup_line_frac
+            FROM st)
+          SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+            g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_stop_hits,
+            g_dup_line_frac,
+            CAST(g_n_words BETWEEN 50 AND 100000
+              AND g_mean_word_len BETWEEN 3.0 AND 10.0
+              AND g_symbol_ratio <= 0.1
+              AND g_bullet_frac <= 0.9
+              AND g_ellipsis_frac <= 0.3
+              AND g_alpha_frac >= 0.8
+              AND g_stop_hits >= 2
+              AND g_dup_line_frac <= 0.3 AS INT) AS gopher_pass
+          FROM m"""
+    })
+
+  private val mBigramLP = Spec("ml_bigram_logprob",
+    (s, dir) => CorpusStats.bigramLogProb(t(s, dir, "documents"),
+      "doc_id", "text", lambda = 0.9),
+    Some {
+      // interpolation weights interpolated from the SAME doubles the
+      // Spark plan uses (1.0 - 0.9 is not the literal 0.1)
+      val l1 = 0.9; val l2 = 1.0 - 0.9
+      s"""WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+          uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+          n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+          bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+              i -> w[i+1]||' '||w[i+2])) AS g
+            FROM w WHERE len(w) >= 2),
+          bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+          pr AS (SELECT g, $l1*CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE)
+                + $l2*CAST(u2.c1 AS DOUBLE)/n AS p
+            FROM bc JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
+                    JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
+                    CROSS JOIN n),
+          per AS (SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(p)), 6) AS avg_logprob
+            FROM bg JOIN pr USING (g) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+            coalesce(avg_logprob, 0.0) AS avg_logprob
+          FROM documents d LEFT JOIN per USING (doc_id)"""
+    })
+
+  /** DuckDB CTE prefix `fb(doc_id, b)`: the DSIR hashed uni+bigram
+    * feature buckets, md5-half hashing ([[Dedup.md5half]] convention).
+    */
+  private def dsirFeatureSql(buckets: Int): String =
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        f AS (SELECT doc_id, unnest(list_concat(w,
+            list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2]))) AS f
+          FROM w),
+        fb AS (SELECT doc_id,
+            ('0x'||substr(md5(f),1,8))::BIGINT % $buckets AS b FROM f)"""
+
+  /** DuckDB CTEs from `fb` to `per(doc_id, n_feats, log_weight)` — the
+    * smoothed bucket log-ratio table and the per-doc sum, mirroring
+    * [[Curation.dsirWeights]] token for token (target = doc_id % 53 = 0,
+    * the contamination convention for "the exemplar subset").
+    */
+  private def dsirWeightSql(buckets: Int, alpha: Double): String =
+    s""",
+        rawb AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        tgtb AS (SELECT b, count(*) AS ct FROM fb
+          WHERE doc_id % 53 = 0 GROUP BY b),
+        nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS n_raw FROM rawb),
+        nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_tgt FROM tgtb),
+        lr AS (SELECT b,
+            ln((CAST(coalesce(ct, 0) AS DOUBLE) + $alpha) /
+               (n_tgt + $alpha * ${buckets.toDouble}))
+          - ln((CAST(cr AS DOUBLE) + $alpha) /
+               (n_raw + $alpha * ${buckets.toDouble})) AS lr
+          FROM rawb LEFT JOIN tgtb USING (b)
+          CROSS JOIN nr CROSS JOIN nt),
+        per AS (SELECT doc_id, count(*) AS n_feats,
+            round(sum(lr), 6) AS log_weight
+          FROM fb JOIN lr USING (b) GROUP BY doc_id)"""
+
+  private val mDsirWeights = Spec("ml_dsir_weights",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.dsirWeights(d, d.filter(col("doc_id") % 53 === 0),
+        "doc_id", "text", buckets = 1024, alpha = 1.0)
+    },
+    Some(dsirFeatureSql(1024) + dsirWeightSql(1024, 1.0) + """
+         SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+           coalesce(log_weight, 0.0) AS log_weight
+         FROM documents d LEFT JOIN per USING (doc_id)"""))
+
+  private val mDsirSample = Spec("ml_dsir_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.dsirSample(
+        Curation.dsirWeights(d, d.filter(col("doc_id") % 53 === 0),
+          "doc_id", "text", buckets = 1024, alpha = 1.0),
+        "doc_id", k = 100)
+    },
+    Some(dsirFeatureSql(1024) + dsirWeightSql(1024, 1.0) + """,
+         wt AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+             coalesce(log_weight, 0.0) AS log_weight
+           FROM documents d LEFT JOIN per USING (doc_id))
+         SELECT doc_id, n_feats, log_weight,
+           round(log_weight + -ln(-ln(
+             (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
+             / 4294967296.0)), 6) AS score
+         FROM wt ORDER BY score DESC, doc_id ASC LIMIT 100"""))
+
+  /** Positional decontamination vs an in-corpus "benchmark" subset
+    * (doc_id % 7 = 0 — wide enough that spans fire at every SF); the
+    * oracle re-derives covered-position islands with window functions,
+    * the mDupSpans formulation with the gram-set membership condition.
+    */
+  private def decontamOccSql(k: Int): String =
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        g AS (SELECT doc_id, i AS p,
+            md5(array_to_string(w[i+1:i+$k], ' ')) AS g
+          FROM w, unnest(range(len(w)-${k - 1})) AS u(i)
+          WHERE len(w) >= $k),
+        bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        occ AS (SELECT doc_id, p FROM g JOIN bg USING (g)
+          WHERE doc_id % 7 <> 0)"""
+
+  private val mDecontamSpans = Spec("ml_decontam_spans",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.decontaminateSpans(
+        d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text", k = 8)
+    },
+    Some(decontamOccSql(8) + """,
+         b AS (SELECT doc_id, p, CASE WHEN p >
+             lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+             THEN 1 ELSE 0 END AS brk FROM occ),
+         isl AS (SELECT doc_id, p, sum(brk)
+             OVER (PARTITION BY doc_id ORDER BY p) AS island FROM b)
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 8 AS BIGINT) AS span_end
+         FROM isl GROUP BY doc_id, island"""))
+
+  private val mDecontamClean = Spec("ml_decontam_clean",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.decontaminate(
+          d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", k = 8)
+        .select(col("doc_id"), col("text"))
+    },
+    Some(decontamOccSql(8) + """,
+         cover AS (SELECT DISTINCT occ.doc_id, u.pp AS p
+           FROM occ, unnest(range(occ.p, occ.p + 8)) AS u(pp)),
+         toks AS (SELECT doc_id, unnest(w) AS word,
+           generate_subscripts(w, 1) - 1 AS p FROM w
+           WHERE doc_id % 7 <> 0),
+         kept AS (SELECT t.doc_id, t.word, t.p FROM toks t
+           LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+           WHERE c.doc_id IS NULL),
+         cleaned AS (SELECT doc_id,
+           string_agg(word, ' ' ORDER BY p) AS text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM occ)
+                THEN coalesce(cl.text, '') ELSE d.text END AS text
+         FROM documents d LEFT JOIN cleaned cl USING (doc_id)
+         WHERE d.doc_id % 7 <> 0"""))
+
+  // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
@@ -1363,5 +1603,7 @@ object GraftQueriesML {
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
-    mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline)
+    mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
+    mGopher, mBigramLP, mDsirWeights, mDsirSample, mDecontamSpans,
+    mDecontamClean)
 }

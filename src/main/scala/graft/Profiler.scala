@@ -34,11 +34,21 @@ object Profiler {
     // warm-up on the full pipeline so JIT/codegen don't land on stage 1
     runOnce(spec)
 
-    // cumulative prefix timings, min of 2 to shed scheduler noise
-    val cums = (1 to spec.stages.length).map { k =>
+    // cumulative prefix timings: each prefix is a DIFFERENT plan with its
+    // own generated code, so warm it once untimed, then min of 2 to shed
+    // scheduler noise
+    val measured = (1 to spec.stages.length).map { k =>
       val prefix = PipelineSpec(spec.stages.take(k))
+      runOnce(prefix)
       math.min(runOnce(prefix), runOnce(prefix))
     }
+    // prefix k strictly contains prefix k-1's work, so cumulative time is
+    // monotone in the SEMANTICS — but the samples are independent
+    // wall-clock measurements, and residual noise can invert a pair,
+    // which would render as a negative stage delta. Enforce the semantic
+    // monotonicity (running max); an inversion shows as delta 0 on the
+    // stage that measured under its predecessor.
+    val cums = measured.scanLeft(0.0)(math.max).tail
 
     // per-stage counters from ONE instrumented pass
     MetricsRegistry.reset()

@@ -243,4 +243,111 @@ object CorpusStats {
         coalesce(round(col("__sum_df").cast("double") / col("n_distinct"), 6),
           lit(0.0)).as("avg_df"))
   }
+
+  /** Per-document interpolated bigram language-model score — the
+    * CCNet-style perplexity filter (Wenzek et al. 2020 score documents
+    * with a KenLM n-gram model; this is the distributed-trainable
+    * Jelinek-Mercer bigram member of that family, one step up the ladder
+    * from [[unigramLogProb]]):
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N
+    *
+    * trained on the corpus's own counts and scored as the mean natural
+    * log-probability over each document's bigram positions (documents
+    * with < 2 words keep a row with zeros; perplexity = exp(−avg), left
+    * to the caller — it is monotone in the score, so filters threshold
+    * `avg_logprob` directly). The interpolation keeps every in-vocabulary
+    * bigram finite (a word unseen as a bigram head still has a unigram
+    * count ≥ 1, since bigram heads come from the same corpus).
+    *
+    * What the signal measures: word-ORDER anomaly — frequent contexts
+    * followed by never-seen successors (scrambled text, keyword stuffing,
+    * wrong-language islands inside in-vocabulary text) score low. What a
+    * self-trained CONDITIONAL model deliberately does not penalize:
+    * globally unique vocabulary (a once-seen context is deterministically
+    * predictive) — that rarity axis is [[unigramLogProb]]'s business, and
+    * a production filter thresholds both.
+    *
+    * Scale: two vocabulary-sized aggregates (unigram, bigram counts);
+    * the per-TYPE probability table is assembled with two token-keyed
+    * joins on the vocabulary tables (never per-occurrence); the corpus
+    * total folds in as a broadcast single-row cross join; the doc side is
+    * ONE gram-keyed join feeding one per-doc aggregate — the
+    * [[unigramLogProb]] shape with a bigram key. Nothing is pairwise.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.9): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(Curation.words(col(textCol))).as("t"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).cast("double").as("n"))
+    val big = df.select(col(idCol).as("id"),
+      explode(ngramArray(col(textCol), 2)).as("g"))
+    val bcnt = big.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    // words contain no spaces (single-space split), so the bigram key
+    // splits back losslessly into its two tokens
+    val parts = bcnt
+      .withColumn("__w1", element_at(split(col("g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("g"), " "), 2))
+    // per-TYPE probability: mirror the oracle SQL token for token (same
+    // literal structure, same association) for bit-identical doubles
+    val probs = parts
+      .join(uni.select(col("t").as("__w1"), col("c1").as("__cw1")), Seq("__w1"))
+      .join(uni.select(col("t").as("__w2"), col("c1").as("__cw2")), Seq("__w2"))
+      .crossJoin(broadcast(total))
+      .select(col("g"),
+        (lit(lambda) * col("c2").cast("double") / col("__cw1").cast("double") +
+         lit(1.0 - lambda) * col("__cw2").cast("double") / col("n"))
+          .as("p"))
+    val per = big.join(probs, Seq("g"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p"))), 6).as("avg_logprob"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** Positional benchmark decontamination (the removal counterpart of
+    * [[contamination]], with [[Dedup.dupSpans]]'s positional semantics):
+    * maximal token spans `[span_start, span_end)` of each corpus document
+    * whose every position is covered by some k-gram that ALSO occurs in
+    * the benchmark set. This is the eval-leak surgery step every
+    * published pretraining recipe runs before training — flag-level
+    * contamination ([[contamination]]) tells you WHICH documents overlap;
+    * this tells you WHERE, so the span can be cut instead of dropping the
+    * whole document.
+    *
+    * Scale: the benchmark gram set is an eval set — small BY DEFINITION —
+    * so its distinct digests broadcast; the corpus side is one posexplode
+    * joined against that broadcast (16-byte md5 keys, never gram text)
+    * feeding ONE id-keyed aggregate; the interval merge is the local
+    * array arithmetic shared with [[Dedup.dupSpans]]. No corpus shuffle
+    * beyond the per-doc aggregate.
+    */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 8): DataFrame = {
+    val benchG = bench
+      .select(explode(ngramArray(col(benchTextCol), k)).as("g"))
+      .withColumn("g", md5(col("g")))
+      .distinct()
+    val covered = Dedup.gramOccurrences(corpus, idCol, textCol, k)
+      .join(broadcast(benchG), Seq("g"))
+      .select("id", "p")
+    Dedup.positionsToSpans(covered, idCol, k)
+  }
+
+  /** Apply [[decontaminateSpans]] removal: cut every token inside a
+    * benchmark-overlapping span (same surgery contract as
+    * [[Dedup.removeDupSpans]] — untouched documents pass through
+    * verbatim; edited ones are re-joined with single spaces).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 8): DataFrame =
+    Dedup.cutSpans(corpus,
+      decontaminateSpans(corpus, idCol, textCol, bench, benchTextCol, k),
+      idCol, textCol)
 }

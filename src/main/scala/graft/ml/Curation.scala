@@ -291,4 +291,92 @@ object Curation {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** DSIR data selection (Xie et al. 2023 "Data Selection for Language
+    * Models via Importance Resampling"): score each raw document by the
+    * log importance ratio of its hashed n-gram features under
+    * bag-of-hashed-ngram models of a small TARGET corpus (the
+    * distribution you want more of) vs the RAW corpus:
+    *
+    *   log w(x) = Σ_{f ∈ features(x)} [ ln p̂_target(bucket(f))
+    *                                   − ln p̂_raw(bucket(f)) ]
+    *
+    * with add-α smoothed bucket probabilities p̂(b) = (c(b)+α)/(N+α·D).
+    * Features are unigrams + bigrams ([[words]] semantics) hashed into
+    * `buckets` buckets via the md5-half convention ([[Dedup.md5half]]),
+    * so any engine with md5 reproduces the bucketing exactly. Returns
+    * every raw row's id with `n_feats` and `log_weight` (0 for
+    * feature-less docs).
+    *
+    * Scale: the two hashed-feature models are ≤ `buckets` counters each,
+    * so they train with one map-side-combined aggregate apiece and come
+    * back to the driver as a bounded reduction (the quality_model /
+    * bpe_merges convention — the model is plan-time state, like any
+    * trained model). The log-ratio LUT then rides the RETURNED plan as a
+    * single literal map (one plan reference — the VectorKernels lesson:
+    * never k per-entry expression trees), and scoring is a fully NARROW
+    * projection: per row, hash features and fold lookups in array order.
+    * No join, no shuffle, no join-back for zero-feature docs (an empty
+    * feature array folds to 0.0 natively). At 100 TB the scoring pass is
+    * scan-speed; the only other corpus-proportional work is the two
+    * training aggregates.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024,
+                  alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def featArr(text: Column): Column =
+      concat(words(text), CorpusStats.ngramArray(text, 2))
+    // bounded driver reduction: ≤ `buckets` (bucket, count) rows
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(featArr(col(textCol))).as("f"))
+        .select((Dedup.md5half(col("f"), 0) % buckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smoothed log-prob mirrors the oracle SQL token for token (same
+    // literal structure, same association) for bit-identical doubles
+    def logProb(c: Double, n: Double): Double =
+      math.log((c + alpha) / (n + alpha * buckets))
+    val cr = bucketCounts(raw)
+    val ct = bucketCounts(target)
+    val nRaw = cr.values.sum.toDouble
+    val nTgt = ct.values.sum.toDouble
+    def ratio(crB: Long, ctB: Long): Double =
+      logProb(ctB.toDouble, nTgt) - logProb(crB.toDouble, nRaw)
+    // every scored feature's bucket exists in `cr` (the doc IS part of
+    // raw); the coalesce default is the both-unseen smoothing mass
+    val entries = cr.keys.toSeq.sorted
+      .map(b => b -> ratio(cr(b), ct.getOrElse(b, 0L)))
+    val lut = map_from_arrays(
+      lit(entries.map(_._1).toArray), lit(entries.map(_._2).toArray))
+    val unseen = lit(ratio(0L, 0L))
+    val scored = raw
+      .withColumn("__f", featArr(col(textCol)))
+      .select(col(idCol),
+        size(col("__f")).cast("long").as("n_feats"),
+        round(aggregate(
+          transform(col("__f"), f =>
+            coalesce(element_at(lut, Dedup.md5half(f, 0) % buckets), unseen)),
+          lit(0.0), (acc, x) => acc + x), 6).as("log_weight"))
+    scored
+  }
+
+  /** Gumbel top-k importance resampling over [[dsirWeights]] output —
+    * the paper's sampling-without-replacement step, derandomized: each
+    * doc's Gumbel noise comes from the md5 of its own id (content-
+    * addressed, reproducible on any engine), and the k largest perturbed
+    * scores are the sample (equivalent in distribution to weighted
+    * sampling without replacement ∝ exp(log_weight)).
+    *
+    * `orderBy(…).limit(k)` plans as TakeOrderedAndProject — per-partition
+    * top-k heaps, k rows to the driver, no global sort at any scale.
+    */
+  def dsirSample(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    val u = (Dedup.md5half(col(idCol).cast("string"), 0).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    weights
+      .withColumn("score", round(col("log_weight") + -log(-log(u)), 6))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

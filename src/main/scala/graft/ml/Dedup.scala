@@ -409,19 +409,38 @@ object Dedup {
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8): DataFrame = {
-    val occ = df
-      .select(col(idCol).as("id"),
-        posexplode(CorpusStats.ngramArray(col(textCol), k))
-          .as(Seq("p", "g")))
-      // shuffle 16-byte digests, not k-token strings
-      .withColumn("g", md5(col("g")))
+    val occ = gramOccurrences(df, idCol, textCol, k)
     val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("g"))
-    val ps = occ.join(dup, Seq("g"))
-      .groupBy(col("id")).agg(sort_array(collect_list(col("p"))).as("ps"))
+    positionsToSpans(occ.join(dup, Seq("g")).select("id", "p"), idCol, k)
+  }
+
+  /** Per-document k-gram occurrence table `(id, p, g)` with `g` already
+    * digested — shuffles carry 16-byte md5s, not k-token strings. Shared
+    * by [[dupSpans]] and [[CorpusStats.decontaminateSpans]].
+    */
+  private[ml] def gramOccurrences(df: DataFrame, idCol: String,
+                                  textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(CorpusStats.ngramArray(col(textCol), k))
+          .as(Seq("p", "g")))
+      .withColumn("g", md5(col("g")))
+
+  /** Merge covered gram start-positions `(id, p)` into maximal token
+    * spans `[span_start, span_end)` (each gram covers `[p, p+k)`).
+    * ONE id-keyed aggregate; the interval merge is LOCAL array
+    * arithmetic: with positions sorted, span ends `p+k` are monotone, so
+    * island breaks are adjacent-pair comparisons (`p_i > p_{i-1}+k`) —
+    * O(positions) per doc, no window, no per-doc quadratic fold.
+    * element_at is 1-based; lambda index is 0-based.
+    */
+  private[ml] def positionsToSpans(pos: DataFrame, idCol: String,
+                                   k: Int): DataFrame = {
+    val ps = pos.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
     // span starts: first position, or a gap > k from the predecessor;
     // span ends: last position, or a gap > k to the successor (+k for
-    // the gram width). element_at is 1-based; lambda index is 0-based.
+    // the gram width).
     val spans = ps.select(col("id"),
       expr(s"""zip_with(
         filter(ps, (p, i) -> i = 0 OR p > element_at(ps, i) + $k),
@@ -444,14 +463,25 @@ object Dedup {
     * one id-keyed left join; the token surgery is a narrow lambda.
     */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, k)
+                     k: Int = 8): DataFrame =
+    cutSpans(df, dupSpans(df, idCol, textCol, k), idCol, textCol)
+
+  /** Apply a `(idCol, span_start, span_end)` span table to the corpus:
+    * cut every token whose position falls in a span and rejoin with
+    * single spaces. Documents without spans pass through verbatim
+    * (including their original whitespace — only edited documents are
+    * re-tokenized). One id-keyed aggregate on the (small) span table +
+    * one id-keyed left join; the token surgery is a narrow lambda.
+    */
+  private[ml] def cutSpans(df: DataFrame, spanTable: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val spans = spanTable
       .groupBy(col(idCol).as("__sid"))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
-    // token positions must be the SAME positions dupSpans numbered, so
-    // the word split is Curation.words (single-space, empties removed) —
-    // the ngramArray convention — not a regex re-tokenization
+    // token positions must be the SAME positions the span table numbered,
+    // so the word split is Curation.words (single-space, empties removed)
+    // — the ngramArray convention — not a regex re-tokenization
     val indexed = transform(Curation.words(col(textCol)),
       (w, i) => struct(w.as("w"), i.as("i")))
     val keptText = array_join(

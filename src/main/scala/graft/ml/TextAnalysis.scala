@@ -134,4 +134,82 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), """\s+""", " "))
+
+  /** The Gopher "required words" stopword set (Rae et al. 2021 §A1.1):
+    * a document must contain at least two of these to pass.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-based quality filter signals (Rae et al. 2021 §A1.1,
+    * the MassiveText quality heuristics; the duplicate-line fraction is
+    * the same family's repetition rule, and the bullet/ellipsis line
+    * rules are shared with C4-style line filtering). Appends one column
+    * per signal plus the conjunction flag `gopher_pass`:
+    *
+    *  - `g_n_words`            — whitespace word count (bound [50, 100k])
+    *  - `g_mean_word_len`      — mean word length (bound [3, 10])
+    *  - `g_symbol_ratio`       — '#' / '…' / '...' occurrences per word (≤ 0.1)
+    *  - `g_bullet_frac`        — lines starting with a bullet (≤ 0.9)
+    *  - `g_ellipsis_frac`      — lines ending in an ellipsis (≤ 0.3)
+    *  - `g_alpha_frac`         — words containing ≥1 [A-Za-z] (≥ 0.8)
+    *  - `g_stop_hits`          — distinct [[gopherStopwords]] present (≥ 2)
+    *  - `g_dup_line_frac`      — 1 − distinct/total non-empty lines (≤ 0.3)
+    *
+    * Every signal is pure column arithmetic over two staged arrays (words,
+    * lines) — a single narrow codegen'd projection, stream-safe, scan
+    * speed at any corpus size. Ratios are rounded to 6 places for
+    * cross-engine stability (the qualityScore convention).
+    */
+  def gopherSignals(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val w = filter(split(trim(text), """\s+"""), x => x =!= "")
+    val lines = filter(transform(split(text, "\n"), x => trim(x)),
+      x => x =!= "")
+    val staged = df
+      .withColumn("__w", w)
+      .withColumn("__lines", lines)
+    val nW = size(col("__w")).cast("double")
+    val nL = size(col("__lines")).cast("double")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    def occurrences(needle: String): Column =
+      size(regexp_extract_all(text,
+        lit(java.util.regex.Pattern.quote(needle)), lit(0)))
+    // '...' counted first would swallow '…'? No — disjoint literals; but
+    // '...' and '#' never overlap. Non-overlapping counts per literal.
+    val symbols = (occurrences("#") + occurrences("…") +
+      occurrences("...")).cast("double")
+    val bulletLines = size(filter(col("__lines"),
+      l => l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+    val ellipsisLines = size(filter(col("__lines"),
+      l => l.endsWith("...") || l.endsWith("…")))
+    val alphaWords = size(filter(col("__w"), x => x.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(
+      array_distinct(transform(col("__w"), x => lower(x))),
+      array(gopherStopwords.map(lit): _*)))
+    val dupLineFrac = when(nL > 0,
+      round(lit(1.0) - size(array_distinct(col("__lines"))).cast("double") / nL, 6))
+      .otherwise(lit(0.0))
+    val out = staged
+      .withColumn("g_n_words", size(col("__w")).cast("long"))
+      .withColumn("g_mean_word_len",
+        frac(length(array_join(col("__w"), "")), nW))
+      .withColumn("g_symbol_ratio", frac(symbols, nW))
+      .withColumn("g_bullet_frac", frac(bulletLines, nL))
+      .withColumn("g_ellipsis_frac", frac(ellipsisLines, nL))
+      .withColumn("g_alpha_frac", frac(alphaWords, nW))
+      .withColumn("g_stop_hits", stopHits.cast("long"))
+      .withColumn("g_dup_line_frac", dupLineFrac)
+    out.withColumn("gopher_pass",
+      (col("g_n_words").between(50L, 100000L) &&
+        col("g_mean_word_len").between(3.0, 10.0) &&
+        col("g_symbol_ratio") <= 0.1 &&
+        col("g_bullet_frac") <= 0.9 &&
+        col("g_ellipsis_frac") <= 0.3 &&
+        col("g_alpha_frac") >= 0.8 &&
+        col("g_stop_hits") >= 2L &&
+        col("g_dup_line_frac") <= 0.3).cast("int"))
+      .drop("__w", "__lines")
+  }
 }

@@ -45,7 +45,8 @@ object CurationStages {
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
-    "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project")
+    "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
+    "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -59,7 +60,8 @@ object CurationStages {
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
-    "bm25_topk", "pca_project")
+    "bm25_topk", "pca_project",
+    "perplexity_score", "dsir_sample", "decontaminate")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -141,6 +143,24 @@ object CurationStages {
         // min_tokens, all occurrences — whole-corpus by construction
         Dedup.removeDupSpans(pre, idField(c, "dedup_spans"), textField(c),
           k = int(c, "min_tokens", 8))
+      case "quality_gopher" =>
+        // Gopher rule signals (TextAnalysis.gopherSignals): one narrow
+        // projection appending g_* metrics + gopher_pass; pair with a
+        // deleter rule (or `drop_failing`) for the actual filter
+        val clash = ("gopher_pass" +: Seq("n_words", "mean_word_len",
+          "symbol_ratio", "bullet_frac", "ellipsis_frac", "alpha_frac",
+          "stop_hits", "dup_line_frac").map("g_" + _))
+          .filter(pre.columns.contains)
+        require(clash.isEmpty,
+          s"quality_gopher would overwrite existing column(s) " +
+            s"${clash.mkString(", ")} — rename them upstream")
+        val sig = TextAnalysis.gopherSignals(pre, textField(c))
+        if (c.get("drop_failing").exists(_.toString.toBoolean))
+          sig.filter(col("gopher_pass") === 1)
+        else sig
+      case "perplexity_score" => perplexityScore(pre, c)
+      case "dsir_sample" => dsirSample(pre, c)
+      case "decontaminate" => decontaminate(pre, c)
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }
@@ -340,6 +360,87 @@ object CurationStages {
     val dirty = scored.filter(col("contaminated") === 1).select(col(id))
     df.alias("d").join(dirty.alias("x"),
         col(s"d.$id") === col(s"x.$id"), "left_anti")
+  }
+
+  // ---- perplexity_score ----------------------------------------------
+  //
+  // CCNet-style LM quality scoring (CorpusStats.bigramLogProb): append
+  // the corpus-trained interpolated-bigram mean log-probability as
+  // `<prefix>logprob` (+ `<prefix>n_bigrams`); optional `min_logprob`
+  // drops low-likelihood (garbage / wrong-language) documents in the
+  // same stage. Whole-corpus by construction (the model trains on the
+  // input corpus).
+
+  private def perplexityScore(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "perplexity_score")
+    val prefix = str(c, "prefix", "lm_")
+    val clash = Seq(prefix + "n_bigrams", prefix + "logprob")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"perplexity_score would overwrite existing column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream")
+    val scores = CorpusStats.bigramLogProb(df, id, textField(c),
+        lambda = dbl(c, "lambda", 0.9))
+      .withColumnRenamed("n_bigrams", prefix + "n_bigrams")
+      .withColumnRenamed("avg_logprob", prefix + "logprob")
+    val joined = df.join(scores, Seq(id))
+    c.get("min_logprob").map(_.toString.toDouble) match {
+      case Some(min) => joined.filter(col(prefix + "logprob") >= min)
+      case None => joined
+    }
+  }
+
+  // ---- dsir_sample ---------------------------------------------------
+  //
+  // DSIR importance resampling (Curation.dsirWeights/dsirSample): score
+  // the corpus against an exemplar target set (either an external
+  // `target: {path, text_field}` table, or `target_filter` — a filter-DSL
+  // predicate selecting the exemplar subset of the corpus itself), then
+  // keep the top-k Gumbel-perturbed rows. Whole-corpus by construction.
+
+  private def dsirSample(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "dsir_sample")
+    val text = textField(c)
+    val target = (c.get("target_filter"), c.get("target")) match {
+      case (Some(f), _) =>
+        df.filter(coalesce(
+          graft.filter.FilterCompiler.predicate(f.toString, df.schema),
+          lit(false)))
+      case (None, Some(t)) =>
+        val tc = t.asInstanceOf[Map[String, Any]]
+        df.sparkSession.read.format(str(tc, "format", "parquet"))
+          .load(reqStr(tc, "path", "dsir_sample target"))
+          .withColumnRenamed(str(tc, "text_field", "text"), text)
+      case _ => throw new IllegalArgumentException(
+        "dsir_sample stage needs `target: {path, text_field}` or " +
+        "`target_filter`")
+    }
+    val weights = Curation.dsirWeights(df, target, id, text,
+      buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
+    val kept = Curation.dsirSample(weights, id,
+      k = c.get("k").map(_.toString.toInt).getOrElse(
+        throw new IllegalArgumentException("dsir_sample stage needs `k`")))
+    df.alias("d").join(kept.alias("keep"),
+      col(s"d.$id") === col(s"keep.$id"), "left_semi")
+  }
+
+  // ---- decontaminate -------------------------------------------------
+  //
+  // Positional benchmark decontamination (CorpusStats.decontaminate):
+  // cut every token span covered by a k-gram that also occurs in the
+  // benchmark table — the surgery counterpart of contamination_filter's
+  // whole-document drop. Whole-corpus by construction (span table is an
+  // aggregate over the corpus gram stream).
+
+  private def decontaminate(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val bench = c.get("benchmark").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "decontaminate stage needs `benchmark: {path, text_field}`"))
+    val benchDf = df.sparkSession.read
+      .format(str(bench, "format", "parquet")).load(bench("path").toString)
+    CorpusStats.decontaminate(df, idField(c, "decontaminate"), textField(c),
+      benchDf, str(bench, "text_field", "text"),
+      k = int(c, "min_tokens", 8))
   }
 
   // ---- chunk_spans ---------------------------------------------------

@@ -622,7 +622,49 @@ object StageCatalog {
           |  - type: bpe_tokenize
           |    text_field: text
           |    merges: [[t, h], [th, e]]"""),
-      schemaKind = "documents", oracle = Seq("ml_bpe_merges", "ml_bpe_tokens")))
+      schemaKind = "documents", oracle = Seq("ml_bpe_merges", "ml_bpe_tokens")),
+    StageDoc("quality_gopher", "curation",
+      "Gopher rule-based quality signals (Rae et al. 2021): word/line heuristics as g_* columns + the gopher_pass conjunction; optional drop_failing filter.",
+      y("""pipeline:
+          |  - type: quality_gopher
+          |    text_field: text
+          |    drop_failing: false"""),
+      schemaKind = "documents", oracle = Seq("ml_gopher_quality"),
+      notes = "One narrow codegen'd projection over two staged arrays (words, lines) — stream-safe, scan speed at any corpus size. Signals: g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_stop_hits, g_dup_line_frac."),
+    StageDoc("perplexity_score", "curation",
+      "CCNet-style LM quality score: corpus-trained interpolated bigram model, mean log-probability per document (optional min_logprob filter).",
+      y("""pipeline:
+          |  - type: perplexity_score
+          |    id_field: doc_id
+          |    text_field: text
+          |    lambda: 0.9"""),
+      schemaKind = "documents", oracle = Seq("ml_bigram_logprob"),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join — never pairwise."),
+    StageDoc("dsir_sample", "curation",
+      "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
+      y("""pipeline:
+          |  - type: dsir_sample
+          |    id_field: doc_id
+          |    text_field: text
+          |    k: 100
+          |    target:
+          |      path: "/root/testdata/sf0.001/documents.parquet"
+          |      text_field: text"""),
+      schemaKind = "documents", oracle = Seq("ml_dsir_weights", "ml_dsir_sample"),
+      notes = "`target_filter` (filter DSL) selects an in-corpus exemplar subset instead of an external table. Bucket count tables are driver-small and broadcast; the raw corpus is never shuffled beyond one per-doc aggregate; selection is TakeOrdered (per-partition heaps), never a global sort."),
+    StageDoc("decontaminate", "curation",
+      "Positional benchmark decontamination: cut every token span covered by a k-gram that also occurs in the benchmark table (the surgery counterpart of contamination_filter).",
+      y("""pipeline:
+          |  - type: decontaminate
+          |    id_field: doc_id
+          |    text_field: text
+          |    min_tokens: 8
+          |    benchmark:
+          |      path: "/root/testdata/sf0.001/documents.parquet"
+          |      text_field: text"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_decontam_spans", "ml_decontam_clean"),
+      notes = "The benchmark gram set is eval-sized by definition and broadcasts as 16-byte digests; the corpus side is one posexplode + broadcast join feeding one id-keyed aggregate; the interval merge is local array arithmetic (the dedup_spans machinery)."))
 
   val all: Seq[StageDoc] = processors ++ relational ++ curation
 }

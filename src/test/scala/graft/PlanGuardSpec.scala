@@ -33,7 +33,11 @@ class PlanGuardSpec extends SparkSpec {
     "filter_lucene_wildcard",
     // per-row text / embedding / curation kernels
     "ml_quality_score", "ml_repetition", "ml_lang_id", "ml_token_count",
-    "ml_text_normalize",
+    "ml_text_normalize", "ml_gopher_quality",
+    // hashed bucket models collect at plan time (bounded reductions, the
+    // bpe_merges convention); the returned scoring plan is one narrow
+    // LUT-fold projection, selection a TakeOrdered on top
+    "ml_dsir_weights", "ml_dsir_sample",
     "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
     // token totals collect at plan time (the bpe_merges convention);
     // the returned plan is the narrow keep filter
@@ -98,6 +102,10 @@ class PlanGuardSpec extends SparkSpec {
     "ml_simhash_pairs" -> 11,
     "ml_stratified_sample" -> 1,
     "ml_unigram_logprob" -> 7,
+    "ml_bigram_logprob" -> 11, // two vocab aggs + vocab-keyed prob-table
+                               // joins + one gram-keyed doc join + id agg
+    "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg
+    "ml_decontam_clean" -> 4,  // spans + span-table id agg; doc join broadcasts
     "proc_geoip_enricher" -> 1,   // mmdb ranges broadcast-joined
     "proc_pseudonym_mapping" -> 1, // mapping side output aggregate
     "q10_rollup" -> 1,

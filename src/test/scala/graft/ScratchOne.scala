@@ -16,6 +16,8 @@ object ScratchOne {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val n = df.count()
     println(s"[scratch] $name rows=$n")
+    println(df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
     df.show(20, truncate = false)
     SparkEntry.oracleSql.get(name).foreach { sql =>
       java.nio.file.Files.writeString(
