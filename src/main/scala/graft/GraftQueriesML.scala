@@ -1589,6 +1589,106 @@ object GraftQueriesML {
          FROM documents d LEFT JOIN cleaned cl USING (doc_id)
          WHERE d.doc_id % 7 <> 0"""))
 
+  /** The round-10 curation recipe composed end-to-end through the YAML
+    * compiler: Gopher length gate → corpus-trained bigram-LM filter
+    * (the LM trains on the SURVIVORS of the gate, as a staged pipeline
+    * implies) → DSIR selection against the English exemplar subset →
+    * content-addressed split. The oracle replays the whole chain in one
+    * SQL statement with each stage's CTEs scoped to the previous
+    * stage's survivors.
+    */
+  private val mPretrainRecipe = Spec("ml_pretrain_recipe",
+    (s, dir) => {
+      val yaml =
+        s"""pipeline:
+           |  - type: quality_gopher
+           |    text_field: text
+           |  - type: deleter
+           |    rules:
+           |      - filter: "g_n_words:[* TO 49]"
+           |        deleter: {delete: true}
+           |  - type: perplexity_score
+           |    id_field: doc_id
+           |    text_field: text
+           |    min_logprob: -3.42
+           |  - type: dsir_sample
+           |    id_field: doc_id
+           |    text_field: text
+           |    k: 150
+           |    target_filter: "lang:en"
+           |  - type: hash_split
+           |    id_field: doc_id
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(t(s, dir, "documents"))
+        .main
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("g_n_words"), col("lm_logprob"), col("split"))
+    },
+    Some {
+      val l1 = 0.9; val l2 = 1.0 - 0.9
+      s"""WITH g0 AS (SELECT doc_id, lang, source, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> x <> '') AS wt FROM documents),
+          kept AS (SELECT doc_id, lang, source, text,
+            CAST(len(wt) AS BIGINT) AS g_n_words
+            FROM g0 WHERE len(wt) >= 50),
+          w AS (SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS w FROM kept),
+          tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+          uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+          n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+          bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+              i -> w[i+1]||' '||w[i+2])) AS g
+            FROM w WHERE len(w) >= 2),
+          bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+          pr AS (SELECT g, $l1*CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE)
+                + $l2*CAST(u2.c1 AS DOUBLE)/n AS p
+            FROM bc JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
+                    JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
+                    CROSS JOIN n),
+          per AS (SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(p)), 6) AS avg_logprob
+            FROM bg JOIN pr USING (g) GROUP BY doc_id),
+          lm AS (SELECT k.*, coalesce(per.avg_logprob, 0.0) AS lm_logprob
+            FROM kept k LEFT JOIN per USING (doc_id)),
+          lmk AS (SELECT * FROM lm WHERE lm_logprob >= -3.42),
+          fw AS (SELECT doc_id, lang,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM lmk),
+          f AS (SELECT doc_id, lang, unnest(list_concat(w,
+              list_transform(range(len(w)-1), i -> w[i+1]||' '||w[i+2]))) AS f
+            FROM fw),
+          fb AS (SELECT doc_id, lang,
+            ('0x'||substr(md5(f),1,8))::BIGINT % 1024 AS b FROM f),
+          rawb AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+          tgtb AS (SELECT b, count(*) AS ct FROM fb
+            WHERE lang = 'en' GROUP BY b),
+          nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS n_raw FROM rawb),
+          nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_tgt FROM tgtb),
+          lr AS (SELECT b,
+              ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
+                 (n_tgt + 1.0 * 1024.0))
+            - ln((CAST(cr AS DOUBLE) + 1.0) /
+                 (n_raw + 1.0 * 1024.0)) AS lr
+            FROM rawb LEFT JOIN tgtb USING (b)
+            CROSS JOIN nr CROSS JOIN nt),
+          per2 AS (SELECT doc_id, round(sum(lr), 6) AS log_weight
+            FROM fb JOIN lr USING (b) GROUP BY doc_id),
+          wt2 AS (SELECT l.*, coalesce(log_weight, 0.0) AS log_weight
+            FROM lmk l LEFT JOIN per2 USING (doc_id)),
+          sel AS (SELECT * FROM wt2
+            ORDER BY round(log_weight + -ln(-ln(
+              (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
+              / 4294967296.0)), 6) DESC, doc_id ASC LIMIT 150)
+          SELECT doc_id, lang, source, g_n_words, lm_logprob,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM (SELECT *, CAST(concat('0x',
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+            AS b FROM sel)"""
+    })
+
   // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
@@ -1605,5 +1705,5 @@ object GraftQueriesML {
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mBigramLP, mDsirWeights, mDsirSample, mDecontamSpans,
-    mDecontamClean)
+    mDecontamClean, mPretrainRecipe)
 }

@@ -125,7 +125,14 @@ object ScaleProof {
       // round-10 surfaces: the positional ExactSubstr dedup (gram-keyed,
       // corpus-token-sized shuffle) and SemDeDup (cluster-bounded pairs)
       "ml_dup_spans" -> GraftQueries.queries("ml_dup_spans"),
-      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"))
+      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"),
+      // round-10 second wave: the bigram-LM scorer (vocabulary-keyed
+      // joins — sublinear shuffle), DSIR (plan-time bucket models +
+      // narrow LUT scoring), and positional decontamination (broadcast
+      // bench digests)
+      "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"),
+      "ml_dsir_weights" -> GraftQueries.queries("ml_dsir_weights"),
+      "ml_decontam_clean" -> GraftQueries.queries("ml_decontam_clean"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.

@@ -516,6 +516,139 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("dedup_events"))
   }
 
+  test("quality_gopher stage: signals appended; drop_failing filters; stream-safe") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_gopher
+        |    text_field: text
+        |""".stripMargin, docs)
+    assert(out.columns.contains("gopher_pass"))
+    assert(out.count() === 7)
+    // every hand-corpus doc is under the 50-word bound → all fail
+    assert(out.filter(col("gopher_pass") === 1).count() === 0)
+    val dropped = run(
+      """pipeline:
+        |  - type: quality_gopher
+        |    text_field: text
+        |    drop_failing: true
+        |""".stripMargin, docs)
+    assert(dropped.count() === 0)
+    // stream-safe: narrow projection compiles on a streaming frame
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = PipelineCompiler.compile(RuleLoader.fromYaml(
+      """pipeline:
+        |  - type: quality_gopher
+        |    text_field: text
+        |""".stripMargin))(mem.toDF().toDF("doc_id", "text")).main
+    assert(streamed.isStreaming)
+    // column clash rejected
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: quality_gopher
+            |    text_field: text
+            |""".stripMargin, docs.withColumn("gopher_pass", lit(1)))
+    }
+    assert(e.getMessage.contains("gopher_pass"))
+  }
+
+  test("perplexity_score stage: LM columns joined back; min_logprob filters; batch-only") {
+    val out = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, docs)
+    assert(out.count() === 7)
+    assert(out.columns.contains("lm_logprob") &&
+      out.columns.contains("lm_n_bigrams"))
+    // matches the library function bit-for-bit
+    val direct = graft.ml.CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("lm_logprob") === direct(r.getAs[Long]("doc_id")))
+    }
+    // min_logprob keeps exactly the rows at or above the threshold
+    val m = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_logprob")).toMap
+    val thr = m.values.toSeq.sorted.apply(m.size / 2)
+    val filtered = run(
+      s"""pipeline:
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    min_logprob: $thr
+         |""".stripMargin, docs)
+    val keptIds = filtered.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds === m.filter(_._2 >= thr).keySet)
+    assert(keptIds.size < 7)
+    // whole-corpus semantics refuse a stream at compile time
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: perplexity_score
+          |    id_field: doc_id
+          |    text_field: text
+          |""".stripMargin))(mem.toDF().toDF("doc_id", "text")).main
+    }
+  }
+
+  test("dsir_sample stage: target_filter exemplars, top-k keep; k required") {
+    // target = the 'books' rows; web docs sharing their vocabulary rank up
+    val out = run(
+      """pipeline:
+        |  - type: dsir_sample
+        |    id_field: doc_id
+        |    text_field: text
+        |    k: 3
+        |    target_filter: "source:books"
+        |""".stripMargin, docs)
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size === 3)
+    // all original columns survive the left_semi keep
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source"))
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: dsir_sample
+            |    id_field: doc_id
+            |    text_field: text
+            |    target_filter: "source:books"
+            |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("`k`"))
+  }
+
+  test("decontaminate stage: spans cut against a benchmark side table") {
+    val s = spark
+    import s.implicits._
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("graft-decontam").toString
+    Seq((100L, "p q r s t u")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    val corpus = Seq(
+      (1L, "a b p q r s t u c d"),
+      (2L, "keep   this    exact spacing")).toDF("doc_id", "text")
+    val out = run(
+      s"""pipeline:
+         |  - type: decontaminate
+         |    id_field: doc_id
+         |    text_field: text
+         |    min_tokens: 4
+         |    benchmark:
+         |      path: "$benchDir"
+         |      text_field: text
+         |""".stripMargin, corpus)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "a b c d")
+    assert(m(2L) === "keep   this    exact spacing")
+  }
+
   test("token_budget_sample stage: rates from token totals, content-addressed keeps") {
     // hand-countable corpus: web docs total 38 tokens (9+9+6+8+6),
     // books 11. budget web=19 → rate exactly 0.5 (cut 5000 of 10000);
