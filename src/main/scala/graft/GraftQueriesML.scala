@@ -1589,6 +1589,56 @@ object GraftQueriesML {
          FROM documents d LEFT JOIN cleaned cl USING (doc_id)
          WHERE d.doc_id % 7 <> 0"""))
 
+  private val mSq8 = Spec("ml_embed_sq8",
+    (s, dir) => Similarity.sq8Encode(t(s, dir, "embeddings"),
+      "vec_id", "embedding"),
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v, CASE WHEN len(v) = 0 THEN 0.0
+                ELSE list_max(list_transform(v, x -> abs(x)))/127.0 END
+                AS scale FROM e),
+            c AS (SELECT vec_id, v, scale,
+                list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(floor(x/scale + 0.5) AS INT) END) AS codes
+              FROM s),
+            m AS (SELECT vec_id, scale, codes,
+                CASE WHEN len(v) = 0 THEN 0.0 ELSE
+                  list_aggregate(list_transform(range(len(v)),
+                    i -> (v[i+1] - codes[i+1]*scale)
+                       * (v[i+1] - codes[i+1]*scale)), 'sum')/len(v) END
+                AS mse
+              FROM c)
+            SELECT vec_id, round(scale, 6) AS scale,
+              array_to_string(codes, ',') AS codes,
+              round(mse, 6) AS mse FROM m"""))
+
+  private val mCorpusProfile = Spec("ml_corpus_profile",
+    (s, dir) => CorpusStats.corpusProfile(t(s, dir, "documents"),
+      "source", "text"),
+    Some("""WITH w AS (SELECT source, text,
+              list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            sc AS (SELECT source AS stratum, count(*) AS n_docs,
+                CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+                CAST(min(len(w)) AS BIGINT) AS min_tokens,
+                CAST(max(len(w)) AS BIGINT) AS max_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS chars
+              FROM w GROUP BY source),
+            vocab AS (SELECT stratum, count(*) AS n_vocab FROM
+                (SELECT DISTINCT source AS stratum,
+                   unnest(list_distinct(w)) AS t FROM w)
+              GROUP BY stratum),
+            texts AS (SELECT source AS stratum,
+                count(DISTINCT md5(text)) AS n_texts
+              FROM w GROUP BY source)
+            SELECT sc.stratum, n_docs, n_tokens, min_tokens, max_tokens,
+              coalesce(n_vocab, 0) AS n_vocab,
+              coalesce(n_texts, 0) AS n_texts,
+              round(CAST(chars AS DOUBLE)/n_docs, 6) AS avg_chars
+            FROM sc LEFT JOIN vocab USING (stratum)
+              LEFT JOIN texts USING (stratum)"""))
+
   /** The round-10 curation recipe composed end-to-end through the YAML
     * compiler: Gopher length gate → corpus-trained bigram-LM filter
     * (the LM trains on the SURVIVORS of the gate, as a staged pipeline
@@ -1705,5 +1755,5 @@ object GraftQueriesML {
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mBigramLP, mDsirWeights, mDsirSample, mDecontamSpans,
-    mDecontamClean, mPretrainRecipe)
+    mDecontamClean, mPretrainRecipe, mSq8, mCorpusProfile)
 }

@@ -309,6 +309,49 @@ object CorpusStats {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Per-stratum corpus profile — the summary report a curation run
+    * starts and ends with (what changed?): per `strataCol` value, the
+    * document count, token totals and bounds, distinct-token vocabulary
+    * size, distinct-text count (exact-dup pressure), and mean char
+    * length. All EXACT (no sketches) and integer until the one final
+    * division, so the oracle matches bit-for-bit.
+    *
+    * Scale: one narrow pass computes per-doc counts; the per-stratum
+    * scalar stats are ONE map-side-combined aggregate (≤ strata rows
+    * out). Vocabulary size needs distinct (stratum, token) — that is a
+    * token-keyed distinct aggregate whose shuffle carries distinct
+    * pairs, vocabulary-sized per stratum, never corpus-sized; same for
+    * the 16-byte distinct-text digests. Three aggregates, nothing
+    * pairwise, output ≤ strata rows.
+    */
+  def corpusProfile(df: DataFrame, strataCol: String,
+                    textCol: String): DataFrame = {
+    val staged = df.select(col(strataCol).as("stratum"),
+      col(textCol).as("__t"),
+      Curation.words(col(textCol)).as("__w"))
+    val scalar = staged.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__w"))).cast("long").as("n_tokens"),
+      min(size(col("__w"))).cast("long").as("min_tokens"),
+      max(size(col("__w"))).cast("long").as("max_tokens"),
+      sum(length(col("__t"))).cast("long").as("__chars"))
+    val vocab = staged
+      .select(col("stratum"), explode(array_distinct(col("__w"))).as("t"))
+      .distinct()
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n_vocab"))
+    val texts = staged
+      .select(col("stratum"), md5(col("__t")).as("h")).distinct()
+      .groupBy(col("stratum")).agg(count(lit(1)).as("n_texts"))
+    scalar.join(vocab, Seq("stratum"), "left")
+      .join(texts, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"),
+        coalesce(col("n_texts"), lit(0L)).as("n_texts"),
+        round(col("__chars").cast("double") / col("n_docs"), 6)
+          .as("avg_chars"))
+  }
+
   /** Positional benchmark decontamination (the removal counterpart of
     * [[contamination]], with [[Dedup.dupSpans]]'s positional semantics):
     * maximal token spans `[span_start, span_end)` of each corpus document

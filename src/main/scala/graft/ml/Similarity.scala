@@ -423,6 +423,40 @@ object Similarity {
       books.map(_.map(_.toArray).toArray).toArray))
   }
 
+  /** Scalar (int8) quantization — the simple compression rung beside
+    * [[pqEncode]]: per vector, symmetric max-abs scaling
+    * `scale = max|v_i| / 127`, `code_i = floor(v_i/scale + 0.5)` (the
+    * explicit half-up form both engines compute identically; banker's
+    * `rint` would diverge from SQL). 4 bytes/dim → 1 byte/dim at scan
+    * speed with the scale stored per row; decode is `code·scale`. Adds
+    * `scale`, `codes` (int array; all-zero + scale 0 for the zero
+    * vector) and the reconstruction `mse` — the audit column a
+    * quantization sweep thresholds on. Pure per-row column arithmetic:
+    * narrow, stream-safe, no shuffle at any corpus size.
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(size(v) === 0, lit(0.0)).otherwise(amax / lit(127.0))
+    val codes = transform(v, x =>
+      when(col("__scale") === 0.0, lit(0L))
+        .otherwise(floor(x / col("__scale") + lit(0.5)).cast("long"))
+        .cast("int"))
+    val err = transform(v, (x, i) =>
+      x - element_at(col("__codes"), i + 1).cast("double") * col("__scale"))
+    val mse = when(size(v) === 0, lit(0.0)).otherwise(
+      aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
+        / size(v).cast("double"))
+    df.withColumn("__scale", scale)
+      .withColumn("__codes", codes)
+      .withColumn("__err", err)
+      .select(col(idCol),
+        round(col("__scale"), 6).as("scale"),
+        concat_ws(",", transform(col("__codes"),
+          c => c.cast("string"))).as("codes"),
+        round(mse, 6).as("mse"))
+  }
+
   /** Asymmetric-distance (ADC) scores from codes alone: the query's
     * per-subspace lookup tables compute ON THE DRIVER (m×k distances),
     * and each corpus row's approximate squared L2 is m table lookups on

@@ -43,7 +43,8 @@ class PlanGuardSpec extends SparkSpec {
     // the returned plan is the narrow keep filter
     "ml_token_budget_sample",
     "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
-    "ml_embed_pq_encode", "ml_classifier_margin", "ml_multimodal_decode",
+    "ml_embed_pq_encode", "ml_embed_sq8",
+    "ml_classifier_margin", "ml_multimodal_decode",
     "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",
     // driver-side merge table (computed before the plan; the result is
     // a parallelized literal) and the merge-application projection
@@ -71,6 +72,8 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val budgets = Map(
     "ml_contamination" -> 4,
+    "ml_corpus_profile" -> 9, // three strata-keyed aggregates + two joins
+                              // (≤ strata rows each side)
     "ml_curation_pipeline" -> 2,
     "ml_dedup_against" -> 2,
     "ml_dedup_exact" -> 3,

@@ -239,4 +239,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(4) == "nothing to hide here")
     assert(out(5) == "v1.2 is not an ip, 1.2.3 neither")
   }
+
+  test("corpusProfile: exact per-stratum counts, vocab, dup pressure") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("web", "a b c"),
+      ("web", "a b c"),        // exact dup → n_texts 2 < n_docs 3
+      ("web", "a d"),
+      ("books", "x y z w"),
+      ("books", "")            // empty doc: 0 tokens, counts toward docs
+    ).toDF("source", "text")
+    val m = CorpusStats.corpusProfile(df, "source", "text")
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val web = m("web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_tokens") === 8L)
+    assert(web.getAs[Long]("min_tokens") === 2L)
+    assert(web.getAs[Long]("max_tokens") === 3L)
+    assert(web.getAs[Long]("n_vocab") === 4L)  // a b c d
+    assert(web.getAs[Long]("n_texts") === 2L)
+    assert(web.getAs[Double]("avg_chars") ===
+      math.rint((5 + 5 + 3) / 3.0 * 1e6) / 1e6)
+    val books = m("books")
+    assert(books.getAs[Long]("n_docs") === 2L)
+    assert(books.getAs[Long]("min_tokens") === 0L)
+    assert(books.getAs[Long]("n_vocab") === 4L)
+    assert(books.getAs[Long]("n_texts") === 2L)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 quantization: hand-computable codes, the zero-vector
+  * contract, code range, reconstruction-error accounting, and the
+  * narrow-plan pin.
+  */
+class Sq8Spec extends SparkSpec {
+
+  private def encode(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    Similarity.sq8Encode(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+  }
+
+  test("hand-computed codes: symmetric max-abs half-up") {
+    // amax = 2.54 → scale = 0.02; codes = floor(v/scale + .5):
+    // 2.54/0.02 = 127; -1.27/0.02 = -63.5 → floor(-63) = -63; 0 → 0
+    val r = encode(Seq((1L, Seq(2.54f, -1.27f, 0f)))).head()
+    assert(r.getAs[Double]("scale") === 0.02)
+    assert(r.getAs[String]("codes") === "127,-63,0")
+  }
+
+  test("codes stay within [-127, 127] for any vector") {
+    val vecs = Seq(
+      (1L, Seq(-3f, 3f, 2.9999f, -2.9999f)),
+      (2L, Seq(1e-8f, -1e-8f)),
+      (3L, Seq(42f)))
+    encode(vecs).collect().foreach { r =>
+      val cs = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(cs.forall(c => c >= -127 && c <= 127), r.toString)
+    }
+  }
+
+  test("zero vector: scale 0, zero codes, zero error") {
+    val r = encode(Seq((1L, Seq(0f, 0f, 0f)))).head()
+    assert(r.getAs[Double]("scale") === 0.0)
+    assert(r.getAs[String]("codes") === "0,0,0")
+    assert(r.getAs[Double]("mse") === 0.0)
+  }
+
+  test("reconstruction error: exact for scale-aligned values, bounded by (scale/2)^2") {
+    // values that are exact multiples of scale reconstruct exactly
+    val exact = encode(Seq((1L, Seq(1.27f, -1.27f, 0f)))).head()
+    assert(exact.getAs[Double]("mse") === 0.0)
+    // arbitrary vectors: per-dim error ≤ scale/2, so mse ≤ (scale/2)^2
+    val r = encode(Seq((2L, Seq(0.73f, -0.11f, 0.559f, 0.002f)))).head()
+    val bound = math.pow(r.getAs[Double]("scale") / 2.0, 2)
+    assert(r.getAs[Double]("mse") <= bound + 1e-12)
+    assert(r.getAs[Double]("mse") > 0.0)
+  }
+
+  test("narrow plan: zero exchanges at any corpus size") {
+    val plan = encode(Seq((1L, Seq(1f, 2f))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
