@@ -1613,6 +1613,35 @@ object GraftQueriesML {
               array_to_string(codes, ',') AS codes,
               round(mse, 6) AS mse FROM m"""))
 
+  private val mSq8TopK = Spec("ml_embed_sq8_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid_src"), col("embedding").as("qvec"))
+      Similarity.sq8TopK(emb, "vec_id", "embedding",
+        queries, "qid_src", "qvec", k = 5)
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v, CASE WHEN len(v) = 0 THEN 0.0
+                ELSE list_max(list_transform(v, x -> abs(x)))/127.0 END
+                AS scale FROM e),
+            c AS (SELECT vec_id, scale,
+                list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(floor(x/scale + 0.5) AS INT) END) AS codes
+              FROM s),
+            scored AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+                round(c.scale * list_aggregate(list_transform(
+                  range(len(c.codes)),
+                  i -> c.codes[i+1]*CAST(q.embedding[i+1] AS DOUBLE)),
+                  'sum'), 6) AS score
+              FROM c CROSS JOIN embeddings q WHERE q.vec_id < 3)
+            SELECT qid, id, score, rank FROM (
+              SELECT qid, id, score, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= 5"""))
+
   private val mCorpusProfile = Spec("ml_corpus_profile",
     (s, dir) => CorpusStats.corpusProfile(t(s, dir, "documents"),
       "source", "text"),
@@ -1755,5 +1784,5 @@ object GraftQueriesML {
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mBigramLP, mDsirWeights, mDsirSample, mDecontamSpans,
-    mDecontamClean, mPretrainRecipe, mSq8, mCorpusProfile)
+    mDecontamClean, mPretrainRecipe, mSq8, mSq8TopK, mCorpusProfile)
 }

@@ -399,7 +399,11 @@ object Dedup {
     * single-machine suffix array): posexplode → one md5 per k-gram →
     * ONE map-side-combined count aggregate (vocabulary-sized shuffle,
     * 16-byte keys) → gram-keyed join back (never pairwise) → one
-    * id-keyed aggregate. Interval merging is LOCAL arithmetic: with
+    * id-keyed aggregate. The gram stream is DELIBERATELY recomputed for
+    * the two branches (count side is column-pruned to text only) rather
+    * than persisted: the exploded digest table is ~k× the corpus and
+    * caching it would cost more IO than the second scan-speed pass —
+    * the opposite call from bm25's query-term-pruned (tiny) tf table. Interval merging is LOCAL arithmetic: with
     * positions sorted, span ends `p+k` are monotone, so island breaks
     * are adjacent-pair comparisons (`p_i > p_{i-1}+k`) — O(positions)
     * per doc via array lambdas, no per-doc quadratic fold, no window.

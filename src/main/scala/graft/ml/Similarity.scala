@@ -435,26 +435,63 @@ object Similarity {
     * narrow, stream-safe, no shuffle at any corpus size.
     */
   def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val amax = array_max(transform(v, x => abs(x)))
-    val scale = when(size(v) === 0, lit(0.0)).otherwise(amax / lit(127.0))
-    val codes = transform(v, x =>
-      when(col("__scale") === 0.0, lit(0L))
-        .otherwise(floor(x / col("__scale") + lit(0.5)).cast("long"))
-        .cast("int"))
+    val staged = sq8Staged(df, vecCol)
+    val v = col("__v")
     val err = transform(v, (x, i) =>
       x - element_at(col("__codes"), i + 1).cast("double") * col("__scale"))
     val mse = when(size(v) === 0, lit(0.0)).otherwise(
       aggregate(col("__err"), lit(0.0), (acc, e) => acc + e * e)
         / size(v).cast("double"))
-    df.withColumn("__scale", scale)
-      .withColumn("__codes", codes)
-      .withColumn("__err", err)
+    staged.withColumn("__err", err)
       .select(col(idCol),
         round(col("__scale"), 6).as("scale"),
         concat_ws(",", transform(col("__codes"),
           c => c.cast("string"))).as("codes"),
         round(mse, 6).as("mse"))
+  }
+
+  /** Stage the per-row SQ8 state: `__v` (double vector), `__scale`,
+    * `__codes` — shared by [[sq8Encode]] and [[sq8TopK]].
+    */
+  private def sq8Staged(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(size(v) === 0, lit(0.0)).otherwise(amax / lit(127.0))
+    val codes = transform(col("__v"), x =>
+      when(col("__scale") === 0.0, lit(0L))
+        .otherwise(floor(x / col("__scale") + lit(0.5)).cast("long"))
+        .cast("int"))
+    df.withColumn("__v", v)
+      .withColumn("__scale", scale)
+      .withColumn("__codes", codes)
+  }
+
+  /** Approximate top-k inner-product search over SQ8 codes — the int8
+    * rung of the search ladder ([[bruteForceTopK]] exact floats,
+    * [[pqAdcScore]] m-byte codes): per corpus row the score is
+    * `scale · Σ code_i·q_i`, i.e. the inner product against the
+    * DECODED vector, computed without materializing the decode. Same
+    * broadcast-queries / per-query window top-k shape as the exact
+    * search; at scale the codes are 4× smaller than the floats, so the
+    * scan is 4× cheaper where the corpus is IO-bound.
+    */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = sq8Staged(corpus, vecCol)
+    val joined = staged.crossJoin(broadcast(queries))
+    val qv = col(qvecCol).cast("array<double>")
+    val dotQ = aggregate(
+      zip_with(col("__codes"), qv, (c, q) => c.cast("double") * q),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = joined.select(
+      col(qidCol).as("qid"), col(idCol).as("id"),
+      round(col("__scale") * dotQ, 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Asymmetric-distance (ADC) scores from codes alone: the query's

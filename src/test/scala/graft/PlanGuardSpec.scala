@@ -93,6 +93,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_neardup" -> 9,
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
+    "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k
     "ml_jaccard_pairs" -> 12,
     "ml_minhash_pairs" -> 10,
     "ml_minhash_signature" -> 1,

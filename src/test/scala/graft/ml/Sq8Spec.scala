@@ -53,6 +53,23 @@ class Sq8Spec extends SparkSpec {
     assert(r.getAs[Double]("mse") > 0.0)
   }
 
+  test("sq8 top-k reproduces the exact inner-product ranking on separated vectors") {
+    val s = spark
+    import s.implicits._
+    // well-separated directions: quantization error (≤ scale/2 per dim)
+    // cannot reorder them
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f)),
+      (4L, Seq(0.9f, 0.1f, 0f)), (5L, Seq(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0.05f, 0f)))
+      .toDF("qid_src", "qvec")
+    val got = Similarity.sq8TopK(corpus, "vec_id", "embedding",
+        queries, "qid_src", "qvec", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === Seq(1L, 4L, 2L)) // exact IP order: 1.0, 0.905, 0.05
+  }
+
   test("narrow plan: zero exchanges at any corpus size") {
     val plan = encode(Seq((1L, Seq(1f, 2f))))
       .queryExecution.executedPlan.toString
