@@ -21,10 +21,11 @@ object Curate {
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: Curate <config.yaml> <input.parquet> <outDir> " +
-      "[--partition-by cols] [--format parquet|json]"
+      "[--partition-by cols] [--format parquet|json] " +
+      "[--profile-by stratumCol[:textCol]]"
     // accept both `--name value` and `--name=value`; unknown flags fail
     // loudly instead of silently running with defaults
-    val known = Set("partition-by", "format")
+    val known = Set("partition-by", "format", "profile-by")
     val flagVals = scala.collection.mutable.Map.empty[String, String]
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -51,6 +52,14 @@ object Curate {
     val format = flagVals.getOrElse("format", "parquet")
     require(Set("parquet", "json").contains(format),
       s"unsupported --format $format\n$usage")
+    val profileBy = flagVals.get("profile-by").map { v =>
+      v.split(":") match {
+        case Array(strat) => (strat, "text")
+        case Array(strat, text) => (strat, text)
+        case _ => throw new IllegalArgumentException(
+          s"--profile-by wants stratumCol[:textCol], got $v\n$usage")
+      }
+    }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
@@ -59,12 +68,13 @@ object Curate {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cfgPath, inPath, outDir, partitionBy, format)
+    try run(spark, cfgPath, inPath, outDir, partitionBy, format, profileBy)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, cfgPath: String, inPath: String,
-          outDir: String, partitionBy: Seq[String], format: String): Unit = {
+          outDir: String, partitionBy: Seq[String], format: String,
+          profileBy: Option[(String, String)] = None): Unit = {
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfgPath)), "UTF-8")
     val spec = pipeline.RuleLoader.fromYaml(yaml)
@@ -80,6 +90,25 @@ object Curate {
     result.extra.foreach { case (channel, df) =>
       df.write.mode("overwrite").format(format)
         .save(s"$outDir/_extra/$channel")
+    }
+    // before/after corpus profile (the ml_corpus_profile operator): what
+    // did the run change, per stratum? Written as parquet side tables
+    // and summarized on stdout — the report a curation run is judged by.
+    profileBy.foreach { case (strat, text) =>
+      val in = spark.read.parquet(inPath)
+      val out = spark.read.format(format).load(s"$outDir/data")
+      for ((tag, df) <- Seq("before" -> in, "after" -> out)) {
+        require(df.columns.contains(strat) && df.columns.contains(text),
+          s"--profile-by needs `$strat` and `$text` columns in the $tag " +
+            s"frame (have: ${df.columns.mkString(", ")})")
+        val prof = ml.CorpusStats.corpusProfile(df, strat, text)
+        prof.write.mode("overwrite").parquet(s"$outDir/_profile/$tag")
+        val t = prof.agg(
+          org.apache.spark.sql.functions.sum("n_docs"),
+          org.apache.spark.sql.functions.sum("n_tokens")).head()
+        println(s"""{"profile":"$tag","strata":${prof.count()},""" +
+          s""""docs":${t.getLong(0)},"tokens":${t.getLong(1)}}""")
+      }
     }
     val rows = spark.read.format(format).load(s"$outDir/data").count()
     println(s"""{"curate":"ok","rows":$rows,"out":"$outDir/data"""" +

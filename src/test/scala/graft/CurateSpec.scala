@@ -49,6 +49,42 @@ class CurateSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("profile-by: before/after corpus profiles written and consistent") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curate-prof").toString
+    val in = s"$tmp/in.parquet"
+    Seq(
+      (1L, "web", "a b c d e"),
+      (2L, "web", "a b c d e"),   // exact dup → dropped by the pipeline
+      (3L, "books", "x y z")
+    ).toDF("doc_id", "source", "text").write.parquet(in)
+    val cfg = s"$tmp/c.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      """pipeline:
+        |  - type: dedup_exact
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin)
+    val out = s"$tmp/out"
+    Curate.run(spark, cfg, in, out, partitionBy = Nil, format = "parquet",
+      profileBy = Some(("source", "text")))
+    val before = spark.read.parquet(s"$out/_profile/before")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_texts"))).toMap
+    val after = spark.read.parquet(s"$out/_profile/after")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_texts"))).toMap
+    assert(before("web") === ((2L, 1L)))   // dup pressure visible before
+    assert(after("web") === ((1L, 1L)))    // gone after
+    assert(before("books") === after("books"))
+    // a missing profile column fails loudly
+    val e = intercept[IllegalArgumentException](
+      Curate.run(spark, cfg, in, s"$tmp/out2", Nil, "parquet",
+        profileBy = Some(("nope", "text"))))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("CLI flag parsing: both syntaxes accepted, mistakes fail loudly") {
     // flag errors throw before any Spark work
     val unknown = intercept[IllegalArgumentException](
