@@ -127,6 +127,30 @@ object Recall {
     curve
   }
 
+  /** SQ8 recall@k vs the exact inner-product ranking on the same
+    * corpus/queries — what the int8 rung's 4× compression costs in
+    * ranking fidelity. One number: SQ8 has no probe/width knob; its
+    * only error source is the ≤ scale/2 per-dimension rounding.
+    */
+  def sq8Recall(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(queries))
+    val dot = aggregate(
+      zip_with(col(vecCol).cast("array<double>"),
+        col(qvecCol).cast("array<double>"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    val truth = joined
+      .select(col(qidCol).as("qid"), col(idCol).as("id"), dot.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).drop("rank")
+    recallAtK(truth,
+      Similarity.sq8TopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k))
+  }
+
   /** IVF-PQ recall curve: recall@k vs exact L2 truth for each nprobe at
     * fixed (m, k') — the probe-width trade of the COMBINED index
     * ([[Similarity.ivfPqWriteIndex]]), which compounds IVF's missed
@@ -274,6 +298,8 @@ object Recall {
       ipqBoth(0).map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
     println(s"IVFPQ+R recall@$k (C=$nCentroids, m=8, k'=16, refine=4): " +
       ipqBoth(4).map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+    println(f"SQ8 recall@$k (vs exact IP): " +
+      f"${sq8Recall(emb, "vec_id", "embedding", queries, "qid_src", "qvec", k)}%.3f")
 
     // clustered fixtures: clean (the easy bound — every knob should
     // saturate) and mixed (secondary topic block — the realistic curve)
@@ -299,6 +325,8 @@ object Recall {
         clCs, k, m = 8, pqK = 16, Seq(1, 2, 4, 8, nCentroids))
       println(s"$label IVFPQ recall@$k (C=$nCentroids, m=8, k'=16): " +
         clIpq.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(" "))
+      println(f"$label SQ8 recall@$k (vs exact IP): " +
+        f"${sq8Recall(cl, "vec_id", "embedding", clQueries, "qid_src", "qvec", k)}%.3f")
       cl.unpersist(blocking = false)
     }
     spark.stop()
