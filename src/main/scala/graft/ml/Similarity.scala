@@ -313,6 +313,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-SQ8 index: [[ivfWriteIndex]]'s bucket-partitioned layout with
+    * [[sq8Encode]]'s per-vector int8 payload instead of the raw floats —
+    * the middle rung of the index-size ladder (IVF-flat stores dim·4
+    * bytes/vector, IVF-SQ8 dim+8, IVF-PQ m). Stored columns:
+    * (id, scale, codes, bucket-partition); originals are NOT stored.
+    */
+  def ivfSqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Double]], path: String): Unit = {
+    val staged = sq8Staged(corpus, vecCol)
+    staged
+      .withColumn("bucket", assignBucket(col(vecCol), centroids))
+      .select(col(idCol), col("__scale").as("scale"),
+        col("__codes").as("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Query a written IVF-SQ8 index: probes compute on the driver
+    * ([[ivfReadTopK]]'s path), the scan prunes to the probed bucket
+    * partitions at planning, and each surviving row scores as
+    * `scale · Σ code_i·q_i` — the [[sq8TopK]] arithmetic over the
+    * codes-only payload, reading (dim+8)/(dim·4) of the flat index's
+    * bytes. TakeOrdered top-k; approximate inner-product ranking
+    * (recall recorded in BASELINE.md's SQ8 row).
+    */
+  def ivfSqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, query: Seq[Double],
+                    centroids: Seq[Seq[Double]], k: Int,
+                    nprobe: Int = 1): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(query, c), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(lit): _*)
+    val dotQ = aggregate(
+      zip_with(col("codes"), q, (c, x) => c.cast("double") * x),
+      lit(0.0), (acc, x) => acc + x)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(col("scale") * dotQ, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Squared L2 distance between two double-array columns — index-ordered
     * fold, so engine and SQL oracle share the operation order.
     */
