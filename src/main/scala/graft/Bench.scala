@@ -46,7 +46,10 @@ object Bench {
       // round-10 surfaces: positional exact-substring dedup and
       // SemDeDup semantic dedup
       "ml_dup_spans" -> GraftQueries.queries("ml_dup_spans"),
-      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"))
+      "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"),
+      // round-10 third-session surface: the composed pretrain recipe
+      // (gopher gate → LM filter → DSIR selection → split)
+      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>

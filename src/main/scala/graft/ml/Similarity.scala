@@ -499,9 +499,10 @@ object Similarity {
   }
 
   /** Stage the per-row SQ8 state: `__v` (double vector), `__scale`,
-    * `__codes` — shared by [[sq8Encode]] and [[sq8TopK]].
+    * `__codes` — shared by [[sq8Encode]], [[sq8TopK]], the IVF-SQ8
+    * index writer, and the embedding ingest-dedup stage.
     */
-  private def sq8Staged(df: DataFrame, vecCol: String): DataFrame = {
+  private[graft] def sq8Staged(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val amax = array_max(transform(v, x => abs(x)))
     val scale = when(size(v) === 0, lit(0.0)).otherwise(amax / lit(127.0))
@@ -839,6 +840,22 @@ object Similarity {
     * multiply-add (bit-identical sums) with zero allocation, inside
     * whole-stage codegen (it replaced a tight-loop UDF in r6).
     */
+  /** Deterministic Rademacher (±1) hyperplanes from an LCG (Knuth MMIX
+    * constants): every plane distinct for any (bands × planesPerBand)
+    * count, reproducible across runs — the plane source for banded
+    * sign-LSH when the caller has no trained planes (the
+    * ml_embed_neardup oracle uses the same generator).
+    */
+  def rademacherBandPlanes(bands: Int, planesPerBand: Int,
+                           dim: Int): Seq[Seq[Seq[Double]]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L; s
+    }
+    Seq.tabulate(bands, planesPerBand, dim)((_, _, _) =>
+      if (next() < 0) -1.0 else 1.0)
+  }
+
   def lshBandKeys(vec: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column = {
     val planes: Array[Array[Array[Double]]] =
       bandPlanes.map(_.map(_.toArray).toArray).toArray

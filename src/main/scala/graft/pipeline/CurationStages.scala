@@ -584,10 +584,9 @@ object CurationStages {
 
   private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame =
     str(c, "mode", "exact") match {
-      case "exact" => dedupIngestExact(df, c)
-      case "near" => dedupIngestNear(df, c)
+      case m @ ("exact" | "near" | "embedding") => dedupIngestCore(df, c, m)
       case other => throw new IllegalArgumentException(
-        s"dedup_ingest: unknown mode `$other` (exact | near)")
+        s"dedup_ingest: unknown mode `$other` (exact | near | embedding)")
     }
 
   /** Read the growing key store, tolerating bootstrap (no store yet →
@@ -603,31 +602,56 @@ object CurationStages {
       .map { ks0 =>
         val ks = if (ks0.columns.contains("bid")) ks0
                  else ks0.withColumn("bid", lit(""))
-        if (ks.columns.contains("sig")) ks
-        else ks.withColumn("sig", lit(null).cast("array<bigint>"))
+        Seq("sig" -> "array<bigint>", "escale" -> "double",
+            "ecodes" -> "array<int>", "ekeys" -> "array<string>")
+          .foldLeft(ks) { case (d, (n, t)) =>
+            if (d.columns.contains(n)) d
+            else d.withColumn(n, lit(null).cast(t))
+          }
       }
 
-  // ONE implementation of the token/store discipline for both modes
-  // (a fix to replay semantics cannot silently miss one of them): the
-  // near path only adds a signature table, an extra drop set before
-  // the settle, and the sig column on the append.
+  // ONE implementation of the token/store discipline for all THREE
+  // modes (a fix to replay semantics cannot silently miss one of them):
+  // the fuzzy paths only add a state table, an extra drop set before
+  // the settle, and their state columns on the append. The content key
+  // is md5(text) for the text modes and md5(canonical vector string)
+  // for embedding mode — the same key the store holds either way.
   private def dedupIngestCore(df: DataFrame, c: Map[String, Any],
-                              near: Boolean): DataFrame = {
+                              mode: String): DataFrame = {
     val textCol = textField(c)
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
     val spark = df.sparkSession
     val bid = graft.streaming.StreamRunner.currentBatchToken.value
       .getOrElse("run-" + java.util.UUID.randomUUID().toString)
-    val inBatch = Dedup.exact(df, textCol, id)
-    val withKey = inBatch.withColumn("__h", md5(col(textCol)))
+    val contentKey: Column = mode match {
+      case "embedding" =>
+        val vecF = str(c, "vec_field", "embedding")
+        require(df.columns.contains(vecF),
+          s"dedup_ingest mode embedding: no `$vecF` column (set vec_field)")
+        md5(concat_ws(",",
+          col(vecF).cast("array<double>").cast("array<string>")))
+      case _ => md5(col(textCol))
+    }
+    // in-batch exact keep (min id per content key — Dedup.exact's rule,
+    // on the SAME key the store holds)
+    val keyed = df.withColumn("__h", contentKey)
+    val keepIds = keyed.groupBy(col("__h"))
+      .agg(min(col(id)).as("__keepid"))
+    val withKey = keyed.alias("k").join(keepIds.alias("d"),
+        col("k.__h") === col("d.__h") &&
+        col(s"k.$id") === col("d.__keepid"))
+      .select(keyed.columns.map(n => col(s"k.$n")): _*)
     // bootstrap: a store that does not exist yet is an empty key set
     // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
     val refKeys = readIngestStore(spark, store)
 
-    val nearState =
-      if (near) Some(nearDropSet(inBatch, refKeys, bid, c, id, textCol))
-      else None
+    // (drop set, per-id state table to append, caches to release)
+    val fuzzyState = mode match {
+      case "near" => Some(nearDropSet(withKey, refKeys, bid, c, id, textCol))
+      case "embedding" => Some(embedDropSet(withKey, refKeys, bid, c, id))
+      case _ => None
+    }
 
     val exactKept = refKeys match {
       case Some(ks) =>
@@ -636,20 +660,21 @@ object CurationStages {
           col("__h") === col("h"), "left_anti")
       case None => withKey
     }
-    val kept = nearState match {
+    val kept = fuzzyState match {
       case Some((drop, _, _)) =>
         exactKept.join(drop.withColumnRenamed("id", "__drop"),
           col(id) === col("__drop"), "left_anti")
       case None => exactKept
     }
     val settled = kept.localCheckpoint(true)
-    // exact layout: bare digests; near layout: (digest, signature) with
-    // a null sig for short (signature-less) rows via the left join
-    val newKeys = nearState match {
-      case Some((_, sigs, _)) =>
+    // exact layout: bare digests; fuzzy layouts: (digest, state cols)
+    // with nulls for state-less rows via the left join
+    val newKeys = fuzzyState match {
+      case Some((_, state, _)) =>
+        val stateCols = state.columns.filterNot(_ == "id").toSeq
         settled.select(col(id).as("id"), col("__h").as("h"))
-          .join(sigs, Seq("id"), "left")
-          .select(col("h"), col("sig")).distinct()
+          .join(state, Seq("id"), "left")
+          .select((col("h") +: stateCols.map(col)): _*).distinct()
       case None => settled.select(col("__h").as("h")).distinct()
     }
     // replay idempotence: skip keys this attempt already appended
@@ -662,12 +687,9 @@ object CurationStages {
     toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
-    nearState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
+    fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h")
   }
-
-  private def dedupIngestExact(df: DataFrame, c: Map[String, Any]): DataFrame =
-    dedupIngestCore(df, c, near = false)
 
   // Near mode (`mode: near`): the growing store additionally keeps the
   // n-component MinHash signature of every admitted document, and a
@@ -683,10 +705,19 @@ object CurationStages {
   // exact-deduped. The in-batch sweep is the semanticKeep convention —
   // one senior-neighbor pass, no transitive clustering. Oversized band
   // buckets (> max_bucket across both sides) are exempted wholesale
-  // before the joins (the minhashPairs cap). Replay safety is
-  // dedupIngestExact's token discipline, unchanged.
-  private def dedupIngestNear(df: DataFrame, c: Map[String, Any]): DataFrame =
-    dedupIngestCore(df, c, near = true)
+  // before the joins (the minhashPairs cap). Replay safety is the
+  // shared core's token discipline, unchanged.
+  //
+  // Embedding mode (`mode: embedding`): the same architecture on the
+  // vector modality — streaming SEMANTIC dedup. Per admitted row the
+  // store keeps sign-LSH band keys (candidate generation,
+  // deterministic Rademacher planes) and the SQ8-quantized vector
+  // (scale + int8 codes, dim+8 bytes — the verify side; raw floats
+  // never enter state). A batch row is rejected when a band match —
+  // vs the store or a senior in-batch row — verifies at
+  // cosine(decode(sq8(x)), decode(sq8(y))) ≥ threshold; both sides
+  // are quantized, so the check is symmetric and replay-stable. The
+  // exact leg rejects bit-identical vectors by canonical-string md5.
 
   /** The near-mode LSH machinery: compact batch signatures, banded
     * candidate joins (in-batch senior sweep + store sweep, both behind
@@ -771,6 +802,93 @@ object CurationStages {
     val nearDrop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
     (nearDrop, sigs, Seq(sigs) ++ refSigs)
+  }
+
+  /** The embedding-mode machinery (streaming semantic dedup): band keys
+    * from deterministic Rademacher sign-LSH, SQ8 state, symmetric
+    * quantized-cosine verify. Returns (drop set of batch ids, the
+    * persisted (id, ekeys, escale, ecodes) state table for the append
+    * step, caches to release after the batch settles).
+    */
+  private def embedDropSet(inBatch: DataFrame, refKeys: Option[DataFrame],
+                           bid: String, c: Map[String, Any], id: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val vecF = str(c, "vec_field", "embedding")
+    val bands = int(c, "bands", 8)
+    val ppb = int(c, "planes_per_band", 8)
+    val dim = int(c, "dim", 64)
+    val threshold = dbl(c, "threshold", 0.9)
+    val maxBucket = int(c, "max_bucket", 4096)
+    val planes = graft.ml.Similarity.rademacherBandPlanes(bands, ppb, dim)
+
+    val sigs = graft.ml.Similarity.sq8Staged(
+        inBatch.select(col(id).as("id"), col(vecF).as("__vec")), "__vec")
+      .select(col("id"),
+        graft.ml.Similarity.lshBandKeys(col("__vec"), planes).as("ekeys"),
+        col("__scale").as("escale"), col("__codes").as("ecodes"))
+      .persist()
+
+    def explodeBands(t: DataFrame, idC: String): DataFrame =
+      t.select(col(idC), posexplode(col("ekeys")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+
+    val refSigs = refKeys.map(_
+      .filter(col("bid") =!= bid && col("ecodes").isNotNull)
+      .select(col("h").as("rh"), col("ekeys"),
+        col("escale").as("rescale"), col("ecodes").as("recodes"))
+      .persist())
+
+    val batchBanded = explodeBands(sigs, "id")
+    val refBanded = refSigs.map(explodeBands(_, "rh"))
+
+    val oversized = refBanded
+      .map(r => batchBanded.select("band", "band_key")
+        .union(r.select("band", "band_key")))
+      .getOrElse(batchBanded.select("band", "band_key"))
+      .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("band", "band_key")
+    val cappedBatch = batchBanded.join(broadcast(oversized),
+      Seq("band", "band_key"), "left_anti")
+
+    // symmetric quantized-cosine verify: decode both sides from their
+    // stored SQ8 state (the only vector representation state holds)
+    def decode(codes: Column, scale: Column): Column =
+      transform(codes, x => x.cast("double") * scale)
+    val verified = graft.ml.Similarity.cosine(
+      decode(col("lcodes"), col("lscale")),
+      decode(col("rcodes"), col("rscale"))) >= threshold
+
+    val own = sigs.select(col("id").as("__vid"),
+      col("escale").as("lscale"), col("ecodes").as("lcodes"))
+    val senior = sigs.select(col("id").as("__sid"),
+      col("escale").as("rscale"), col("ecodes").as("rcodes"))
+
+    val dropInBatch = cappedBatch.alias("l")
+      .join(cappedBatch.alias("r"),
+        col("l.band") === col("r.band")
+          && col("l.band_key") === col("r.band_key")
+          && col("l.id") > col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("__sid")).distinct()
+      .join(own.withColumnRenamed("__vid", "id"), Seq("id"))
+      .join(senior, Seq("__sid"))
+      .filter(verified).select(col("id")).distinct()
+
+    val dropVsStore = (refBanded, refSigs) match {
+      case (Some(rb), Some(rs)) =>
+        val cappedRef = rb.join(broadcast(oversized),
+          Seq("band", "band_key"), "left_anti")
+        Some(cappedBatch.join(cappedRef, Seq("band", "band_key"))
+          .select(col("id"), col("rh")).distinct()
+          .join(own.withColumnRenamed("__vid", "id"), Seq("id"))
+          .join(rs.select(col("rh"), col("rescale").as("rscale"),
+            col("recodes").as("rcodes")), Seq("rh"))
+          .filter(verified).select(col("id")).distinct())
+      case _ => None
+    }
+    val drop = dropVsStore
+      .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
+    (drop, sigs, Seq(sigs) ++ refSigs)
   }
 
   // ---- media_envelope ------------------------------------------------

@@ -332,4 +332,70 @@ class StreamCurationSpec extends SparkSpec {
     assert(keys.filter(col("sig").isNotNull).count() == 1L,
       "near-mode admission must store its signature")
   }
+
+  test("dedup_ingest mode embedding: streaming semantic dedup over vectors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-emb").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    mode: embedding
+         |    id_field: doc_id
+         |    vec_field: embedding
+         |    dim: 8
+         |    bands: 4
+         |    planes_per_band: 4
+         |    threshold: 0.95
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-emb-ck").toString
+
+    val a = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val cVec = Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    // batch 1: two directions + a bit-identical in-batch duplicate of `a`
+    mem.addData((1L, a), (2L, b), (3L, a))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "embedding"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L), s"batch 1 admitted: $seen")
+
+    // batch 2: a NEAR-duplicate of stored `a` (cosine ~0.99995, not
+    // bit-identical -> the exact leg passes it, the semantic leg must
+    // reject); a new direction `c`; and an in-batch near-dup of `c`
+    // (senior sweep)
+    mem.addData(
+      (4L, Seq(0.999, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (5L, cVec),
+      (6L, Seq(0.01, 0.0, 0.999, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "embedding"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 5L), s"after batch 2: $seen")
+
+    // batch 3: a SCALED copy of stored `b` (cosine exactly 1, different
+    // bits -> semantic reject) and a bit-identical replay of `c`
+    // (exact-digest reject)
+    mem.addData((7L, b.map(_ * 2.0)), (8L, cVec))
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "embedding"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 5L), s"after batch 3: $seen")
+
+    // state: one row per distinct admitted vector, SQ8 codes + band
+    // keys only -- the raw float vector never enters the store
+    val keys = s.read.parquet(store)
+    assert(keys.count() == 3L)
+    assert(keys.columns.sorted.toSeq ==
+      Seq("bid", "ecodes", "ekeys", "escale", "h"))
+    assert(keys.filter(col("ecodes").isNull).count() == 0L)
+  }
 }
