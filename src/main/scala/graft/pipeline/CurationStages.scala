@@ -371,7 +371,16 @@ object CurationStages {
   // same stage. Whole-corpus by construction (the model trains on the
   // input corpus).
 
-  private def perplexityScore(df: DataFrame, c: Map[String, Any]): DataFrame = {
+  private def perplexityScore(df0: DataFrame, c: Map[String, Any]): DataFrame = {
+    // persist the input once (batch-only stage): the LM reads its
+    // corpus through several plan branches (token agg, bigram agg, the
+    // score join), and in a COMPOSED pipeline each branch would
+    // re-derive every upstream stage. Lazy persist, the minhashPairs
+    // convention — the first aggregate materializes it, CacheSweep (or
+    // session end) releases it, and an evicted/unpersisted cache
+    // RE-EXECUTES safely (a localCheckpoint here would die on
+    // re-execution after a sweep: truncated lineage, dropped blocks).
+    val df = df0.persist()
     val id = idField(c, "perplexity_score")
     val prefix = str(c, "prefix", "lm_")
     val clash = Seq(prefix + "n_bigrams", prefix + "logprob")
@@ -398,7 +407,13 @@ object CurationStages {
   // predicate selecting the exemplar subset of the corpus itself), then
   // keep the top-k Gumbel-perturbed rows. Whole-corpus by construction.
 
-  private def dsirSample(df: DataFrame, c: Map[String, Any]): DataFrame = {
+  private def dsirSample(df0: DataFrame, c: Map[String, Any]): DataFrame = {
+    // persist the input once: the two plan-time bucket-model aggregates
+    // plus the scoring pass would otherwise re-derive every upstream
+    // stage three times (batch-only stage; the perplexity_score note —
+    // lazy persist, never localCheckpoint, so re-execution after a
+    // cache sweep recomputes instead of dying)
+    val df = df0.persist()
     val id = idField(c, "dsir_sample")
     val text = textField(c)
     val target = (c.get("target_filter"), c.get("target")) match {

@@ -110,10 +110,16 @@ class PlanGuardSpec extends SparkSpec {
                                // joins + one gram-keyed doc join + id agg
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg
     "ml_decontam_clean" -> 4,  // spans + span-table id agg; doc join broadcasts
-    "ml_pretrain_recipe" -> 25, // 5-stage composed recipe: the bigram-LM
+    "ml_pretrain_recipe" -> 55, // 5-stage composed recipe: the bigram-LM
                                // stage's vocab joins + per-doc agg dominate;
                                // DSIR contributes only TakeOrdered + the
-                               // left_semi keep (its scoring is narrow)
+                               // left_semi keep (its scoring is narrow).
+                               // The corpus-training stages PERSIST their
+                               // input (one upstream derivation instead of
+                               // three; recipe 3.3→1.8 s at sf0.1), and a
+                               // cached subtree PRINTS once per scan site
+                               // (the bm25_topk accounting convention) —
+                               // 51 printed, far fewer executed
     "proc_geoip_enricher" -> 1,   // mmdb ranges broadcast-joined
     "proc_pseudonym_mapping" -> 1, // mapping side output aggregate
     "q10_rollup" -> 1,
