@@ -398,4 +398,50 @@ class StreamCurationSpec extends SparkSpec {
       Seq("bid", "ecodes", "ekeys", "escale", "h"))
     assert(keys.filter(col("ecodes").isNull).count() == 0L)
   }
+
+  test("dedup_ingest mode embedding: malformed vectors never fail the batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-emb-bad").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    mode: embedding
+         |    id_field: doc_id
+         |    vec_field: embedding
+         |    dim: 4
+         |    bands: 2
+         |    planes_per_band: 2
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, Option[Seq[Double]])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-embck2").toString
+
+    // a null vector, an empty vector, a wrong-dim (short) vector, a
+    // zero vector, and one well-formed row: the batch must COMPLETE
+    // (malformed payloads degrade to deterministic admit/reject, never
+    // a failed job), and the good row must be admitted
+    mem.addData(
+      (1L, None),
+      (2L, Some(Seq.empty[Double])),
+      (3L, Some(Seq(1.0, 0.0))),
+      (4L, Some(Seq(0.0, 0.0, 0.0, 0.0))),
+      (5L, Some(Seq(0.0, 1.0, 0.0, 0.0))))
+    val q = StreamRunner.run(mem.toDF().toDF("doc_id", "embedding"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(seen.contains(5L), s"well-formed row must be admitted: $seen")
+    assert(seen.nonEmpty)
+    // the store exists and the next batch still works
+    mem.addData((6L, Some(Seq(0.0, 1.0, 0.0, 0.0))))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "embedding"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(!seen.contains(6L), "bit-identical replay of 5 must be rejected")
+  }
 }
