@@ -70,6 +70,39 @@ class Sq8Spec extends SparkSpec {
     assert(got === Seq(1L, 4L, 2L)) // exact IP order: 1.0, 0.905, 0.05
   }
 
+  test("property sweep: 300 seeded random vectors hold every contract") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 300).map { i =>
+      val dim = 1 + rnd.nextInt(96)
+      val mag = math.pow(10.0, rnd.nextInt(7) - 3) // 1e-3 .. 1e3
+      (i.toLong, Seq.fill(dim)(((rnd.nextDouble() * 2 - 1) * mag).toFloat))
+    }
+    val rows = encode(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    vecs.foreach { case (id, v) =>
+      val r = rows(id)
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      val scale = r.getAs[Double]("scale")
+      assert(codes.length === v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"id=$id codes out of range")
+      assert(scale >= 0.0)
+      // mse bound: per-dim error ≤ scale/2 (rounded outputs add ≤ 5e-7
+      // apiece on both factors — absorb with a small epsilon)
+      val bound = math.pow(scale / 2.0, 2) + 1e-6
+      assert(r.getAs[Double]("mse") <= bound,
+        s"id=$id mse=${r.getAs[Double]("mse")} bound=$bound")
+    }
+    // determinism: a second run is identical
+    val again = encode(vecs).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("scale"),
+        r.getAs[String]("codes"), r.getAs[Double]("mse"))).sortBy(_._1)
+    val first = rows.toSeq.map { case (id, r) =>
+      (id, r.getAs[Double]("scale"), r.getAs[String]("codes"),
+        r.getAs[Double]("mse")) }.sortBy(_._1)
+    assert(again.toSeq === first)
+  }
+
   test("narrow plan: zero exchanges at any corpus size") {
     val plan = encode(Seq((1L, Seq(1f, 2f))))
       .queryExecution.executedPlan.toString
