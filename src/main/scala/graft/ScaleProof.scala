@@ -132,7 +132,9 @@ object ScaleProof {
       // bench digests)
       "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"),
       "ml_dsir_weights" -> GraftQueries.queries("ml_dsir_weights"),
-      "ml_decontam_clean" -> GraftQueries.queries("ml_decontam_clean"))
+      "ml_decontam_clean" -> GraftQueries.queries("ml_decontam_clean"),
+      // the composed 5-stage recipe — the end-to-end scale claim
+      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.
