@@ -1464,6 +1464,53 @@ object GraftQueriesML {
           FROM documents d LEFT JOIN per USING (doc_id)"""
     })
 
+  /** Reference-trained LM scoring (the full CCNet shape): train on the
+    * doc_id % 53 = 0 exemplar subset, score the rest — OOV text now
+    * penalized via the add-one unigram floor.
+    */
+  private val mBigramXent = Spec("ml_bigram_xent",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.bigramLogProbAgainst(
+        d.filter(col("doc_id") % 53 =!= 0),
+        d.filter(col("doc_id") % 53 === 0),
+        "doc_id", "text", lambda = 0.9)
+    },
+    Some {
+      val l1 = 0.9; val l2 = 1.0 - 0.9
+      s"""WITH tw AS (SELECT list_filter(string_split(text, ' '),
+            x -> x <> '') AS w FROM documents WHERE doc_id % 53 = 0),
+          uni AS (SELECT t, count(*) AS c1 FROM
+            (SELECT unnest(w) AS t FROM tw) GROUP BY t),
+          st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+            CAST(count(*) AS DOUBLE) AS v FROM uni),
+          bc AS (SELECT g, count(*) AS c2 FROM
+            (SELECT unnest(list_transform(range(len(w)-1),
+               i -> w[i+1]||' '||w[i+2])) AS g FROM tw WHERE len(w) >= 2)
+            GROUP BY g),
+          cw AS (SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS w FROM documents WHERE doc_id % 53 <> 0),
+          bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+              i -> w[i+1]||' '||w[i+2])) AS g
+            FROM cw WHERE len(w) >= 2),
+          ty AS (SELECT DISTINCT g FROM bg),
+          pr AS (SELECT g,
+              $l1*coalesce(CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE), 0.0)
+            + $l2*(CAST(coalesce(u2.c1, 0) AS DOUBLE) + 1.0)/(n + v + 1.0)
+              AS p
+            FROM ty LEFT JOIN bc USING (g)
+              LEFT JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
+              LEFT JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
+              CROSS JOIN st),
+          per AS (SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(p)), 6) AS avg_logprob
+            FROM bg JOIN pr USING (g) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+            coalesce(avg_logprob, 0.0) AS avg_logprob
+          FROM documents d LEFT JOIN per USING (doc_id)
+          WHERE d.doc_id % 53 <> 0"""
+    })
+
   /** DuckDB CTE prefix `fb(doc_id, b)`: the DSIR hashed uni+bigram
     * feature buckets, md5-half hashing ([[Dedup.md5half]] convention).
     */
@@ -1783,6 +1830,7 @@ object GraftQueriesML {
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
-    mGopher, mBigramLP, mDsirWeights, mDsirSample, mDecontamSpans,
+    mGopher, mBigramLP, mBigramXent, mDsirWeights, mDsirSample,
+    mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mSq8, mSq8TopK, mCorpusProfile)
 }

@@ -352,6 +352,66 @@ object CorpusStats {
           .as("avg_chars"))
   }
 
+  /** Reference-trained bigram LM scoring — the full CCNet architecture
+    * (Wenzek et al. 2020): the model trains on a CLEAN exemplar corpus
+    * and scores a different one, so out-of-vocabulary text is penalized
+    * (the property [[bigramLogProb]]'s self-trained form deliberately
+    * lacks — see its scaladoc). Per corpus-document mean natural log of
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1)              (0 when w1 unseen)
+    *              + (1−λ)·(c(w2)+1)/(N+V+1)       (add-one over vocab)
+    *
+    * with counts from TRAIN only; V = train vocabulary size, N = train
+    * token count. Every position stays finite: unseen words fall back
+    * to the add-one unigram floor 1/(N+V+1), so a fully-OOV document
+    * scores ≈ ln(λ·0 + (1−λ)/(N+V+1)) — far below in-distribution text.
+    *
+    * Scale: train-side work is two vocabulary-sized aggregates + two
+    * scalars (like [[bigramLogProb]]); the corpus side first DISTINCTS
+    * its bigram types, prices each TYPE with three vocabulary-keyed
+    * left joins, then one gram-keyed join back per occurrence — never
+    * per-occurrence pricing, never pairwise.
+    */
+  def bigramLogProbAgainst(corpus: DataFrame, train: DataFrame,
+                           idCol: String, textCol: String,
+                           lambda: Double = 0.9): DataFrame = {
+    val tok = train.select(explode(Curation.words(col(textCol))).as("t"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val stats = uni.agg(sum(col("c1")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val bcnt = train
+      .select(explode(ngramArray(col(textCol), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val big = corpus.select(col(idCol).as("id"),
+      explode(ngramArray(col(textCol), 2)).as("g"))
+    val types = big.select(col("g")).distinct()
+      .withColumn("__w1", element_at(split(col("g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("g"), " "), 2))
+    // per-TYPE price, mirrored token for token in the oracle SQL
+    val probs = types
+      .join(bcnt, Seq("g"), "left")
+      .join(uni.select(col("t").as("__w1"), col("c1").as("__cw1")),
+        Seq("__w1"), "left")
+      .join(uni.select(col("t").as("__w2"), col("c1").as("__cw2")),
+        Seq("__w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("g"),
+        (lit(lambda) * coalesce(
+            col("c2").cast("double") / col("__cw1").cast("double"),
+            lit(0.0)) +
+         lit(1.0 - lambda) *
+           (coalesce(col("__cw2"), lit(0L)).cast("double") + lit(1.0)) /
+           (col("n") + col("v") + lit(1.0))).as("p"))
+    val per = big.join(probs, Seq("g"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p"))), 6).as("avg_logprob"))
+    corpus.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
+
   /** Positional benchmark decontamination (the removal counterpart of
     * [[contamination]], with [[Dedup.dupSpans]]'s positional semantics):
     * maximal token spans `[span_start, span_end)` of each corpus document

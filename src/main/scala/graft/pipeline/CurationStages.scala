@@ -388,8 +388,28 @@ object CurationStages {
     require(clash.isEmpty,
       s"perplexity_score would overwrite existing column(s) " +
         s"${clash.mkString(", ")} — rename them upstream")
-    val scores = CorpusStats.bigramLogProb(df, id, textField(c),
-        lambda = dbl(c, "lambda", 0.9))
+    // default: self-trained (word-order anomaly signal); with
+    // `train_filter` (filter DSL selecting the exemplar subset) or
+    // `train: {path, text_field}` (external clean corpus) the model
+    // trains on the REFERENCE and OOV text is penalized — the full
+    // CCNet architecture (CorpusStats.bigramLogProbAgainst)
+    val lam = dbl(c, "lambda", 0.9)
+    val raw = (c.get("train_filter"), c.get("train")) match {
+      case (Some(f), _) =>
+        val train = df.filter(coalesce(
+          graft.filter.FilterCompiler.predicate(f.toString, df.schema),
+          lit(false)))
+        CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
+      case (None, Some(t)) =>
+        val tc = t.asInstanceOf[Map[String, Any]]
+        val train = df.sparkSession.read
+          .format(str(tc, "format", "parquet"))
+          .load(reqStr(tc, "path", "perplexity_score train"))
+          .withColumnRenamed(str(tc, "text_field", "text"), textField(c))
+        CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
+      case _ => CorpusStats.bigramLogProb(df, id, textField(c), lam)
+    }
+    val scores = raw
       .withColumnRenamed("n_bigrams", prefix + "n_bigrams")
       .withColumnRenamed("avg_logprob", prefix + "logprob")
     val joined = df.join(scores, Seq(id))

@@ -108,6 +108,8 @@ class PlanGuardSpec extends SparkSpec {
     "ml_unigram_logprob" -> 7,
     "ml_bigram_logprob" -> 11, // two vocab aggs + vocab-keyed prob-table
                                // joins + one gram-keyed doc join + id agg
+    "ml_bigram_xent" -> 14,    // the same shape with a corpus-type
+                               // distinct + three LEFT prob-table joins
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg
     "ml_decontam_clean" -> 4,  // spans + span-table id agg; doc join broadcasts
     "ml_pretrain_recipe" -> 55, // 5-stage composed recipe: the bigram-LM

@@ -64,6 +64,44 @@ class BigramLmSpec extends SparkSpec {
     assert(m(1L)._2 > m(99L)._2)
   }
 
+  test("reference-trained scoring penalizes OOV text (the CCNet property)") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on the rug"),  // in-vocabulary, seen-ish bigrams
+      (2L, "zq xv wk jn pf td")        // fully OOV
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.bigramLogProbAgainst(corpus, train,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    // the self-trained conditional model scores unique-token noise HIGH
+    // (deterministic singleton contexts); the reference-trained model
+    // must score it at the add-one unigram floor, far below real text
+    assert(m(1L)._2 > m(2L)._2 + 1.0,
+      s"OOV must score far below in-vocab: $m")
+    // hand check: every OOV position prices λ·0 + (1−λ)·(0+1)/(N+V+1);
+    // train has N=12 tokens, V=7 types (the cat sat on mat dog rug)
+    val floor = math.log((1.0 - 0.9) * 1.0 / (12.0 + 7.0 + 1.0))
+    assert(m(2L)._2 === math.rint(floor * 1e6) / 1e6)
+  }
+
+  test("reference-trained scoring: every corpus row keeps a row") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val m = CorpusStats.bigramLogProbAgainst(corpus, train,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(m(1L)._1 === 1L)
+    assert(m(2L) === ((0L, 0.0)))
+    assert(m(3L) === ((0L, 0.0)))
+  }
+
   test("lambda=1 is pure bigram MLE") {
     // single doc "a b a b": bigrams "a b":2, "b a":1; with λ=1 the
     // probabilities are c2/c1(w1): p(b|a)=2/2=1, p(a|b)=1/2
