@@ -638,8 +638,9 @@ object StageCatalog {
           |    id_field: doc_id
           |    text_field: text
           |    lambda: 0.9"""),
-      schemaKind = "documents", oracle = Seq("ml_bigram_logprob"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join — never pairwise."),
+      schemaKind = "documents",
+      oracle = Seq("ml_bigram_logprob", "ml_bigram_xent"),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:
