@@ -487,6 +487,33 @@ object GraftQueriesML {
   // from the same parameters. The absolute byte layout is pinned
   // separately by golden bytes in MultimodalSpec — together the two
   // gates mean "the parser reads real WAV, and reads it correctly".
+  // Image envelope round-trip: expression-built minimal PNG per row
+  // (the wavBytes convention), REAL IHDR parser reads it back, DuckDB
+  // predicts the fields from the same doc_id arithmetic.
+  private val mMultimodalImage = Spec("ml_multimodal_image",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = (col("doc_id") % 512 + 1).cast("int")
+      val h = ((col("doc_id") * 7) % 512 + 1).cast("int")
+      val depth = element_at(array(lit(1), lit(2), lit(4), lit(8), lit(16)),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val png = d.withColumn("payload", Multimodal.pngBytes(w, h, depth))
+      Multimodal.decodeImages(png, "payload")
+        .select(col("doc_id"),
+          col("image_features.format").as("format"),
+          col("image_features.width").as("width"),
+          col("image_features.height").as("height"),
+          col("image_features.bit_depth").as("bit_depth"),
+          col("image_features.n_frames").as("n_frames"))
+    },
+    Some("""SELECT doc_id, 'png' AS format,
+            CAST(doc_id % 512 + 1 AS INT) AS width,
+            CAST((doc_id * 7) % 512 + 1 AS INT) AS height,
+            CAST(([1, 2, 4, 8, 16])[CAST(doc_id % 5 + 1 AS INT)] AS INT)
+              AS bit_depth,
+            CAST(1 AS INT) AS n_frames
+            FROM documents"""))
+
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -1822,7 +1849,7 @@ object GraftQueriesML {
     mJaccardPairs, mNearDupKeep,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
-    mMultimodalAudio, mMultimodalPdf, mMultimodalVideo,
+    mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,

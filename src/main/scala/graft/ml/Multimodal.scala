@@ -28,24 +28,111 @@ object Multimodal {
       sha2(payload, 256).as("content_id")))
 
   val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
     StructField("n_frames", IntegerType),
     StructField("mean_luma", DoubleType)))
 
-  /** STUB image decode: deterministic pseudo-dimensions from the byte
-    * length (a real build replaces `decodeOne` with e.g. an ImageIO /
-    * ffmpeg call — same signature, same batching).
+  /** Image decode: container HEADERS are REAL parsers (PNG IHDR, JPEG
+    * SOF segment walk, GIF logical-screen descriptor — pure byte
+    * layout, the WAV/PDF/MP4 convention); pixel-payload facts
+    * (mean_luma) need a codec and stay behind the stub contract —
+    * null for recognized formats, the documented length-derived fake
+    * for unrecognized bytes (format "stub"), so unit plumbing remains
+    * testable without image libraries. Magic-matched but malformed
+    * bytes yield a null struct, never a failed job.
     */
   private def decodeOne(bytes: Array[Byte]): Row = {
-    if (bytes == null) Row(null, null, null, null)
+    if (bytes == null) nullImage
+    else if (bytes.length >= 8 &&
+        (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && (bytes(4) & 0xFF) == 0x0D &&
+        (bytes(5) & 0xFF) == 0x0A && (bytes(6) & 0xFF) == 0x1A &&
+        (bytes(7) & 0xFF) == 0x0A) parsePng(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xD8) parseJpeg(bytes)
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      parseGif(bytes)
     else {
       val n = bytes.length
       val w = 16 + (n % 256)
       val h = 16 + ((n / 256) % 256)
       val luma = math.round(((n % 1000) / 1000.0) * 1e6) / 1e6
-      Row(w, h, 1, luma)
+      Row("stub", w, h, null, 1, luma)
     }
+  }
+
+  private val nullImage = Row(null, null, null, null, null, null)
+
+  /** Test access to the image header dispatch ([[decodeOne]]). */
+  private[ml] def parseImage(bytes: Array[Byte]): Row = decodeOne(bytes)
+
+  private def beU32i(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+    ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def beU16i(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+
+  /** PNG: the IHDR chunk is REQUIRED first (offset 8): length must read
+    * 13, type "IHDR"; width/height u32 BE, bit depth u8. Zero or
+    * over-2³¹ dimensions are malformed.
+    */
+  private def parsePng(b: Array[Byte]): Row = {
+    if (b.length < 33) return nullImage
+    if (beU32i(b, 8) != 13L) return nullImage
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return nullImage
+    val w = beU32i(b, 16); val h = beU32i(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+      return nullImage
+    Row("png", w.toInt, h.toInt, (b(24) & 0xFF), 1, null)
+  }
+
+  /** JPEG: walk marker segments from offset 2 until a SOF0-SOF3 frame
+    * header (precision u8, height u16 BE, width u16 BE); declared
+    * segment lengths drive the cursor (bounds-checked — the RIFF
+    * frozen-cursor lesson); scan-start/EOI before any SOF → malformed.
+    */
+  private def parseJpeg(b: Array[Byte]): Row = {
+    var o = 2
+    while (o + 3 < b.length) {
+      if ((b(o) & 0xFF) != 0xFF) return nullImage
+      val marker = b(o + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) ||
+          marker == 0x01) {
+        o += 2 // standalone markers carry no length
+      } else if (marker == 0xDA || marker == 0xD9) {
+        return nullImage // entropy data / end before any frame header
+      } else {
+        val segLen = beU16i(b, o + 2)
+        if (segLen < 2) return nullImage
+        if (marker >= 0xC0 && marker <= 0xC3) {
+          if (o + 8 >= b.length || segLen < 8) return nullImage
+          val precision = b(o + 4) & 0xFF
+          val h = beU16i(b, o + 5); val w = beU16i(b, o + 7)
+          if (w == 0 || h == 0) return nullImage
+          return Row("jpeg", w, h, precision, 1, null)
+        }
+        o += 2 + segLen
+      }
+    }
+    nullImage
+  }
+
+  /** GIF: logical screen descriptor — width/height u16 LE at 6/8,
+    * color resolution bits (packed byte 10, bits 4-6) + 1 as depth.
+    */
+  private def parseGif(b: Array[Byte]): Row = {
+    if (b.length < 13) return nullImage
+    val w = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+    val h = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+    if (w == 0 || h == 0) return nullImage
+    Row("gif", w, h, ((b(10) >> 4) & 0x7) + 1, 1, null)
   }
 
   /** Batched decode via mapPartitions: one decoder instance per partition,
@@ -436,6 +523,26 @@ object Multimodal {
     concat((nBytes - 1 to 0 by -1).map(i =>
       lpad(lower(hex(shiftrightunsigned(v.cast("long"), 8 * i) % 256)),
         2, "0")): _*)
+
+  /** Minimal PNG: 8-byte magic + a single IHDR chunk (length 13, type,
+    * width/height u32 BE, bit depth, color type 2 / truecolor,
+    * compression 0, filter 0, interlace 0, zeroed CRC — the parser
+    * reads layout, not checksums), built ENTIRELY from Catalyst
+    * expressions. Same construction/parse round-trip contract as
+    * [[wavBytes]]/[[mp4Bytes]]; byte layout pinned separately by golden
+    * bytes in MultimodalSpec.
+    */
+  def pngBytes(width: Column, height: Column, bitDepth: Column): Column =
+    unhex(concat(
+      lit("89504e470d0a1a0a"),  // magic
+      lit("0000000d"),          // IHDR length 13
+      lit("49484452"),          // "IHDR"
+      beHex(width, 4),
+      beHex(height, 4),
+      beHex(bitDepth, 1),
+      lit("02"),                // color type: truecolor
+      lit("000000"),            // compression, filter, interlace
+      lit("00000000")))         // CRC (unchecked by the parser)
 
   /** Unity transform matrix (tkhd/mvhd): 0x00010000 diagonals, 0x40000000
     * in the w position — 36 bytes as hex.

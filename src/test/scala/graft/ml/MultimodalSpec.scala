@@ -347,4 +347,91 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_features.n_pages")).collect().head.getInt(0)
     assert(docs == 2)
   }
+
+  // -- image envelope golden bytes --------------------------------------
+
+  /** PNG magic + IHDR: 640x480, bit depth 8, truecolor. */
+  private def goldenPng: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 25)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      .putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(640).putInt(480)
+      .put(8.toByte).put(2.toByte)     // bit depth, color type
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compr, filter, interlace
+      .putInt(0)                       // CRC (layout-only parser)
+    bb.array()
+  }
+
+  /** JPEG: SOI, an APP0 segment the walk must SKIP, then SOF0
+    * (precision 8, 600 high x 800 wide, 3 components).
+    */
+  private def goldenJpeg: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 16 + 2 + 2 + 9)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(Array[Byte](0xFF.toByte, 0xD8.toByte))
+      .put(Array[Byte](0xFF.toByte, 0xE0.toByte)).putShort(18)
+      .put("JFIF\u0000".getBytes("US-ASCII")).put(new Array[Byte](11))
+      .put(Array[Byte](0xFF.toByte, 0xC0.toByte)).putShort(11)
+      .put(8.toByte).putShort(600).putShort(800).put(3.toByte)
+      .put(new Array[Byte](3))
+    bb.array()
+  }
+
+  /** GIF89a, 320x200 logical screen, color resolution 7 (depth 8). */
+  private def goldenGif: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+      .putShort(320.toShort).putShort(200.toShort)
+      .put(0xF7.toByte)                // packed: global table, res 7
+      .put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  test("golden PNG/JPEG/GIF headers parse to their spec fields") {
+    val png = Multimodal.parseImage(goldenPng)
+    assert(png.getString(0) == "png" && png.getInt(1) == 640 &&
+      png.getInt(2) == 480 && png.getInt(3) == 8 && png.getInt(4) == 1)
+    val jpg = Multimodal.parseImage(goldenJpeg)
+    assert(jpg.getString(0) == "jpeg" && jpg.getInt(1) == 800 &&
+      jpg.getInt(2) == 600 && jpg.getInt(3) == 8,
+      s"jpeg parsed: $jpg")
+    val gif = Multimodal.parseImage(goldenGif)
+    assert(gif.getString(0) == "gif" && gif.getInt(1) == 320 &&
+      gif.getInt(2) == 200 && gif.getInt(3) == 8)
+  }
+
+  test("image parse hardening: malformed magic-matched bytes are null, not stub") {
+    // PNG magic but IHDR missing / wrong first-chunk length
+    assert(Multimodal.parseImage(goldenPng.take(20)).getString(0) == null)
+    val badLen = goldenPng.clone(); badLen(11) = 12
+    assert(Multimodal.parseImage(badLen).getString(0) == null)
+    // zero-dimension PNG
+    val zeroW = goldenPng.clone()
+    zeroW(16) = 0; zeroW(17) = 0; zeroW(18) = 0; zeroW(19) = 0
+    assert(Multimodal.parseImage(zeroW).getString(0) == null)
+    // JPEG that hits SOS before any SOF
+    val noSof = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte, 0, 4, 0, 0)
+    assert(Multimodal.parseImage(noSof).getString(0) == null)
+    // JPEG with a lying zero segment length cannot loop
+    val badSeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0, 0, 0, 0)
+    assert(Multimodal.parseImage(badSeg).getString(0) == null)
+    // unrecognized bytes keep the documented stub contract
+    val stub = Multimodal.parseImage("not an image".getBytes("US-ASCII"))
+    assert(stub.getString(0) == "stub" && stub.getInt(4) == 1)
+  }
+
+  test("expression-built PNG is byte-identical to the hand assembly") {
+    val s = spark
+    import s.implicits._
+    val built = Seq(1).toDF("x")
+      .select(Multimodal.pngBytes(lit(640), lit(480), lit(8)).as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(built.toSeq == goldenPng.toSeq,
+      s"expression bytes diverge from spec assembly at index " +
+        s"${built.toSeq.zip(goldenPng.toSeq).indexWhere(t => t._1 != t._2)}")
+  }
 }
