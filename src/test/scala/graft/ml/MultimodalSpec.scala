@@ -318,7 +318,10 @@ class MultimodalSpec extends SparkSpec {
       "fLaC".getBytes("US-ASCII"),
       "%PDF-".getBytes("US-ASCII"),
       Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII"),
-      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII")) // largesize bait
+      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII"), // largesize bait
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array[Byte](0xFF.toByte, 0xD8.toByte), // JPEG SOI → segment walk
+      "GIF89a".getBytes("US-ASCII"))
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     for (i <- 0 until 300) {
       val body = new Array[Byte](rnd.nextInt(200))
@@ -327,6 +330,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseAudio(bytes) // may be null or a Row — must return
       Multimodal.parsePdf(bytes)
       Multimodal.parseMp4(bytes)
+      Multimodal.parseImage(bytes)
       assert(System.nanoTime() < deadline,
         s"parsers wedged on fuzz case $i (${bytes.take(16).toSeq})")
     }
