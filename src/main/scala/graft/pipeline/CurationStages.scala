@@ -931,7 +931,8 @@ object CurationStages {
   // Multimodal envelope extraction as a pipeline stage: attach the
   // typed `<kind>_features` struct parsed from an opaque binary column
   // ([[graft.ml.Multimodal]] — real container-header parsers for
-  // audio/doc/video, the stubbed batched pixel kernel for image).
+  // all four modalities — image headers (PNG/JPEG/GIF) included;
+  // only pixel-payload facts stay behind the stub contract).
   // Narrow (batched mapPartitions), stream-safe; malformed or
   // non-binary payloads yield null structs, never failed batches.
 

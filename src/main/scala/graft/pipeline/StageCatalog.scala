@@ -556,7 +556,7 @@ object StageCatalog {
       schemaKind = "documents", oracle = Seq("ml_text_normalize"),
       notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization."),
     StageDoc("media_envelope", "curation",
-      "Attach a typed `<kind>_features` struct parsed from an opaque binary column: real audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF) container-header parsers; batched stub kernel for image pixels.",
+      "Attach a typed `<kind>_features` struct parsed from an opaque binary column: REAL container-header parsers for all four modalities — image (PNG/JPEG/GIF), audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF); only pixel-payload facts (mean_luma) stay behind the stub contract.",
       y("""pipeline:
           |  - type: media_envelope
           |    bytes_field: payload
