@@ -1461,6 +1461,41 @@ object GraftQueriesML {
           FROM m"""
     })
 
+  /** Within-doc line dedup over a deterministically line-structured
+    * corpus with CONSTRUCTED repeats: every doc gets newlines every
+    * four words, and docs with doc_id % 3 == 0 additionally repeat
+    * their own first line at the end (identically in both engines) —
+    * so the keep-first semantics genuinely fire.
+    */
+  private val mDedupLines = Spec("ml_dedup_lines",
+    (s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){4})", "$1\n"))
+      val repeated = lined.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n"),
+            element_at(split(col("text"), "\n"), 1)))
+        .otherwise(col("text")))
+      repeated.select(col("doc_id"),
+        TextAnalysis.dedupLines(col("text")).as("text"))
+    },
+    Some("""WITH lined AS (SELECT doc_id,
+              regexp_replace(text, '((\S+ ){4})', '\1' || chr(10), 'g')
+                AS text FROM documents),
+            rep AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || string_split(text, chr(10))[1]
+                ELSE text END AS text FROM lined),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM rep),
+            ln AS (SELECT doc_id, ls[i+1] AS line, i AS pos
+              FROM sp, unnest(range(len(ls))) AS u(i)),
+            keep AS (SELECT doc_id, line, pos FROM ln
+              QUALIFY row_number() OVER (PARTITION BY doc_id, line
+                ORDER BY pos) = 1)
+            SELECT doc_id,
+              string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM keep GROUP BY doc_id"""))
+
   private val mBigramLP = Spec("ml_bigram_logprob",
     (s, dir) => CorpusStats.bigramLogProb(t(s, dir, "documents"),
       "doc_id", "text", lambda = 0.9),
@@ -1857,7 +1892,7 @@ object GraftQueriesML {
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
-    mGopher, mBigramLP, mBigramXent, mDsirWeights, mDsirSample,
+    mGopher, mDedupLines, mBigramLP, mBigramXent, mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mSq8, mSq8TopK, mCorpusProfile)
 }

@@ -135,6 +135,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), """\s+""", " "))
 
+  /** Within-document duplicate-line removal (the RefinedWeb/MassiveText
+    * line-dedup cleanup step — the REMOVAL counterpart of
+    * [[gopherSignals]]' `g_dup_line_frac` flag): keep the FIRST
+    * occurrence of each exact line, preserve order, rejoin with
+    * newlines. Cross-document boilerplate is
+    * [[Dedup.paragraphDedup]]'s business; this is the per-row pass.
+    * `array_distinct` preserves first-occurrence order in Spark; the
+    * oracle re-derives the same keep-set with a window (DuckDB's
+    * `list_distinct` does not guarantee order). One narrow projection.
+    */
+  def dedupLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   /** The Gopher "required words" stopword set (Rae et al. 2021 §A1.1):
     * a document must contain at least two of these to pass.
     */

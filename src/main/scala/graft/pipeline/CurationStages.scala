@@ -255,10 +255,14 @@ object CurationStages {
     val fields = c.get("fields")
       .map(_.asInstanceOf[Seq[Any]].map(_.toString))
       .getOrElse(Seq(textField(c)))
+    // optional RefinedWeb line-dedup pass (keep-first within each doc);
+    // runs BEFORE the whitespace collapse would erase line structure
+    val dedupLines = c.get("dedup_lines").exists(_.toString.toBoolean)
     fields.foldLeft(df) { (d, f) =>
       require(d.columns.contains(f),
         s"text_normalize: no `$f` column in [${d.columns.mkString(", ")}]")
-      d.withColumn(f, TextAnalysis.normalizeText(col(f)))
+      val pre = if (dedupLines) TextAnalysis.dedupLines(col(f)) else col(f)
+      d.withColumn(f, TextAnalysis.normalizeText(pre))
     }
   }
 

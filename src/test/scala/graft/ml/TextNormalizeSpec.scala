@@ -71,4 +71,21 @@ class TextNormalizeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("dedupLines keeps the first occurrence of each line, in order") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "a\nb\na\nc\nb",   // repeats dropped, order kept
+      "only one line",
+      "x\nx\nx",
+      ""
+    ).toDF("text")
+      .select(TextAnalysis.dedupLines(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getString(0))
+    assert(out(0) == "a\nb\nc")
+    assert(out(1) == "only one line")
+    assert(out(2) == "x")
+    assert(out(3) == "")
+  }
 }
