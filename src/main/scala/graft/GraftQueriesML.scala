@@ -1496,6 +1496,42 @@ object GraftQueriesML {
               string_agg(line, chr(10) ORDER BY pos) AS text
             FROM keep GROUP BY doc_id"""))
 
+  /** C4 line filter over constructed line structure: newline every four
+    * words; doc_id % 2 lines get a terminal period appended per line,
+    * the rest stay bare (so the filter genuinely keeps/drops); the
+    * last short line exercises the min-words leg.
+    */
+  private val mC4Lines = Spec("ml_c4_line_filter",
+    (s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){4})", "$1\n"))
+      val dotted = lined.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          regexp_replace(col("text"), "\n", ".\n"))
+        .otherwise(col("text")))
+      dotted.select(col("doc_id"),
+        TextAnalysis.c4FilterLines(col("text"), minWords = 3).as("text"))
+    },
+    Some("""WITH lined AS (SELECT doc_id,
+              regexp_replace(text, '((\S+ ){4})', '\1' || chr(10), 'g')
+                AS text FROM documents),
+            dotted AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+                THEN replace(text, chr(10), '.' || chr(10))
+                ELSE text END AS text FROM lined),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM dotted),
+            ln AS (SELECT doc_id, ls[i+1] AS line, i AS pos
+              FROM sp, unnest(range(len(ls))) AS u(i)),
+            keep AS (SELECT doc_id, line, pos FROM ln
+              WHERE (trim(line) LIKE '%.' OR trim(line) LIKE '%!'
+                  OR trim(line) LIKE '%?' OR trim(line) LIKE '%"')
+                AND len(list_filter(string_split(trim(line), ' '),
+                  x -> x <> '')) >= 3)
+            SELECT d.doc_id, coalesce(k.text, '') AS text
+            FROM documents d LEFT JOIN (SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM keep GROUP BY doc_id) k USING (doc_id)"""))
+
   private val mBigramLP = Spec("ml_bigram_logprob",
     (s, dir) => CorpusStats.bigramLogProb(t(s, dir, "documents"),
       "doc_id", "text", lambda = 0.9),
@@ -1892,7 +1928,8 @@ object GraftQueriesML {
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
-    mGopher, mDedupLines, mBigramLP, mBigramXent, mDsirWeights, mDsirSample,
+    mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
+    mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mSq8, mSq8TopK, mCorpusProfile)
 }

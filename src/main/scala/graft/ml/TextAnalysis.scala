@@ -148,6 +148,23 @@ object TextAnalysis {
   def dedupLines(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
+  /** C4 line filter (Raffel et al. 2020 §2.2): keep only lines that end
+    * in terminal punctuation (. ! ? ") AND carry at least `minWords`
+    * words — the line-level cleaning pass that drops navigation
+    * fragments, headers, and cookie banners. Lines are trimmed for the
+    * checks but kept verbatim; one narrow projection.
+    */
+  def c4FilterLines(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      val terminal = t.endsWith(".") || t.endsWith("!") ||
+        t.endsWith("?") || t.endsWith("\"")
+      val words = size(filter(split(t, " "), w => w =!= ""))
+      terminal && words >= minWords
+    })
+    array_join(kept, "\n")
+  }
+
   /** The Gopher "required words" stopword set (Rae et al. 2021 §A1.1):
     * a document must contain at least two of these to pass.
     */

@@ -255,13 +255,18 @@ object CurationStages {
     val fields = c.get("fields")
       .map(_.asInstanceOf[Seq[Any]].map(_.toString))
       .getOrElse(Seq(textField(c)))
-    // optional RefinedWeb line-dedup pass (keep-first within each doc);
-    // runs BEFORE the whitespace collapse would erase line structure
+    // optional line-level passes, BEFORE the whitespace collapse erases
+    // line structure: C4 terminal-punctuation filter, then RefinedWeb
+    // keep-first line dedup
     val dedupLines = c.get("dedup_lines").exists(_.toString.toBoolean)
+    val c4 = c.get("c4_lines").exists(_.toString.toBoolean)
+    val c4MinWords = int(c, "c4_min_words", 3)
     fields.foldLeft(df) { (d, f) =>
       require(d.columns.contains(f),
         s"text_normalize: no `$f` column in [${d.columns.mkString(", ")}]")
-      val pre = if (dedupLines) TextAnalysis.dedupLines(col(f)) else col(f)
+      val afterC4 =
+        if (c4) TextAnalysis.c4FilterLines(col(f), c4MinWords) else col(f)
+      val pre = if (dedupLines) TextAnalysis.dedupLines(afterC4) else afterC4
       d.withColumn(f, TextAnalysis.normalizeText(pre))
     }
   }

@@ -34,6 +34,7 @@ class PlanGuardSpec extends SparkSpec {
     // per-row text / embedding / curation kernels
     "ml_quality_score", "ml_repetition", "ml_lang_id", "ml_token_count",
     "ml_text_normalize", "ml_gopher_quality", "ml_dedup_lines",
+    "ml_c4_line_filter",
     // hashed bucket models collect at plan time (bounded reductions, the
     // bpe_merges convention); the returned scoring plan is one narrow
     // LUT-fold projection, selection a TakeOrdered on top

@@ -88,4 +88,22 @@ class TextNormalizeSpec extends SparkSpec {
     assert(out(2) == "x")
     assert(out(3) == "")
   }
+
+  test("c4FilterLines keeps terminal-punctuation lines with enough words") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+      "A real sentence here.\nnav menu\nAnother good one!\nShort.\nIs this kept?\nquoted line \"",
+      "no terminal punctuation at all",
+      ""
+    ).toDF("text")
+      .select(TextAnalysis.c4FilterLines(col("text"), minWords = 3))
+      .collect().map(_.getString(0))
+    // "nav menu" (no punct), "Short." (< 3 words) dropped; the rest kept
+    assert(out(0) ==
+      "A real sentence here.\nAnother good one!\nIs this kept?\nquoted line \"")
+    assert(out(1) == "")
+    assert(out(2) == "")
+  }
 }
