@@ -552,9 +552,13 @@ object StageCatalog {
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:
           |  - type: text_normalize
-          |    fields: [text]"""),
-      schemaKind = "documents", oracle = Seq("ml_text_normalize"),
-      notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization."),
+          |    fields: [text]
+          |    c4_lines: false
+          |    dedup_lines: false"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_text_normalize", "ml_dedup_lines",
+        "ml_c4_line_filter"),
+      notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization. Optional line-level passes run before the whitespace collapse erases line structure: `c4_lines:` keeps only terminal-punctuation lines with >= c4_min_words words (C4), then `dedup_lines:` drops within-doc duplicate lines keep-first (RefinedWeb)."),
     StageDoc("media_envelope", "curation",
       "Attach a typed `<kind>_features` struct parsed from an opaque binary column: REAL container-header parsers for all four modalities — image (PNG/JPEG/GIF), audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF); only pixel-payload facts (mean_luma) stay behind the stub contract.",
       y("""pipeline:
