@@ -214,7 +214,23 @@ object Bench {
         """"failed""""
       }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"chains_last":$qlast,"total_min":$totalMin%.3f,"failed":$failedJson,"baseline_subset":$baselineJson,"env":$env,"scale_x10":$scaleJson,"sf":"$sfDir"}""")
+    // Full artifact → bench_result.json (repo root). The stdout line must
+    // stay COMPACT: the driver scrapes only a ~2000-char tail of the sbt
+    // output, and rounds 9/10 proved the full line (>3500 chars, with the
+    // scale_x10 block) gets front-truncated into `parsed: null`. Every
+    // diagnostic field lives in the file; stdout carries the headline.
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"chains_last":$qlast,"total_min":$totalMin%.3f,"failed":$failedJson,"baseline_subset":$baselineJson,"env":$env,"scale_x10":$scaleJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_result.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    // printed AFTER spark.stop() so no late executor/log line lands below
+    // it; sbt's own "[success]" trailer is ~70 chars and fits the tail
+    // window alongside this line
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"failed":$failedJson,"baseline_subset":$baselineJson,"detail":"bench_result.json","sf":"$sfDir"}""")
   }
 }

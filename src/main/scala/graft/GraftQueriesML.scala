@@ -1820,6 +1820,16 @@ object GraftQueriesML {
     * content-addressed split. The oracle replays the whole chain in one
     * SQL statement with each stage's CTEs scoped to the previous
     * stage's survivors.
+    *
+    * The LM gate is QUANTILE form (`min_logprob_quantile: 0.1` — drop
+    * the lowest-likelihood tenth), CCNet's actual architecture: an
+    * absolute `min_logprob` threshold is corpus-distribution-dependent
+    * and emptied the output on a 10×-replica tier whose diluted
+    * vocabulary shifted every score down (round-10 scale artifact);
+    * the quantile gate keeps the same FRACTION under any shift. The
+    * DSIR selection is likewise `fraction:` form (relative sample
+    * size), so the recipe's output scales with its input tier instead
+    * of a fixed-k cap masquerading as a collapse.
     */
   private val mPretrainRecipe = Spec("ml_pretrain_recipe",
     (s, dir) => {
@@ -1834,11 +1844,11 @@ object GraftQueriesML {
            |  - type: perplexity_score
            |    id_field: doc_id
            |    text_field: text
-           |    min_logprob: -3.42
+           |    min_logprob_quantile: 0.1
            |  - type: dsir_sample
            |    id_field: doc_id
            |    text_field: text
-           |    k: 150
+           |    fraction: 0.6
            |    target_filter: "lang:en"
            |  - type: hash_split
            |    id_field: doc_id
@@ -1876,7 +1886,10 @@ object GraftQueriesML {
             FROM bg JOIN pr USING (g) GROUP BY doc_id),
           lm AS (SELECT k.*, coalesce(per.avg_logprob, 0.0) AS lm_logprob
             FROM kept k LEFT JOIN per USING (doc_id)),
-          lmk AS (SELECT * FROM lm WHERE lm_logprob >= -3.42),
+          thr AS (SELECT percentile_disc(0.1)
+              WITHIN GROUP (ORDER BY lm_logprob) AS thr FROM lm),
+          lmk AS (SELECT lm.* FROM lm CROSS JOIN thr
+            WHERE lm_logprob >= thr),
           fw AS (SELECT doc_id, lang,
             list_filter(string_split(text, ' '), x -> x <> '') AS w
             FROM lmk),
@@ -1902,15 +1915,66 @@ object GraftQueriesML {
           wt2 AS (SELECT l.*, coalesce(log_weight, 0.0) AS log_weight
             FROM lmk l LEFT JOIN per2 USING (doc_id)),
           sel AS (SELECT * FROM wt2
-            ORDER BY round(log_weight + -ln(-ln(
+            QUALIFY row_number() OVER (ORDER BY round(log_weight + -ln(-ln(
               (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 0.5)
-              / 4294967296.0)), 6) DESC, doc_id ASC LIMIT 150)
+              / 4294967296.0)), 6) DESC, doc_id ASC)
+              <= ceil(0.6 * (SELECT count(*) FROM wt2)))
           SELECT doc_id, lang, source, g_n_words, lm_logprob,
             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
                  ELSE 'test' END AS split
           FROM (SELECT *, CAST(concat('0x',
             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
             AS b FROM sel)"""
+    })
+
+  /** The quantile LM gate in isolation (the `ml_pretrain_recipe` gate,
+    * minus the surrounding stages): score every document with the
+    * self-trained bigram LM, drop the lowest-likelihood quarter. The
+    * threshold is percentile_disc — an actual observed score, no
+    * interpolation — so both engines pick the identical cut point.
+    */
+  private val mLmQuantile = Spec("ml_lm_quantile",
+    (s, dir) => {
+      val yaml =
+        s"""pipeline:
+           |  - type: perplexity_score
+           |    id_field: doc_id
+           |    text_field: text
+           |    min_logprob_quantile: 0.25
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(t(s, dir, "documents"))
+        .main
+        .select(col("doc_id"), col("lm_n_bigrams"), col("lm_logprob"))
+    },
+    Some {
+      val l1 = 0.9; val l2 = 1.0 - 0.9
+      s"""WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+          uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+          n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+          bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+              i -> w[i+1]||' '||w[i+2])) AS g
+            FROM w WHERE len(w) >= 2),
+          bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+          pr AS (SELECT g, $l1*CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE)
+                + $l2*CAST(u2.c1 AS DOUBLE)/n AS p
+            FROM bc JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
+                    JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
+                    CROSS JOIN n),
+          per AS (SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(p)), 6) AS avg_logprob
+            FROM bg JOIN pr USING (g) GROUP BY doc_id),
+          lm AS (SELECT d.doc_id,
+              coalesce(n_bigrams, 0) AS lm_n_bigrams,
+              coalesce(avg_logprob, 0.0) AS lm_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)),
+          thr AS (SELECT percentile_disc(0.25)
+              WITHIN GROUP (ORDER BY lm_logprob) AS thr FROM lm)
+          SELECT lm.doc_id, lm.lm_n_bigrams, lm.lm_logprob
+          FROM lm CROSS JOIN thr WHERE lm_logprob >= thr"""
     })
 
   // ----------------------------------------------------------------------
@@ -1931,5 +1995,6 @@ object GraftQueriesML {
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
     mDsirWeights, mDsirSample,
     mDecontamSpans,
-    mDecontamClean, mPretrainRecipe, mSq8, mSq8TopK, mCorpusProfile)
+    mDecontamClean, mPretrainRecipe, mLmQuantile, mSq8, mSq8TopK,
+    mCorpusProfile)
 }

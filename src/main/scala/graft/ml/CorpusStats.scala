@@ -274,6 +274,14 @@ object CorpusStats {
     * total folds in as a broadcast single-row cross join; the doc side is
     * ONE gram-keyed join feeding one per-doc aggregate — the
     * [[unigramLogProb]] shape with a bigram key. Nothing is pairwise.
+    * The occurrence-sized shuffles (bigram count agg, doc-side price
+    * join) key on 16-byte md5 digests of the gram — the
+    * [[Dedup.dupSpans]] convention — never on gram strings; only the
+    * vocabulary-sized tables carry text (needed to price each type).
+    * Digest equality stands in for gram equality (collisions accepted
+    * at 2^-64 scale, same as the dup-span family), so results are
+    * identical to string-keyed joins and the oracle can keep its
+    * string keys.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
@@ -283,7 +291,12 @@ object CorpusStats {
     val total = uni.agg(sum(col("c1")).cast("double").as("n"))
     val big = df.select(col(idCol).as("id"),
       explode(ngramArray(col(textCol), 2)).as("g"))
-    val bcnt = big.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .select(col("id"), unhex(md5(col("g"))).as("gd"), col("g"))
+    // map-side-combined: the shuffle after partial aggregation is
+    // TYPE-sized; `first(g)` is well-defined per digest (bijective
+    // modulo accepted collisions) and keeps the text off the wide side
+    val bcnt = big.groupBy(col("gd"))
+      .agg(count(lit(1)).as("c2"), first(col("g")).as("g"))
     // words contain no spaces (single-space split), so the bigram key
     // splits back losslessly into its two tokens
     val parts = bcnt
@@ -295,11 +308,11 @@ object CorpusStats {
       .join(uni.select(col("t").as("__w1"), col("c1").as("__cw1")), Seq("__w1"))
       .join(uni.select(col("t").as("__w2"), col("c1").as("__cw2")), Seq("__w2"))
       .crossJoin(broadcast(total))
-      .select(col("g"),
+      .select(col("gd"),
         (lit(lambda) * col("c2").cast("double") / col("__cw1").cast("double") +
          lit(1.0 - lambda) * col("__cw2").cast("double") / col("n"))
           .as("p"))
-    val per = big.join(probs, Seq("g"))
+    val per = big.select(col("id"), col("gd")).join(probs, Seq("gd"))
       .groupBy(col("id")).agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(log(col("p"))), 6).as("avg_logprob"))
@@ -370,7 +383,9 @@ object CorpusStats {
     * scalars (like [[bigramLogProb]]); the corpus side first DISTINCTS
     * its bigram types, prices each TYPE with three vocabulary-keyed
     * left joins, then one gram-keyed join back per occurrence — never
-    * per-occurrence pricing, never pairwise.
+    * per-occurrence pricing, never pairwise. Occurrence-sized shuffles
+    * (the corpus type-distinct, the price join) key on 16-byte md5
+    * digests, the [[bigramLogProb]] / [[Dedup.dupSpans]] convention.
     */
   def bigramLogProbAgainst(corpus: DataFrame, train: DataFrame,
                            idCol: String, textCol: String,
@@ -382,27 +397,31 @@ object CorpusStats {
     val bcnt = train
       .select(explode(ngramArray(col(textCol), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .select(unhex(md5(col("g"))).as("gd"), col("c2"))
     val big = corpus.select(col(idCol).as("id"),
       explode(ngramArray(col(textCol), 2)).as("g"))
-    val types = big.select(col("g")).distinct()
+      .select(col("id"), unhex(md5(col("g"))).as("gd"), col("g"))
+    // type table: digest-keyed distinct (map-side combined — TYPE-sized
+    // shuffle), one representative gram string per type for pricing
+    val types = big.groupBy(col("gd")).agg(first(col("g")).as("g"))
       .withColumn("__w1", element_at(split(col("g"), " "), 1))
       .withColumn("__w2", element_at(split(col("g"), " "), 2))
     // per-TYPE price, mirrored token for token in the oracle SQL
     val probs = types
-      .join(bcnt, Seq("g"), "left")
+      .join(bcnt, Seq("gd"), "left")
       .join(uni.select(col("t").as("__w1"), col("c1").as("__cw1")),
         Seq("__w1"), "left")
       .join(uni.select(col("t").as("__w2"), col("c1").as("__cw2")),
         Seq("__w2"), "left")
       .crossJoin(broadcast(stats))
-      .select(col("g"),
+      .select(col("gd"),
         (lit(lambda) * coalesce(
             col("c2").cast("double") / col("__cw1").cast("double"),
             lit(0.0)) +
          lit(1.0 - lambda) *
            (coalesce(col("__cw2"), lit(0L)).cast("double") + lit(1.0)) /
            (col("n") + col("v") + lit(1.0))).as("p"))
-    val per = big.join(probs, Seq("g"))
+    val per = big.select(col("id"), col("gd")).join(probs, Seq("gd"))
       .groupBy(col("id")).agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(log(col("p"))), 6).as("avg_logprob"))

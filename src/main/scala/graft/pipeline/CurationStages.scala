@@ -375,9 +375,11 @@ object CurationStages {
   //
   // CCNet-style LM quality scoring (CorpusStats.bigramLogProb): append
   // the corpus-trained interpolated-bigram mean log-probability as
-  // `<prefix>logprob` (+ `<prefix>n_bigrams`); optional `min_logprob`
-  // drops low-likelihood (garbage / wrong-language) documents in the
-  // same stage. Whole-corpus by construction (the model trains on the
+  // `<prefix>logprob` (+ `<prefix>n_bigrams`); optional
+  // `min_logprob_quantile` (scale-safe, CCNet's quantile architecture)
+  // or `min_logprob` (absolute, externally-calibrated) drops
+  // low-likelihood (garbage / wrong-language) documents in the same
+  // stage. Whole-corpus by construction (the model trains on the
   // input corpus).
 
   private def perplexityScore(df0: DataFrame, c: Map[String, Any]): DataFrame = {
@@ -422,9 +424,42 @@ object CurationStages {
       .withColumnRenamed("n_bigrams", prefix + "n_bigrams")
       .withColumnRenamed("avg_logprob", prefix + "logprob")
     val joined = df.join(scores, Seq(id))
-    c.get("min_logprob").map(_.toString.toDouble) match {
-      case Some(min) => joined.filter(col(prefix + "logprob") >= min)
-      case None => joined
+    // Gates, most to least scale-safe:
+    //   min_logprob_quantile: q — drop the lowest-likelihood q fraction.
+    //     The threshold is percentile_disc(q) over the scored corpus (the
+    //     smallest OBSERVED score at or above rank q — an actual data
+    //     value, no interpolation, so the DuckDB oracle matches exactly)
+    //     folded in as a broadcast single-row cross join. This is CCNet's
+    //     actual architecture (Wenzek et al. 2020 bucket by perplexity
+    //     QUANTILES, not absolute values) and survives distribution
+    //     shift: a corpus 10× larger or differently mixed keeps the same
+    //     FRACTION, where an absolute gate can silently empty the output
+    //     (observed: the fixed -3.42 gate kept 0 rows on a replica tier
+    //     whose diluted vocabulary shifted every score down).
+    //     Threshold-aggregate memory is bounded: scores are rounded to
+    //     6 dp over a bounded range, so distinct values — the percentile
+    //     map's size — stay bounded no matter the corpus size.
+    //   min_logprob: v — absolute gate; corpus-distribution-DEPENDENT,
+    //     for when the threshold was calibrated externally.
+    (c.get("min_logprob"), c.get("min_logprob_quantile")) match {
+      case (Some(min), _) =>
+        joined.filter(col(prefix + "logprob") >= min.toString.toDouble)
+      case (None, Some(q)) =>
+        val qd = q.toString.toDouble
+        require(qd >= 0.0 && qd <= 1.0,
+          s"min_logprob_quantile must be in [0,1], got $qd")
+        // plan-time scalar reduction over the PERSISTED corpus — the
+        // stage's existing convention (bucket-model training works the
+        // same way); folding the threshold in as a literal keeps the
+        // scored subtree out of the plan a second time (a crossJoin
+        // gate would re-plan the whole LM lineage under the threshold
+        // branch). One row comes back to the driver.
+        val thrRow = scores.select(expr(
+          s"percentile_disc($qd) WITHIN GROUP (ORDER BY `${prefix}logprob`)")
+          .as("__lm_thr")).head()
+        if (thrRow.isNullAt(0)) joined // empty corpus — nothing to gate
+        else joined.filter(col(prefix + "logprob") >= lit(thrRow.getDouble(0)))
+      case _ => joined
     }
   }
 
@@ -461,9 +496,29 @@ object CurationStages {
     }
     val weights = Curation.dsirWeights(df, target, id, text,
       buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
-    val kept = Curation.dsirSample(weights, id,
-      k = c.get("k").map(_.toString.toInt).getOrElse(
-        throw new IllegalArgumentException("dsir_sample stage needs `k`")))
+    // `k:` — absolute sample size ("select 150 exemplar-like docs");
+    // `fraction:` — relative size k = ceil(fraction·n), the scale-safe
+    // form for recipes that must keep output proportional to input (an
+    // absolute k on a 10× corpus silently becomes 10× more selective).
+    // The count is a plan-time action on the ALREADY-persisted stage
+    // input, in keeping with the stage's plan-time bucket-model
+    // training; top-k itself is TakeOrderedAndProject (per-partition
+    // heads merged on the driver), never a global sort.
+    val k = (c.get("k"), c.get("fraction")) match {
+      case (Some(kv), _) => kv.toString.toInt
+      case (None, Some(f)) =>
+        val fd = f.toString.toDouble
+        require(fd > 0.0 && fd <= 1.0,
+          s"dsir_sample fraction must be in (0,1], got $fd")
+        val n = math.ceil(fd * df.count())
+        require(n <= Int.MaxValue,
+          "dsir_sample fraction·n exceeds Int.MaxValue — use hash_split " +
+            "or weighted_sample for keep-sets this large")
+        n.toInt
+      case _ => throw new IllegalArgumentException(
+        "dsir_sample stage needs `k` or `fraction`")
+    }
+    val kept = Curation.dsirSample(weights, id, k)
     df.alias("d").join(kept.alias("keep"),
       col(s"d.$id") === col(s"keep.$id"), "left_semi")
   }

@@ -636,15 +636,16 @@ object StageCatalog {
       schemaKind = "documents", oracle = Seq("ml_gopher_quality"),
       notes = "One narrow codegen'd projection over two staged arrays (words, lines) — stream-safe, scan speed at any corpus size. Signals: g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_stop_hits, g_dup_line_frac."),
     StageDoc("perplexity_score", "curation",
-      "CCNet-style LM quality score: corpus-trained interpolated bigram model, mean log-probability per document (optional min_logprob filter).",
+      "CCNet-style LM quality score: corpus-trained interpolated bigram model, mean log-probability per document (optional min_logprob_quantile / min_logprob filter).",
       y("""pipeline:
           |  - type: perplexity_score
           |    id_field: doc_id
           |    text_field: text
-          |    lambda: 0.9"""),
+          |    lambda: 0.9
+          |    min_logprob_quantile: 0.1"""),
       schemaKind = "documents",
-      oracle = Seq("ml_bigram_logprob", "ml_bigram_xent"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor."),
+      oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile"),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes)."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:
@@ -656,7 +657,7 @@ object StageCatalog {
           |      path: "/root/testdata/sf0.001/documents.parquet"
           |      text_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_dsir_weights", "ml_dsir_sample"),
-      notes = "`target_filter` (filter DSL) selects an in-corpus exemplar subset instead of an external table. Bucket count tables are driver-small and broadcast; the raw corpus is never shuffled beyond one per-doc aggregate; selection is TakeOrdered (per-partition heaps), never a global sort."),
+      notes = "`target_filter` (filter DSL) selects an in-corpus exemplar subset instead of an external table. Sample size is `k:` (absolute) or `fraction:` (relative — k = ceil(fraction*n), the scale-safe form when output must stay proportional to input). Bucket count tables are driver-small and broadcast; the raw corpus is never shuffled beyond one per-doc aggregate; selection is TakeOrdered (per-partition heaps), never a global sort."),
     StageDoc("decontaminate", "curation",
       "Positional benchmark decontamination: cut every token span covered by a k-gram that also occurs in the benchmark table (the surgery counterpart of contamination_filter).",
       y("""pipeline:

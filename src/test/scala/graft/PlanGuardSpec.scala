@@ -110,6 +110,12 @@ class PlanGuardSpec extends SparkSpec {
     "ml_unigram_logprob" -> 7,
     "ml_bigram_logprob" -> 11, // two vocab aggs + vocab-keyed prob-table
                                // joins + one gram-keyed doc join + id agg
+                               // (occurrence shuffles carry 16-byte md5
+                               // digests, not gram strings — r11)
+    "ml_lm_quantile" -> 12,    // the bigram-LM shape + the id join back;
+                               // the quantile threshold itself is a
+                               // plan-time scalar folded in as a literal
+                               // (no extra plan branch)
     "ml_bigram_xent" -> 14,    // the same shape with a corpus-type
                                // distinct + three LEFT prob-table joins
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg

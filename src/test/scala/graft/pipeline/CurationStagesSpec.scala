@@ -599,6 +599,86 @@ class CurationStagesSpec extends SparkSpec {
     }
   }
 
+  test("perplexity_score stage: min_logprob_quantile gates at an observed score") {
+    val scored = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_logprob")).toMap
+    // percentile_disc(q): the smallest observed score with cume_dist >= q
+    val sorted = scored.values.toSeq.sorted
+    val q = 0.4
+    val thr = sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+    val out = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |    min_logprob_quantile: 0.4
+        |""".stripMargin, docs)
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === scored.filter(_._2 >= thr).keySet)
+    assert(kept.size < scored.size && kept.nonEmpty)
+    // the threshold is an actual observed value — scale the corpus and
+    // the kept FRACTION is stable (the property the absolute gate lacks)
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 100))
+    val kept2 = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |    min_logprob_quantile: 0.4
+        |""".stripMargin, doubled).count()
+    assert(kept2 === 2 * kept.size)
+    // out-of-range quantile rejected
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: perplexity_score
+            |    id_field: doc_id
+            |    text_field: text
+            |    min_logprob_quantile: 1.5
+            |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("min_logprob_quantile"))
+  }
+
+  test("dsir_sample stage: fraction form keeps ceil(fraction*n) rows") {
+    val out = run(
+      """pipeline:
+        |  - type: dsir_sample
+        |    id_field: doc_id
+        |    text_field: text
+        |    fraction: 0.5
+        |    target_filter: "source:books"
+        |""".stripMargin, docs)
+    // 7 docs -> ceil(0.5*7) = 4
+    assert(out.count() === 4)
+    // identical to the k form at the same size (same gumbel keys)
+    val byK = run(
+      """pipeline:
+        |  - type: dsir_sample
+        |    id_field: doc_id
+        |    text_field: text
+        |    k: 4
+        |    target_filter: "source:books"
+        |""".stripMargin, docs)
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSet ===
+      byK.collect().map(_.getAs[Long]("doc_id")).toSet)
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: dsir_sample
+            |    id_field: doc_id
+            |    text_field: text
+            |    fraction: 0.0
+            |    target_filter: "source:books"
+            |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("fraction"))
+  }
+
   test("dsir_sample stage: target_filter exemplars, top-k keep; k required") {
     // target = the 'books' rows; web docs sharing their vocabulary rank up
     val out = run(
