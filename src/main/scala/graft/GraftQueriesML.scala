@@ -514,6 +514,36 @@ object GraftQueriesML {
             CAST(1 AS INT) AS n_frames
             FROM documents"""))
 
+  /** Pixel-payload round-trip: expression-built DECODABLE PNGs (real
+    * CRCs, stored-deflate scanlines, closed-form Adler-32 — see
+    * [[graft.ml.Multimodal.pngPixelBytes]]) run through the real
+    * `javax.imageio` decode in the kernel; the oracle predicts the
+    * Rec.601 mean luma from the construction parameters alone. This is
+    * the pixel FACT, not just the header — the last image-side stub is
+    * gone.
+    */
+  private val mMultimodalPixels = Spec("ml_multimodal_pixels",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = (col("doc_id") % 24 + 1).cast("int")
+      val h = ((col("doc_id") * 5) % 24 + 1).cast("int")
+      val g = (col("doc_id") * 11 % 256).cast("int")
+      val png = d.withColumn("payload", Multimodal.pngPixelBytes(w, h, g))
+      Multimodal.decodeImages(png, "payload")
+        .select(col("doc_id"),
+          col("image_features.format").as("format"),
+          col("image_features.width").as("width"),
+          col("image_features.height").as("height"),
+          col("image_features.mean_luma").as("mean_luma"))
+    },
+    Some("""SELECT doc_id, 'png' AS format,
+            CAST(doc_id % 24 + 1 AS INT) AS width,
+            CAST((doc_id * 5) % 24 + 1 AS INT) AS height,
+            round(0.299 * (doc_id * 11 % 256)
+                + 0.587 * (doc_id * 11 % 256)
+                + 0.114 * (doc_id * 11 % 256), 6) AS mean_luma
+            FROM documents"""))
+
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -1985,6 +2015,7 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
+    mMultimodalPixels,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * feature-extraction runs batched per partition so a real decoder (JNI,
   * native lib) amortizes its init per task, not per row.
   *
-  * The decode kernels themselves are STUBBED deterministically — the
-  * image/audio libraries are not in this container — but the Spark-side
-  * contract is the real one: schema, batch shape (mapPartitions with an
-  * iterator), partition sizing, and the metadata struct a downstream
-  * training pipeline keys on.
+  * Container headers (PNG/JPEG/GIF, RIFF/FLAC, PDF, ISO-BMFF) are REAL
+  * byte-layout parsers; image PIXEL facts are a real `javax.imageio`
+  * decode (in-JDK codecs). Only audio SAMPLE payloads and video frame
+  * pixels remain behind a stub contract (no in-JVM codec exists for
+  * them) — the Spark-side shape (schema, mapPartitions batching,
+  * per-task decoder init, null-on-undecodable) is the production one
+  * throughout.
   */
 object Multimodal {
 
@@ -37,12 +39,14 @@ object Multimodal {
 
   /** Image decode: container HEADERS are REAL parsers (PNG IHDR, JPEG
     * SOF segment walk, GIF logical-screen descriptor — pure byte
-    * layout, the WAV/PDF/MP4 convention); pixel-payload facts
-    * (mean_luma) need a codec and stay behind the stub contract —
-    * null for recognized formats, the documented length-derived fake
-    * for unrecognized bytes (format "stub"), so unit plumbing remains
-    * testable without image libraries. Magic-matched but malformed
-    * bytes yield a null struct, never a failed job.
+    * layout, the WAV/PDF/MP4 convention); the pixel-payload fact
+    * (mean_luma) is REAL too — a `javax.imageio` decode (in-JDK
+    * PNG/JPEG/GIF codecs, no external library) with Rec.601 channel
+    * weighting — and degrades to null when the payload doesn't decode
+    * (truncated data, header-only envelopes). Unrecognized bytes keep
+    * the documented length-derived fake (format "stub") so unit
+    * plumbing stays testable with arbitrary bytes. Magic-matched but
+    * malformed bytes yield a null struct, never a failed job.
     */
   private def decodeOne(bytes: Array[Byte]): Row = {
     if (bytes == null) nullImage
@@ -50,13 +54,13 @@ object Multimodal {
         (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
         bytes(3) == 'G' && (bytes(4) & 0xFF) == 0x0D &&
         (bytes(5) & 0xFF) == 0x0A && (bytes(6) & 0xFF) == 0x1A &&
-        (bytes(7) & 0xFF) == 0x0A) parsePng(bytes)
+        (bytes(7) & 0xFF) == 0x0A) withLuma(parsePng(bytes), bytes)
     else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
-        (bytes(1) & 0xFF) == 0xD8) parseJpeg(bytes)
+        (bytes(1) & 0xFF) == 0xD8) withLuma(parseJpeg(bytes), bytes)
     else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == '8' &&
         (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
-      parseGif(bytes)
+      withLuma(parseGif(bytes), bytes)
     else {
       val n = bytes.length
       val w = 16 + (n % 256)
@@ -65,6 +69,56 @@ object Multimodal {
       Row("stub", w, h, null, 1, luma)
     }
   }
+
+  /** Attach the pixel fact to a successfully header-parsed envelope:
+    * attempt a full decode and fill `mean_luma`; keep the header facts
+    * with a null luma when the payload doesn't decode. Never touches a
+    * null (malformed-header) struct.
+    */
+  private def withLuma(hdr: Row, bytes: Array[Byte]): Row =
+    if (hdr eq nullImage) hdr
+    else Row(hdr(0), hdr(1), hdr(2), hdr(3), hdr(4), pixelLuma(bytes))
+
+  /** Mean Rec.601 luma over every decoded pixel, or null when the
+    * payload doesn't decode. The decode is the JDK's own `javax.imageio`
+    * codec (PNG/JPEG/GIF readers ship with the JRE — public API, no
+    * external dependency); file-backed stream caching is disabled so a
+    * 1000-executor decode never writes temp files. Channel SUMS
+    * accumulate in longs (exact), the two floating ops are the channel
+    * means and the weighted combine — so a constant-color image yields
+    * EXACTLY `0.299·r + 0.587·g + 0.114·b`, the value an oracle can
+    * predict from the construction parameters. Decodes are capped at
+    * 64 MP: a lying header on a tiny payload must not balloon task
+    * memory (the never-fail, never-guess contract).
+    */
+  private def pixelLuma(bytes: Array[Byte]): java.lang.Double =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val n = w.toLong * h
+        if (w <= 0 || h <= 0 || n > 64_000_000L) null
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val luma = 0.299 * (sr.toDouble / n) + 0.587 * (sg.toDouble / n) +
+            0.114 * (sb.toDouble / n)
+          math.round(luma * 1e6) / 1e6
+        }
+      }
+    } catch { case _: Throwable => null }
 
   private val nullImage = Row(null, null, null, null, null, null)
 
@@ -93,15 +147,25 @@ object Multimodal {
     Row("png", w.toInt, h.toInt, (b(24) & 0xFF), 1, null)
   }
 
-  /** JPEG: walk marker segments from offset 2 until a SOF0-SOF3 frame
-    * header (precision u8, height u16 BE, width u16 BE); declared
-    * segment lengths drive the cursor (bounds-checked — the RIFF
-    * frozen-cursor lesson); scan-start/EOI before any SOF → malformed.
+  /** JPEG: walk marker segments from offset 2 until a SOF frame header
+    * (precision u8, height u16 BE, width u16 BE); declared segment
+    * lengths drive the cursor (bounds-checked — the RIFF frozen-cursor
+    * lesson); scan-start/EOI before any SOF → malformed. Spec
+    * conformance: consecutive 0xFF fill bytes before a marker are
+    * PERMITTED padding (ITU T.81 §B.1.1.2) and are skipped, not
+    * malformed; the SOF set is every C0–CF frame marker except the
+    * non-frame C4 (DHT), C8 (JPG reserved), CC (DAC); a DNL-deferred
+    * height (SOF height 0, resolved by a later DNL marker) keeps the
+    * width/precision facts with a null height rather than rejecting a
+    * standards-valid file.
     */
   private def parseJpeg(b: Array[Byte]): Row = {
     var o = 2
     while (o + 3 < b.length) {
       if ((b(o) & 0xFF) != 0xFF) return nullImage
+      // skip fill bytes: any run of 0xFF before the marker byte
+      while (o + 1 < b.length && (b(o + 1) & 0xFF) == 0xFF) o += 1
+      if (o + 3 >= b.length) return nullImage
       val marker = b(o + 1) & 0xFF
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) ||
           marker == 0x01) {
@@ -111,12 +175,14 @@ object Multimodal {
       } else {
         val segLen = beU16i(b, o + 2)
         if (segLen < 2) return nullImage
-        if (marker >= 0xC0 && marker <= 0xC3) {
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
           if (o + 8 >= b.length || segLen < 8) return nullImage
           val precision = b(o + 4) & 0xFF
           val h = beU16i(b, o + 5); val w = beU16i(b, o + 7)
-          if (w == 0 || h == 0) return nullImage
-          return Row("jpeg", w, h, precision, 1, null)
+          if (w == 0) return nullImage
+          return Row("jpeg", w, if (h == 0) null else h, precision, 1, null)
         }
         o += 2 + segLen
       }
@@ -543,6 +609,62 @@ object Multimodal {
       lit("02"),                // color type: truecolor
       lit("000000"),            // compression, filter, interlace
       lit("00000000")))         // CRC (unchecked by the parser)
+
+  /** A fully DECODABLE PNG from Catalyst expressions: magic + IHDR
+    * (8-bit truecolor, REAL crc32 via the engine's `crc32` — the PNG
+    * chunk CRC is exactly CRC-32/ISO-HDLC) + one IDAT whose zlib
+    * stream is a single stored-deflate block of unfiltered scanlines,
+    * every pixel the constant `(gray, gray, gray)`, with the Adler-32
+    * checksum in closed form (all pixel bytes equal ⇒ s1/s2 are
+    * polynomial in w, h, gray — exact integer arithmetic, mod 65521 at
+    * the end) + IEND. Unlike [[pngBytes]] (header-only, zeroed CRC),
+    * this one round-trips through a real codec, so the pixel fact
+    * (mean_luma = 0.299·g + 0.587·g + 0.114·g) is oracle-predictable
+    * from the construction parameters alone.
+    *
+    * Stored-deflate blocks cap at 65535 payload bytes, so
+    * `(1 + 3·width)·height` must stay under that (w, h ≤ 128 is always
+    * safe) — a TEST-DATA builder bound, not a decoder bound.
+    */
+  def pngPixelBytes(width: Column, height: Column, gray: Column): Column = {
+    val w = width.cast("long"); val h = height.cast("long")
+    val v = gray.cast("long")
+    val rowBytes = lit(3L) * w + lit(1L)       // filter byte + 3w pixels
+    val dataLen = rowBytes * h                 // raw deflate payload
+    val vHex = lpad(lower(hex(v)), 2, "0")
+    val rowHex = concat(lit("00"), array_join(
+      transform(sequence(lit(1), (lit(3L) * w).cast("int")), _ => vHex), ""))
+    val dataHex = array_join(
+      transform(sequence(lit(1), h.cast("int")), _ => rowHex), "")
+    // Adler-32 of h rows of [0x00, v × 3w]: before row r, s1_r = 1+3wvr;
+    // the row adds (3w+1)·s1_r + v·3w(3w+1)/2 to s2 and 3wv to s1.
+    val s1 = pmod(lit(1L) + lit(3L) * w * h * v, lit(65521L))
+    val s2 = pmod(
+      (lit(3L) * w + lit(1L)) *
+        (h + lit(3L) * w * v * h * (h - lit(1L)) / lit(2L)) +
+        h * v * lit(3L) * w * (lit(3L) * w + lit(1L)) / lit(2L),
+      lit(65521L))
+    val zlibHex = concat(
+      lit("7801"),                             // zlib header, no preset dict
+      lit("01"),                               // BFINAL=1, BTYPE=00 (stored)
+      leHex(dataLen, 2),
+      leHex(lit(0xFFFFL) - dataLen, 2),        // NLEN = ones'-complement LEN
+      dataHex,
+      beHex(s2 * lit(65536L) + s1, 4))
+    val ihdrBodyHex = concat(lit("49484452"),  // "IHDR" + 13 data bytes
+      beHex(w, 4), beHex(h, 4),
+      lit("08"),                               // bit depth 8
+      lit("02"),                               // color type 2 (truecolor)
+      lit("000000"))                           // compression/filter/interlace
+    val idatBodyHex = concat(lit("49444154"), zlibHex)
+    unhex(concat(
+      lit("89504e470d0a1a0a"),
+      lit("0000000d"), ihdrBodyHex,
+      lpad(lower(hex(crc32(unhex(ihdrBodyHex)))), 8, "0"),
+      beHex(dataLen + lit(11L), 4), idatBodyHex,
+      lpad(lower(hex(crc32(unhex(idatBodyHex)))), 8, "0"),
+      lit("0000000049454e44ae426082")))        // IEND + its constant CRC
+  }
 
   /** Unity transform matrix (tkhd/mvhd): 0x00010000 diagonals, 0x40000000
     * in the w position — 36 bytes as hex.

@@ -560,15 +560,15 @@ object StageCatalog {
         "ml_c4_line_filter"),
       notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization. Optional line-level passes run before the whitespace collapse erases line structure: `c4_lines:` keeps only terminal-punctuation lines with >= c4_min_words words (C4), then `dedup_lines:` drops within-doc duplicate lines keep-first (RefinedWeb)."),
     StageDoc("media_envelope", "curation",
-      "Attach a typed `<kind>_features` struct parsed from an opaque binary column: REAL container-header parsers for all four modalities — image (PNG/JPEG/GIF), audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF); only pixel-payload facts (mean_luma) stay behind the stub contract.",
+      "Attach a typed `<kind>_features` struct parsed from an opaque binary column: REAL container-header parsers for all four modalities — image (PNG/JPEG/GIF), audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF) — and a REAL image pixel fact (mean_luma via the in-JDK javax.imageio codecs, Rec.601 weighting, null when the payload doesn't decode).",
       y("""pipeline:
           |  - type: media_envelope
           |    bytes_field: payload
           |    kind: video         # image | audio | doc | video"""),
       schemaKind = "media",
       oracle = Seq("ml_multimodal_decode", "ml_multimodal_audio",
-        "ml_multimodal_pdf", "ml_multimodal_video"),
-      notes = "Narrow and stream-safe (batched mapPartitions - a real decoder amortizes its init per task, never per row). Malformed or unrecognized headers yield null structs, never failed jobs."),
+        "ml_multimodal_pdf", "ml_multimodal_video", "ml_multimodal_pixels"),
+      notes = "Narrow and stream-safe (batched mapPartitions - a real decoder amortizes its init per task, never per row). Malformed or unrecognized headers yield null structs, never failed jobs; audio sample payloads and video frame pixels remain behind the stub contract (no in-JVM codec)."),
     StageDoc("contamination_filter", "curation",
       "Drop documents whose shingle overlap with a benchmark side table reaches the threshold (train/test-leak gate).",
       y("""pipeline:

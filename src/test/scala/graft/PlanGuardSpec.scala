@@ -47,7 +47,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_pq_encode", "ml_embed_sq8",
     "ml_classifier_margin", "ml_multimodal_decode",
     "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",
-    "ml_multimodal_image",
+    "ml_multimodal_image", "ml_multimodal_pixels",
     // driver-side merge table (computed before the plan; the result is
     // a parallelized literal) and the merge-application projection
     "ml_bpe_merges", "ml_bpe_tokens",

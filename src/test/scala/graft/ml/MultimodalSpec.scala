@@ -438,4 +438,78 @@ class MultimodalSpec extends SparkSpec {
       s"expression bytes diverge from spec assembly at index " +
         s"${built.toSeq.zip(goldenPng.toSeq).indexWhere(t => t._1 != t._2)}")
   }
+
+  test("pngPixelBytes: a REAL codec decodes the expression-built PNG") {
+    val s = spark
+    import s.implicits._
+    for ((w, h, g) <- Seq((1, 1, 0), (3, 2, 255), (16, 16, 37), (128, 5, 200))) {
+      val bytes = Seq(1).toDF("x")
+        .select(Multimodal.pngPixelBytes(lit(w), lit(h), lit(g)).as("b"))
+        .collect().head.getAs[Array[Byte]](0)
+      // independent decode: the JDK codec itself, not our parser — CRCs,
+      // zlib stream, and adler closed form all have to be right
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the built PNG (w=$w h=$h g=$g)")
+      assert(img.getWidth == w && img.getHeight == h)
+      val p = img.getRGB(w - 1, h - 1)
+      assert(((p >> 16) & 0xFF) == g && ((p >> 8) & 0xFF) == g &&
+        (p & 0xFF) == g, s"pixel mismatch: got ${p.toHexString}, want gray $g")
+    }
+  }
+
+  test("kernel pixel fact: mean_luma is the exact Rec.601 value; header-only stays null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 9, 4, 100), (2L, 2, 2, 0), (3L, 5, 7, 255))
+      .toDF("id", "w", "h", "g")
+      .withColumn("payload",
+        Multimodal.pngPixelBytes(col("w"), col("h"), col("g")))
+    val out = Multimodal.decodeImages(df, "payload")
+      .select(col("id"), col("g"), col("image_features.mean_luma"),
+        col("image_features.width"), col("image_features.height"))
+      .collect()
+    out.foreach { r =>
+      val g = r.getInt(1)
+      val want = math.round(
+        (0.299 * g + 0.587 * g + 0.114 * g) * 1e6) / 1e6
+      assert(r.getDouble(2) === want, s"luma for gray $g")
+    }
+    // header-only envelope (pngBytes, no IDAT): header facts kept,
+    // pixel fact null — the graceful-degradation contract
+    val hdrOnly = Seq(1).toDF("x")
+      .withColumn("payload", Multimodal.pngBytes(lit(640), lit(480), lit(8)))
+    val hr = Multimodal.decodeImages(hdrOnly, "payload")
+      .select(col("image_features.format"), col("image_features.width"),
+        col("image_features.mean_luma")).collect().head
+    assert(hr.getString(0) == "png" && hr.getInt(1) == 640 && hr.isNullAt(2))
+  }
+
+  test("jpeg spec conformance: fill bytes skipped, SOF2 accepted, DNL height null") {
+    // goldenJpeg with two 0xFF fill bytes inserted before the SOF marker
+    val g = goldenJpeg
+    val sofAt = g.length - 13 // SOF0 marker position (2+2+2+16)
+    val filled = (g.take(sofAt) ++ Array(0xFF.toByte, 0xFF.toByte) ++
+      g.drop(sofAt))
+    val fr = Multimodal.parseImage(filled)
+    assert(fr.getString(0) == "jpeg" && fr.getInt(1) == 800 &&
+      fr.getInt(2) == 600, s"fill bytes broke the walk: $fr")
+    // progressive JPEG: SOF2 (0xC2) is already in C0-C3; SOF5 (0xC5) was
+    // previously rejected as an unknown segment and walked past into
+    // nothing — now a frame header
+    val sof5 = filled.clone()
+    sof5(sofAt + 3) = 0xC5.toByte
+    val p5 = Multimodal.parseImage(sof5)
+    assert(p5.getString(0) == "jpeg" && p5.getInt(1) == 800)
+    // DNL-deferred height (SOF height 0): width/precision kept, height null
+    val dnl = g.clone()
+    dnl(sofAt + 5) = 0; dnl(sofAt + 6) = 0
+    val dr = Multimodal.parseImage(dnl)
+    assert(dr.getString(0) == "jpeg" && dr.getInt(1) == 800 && dr.isNullAt(2),
+      s"DNL height: $dr")
+    // zero WIDTH is still malformed (no marker defers width)
+    val zw = g.clone()
+    zw(sofAt + 7) = 0; zw(sofAt + 8) = 0
+    assert(Multimodal.parseImage(zw).getString(0) == null)
+  }
 }
