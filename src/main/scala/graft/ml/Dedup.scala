@@ -220,33 +220,45 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
-  /** Connected components over a near-dup pair list → the KEEP set: the
-    * minimum doc id of each duplicate cluster survives (plus every
-    * singleton). This is the step that turns pair lists into an actual
-    * dedup decision in a training-data pipeline.
+  /** Per-node component MINIMUM over an undirected edge list — the
+    * label-propagation core shared by [[nearDupKeep]] (and spec'd
+    * directly on synthetic graphs). `ids` must have one `id` column
+    * covering every node; `edges` must be SYMMETRIC `(a, b)` rows
+    * (caller unions both directions). Returns the settled `(id, root)`
+    * table (lineage-truncated, scan-shaped plan) and the round count.
     *
-    * Min-label propagation: each round joins the edge list with current
-    * labels and takes the per-node min — a map-side-combined aggregate on
-    * the node id, so a round is one shuffle bounded by |V|+|E|, never
-    * materializing components. Rounds run to convergence with an early
-    * stop (cluster DIAMETER rounds suffice; near-dup clusters are
-    * shallow). At extreme scale swap the inner loop for the
-    * large-star/small-star contraction — same join primitives,
-    * logarithmic round count.
+    * Each round composes TWO monotone contractions:
+    *   1. min-propagation: per node, min of its own root and its
+    *      neighbors' roots — one edge join + one map-side-combined
+    *      aggregate on the node id, bounded by |V|+|E|;
+    *   2. pointer jump (path doubling): `root ← root(root)` — one
+    *      labels self-join. Roots are always node ids drawn from the
+    *      same table (mins of ids), so the inner join is total, and
+    *      `root(r) ≤ r ≤` any label pointing at `r` keeps the step
+    *      monotone — the fixed point (per-component min, where the min
+    *      node points at itself) is unchanged.
+    *
+    * The jump is what makes the round count LOGARITHMIC in component
+    * diameter instead of linear: propagation alone moves a label one
+    * hop per round (a 10k-doc chain = 10k rounds — the round-10 scale
+    * watch-list item), while hop-then-jump at least doubles every
+    * label's reach per round (the pointer-doubling argument; spec'd on
+    * a 1024-path converging in ≤ 2·log₂ rounds). Per round that costs
+    * one extra |V|-sized self-join shuffle — the classic
+    * large-star/small-star trade, bought with the same join primitives.
+    *
+    * The convergence probe rides the SAME aggregate: the labels branch
+    * carries its previous root as `old` (null on the propagation
+    * branch, so min() recovers it — exactly one labels row per id);
+    * `changed` is then a filter over the persisted result instead of a
+    * second join + action recomputing the round.
     */
-  def nearDupKeep(df: DataFrame, idCol: String, textCol: String,
-                  bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
-                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
-    val eligible = df.filter(size(tokens(col(textCol))) >= k)
-    val pairs = nearDupPairs(eligible, idCol, textCol, bands, rowsPerBand,
-      k, threshold).select(col("a"), col("b"))
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    var labels = df.select(col(idCol).as("id"))
+  private[ml] def componentMins(ids: DataFrame, edges: DataFrame,
+                                maxRounds: Int): (DataFrame, Int) = {
+    var labels = ids.select(col("id"))
       .withColumn("root", col("id")).persist()
     val rootType = labels.schema("root").dataType
-    // the materialized handle backing `labels` — unpersist targets the
+    // the materialized handles backing `labels` — unpersist targets the
     // exact cached plan (unpersist on a derived select() is a no-op)
     var backing = labels
     var converged = false
@@ -255,22 +267,30 @@ object Dedup {
       val prop = edges.alias("e")
         .join(labels.alias("l"), col("e.b") === col("l.id"))
         .select(col("e.a").as("id"), col("l.root").as("root"))
-      // the convergence probe rides the SAME aggregate: the labels branch
-      // carries its previous root as `old` (null on the propagation
-      // branch, so min() recovers it — exactly one labels row per id);
-      // `changed` is then a filter over the persisted result instead of a
-      // second join + action recomputing the round
-      val next = labels.select(col("id"), col("root"), col("root").as("old"))
+      val stepped = labels.select(col("id"), col("root"), col("root").as("old"))
         .union(prop.withColumn("old", lit(null).cast(rootType)))
         .groupBy(col("id"))
         .agg(min(col("root")).as("root"), min(col("old")).as("old"))
+        .persist() // read twice below (both sides of the jump self-join)
+      val next = stepped.alias("x")
+        .join(stepped.select(col("id").as("__jid"),
+          col("root").as("__jroot")).alias("y"),
+          col("x.root") === col("y.__jid"))
+        .select(col("x.id").as("id"), col("__jroot").as("root"),
+          col("x.old").as("old"))
         .persist()
       val changed = next.filter(col("root") =!= col("old")).limit(1).count()
+      stepped.unpersist(blocking = false)
       backing.unpersist(blocking = false)
-      if (round % 5 == 4 && changed != 0) {
-        // truncate lineage every few rounds: each round's plan references
-        // the previous round's, and 20+ un-checkpointed rounds make plan
-        // analysis + the persisted-RDD chain a driver bottleneck at scale
+      if (changed != 0) {
+        // truncate lineage EVERY round: a round's plan references the
+        // previous round's several times (labels branch + edge join +
+        // both jump sides), so un-checkpointed plans grow geometrically
+        // — by round 10 the plan STRING alone (built per action for the
+        // SQL event log) OOMs the driver. One localCheckpoint per round
+        // reads the just-counted cache and pins a bounded scan-shaped
+        // plan; with the jump the round count is logarithmic, so the
+        // extra materialization pass costs O(|V| log d) total.
         labels = next.select(col("id"), col("root")).localCheckpoint()
         next.unpersist(blocking = false)
         backing = labels
@@ -282,14 +302,37 @@ object Dedup {
       round += 1
     }
     // truncate the final lineage too: without this the RETURNED plan
-    // nests every round's subtree behind the persist boundaries — 451
-    // printed "Exchange" lines at 20 rounds, which poisons any
-    // plan-shape accounting (the executed work reads the caches, but
-    // the artifact can't tell) and re-runs the whole propagation if the
-    // caller's action outlives the caches. One eager localCheckpoint =
-    // one bounded id→root table, a scan-shaped plan.
+    // nests every round's subtree behind the persist boundaries, which
+    // poisons any plan-shape accounting (the executed work reads the
+    // caches, but the artifact can't tell) and re-runs the whole
+    // propagation if the caller's action outlives the caches. One eager
+    // localCheckpoint = one bounded id→root table, a scan-shaped plan.
     val settled = labels.localCheckpoint()
     backing.unpersist(blocking = false)
+    (settled, round)
+  }
+
+  /** Connected components over a near-dup pair list → the KEEP set: the
+    * minimum doc id of each duplicate cluster survives (plus every
+    * singleton). This is the step that turns pair lists into an actual
+    * dedup decision in a training-data pipeline.
+    *
+    * The component computation is [[componentMins]] — min-label
+    * propagation with pointer jumping, so the round count is
+    * logarithmic in cluster diameter (see its doc), never
+    * materializing components.
+    */
+  def nearDupKeep(df: DataFrame, idCol: String, textCol: String,
+                  bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val eligible = df.filter(size(tokens(col(textCol))) >= k)
+    val pairs = nearDupPairs(eligible, idCol, textCol, bands, rowsPerBand,
+      k, threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val (settled, _) =
+      componentMins(df.select(col(idCol).as("id")), edges, maxRounds)
     val kept = settled.filter(col("root") === col("id"))
       .select(col("id").as(idCol))
     edges.unpersist(blocking = false)

@@ -28,10 +28,9 @@ class NearDupKeepSpec extends SparkSpec {
 
   test("a 50-node chain graph converges without driver blowup") {
     import spark.implicits._
-    // a PATH of overlapping docs: doc i ~ doc i+1 only. Min-label
-    // propagation advances one hop per round, so 50 nodes force ~50
-    // rounds — the periodic localCheckpoint keeps each round's plan and
-    // the persisted-RDD chain bounded instead of 50 plans deep.
+    // a PATH of overlapping docs: doc i ~ doc i+1 only. The periodic
+    // localCheckpoint keeps each round's plan and the persisted-RDD
+    // chain bounded instead of many plans deep.
     val words = (0 until 60).map(i => s"w$i")
     val docs = (0 until 50).map { i =>
       (i.toLong, words.slice(i, i + 10).mkString(" "))
@@ -42,6 +41,41 @@ class NearDupKeepSpec extends SparkSpec {
     // each adjacent pair shares 9 of 10 words (Jaccard well over 0.2);
     // the whole path is ONE component → only doc 0 survives
     assert(kept == Seq(0L), s"got $kept")
+  }
+
+  test("componentMins: pointer jumping makes a 1024-path converge in O(log d) rounds") {
+    import spark.implicits._
+    // the worst case for plain min-propagation: a path graph of diameter
+    // 1023, where one-hop-per-round takes 1023 rounds (the round-10
+    // watch-list shape — a 100 TB near-dup graph with long chains).
+    // Hop-then-jump at least doubles every label's reach per round, so
+    // convergence must land within ~2·log₂(1024) + slack, and every
+    // node's root must be the true component min (node 0).
+    val n = 1024
+    val ids = (0 until n).map(_.toLong).toDF("id")
+    val fwd = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val (settled, rounds) = Dedup.componentMins(ids, edges, maxRounds = 100)
+    val roots = settled.select(countDistinct(col("root")).as("d"),
+      min(col("root")).as("m"), count(lit(1)).as("n")).collect().head
+    assert(roots.getLong(0) == 1L && roots.getLong(1) == 0L &&
+      roots.getLong(2) == n.toLong,
+      s"path must collapse to one root 0: $roots")
+    assert(rounds <= 25, s"pointer jumping promises O(log d) rounds on a " +
+      s"1024-path (~20 incl. the convergence-probe round); took $rounds")
+    edges.unpersist(blocking = false)
+  }
+
+  test("componentMins: disjoint components keep independent mins; singletons self-root") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
+    val fwd = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    val (settled, _) = Dedup.componentMins(ids, edges, maxRounds = 20)
+    val m = settled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      99L -> 99L), s"got $m")
   }
 
   test("minhash/simhash bucket cap bounds identical-doc pile-ups") {
