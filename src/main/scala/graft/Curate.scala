@@ -22,7 +22,27 @@ object Curate {
   def main(args: Array[String]): Unit = {
     val usage = "usage: Curate <config.yaml> <input.parquet> <outDir> " +
       "[--partition-by cols] [--format parquet|json] " +
-      "[--profile-by stratumCol[:textCol]]"
+      "[--profile-by stratumCol[:textCol]]\n" +
+      "       Curate compact-store <storePath>"
+    // maintenance action: offline compaction of a dedup_ingest key
+    // store (one row per content key under a fresh epoch token — see
+    // CurationStages.compactIngestStore for the replay discipline)
+    if (args.headOption.contains("compact-store")) {
+      require(args.length == 2, usage)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = Tables.configure(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus0]"))
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try {
+        val (before, after) =
+          pipeline.CurationStages.compactIngestStore(s, args(1))
+        println(s"""{"compact_store":"ok","store":"${args(1)}",""" +
+          s""""rows_before":$before,"rows_after":$after}""")
+      } finally s.stop()
+      return
+    }
     // accept both `--name value` and `--name=value`; unknown flags fail
     // loudly instead of silently running with defaults
     val known = Set("partition-by", "format", "profile-by")
@@ -103,9 +123,16 @@ object Curate {
             s"frame (have: ${df.columns.mkString(", ")})")
         val prof = ml.CorpusStats.corpusProfile(df, strat, text)
         prof.write.mode("overwrite").parquet(s"$outDir/_profile/$tag")
+        // coalesce the sums: a pipeline that drops EVERY row leaves an
+        // empty profile, and null sums would NPE the summary line AFTER
+        // the data was already written — masking a successful run
         val t = prof.agg(
-          org.apache.spark.sql.functions.sum("n_docs"),
-          org.apache.spark.sql.functions.sum("n_tokens")).head()
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("n_docs"),
+            org.apache.spark.sql.functions.lit(0L)),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("n_tokens"),
+            org.apache.spark.sql.functions.lit(0L))).head()
         println(s"""{"profile":"$tag","strata":${prof.count()},""" +
           s""""docs":${t.getLong(0)},"tokens":${t.getLong(1)}}""")
       }

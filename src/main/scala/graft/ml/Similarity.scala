@@ -841,10 +841,16 @@ object Similarity {
     * whole-stage codegen (it replaced a tight-loop UDF in r6).
     */
   /** Deterministic Rademacher (±1) hyperplanes from an LCG (Knuth MMIX
-    * constants): every plane distinct for any (bands × planesPerBand)
-    * count, reproducible across runs — the plane source for banded
+    * constants), reproducible across runs — the plane source for banded
     * sign-LSH when the caller has no trained planes (the
-    * ml_embed_neardup oracle uses the same generator).
+    * ml_embed_neardup oracle uses the same generator). The ±1 draws
+    * carry NO distinctness guarantee: only 2^dim sign patterns exist,
+    * so at small `dim` duplicate planes are certain and degrade
+    * candidate DIVERSITY (a duplicated plane wastes one of a band's r
+    * bits), never correctness — every candidate still passes the exact
+    * cosine verify. `dim` must equal the actual embedding length: the
+    * key kernel multiplies index-by-index, so a shorter plane would
+    * silently hash a prefix of each vector.
     */
   def rademacherBandPlanes(bands: Int, planesPerBand: Int,
                            dim: Int): Seq[Seq[Seq[Double]]] = {

@@ -152,9 +152,12 @@ object TextAnalysis {
     * in terminal punctuation (. ! ? ") AND carry at least `minWords`
     * words — the line-level cleaning pass that drops navigation
     * fragments, headers, and cookie banners. Lines are trimmed for the
-    * checks but kept verbatim; one narrow projection.
+    * checks but kept verbatim; one narrow projection. The default
+    * `minWords = 5` is the paper's own rule ("only retained lines that
+    * ... contained at least 5 words"); pass a lower value to
+    * under-filter deliberately.
     */
-  def c4FilterLines(text: Column, minWords: Int = 3): Column = {
+  def c4FilterLines(text: Column, minWords: Int = 5): Column = {
     val kept = filter(split(text, "\n"), l => {
       val t = trim(l)
       val terminal = t.endsWith(".") || t.endsWith("!") ||

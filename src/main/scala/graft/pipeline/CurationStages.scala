@@ -260,7 +260,7 @@ object CurationStages {
     // keep-first line dedup
     val dedupLines = c.get("dedup_lines").exists(_.toString.toBoolean)
     val c4 = c.get("c4_lines").exists(_.toString.toBoolean)
-    val c4MinWords = int(c, "c4_min_words", 3)
+    val c4MinWords = int(c, "c4_min_words", 5) // the paper's 5-word rule
     fields.foldLeft(df) { (d, f) =>
       require(d.columns.contains(f),
         s"text_normalize: no `$f` column in [${d.columns.mkString(", ")}]")
@@ -688,6 +688,84 @@ object CurationStages {
         s"dedup_ingest: unknown mode `$other` (exact | near | embedding)")
     }
 
+  /** The store's state-layout contract, recorded as a `_graft_mode.json`
+    * marker INSIDE the store directory (underscore-prefixed → invisible
+    * to parquet readers, the `_SUCCESS` convention). Only parameters
+    * that shape STORED state are pinned: the mode plus whatever makes
+    * old state comparable to new batches (near: signature length and
+    * shingle size; embedding: band geometry and vector dim).
+    * Decision-side knobs (threshold, max_bucket) may vary run to run.
+    *
+    * `exact` is compatible with EVERYTHING — bare digests are
+    * universally interpretable (the exact leg every mode runs), and
+    * the exact→near in-place upgrade is a designed feature. What fails
+    * LOUDLY is two disagreeing FUZZY contracts over one store (near vs
+    * embedding, or the same mode under different band geometry): those
+    * silently degrade to partial dedup — foreign-layout fuzzy state
+    * reads as null / compares against incomparable signatures — which
+    * re-admits stored duplicates, and the worst failure mode is the
+    * quiet one. Legacy stores without a marker are adopted on the next
+    * append; the marker always records the strongest (fuzzy) contract
+    * seen.
+    */
+  private def modeContract(mode: String, c: Map[String, Any]): String =
+    mode match {
+      case "near" =>
+        s"""{"mode":"near","bands":${int(c, "bands", 4)},""" +
+          s""""rows_per_band":${int(c, "rows_per_band", 3)},""" +
+          s""""shingle_k":${int(c, "shingle_k", 3)}}"""
+      case "embedding" =>
+        s"""{"mode":"embedding","bands":${int(c, "bands", 8)},""" +
+          s""""planes_per_band":${int(c, "planes_per_band", 8)},""" +
+          s""""dim":${int(c, "dim", 64)}}"""
+      case _ => """{"mode":"exact"}"""
+    }
+
+  private val exactContract = """{"mode":"exact"}"""
+
+  private def markerPath(store: String) =
+    new org.apache.hadoop.fs.Path(store, "_graft_mode.json")
+
+  private def readMarker(spark: org.apache.spark.sql.SparkSession,
+                         store: String): Option[String] = {
+    val p = markerPath(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Fail on two disagreeing fuzzy contracts; exact mixes with all. */
+  private def checkModeMarker(spark: org.apache.spark.sql.SparkSession,
+                              store: String, contract: String): Unit =
+    readMarker(spark, store).foreach { recorded =>
+      require(recorded == contract || recorded == exactContract ||
+          contract == exactContract,
+        s"dedup_ingest store $store holds fuzzy state under contract " +
+          s"$recorded but this pipeline is configured for $contract — " +
+          "mixing fuzzy modes or band geometries over one store silently " +
+          "re-admits stored duplicates; use a separate store per contract")
+    }
+
+  /** Record the strongest contract seen: write when absent, upgrade
+    * when the recorded contract is exact and this run's is fuzzy.
+    */
+  private def writeModeMarker(spark: org.apache.spark.sql.SparkSession,
+                              store: String, contract: String): Unit = {
+    val recorded = readMarker(spark, store)
+    val shouldWrite = recorded.isEmpty ||
+      (recorded.contains(exactContract) && contract != exactContract)
+    if (shouldWrite) {
+      val p = markerPath(store)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write((contract + "\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Read the growing key store, tolerating bootstrap (no store yet →
     * None) and layout evolution: pre-token stores gain an empty `bid`
     * (foreign keys ≠ any attempt), exact-mode stores read by near mode
@@ -721,6 +799,8 @@ object CurationStages {
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
     val spark = df.sparkSession
+    val contract = modeContract(mode, c)
+    checkModeMarker(spark, store, contract)
     val bid = graft.streaming.StreamRunner.currentBatchToken.value
       .getOrElse("run-" + java.util.UUID.randomUUID().toString)
     val contentKey: Column = mode match {
@@ -786,8 +866,69 @@ object CurationStages {
     toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
+    writeModeMarker(spark, store, contract) // adopt legacy / bootstrap
     fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h")
+  }
+
+  /** Compact a dedup_ingest store OFFLINE: collapse to ONE row per
+    * content key under a single fresh epoch token, dropping the
+    * per-attempt duplication the append-only discipline accumulates
+    * (replayed attempts append nothing new, but distinct RUNS that
+    * admitted the same key each left a row, and orphaned attempts —
+    * appended keys whose sink commit never happened before the stream
+    * was abandoned — are indistinguishable from live ones and get
+    * folded into the epoch rather than re-admitted forever). Rows WITH
+    * fuzzy state win over bare-digest rows for the same key, so an
+    * upgraded store keeps its near/embedding evidence.
+    *
+    * OFFLINE means no stream is mid-retry against this store: the
+    * epoch token matches no attempt, so after compaction EVERY stored
+    * key counts against every batch — exactly the cross-run semantics
+    * — but an attempt replayed from BEFORE the compaction would find
+    * its own keys foreign and drop its rows (the reason this is a CLI
+    * action, `graft.Curate compact-store`, not something the stage
+    * does opportunistically).
+    *
+    * The rewrite goes through a temp directory + rename — the store is
+    * never in a half-deleted state on the happy path.
+    *
+    * @return (rows before, rows after)
+    */
+  def compactIngestStore(spark: org.apache.spark.sql.SparkSession,
+                         store: String): (Long, Long) = {
+    val ks = readIngestStore(spark, store).getOrElse(
+      throw new IllegalArgumentException(s"no dedup_ingest store at $store"))
+    val before = ks.count()
+    val epoch = "epoch-" + java.util.UUID.randomUUID().toString
+    // one row per key, fuzzy-state rows first (sig/ecodes non-null);
+    // deterministic within a tie via the bid ordering
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+      .orderBy(col("sig").isNull.asc, col("ecodes").isNull.asc,
+        col("bid").asc)
+    val compacted = ks
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("bid", lit(epoch))
+      .localCheckpoint(true) // settle BEFORE touching the store path
+    val after = compacted.count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(store + ".compact-tmp")
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    // carry the mode marker across the swap
+    val marker = markerPath(store)
+    if (fs.exists(marker))
+      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_mode.json"),
+        false, conf)
+    fs.delete(storePath, true)
+    require(fs.rename(tmp, storePath),
+      s"compaction rename $tmp -> $storePath failed; compacted data " +
+        s"is intact at $tmp")
+    (before, after)
   }
 
   // Near mode (`mode: near`): the growing store additionally keeps the

@@ -558,7 +558,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_text_normalize", "ml_dedup_lines",
         "ml_c4_line_filter"),
-      notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization. Optional line-level passes run before the whitespace collapse erases line structure: `c4_lines:` keeps only terminal-punctuation lines with >= c4_min_words words (C4), then `dedup_lines:` drops within-doc duplicate lines keep-first (RefinedWeb)."),
+      notes = "Narrow, stream-safe, fully codegen'd (the NFC step is a native Catalyst expression, not a UDF). Run BEFORE quality signals / dedup / tokenization. Optional line-level passes run before the whitespace collapse erases line structure: `c4_lines:` keeps only terminal-punctuation lines with >= c4_min_words words (C4; default 5, the paper rule), then `dedup_lines:` drops within-doc duplicate lines keep-first (RefinedWeb)."),
     StageDoc("media_envelope", "curation",
       "Attach a typed `<kind>_features` struct parsed from an opaque binary column: REAL container-header parsers for all four modalities — image (PNG/JPEG/GIF), audio (RIFF/WAVE, FLAC), doc (PDF), video (MP4/ISO-BMFF) — and a REAL image pixel fact (mean_luma via the in-JDK javax.imageio codecs, Rec.601 weighting, null when the payload doesn't decode).",
       y("""pipeline:

@@ -444,4 +444,98 @@ class StreamCurationSpec extends SparkSpec {
     q2.awaitTermination()
     assert(!seen.contains(6L), "bit-identical replay of 5 must be rejected")
   }
+
+  test("compact-store: one row per key, dedup discipline survives compaction") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-compact").toString + "/keys"
+    // a store accumulated across runs: the same key under two attempt
+    // tokens (e.g. the operator cleared a checkpoint and re-ingested),
+    // plus a legacy bare-h file from the pre-token layout
+    val h = (t: String) => md5(lit(t))
+    Seq("run-1", "run-2").foreach { b =>
+      Seq(1).toDF("x").select(h("alpha doc").as("h"), lit(b).as("bid"))
+        .write.mode("append").parquet(store)
+    }
+    Seq(1).toDF("x").select(h("beta doc").as("h"), lit("run-1").as("bid"))
+      .write.mode("append").parquet(store)
+    val legacyDir = store + "-legacy"
+    Seq(1).toDF("x").select(h("beta doc").as("h")).write.parquet(legacyDir)
+    // move the legacy file into the store (mixed-layout directory)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(legacyDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(store, "legacy-" + f.getPath.getName)))
+
+    val (before, after) =
+      graft.pipeline.CurationStages.compactIngestStore(s, store)
+    assert(before == 4L && after == 2L, s"compacted $before -> $after")
+    val ks = s.read.option("mergeSchema", "true").parquet(store)
+    assert(ks.count() == 2L &&
+      ks.select("h").distinct().count() == 2L)
+    assert(ks.select("bid").distinct().count() == 1L, "one epoch token")
+    assert(ks.select("bid").head().getString(0).startsWith("epoch-"))
+
+    // the compacted store still REJECTS previously admitted texts and
+    // admits new ones — cross-run semantics under the epoch token
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin)
+    val out = graft.pipeline.PipelineCompiler.compile(spec)(
+      Seq((10L, "alpha doc"), (11L, "gamma doc")).toDF("doc_id", "text"))
+      .main.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L), s"post-compaction dedup broke: $out")
+  }
+
+  test("mode marker: two disagreeing fuzzy contracts fail loudly; exact mixes freely") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-marker").toString + "/keys"
+    def yaml(extra: String) =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |$extra""".stripMargin
+    def runBatch(y: String, docs: Seq[(Long, String)]): Seq[Long] =
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(y))(
+        docs.toDF("doc_id", "text"))
+        .main.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // near mode writes its fuzzy contract
+    runBatch(yaml("    mode: near\n"),
+      Seq((1L, "one two three four five six")))
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8").trim
+    assert(marker.contains("\"mode\":\"near\"") &&
+      marker.contains("\"bands\":4"), marker)
+    // exact mode over the same store: allowed (the designed upgrade path
+    // runs the other way too), marker keeps the stronger contract
+    runBatch(yaml(""), Seq((2L, "seven eight nine ten")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+      .contains("\"mode\":\"near\""))
+    // near under a DIFFERENT band geometry: incomparable stored
+    // signatures — must fail loudly, not silently partial-dedup
+    val e = intercept[IllegalArgumentException] {
+      runBatch(yaml("    mode: near\n    bands: 8\n"),
+        Seq((3L, "eleven twelve thirteen fourteen")))
+    }
+    assert(e.getMessage.contains("contract"), e.getMessage)
+    // embedding over a near store: also incomparable
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml("    mode: embedding\n")))(
+        Seq((4L, Array.fill(64)(0.5f))).toDF("doc_id", "embedding"))
+        .main.collect()
+    }
+    assert(e2.getMessage.contains("contract"), e2.getMessage)
+  }
 }
