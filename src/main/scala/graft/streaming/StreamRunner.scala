@@ -242,10 +242,13 @@ object StreamRunner {
                        topic: String): Map[String, String] =
     kafkaConfig.map { case (k, v) => s"kafka.$k" -> v } + ("topic" -> topic)
 
-  /** Kafka sink (reference confluentkafka_output). */
+  /** Kafka sink (reference confluentkafka_output). Mode is explicit
+    * Append — producing IS appending, and the default ErrorIfExists
+    * plans create-table-as-select on v2 providers instead of a write.
+    */
   def kafkaSink(kafkaConfig: Map[String, String], topic: String): DataFrame => Unit =
     df => df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
-      .write.format("kafka")
+      .write.format("kafka").mode("append")
       .options(kafkaSinkOptions(kafkaConfig, topic))
       .save()
 
