@@ -70,15 +70,44 @@ object LuceneParser extends RegexParsers {
 
   def star: Parser[FilterAst] = "*" ^^ { _ => Always(true) }
 
+  /** Unescape backslash-before-WHITESPACE in a field token — the one
+    * escape that belongs to the Lucene TOKENIZER, not to dotted-path
+    * resolution: an unquoted field name cannot contain whitespace at
+    * all except through `\ `/`\<tab>` (fieldRe only admits it inside an
+    * escape pair), so `a\ key` denotes the literal key `a key`
+    * (reference: test_lucene_filter.py special-characters cases). Every
+    * OTHER escape pair is kept intact for splitPath (see fieldTerm's
+    * comment); a backslash that is itself escaped (`\\`) is consumed as
+    * a pair here, so a key containing a real backslash-before-space
+    * round-trips as `\\\ `.
+    */
+  private def unescapeFieldWs(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        if (n == ' ' || n == '\t') sb.append(n)
+        else sb.append(c).append(n)
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
   /** field term: `path(|modifier)? : value` or bare `path` (exists). */
   def fieldTerm: Parser[FilterAst] =
     fieldRe ~ opt("|" ~> """re|sigma""".r) >> { case rawField ~ mod =>
-      // Field names stay in ESCAPED form: dotted-path resolution
-      // (FilterCompiler.splitPath) is the single unescaping point, so
-      // `comp\\lex\.field` reaches it intact — unescaping here too would
-      // strip the backslashes twice (the reference likewise defers to
-      // get_dotted_field_list, util/helper.py:482-517).
-      val field = rawField
+      // Field names stay in ESCAPED form except for escaped whitespace
+      // (a tokenizer-level escape, resolved here — see unescapeFieldWs):
+      // dotted-path resolution (FilterCompiler.splitPath) is the single
+      // unescaping point for `\.`/`\\`, so `comp\\lex\.field` reaches it
+      // intact — unescaping those here too would strip the backslashes
+      // twice (the reference likewise defers to get_dotted_field_list,
+      // util/helper.py:482-517).
+      val field = unescapeFieldWs(rawField)
       (":" ~> valueFor(field, mod)) | success(Exists(field))
     }
 

@@ -29,28 +29,18 @@ class FilterMatchConformanceSpec extends SparkSpec {
 
   private val seen = scala.collection.mutable.Map.empty[String, Int]
 
-  /** Escaped SEPARATOR chars in field names (`a\ key`, `key\\n`): the
-    * engine's path splitting follows the backslash-run semantics
-    * reverse-engineered from the reference's processor corpus, which the
-    * reference's own `get_dotted_field_list` contradicts on these three
-    * inputs — the corpus semantics win (579 triples vs 3 asserts).
-    */
-  private def waived(c: Map[String, Any]): Option[String] = {
-    val fieldPart = c("query").toString.takeWhile(_ != ':')
-    if (c("name") == "test_created_filter_matches_document_with_special_characters"
-        && fieldPart.contains("\\"))
-      Some("escaped separator in key: corpus backslash-run semantics win")
-    else None
-  }
+  // The three escaped-separator-in-key cases (`a\ key`, `a\<tab>key`,
+  // `key\\n`) were waived through round 10 as a corpus-vs-helper
+  // contradiction; they now RUN: escaped whitespace is resolved by the
+  // parser's tokenizer-level unescape (LuceneParser.unescapeFieldWs —
+  // the only way an unquoted field name can contain whitespace), while
+  // `\\`/`\.` still defer to splitPath's corpus backslash-run
+  // semantics. Both reference corpora are satisfied — no waivers left.
 
   for (c <- cases) {
     val base = s"${c("name")}: ${c("query")} vs ${c("doc")}"
     val n = seen.updateWith(base)(x => Some(x.getOrElse(0) + 1)).get
     val title = (if (n == 1) base else s"$base ($n)").take(180)
-    waived(c).foreach { reason =>
-      ignore(s"filter-match: $title [waived: $reason]") {}
-    }
-    if (waived(c).isEmpty)
     test(s"filter-match: $title") {
       val query = c("query").toString
       val expect = c("expect").asInstanceOf[Boolean]
