@@ -87,38 +87,56 @@ object Multimodal {
     * accumulate in longs (exact), the two floating ops are the channel
     * means and the weighted combine — so a constant-color image yields
     * EXACTLY `0.299·r + 0.587·g + 0.114·b`, the value an oracle can
-    * predict from the construction parameters. Decodes are capped at
-    * 64 MP: a lying header on a tiny payload must not balloon task
-    * memory (the never-fail, never-guess contract).
+    * predict from the construction parameters.
+    *
+    * Decodes are capped at 64 MP, and the cap is enforced from the
+    * reader's HEADER probe (`ImageReader.getWidth/getHeight` read only
+    * the metadata) BEFORE any raster is allocated — a tiny payload whose
+    * header lies (a PNG declaring 60000×60000) is rejected without ever
+    * asking the codec for a multi-GB allocation. Only non-fatal
+    * exceptions map to null; a VM error (OOM from a genuinely huge
+    * in-cap decode) propagates and fails the task instead of silently
+    * destabilizing co-resident tasks with a poisoned heap.
     */
-  private def pixelLuma(bytes: Array[Byte]): java.lang.Double =
-    try {
-      javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(
+  private def pixelLuma(bytes: Array[Byte]): java.lang.Double = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = try {
+      javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null) null
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) return null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
       else {
-        val w = img.getWidth; val h = img.getHeight
-        val n = w.toLong * h
-        if (w <= 0 || h <= 0 || n > 64_000_000L) null
-        else {
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-              x += 1
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          val n = w.toLong * h
+          if (w <= 0 || h <= 0 || n > 64_000_000L) null
+          else {
+            val img = reader.read(0)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val luma = 0.299 * (sr.toDouble / n) + 0.587 * (sg.toDouble / n) +
+              0.114 * (sb.toDouble / n)
+            math.round(luma * 1e6) / 1e6
           }
-          val luma = 0.299 * (sr.toDouble / n) + 0.587 * (sg.toDouble / n) +
-            0.114 * (sb.toDouble / n)
-          math.round(luma * 1e6) / 1e6
-        }
+        } finally reader.dispose()
       }
-    } catch { case _: Throwable => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally iis.close()
+  }
 
   private val nullImage = Row(null, null, null, null, null, null)
 

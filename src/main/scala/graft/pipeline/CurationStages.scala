@@ -442,7 +442,11 @@ object CurationStages {
     //   min_logprob: v — absolute gate; corpus-distribution-DEPENDENT,
     //     for when the threshold was calibrated externally.
     (c.get("min_logprob"), c.get("min_logprob_quantile")) match {
-      case (Some(min), _) =>
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "perplexity_score: `min_logprob` and `min_logprob_quantile` are " +
+          "mutually exclusive — an absolute gate silently winning over the " +
+          "quantile masks a config mistake; keep exactly one")
+      case (Some(min), None) =>
         joined.filter(col(prefix + "logprob") >= min.toString.toDouble)
       case (None, Some(q)) =>
         val qd = q.toString.toDouble
@@ -454,6 +458,17 @@ object CurationStages {
         // scored subtree out of the plan a second time (a crossJoin
         // gate would re-plan the whole LM lineage under the threshold
         // branch). One row comes back to the driver.
+        //
+        // Lazy-persist the SCORED table first (not just the stage input):
+        // without it the threshold action executes the full LM subtree
+        // (two vocabulary aggregates + prob-table joins + the gram join)
+        // and the returned `joined.filter` plan executes it all AGAIN —
+        // at 100 TB that doubles the stage's dominant cost. The persist
+        // registers the scores plan with the cache manager, so the
+        // already-built `joined` substitutes the cached relation at its
+        // next action; CacheSweep (or session end) releases it, and a
+        // swept cache safely re-executes (same convention as `df` above).
+        scores.persist()
         val thrRow = scores.select(expr(
           s"percentile_disc($qd) WITHIN GROUP (ORDER BY `${prefix}logprob`)")
           .as("__lm_thr")).head()
@@ -752,11 +767,16 @@ object CurationStages {
 
   /** Record the strongest contract seen: write when absent, upgrade
     * when the recorded contract is exact and this run's is fuzzy.
+    * `blockAdoption` (a marker-less legacy store holding fuzzy state
+    * this EXACT-mode run cannot geometry-check) leaves the store
+    * marker-less, so the next fuzzy run still runs the legacy geometry
+    * inference instead of trusting a contract recorded blind.
     */
   private def writeModeMarker(spark: org.apache.spark.sql.SparkSession,
-                              store: String, contract: String): Unit = {
+                              store: String, contract: String,
+                              blockAdoption: Boolean = false): Unit = {
     val recorded = readMarker(spark, store)
-    val shouldWrite = recorded.isEmpty ||
+    val shouldWrite = (recorded.isEmpty && !blockAdoption) ||
       (recorded.contains(exactContract) && contract != exactContract)
     if (shouldWrite) {
       val p = markerPath(store)
@@ -765,6 +785,81 @@ object CurationStages {
       try out.write((contract + "\n").getBytes("UTF-8")) finally out.close()
     }
   }
+
+  /** Legacy (marker-less) store adoption guard — the marker protects
+    * future runs, but the FIRST run over a pre-marker store holding
+    * fuzzy state would otherwise pin whatever contract it happens to be
+    * configured with, geometry-checked against nothing: one run with
+    * mismatched bands/shingle_k silently partial-dedups against
+    * incomparable signatures and then the marker makes the wrong
+    * contract official. Before adoption, infer the stored geometry from
+    * the state itself (limit-1 probes, once per store lifetime):
+    *
+    *   - a fuzzy run must find its OWN modality's state dimensioned to
+    *     its contract (near: stored `sig` length = bands·rows_per_band;
+    *     embedding: `ekeys` length = bands, `ecodes` length = dim) and
+    *     no OTHER fuzzy modality's state at all;
+    *   - an exact run cannot verify fuzzy geometry (it has no fuzzy
+    *     config) — it proceeds (exact mixes with everything) but must
+    *     NOT record a marker, leaving inference to the next fuzzy run.
+    *
+    * Returns true when adoption must be blocked (the exact-over-fuzzy
+    * case); incompatible fuzzy geometry fails loudly here.
+    */
+  private def checkLegacyGeometry(store: String, mode: String,
+                                  c: Map[String, Any],
+                                  refKeys: Option[DataFrame]): Boolean =
+    refKeys match {
+      case Some(ks) =>
+        def probe(col0: String): Option[Int] =
+          ks.filter(col(col0).isNotNull)
+            .select(size(col(col0)).as("n")).limit(1)
+            .collect().headOption.map(_.getInt(0))
+        val sigLen = probe("sig")
+        val ekeysLen = probe("ekeys")
+        mode match {
+          case "near" =>
+            require(ekeysLen.isEmpty,
+              s"dedup_ingest store $store holds embedding-mode state but " +
+                "this pipeline is configured for mode near — use a " +
+                "separate store per fuzzy contract")
+            val n = int(c, "bands", 4) * int(c, "rows_per_band", 3)
+            sigLen.foreach(len => require(len == n,
+              s"dedup_ingest store $store holds minhash signatures of " +
+                s"length $len but this pipeline's bands·rows_per_band = $n " +
+                "— comparing them silently re-admits stored duplicates; " +
+                "match the geometry or use a separate store"))
+            false
+          case "embedding" =>
+            require(sigLen.isEmpty,
+              s"dedup_ingest store $store holds near-mode state but this " +
+                "pipeline is configured for mode embedding — use a " +
+                "separate store per fuzzy contract")
+            val bands = int(c, "bands", 8)
+            ekeysLen.foreach(len => require(len == bands,
+              s"dedup_ingest store $store holds sign-LSH band keys of " +
+                s"length $len but this pipeline's bands = $bands — match " +
+                "the geometry or use a separate store"))
+            val dim = int(c, "dim", 64)
+            val ecodesLen = probe("ecodes")
+            ecodesLen.foreach(len => require(len == dim,
+              s"dedup_ingest store $store holds SQ8 codes of dim $len but " +
+                s"this pipeline's dim = $dim — match the geometry or use " +
+                "a separate store"))
+            false
+          case _ =>
+            val fuzzy = sigLen.nonEmpty || ekeysLen.nonEmpty
+            if (fuzzy) System.err.println(
+              s"[dedup_ingest] WARNING: store $store holds fuzzy dedup " +
+                "state but carries no _graft_mode.json contract marker; " +
+                "this exact-mode run proceeds (exact mixes with all " +
+                "contracts) but will NOT record a marker — run the " +
+                "matching fuzzy pipeline (or add the marker by hand) so " +
+                "the stored geometry gets verified before it is pinned")
+            fuzzy
+        }
+      case None => false
+    }
 
   /** Read the growing key store, tolerating bootstrap (no store yet →
     * None) and layout evolution: pre-token stores gain an empty `bid`
@@ -824,6 +919,13 @@ object CurationStages {
     // bootstrap: a store that does not exist yet is an empty key set
     // (PATH_NOT_FOUND is storage-agnostic — local, HDFS, or S3)
     val refKeys = readIngestStore(spark, store)
+    // marker-less legacy store: verify the stored fuzzy geometry against
+    // this run's contract BEFORE adopting it (limit-1 probes, once per
+    // store lifetime — every later run short-circuits on the marker)
+    val blockAdoption =
+      if (readMarker(spark, store).isEmpty)
+        checkLegacyGeometry(store, mode, c, refKeys)
+      else false
 
     // (drop set, per-id state table to append, caches to release)
     val fuzzyState = mode match {
@@ -866,7 +968,7 @@ object CurationStages {
     toAppend.localCheckpoint(true)
       .withColumn("bid", lit(bid))
       .write.mode("append").parquet(store)
-    writeModeMarker(spark, store, contract) // adopt legacy / bootstrap
+    writeModeMarker(spark, store, contract, blockAdoption)
     fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h")
   }
@@ -924,10 +1026,26 @@ object CurationStages {
       org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
         new org.apache.hadoop.fs.Path(tmp, "_graft_mode.json"),
         false, conf)
-    fs.delete(storePath, true)
-    require(fs.rename(tmp, storePath),
-      s"compaction rename $tmp -> $storePath failed; compacted data " +
-        s"is intact at $tmp")
+    // crash-safe swap: park the live store aside FIRST, then rename the
+    // compacted tree in, then drop the parked copy. A crash between any
+    // two steps leaves a usable store at either the expected path or
+    // `.compact-old` — never a window where the only copy sits at a tmp
+    // path needing manual recovery (delete-then-rename had exactly that
+    // window). A stale `.compact-old` from a previous crashed run is
+    // cleared first so the park rename cannot collide.
+    val old = new org.apache.hadoop.fs.Path(store + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(storePath, old),
+      s"compaction park rename $storePath -> $old failed; store untouched, " +
+        s"compacted data is at $tmp")
+    if (!fs.rename(tmp, storePath)) {
+      // restore the parked store before failing — no half-swapped state
+      fs.rename(old, storePath)
+      throw new IllegalStateException(
+        s"compaction rename $tmp -> $storePath failed; original store " +
+          s"restored, compacted data is intact at $tmp")
+    }
+    fs.delete(old, true)
     (before, after)
   }
 

@@ -485,6 +485,32 @@ class MultimodalSpec extends SparkSpec {
     assert(hr.getString(0) == "png" && hr.getInt(1) == 640 && hr.isNullAt(2))
   }
 
+  test("lying header: over-cap declared dimensions are refused from the " +
+      "reader's header probe, never decoded") {
+    val s = spark
+    import s.implicits._
+    // a REAL tiny PNG (valid zlib stream, valid CRCs) whose IHDR is
+    // patched to declare 60000x60000 — with the CRC recomputed so the
+    // JDK reader accepts the header. The 64 MP cap must fire on the
+    // header PROBE (getWidth/getHeight read metadata only); asking the
+    // codec to decode would attempt a multi-GB raster allocation for a
+    // payload of a few dozen bytes
+    val tiny = Seq(1).toDF("x")
+      .select(Multimodal.pngPixelBytes(lit(3), lit(2), lit(7)).as("b"))
+      .collect().head.getAs[Array[Byte]](0)
+    val lying = tiny.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16, 60000).putInt(20, 60000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(lying, 12, 4 + 13) // chunk type + IHDR data
+    bb.putInt(29, crc.getValue.toInt)
+    val r = Multimodal.parseImage(lying)
+    assert(r.getString(0) == "png" && r.getInt(1) == 60000 &&
+      r.getInt(2) == 60000, s"header facts survive: $r")
+    assert(r.isNullAt(5), "over-cap pixel fact must be null, not decoded")
+  }
+
   test("jpeg spec conformance: fill bytes skipped, SOF2 accepted, DNL height null") {
     // goldenJpeg with two 0xFF fill bytes inserted before the SOF marker
     val g = goldenJpeg

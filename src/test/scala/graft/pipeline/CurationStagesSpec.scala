@@ -645,6 +645,37 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("min_logprob_quantile"))
   }
 
+  test("perplexity_score stage: conflicting gates fail loudly; quantile " +
+      "path shares one LM execution") {
+    // both gates at once: a config mistake, not a silent precedence rule
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: perplexity_score
+            |    id_field: doc_id
+            |    text_field: text
+            |    min_logprob: -3.0
+            |    min_logprob_quantile: 0.4
+            |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // the quantile branch lazy-persists the SCORED table before the
+    // threshold action, so the returned plan substitutes the cached
+    // relation instead of re-executing the LM subtree (vocabulary
+    // aggregates + prob-table joins) a second time: the executed plan
+    // reads TWO caches (stage input + scores) and carries none of the
+    // LM's aggregate machinery inline
+    val out = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |    min_logprob_quantile: 0.4
+        |""".stripMargin, docs)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected the input AND scores caches in-plan:\n$plan")
+  }
+
   test("dsir_sample stage: fraction form keeps ceil(fraction*n) rows") {
     val out = run(
       """pipeline:

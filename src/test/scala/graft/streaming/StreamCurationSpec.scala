@@ -538,4 +538,86 @@ class StreamCurationSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("contract"), e2.getMessage)
   }
+
+  test("legacy marker-less store: fuzzy geometry verified on adoption; " +
+      "exact defers the marker") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-legacy").toString + "/keys"
+    // a pre-marker store holding near-mode state with signature length 5
+    // (bands=5, rows_per_band=1) — written directly, no marker file
+    Seq(1).toDF("x").select(
+      md5(lit("legacy doc text")).as("h"), lit("run-0").as("bid"),
+      array((1 to 5).map(i => lit(i.toLong)): _*).as("sig"))
+      .write.parquet(store)
+    def yaml(extra: String) =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |$extra""".stripMargin
+    def runBatch(y: String, docs: Seq[(Long, String)]): Seq[Long] =
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(y))(
+        docs.toDF("doc_id", "text"))
+        .main.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // near under the DEFAULT geometry (4*3=12 ≠ 5): incomparable stored
+    // signatures must fail loudly BEFORE any marker pins the wrong contract
+    val e = intercept[IllegalArgumentException] {
+      runBatch(yaml("    mode: near\n"),
+        Seq((1L, "one two three four five six")))
+    }
+    assert(e.getMessage.contains("length 5"), e.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "_graft_mode.json")),
+      "a failed adoption must not record a contract")
+    // embedding over near state: wrong modality entirely
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml("    mode: embedding\n")))(
+        Seq((2L, Array.fill(64)(0.5f))).toDF("doc_id", "embedding"))
+        .main.collect()
+    }
+    assert(e2.getMessage.contains("near-mode state"), e2.getMessage)
+    // exact mode proceeds (exact mixes with everything) but must NOT
+    // adopt blind — the store stays marker-less so the next fuzzy run
+    // still geometry-checks
+    val out = runBatch(yaml(""),
+      Seq((3L, "legacy doc text"), (4L, "fresh doc text")))
+    assert(out == Seq(4L), s"exact leg over legacy store broke: $out")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "_graft_mode.json")),
+      "exact over unverifiable fuzzy state must defer the marker")
+    // the MATCHING geometry adopts and records its contract
+    runBatch(yaml("    mode: near\n    bands: 5\n    rows_per_band: 1\n"),
+      Seq((5L, "some brand new sentence here")))
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"bands\":5"), marker)
+  }
+
+  test("compact-store: crash-safe swap tolerates a stale .compact-old") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-compact2").toString + "/keys"
+    Seq("run-1", "run-2").foreach { b =>
+      Seq(1).toDF("x")
+        .select(md5(lit("doc a")).as("h"), lit(b).as("bid"))
+        .write.mode("append").parquet(store)
+    }
+    // a previous compaction crashed after parking the old store
+    Seq(1).toDF("x").select(md5(lit("stale")).as("h"), lit("x").as("bid"))
+      .write.parquet(store + ".compact-old")
+    val (before, after) =
+      graft.pipeline.CurationStages.compactIngestStore(s, store)
+    assert(before == 2L && after == 1L, s"compacted $before -> $after")
+    // the swap completed: no parked or tmp residue, store readable
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store + ".compact-old")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store + ".compact-tmp")))
+    assert(s.read.parquet(store).count() == 1L)
+  }
 }
