@@ -106,6 +106,33 @@ object ScaleProof {
   final case class TierResult(query: String, tier: String, rows: Long,
                               secMin: Double, secs: Seq[Double], exchanges: Int)
 
+  /** Exchange count of the PRE-execution physical plan — the plan-shape
+    * metric every artifact reports. Counts Exchange NODES (shuffle or
+    * broadcast) by tree traversal, excluding ReusedExchange and anything
+    * nested inside an InMemoryRelation: a cached relation's plan
+    * describes how the cache WAS built (it executed exactly once, at
+    * plan-build time), not work the returned plan performs — counting
+    * it would double-book every persisted subtree and misread a
+    * deliberate share-one-execution persist as added shuffles. The
+    * traversal gets the cache exclusion for free (InMemoryTableScan has
+    * no children; the cached plan hangs off the relation object, not
+    * the tree), where the previous line-counting convention could not —
+    * the relation's printed subtree is textually indistinguishable from
+    * live plan lines. AQE wrappers are stepped through explicitly.
+    */
+  def planExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: ReusedExchangeExec => 0
+      case e: Exchange => 1 + e.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** The two-tier headline subset (shared with [[Bench]]'s embedded
     * scale section).
     */
@@ -143,9 +170,7 @@ object ScaleProof {
           runs: Int = 2): Seq[TierResult] =
     for ((name, fn) <- headline; (tier, dir) <- tiers) yield {
       val df = fn(spark, dir)
-      val planStr = df.queryExecution.executedPlan.toString
-      val exchanges = planStr.linesIterator
-        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      val exchanges = planExchanges(df)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()

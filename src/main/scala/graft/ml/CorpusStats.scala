@@ -102,7 +102,11 @@ object CorpusStats {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(Curation.words(col(textCol))).as("t"))
-    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // lazy-persisted (the bigramLogProb convention, CacheSweep-released):
+    // the corpus-total branch and the price join prune this aggregate
+    // differently, so without the cache each would re-run the token
+    // explode over the whole corpus
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c")).persist()
     val total = cnt.agg(sum(col("c")).as("n"))
     val per = tok.join(cnt, Seq("t"))
       .crossJoin(broadcast(total))
@@ -268,14 +272,27 @@ object CorpusStats {
     * predictive) — that rarity axis is [[unigramLogProb]]'s business, and
     * a production filter thresholds both.
     *
-    * Scale: two vocabulary-sized aggregates (unigram, bigram counts);
-    * the per-TYPE probability table is assembled with two token-keyed
-    * joins on the vocabulary tables (never per-occurrence); the corpus
-    * total folds in as a broadcast single-row cross join; the doc side is
-    * ONE gram-keyed join feeding one per-doc aggregate — the
-    * [[unigramLogProb]] shape with a bigram key. Nothing is pairwise.
-    * The occurrence-sized shuffles (bigram count agg, doc-side price
-    * join) key on 16-byte md5 digests of the gram — the
+    * Scale: the unigram and bigram count tables train in ONE corpus
+    * pass — both gram kinds ride a single explode as `(kind, gram)`
+    * entries into one digest-keyed map-side-combined aggregate whose
+    * TYPE-sized output persists lazily (the minhashPairs convention,
+    * released by [[graft.CacheSweep]]); the two vocabulary tables are
+    * `kind` filters over the cached result. The persist is what makes
+    * the sharing real: the four consumers (two prob-table joins, the
+    * corpus total, the bigram count) are column-pruned DIFFERENTLY by
+    * Catalyst, so their aggregate subtrees are not canonically equal
+    * and exchange reuse can never fire — without the cache each
+    * consumer re-runs the corpus explode (measured: 4 corpus-sized
+    * aggregate executions for the previous two-aggregate form). One
+    * corpus pass + three cache scans replaces all of it; the cached
+    * table is vocabulary-sized, orders of magnitude below the corpus.
+    * The per-TYPE probability table is assembled with two
+    * token-keyed joins on the vocabulary tables (never per-occurrence);
+    * the corpus total folds in as a broadcast single-row cross join;
+    * the doc side is ONE gram-keyed join feeding one per-doc aggregate
+    * — the [[unigramLogProb]] shape with a bigram key. Nothing is
+    * pairwise. The occurrence-sized shuffles (the fused count agg,
+    * doc-side price join) key on 16-byte md5 digests of the gram — the
     * [[Dedup.dupSpans]] convention — never on gram strings; only the
     * vocabulary-sized tables carry text (needed to price each type).
     * Digest equality stands in for gram equality (collisions accepted
@@ -283,20 +300,52 @@ object CorpusStats {
     * identical to string-keyed joins and the oracle can keep its
     * string keys.
     */
+  /** One-pass gram-count training shared by the bigram LMs: unigrams
+    * (`kind` 0) and bigrams (`kind` 1) of `textCol` ride a single
+    * explode into one map-side-combined count aggregate. Callers
+    * persist the result (it is TYPE-sized) and split it with `kind`
+    * filters — the persist, not exchange reuse, is what shares the
+    * corpus pass: differently-pruned consumers never canonicalize to
+    * the same exchange (see [[bigramLogProb]]'s scale note).
+    *
+    * The aggregate groups on the gram TEXT with a bare count, not on
+    * its digest with a `first(text)` rider: a pure count keeps the
+    * fixed-width-buffer HashAggregate fast path, where any
+    * variable-width aggregation buffer (first/max over strings) demotes
+    * the whole corpus-sized pass to SortAggregate — measured ~2× slower
+    * at sf0.1. Bigram text (two words) is the same order as a 16-byte
+    * digest, so the TYPE-sized shuffle rows are no wider than the
+    * digest+rider layout; the digest is projected AFTER the aggregate
+    * for the occurrence-sized joins downstream. Output: `(kind,
+    * gd = md5 digest, c = count, g = gram text)` — the only tables
+    * that carry gram text.
+    */
+  private def fusedGramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(concat(
+        transform(Curation.words(col(textCol)),
+          w => struct(lit(0).as("kind"), w.as("g"))),
+        transform(ngramArray(col(textCol), 2),
+          b => struct(lit(1).as("kind"), b.as("g"))))).as("e"))
+      .select(col("e.kind").as("kind"), col("e.g").as("g"))
+      .groupBy(col("kind"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("kind"), unhex(md5(col("g"))).as("gd"),
+        col("c"), col("g"))
+
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(Curation.words(col(textCol))).as("t"))
-    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    // ONE pass over the token stream counts both gram kinds; `first(g)`
+    // is well-defined per digest (bijective modulo accepted collisions)
+    // and keeps the text off the wide side of the shuffle
+    val counts = fusedGramCounts(df, textCol).persist()
+    val uni = counts.filter(col("kind") === 0)
+      .select(col("g").as("t"), col("c").as("c1"))
     val total = uni.agg(sum(col("c1")).cast("double").as("n"))
     val big = df.select(col(idCol).as("id"),
       explode(ngramArray(col(textCol), 2)).as("g"))
-      .select(col("id"), unhex(md5(col("g"))).as("gd"), col("g"))
-    // map-side-combined: the shuffle after partial aggregation is
-    // TYPE-sized; `first(g)` is well-defined per digest (bijective
-    // modulo accepted collisions) and keeps the text off the wide side
-    val bcnt = big.groupBy(col("gd"))
-      .agg(count(lit(1)).as("c2"), first(col("g")).as("g"))
+      .select(col("id"), unhex(md5(col("g"))).as("gd"))
+    val bcnt = counts.filter(col("kind") === 1)
+      .select(col("gd"), col("c").as("c2"), col("g"))
     // words contain no spaces (single-space split), so the bigram key
     // splits back losslessly into its two tokens
     val parts = bcnt
@@ -379,25 +428,26 @@ object CorpusStats {
     * to the add-one unigram floor 1/(N+V+1), so a fully-OOV document
     * scores ≈ ln(λ·0 + (1−λ)/(N+V+1)) — far below in-distribution text.
     *
-    * Scale: train-side work is two vocabulary-sized aggregates + two
-    * scalars (like [[bigramLogProb]]); the corpus side first DISTINCTS
-    * its bigram types, prices each TYPE with three vocabulary-keyed
-    * left joins, then one gram-keyed join back per occurrence — never
-    * per-occurrence pricing, never pairwise. Occurrence-sized shuffles
-    * (the corpus type-distinct, the price join) key on 16-byte md5
-    * digests, the [[bigramLogProb]] / [[Dedup.dupSpans]] convention.
+    * Scale: train-side work is ONE fused pass (both vocabulary count
+    * tables from a single persisted [[fusedGramCounts]] aggregate — the
+    * [[bigramLogProb]] shape and caching convention) + two scalars; the
+    * corpus side first DISTINCTS its bigram types, prices each TYPE
+    * with three vocabulary-keyed left joins, then one gram-keyed join
+    * back per occurrence — never per-occurrence pricing, never
+    * pairwise. Occurrence-sized shuffles (the fused count agg, the
+    * corpus type-distinct, the price join) key on 16-byte md5 digests,
+    * the [[bigramLogProb]] / [[Dedup.dupSpans]] convention.
     */
   def bigramLogProbAgainst(corpus: DataFrame, train: DataFrame,
                            idCol: String, textCol: String,
                            lambda: Double = 0.9): DataFrame = {
-    val tok = train.select(explode(Curation.words(col(textCol))).as("t"))
-    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val counts = fusedGramCounts(train, textCol).persist()
+    val uni = counts.filter(col("kind") === 0)
+      .select(col("g").as("t"), col("c").as("c1"))
     val stats = uni.agg(sum(col("c1")).cast("double").as("n"),
       count(lit(1)).cast("double").as("v"))
-    val bcnt = train
-      .select(explode(ngramArray(col(textCol), 2)).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
-      .select(unhex(md5(col("g"))).as("gd"), col("c2"))
+    val bcnt = counts.filter(col("kind") === 1)
+      .select(col("gd"), col("c").as("c2"))
     val big = corpus.select(col(idCol).as("id"),
       explode(ngramArray(col(textCol), 2)).as("g"))
       .select(col("id"), unhex(md5(col("g"))).as("gd"), col("g"))

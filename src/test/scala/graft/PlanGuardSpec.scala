@@ -3,8 +3,9 @@ package graft
 /** Plan-shape regression guard: the exchange budget of EVERY oracle
   * query is pinned, so a future change that silently adds a shuffle —
   * the classic 100 TB regression, invisible at test scale — fails CI
-  * instead of the cluster. Counts use the ScaleProof convention
-  * (Exchange lines, ReusedExchange excluded) on the pre-execution
+  * instead of the cluster. Counts use [[ScaleProof.planExchanges]]
+  * (Exchange lines; ReusedExchange and InMemoryRelation-cached subtrees
+  * excluded — a cache builds once at plan time) on the pre-execution
   * physical plan; narrow queries pin to EXACTLY zero, shuffling queries
   * to a ceiling (AQE may plan fewer).
   *
@@ -19,9 +20,7 @@ class PlanGuardSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def exchanges(name: String): Int =
-    GraftQueries.queries(name)(spark, dir)
-      .queryExecution.executedPlan.toString.linesIterator
-      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    ScaleProof.planExchanges(GraftQueries.queries(name)(spark, dir))
 
   /** Queries whose plan must be completely narrow: any Exchange at all
     * is a regression (scan-speed operators at 100 TB).
@@ -84,11 +83,11 @@ class PlanGuardSpec extends SparkSpec {
     "ml_dup_spans" -> 3,       // gram count agg + gram join + id agg
     "ml_dup_spans_clean" -> 4, // dupSpans + span-table id agg; doc join broadcasts
     "ml_semantic_keep" -> 6,   // cluster-size agg + in-cluster self-join + anti
-    "ml_bm25_topk" -> 13,      // 10 executed, all post-broadcast-prune
-                               // (query-term-sized); tf persisted — ONE
-                               // corpus scan subtree, whose cached plan
-                               // PRINTS once per scan site (the
-                               // minhash_pairs accounting convention)
+    "ml_bm25_topk" -> 7,       // all post-broadcast-prune (query-term-
+                               // sized); tf persisted — ONE corpus scan
+                               // subtree, excluded from the count by
+                               // the tree traversal (r12: cached plans
+                               // are no longer double-booked)
     "ml_para_dedup" -> 5,      // digest distinct+count, anti-join, reassembly agg
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,
@@ -96,40 +95,43 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k
-    "ml_jaccard_pairs" -> 12,
-    "ml_minhash_pairs" -> 10,
+    "ml_jaccard_pairs" -> 8,
+    "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
+                               // from the count) + banded bucket joins
     "ml_minhash_signature" -> 1,
-    "ml_neardup_against" -> 16,
+    "ml_neardup_against" -> 10,
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_ngram_topk" -> 1,
     "ml_pack_chunks" -> 3,
     "ml_shuffle_layout" -> 1,
     "ml_simhash" -> 1,
-    "ml_simhash_pairs" -> 11,
+    "ml_simhash_pairs" -> 7,
     "ml_stratified_sample" -> 1,
-    "ml_unigram_logprob" -> 7,
-    "ml_bigram_logprob" -> 11, // two vocab aggs + vocab-keyed prob-table
-                               // joins + one gram-keyed doc join + id agg
+    "ml_unigram_logprob" -> 5, // fused one-pass count training (r12):
+                               // the persisted vocab table leaves only
+                               // the price join + per-doc agg live
+    "ml_bigram_logprob" -> 7,  // ONE fused+persisted gram-count pass
+                               // (r12) + vocab-keyed prob-table joins +
+                               // one gram-keyed doc join + id agg
                                // (occurrence shuffles carry 16-byte md5
                                // digests, not gram strings — r11)
-    "ml_lm_quantile" -> 12,    // the bigram-LM shape + the id join back;
-                               // the quantile threshold itself is a
-                               // plan-time scalar folded in as a literal
-                               // (no extra plan branch)
-    "ml_bigram_xent" -> 14,    // the same shape with a corpus-type
+    "ml_lm_quantile" -> 3,     // the LM subtree executes at plan-build
+                               // time behind the scores persist (r12) —
+                               // the RETURNED plan is two cache scans
+                               // joined; the threshold is a plan-time
+                               // scalar folded in as a literal
+    "ml_bigram_xent" -> 9,     // the bigram-LM shape with a corpus-type
                                // distinct + three LEFT prob-table joins
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg
     "ml_decontam_clean" -> 4,  // spans + span-table id agg; doc join broadcasts
-    "ml_pretrain_recipe" -> 55, // 5-stage composed recipe: the bigram-LM
-                               // stage's vocab joins + per-doc agg dominate;
-                               // DSIR contributes only TakeOrdered + the
-                               // left_semi keep (its scoring is narrow).
-                               // The corpus-training stages PERSIST their
-                               // input (one upstream derivation instead of
-                               // three; recipe 3.3→1.8 s at sf0.1), and a
-                               // cached subtree PRINTS once per scan site
-                               // (the bm25_topk accounting convention) —
-                               // 51 printed, far fewer executed
+    "ml_pretrain_recipe" -> 3, // 5-stage composed recipe: every corpus-
+                               // training stage (LM gate, DSIR models)
+                               // executes at plan-build time behind its
+                               // persist, so the RETURNED plan is cache
+                               // scans + the keep joins + TakeOrdered;
+                               // the training cost shows in wall time
+                               // (the honest metric), not in the
+                               // returned plan's exchange count
     "proc_geoip_enricher" -> 1,   // mmdb ranges broadcast-joined
     "proc_pseudonym_mapping" -> 1, // mapping side output aggregate
     "q10_rollup" -> 1,
