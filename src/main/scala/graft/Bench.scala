@@ -49,7 +49,13 @@ object Bench {
       "ml_semantic_keep" -> GraftQueries.queries("ml_semantic_keep"),
       // round-10 third-session surface: the composed pretrain recipe
       // (gopher gate → LM filter → DSIR selection → split)
-      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"))
+      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"),
+      // round-12 promotions: both were scale_x10-only, so a base-tier
+      // regression (like the r11 pointer-jump toll) was invisible in
+      // the per-round headline. The 10-query baseline subset is
+      // unchanged — these add to the 20-query headline only.
+      "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"),
+      "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>

@@ -323,22 +323,46 @@ object Curation {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 1024,
-                  alpha: Double = 1.0): DataFrame = {
+                  alpha: Double = 1.0): DataFrame =
+    dsirWeightsAndCount(raw, target, idCol, textCol, buckets, alpha)._1
+
+  /** [[dsirWeights]] plus the raw-corpus ROW COUNT, recovered from the
+    * same training aggregate instead of a separate `df.count()` pass:
+    * each raw row contributes one `-1` sentinel entry alongside its
+    * hashed features, so the bucket-model reduction (which already
+    * scans the corpus) counts documents for free — callers sizing a
+    * `fraction:` keep-set (CurationStages.dsirSample) save one full
+    * corpus pass at plan time. Bucket ids are non-negative, so the
+    * sentinel can never collide; null/feature-less texts still count
+    * (the sentinel rides a coalesce around the feature array).
+    */
+  def dsirWeightsAndCount(raw: DataFrame, target: DataFrame, idCol: String,
+                          textCol: String, buckets: Int = 1024,
+                          alpha: Double = 1.0): (DataFrame, Long) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     def featArr(text: Column): Column =
       concat(words(text), CorpusStats.ngramArray(text, 2))
-    // bounded driver reduction: ≤ `buckets` (bucket, count) rows
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
-      df.select(explode(featArr(col(textCol))).as("f"))
-        .select((Dedup.md5half(col("f"), 0) % buckets).as("b"))
+    // bounded driver reduction: ≤ `buckets`+1 (bucket, count) rows
+    def bucketCounts(df: DataFrame, docSentinel: Boolean): Map[Long, Long] = {
+      val bs = transform(featArr(col(textCol)),
+        f => Dedup.md5half(f, 0) % buckets)
+      val entries =
+        if (docSentinel)
+          concat(array(lit(-1L)),
+            coalesce(bs, array().cast("array<bigint>")))
+        else bs
+      df.select(explode(entries).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     // smoothed log-prob mirrors the oracle SQL token for token (same
     // literal structure, same association) for bit-identical doubles
     def logProb(c: Double, n: Double): Double =
       math.log((c + alpha) / (n + alpha * buckets))
-    val cr = bucketCounts(raw)
-    val ct = bucketCounts(target)
+    val crAll = bucketCounts(raw, docSentinel = true)
+    val nDocs = crAll.getOrElse(-1L, 0L)
+    val cr = crAll - (-1L)
+    val ct = bucketCounts(target, docSentinel = false)
     val nRaw = cr.values.sum.toDouble
     val nTgt = ct.values.sum.toDouble
     def ratio(crB: Long, ctB: Long): Double =
@@ -358,7 +382,7 @@ object Curation {
           transform(col("__f"), f =>
             coalesce(element_at(lut, Dedup.md5half(f, 0) % buckets), unseen)),
           lit(0.0), (acc, x) => acc + x), 6).as("log_weight"))
-    scored
+    (scored, nDocs)
   }
 
   /** Gumbel top-k importance resampling over [[dsirWeights]] output —

@@ -243,9 +243,15 @@ object Dedup {
     * hop per round (a 10k-doc chain = 10k rounds — the round-10 scale
     * watch-list item), while hop-then-jump at least doubles every
     * label's reach per round (the pointer-doubling argument; spec'd on
-    * a 1024-path converging in ≤ 2·log₂ rounds). Per round that costs
-    * one extra |V|-sized self-join shuffle — the classic
-    * large-star/small-star trade, bought with the same join primitives.
+    * a 1024-path converging in ≤ 2·log₂ rounds + the warm-up). Per
+    * round that costs one extra |V|-sized self-join shuffle — the
+    * classic large-star/small-star trade, bought with the same join
+    * primitives. The first `jumpFrom − 1` rounds are HOP-ONLY (r12):
+    * real near-dup graphs settle almost entirely within two
+    * propagation rounds (clusters are mostly pairs and triangles), so
+    * the warm-up skips the self-join where it cannot help, and long
+    * chains still get the doubling from round `jumpFrom` on — worst
+    * case grows by the constant warm-up length, not a factor.
     *
     * The convergence probe rides the SAME aggregate: the labels branch
     * carries its previous root as `old` (null on the propagation
@@ -254,7 +260,8 @@ object Dedup {
     * second join + action recomputing the round.
     */
   private[ml] def componentMins(ids: DataFrame, edges: DataFrame,
-                                maxRounds: Int): (DataFrame, Int) = {
+                                maxRounds: Int,
+                                jumpFrom: Int = 3): (DataFrame, Int) = {
     var labels = ids.select(col("id"))
       .withColumn("root", col("id")).persist()
     val rootType = labels.schema("root").dataType
@@ -271,16 +278,31 @@ object Dedup {
         .union(prop.withColumn("old", lit(null).cast(rootType)))
         .groupBy(col("id"))
         .agg(min(col("root")).as("root"), min(col("old")).as("old"))
-        .persist() // read twice below (both sides of the jump self-join)
-      val next = stepped.alias("x")
-        .join(stepped.select(col("id").as("__jid"),
-          col("root").as("__jroot")).alias("y"),
-          col("x.root") === col("y.__jid"))
-        .select(col("x.id").as("id"), col("__jroot").as("root"),
-          col("x.old").as("old"))
-        .persist()
+        .persist() // read once per convergence probe; twice when jumping
+      // Rounds before `jumpFrom` are hop-only: real near-dup graphs are
+      // dominated by tiny-diameter clusters (pairs, triangles) that
+      // propagation alone settles in 2 rounds, so the warm-up skips the
+      // jump self-join's extra |V|-shuffle where it buys nothing (~12%
+      // of nearDupKeep at sf0.1, the r11 toll). Long chains still get
+      // log-diameter treatment from round `jumpFrom` on — the warm-up
+      // adds at most jumpFrom−1 rounds to the worst case. Convergence
+      // stays sound in both regimes: hop-unchanged means every node's
+      // root is ≤ all its neighbors' roots, which by symmetry makes
+      // adjacent roots EQUAL — a component-uniform labeling whose value
+      // must be the component min (roots are component ids, and the min
+      // node's root is itself), with or without prior jumps.
+      val jumping = round + 1 >= jumpFrom
+      val next =
+        if (!jumping) stepped
+        else stepped.alias("x")
+          .join(stepped.select(col("id").as("__jid"),
+            col("root").as("__jroot")).alias("y"),
+            col("x.root") === col("y.__jid"))
+          .select(col("x.id").as("id"), col("__jroot").as("root"),
+            col("x.old").as("old"))
+          .persist()
       val changed = next.filter(col("root") =!= col("old")).limit(1).count()
-      stepped.unpersist(blocking = false)
+      if (jumping) stepped.unpersist(blocking = false)
       backing.unpersist(blocking = false)
       if (changed != 0) {
         // truncate lineage EVERY round: a round's plan references the

@@ -186,6 +186,32 @@ object CurationStages {
   private def textField(c: Map[String, Any]): String =
     str(c, "text_field", "text")
 
+  /** Stage-input sharing for the plan-time-training stages
+    * (perplexity_score, dsir_sample): the training passes and the
+    * returned plan all read the composed stage input, so in a COMPOSED
+    * pipeline each reader would re-derive every upstream stage.
+    *
+    * Default: lazy executor cache (`persist`, MEMORY_AND_DISK) — right
+    * for anything that fits the cluster's cache tier, and safe under
+    * eviction (an evicted block re-executes its lineage).
+    *
+    * `materialize: path`: write the composed input to parquet at `path`
+    * and hand every reader the scan — the 100 TB form, where pinning
+    * the corpus in executor memory/disk cache is the wrong tool and a
+    * storage round-trip is cheaper than N upstream re-derivations. The
+    * caller owns the path's lifecycle (same contract as dedup_ingest's
+    * `store:`); an existing path is overwritten, so a re-run converges
+    * rather than appending.
+    */
+  private def stagedInput(df0: DataFrame, c: Map[String, Any]): DataFrame =
+    c.get("materialize") match {
+      case Some(p) =>
+        val path = p.toString
+        df0.write.mode("overwrite").parquet(path)
+        df0.sparkSession.read.parquet(path)
+      case None => df0.persist()
+    }
+
   // ---- quality_signals ----------------------------------------------
   //
   // Adds per-document text-quality columns (prefix configurable,
@@ -383,15 +409,15 @@ object CurationStages {
   // input corpus).
 
   private def perplexityScore(df0: DataFrame, c: Map[String, Any]): DataFrame = {
-    // persist the input once (batch-only stage): the LM reads its
-    // corpus through several plan branches (token agg, bigram agg, the
-    // score join), and in a COMPOSED pipeline each branch would
-    // re-derive every upstream stage. Lazy persist, the minhashPairs
-    // convention — the first aggregate materializes it, CacheSweep (or
-    // session end) releases it, and an evicted/unpersisted cache
-    // RE-EXECUTES safely (a localCheckpoint here would die on
-    // re-execution after a sweep: truncated lineage, dropped blocks).
-    val df = df0.persist()
+    // share the input once (batch-only stage): the LM reads its corpus
+    // through several plan branches (count agg, score join), and in a
+    // COMPOSED pipeline each branch would re-derive every upstream
+    // stage. Default lazy persist (the minhashPairs convention — the
+    // first aggregate materializes it, CacheSweep releases it, and an
+    // evicted cache RE-EXECUTES safely; a localCheckpoint here would
+    // die on re-execution after a sweep); `materialize: path` spills
+    // to parquet instead — see stagedInput.
+    val df = stagedInput(df0, c)
     val id = idField(c, "perplexity_score")
     val prefix = str(c, "prefix", "lm_")
     val clash = Seq(prefix + "n_bigrams", prefix + "logprob")
@@ -487,12 +513,11 @@ object CurationStages {
   // keep the top-k Gumbel-perturbed rows. Whole-corpus by construction.
 
   private def dsirSample(df0: DataFrame, c: Map[String, Any]): DataFrame = {
-    // persist the input once: the two plan-time bucket-model aggregates
-    // plus the scoring pass would otherwise re-derive every upstream
-    // stage three times (batch-only stage; the perplexity_score note —
-    // lazy persist, never localCheckpoint, so re-execution after a
-    // cache sweep recomputes instead of dying)
-    val df = df0.persist()
+    // share the input once: the plan-time bucket-model aggregates plus
+    // the scoring pass would otherwise re-derive every upstream stage
+    // (batch-only stage; the perplexity_score note — lazy persist by
+    // default, `materialize: path` spills to parquet instead)
+    val df = stagedInput(df0, c)
     val id = idField(c, "dsir_sample")
     val text = textField(c)
     val target = (c.get("target_filter"), c.get("target")) match {
@@ -509,23 +534,23 @@ object CurationStages {
         "dsir_sample stage needs `target: {path, text_field}` or " +
         "`target_filter`")
     }
-    val weights = Curation.dsirWeights(df, target, id, text,
+    val (weights, nDocs) = Curation.dsirWeightsAndCount(df, target, id, text,
       buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
     // `k:` — absolute sample size ("select 150 exemplar-like docs");
     // `fraction:` — relative size k = ceil(fraction·n), the scale-safe
     // form for recipes that must keep output proportional to input (an
     // absolute k on a 10× corpus silently becomes 10× more selective).
-    // The count is a plan-time action on the ALREADY-persisted stage
-    // input, in keeping with the stage's plan-time bucket-model
-    // training; top-k itself is TakeOrderedAndProject (per-partition
-    // heads merged on the driver), never a global sort.
+    // The count comes back WITH the bucket-model training aggregate
+    // (sentinel-entry fold, r12) — no separate plan-time count pass;
+    // top-k itself is TakeOrderedAndProject (per-partition heads merged
+    // on the driver), never a global sort.
     val k = (c.get("k"), c.get("fraction")) match {
       case (Some(kv), _) => kv.toString.toInt
       case (None, Some(f)) =>
         val fd = f.toString.toDouble
         require(fd > 0.0 && fd <= 1.0,
           s"dsir_sample fraction must be in (0,1], got $fd")
-        val n = math.ceil(fd * df.count())
+        val n = math.ceil(fd * nDocs)
         require(n <= Int.MaxValue,
           "dsir_sample fraction·n exceeds Int.MaxValue — use hash_split " +
             "or weighted_sample for keep-sets this large")

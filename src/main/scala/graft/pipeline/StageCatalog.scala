@@ -645,7 +645,7 @@ object StageCatalog {
           |    min_logprob_quantile: 0.1"""),
       schemaKind = "documents",
       oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. Two vocabulary-sized count aggregates; the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes)."),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle)."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:
@@ -657,7 +657,7 @@ object StageCatalog {
           |      path: "/root/testdata/sf0.001/documents.parquet"
           |      text_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_dsir_weights", "ml_dsir_sample"),
-      notes = "`target_filter` (filter DSL) selects an in-corpus exemplar subset instead of an external table. Sample size is `k:` (absolute) or `fraction:` (relative — k = ceil(fraction*n), the scale-safe form when output must stay proportional to input). Bucket count tables are driver-small and broadcast; the raw corpus is never shuffled beyond one per-doc aggregate; selection is TakeOrdered (per-partition heaps), never a global sort."),
+      notes = "`target_filter` (filter DSL) selects an in-corpus exemplar subset instead of an external table. Sample size is `k:` (absolute) or `fraction:` (relative — k = ceil(fraction*n), the scale-safe form when output must stay proportional to input; n comes back with the bucket-model training aggregate, not a separate count pass). Bucket count tables are driver-small and broadcast; the raw corpus is never shuffled beyond one per-doc aggregate; selection is TakeOrdered (per-partition heaps), never a global sort. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead (the 100 TB form; caller owns the path's lifecycle)."),
     StageDoc("decontaminate", "curation",
       "Positional benchmark decontamination: cut every token span covered by a k-gram that also occurs in the benchmark table (the surgery counterpart of contamination_filter).",
       y("""pipeline:

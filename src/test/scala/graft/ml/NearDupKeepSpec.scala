@@ -67,6 +67,36 @@ class NearDupKeepSpec extends SparkSpec {
     edges.unpersist(blocking = false)
   }
 
+  test("componentMins: hop-only warm-up converges small clusters without " +
+      "ever jumping; results match across jumpFrom settings") {
+    import spark.implicits._
+    // pair + triangle + singleton: everything settles within the default
+    // 2-round warm-up, so convergence must be detected in a hop-only
+    // round (the pre-jump invariant: hop-unchanged ⟹ component-uniform
+    // roots) — 3 rounds total (2 doing work + 1 confirming), never more
+    val ids = Seq(1L, 2L, 5L, 6L, 7L, 42L).toDF("id")
+    val fwd = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    val (settled, rounds) = Dedup.componentMins(ids, edges, maxRounds = 20)
+    val m = settled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L,
+      42L -> 42L), s"got $m")
+    assert(rounds <= 3, s"tiny clusters must settle in the warm-up: $rounds")
+    // the gate changes WHEN jumping starts, never the fixed point: a
+    // 10-path under jump-always (jumpFrom=1), the default warm-up, and
+    // hop-only (jumpFrom > maxRounds) lands on identical labels
+    val pids = (0 until 10).map(_.toLong).toDF("id")
+    val pfwd = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val pedges = pfwd.union(pfwd.select(col("b").as("a"), col("a").as("b")))
+    val results = Seq(1, 3, 100).map { jf =>
+      Dedup.componentMins(pids, pedges, maxRounds = 50, jumpFrom = jf)
+        ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(results.forall(_ == results.head),
+      s"jumpFrom must not change the fixed point: $results")
+    assert(results.head.values.forall(_ == 0L))
+  }
+
   test("componentMins: disjoint components keep independent mins; singletons self-root") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")

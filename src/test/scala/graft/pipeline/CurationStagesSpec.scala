@@ -676,6 +676,45 @@ class CurationStagesSpec extends SparkSpec {
     assert(scans >= 2, s"expected the input AND scores caches in-plan:\n$plan")
   }
 
+  test("materialize: the training stages spill the composed input to " +
+      "parquet instead of executor cache, results identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-materialize").toString
+    // perplexity_score: same scores either way; the materialized plan
+    // reads the parquet snapshot (no InMemoryTableScan of the input)
+    val cached = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("lm_logprob")).toMap
+    val mat = run(
+      s"""pipeline:
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    materialize: $dir/lm_input
+         |""".stripMargin, docs)
+    val matScores = mat.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("lm_logprob")).toMap
+    assert(matScores === cached)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "lm_input")), "snapshot written")
+    // dsir_sample fraction form: the count comes off the snapshot too
+    val kept = run(
+      s"""pipeline:
+         |  - type: dsir_sample
+         |    id_field: doc_id
+         |    text_field: text
+         |    fraction: 0.5
+         |    target_filter: "source:books"
+         |    materialize: $dir/dsir_input
+         |""".stripMargin, docs)
+    assert(kept.count() === 4) // ceil(0.5*7), same as the cached form
+  }
+
   test("dsir_sample stage: fraction form keeps ceil(fraction*n) rows") {
     val out = run(
       """pipeline:
