@@ -450,10 +450,15 @@ object CorpusStats {
       .select(col("gd"), col("c").as("c2"))
     val big = corpus.select(col(idCol).as("id"),
       explode(ngramArray(col(textCol), 2)).as("g"))
-      .select(col("id"), unhex(md5(col("g"))).as("gd"), col("g"))
-    // type table: digest-keyed distinct (map-side combined — TYPE-sized
-    // shuffle), one representative gram string per type for pricing
-    val types = big.groupBy(col("gd")).agg(first(col("g")).as("g"))
+      .select(col("id"), unhex(md5(col("g"))).as("gd"))
+    // type table: text-keyed distinct (map-side combined — TYPE-sized
+    // shuffle), digest projected AFTER — a `first(g)` rider would
+    // demote this corpus-occurrence-sized pass from HashAggregate to
+    // SortAggregate (the fusedGramCounts finding), where a bare
+    // distinct keeps the hash fast path with an empty buffer
+    val types = corpus
+      .select(explode(ngramArray(col(textCol), 2)).as("g")).distinct()
+      .select(unhex(md5(col("g"))).as("gd"), col("g"))
       .withColumn("__w1", element_at(split(col("g"), " "), 1))
       .withColumn("__w2", element_at(split(col("g"), " "), 2))
     // per-TYPE price, mirrored token for token in the oracle SQL
