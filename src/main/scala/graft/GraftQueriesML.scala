@@ -2007,6 +2007,66 @@ object GraftQueriesML {
           FROM lm CROSS JOIN thr WHERE lm_logprob >= thr"""
     })
 
+  // ======================================================================
+  // Embedding-space clustering for curation
+  // ======================================================================
+
+  /** DuckDB CTE chain replaying [[Similarity.kmeansCentroids]]'s exact
+    * trajectory: hash-partition init means, then `iters` rounds of
+    * (argmin-assign → per-cluster means), every centroid coordinate
+    * rounded to 6 decimals in both engines so the argmin distances
+    * compute from bit-identical inputs. Ends with table `af(vec_id, c)`,
+    * the final assignment.
+    */
+  private def kmeansSql(k: Int, dim: Int, iters: Int): String = {
+    def sqDist(cenTbl: String) =
+      s"""list_aggregate(list_transform(range($dim),
+           i -> (e.v[i+1]-$cenTbl.cen[i+1])*(e.v[i+1]-$cenTbl.cen[i+1])), 'sum')"""
+    def assign(name: String, cenTbl: String) =
+      s"""$name AS (SELECT vec_id, c FROM (
+            SELECT e.vec_id, $cenTbl.c, row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY ${sqDist(cenTbl)} ASC, $cenTbl.c ASC) AS rn
+            FROM e CROSS JOIN $cenTbl) WHERE rn = 1)"""
+    val rounds = (1 to iters).map { r =>
+      s"""${assign(s"a$r", s"c${r - 1}")},
+          m$r AS (SELECT a$r.c AS c, i, round(avg(e.v[i+1]), 6) AS x
+            FROM a$r JOIN e USING (vec_id), unnest(range($dim)) AS u(i)
+            GROUP BY a$r.c, i),
+          cm$r AS (SELECT c, list(x ORDER BY i) AS cen FROM m$r GROUP BY c),
+          c$r AS (SELECT c${r - 1}.c, coalesce(cm$r.cen, c${r - 1}.cen) AS cen
+            FROM c${r - 1} LEFT JOIN cm$r ON cm$r.c = c${r - 1}.c)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = $dim
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        m0 AS (SELECT CAST(vec_id % $k AS INT) AS c, i,
+            round(avg(v[i+1]), 6) AS x
+          FROM e, unnest(range($dim)) AS u(i) GROUP BY c, i),
+        c0 AS (SELECT c, list(x ORDER BY i) AS cen FROM m0 GROUP BY c),
+        $rounds,
+        ${assign("af", s"c$iters")}"""
+  }
+
+  private val mKmeans = Spec("ml_kmeans_assign",
+    (s, dir) => Similarity.kmeansAssign(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, dim = 64, iters = 2),
+    Some(kmeansSql(8, 64, 2) +
+      " SELECT vec_id, CAST(c AS INT) AS cluster FROM af"))
+
+  private val mClusterSample = Spec("ml_cluster_sample",
+    (s, dir) => Similarity.clusterSample(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, dim = 64, iters = 1, perCluster = 5)
+      .select(col("vec_id"), col("cluster")),
+    Some(kmeansSql(8, 64, 1) +
+      """ SELECT vec_id, cluster FROM (
+            SELECT vec_id, CAST(c AS INT) AS cluster, row_number() OVER (
+              PARTITION BY c
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM af) WHERE rn <= 5"""))
+
   // ----------------------------------------------------------------------
 
   val all: Seq[Spec] = Seq(
@@ -2027,5 +2087,5 @@ object GraftQueriesML {
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mSq8, mSq8TopK,
-    mCorpusProfile)
+    mCorpusProfile, mKmeans, mClusterSample)
 }

@@ -274,6 +274,100 @@ object Similarity {
     centroids
   }
 
+  /** Round half away from zero at 6 decimals on the scaled double —
+    * the arithmetic DuckDB's `round(x, 6)` performs on DOUBLE, so both
+    * engines snap k-means centroids to the SAME double and downstream
+    * argmin distances compute from identical inputs.
+    */
+  private def round6(x: Double): Double = {
+    val s = x * 1e6
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / 1e6
+  }
+
+  /** Rows [[kmeansAssign]] trains on and assigns: well-formed vectors of
+    * the declared dim (no null array, no null elements, exact length).
+    * Malformed rows are excluded from BOTH training and output — a null
+    * bucket key would poison the driver fold, and the oracle applies the
+    * same predicate.
+    */
+  private def kmeansClean(corpus: DataFrame, v: Column): DataFrame =
+    corpus.filter(v.isNotNull && !exists(v, x => x.isNull))
+
+  /** Deterministic distributed Lloyd k-means: init centroid `j` = the
+    * elementwise mean of vectors whose `pmod(id, k) = j` (a hash-partition
+    * init — no RNG, no order dependence), then `iters` rounds of
+    * broadcast-argmin assignment (squared L2, first-wins ties — the
+    * [[assignNearestL2]] kernel) → per-cluster elementwise mean. Every
+    * centroid coordinate snaps to 6 decimals ([[round6]]) after each
+    * update so an independent engine reproduces the exact trajectory —
+    * this is the oracle-checkable complement of [[trainCentroids]]
+    * (maximin cosine seeding, better clusters, but seeded from a sample
+    * whose content-addressed order no SQL oracle reproduces cheaply).
+    *
+    * Scale: each round is ONE map-side-combined aggregate over the corpus
+    * ([[vecSum]] — a single array-typed aggregate column), returning
+    * k×dim doubles to the driver regardless of corpus size; the final
+    * assignment is a narrow codegen projection. `iters + 1` scans total,
+    * no shuffle wider than k rows. An empty cluster keeps its previous
+    * centroid (the [[trainCentroids]] convention).
+    */
+  private[ml] def kmeansCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, iters: Int): Seq[Seq[Double]] = {
+    require(k > 0 && dim > 0 && iters >= 0, "kmeansCentroids: bad geometry")
+    val v = col(vecCol).cast("array<double>")
+    val clean = kmeansClean(corpus, v).filter(size(v) === dim)
+    def roundedMeans(bucket: Column,
+        prev: Option[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+      val agg = clean.groupBy(bucket.cast("int").as("b"))
+        .agg(count(lit(1)).as("n"), vecSum(v, dim).as("vs"))
+        .collect()
+      (0 until k).map { b =>
+        agg.find(r => !r.isNullAt(0) && r.getInt(0) == b) match {
+          case Some(row) if row.getLong(1) > 0 =>
+            val n = row.getLong(1).toDouble
+            row.getSeq[Double](2).map(x => round6(x / n))
+          case _ => prev.map(_(b)).getOrElse(Seq.fill(dim)(0.0))
+        }
+      }
+    }
+    var cen = roundedMeans(pmod(col(idCol), lit(k)), None)
+    for (_ <- 1 to iters) cen = roundedMeans(assignNearestL2(v, cen), Some(cen))
+    cen
+  }
+
+  /** Cluster assignment for every well-formed vector after
+    * [[kmeansCentroids]] training: (id, cluster). The curation
+    * entry-point for embedding-space clustering — topic balancing,
+    * diversity mixing, per-cluster quality audits.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int, iters: Int = 1): DataFrame = {
+    val cen = kmeansCentroids(corpus, idCol, vecCol, k, dim, iters)
+    val v = col(vecCol).cast("array<double>")
+    kmeansClean(corpus, v).filter(size(v) === dim)
+      .select(col(idCol),
+        assignNearestL2(v, cen).cast("int").as("cluster"))
+  }
+
+  /** Cluster-balanced diversity sample: k-means the embedding space
+    * ([[kmeansAssign]]), then keep at most `perCluster` rows per cluster
+    * chosen by content-addressed pseudo-random order
+    * ([[Curation.stratifiedSample]] — md5 of the id). Guarantees every
+    * region of embedding space survives a downsample instead of letting
+    * the head clusters crowd out the tail — the embedding-space
+    * counterpart of source-stratified sampling. One shuffle on the
+    * cluster key; the per-cluster limit executes as a group limit below
+    * the sort (WindowGroupLimit), so no cluster is ever fully sorted.
+    */
+  def clusterSample(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, iters: Int, perCluster: Int): DataFrame = {
+    val cen = kmeansCentroids(corpus, idCol, vecCol, k, dim, iters)
+    val v = col(vecCol).cast("array<double>")
+    val assigned = kmeansClean(corpus, v).filter(size(v) === dim)
+      .withColumn("cluster", assignNearestL2(v, cen).cast("int"))
+    Curation.stratifiedSample(assigned, Seq("cluster"), idCol, perCluster)
+  }
+
   /** Materialize an IVF index: the corpus written partitioned by its
     * centroid bucket. At query time [[ivfReadTopK]]'s bucket filter
     * becomes a PARTITION FILTER on this layout — a 100 TB corpus scan

@@ -46,7 +46,8 @@ object CurationStages {
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
-    "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate")
+    "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
+    "cluster_sample")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -61,7 +62,7 @@ object CurationStages {
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
-    "perplexity_score", "dsir_sample", "decontaminate")
+    "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -161,6 +162,21 @@ object CurationStages {
       case "perplexity_score" => perplexityScore(pre, c)
       case "dsir_sample" => dsirSample(pre, c)
       case "decontaminate" => decontaminate(pre, c)
+      case "cluster_sample" =>
+        // Cluster-balanced diversity sample (ml/Similarity.clusterSample):
+        // deterministic k-means over the embedding column, then a
+        // content-addressed per-cluster cap — every embedding-space
+        // region survives a downsample. Training is iters+1 map-side-
+        // combined aggregates (k×dim doubles to the driver each); the
+        // cap is one shuffle on the cluster key with a group limit.
+        val vec = str(c, "vec_field", "embedding")
+        require(pre.columns.contains(vec),
+          s"cluster_sample: no `$vec` column (set vec_field)")
+        graft.ml.Similarity.clusterSample(pre,
+          idField(c, "cluster_sample"), vec,
+          k = int(c, "k", 8), dim = int(c, "dim", 64),
+          iters = int(c, "iters", 1),
+          perCluster = int(c, "per_cluster", 1000))
       case other => throw new IllegalArgumentException(s"not curation: $other")
     }
   }

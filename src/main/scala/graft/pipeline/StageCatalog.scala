@@ -534,6 +534,19 @@ object StageCatalog {
           |    target_field: pca"""),
       schemaKind = "embeddings", oracle = Seq("ml_embed_covariance"),
       notes = "Training is ONE map-side-combined moment aggregate (dim^2 doubles to the driver - the distributed kernel is the oracle-gated ml_embed_covariance); the eigensolve is driver-local Jacobi (model-sized, corpus-independent) and the projection a narrow native kernel carrying basis+mean as plan references. Malformed vectors project to null."),
+    StageDoc("cluster_sample", "curation",
+      "Cluster-balanced diversity sample: deterministic k-means over the embedding column, then at most per_cluster rows kept per cluster (content-addressed order) - every embedding-space region survives a downsample.",
+      y("""pipeline:
+          |  - type: cluster_sample
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    k: 8
+          |    dim: 64
+          |    iters: 1
+          |    per_cluster: 1000"""),
+      schemaKind = "embeddings",
+      oracle = Seq("ml_kmeans_assign", "ml_cluster_sample"),
+      notes = "Lloyd k-means with hash-partition init and 6-decimal centroid snapping (the oracle replays the exact trajectory in SQL). Training is iters+1 map-side-combined aggregates, k*dim doubles to the driver each - corpus-size-independent driver state; assignment is a narrow native argmin kernel (centroids ride as ONE plan reference) and the per-cluster cap plans as WindowGroupLimit below the sort. Malformed vectors (wrong dim, null elements) are excluded from training AND output."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:

@@ -1,0 +1,105 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic (oracle-checkable) Lloyd k-means + cluster-balanced
+  * sampling: hash-partition init, 6-decimal centroid snapping, squared-L2
+  * first-wins assignment.
+  */
+class KmeansSpec extends SparkSpec {
+
+  /** Two tight blobs far apart on dim 0 — any sane k=2 run separates
+    * them regardless of init.
+    */
+  private def blobs = {
+    import spark.implicits._
+    val a = (0 until 10).map(i => (i.toLong, Seq(0.0 + i * 0.01, 1.0, 0.0)))
+    val b = (10 until 20).map(i => (i.toLong, Seq(9.0 + i * 0.01, 1.0, 0.0)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("kmeansAssign separates well-separated blobs and is deterministic") {
+    val r1 = Similarity.kmeansAssign(blobs, "vec_id", "embedding",
+      k = 2, dim = 3, iters = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r2 = Similarity.kmeansAssign(blobs, "vec_id", "embedding",
+      k = 2, dim = 3, iters = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 == r2, "same input must give the same assignment")
+    val left = (0L until 10L).map(r1)
+    val right = (10L until 20L).map(r1)
+    assert(left.toSet.size == 1 && right.toSet.size == 1,
+      s"each blob should land in one cluster: $r1")
+    assert(left.head != right.head, "blobs should be in different clusters")
+  }
+
+  test("malformed vectors are excluded from training and output") {
+    import spark.implicits._
+    val bad = Seq(
+      (100L, null.asInstanceOf[Seq[Double]]),      // null array
+      (101L, Seq(1.0))).toDF("vec_id", "embedding") // wrong dim
+    // a true null ELEMENT needs SQL (a Scala Seq[Double] can't hold one)
+    val withNullElem = spark.sql(
+      "SELECT 102L AS vec_id, array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS embedding")
+    val df = blobs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(bad.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")))
+      .unionByName(withNullElem)
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      k = 2, dim = 3, iters = 1)
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 20L).toSet,
+      s"malformed rows must not appear in the output: $ids")
+  }
+
+  test("empty cluster keeps its previous centroid") {
+    // all points identical → after iter 1 every point assigns to one
+    // cluster; the other k-1 clusters go empty and must keep their
+    // (init) centroids without an NPE or a fabricated zero vector
+    import spark.implicits._
+    val df = (0L until 12L).map(i => (i, Seq(5.0, 5.0))).toDF("vec_id", "embedding")
+    val cen = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 4, dim = 2, iters = 3)
+    assert(cen.length == 4)
+    assert(cen.forall(_ == Seq(5.0, 5.0)),
+      s"identical points: every bucket mean is the point itself: $cen")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      k = 4, dim = 2, iters = 3).select("cluster").distinct().collect()
+    assert(out.length == 1, "identical points must share one cluster")
+  }
+
+  test("clusterSample keeps at most perCluster rows per cluster") {
+    val out = Similarity.clusterSample(blobs, "vec_id", "embedding",
+      k = 2, dim = 3, iters = 1, perCluster = 3)
+    val sizes = out.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 3), s"cluster over cap: $sizes")
+    assert(sizes.values.sum == 6L, s"both 10-row blobs should cap at 3: $sizes")
+    // deterministic membership (content-addressed order)
+    val a = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val b = Similarity.clusterSample(blobs, "vec_id", "embedding",
+        k = 2, dim = 3, iters = 1, perCluster = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("assignment plan is a narrow projection; training rounds are single aggregates") {
+    // the returned plan must carry no join and no Window — the centroids
+    // ride as one plan reference inside the PqEncodeExpr kernel
+    val plan = Similarity.kmeansAssign(blobs, "vec_id", "embedding",
+      k = 2, dim = 3, iters = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("clusterSample plan: one shuffle on the cluster key, group-limited window") {
+    val plan = Similarity.clusterSample(blobs, "vec_id", "embedding",
+        k = 2, dim = 3, iters = 1, perCluster = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cluster cap should push below the sort as a group limit:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"clusterSample should shuffle only on the cluster key:\n$plan")
+  }
+}

@@ -992,4 +992,42 @@ class CurationStagesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("cluster_sample stage: per-cluster cap over plan-time k-means; batch-only") {
+    val s = spark
+    import s.implicits._
+    // two separable blobs, 12 rows each
+    val emb = (0 until 24).map { i =>
+      val base = if (i < 12) 0.0 else 50.0
+      (i.toLong, Seq((base + (i % 12) * 0.1).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val out = run(
+      """pipeline:
+        |  - type: cluster_sample
+        |    id_field: vec_id
+        |    vec_field: embedding
+        |    k: 2
+        |    dim: 2
+        |    iters: 2
+        |    per_cluster: 4
+        |""".stripMargin, emb)
+    assert(out.columns.contains("cluster"))
+    val sizes = out.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 4), s"cap exceeded: $sizes")
+    assert(sizes.values.sum == 8L, s"both blobs should cap at 4: $sizes")
+    // missing vector column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: cluster_sample\n    id_field: vec_id\n    vec_field: nope\n", emb)
+    }
+    assert(e.getMessage.contains("nope"))
+    // whole-corpus semantics: refused on a streaming input at compile time
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val se = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: cluster_sample\n    id_field: vec_id\n    vec_field: embedding\n",
+        mem.toDF().toDF("vec_id", "embedding"))
+    }
+    assert(se.getMessage.contains("cluster_sample"))
+  }
 }
