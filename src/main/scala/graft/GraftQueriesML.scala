@@ -320,6 +320,55 @@ object GraftQueriesML {
           SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""
     })
 
+  private val mKnnGraph = Spec("ml_knn_graph",
+    (s, dir) => Similarity.knnGraph(t(s, dir, "embeddings"),
+      "vec_id", "embedding",
+      lshBandPlanes(NdBands, NdPlanesPerBand, 64), k = 3,
+      maxBucketSize = NdCap),
+    Some {
+      val bandPlanes = lshBandPlanes(NdBands, NdPlanesPerBand, 64)
+      def keySql(planes: Seq[Seq[Double]]): String = planes.map { p =>
+        val lst = p.mkString("[", ",", "]")
+        val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
+        s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      val sigCols = bandPlanes.zipWithIndex
+        .map { case (p, b) => s"${keySql(p)} AS k$b" }.mkString(",\n              ")
+      val bandUnion = bandPlanes.indices
+        .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
+        .mkString("\n              UNION ALL ")
+      val normExpr = "sqrt(list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), 'sum'))"
+      s"""WITH sig AS (SELECT vec_id,
+              $sigCols
+            FROM embeddings),
+          un AS (SELECT vec_id,
+              CASE WHEN $normExpr > 0
+                THEN list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) / $normExpr)
+                ELSE list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) END AS u
+            FROM embeddings),
+          banded AS (
+            SELECT * FROM (
+              $bandUnion)
+            QUALIFY count(*) OVER (PARTITION BY band, key) <= $NdCap),
+          cand AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+          scored AS (
+            SELECT cand.a, cand.b,
+              ROUND(list_aggregate(list_transform(range(64),
+                i -> ua.u[i+1]*ub.u[i+1]), 'sum'), 6) AS sim
+            FROM cand JOIN un ua ON ua.vec_id = cand.a
+                      JOIN un ub ON ub.vec_id = cand.b),
+          edges AS (
+            SELECT a AS src, b AS dst, sim FROM scored
+            UNION ALL SELECT b AS src, a AS dst, sim FROM scored)
+          SELECT src, CAST(rank AS INT) AS rank, dst, sim FROM (
+            SELECT src, dst, sim, row_number() OVER (
+              PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
+            FROM edges) WHERE rank <= 3"""
+    })
+
   private val mIvf = Spec("ml_embed_ivf_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2087,5 +2136,5 @@ object GraftQueriesML {
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mSq8, mSq8TopK,
-    mCorpusProfile, mKmeans, mClusterSample)
+    mCorpusProfile, mKmeans, mClusterSample, mKnnGraph)
 }

@@ -1085,6 +1085,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Approximate k-NN graph over the whole corpus: every node's top-`k`
+    * cosine neighbors AMONG its banded-LSH candidates
+    * ([[cosineNearDupPairs]] with the threshold gate open — candidate
+    * generation, capping, and one-scoring-per-pair are shared, not
+    * reimplemented). The standard seed structure for NN-descent
+    * refinement, graph-based semantic dedup, and label propagation; an
+    * exact all-pairs graph is O(n²) by definition, so the LSH candidate
+    * set IS the scale path (recall tunable via bands × planes, the
+    * [[cosineNearDupPairs]] analysis).
+    *
+    * Each undirected candidate pair contributes both directed edges;
+    * per-node top-k is a row_number window over (sim desc, dst asc) —
+    * rank ≤ k executes as a WindowGroupLimit (per-partition heaps), and
+    * the partition key `src` is bounded by the bucket cap, so no node
+    * ever funnels an unbounded edge list through one task. Deterministic:
+    * sims round to 6 before ranking, ties break on the neighbor id.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               bandPlanes: Seq[Seq[Seq[Double]]], k: Int,
+               maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, bandPlanes,
+      threshold = -1.0, maxBucketSize)
+    // both directed edges from ONE pass over the scored pairs (a unionAll
+    // of two selects over `pairs` would re-run the candidate join and the
+    // scoring — the double-execution the quantile gate was flagged for)
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"), col("sim"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
   // ======================================================================
   // PCA / whitening
   // ======================================================================
