@@ -44,6 +44,10 @@ class PlanGuardSpec extends SparkSpec {
     "ml_token_budget_sample",
     "ml_pii_redact", "ml_chunk_spans", "ml_embed_lsh_bucket",
     "ml_embed_pq_encode", "ml_embed_sq8",
+    // k-means training collects per-round (bounded k×dim reductions, the
+    // bpe_merges convention); the returned assignment is one narrow
+    // native-argmin projection over a pushed-down scan
+    "ml_kmeans_assign",
     "ml_classifier_margin", "ml_multimodal_decode",
     "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",
     "ml_multimodal_image", "ml_multimodal_pixels",
@@ -95,7 +99,11 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k
+    "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
+                               // is a WindowGroupLimit below the sort)
     "ml_jaccard_pairs" -> 8,
+    "ml_knn_graph" -> 10,      // the embed_neardup candidate machinery
+                               // + the per-node top-k window shuffle
     "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
                                // from the count) + banded bucket joins
     "ml_minhash_signature" -> 1,
