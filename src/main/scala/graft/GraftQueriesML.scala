@@ -171,36 +171,48 @@ object GraftQueriesML {
          WHERE $simExpr >= 0.5"""
     })
 
+  /** DuckDB CTE chain through `roots(id, root)` — the TRUE transitive
+    * closure of the 4×3-band near-dup graph (recursive CTE), so any
+    * query over it also verifies the Spark side's propagation CONVERGED.
+    * Shared by the keep and clusters oracles.
+    */
+  private def nearDupRootsSql: String = {
+    val bandExprs = (0 until 4).map { b =>
+      val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val simExpr = """round(CAST(len(list_intersect(la.s, rb.s)) AS DOUBLE)
+               / len(list_distinct(la.s || rb.s)), 6)"""
+    minhashSigSql(12).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+       bands AS ($bandExprs),
+       cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       pairs AS (SELECT a, b
+         FROM cand JOIN sh la ON la.doc_id = a JOIN sh rb ON rb.doc_id = b
+         WHERE $simExpr >= 0.5),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+         UNION
+         SELECT e.b AS id, reach.r AS r
+         FROM reach JOIN edges e ON e.a = reach.id),
+       roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)"""
+  }
+
   private val mNearDupKeep = Spec("ml_neardup_keep",
     (s, dir) => Dedup.nearDupKeep(t(s, dir, "documents"), "doc_id", "text",
         bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
       .orderBy("doc_id"),
-    Some {
-      // the DuckDB mirror computes the TRUE transitive closure (recursive
-      // CTE), so it also verifies the Spark side's propagation CONVERGED
-      val bandExprs = (0 until 4).map { b =>
-        val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      val simExpr = """round(CAST(len(list_intersect(la.s, rb.s)) AS DOUBLE)
-                 / len(list_distinct(la.s || rb.s)), 6)"""
-      minhashSigSql(12).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
-         bands AS ($bandExprs),
-         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           FROM bands l JOIN bands r
-             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-         pairs AS (SELECT a, b
-           FROM cand JOIN sh la ON la.doc_id = a JOIN sh rb ON rb.doc_id = b
-           WHERE $simExpr >= 0.5),
-         edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-         reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
-           UNION
-           SELECT e.b AS id, reach.r AS r
-           FROM reach JOIN edges e ON e.a = reach.id),
-         roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
-         SELECT id AS doc_id FROM roots WHERE root = id ORDER BY doc_id"""
-    })
+    Some(nearDupRootsSql +
+      " SELECT id AS doc_id FROM roots WHERE root = id ORDER BY doc_id"))
+
+  private val mNearDupClusters = Spec("ml_neardup_clusters",
+    (s, dir) => Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id",
+        "text", bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
+      .orderBy("doc_id"),
+    Some(nearDupRootsSql +
+      " SELECT id AS doc_id, root AS cluster FROM roots ORDER BY doc_id"))
 
   // ======================================================================
   // Similarity search over embeddings
@@ -2120,7 +2132,7 @@ object GraftQueriesML {
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
-    mJaccardPairs, mNearDupKeep,
+    mJaccardPairs, mNearDupKeep, mNearDupClusters,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,

@@ -161,7 +161,13 @@ object ScaleProof {
       "ml_dsir_weights" -> GraftQueries.queries("ml_dsir_weights"),
       "ml_decontam_clean" -> GraftQueries.queries("ml_decontam_clean"),
       // the composed 5-stage recipe — the end-to-end scale claim
-      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"))
+      "ml_pretrain_recipe" -> GraftQueries.queries("ml_pretrain_recipe"),
+      // round-12 surfaces: deterministic k-means (plan-time training is
+      // the dominant cost — iters+1 corpus aggregates; the returned
+      // assignment is narrow) and the LSH-candidate k-NN graph (the
+      // embed_neardup bucket machinery + per-node WindowGroupLimit)
+      "ml_kmeans_assign" -> GraftQueries.queries("ml_kmeans_assign"),
+      "ml_knn_graph" -> GraftQueries.queries("ml_knn_graph"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.

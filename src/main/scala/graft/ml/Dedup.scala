@@ -346,7 +346,33 @@ object Dedup {
     */
   def nearDupKeep(df: DataFrame, idCol: String, textCol: String,
                   bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
-                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
+    settledNearDupRoots(df, idCol, textCol, bands, rowsPerBand, k,
+      threshold, maxRounds)
+      .filter(col("root") === col("id"))
+      .select(col("id").as(idCol))
+
+  /** The full cluster labeling behind [[nearDupKeep]]: every document
+    * with its near-dup component id (the component's min doc id;
+    * singletons label themselves). The audit/analysis face of the dedup
+    * decision — cluster-size histograms, per-cluster spot checks, and
+    * joins that need "which group did this doc belong to", not just the
+    * survivor set.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
+    settledNearDupRoots(df, idCol, textCol, bands, rowsPerBand, k,
+      threshold, maxRounds)
+      .select(col("id").as(idCol), col("root").as("cluster"))
+
+  /** Shared closure of the keep/clusters pair: LSH pairs → symmetric
+    * edges → [[componentMins]], returning the settled (id, root) table
+    * (a bounded checkpoint scan — see componentMins' lineage note).
+    */
+  private def settledNearDupRoots(df: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int, k: Int,
+      threshold: Double, maxRounds: Int): DataFrame = {
     val eligible = df.filter(size(tokens(col(textCol))) >= k)
     val pairs = nearDupPairs(eligible, idCol, textCol, bands, rowsPerBand,
       k, threshold).select(col("a"), col("b"))
@@ -355,10 +381,8 @@ object Dedup {
       .persist()
     val (settled, _) =
       componentMins(df.select(col(idCol).as("id")), edges, maxRounds)
-    val kept = settled.filter(col("root") === col("id"))
-      .select(col("id").as(idCol))
     edges.unpersist(blocking = false)
-    kept
+    settled
   }
 
   /** Incremental-ingestion exact dedup: drop `incoming` rows whose text

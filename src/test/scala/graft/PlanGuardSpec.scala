@@ -108,6 +108,7 @@ class PlanGuardSpec extends SparkSpec {
                                // from the count) + banded bucket joins
     "ml_minhash_signature" -> 1,
     "ml_neardup_against" -> 10,
+    "ml_neardup_clusters" -> 1, // settled checkpoint scan, label select
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_ngram_topk" -> 1,
     "ml_pack_chunks" -> 3,

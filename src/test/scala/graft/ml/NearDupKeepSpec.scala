@@ -26,6 +26,28 @@ class NearDupKeepSpec extends SparkSpec {
     assert(kept == Seq(1L, 10L, 11L), s"got $kept")
   }
 
+  test("nearDupClusters labels every doc; roots are exactly the keep set") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),
+      (3L, base + " lambda mu"),
+      (10L, "totally different words entirely here nothing shared at all"),
+      (11L, "short")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L),
+      s"got $labels")
+    // invariant: the distinct labels are exactly nearDupKeep's survivors
+    val kept = Dedup.nearDupKeep(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(labels.values.toSet == kept)
+  }
+
   test("a 50-node chain graph converges without driver blowup") {
     import spark.implicits._
     // a PATH of overlapping docs: doc i ~ doc i+1 only. The periodic
