@@ -2024,6 +2024,37 @@ object GraftQueriesML {
     * threshold is percentile_disc — an actual observed score, no
     * interpolation — so both engines pick the identical cut point.
     */
+  /** DuckDB CTE chain through `lm(doc_id, lm_n_bigrams, lm_logprob)` —
+    * the self-trained bigram LM score of every document, replaying
+    * [[CorpusStats.bigramLogProb]]'s interpolation. Shared by the
+    * quantile-gate and bucket-label oracles.
+    */
+  private def bigramLmCte: String = {
+    val l1 = 0.9; val l2 = 1.0 - 0.9
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+        n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+        bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+            i -> w[i+1]||' '||w[i+2])) AS g
+          FROM w WHERE len(w) >= 2),
+        bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+        pr AS (SELECT g, $l1*CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE)
+              + $l2*CAST(u2.c1 AS DOUBLE)/n AS p
+          FROM bc JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
+                  JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
+                  CROSS JOIN n),
+        per AS (SELECT doc_id, count(*) AS n_bigrams,
+            round(avg(ln(p)), 6) AS avg_logprob
+          FROM bg JOIN pr USING (g) GROUP BY doc_id),
+        lm AS (SELECT d.doc_id,
+            coalesce(n_bigrams, 0) AS lm_n_bigrams,
+            coalesce(avg_logprob, 0.0) AS lm_logprob
+          FROM documents d LEFT JOIN per USING (doc_id))"""
+  }
+
   private val mLmQuantile = Spec("ml_lm_quantile",
     (s, dir) => {
       val yaml =
@@ -2038,35 +2069,39 @@ object GraftQueriesML {
         .main
         .select(col("doc_id"), col("lm_n_bigrams"), col("lm_logprob"))
     },
-    Some {
-      val l1 = 0.9; val l2 = 1.0 - 0.9
-      s"""WITH w AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), x -> x <> '') AS w
-            FROM documents),
-          tok AS (SELECT doc_id, unnest(w) AS t FROM w),
-          uni AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
-          n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
-          bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
-              i -> w[i+1]||' '||w[i+2])) AS g
-            FROM w WHERE len(w) >= 2),
-          bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-          pr AS (SELECT g, $l1*CAST(c2 AS DOUBLE)/CAST(u1.c1 AS DOUBLE)
-                + $l2*CAST(u2.c1 AS DOUBLE)/n AS p
-            FROM bc JOIN uni u1 ON u1.t = string_split(g, ' ')[1]
-                    JOIN uni u2 ON u2.t = string_split(g, ' ')[2]
-                    CROSS JOIN n),
-          per AS (SELECT doc_id, count(*) AS n_bigrams,
-              round(avg(ln(p)), 6) AS avg_logprob
-            FROM bg JOIN pr USING (g) GROUP BY doc_id),
-          lm AS (SELECT d.doc_id,
-              coalesce(n_bigrams, 0) AS lm_n_bigrams,
-              coalesce(avg_logprob, 0.0) AS lm_logprob
-            FROM documents d LEFT JOIN per USING (doc_id)),
+    Some(bigramLmCte + """,
           thr AS (SELECT percentile_disc(0.25)
               WITHIN GROUP (ORDER BY lm_logprob) AS thr FROM lm)
           SELECT lm.doc_id, lm.lm_n_bigrams, lm.lm_logprob
-          FROM lm CROSS JOIN thr WHERE lm_logprob >= thr"""
-    })
+          FROM lm CROSS JOIN thr WHERE lm_logprob >= thr"""))
+
+  /** CCNet head/middle/tail labeling (Wenzek et al. 2020 split the
+    * corpus into perplexity BUCKETS; here bucket 2 = best third by LM
+    * logprob, 0 = worst) — the labeling face of the quantile gate.
+    */
+  private val mLmBuckets = Spec("ml_lm_buckets",
+    (s, dir) => {
+      val yaml =
+        s"""pipeline:
+           |  - type: perplexity_score
+           |    id_field: doc_id
+           |    text_field: text
+           |    quantile_buckets: [0.33, 0.67]
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(t(s, dir, "documents"))
+        .main
+        .select(col("doc_id"), col("lm_logprob"), col("lm_bucket"))
+    },
+    Some(bigramLmCte + """,
+          thr AS (SELECT
+              percentile_disc(0.33) WITHIN GROUP (ORDER BY lm_logprob) AS t1,
+              percentile_disc(0.67) WITHIN GROUP (ORDER BY lm_logprob) AS t2
+            FROM lm)
+          SELECT lm.doc_id, lm.lm_logprob,
+            (CASE WHEN lm_logprob >= t1 THEN 1 ELSE 0 END
+           + CASE WHEN lm_logprob >= t2 THEN 1 ELSE 0 END) AS lm_bucket
+          FROM lm CROSS JOIN thr"""))
 
   // ======================================================================
   // Embedding-space clustering for curation
@@ -2147,6 +2182,6 @@ object GraftQueriesML {
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
     mDsirWeights, mDsirSample,
     mDecontamSpans,
-    mDecontamClean, mPretrainRecipe, mLmQuantile, mSq8, mSq8TopK,
+    mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
     mCorpusProfile, mKmeans, mClusterSample, mKnnGraph)
 }

@@ -483,13 +483,45 @@ object CurationStages {
     //     map's size — stay bounded no matter the corpus size.
     //   min_logprob: v — absolute gate; corpus-distribution-DEPENDENT,
     //     for when the threshold was calibrated externally.
+    // quantile_buckets: [q1, q2, ...] — CCNet's actual head/middle/tail
+    // architecture (Wenzek et al. 2020 split the corpus into perplexity
+    // BUCKETS rather than dropping): label each doc with the number of
+    // quantile thresholds at or below its score (0 = worst tail, N =
+    // best). Labeling, not gating — composable with either gate. The
+    // thresholds are percentile_disc values (observed scores, oracle-
+    // exact), all computed in ONE aggregate pass over the persisted
+    // scored table and folded in as literals — the same plan-time-scalar
+    // convention as the quantile gate below.
+    val bucketed = c.get("quantile_buckets") match {
+      case None => joined
+      case Some(qs0) =>
+        val qs = qs0.asInstanceOf[Seq[Any]].map(_.toString.toDouble)
+        require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1),
+          s"quantile_buckets must be ascending fractions in (0,1), got $qs")
+        val bcol = prefix + "bucket"
+        require(!df.columns.contains(bcol),
+          s"perplexity_score would overwrite existing column `$bcol` — " +
+            "rename it upstream or set a different prefix")
+        scores.persist()
+        val row = scores.select(qs.map(q => expr(
+          s"percentile_disc($q) WITHIN GROUP (ORDER BY `${prefix}logprob`)")): _*)
+          .head()
+        if (row.isNullAt(0)) joined.withColumn(bcol, lit(0))
+        else {
+          val thresholds = qs.indices.map(row.getDouble)
+          joined.withColumn(bcol,
+            thresholds.map(t =>
+              when(col(prefix + "logprob") >= t, 1).otherwise(0))
+              .reduce(_ + _))
+        }
+    }
     (c.get("min_logprob"), c.get("min_logprob_quantile")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "perplexity_score: `min_logprob` and `min_logprob_quantile` are " +
           "mutually exclusive — an absolute gate silently winning over the " +
           "quantile masks a config mistake; keep exactly one")
       case (Some(min), None) =>
-        joined.filter(col(prefix + "logprob") >= min.toString.toDouble)
+        bucketed.filter(col(prefix + "logprob") >= min.toString.toDouble)
       case (None, Some(q)) =>
         val qd = q.toString.toDouble
         require(qd >= 0.0 && qd <= 1.0,
@@ -514,9 +546,9 @@ object CurationStages {
         val thrRow = scores.select(expr(
           s"percentile_disc($qd) WITHIN GROUP (ORDER BY `${prefix}logprob`)")
           .as("__lm_thr")).head()
-        if (thrRow.isNullAt(0)) joined // empty corpus — nothing to gate
-        else joined.filter(col(prefix + "logprob") >= lit(thrRow.getDouble(0)))
-      case _ => joined
+        if (thrRow.isNullAt(0)) bucketed // empty corpus — nothing to gate
+        else bucketed.filter(col(prefix + "logprob") >= lit(thrRow.getDouble(0)))
+      case _ => bucketed
     }
   }
 

@@ -649,7 +649,7 @@ object StageCatalog {
       schemaKind = "documents", oracle = Seq("ml_gopher_quality"),
       notes = "One narrow codegen'd projection over two staged arrays (words, lines) — stream-safe, scan speed at any corpus size. Signals: g_n_words, g_mean_word_len, g_symbol_ratio, g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_stop_hits, g_dup_line_frac."),
     StageDoc("perplexity_score", "curation",
-      "CCNet-style LM quality score: corpus-trained interpolated bigram model, mean log-probability per document (optional min_logprob_quantile / min_logprob filter).",
+      "CCNet-style LM quality score: corpus-trained interpolated bigram model, mean log-probability per document (optional min_logprob_quantile / min_logprob filter, quantile_buckets head/middle/tail labeling).",
       y("""pipeline:
           |  - type: perplexity_score
           |    id_field: doc_id
@@ -657,8 +657,9 @@ object StageCatalog {
           |    lambda: 0.9
           |    min_logprob_quantile: 0.1"""),
       schemaKind = "documents",
-      oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle)."),
+      oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile",
+        "ml_lm_buckets"),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle)."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:

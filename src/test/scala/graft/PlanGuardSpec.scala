@@ -124,6 +124,7 @@ class PlanGuardSpec extends SparkSpec {
                                // one gram-keyed doc join + id agg
                                // (occurrence shuffles carry 16-byte md5
                                // digests, not gram strings — r11)
+    "ml_lm_buckets" -> 3,      // same LM-at-plan-build shape as quantile
     "ml_lm_quantile" -> 3,     // the LM subtree executes at plan-build
                                // time behind the scores persist (r12) —
                                // the RETURNED plan is two cache scans

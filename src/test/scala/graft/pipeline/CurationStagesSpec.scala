@@ -645,6 +645,60 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("min_logprob_quantile"))
   }
 
+  test("perplexity_score stage: quantile_buckets labels head/middle/tail") {
+    val scored = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin, docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_logprob")).toMap
+    val sorted = scored.values.toSeq.sorted
+    def disc(q: Double) =
+      sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+    val (t1, t2) = (disc(0.33), disc(0.67))
+    val out = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |    quantile_buckets: [0.33, 0.67]
+        |""".stripMargin, docs)
+    // labeling, not gating: every row survives, each carries its bucket
+    val got = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("lm_bucket")).toMap
+    assert(got.keySet == scored.keySet)
+    for ((id, s) <- scored) {
+      val expected = (if (s >= t1) 1 else 0) + (if (s >= t2) 1 else 0)
+      assert(got(id) == expected, s"doc $id score $s: ${got(id)} != $expected")
+    }
+    assert(got.values.toSet == Set(0, 1, 2), s"all three buckets populated: $got")
+    // composes with a gate: the gate filters, labels stay
+    val gated = run(
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |    quantile_buckets: [0.33, 0.67]
+        |    min_logprob_quantile: 0.33
+        |""".stripMargin, docs)
+    val gatedRows = gated.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("lm_bucket")).toMap
+    assert(gatedRows.keySet == scored.filter(_._2 >= t1).keySet)
+    assert(gatedRows.values.forall(_ >= 1))
+    // malformed buckets rejected: descending order
+    val e = intercept[IllegalArgumentException] {
+      run("""pipeline:
+            |  - type: perplexity_score
+            |    id_field: doc_id
+            |    text_field: text
+            |    quantile_buckets: [0.67, 0.33]
+            |""".stripMargin, docs)
+    }
+    assert(e.getMessage.contains("quantile_buckets"))
+  }
+
   test("perplexity_score stage: conflicting gates fail loudly; quantile " +
       "path shares one LM execution") {
     // both gates at once: a config mistake, not a silent precedence rule
