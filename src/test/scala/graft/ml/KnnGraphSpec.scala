@@ -49,6 +49,23 @@ class KnnGraphSpec extends SparkSpec {
     assert(g == expected, s"edge set mismatch: ${g.diff(expected)} / ${expected.diff(g)}")
   }
 
+  test("clustered corpus: graph recall vs the brute-force k-NN graph clears 0.8") {
+    val k = 5
+    val corpus = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 30, dim = 64)
+    val planes = Similarity.rademacherBandPlanes(8, 8, 64)
+    val approx = Similarity.knnGraph(corpus, "vec_id", "embedding", planes, k)
+      .select(col("src").as("qid"), col("dst").as("id"))
+    // ground truth: exact top-(k+1) per node with the self-match dropped
+    val queries = corpus.select(col("vec_id").as("qid_src"),
+      col("embedding").as("qvec"))
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid_src", "qvec", k + 1)
+      .filter(col("qid") =!= col("id"))
+    val r = Recall.recallAtK(truth, approx)
+    assert(r >= 0.8, f"knnGraph recall@$k on clustered data: $r%.3f")
+  }
+
   test("plan: per-node top-k executes as a group limit, one window") {
     val plan = Similarity.knnGraph(vecs, "vec_id", "embedding", planes, k = 2)
       .queryExecution.executedPlan.toString
