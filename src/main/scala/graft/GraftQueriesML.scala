@@ -423,6 +423,53 @@ object GraftQueriesML {
             FROM scored) WHERE rank <= 5"""
     })
 
+  /** The full production-IVF path, oracle-checked END TO END: centroids
+    * TRAINED by the deterministic k-means ([[Similarity.kmeansCentroids]]
+    * — the trainable-but-SQL-replayable complement of maximin
+    * [[Similarity.trainCentroids]], whose content-addressed seeding no
+    * oracle reproduces), then cosine bucket assignment, nprobe probe
+    * selection, and in-bucket exact scoring — the [[mIvf]] plan over a
+    * trained codebook instead of the first-8-rows stand-in.
+    */
+  private val mIvfKmeans = Spec("ml_ivf_kmeans_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 1)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid_src"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid_src", "qvec",
+          centroids, k = 5, nprobe = 2)
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+    },
+    Some {
+      val cosAssign = cosSql("e0.embedding", "t.cen")
+      val cosProbe = cosSql("q0.embedding", "t.cen")
+      val cosScore = cosSql("q.qe", "e.embedding")
+      kmeansSql(8, 64, 1) + s""",
+          assign AS (
+            SELECT vec_id, c AS bucket FROM (
+              SELECT e0.vec_id, t.c, row_number() OVER (
+                PARTITION BY e0.vec_id ORDER BY $cosAssign DESC, t.c ASC) AS rn
+              FROM embeddings e0 CROSS JOIN c1 t) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+          probe AS (SELECT qid, c AS cid, pr FROM (
+            SELECT q0.vec_id AS qid, t.c,
+              row_number() OVER (PARTITION BY q0.vec_id
+                ORDER BY $cosProbe DESC, t.c ASC) AS pr
+            FROM embeddings q0 CROSS JOIN c1 t WHERE q0.vec_id < 3)
+            WHERE pr <= 2),
+          scored AS (
+            SELECT q.qid, e.vec_id AS id, round($cosScore, 6) AS sim
+            FROM q JOIN probe ON probe.qid = q.qid
+            JOIN assign ON assign.bucket = probe.cid
+            JOIN embeddings e ON e.vec_id = assign.vec_id)
+          SELECT qid, rank, id, sim FROM (
+            SELECT qid, id, sim, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY sim DESC, id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= 5"""
+    })
+
   // ======================================================================
   // Text analysis
   // ======================================================================
@@ -2183,5 +2230,5 @@ object GraftQueriesML {
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
-    mCorpusProfile, mKmeans, mClusterSample, mKnnGraph)
+    mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans)
 }

@@ -311,7 +311,7 @@ object Similarity {
     * no shuffle wider than k rows. An empty cluster keeps its previous
     * centroid (the [[trainCentroids]] convention).
     */
-  private[ml] def kmeansCentroids(corpus: DataFrame, idCol: String,
+  def kmeansCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, iters: Int): Seq[Seq[Double]] = {
     require(k > 0 && dim > 0 && iters >= 0, "kmeansCentroids: bad geometry")
     val v = col(vecCol).cast("array<double>")

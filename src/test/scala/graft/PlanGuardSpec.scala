@@ -95,6 +95,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_para_dedup" -> 5,      // digest distinct+count, anti-join, reassembly agg
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,
+    "ml_ivf_kmeans_topk" -> 2,  // same probe/score plan, trained centroids
     "ml_embed_neardup" -> 9,
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
