@@ -47,7 +47,7 @@ object CurationStages {
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
-    "cluster_sample")
+    "cluster_sample", "cluster_assign")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -162,6 +162,42 @@ object CurationStages {
       case "perplexity_score" => perplexityScore(pre, c)
       case "dsir_sample" => dsirSample(pre, c)
       case "decontaminate" => decontaminate(pre, c)
+      case "cluster_assign" =>
+        // Narrow cluster labeling: centroids train at plan time — over a
+        // `train:` side table (the perplexity_score convention; makes
+        // the stage STREAM-SAFE, the assignment is a narrow native
+        // kernel) or over the input corpus itself (whole-corpus, so
+        // refused on streams like any batch-only stage). Malformed
+        // vectors label null — a labeling stage never drops rows.
+        val vec = str(c, "vec_field", "embedding")
+        require(pre.columns.contains(vec),
+          s"cluster_assign: no `$vec` column (set vec_field)")
+        val k = int(c, "k", 8)
+        val dim = int(c, "dim", 64)
+        val iters = int(c, "iters", 1)
+        val target = str(c, "target_field", "cluster")
+        require(!pre.columns.contains(target),
+          s"cluster_assign would overwrite existing column `$target` — " +
+            "rename it upstream or set target_field")
+        val centroids = c.get("train") match {
+          case Some(t) =>
+            val tc = t.asInstanceOf[Map[String, Any]]
+            val train = pre.sparkSession.read
+              .format(str(tc, "format", "parquet"))
+              .load(reqStr(tc, "path", "cluster_assign train"))
+            graft.ml.Similarity.kmeansCentroids(train,
+              str(tc, "id_field", idField(c, "cluster_assign")),
+              str(tc, "vec_field", vec), k, dim, iters)
+          case None =>
+            if (pre.isStreaming) throw new IllegalArgumentException(
+              "cluster_assign without `train:` computes k-means over the " +
+                "whole input corpus and cannot run on a streaming input — " +
+                "train on a reference table (`train: {path}`) for streams")
+            graft.ml.Similarity.kmeansCentroids(pre,
+              idField(c, "cluster_assign"), vec, k, dim, iters)
+        }
+        pre.withColumn(target, graft.ml.Similarity.assignNearestL2(
+          col(vec).cast("array<double>"), centroids).cast("int"))
       case "cluster_sample" =>
         // Cluster-balanced diversity sample (ml/Similarity.clusterSample):
         // deterministic k-means over the embedding column, then a

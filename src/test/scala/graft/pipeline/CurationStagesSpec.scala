@@ -1047,6 +1047,63 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("cluster_assign stage: labels in batch; stream-safe with train:; " +
+      "self-train refused on streams") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 24).map { i =>
+      val base = if (i < 12) 0.0 else 50.0
+      (i.toLong, Seq((base + (i % 12) * 0.1).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    // self-trained batch form: two blobs → two labels, every row labeled
+    val out = run(
+      """pipeline:
+        |  - type: cluster_assign
+        |    id_field: vec_id
+        |    vec_field: embedding
+        |    k: 2
+        |    dim: 2
+        |    iters: 2
+        |""".stripMargin, emb)
+    assert(out.count() == 24)
+    val labels = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(labels.filterKeys(_ < 12).values.toSet.size == 1)
+    assert(labels.filterKeys(_ >= 12).values.toSet.size == 1)
+    assert(labels(0L) != labels(12L))
+    // stream-safe with a train: side table
+    val trainDir = java.nio.file.Files.createTempDirectory("catrain").toString
+    emb.write.mode("overwrite").parquet(trainDir)
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData((100L, Seq(0.5f, 1.0f)), (101L, Seq(50.5f, 1.0f)))
+    val streamOut = run(
+      s"""pipeline:
+         |  - type: cluster_assign
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    k: 2
+         |    dim: 2
+         |    train: {path: $trainDir}
+         |""".stripMargin, mem.toDF().toDF("vec_id", "embedding"))
+    assert(streamOut.isStreaming)
+    val q = streamOut.writeStream.format("memory").queryName("ca_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ca_stream").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(rows.size == 2 && rows(100L) != rows(101L),
+      s"streamed rows should land in different clusters: $rows")
+    assert(rows(100L) == labels(0L) && rows(101L) == labels(12L),
+      "stream labels must agree with the batch labels for the same blobs")
+    // self-train on a stream: refused at compile time
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: cluster_assign\n    id_field: vec_id\n    vec_field: embedding\n",
+        mem.toDF().toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("train"))
+  }
+
   test("cluster_sample stage: per-cluster cap over plan-time k-means; batch-only") {
     val s = spark
     import s.implicits._
