@@ -179,24 +179,30 @@ object CurationStages {
         require(!pre.columns.contains(target),
           s"cluster_assign would overwrite existing column `$target` — " +
             "rename it upstream or set target_field")
-        val centroids = c.get("train") match {
+        val (centroids, src) = c.get("train") match {
           case Some(t) =>
             val tc = t.asInstanceOf[Map[String, Any]]
             val train = pre.sparkSession.read
               .format(str(tc, "format", "parquet"))
               .load(reqStr(tc, "path", "cluster_assign train"))
-            graft.ml.Similarity.kmeansCentroids(train,
+            (graft.ml.Similarity.kmeansCentroids(train,
               str(tc, "id_field", idField(c, "cluster_assign")),
-              str(tc, "vec_field", vec), k, dim, iters)
+              str(tc, "vec_field", vec), k, dim, iters), pre)
           case None =>
             if (pre.isStreaming) throw new IllegalArgumentException(
               "cluster_assign without `train:` computes k-means over the " +
                 "whole input corpus and cannot run on a streaming input — " +
                 "train on a reference table (`train: {path}`) for streams")
-            graft.ml.Similarity.kmeansCentroids(pre,
-              idField(c, "cluster_assign"), vec, k, dim, iters)
+            // share the composed input across the iters+1 training
+            // passes AND the labeling pass (the perplexity_score
+            // convention — lazy persist by default, `materialize: path`
+            // spills to parquet); without it each Lloyd round re-derives
+            // every upstream stage of the pipeline
+            val staged = stagedInput(pre, c)
+            (graft.ml.Similarity.kmeansCentroids(staged,
+              idField(c, "cluster_assign"), vec, k, dim, iters), staged)
         }
-        pre.withColumn(target, graft.ml.Similarity.assignNearestL2(
+        src.withColumn(target, graft.ml.Similarity.assignNearestL2(
           col(vec).cast("array<double>"), centroids).cast("int"))
       case "cluster_sample" =>
         // Cluster-balanced diversity sample (ml/Similarity.clusterSample):
@@ -208,7 +214,10 @@ object CurationStages {
         val vec = str(c, "vec_field", "embedding")
         require(pre.columns.contains(vec),
           s"cluster_sample: no `$vec` column (set vec_field)")
-        graft.ml.Similarity.clusterSample(pre,
+        // share the composed input across the training rounds + the
+        // sampling pass (the perplexity_score convention; `materialize:
+        // path` spills to parquet instead of executor cache)
+        graft.ml.Similarity.clusterSample(stagedInput(pre, c),
           idField(c, "cluster_sample"), vec,
           k = int(c, "k", 8), dim = int(c, "dim", 64),
           iters = int(c, "iters", 1),

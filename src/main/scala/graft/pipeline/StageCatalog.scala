@@ -546,7 +546,7 @@ object StageCatalog {
           |    per_cluster: 1000"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_kmeans_assign", "ml_cluster_sample"),
-      notes = "Lloyd k-means with hash-partition init and 6-decimal centroid snapping (the oracle replays the exact trajectory in SQL). Training is iters+1 map-side-combined aggregates, k*dim doubles to the driver each - corpus-size-independent driver state; assignment is a narrow native argmin kernel (centroids ride as ONE plan reference) and the per-cluster cap plans as WindowGroupLimit below the sort. Malformed vectors (wrong dim, null elements) are excluded from training AND output."),
+      notes = "Lloyd k-means with hash-partition init and 6-decimal centroid snapping (the oracle replays the exact trajectory in SQL). Training is iters+1 map-side-combined aggregates, k*dim doubles to the driver each - corpus-size-independent driver state; assignment is a narrow native argmin kernel (centroids ride as ONE plan reference) and the per-cluster cap plans as WindowGroupLimit below the sort. The composed stage input is shared across training rounds + the sampling pass via lazy cache (`materialize: path` spills to parquet instead). Malformed vectors (wrong dim, null elements) are excluded from training AND output."),
     StageDoc("cluster_assign", "curation",
       "Narrow embedding-cluster labeling: plan-time-trained deterministic k-means centroids, nearest-centroid label per row (malformed vectors label null, rows never drop).",
       y("""pipeline:
@@ -560,7 +560,7 @@ object StageCatalog {
           |    train: {path: "/root/testdata/sf0.001/embeddings.parquet"}"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_kmeans_assign"),
-      notes = "With `train: {path, vec_field, id_field, format}` the centroids come from a reference table at plan time (the perplexity_score train: convention) and the stage is STREAM-SAFE - assignment is the narrow native argmin kernel with centroids riding as one plan reference. Without `train:` the k-means runs over the input corpus itself (whole-corpus semantics - refused on streaming inputs at compile time). Training cost: iters+1 map-side-combined aggregates over the training table, k*dim doubles to the driver each."),
+      notes = "With `train: {path, vec_field, id_field, format}` the centroids come from a reference table at plan time (the perplexity_score train: convention) and the stage is STREAM-SAFE - assignment is the narrow native argmin kernel with centroids riding as one plan reference. Without `train:` the k-means runs over the input corpus itself (whole-corpus semantics - refused on streaming inputs at compile time), and the composed input is shared across the training rounds + labeling pass via lazy cache (`materialize: path` spills to parquet instead - the 100 TB form). Training cost: iters+1 map-side-combined aggregates over the training table, k*dim doubles to the driver each."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:
