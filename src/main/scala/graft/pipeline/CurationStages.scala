@@ -47,7 +47,7 @@ object CurationStages {
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
-    "cluster_sample", "cluster_assign")
+    "cluster_sample", "cluster_assign", "knn_graph")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -62,7 +62,8 @@ object CurationStages {
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
-    "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample")
+    "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
+    "knn_graph")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -204,6 +205,21 @@ object CurationStages {
         }
         src.withColumn(target, graft.ml.Similarity.assignNearestL2(
           col(vec).cast("array<double>"), centroids).cast("int"))
+      case "knn_graph" =>
+        // Approximate k-NN graph result set (ml/Similarity.knnGraph):
+        // the output is EDGES (src, rank, dst, sim), not the input
+        // schema — the bm25_topk precedent for result-set stages.
+        // Whole-corpus by construction (every node pairs against the
+        // corpus's LSH buckets).
+        val vec = str(c, "vec_field", "embedding")
+        require(pre.columns.contains(vec),
+          s"knn_graph: no `$vec` column (set vec_field)")
+        val planes = graft.ml.Similarity.rademacherBandPlanes(
+          int(c, "bands", 8), int(c, "planes_per_band", 8),
+          int(c, "dim", 64))
+        graft.ml.Similarity.knnGraph(pre, idField(c, "knn_graph"), vec,
+          planes, k = int(c, "k", 10),
+          maxBucketSize = int(c, "max_bucket_size", 4096))
       case "cluster_sample" =>
         // Cluster-balanced diversity sample (ml/Similarity.clusterSample):
         // deterministic k-means over the embedding column, then a

@@ -547,6 +547,20 @@ object StageCatalog {
       schemaKind = "embeddings",
       oracle = Seq("ml_kmeans_assign", "ml_cluster_sample"),
       notes = "Lloyd k-means with hash-partition init and 6-decimal centroid snapping (the oracle replays the exact trajectory in SQL). Training is iters+1 map-side-combined aggregates, k*dim doubles to the driver each - corpus-size-independent driver state; assignment is a narrow native argmin kernel (centroids ride as ONE plan reference) and the per-cluster cap plans as WindowGroupLimit below the sort. The composed stage input is shared across training rounds + the sampling pass via lazy cache (`materialize: path` spills to parquet instead). Malformed vectors (wrong dim, null elements) are excluded from training AND output."),
+    StageDoc("knn_graph", "curation",
+      "Approximate k-NN graph over the embedding column: every node's top-k cosine neighbors among its banded-LSH candidates - edges (src, rank, dst, sim) as the result set.",
+      y("""pipeline:
+          |  - type: knn_graph
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    dim: 64
+          |    bands: 8
+          |    planes_per_band: 8
+          |    k: 10
+          |    max_bucket_size: 4096"""),
+      schemaKind = "embeddings",
+      oracle = Seq("ml_knn_graph"),
+      notes = "The NN-descent seed / graph-dedup / label-propagation structure; exact all-pairs is O(n^2) by definition, so the LSH candidate set IS the scale path (recall tunable via bands x planes_per_band; 0.8 recall@5 floor spec-gated on the clustered fixture). Output is EDGES, not the input schema (the bm25_topk result-set precedent). Candidate generation shares the cosineNearDupPairs plan (persisted signature table, capped buckets, one scoring per pair); both directed edges come from one pass and per-node top-k plans as WindowGroupLimit. Whole-corpus by construction - batch only."),
     StageDoc("cluster_assign", "curation",
       "Narrow embedding-cluster labeling: plan-time-trained deterministic k-means centroids, nearest-centroid label per row (malformed vectors label null, rows never drop).",
       y("""pipeline:

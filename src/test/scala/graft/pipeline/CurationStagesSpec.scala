@@ -1047,6 +1047,41 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("knn_graph stage: edge result set, per-node degree capped; batch-only") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 12).map { i =>
+      val dir = if (i < 6) 1.0f else -1.0f
+      (i.toLong, Seq(dir, dir, dir * (1.0f + i * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val out = run(
+      """pipeline:
+        |  - type: knn_graph
+        |    id_field: vec_id
+        |    vec_field: embedding
+        |    dim: 3
+        |    bands: 4
+        |    planes_per_band: 4
+        |    k: 2
+        |""".stripMargin, emb)
+    assert(out.columns.toSeq == Seq("src", "rank", "dst", "sim"))
+    val deg = out.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.values.forall(_ <= 2), s"degree over k: $deg")
+    // antipodal groups never mix at top-k (same-group sims ~1)
+    for (r <- out.collect())
+      assert((r.getLong(0) < 6) == (r.getLong(2) < 6),
+        s"cross-group edge ${r.getLong(0)}->${r.getLong(2)}")
+    // whole-corpus: refused on a streaming input at compile time
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: knn_graph\n    id_field: vec_id\n    vec_field: embedding\n    dim: 3\n",
+        mem.toDF().toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("knn_graph"))
+  }
+
   test("cluster_assign stage: labels in batch; stream-safe with train:; " +
       "self-train refused on streams") {
     val s = spark
