@@ -309,7 +309,11 @@ object Similarity {
     * k×dim doubles to the driver regardless of corpus size; the final
     * assignment is a narrow codegen projection. `iters + 1` scans total,
     * no shuffle wider than k rows. An empty cluster keeps its previous
-    * centroid (the [[trainCentroids]] convention).
+    * centroid (the [[trainCentroids]] convention); an INIT bucket with
+    * no rows (k exceeding the id-residue coverage — only possible when
+    * the corpus has fewer than k distinct `pmod(id, k)` values) starts
+    * at the zero vector, which then attracts nothing and persists
+    * unless a later round assigns rows to it.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, iters: Int): Seq[Seq[Double]] = {
