@@ -282,6 +282,46 @@ object GraftQueriesML {
   private val NdPlanesPerBand = 8
   private val NdCap = 4096
 
+  /** Shared DuckDB prefix for the banded sign-LSH embedding oracles:
+    * `sig` (per-band key columns), `un` (the engine's normalize-first
+    * vectors), and `banded` (band union with the joint bucket cap) over
+    * the `embeddings` table. The band keys come from the same plane
+    * generator the Spark plans use, so engine and oracle can't drift.
+    */
+  private def embedBandsCte(bandPlanes: Seq[Seq[Seq[Double]]],
+                            cap: Int): String = {
+    def keySql(planes: Seq[Seq[Double]]): String = planes.map { p =>
+      val lst = p.mkString("[", ",", "]")
+      val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val sigCols = bandPlanes.zipWithIndex
+      .map { case (p, b) => s"${keySql(p)} AS k$b" }.mkString(",\n              ")
+    val bandUnion = bandPlanes.indices
+      .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
+      .mkString("\n              UNION ALL ")
+    val normExpr = "sqrt(list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), 'sum'))"
+    s"""WITH sig AS (SELECT vec_id,
+            $sigCols
+          FROM embeddings),
+        un AS (SELECT vec_id,
+            CASE WHEN $normExpr > 0
+              THEN list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) / $normExpr)
+              ELSE list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) END AS u
+          FROM embeddings),
+        banded AS (
+          SELECT * FROM (
+            $bandUnion)
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= $cap)"""
+  }
+
+  /** Index-ordered dot of two normalized-list columns, rounded like the
+    * engine's verify step.
+    */
+  private def unDotSql(a: String, b: String): String =
+    s"""ROUND(list_aggregate(list_transform(range(64),
+          i -> $a.u[i+1]*$b.u[i+1]), 'sum'), 6)"""
+
   private val mCosPairs = Spec("ml_embed_neardup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -292,84 +332,58 @@ object GraftQueriesML {
         maxBucketSize = NdCap)
         .orderBy("a", "b")
     },
-    Some {
-      val bandPlanes = lshBandPlanes(NdBands, NdPlanesPerBand, 64)
-      def keySql(planes: Seq[Seq[Double]]): String = planes.map { p =>
-        val lst = p.mkString("[", ",", "]")
-        val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
-        s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      val sigCols = bandPlanes.zipWithIndex
-        .map { case (p, b) => s"${keySql(p)} AS k$b" }.mkString(",\n              ")
-      val bandUnion = bandPlanes.indices
-        .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
-        .mkString("\n              UNION ALL ")
-      // mirror the engine's normalize-first verify: u = v / |v| once per
-      // vector, pair similarity = single index-ordered dot of u's
-      val normExpr = "sqrt(list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), 'sum'))"
-      s"""WITH sig AS (SELECT vec_id,
-              $sigCols
-            FROM embeddings),
-          un AS (SELECT vec_id,
-              CASE WHEN $normExpr > 0
-                THEN list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) / $normExpr)
-                ELSE list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) END AS u
-            FROM embeddings),
-          banded AS (
-            SELECT * FROM (
-              $bandUnion)
-            QUALIFY count(*) OVER (PARTITION BY band, key) <= $NdCap),
+    Some(embedBandsCte(lshBandPlanes(NdBands, NdPlanesPerBand, 64), NdCap) + s""",
           cand AS (
             SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
           scored AS (
-            SELECT cand.a, cand.b,
-              ROUND(list_aggregate(list_transform(range(64),
-                i -> ua.u[i+1]*ub.u[i+1]), 'sum'), 6) AS sim
+            SELECT cand.a, cand.b, ${unDotSql("ua", "ub")} AS sim
             FROM cand JOIN un ua ON ua.vec_id = cand.a
                       JOIN un ub ON ub.vec_id = cand.b)
-          SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""
-    })
+          SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""))
+
+  /** Embedding against-a-reference dedup: incoming = `vec_id % 5 = 0`,
+    * reference = the rest — [[mNearDupAgainst]]'s split convention on
+    * the embeddings table.
+    */
+  private val mEmbedAgainst = Spec("ml_embed_neardup_against",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupAgainst(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding",
+          lshBandPlanes(NdBands, NdPlanesPerBand, 64), threshold = 0.4,
+          maxBucketSize = NdCap)
+        .select(col("vec_id"))
+    },
+    Some(embedBandsCte(lshBandPlanes(NdBands, NdPlanesPerBand, 64), NdCap) + s""",
+          cands AS (
+            SELECT DISTINCT l.vec_id AS iid, r.vec_id AS rid
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key
+            WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 <> 0),
+          dirty AS (
+            SELECT DISTINCT iid FROM cands
+            JOIN un ua ON ua.vec_id = cands.iid
+            JOIN un ub ON ub.vec_id = cands.rid
+            WHERE ${unDotSql("ua", "ub")} >= 0.4)
+          SELECT vec_id FROM embeddings
+          WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT iid FROM dirty)"""))
 
   private val mKnnGraph = Spec("ml_knn_graph",
     (s, dir) => Similarity.knnGraph(t(s, dir, "embeddings"),
       "vec_id", "embedding",
       lshBandPlanes(NdBands, NdPlanesPerBand, 64), k = 3,
       maxBucketSize = NdCap),
-    Some {
-      val bandPlanes = lshBandPlanes(NdBands, NdPlanesPerBand, 64)
-      def keySql(planes: Seq[Seq[Double]]): String = planes.map { p =>
-        val lst = p.mkString("[", ",", "]")
-        val dot = s"list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*($lst)[i+1]), 'sum')"
-        s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      val sigCols = bandPlanes.zipWithIndex
-        .map { case (p, b) => s"${keySql(p)} AS k$b" }.mkString(",\n              ")
-      val bandUnion = bandPlanes.indices
-        .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM sig")
-        .mkString("\n              UNION ALL ")
-      val normExpr = "sqrt(list_aggregate(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)), 'sum'))"
-      s"""WITH sig AS (SELECT vec_id,
-              $sigCols
-            FROM embeddings),
-          un AS (SELECT vec_id,
-              CASE WHEN $normExpr > 0
-                THEN list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) / $normExpr)
-                ELSE list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE)) END AS u
-            FROM embeddings),
-          banded AS (
-            SELECT * FROM (
-              $bandUnion)
-            QUALIFY count(*) OVER (PARTITION BY band, key) <= $NdCap),
+    Some(embedBandsCte(lshBandPlanes(NdBands, NdPlanesPerBand, 64), NdCap) + s""",
           cand AS (
             SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
           scored AS (
-            SELECT cand.a, cand.b,
-              ROUND(list_aggregate(list_transform(range(64),
-                i -> ua.u[i+1]*ub.u[i+1]), 'sum'), 6) AS sim
+            SELECT cand.a, cand.b, ${unDotSql("ua", "ub")} AS sim
             FROM cand JOIN un ua ON ua.vec_id = cand.a
                       JOIN un ub ON ub.vec_id = cand.b),
           edges AS (
@@ -378,8 +392,7 @@ object GraftQueriesML {
           SELECT src, CAST(rank AS INT) AS rank, dst, sim FROM (
             SELECT src, dst, sim, row_number() OVER (
               PARTITION BY src ORDER BY sim DESC, dst ASC) AS rank
-            FROM edges) WHERE rank <= 3"""
-    })
+            FROM edges) WHERE rank <= 3"""))
 
   private val mIvf = Spec("ml_embed_ivf_topk",
     (s, dir) => {
@@ -2230,5 +2243,6 @@ object GraftQueriesML {
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
-    mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans)
+    mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans,
+    mEmbedAgainst)
 }

@@ -1089,6 +1089,57 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-cosine incremental-ingestion near dedup: drop `incoming`
+    * rows whose banded-LSH candidates in the REFERENCE corpus verify at
+    * cosine ≥ `threshold` — [[graft.ml.Dedup.nearDupAgainst]]'s
+    * embedding analogue, completing the against-a-reference leg of the
+    * embedding dedup family (pairs = [[cosineNearDupPairs]], keep-set =
+    * [[semanticKeep]]). The band join is incoming×reference instead of
+    * a self-join — incremental batches never pair with themselves — and
+    * the bucket cap counts BOTH sides jointly (a pile-up on either side
+    * blows up the same join, the nearDupAgainst convention). Vectors
+    * normalize once per row; candidates dedup before the single
+    * dot-product verify.
+    */
+  def cosineNearDupAgainst(incoming: DataFrame, ref: DataFrame,
+      idCol: String, vecCol: String, bandPlanes: Seq[Seq[Seq[Double]]],
+      threshold: Double, maxBucketSize: Int = 4096): DataFrame = {
+    def sigOf(df: DataFrame, side: Int): DataFrame = {
+      val base = df
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm(col("v")))
+      base.select(col("id"), lit(side).as("side"),
+        when(col("n") > 0, transform(col("v"), x => x / col("n")))
+          .otherwise(col("v")).as("u"),
+        lshBandKeys(col("v"), bandPlanes).as("ks"))
+    }
+    // one persisted signature table carries both sides (side 0 =
+    // incoming, 1 = reference); it feeds the band explode AND the
+    // verify joins — the cosineNearDupPairs convention, CacheSweep-
+    // released by the caller
+    val sig = sigOf(incoming, 0).unionByName(sigOf(ref, 1)).persist()
+    val banded = sig.select(col("id"), col("side"), posexplode(col("ks")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    val l = capped.filter(col("side") === 0).alias("l")
+    val r = capped.filter(col("side") === 1).alias("r")
+    val cand = l.join(r, col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key"))
+      .select(col("l.id").as("iid"), col("r.id").as("rid"))
+      .distinct()
+    val vi = sig.filter(col("side") === 0)
+      .select(col("id").as("iid"), col("u").as("ui"))
+    val vr = sig.filter(col("side") === 1)
+      .select(col("id").as("rid"), col("u").as("ur"))
+    val dirty = cand.join(vi, "iid").join(vr, "rid")
+      .filter(round(dot(col("ui"), col("ur")), 6) >= threshold)
+      .select(col("iid")).distinct()
+    incoming.join(dirty, col(idCol) === col("iid"), "left_anti")
+  }
+
   /** Approximate k-NN graph over the whole corpus: every node's top-`k`
     * cosine neighbors AMONG its banded-LSH candidates
     * ([[cosineNearDupPairs]] with the threshold gate open — candidate

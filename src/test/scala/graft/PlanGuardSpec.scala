@@ -108,6 +108,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
                                // from the count) + banded bucket joins
     "ml_minhash_signature" -> 1,
+    "ml_embed_neardup_against" -> 10, // two-sided band join + verify
     "ml_neardup_against" -> 10,
     "ml_neardup_clusters" -> 1, // settled checkpoint scan, label select
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter

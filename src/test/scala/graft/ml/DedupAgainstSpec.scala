@@ -52,4 +52,28 @@ class DedupAgainstSpec extends SparkSpec {
       "text", threshold = 0.4)
     assert(kept.count() == incoming.count())
   }
+
+  test("cosineNearDupAgainst drops embedding near-matches of the reference only") {
+    val s = spark
+    import s.implicits._
+    val planes = Similarity.rademacherBandPlanes(4, 4, 3)
+    val ref = Seq(
+      (1L, Seq(1.0, 1.0, 1.0)),
+      (2L, Seq(-1.0, 2.0, -5.0))).toDF("vec_id", "embedding")
+    val inc = Seq(
+      (10L, Seq(1.0, 1.0, 1.01)),   // ~ref 1 → dropped
+      (11L, Seq(-1.0, -1.0, -1.0)), // antipodal to ref 1: bands may
+                                    // differ, cosine -1 never verifies
+      (12L, Seq(5.0, -3.0, 0.5)),   // novel direction
+      (13L, Seq(5.0, -3.0, 0.5))    // dup WITHIN batch: kept (cross-corpus op)
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.cosineNearDupAgainst(inc, ref, "vec_id",
+        "embedding", planes, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 12L, 13L), s"got $kept")
+    // empty reference keeps everything
+    val all = Similarity.cosineNearDupAgainst(inc, ref.limit(0), "vec_id",
+      "embedding", planes, threshold = 0.9)
+    assert(all.count() == 4)
+  }
 }
