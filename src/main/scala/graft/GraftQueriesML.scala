@@ -146,6 +146,39 @@ object GraftQueriesML {
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
         SELECT a, b FROM cand ORDER BY a, b"""))
 
+  /** SimHash dedup DECISION (Manku et al. 2007): band-blocked
+    * candidates verified at full-fingerprint Hamming ≤ 6, then the
+    * generic pairs→keep component sweep ([[Dedup.keepFromPairs]]). The
+    * recursive-CTE oracle proves the transitive closure, like
+    * [[mNearDupKeep]].
+    */
+  private val mSimhashKeep = Spec("ml_simhash_keep",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.keepFromPairs(d, "doc_id",
+          Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6))
+        .orderBy("doc_id")
+    },
+    Some(simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        banded AS (
+          SELECT doc_id, sh, 0 AS band, sh & 65535 AS key FROM fps
+          UNION ALL
+          SELECT doc_id, sh, 1 AS band, (sh >> 16) & 65535 AS key FROM fps),
+        capped AS (SELECT doc_id, sh, band, key FROM banded
+          QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          WHERE bit_count(xor(l.sh, r.sh)) <= 6),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT e.b AS id, reach.r AS r
+          FROM reach JOIN edges e ON e.a = reach.id),
+        roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+        SELECT id AS doc_id FROM roots WHERE root = id ORDER BY doc_id"""))
+
   private val mJaccardPairs = Spec("ml_jaccard_pairs",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -2227,6 +2260,7 @@ object GraftQueriesML {
 
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
+    mSimhashKeep,
     mJaccardPairs, mNearDupKeep, mNearDupClusters,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,

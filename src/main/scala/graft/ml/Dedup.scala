@@ -179,7 +179,8 @@ object Dedup {
     * the self-join O(bucket²) on one key).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxBucketSize: Int = 4096): DataFrame = {
+                   maxBucketSize: Int = 4096,
+                   maxHamming: Int = Int.MaxValue): DataFrame = {
     // persisted pre-explode for the same reason as [[minhashPairs]]:
     // one simhash aggregation, not two
     val sig = simhashes(df, idCol, textCol).persist()
@@ -193,9 +194,37 @@ object Dedup {
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+    // Manku et al. 2007 verify: candidates whose FULL fingerprints are
+    // within `maxHamming` bits (the band match only certifies 16 of the
+    // 32). A narrow bit_count on the already-joined rows — no extra
+    // join; the default keeps the historical candidates-only contract.
+    val verified =
+      if (maxHamming >= 32) cand
+      else cand.filter(
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))) <= maxHamming)
+    verified.select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+  }
+
+  /** Connected-component keep-one selection over ANY pair list: the
+    * minimum id of each duplicate cluster survives (plus every
+    * singleton) — [[nearDupKeep]]'s decision step factored out so any
+    * pair source (SimHash bands, [[Similarity.cosineNearDupPairs]], a
+    * blocked [[jaccardPairs]], an external edge table) turns into an
+    * actual dedup decision with the same log-diameter
+    * [[componentMins]] machinery.
+    */
+  def keepFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                    maxRounds: Int = 20): DataFrame = {
+    val p = pairs.select(col("a"), col("b"))
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val (settled, _) =
+      componentMins(df.select(col(idCol).as("id")), edges, maxRounds)
+    edges.unpersist(blocking = false)
+    settled.filter(col("root") === col("id")).select(col("id").as(idCol))
   }
 
   /** The scale-correct near-dup pipeline: MinHash-LSH candidate generation

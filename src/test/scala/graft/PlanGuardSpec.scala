@@ -116,6 +116,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_pack_chunks" -> 3,
     "ml_shuffle_layout" -> 1,
     "ml_simhash" -> 1,
+    "ml_simhash_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_simhash_pairs" -> 7,
     "ml_stratified_sample" -> 1,
     "ml_unigram_logprob" -> 5, // fused one-pass count training (r12):

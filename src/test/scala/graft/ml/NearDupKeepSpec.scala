@@ -48,6 +48,35 @@ class NearDupKeepSpec extends SparkSpec {
     assert(labels.values.toSet == kept)
   }
 
+  test("keepFromPairs turns an arbitrary edge list into a min-id keep set") {
+    import spark.implicits._
+    val ids = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}; 4 and 7 singletons
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepFromPairs(ids, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 4L, 5L, 7L), s"got $kept")
+  }
+
+  test("simhashPairs maxHamming verifies candidates on the full fingerprint") {
+    import spark.implicits._
+    // identical texts: hamming 0; a heavily-edited text still sharing a
+    // 16-bit band could appear as a candidate but fails a 0-bit verify
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "nothing in common with the others at all whatsoever")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $strict")
+    // default keeps the historical candidates-only contract (superset)
+    val cands = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(cands))
+  }
+
   test("a 50-node chain graph converges without driver blowup") {
     import spark.implicits._
     // a PATH of overlapping docs: doc i ~ doc i+1 only. The periodic
