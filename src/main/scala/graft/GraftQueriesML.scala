@@ -2245,6 +2245,24 @@ object GraftQueriesML {
     Some(kmeansSql(8, 64, 2) +
       " SELECT vec_id, CAST(c AS INT) AS cluster FROM af"))
 
+  private val mClusterPurity = Spec("ml_cluster_purity",
+    (s, dir) => Similarity.clusterPurity(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", k = 8, dim = 64, iters = 1),
+    Some(kmeansSql(8, 64, 1) + s""",
+          hist AS (
+            SELECT af.c AS cluster, e2.label, count(*) AS cnt
+            FROM af JOIN embeddings e2 USING (vec_id)
+            GROUP BY af.c, e2.label),
+          tot AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n
+            FROM hist GROUP BY cluster)
+          SELECT cluster, n, majority_label, purity FROM (
+            SELECT hist.cluster, tot.n,
+              hist.label AS majority_label,
+              round(CAST(cnt AS DOUBLE) / n, 6) AS purity,
+              row_number() OVER (PARTITION BY hist.cluster
+                ORDER BY cnt DESC, hist.label ASC) AS rn
+            FROM hist JOIN tot USING (cluster)) WHERE rn = 1"""))
+
   private val mClusterSample = Spec("ml_cluster_sample",
     (s, dir) => Similarity.clusterSample(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, dim = 64, iters = 1, perCluster = 5)
@@ -2278,5 +2296,5 @@ object GraftQueriesML {
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
     mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans,
-    mEmbedAgainst)
+    mEmbedAgainst, mClusterPurity)
 }

@@ -1089,6 +1089,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Clustering-quality audit against a ground-truth label column:
+    * per k-means cluster, the row count, the majority label (ties to
+    * the smaller label), and the purity = majority fraction — the
+    * standard external clustering metric, and the quick answer to "did
+    * the embedding clusters recover the known classes?" before using
+    * them for mixing or dedup.
+    *
+    * Scale: the label histogram is ONE map-side-combined aggregate of
+    * at most k × |labels| rows; the majority pick is a WindowGroupLimit
+    * over that tiny frame. Training cost is [[kmeansCentroids]]'s.
+    */
+  def clusterPurity(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, dim: Int,
+                    iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = kmeansCentroids(corpus, idCol, vecCol, k, dim, iters)
+    val v = col(vecCol).cast("array<double>")
+    val assigned = kmeansClean(corpus, v).filter(size(v) === dim)
+      .select(assignNearestL2(v, cen).cast("int").as("cluster"),
+        col(labelCol).as("label"))
+    val hist = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("c").desc, col("label").asc)
+    val totals = Window.partitionBy(col("cluster"))
+    hist
+      .withColumn("n", sum(col("c")).over(totals))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("n"),
+        col("label").as("majority_label"),
+        round(col("c").cast("double") / col("n"), 6).as("purity"))
+  }
+
   /** Embedding-cosine incremental-ingestion near dedup: drop `incoming`
     * rows whose banded-LSH candidates in the REFERENCE corpus verify at
     * cosine ≥ `threshold` — [[graft.ml.Dedup.nearDupAgainst]]'s

@@ -100,6 +100,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k
+    "ml_cluster_purity" -> 2,  // cluster-label histogram + tiny window
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
     "ml_jaccard_pairs" -> 8,

@@ -83,6 +83,23 @@ class KmeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clusterPurity reports majority label and purity per cluster") {
+    import spark.implicits._
+    // blob A (ids 0-9) labeled 1 except one mislabeled row; blob B pure 2
+    val a = (0 until 10).map(i =>
+      (i.toLong, Seq(0.0 + i * 0.01, 1.0, 0.0), if (i == 9) 7 else 1))
+    val b = (10 until 20).map(i =>
+      (i.toLong, Seq(9.0 + i * 0.01, 1.0, 0.0), 2))
+    val df = (a ++ b).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.clusterPurity(df, "vec_id", "embedding", "label",
+        k = 2, dim = 3, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 2)
+    val byMaj = rows.map(r => r._3 -> r).toMap
+    assert(byMaj(1)._2 == 10L && byMaj(1)._4 == 0.9, s"blob A: ${byMaj(1)}")
+    assert(byMaj(2)._2 == 10L && byMaj(2)._4 == 1.0, s"blob B: ${byMaj(2)}")
+  }
+
   test("assignment plan is a narrow projection; training rounds are single aggregates") {
     // the returned plan must carry no join and no Window — the centroids
     // ride as one plan reference inside the PqEncodeExpr kernel
