@@ -1110,6 +1110,29 @@ object GraftQueriesML {
             WHERE b < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 8000 ELSE 6500 END"""))
 
+  /** mT5 temperature mixing: rates derive from per-stratum counts both
+    * engines compute (identical formula, identical parenthesization;
+    * the integer cut quantization absorbs z's sum-order ulp noise),
+    * keep/drop is the content-addressed hashBucket convention.
+    */
+  private val mTemperature = Spec("ml_temperature_sample",
+    (s, dir) => Curation.temperatureSample(t(s, dir, "documents"),
+        "doc_id", "source", alpha = 0.3, fraction = 0.5)
+      .select(col("doc_id"), col("source")),
+    Some("""WITH cnt AS (SELECT source AS s, CAST(count(*) AS DOUBLE) AS n
+              FROM documents WHERE source IS NOT NULL GROUP BY source),
+            tot AS (SELECT CAST(sum(CAST(n AS BIGINT)) AS DOUBLE) AS totn,
+                sum(pow(n, 0.3)) AS z FROM cnt),
+            cut AS (SELECT s, CAST(round(least(1.0,
+                0.5 * totn * (pow(n, 0.3) / z) / n) * 10000) AS INTEGER) AS c
+              FROM cnt CROSS JOIN tot)
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10000 AS b
+              FROM documents) d JOIN cut ON cut.s = d.source
+            WHERE b < c"""))
+
   // Token-budget mixture sampling: rates derive from per-stratum token
   // totals BOTH engines compute from the data (min(1, budget/total),
   // IEEE division + the same half-up rounding to 1/10000), keep/drop is
@@ -2288,7 +2311,7 @@ object GraftQueriesML {
     mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
     mCovariance,
-    mSemanticKeep, mEmbedOutlier, mWeightedSample, mTokenBudget,
+    mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,

@@ -212,6 +212,48 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Temperature-based mixture sampling (the mT5/multilingual-training
+    * convention, Xue et al. 2021 §3.1): stratum `s` keeps rows at a rate
+    * making its expected share ∝ n_s^α — α < 1 UP-samples tail strata
+    * (low-resource languages, rare sources) and flattens the head,
+    * α = 1 is proportional (no reweighting). Given a total keep
+    * `fraction` f, the expected kept count of stratum s is
+    * f·N·p_s with p_s = n_s^α / Σ_t n_t^α, so the rate is
+    * min(1, f·N·p_s / n_s); keep/drop is the content-addressed
+    * [[hashBucket]] convention via [[weightedSample]] — reproducible
+    * across engines and runs, no RNG. Rows with a NULL stratum drop
+    * (they belong to no mixture component).
+    *
+    * Scale: ONE map-side-combined count aggregate (≤ |strata| rows to
+    * the driver — a mixture has tens of sources), rates fold back as a
+    * literal CASE, the keep filter is narrow. Expected counts are
+    * STATISTICAL (hash-uniform), the [[tokenBudgetSample]] note.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        alpha: Double, fraction: Double,
+                        buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureSample: alpha must be in (0, 1], got $alpha")
+    require(fraction > 0 && fraction <= 1,
+      s"temperatureSample: fraction must be in (0, 1], got $fraction")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val totalN = counts.map(_._2).sum.toDouble
+    // cross-engine determinism rides the CUT QUANTIZATION, not the sum
+    // order: z's last-ulp noise (engines fold the pows in different
+    // orders) only matters if a rate lands within ~1e-12 of a 1/buckets
+    // rounding boundary — the same defense weightedSample's integer cut
+    // already provides for caller-computed rates
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0,
+        fraction * totalN * (math.pow(n.toDouble, alpha) / z) / n.toDouble)
+    }.toMap
+    weightedSample(df, idCol, strataCol, rates, defaultRate = 0.0, buckets)
+  }
+
   /** Token-budget mixture sampling — the data-mixing step of a training
     * recipe ("30 B tokens of web, all of code, at most 5 B of forums"):
     * each stratum's sampling rate scales so its EXPECTED kept-token

@@ -47,7 +47,7 @@ object CurationStages {
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
-    "cluster_sample", "cluster_assign", "knn_graph")
+    "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -63,7 +63,7 @@ object CurationStages {
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
-    "knn_graph")
+    "knn_graph", "temperature_sample")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -205,6 +205,16 @@ object CurationStages {
         }
         src.withColumn(target, graft.ml.Similarity.assignNearestL2(
           col(vec).cast("array<double>"), centroids).cast("int"))
+      case "temperature_sample" =>
+        // mT5-style alpha mixing (ml/Curation.temperatureSample):
+        // per-stratum rates from plan-time counts (bounded reduction),
+        // keep filter narrow + content-addressed. Whole-corpus because
+        // the rates need the full stratum counts.
+        Curation.temperatureSample(pre,
+          idField(c, "temperature_sample"),
+          reqStr(c, "strata_field", "temperature_sample"),
+          alpha = dbl(c, "alpha", 0.3),
+          fraction = dbl(c, "fraction", 1.0))
       case "knn_graph" =>
         // Approximate k-NN graph result set (ml/Similarity.knnGraph):
         // the output is EDGES (src, rank, dst, sim), not the input

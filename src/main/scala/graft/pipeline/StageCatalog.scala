@@ -547,6 +547,17 @@ object StageCatalog {
       schemaKind = "embeddings",
       oracle = Seq("ml_kmeans_assign", "ml_cluster_sample"),
       notes = "Lloyd k-means with hash-partition init and 6-decimal centroid snapping (the oracle replays the exact trajectory in SQL). Training is iters+1 map-side-combined aggregates, k*dim doubles to the driver each - corpus-size-independent driver state; assignment is a narrow native argmin kernel (centroids ride as ONE plan reference) and the per-cluster cap plans as WindowGroupLimit below the sort. The composed stage input is shared across training rounds + the sampling pass via lazy cache (`materialize: path` spills to parquet instead). Malformed vectors (wrong dim, null elements) are excluded from training AND output."),
+    StageDoc("temperature_sample", "curation",
+      "Temperature-based mixture sampling (mT5, Xue et al. 2021): stratum share proportional to n^alpha - alpha < 1 up-samples tail strata (low-resource languages, rare sources), content-addressed keeps.",
+      y("""pipeline:
+          |  - type: temperature_sample
+          |    id_field: doc_id
+          |    strata_field: source
+          |    alpha: 0.3
+          |    fraction: 0.5"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_temperature_sample"),
+      notes = "Rates are min(1, fraction*N*p_s/n_s) with p_s = n_s^alpha / sum_t n_t^alpha, computed from ONE plan-time count aggregate (<= strata rows to the driver); the keep filter is the narrow hashBucket convention (reproducible across engines/runs, no RNG). Rows with a NULL stratum drop. Expected counts are statistical (hash-uniform) - the token_budget_sample note. Whole-corpus (rates need full stratum counts) - batch only."),
     StageDoc("knn_graph", "curation",
       "Approximate k-NN graph over the embedding column: every node's top-k cosine neighbors among its banded-LSH candidates - edges (src, rank, dst, sim) as the result set.",
       y("""pipeline:

@@ -39,6 +39,9 @@ class PlanGuardSpec extends SparkSpec {
     // LUT-fold projection, selection a TakeOrdered on top
     "ml_dsir_weights", "ml_dsir_sample",
     "ml_fingerprint", "ml_hash_split", "ml_weighted_sample",
+    // per-stratum counts collect at plan time (bounded reduction); the
+    // returned plan is the narrow content-addressed keep filter
+    "ml_temperature_sample",
     // token totals collect at plan time (the bpe_merges convention);
     // the returned plan is the narrow keep filter
     "ml_token_budget_sample",

@@ -58,4 +58,38 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("temperature sampling up-samples the tail stratum at alpha < 1") {
+    val s = spark
+    import s.implicits._
+    // head stratum 900 rows, tail 100: proportional keeps them 9:1;
+    // alpha = 0.3 pushes the mixture toward the tail
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "head" else "tail"))
+      .toDF("id", "g")
+    val kept = Curation.temperatureSample(df, "id", "g",
+        alpha = 0.3, fraction = 0.5)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected shares: p_head = 900^.3/(900^.3+100^.3) ≈ 0.66 → rate
+    // 0.5*1000*0.66/900 ≈ 0.37; p_tail ≈ 0.34 → rate ≈ 1.0 (capped).
+    // The tail keeps (almost) everything, the head roughly a third.
+    assert(kept("tail") > 90, s"tail should be up-sampled: $kept")
+    assert(kept("head") < 450 && kept("head") > 250,
+      s"head rate should be ~0.37: $kept")
+    // deterministic across runs
+    val again = Curation.temperatureSample(df, "id", "g", 0.3, 0.5)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // alpha = 1 is proportional: every stratum keeps ~fraction
+    val prop = Curation.temperatureSample(df, "id", "g", 1.0, 0.5)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prop("head") - 450) < 60 &&
+      math.abs(prop("tail") - 50) < 25, s"alpha=1 should be proportional: $prop")
+    // null strata drop
+    val withNull = df.union(Seq((2000L, null.asInstanceOf[String])).toDF("id", "g"))
+    assert(!Curation.temperatureSample(withNull, "id", "g", 0.3, 0.5)
+      .collect().map(_.getLong(0)).contains(2000L))
+  }
 }
