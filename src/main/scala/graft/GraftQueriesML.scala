@@ -247,6 +247,26 @@ object GraftQueriesML {
     Some(nearDupRootsSql +
       " SELECT id AS doc_id, root AS cluster FROM roots ORDER BY doc_id"))
 
+  /** Leakage-safe split: hash of the CLUSTER root decides the split, so
+    * the oracle's recursive-CTE closure also verifies no near-dup pair
+    * straddles a split boundary (same root ⟹ same split by construction).
+    */
+  private val mClusterSplit = Spec("ml_cluster_split",
+    (s, dir) => Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
+        "text", trainPct = 80, validPct = 10,
+        bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id"),
+    Some(nearDupRootsSql + """
+       SELECT id AS doc_id, root AS cluster,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'validation'
+              ELSE 'test' END AS split
+       FROM (SELECT id, root,
+         CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 4))
+           AS INTEGER) % 100 AS b FROM roots)
+       ORDER BY doc_id"""))
+
   // ======================================================================
   // Similarity search over embeddings
   // ======================================================================
@@ -2302,7 +2322,7 @@ object GraftQueriesML {
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mSimhashKeep,
-    mJaccardPairs, mNearDupKeep, mNearDupClusters,
+    mJaccardPairs, mNearDupKeep, mNearDupClusters, mClusterSplit,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,

@@ -395,6 +395,39 @@ object Dedup {
       threshold, maxRounds)
       .select(col("id").as(idCol), col("root").as("cluster"))
 
+  /** Leakage-safe train/validation/test split: every document splits by
+    * the content-addressed hash of its NEAR-DUP CLUSTER root, not its own
+    * id — so two near-duplicate documents can never land on opposite
+    * sides of a train/test boundary (the classic eval-leak a plain
+    * [[Curation.hashSplit]] cannot prevent: a paraphrase of a training
+    * document in the held-out set inflates eval scores exactly like
+    * benchmark contamination). Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better") §6 measures this leak directly.
+    *
+    * Adds `cluster` (the component's min id — [[nearDupClusters]]'s
+    * labeling) and `splitCol` to `df`. Singletons hash their own id, so
+    * on a dup-free corpus this degrades to exactly `hashSplit(id)`.
+    *
+    * Scale: the label table from [[componentMins]] is two narrow longs
+    * per doc (a bounded checkpoint scan); joining it back is one
+    * id-keyed shuffle of (id, root) against the corpus — the split
+    * itself is a narrow hash projection, no extra pass.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 80, validPct: Int = 10,
+                       bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
+                       threshold: Double = 0.5, maxRounds: Int = 20,
+                       splitCol: String = "split"): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"leakageSafeSplit: train_pct + valid_pct must be <= 100, " +
+        s"got $trainPct + $validPct")
+    val clusters = nearDupClusters(df, idCol, textCol, bands, rowsPerBand,
+      k, threshold, maxRounds)
+    df.join(clusters, Seq(idCol))
+      .withColumn(splitCol,
+        Curation.hashSplit(col("cluster"), trainPct, validPct))
+  }
+
   /** Shared closure of the keep/clusters pair: LSH pairs → symmetric
     * edges → [[componentMins]], returning the settled (id, root) table
     * (a bounded checkpoint scan — see componentMins' lineage note).

@@ -47,7 +47,8 @@ object CurationStages {
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
-    "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample")
+    "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
+    "leakage_safe_split")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -63,7 +64,7 @@ object CurationStages {
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
-    "knn_graph", "temperature_sample")
+    "knn_graph", "temperature_sample", "leakage_safe_split")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -81,6 +82,7 @@ object CurationStages {
       case "quality_signals" => qualitySignals(pre, c)
       case "pii_redact" => piiRedact(pre, c)
       case "hash_split" => hashSplit(pre, c)
+      case "leakage_safe_split" => leakageSafeSplit(pre, c)
       case "weighted_sample" => weightedSample(pre, c)
       case "stratified_sample" => stratifiedSample(pre, c)
       case "dedup_exact" => dedupExact(pre, c)
@@ -394,6 +396,28 @@ object CurationStages {
       s"got $train + $valid")
     df.withColumn(str(c, "target_field", "split"),
       Curation.hashSplit(col(idField(c, "hash_split")), train, valid))
+  }
+
+  // ---- leakage_safe_split --------------------------------------------
+  //
+  // hash_split keyed by the near-dup CLUSTER root instead of the row id
+  // (Dedup.leakageSafeSplit): near-duplicate documents always land in the
+  // same split, so an eval set can't be contaminated by paraphrases of
+  // training rows. Needs the whole corpus (LSH + component labeling) —
+  // batch-only, unlike hash_split.
+
+  private def leakageSafeSplit(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val clash = Seq(str(c, "target_field", "split"), "cluster")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"leakage_safe_split would overwrite existing column(s) " +
+        s"${clash.mkString(", ")} — rename them upstream or set target_field")
+    Dedup.leakageSafeSplit(df, idField(c, "leakage_safe_split"),
+      textField(c),
+      trainPct = int(c, "train_pct", 80), validPct = int(c, "valid_pct", 10),
+      bands = int(c, "bands", 4), rowsPerBand = int(c, "rows_per_band", 3),
+      k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5),
+      splitCol = str(c, "target_field", "split"))
   }
 
   // ---- weighted_sample ----------------------------------------------

@@ -435,6 +435,15 @@ object StageCatalog {
           |    train_pct: 80
           |    valid_pct: 10"""),
       schemaKind = "documents", oracle = Seq("ml_hash_split")),
+    StageDoc("leakage_safe_split", "curation",
+      "hash_split keyed by the near-dup cluster root: near-duplicates never straddle a train/test boundary (batch-only — LSH + component labeling).",
+      y("""pipeline:
+          |  - type: leakage_safe_split
+          |    id_field: doc_id
+          |    text_field: text
+          |    train_pct: 80
+          |    valid_pct: 10"""),
+      schemaKind = "documents", oracle = Seq("ml_cluster_split")),
     StageDoc("weighted_sample", "curation",
       "Per-source mixture sampling at configured rates (content-addressed, rate-nested across changes).",
       y("""pipeline:

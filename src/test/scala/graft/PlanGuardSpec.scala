@@ -115,6 +115,8 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_neardup_against" -> 10, // two-sided band join + verify
     "ml_neardup_against" -> 10,
     "ml_neardup_clusters" -> 1, // settled checkpoint scan, label select
+    "ml_cluster_split" -> 3,   // label join back to the corpus (2 sides)
+                               // + the spec's orderBy range exchange
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_ngram_topk" -> 1,
     "ml_pack_chunks" -> 3,

@@ -48,6 +48,47 @@ class NearDupKeepSpec extends SparkSpec {
     assert(labels.values.toSet == kept)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split boundary") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // many near-dup clusters of 3 (ids 3i, 3i+1, 3i+2 share a long prefix
+    // per-cluster) so at 80/10/10 some clusters land in each split
+    val docs = (0 until 60).map { i =>
+      val stem = base + s" cluster$i word$i token$i extra$i more$i"
+      (i.toLong, stem + (i % 3 match {
+        case 0 => ""
+        case 1 => " lambda"
+        case _ => " lambda mu"
+      }))
+    }.toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+      trainPct = 80, validPct = 10,
+      bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
+    val rows = out.select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 60)
+    // every doc of a cluster carries the same split
+    rows.groupBy(_._2).foreach { case (cl, grp) =>
+      assert(grp.map(_._3).toSet.size == 1,
+        s"cluster $cl straddles splits: ${grp.toSeq}")
+    }
+    // the split of a cluster equals hashSplit of its root id (so a
+    // dup-free corpus degrades to plain hashSplit)
+    val roots = rows.map(_._2).distinct.toSeq.toDF("id")
+    val expect = roots.select(col("id"),
+        Curation.hashSplit(col("id"), 80, 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, cl, s) =>
+      assert(s == expect(cl), s"doc $id: split $s != hashSplit($cl)=${expect(cl)}")
+    }
+    // sanity: with 20 clusters the 80/10/10 hash actually split them
+    assert(rows.map(_._3).toSet.size >= 2, "expected at least two splits used")
+    // conflicting percentages fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(docs, "doc_id", "text", trainPct = 95, validPct = 10)
+    }
+  }
+
   test("keepFromPairs turns an arbitrary edge list into a min-id keep set") {
     import spark.implicits._
     val ids = (1L to 7L).toDF("doc_id")

@@ -123,6 +123,52 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("<= 100"))
   }
 
+  test("leakage_safe_split stage: near-dups share a split; batch-only; clash guard") {
+    val out = run(
+      """pipeline:
+        |  - type: leakage_safe_split
+        |    id_field: doc_id
+        |    text_field: text
+        |    train_pct: 80
+        |    valid_pct: 10
+        |""".stripMargin, docs)
+    val rows = out.select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 7)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // docs 1 and 3 are near-dups → same cluster, hence same split; the
+    // exact dup 2 rides along
+    assert(byId(1L)._2 == byId(3L)._2 && byId(1L)._2 == byId(2L)._2)
+    assert(byId(1L)._3 == byId(3L)._3 && byId(1L)._3 == byId(2L)._3)
+    // singletons split by their own id = plain hashSplit
+    val direct = docs.select(col("doc_id"),
+      graft.ml.Curation.hashSplit(col("doc_id"), 80, 10).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(4L, 5L, 6L, 7L).foreach(id => assert(byId(id)._3 == direct(id)))
+    // an existing `split`/`cluster` column fails loudly instead of
+    // silently overwriting
+    val clash = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: leakage_safe_split\n    id_field: doc_id\n" +
+        "    text_field: text\n", docs.withColumn("cluster", lit(0L)))
+    }
+    assert(clash.getMessage.contains("overwrite"))
+    // whole-corpus semantics → refuses a streaming input at compile time
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: leakage_safe_split
+          |    id_field: doc_id
+          |    text_field: text
+          |""".stripMargin))(streamDf).main
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
+
   test("weighted_sample stage: per-stratum content-addressed rates") {
     val out = run(
       """pipeline:
