@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * runMain graft.Curate curation.yaml in.parquet outDir \
-  *   [--partition-by split[,shard]] [--format parquet|json]
+  *   [--partition-by split[,shard]] [--format parquet|json] \
+  *   [--bucket-by doc_id:128]
   * }}}
   *
   * `--partition-by` columns (e.g. the `hash_split` stage's `split`, the
@@ -16,13 +17,16 @@ import org.apache.spark.sql.SparkSession
   * trainer reads `outDir/split=train/` and shard files in position
   * order. Extra-data channels (pre_detector-style side outputs, if the
   * config produces any) write under `outDir/_extra/<channel>/`.
+  * `--bucket-by col:N` writes a [[graft.sources.BucketedLayout]] instead:
+  * one shuffle now buys exchange-free id-keyed joins for every later run
+  * (re-attach with `BucketedLayout.register`).
   */
 object Curate {
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: Curate <config.yaml> <input.parquet> <outDir> " +
       "[--partition-by cols] [--format parquet|json] " +
-      "[--profile-by stratumCol[:textCol]]\n" +
+      "[--profile-by stratumCol[:textCol]] [--bucket-by col:N]\n" +
       "       Curate compact-store <storePath>"
     // maintenance action: offline compaction of a dedup_ingest key
     // store (one row per content key under a fresh epoch token — see
@@ -45,7 +49,7 @@ object Curate {
     }
     // accept both `--name value` and `--name=value`; unknown flags fail
     // loudly instead of silently running with defaults
-    val known = Set("partition-by", "format", "profile-by")
+    val known = Set("partition-by", "format", "profile-by", "bucket-by")
     val flagVals = scala.collection.mutable.Map.empty[String, String]
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -82,19 +86,31 @@ object Curate {
     }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val bucketBy = flagVals.get("bucket-by").map { v =>
+      v.split(":") match {
+        case Array(c, n) if n.forall(_.isDigit) && n.nonEmpty => (c, n.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"--bucket-by wants col:N, got $v\n$usage")
+      }
+    }
+    require(bucketBy.isEmpty || format == "parquet",
+      s"--bucket-by is a parquet layout (got --format $format)\n$usage")
+
     val spark = Tables.configure(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cfgPath, inPath, outDir, partitionBy, format, profileBy)
+    try run(spark, cfgPath, inPath, outDir, partitionBy, format, profileBy,
+      bucketBy)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, cfgPath: String, inPath: String,
           outDir: String, partitionBy: Seq[String], format: String,
-          profileBy: Option[(String, String)] = None): Unit = {
+          profileBy: Option[(String, String)] = None,
+          bucketBy: Option[(String, Int)] = None): Unit = {
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfgPath)), "UTF-8")
     val spec = pipeline.RuleLoader.fromYaml(yaml)
@@ -104,9 +120,21 @@ object Curate {
     require(missing.isEmpty,
       s"--partition-by column(s) ${missing.mkString(", ")} not in the " +
         s"pipeline output (have: ${result.main.columns.mkString(", ")})")
-    val writer = result.main.write.mode("overwrite").format(format)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).save(s"$outDir/data")
+    bucketBy match {
+      case Some((bcol, n)) =>
+        require(result.main.columns.contains(bcol),
+          s"--bucket-by column $bcol not in the pipeline output " +
+            s"(have: ${result.main.columns.mkString(", ")})")
+        require(partitionBy.isEmpty,
+          "--bucket-by with --partition-by is not supported: a split " +
+            "directory per partition re-fragments the bucket files; " +
+            "bucket the whole corpus and filter on the split column")
+        sources.BucketedLayout.write(result.main, s"$outDir/data", bcol, n)
+      case None =>
+        val writer = result.main.write.mode("overwrite").format(format)
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+         else writer).save(s"$outDir/data")
+    }
     result.extra.foreach { case (channel, df) =>
       df.write.mode("overwrite").format(format)
         .save(s"$outDir/_extra/$channel")

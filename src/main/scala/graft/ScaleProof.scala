@@ -158,6 +158,11 @@ object ScaleProof {
       // narrow LUT scoring), and positional decontamination (broadcast
       // bench digests)
       "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"),
+      // round-12 third session: the reference-trained LM (corpus side =
+      // type-distinct + price join; nothing double-executes — the 2.4×
+      // x10 ratio is two corpus explodes scaling with the rotated-replica
+      // vocabulary, see NOTES_r12)
+      "ml_bigram_xent" -> GraftQueries.queries("ml_bigram_xent"),
       "ml_dsir_weights" -> GraftQueries.queries("ml_dsir_weights"),
       "ml_decontam_clean" -> GraftQueries.queries("ml_decontam_clean"),
       // the composed 5-stage recipe — the end-to-end scale claim

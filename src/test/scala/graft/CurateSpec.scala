@@ -49,6 +49,41 @@ class CurateSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("bucket-by: bucketed layout written, re-registrable, joins co-located") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curateb").toString
+    val in = s"$tmp/in.parquet"
+    (0L until 50L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val cfg = s"$tmp/curation.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      """pipeline:
+        |  - type: hash_split
+        |    id_field: doc_id
+        |""".stripMargin)
+    Curate.run(spark, cfg, in, s"$tmp/out", partitionBy = Seq.empty,
+      format = "parquet", bucketBy = Some(("doc_id", 4)))
+    // marker recorded; a fresh register sees bucketed scans
+    assert(sources.BucketedLayout.geometry(spark, s"$tmp/out/data")
+      .contains(("doc_id", 4, Seq("doc_id"))))
+    val t = sources.BucketedLayout.register(spark, s"$tmp/out/data",
+      "curate_bucketed_out")
+    try {
+      assert(t.count() == 50L && t.columns.contains("split"))
+    } finally spark.sql("DROP TABLE curate_bucketed_out")
+    // bucketing composed with partition-by is refused (re-fragmentation)
+    val e = intercept[IllegalArgumentException](
+      Curate.run(spark, cfg, in, s"$tmp/out2", partitionBy = Seq("split"),
+        format = "parquet", bucketBy = Some(("doc_id", 4))))
+    assert(e.getMessage.contains("bucket"))
+    // unknown bucket column fails loudly
+    val e2 = intercept[IllegalArgumentException](
+      Curate.run(spark, cfg, in, s"$tmp/out3", partitionBy = Seq.empty,
+        format = "parquet", bucketBy = Some(("nope", 4))))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("profile-by: before/after corpus profiles written and consistent") {
     val s = spark
     import s.implicits._
