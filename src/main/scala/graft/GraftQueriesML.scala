@@ -204,6 +204,29 @@ object GraftQueriesML {
          WHERE $simExpr >= 0.5"""
     })
 
+  /** Near-containment over the df-capped shingle index (the quoted-inside
+    * axis MinHash misses); the oracle replicates the cap, so numerator
+    * AND denominators count only index-eligible grams.
+    */
+  private val mContainmentPairs = Spec("ml_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id",
+        "text", k = 3, threshold = 0.5, maxDf = 64)
+      .orderBy("a", "b"),
+    Some(shinglesCte + """,
+       ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       dfc AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+       occ AS (SELECT doc_id, ex.g FROM ex JOIN dfc USING (g)
+         WHERE c <= 64),
+       n AS (SELECT doc_id, count(*) AS n FROM occ GROUP BY doc_id),
+       p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+         FROM occ l JOIN occ r ON l.g = r.g AND l.doc_id < r.doc_id
+         GROUP BY 1, 2)
+       SELECT a, b, round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6)
+         AS containment
+       FROM p JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+       WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5
+       ORDER BY a, b"""))
+
   /** DuckDB CTE chain through `roots(id, root)` — the TRUE transitive
     * closure of the 4×3-band near-dup graph (recursive CTE), so any
     * query over it also verifies the Spark side's propagation CONVERGED.
@@ -894,6 +917,26 @@ object GraftQueriesML {
               FROM w WHERE len(w) >= 2)
             SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20"""))
+
+  private val mZipfFit = Spec("ml_zipf_fit",
+    (s, dir) => CorpusStats.zipfFit(t(s, dir, "documents"), "text",
+      topN = 100),
+    Some("""WITH w AS (SELECT list_filter(string_split(text, ' '),
+              x -> x <> '') AS w FROM documents),
+            tok AS (SELECT unnest(w) AS t FROM w),
+            tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+              count(*) AS n_types FROM tc),
+            top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC)
+                AS r FROM tc QUALIFY r <= 100),
+            xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+              ln(CAST(c AS DOUBLE)) AS y FROM top),
+            fit AS (SELECT (avg(x*y) - avg(x)*avg(y))
+                / (avg(x*x) - avg(x)*avg(x)) AS slope,
+              avg(x) AS mx, avg(y) AS my FROM xy)
+            SELECT n_tokens, n_types, round(slope, 6) AS zipf_slope,
+              round(my - slope*mx, 6) AS zipf_intercept
+            FROM tot CROSS JOIN fit"""))
 
   private val mContamination = Spec("ml_contamination",
     (s, dir) => {
@@ -2322,13 +2365,14 @@ object GraftQueriesML {
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mSimhashKeep,
-    mJaccardPairs, mNearDupKeep, mNearDupClusters, mClusterSplit,
+    mJaccardPairs, mContainmentPairs, mNearDupKeep, mNearDupClusters,
+    mClusterSplit,
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
     mMultimodalPixels,
     mRepetition, mHashSplit, mStratified,
-    mNgramTopK, mContamination, mDocFreq, mPackChunks, mPiiRedact,
+    mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,

@@ -527,4 +527,48 @@ object CorpusStats {
     Dedup.cutSpans(corpus,
       decontaminateSpans(corpus, idCol, textCol, bench, benchTextCol, k),
       idCol, textCol)
+
+  /** Zipf-law audit: least-squares slope of ln(frequency) against
+    * ln(rank) over the `topN` most frequent tokens, plus the corpus
+    * totals. Natural language sits near slope −1 (Zipf 1949); a corpus
+    * whose slope drifts far from that after a curation run has had its
+    * head (boilerplate removal too aggressive) or tail (over-dedup)
+    * distorted — the one-number distribution check next to
+    * [[corpusProfile]]'s per-stratum counts. Output: one row
+    * `(n_tokens, n_types, zipf_slope, zipf_intercept)`.
+    *
+    * Scale: ONE token-keyed count aggregate (vocabulary-sized shuffle);
+    * the rank/fit runs on the topN rows only — `orderBy.limit(topN)`
+    * plans as TakeOrderedAndProject (per-partition heaps, never a global
+    * sort), and the single-partition rank window after it sees exactly
+    * topN rows, a bounded driver-small tail like the k-means centroid
+    * sums. Ties rank by token text so the fit is deterministic on both
+    * engines.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"zipfFit needs topN >= 2, got $topN")
+    val tc = df.select(explode(Curation.words(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist() // two consumers: totals + top-N (CacheSweep-released)
+    val totals = tc.agg(sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = tc.orderBy(col("c").desc, col("t").asc).limit(topN)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t").asc)))
+    val xy = top.select(log(col("r").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    // the oracle SQL mirrors this exact expression structure so the
+    // doubles agree to well inside round-6
+    val fit = xy.agg(
+      ((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+        (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
+        .as("slope"),
+      avg(col("x")).as("mx"), avg(col("y")).as("my"))
+    totals.crossJoin(fit)
+      .select(col("n_tokens"), col("n_types"),
+        round(col("slope"), 6).as("zipf_slope"),
+        round(col("my") - col("slope") * col("mx"), 6)
+          .as("zipf_intercept"))
+  }
 }

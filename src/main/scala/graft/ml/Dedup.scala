@@ -684,6 +684,58 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Broder near-CONTAINMENT pairs: C(A,B) = |Sh(A)∩Sh(B)| / min(|Sh(A)|,
+    * |Sh(B)|) ≥ `threshold` — the dedup axis Jaccard near-dup
+    * structurally misses: a short document quoted whole inside a long one
+    * scores J ≈ |A|/|B| (diluted by the union) but C ≈ 1. Broder 1997
+    * defines the directional containment |A∩B|/|A|; the min-normalized
+    * symmetric form reported here flags "one side is mostly inside the
+    * other" without caring which.
+    *
+    * Candidates come from a shingle INVERTED INDEX with a document-
+    * frequency cap, not LSH: MinHash bands certify Jaccard, so banding
+    * would also miss contained pairs — while an index join finds any pair
+    * sharing an eligible gram. `maxDf` bounds the fan-out: a gram held by
+    * d docs emits d·(d−1)/2 pair rows, so boilerplate grams (df > maxDf)
+    * are excluded from BOTH the numerator and each doc's denominator —
+    * the score is containment over index-eligible grams, stated honestly
+    * (the paraDedup convention of bounding join blow-up by construction;
+    * at web scale the df distribution is Zipf, so the cap removes a tiny
+    * head that carries no discriminative signal anyway).
+    *
+    * Scale: one distinct-gram explode (digest-keyed — 16-byte md5s, never
+    * gram text), one vocabulary-sized df count, a capped index self-join
+    * whose output is ≤ maxDf·Σdf rows, one (a,b)-keyed count. Nothing
+    * corpus × corpus; every shuffle keys on digests or id pairs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.5,
+                       maxDf: Int = 64): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("g"))
+      .select(col("id"), unhex(md5(col("g"))).as("gd"))
+    val dfc = grams.groupBy(col("gd")).agg(count(lit(1)).as("__df"))
+    val eligible = dfc.filter(col("__df") <= maxDf)
+    val occ = grams.join(eligible.select(col("gd")), Seq("gd"), "left_semi")
+      .persist()
+    val perDoc = occ.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val l = occ.alias("l"); val r = occ.alias("r")
+    val shared = l.join(r,
+        col("l.gd") === col("r.gd") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    // occ persists lazily (its three consumers — perDoc, both join sides
+    // — would each re-run the explode+df-cap otherwise); released by
+    // [[graft.CacheSweep]], the minhashPairs convention
+    shared
+      .join(perDoc.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(perDoc.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Paragraph-level dedup (the MassiveText/RefinedWeb boilerplate pass):
     * remove every paragraph whose EXACT text occurs in ≥ `minDocs`
     * DISTINCT documents, from all of them, and reassemble each document

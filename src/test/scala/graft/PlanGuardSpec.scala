@@ -107,6 +107,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
     "ml_jaccard_pairs" -> 8,
+    "ml_containment_pairs" -> 7, // df-capped inverted-index self-join:
+                               // gram agg, semi, per-doc n, pair agg,
+                               // two n joins, orderBy (occ cache inside)
     "ml_knn_graph" -> 10,      // the embed_neardup candidate machinery
                                // + the per-node top-k window shuffle
     "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
@@ -119,6 +122,8 @@ class PlanGuardSpec extends SparkSpec {
                                // + the spec's orderBy range exchange
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_ngram_topk" -> 1,
+    "ml_zipf_fit" -> 2,        // token count agg + bounded top-N tail
+                               // (vocab cache inside)
     "ml_pack_chunks" -> 3,
     "ml_shuffle_layout" -> 1,
     "ml_simhash" -> 1,

@@ -267,4 +267,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(books.getAs[Long]("n_vocab") === 4L)
     assert(books.getAs[Long]("n_texts") === 2L)
   }
+
+  test("zipfFit recovers the slope of an exactly-Zipfian corpus") {
+    val s = spark
+    import s.implicits._
+    // token w_r repeated floor(1000/r) times: frequencies follow r^-1
+    // exactly (up to integer floors), so the log-log fit must sit near -1
+    val body = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"w$r%03d"))
+    val df = Seq(Tuple1(body.mkString(" "))).toDF("text")
+    val row = CorpusStats.zipfFit(df, "text", topN = 50).head()
+    assert(row.getAs[Long]("n_types") === 50L)
+    assert(row.getAs[Long]("n_tokens") === body.length.toLong)
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope > -1.05 && slope < -0.95, s"expected ~ -1, got $slope")
+    // a uniform corpus (all frequencies equal) fits slope 0
+    val uni = Seq(Tuple1((1 to 20).map(i => f"u$i%02d").mkString(" ")))
+      .toDF("text")
+    val flat = CorpusStats.zipfFit(uni, "text", topN = 20).head()
+    assert(flat.getAs[Double]("zipf_slope") === 0.0)
+    intercept[IllegalArgumentException](CorpusStats.zipfFit(df, "text", 1))
+  }
 }
