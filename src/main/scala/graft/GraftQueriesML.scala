@@ -741,6 +741,79 @@ object GraftQueriesML {
                 + 0.114 * (doc_id * 11 % 256), 6) AS mean_luma
             FROM documents"""))
 
+  /** Shared DuckDB CTE chain `p(doc_id, b0, st)` → `hs(doc_id, bits)`:
+    * the aHash of a 16×32 vertical-gradient PNG predicted purely from
+    * the construction parameters (gray row y = (b0 + y·st) mod 256 ⇒
+    * integer luma = the gray value exactly; 2-col × 4-row cells; bit
+    * cy·8+cx ⇔ 64·cellSum > total; MSB-first 64-char bit string = the
+    * engine's `lpad(bin(ahash), 64, '0')`).
+    */
+  private def aHashBitsSql(fromP: String): String =
+    fromP + """,
+       r AS (SELECT doc_id, y, (b0 + y*st) % 256 AS v
+         FROM p, unnest(range(32)) AS u(y)),
+       cells AS (SELECT doc_id, y // 4 AS cy, 2*sum(v) AS s
+         FROM r GROUP BY doc_id, y // 4),
+       tot AS (SELECT doc_id, 8*sum(s) AS total FROM cells GROUP BY doc_id),
+       bits AS (SELECT j.doc_id, j.j,
+           CASE WHEN 64*c.s > t.total THEN '1' ELSE '0' END AS ch
+         FROM (SELECT doc_id, j, (63 - j) // 8 AS cy
+           FROM p, unnest(range(64)) AS u(j)) j
+         JOIN cells c ON c.doc_id = j.doc_id AND c.cy = j.cy
+         JOIN tot t ON t.doc_id = j.doc_id),
+       hs AS (SELECT doc_id, string_agg(ch, '' ORDER BY j) AS bits
+         FROM bits GROUP BY doc_id)"""
+
+  /** Full encode→decode→perceptual-hash round trip, oracle-predicted:
+    * the engine BUILDS a real PNG per row (expression-side encoder),
+    * decodes it with the JDK codec, and computes the exact-integer
+    * aHash; DuckDB predicts the 64-bit fingerprint from the gradient
+    * parameters alone.
+    */
+  private val mImageAHash = Spec("ml_image_ahash",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val png = d.withColumn("payload", Multimodal.pngGradientBytes(
+        lit(16), lit(32), (col("doc_id") % 256).cast("int"),
+        (col("doc_id") % 7 + 1).cast("int")))
+      Multimodal.imageAHash(png, "payload")
+        .select(col("doc_id"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy("doc_id")
+    },
+    Some(aHashBitsSql(
+      """WITH p AS (SELECT doc_id, doc_id % 256 AS b0,
+           doc_id % 7 + 1 AS st FROM documents)""") + """
+       SELECT doc_id, bits AS ahash_bits FROM hs ORDER BY doc_id"""))
+
+  /** Image near-dup decision surface: brightness-shifted copies of the
+    * same gradient hash identically (the perceptual invariance), the
+    * reversed gradient doesn't — hammingPairs over the decoded hashes,
+    * oracle-checked against the predicted fingerprints (pigeonhole: at
+    * maxHamming 3 < 4 bands the banded join is EXHAUSTIVE, so the
+    * oracle's plain quadratic form is the same set).
+    */
+  private val mImageNearDup = Spec("ml_image_neardup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val png = d.withColumn("payload", Multimodal.pngGradientBytes(
+        lit(16), lit(32), (lit(100) + col("doc_id") % 50).cast("int"),
+        when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(255))
+          .cast("int")))
+      Dedup.hammingPairs(Multimodal.imageAHash(png, "payload"),
+          "doc_id", "ahash", bands = 4, maxHamming = 3)
+        .orderBy("a", "b")
+    },
+    Some(aHashBitsSql(
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 50 AS b0,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 255 END AS st
+         FROM documents WHERE doc_id < 40)""") + """
+       SELECT l.doc_id AS a, r2.doc_id AS b
+       FROM hs l JOIN hs r2 ON l.doc_id < r2.doc_id
+       WHERE len(list_filter(range(64),
+         i -> l.bits[i+1] <> r2.bits[i+1])) <= 3
+       ORDER BY a, b"""))
+
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -2370,7 +2443,7 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
-    mMultimodalPixels,
+    mMultimodalPixels, mImageAHash, mImageNearDup,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,

@@ -208,6 +208,48 @@ object Dedup {
     verified.select(col("l.id").as("a"), col("r.id").as("b")).distinct()
   }
 
+  /** Banded Hamming near-dup pairs over ANY 64-bit fingerprint column
+    * (an [[graft.ml.Multimodal.imageAHash]] perceptual hash, an external
+    * 64-bit SimHash, a locality code): `(a, b)` with
+    * `popcount(fp_a XOR fp_b) ≤ maxHamming`. The [[simhashPairs]]
+    * machinery generalized to caller-supplied fingerprints — the hash is
+    * split into `bands` equal slices and candidates must agree on at
+    * least one slice, which by pigeonhole is EXHAUSTIVE for
+    * `maxHamming < bands` (3 differing bits cannot touch all 4 bands);
+    * beyond that it is the standard Manku et al. 2007 probabilistic
+    * trade. `maxBucketSize` caps identical-fingerprint pile-ups exactly
+    * as in [[minhashPairs]] (the O(bucket²) guard); null fingerprints
+    * (undecodable images) never pair. One shuffle to band, one capped
+    * self-join keyed on 16-bit slices — nothing corpus × corpus.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, fpCol: String,
+                   bands: Int = 4, maxHamming: Int = 3,
+                   maxBucketSize: Int = 4096): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val base = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull)
+    val banded = base.select(col("id"), col("fp"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * width)
+            .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.band"), col("b.key"))
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "key"),
+      "left_anti")
+    val l = capped.alias("l"); val r = capped.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .filter(bit_count(col("l.fp").bitwiseXOR(col("r.fp"))) <= maxHamming)
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+  }
+
   /** Connected-component keep-one selection over ANY pair list: the
     * minimum id of each duplicate cluster survives (plus every
     * singleton) — [[nearDupKeep]]'s decision step factored out so any

@@ -239,6 +239,104 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average-hash (aHash) of an image payload, or null when the
+    * payload doesn't decode or is smaller than the 8×8 grid. The
+    * perceptual fingerprint behind image DEDUP: re-encoded, resized, or
+    * brightness-shifted copies of a picture keep (nearly) the same hash,
+    * so near-duplicate images reduce to Hamming distance over longs —
+    * [[graft.ml.Dedup.hammingPairs]] + `keepFromPairs` turn that into a
+    * dedup decision, extending the text dedup ladder to the image
+    * column.
+    *
+    * EXACT-INTEGER definition (reproducible on any engine, no float
+    * resampling): crop to the top-left `(w−w%8)×(h−h%8)` region so all
+    * 64 grid cells hold equally many pixels; per-pixel integer luma
+    * `(299r + 587g + 114b) / 1000` (floor); cell sums accumulate in
+    * longs; bit `cy·8 + cx` (LSB = top-left cell) is set iff
+    * `64·cellSum > Σ cellSums` — cross-multiplied, so no division ever
+    * happens. Classic aHash (Krawetz 2011, average-hash) resizes with
+    * interpolation; block means are the same statistic without a
+    * resampler, and the exactness is what lets a SQL oracle predict the
+    * hash of a constructed image bit for bit.
+    *
+    * Decode discipline matches [[pixelLuma]]: header-probed 64 MP cap
+    * BEFORE any raster allocation, in-JDK `javax.imageio` codecs,
+    * NonFatal → null, VM errors propagate.
+    */
+  private def aHashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = try {
+      javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) return null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w < 8 || h < 8 || w.toLong * h > 64_000_000L) null
+          else {
+            val img = reader.read(0)
+            val cw = w / 8; val ch = h / 8
+            val sums = new Array[Long](64)
+            var y = 0
+            while (y < ch * 8) {
+              val cy = y / ch
+              var x = 0
+              while (x < cw * 8) {
+                val p = img.getRGB(x, y)
+                val l = (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+                  114 * (p & 0xFF)) / 1000
+                sums(cy * 8 + x / cw) += l
+                x += 1
+              }
+              y += 1
+            }
+            var total = 0L; var i = 0
+            while (i < 64) { total += sums(i); i += 1 }
+            var hash = 0L; i = 0
+            while (i < 64) {
+              if (64L * sums(i) > total) hash |= (1L << i)
+              i += 1
+            }
+            java.lang.Long.valueOf(hash)
+          }
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally iis.close()
+  }
+
+  /** Test access to the aHash kernel. */
+  private[ml] def aHashBytes(bytes: Array[Byte]): java.lang.Long =
+    aHashOne(bytes)
+
+  /** Append the [[aHashOne]] perceptual hash of `bytesCol` as a nullable
+    * long column — the same batched mapPartitions kernel shape as
+    * [[decodeImages]] (decoder init amortizes per task, never per row).
+    */
+  def imageAHash(df: DataFrame, bytesCol: String,
+                 outCol: String = "ahash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ aHashOne(bytes))
+      }
+    }(enc)
+  }
+
   /** Frame sampling plumbing for video: every `stride`-th frame index up to
     * `maxFrames` — pure expression; the decode of each sampled frame would
     * go through the same mapPartitions kernel.
@@ -682,6 +780,66 @@ object Multimodal {
       beHex(dataLen + lit(11L), 4), idatBodyHex,
       lpad(lower(hex(crc32(unhex(idatBodyHex)))), 8, "0"),
       lit("0000000049454e44ae426082")))        // IEND + its constant CRC
+  }
+
+  /** A decodable VERTICAL-GRADIENT truecolor PNG from Catalyst
+    * expressions: scanline y is the constant gray `(base + y·step) mod
+    * 256` (r = g = b), so a decoder-side cell statistic — the
+    * [[imageAHash]] grid — is predictable from the construction
+    * parameters alone, which is what lets a SQL oracle gate a REAL
+    * encode→decode→hash round trip. Same stored-deflate + closed-form
+    * Adler-32 scheme as [[pngPixelBytes]], generalized to per-row
+    * values: with L = 3w, R = L+1, len = R·h, A = Σ v_y, B = Σ y·v_y,
+    *
+    *   s1 = 1 + L·A                       (mod 65521)
+    *   s2 = len + L·(len·A − R·B) − (L·R/2)·A   (mod 65521)
+    *
+    * (position-weighted byte sum over rows of [0x00, v_y × L]; L·R is a
+    * product of consecutive integers, so the /2 is exact). Closed-form
+    * intermediates stay inside Long for the builder's test-scale bound
+    * (same 65535-byte stored-block cap as pngPixelBytes: w, h ≤ 128 is
+    * always safe). Spec-verified against `java.util.zip.Adler32`.
+    */
+  def pngGradientBytes(width: Column, height: Column, base: Column,
+                       step: Column): Column = {
+    val w = width.cast("long"); val h = height.cast("long")
+    val L = lit(3L) * w
+    val R = L + lit(1L)
+    val dataLen = R * h
+    def vAt(y: Column): Column =
+      pmod(base.cast("long") + y * step.cast("long"), lit(256L))
+    val ys = sequence(lit(0L), h - lit(1L))
+    def lsum(f: Column => Column): Column =
+      aggregate(ys, lit(0L), (acc, y) => acc + f(y))
+    val a = lsum(vAt)
+    val b = lsum(y => y * vAt(y))
+    val s1 = pmod(lit(1L) + L * a, lit(65521L))
+    val lr2 = {
+      val p = L * R
+      ((p - pmod(p, lit(2L))) / lit(2L)).cast("long")
+    }
+    val s2 = pmod(dataLen + L * (dataLen * a - R * b) - lr2 * a,
+      lit(65521L))
+    val rowHex = (y: Column) => concat(lit("00"), array_join(
+      transform(sequence(lit(1), L.cast("int")),
+        _ => lpad(lower(hex(vAt(y))), 2, "0")), ""))
+    val dataHex = array_join(transform(ys, y => rowHex(y)), "")
+    val zlibHex = concat(
+      lit("7801"), lit("01"),
+      leHex(dataLen, 2), leHex(lit(0xFFFFL) - dataLen, 2),
+      dataHex,
+      beHex(s2 * lit(65536L) + s1, 4))
+    val ihdrBodyHex = concat(lit("49484452"),
+      beHex(w, 4), beHex(h, 4),
+      lit("08"), lit("02"), lit("000000"))
+    val idatBodyHex = concat(lit("49444154"), zlibHex)
+    unhex(concat(
+      lit("89504e470d0a1a0a"),
+      lit("0000000d"), ihdrBodyHex,
+      lpad(lower(hex(crc32(unhex(ihdrBodyHex)))), 8, "0"),
+      beHex(dataLen + lit(11L), 4), idatBodyHex,
+      lpad(lower(hex(crc32(unhex(idatBodyHex)))), 8, "0"),
+      lit("0000000049454e44ae426082")))
   }
 
   /** Unity transform matrix (tkhd/mvhd): 0x00010000 diagonals, 0x40000000

@@ -48,7 +48,7 @@ object CurationStages {
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
-    "leakage_safe_split")
+    "leakage_safe_split", "dedup_media")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -64,7 +64,7 @@ object CurationStages {
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
-    "knn_graph", "temperature_sample", "leakage_safe_split")
+    "knn_graph", "temperature_sample", "leakage_safe_split", "dedup_media")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -87,6 +87,7 @@ object CurationStages {
       case "stratified_sample" => stratifiedSample(pre, c)
       case "dedup_exact" => dedupExact(pre, c)
       case "dedup_near" => dedupNear(pre, c)
+      case "dedup_media" => dedupMedia(pre, c)
       case "dedup_semantic" => dedupSemantic(pre, c)
       case "contamination_filter" => contaminationFilter(pre, c)
       case "pack_chunks" => packChunks(pre, c)
@@ -460,6 +461,30 @@ object CurationStages {
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
     df.alias("d").join(kept.alias("keep"),
         col(s"d.$id") === col(s"keep.$id"), "left_semi")
+  }
+
+  // ---- dedup_media ---------------------------------------------------
+  //
+  // Perceptual image dedup (Multimodal.imageAHash + Dedup.hammingPairs +
+  // keepFromPairs): re-encoded / brightness-shifted copies of a picture
+  // collapse to one survivor per Hamming component; undecodable payloads
+  // hash null, never pair, and always survive. The image-column leg of
+  // the dedup ladder next to dedup_exact (bytes) and dedup_near (text).
+
+  private def dedupMedia(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "dedup_media")
+    val bytesF = str(c, "bytes_field", "payload")
+    require(df.columns.contains(bytesF),
+      s"dedup_media: bytes_field `$bytesF` not in " +
+        s"${df.columns.mkString(", ")}")
+    val hashed = graft.ml.Multimodal.imageAHash(
+      df.select(col(id), col(bytesF)), bytesF, "__ahash")
+    val pairs = Dedup.hammingPairs(hashed, id, "__ahash",
+      bands = int(c, "bands", 4), maxHamming = int(c, "max_hamming", 3),
+      maxBucketSize = int(c, "max_bucket", 4096))
+    val kept = Dedup.keepFromPairs(hashed.select(col(id)), id, pairs)
+    df.alias("d").join(kept.alias("keep"),
+      col(s"d.$id") === col(s"keep.$id"), "left_semi")
   }
 
   // ---- dedup_semantic ------------------------------------------------

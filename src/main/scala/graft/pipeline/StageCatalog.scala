@@ -478,6 +478,14 @@ object StageCatalog {
           |    rows_per_band: 3
           |    threshold: 0.5"""),
       schemaKind = "documents", oracle = Seq("ml_neardup_keep")),
+    StageDoc("dedup_media", "curation",
+      "Perceptual image dedup: 64-bit aHash of the payload column, banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
+      y("""pipeline:
+          |  - type: dedup_media
+          |    id_field: doc_id
+          |    bytes_field: payload
+          |    max_hamming: 3"""),
+      schemaKind = "media", oracle = Seq("ml_image_ahash", "ml_image_neardup")),
     StageDoc("dedup_semantic", "curation",
       "SemDeDup: k-means-cluster the embedding column, drop rows with a senior in-cluster neighbor at cosine ≥ threshold.",
       y("""pipeline:

@@ -129,6 +129,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_simhash" -> 1,
     "ml_simhash_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_simhash_pairs" -> 7,
+    "ml_image_ahash" -> 1,     // mapPartitions hash kernel + orderBy
+    "ml_image_neardup" -> 7,   // banded 64-bit Hamming join (the
+                               // simhash_pairs shape over image hashes)
     "ml_stratified_sample" -> 1,
     "ml_unigram_logprob" -> 5, // fused one-pass count training (r12):
                                // the persisted vocab table leaves only

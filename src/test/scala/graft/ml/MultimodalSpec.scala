@@ -538,4 +538,143 @@ class MultimodalSpec extends SparkSpec {
     zw(sofAt + 7) = 0; zw(sofAt + 8) = 0
     assert(Multimodal.parseImage(zw).getString(0) == null)
   }
+
+  /** PNG-encode an arbitrary gray grid with the JDK's own encoder —
+    * independent of the expression builders.
+    */
+  private def encodePng(grid: Array[Array[Int]]): Array[Byte] = {
+    val h = grid.length; val w = grid(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grid(y)(x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash golden: half-dark/half-light grid sets exactly the light cells") {
+    // 16x16, left 8 columns value 0, right 8 columns value 200 → cells
+    // cx >= 4 are above the mean in every row band: bits cy*8+cx for
+    // cx in 4..7 → 0xF0 per cy byte
+    val grid = Array.tabulate(16, 16)((_, x) => if (x < 8) 0 else 200)
+    val hash = Multimodal.aHashBytes(encodePng(grid))
+    assert(hash != null)
+    assert(hash.longValue() == 0xF0F0F0F0F0F0F0F0L,
+      f"got ${hash.longValue()}%016x")
+    // brightness shift: +40 on every pixel → identical hash (the
+    // perceptual invariance that makes this a dedup key)
+    val shifted = Array.tabulate(16, 16)((_, x) => if (x < 8) 40 else 240)
+    assert(Multimodal.aHashBytes(encodePng(shifted)).longValue() ==
+      0xF0F0F0F0F0F0F0F0L)
+    // constant image: no cell exceeds the mean → hash 0
+    assert(Multimodal.aHashBytes(
+      encodePng(Array.fill(8, 8)(123))).longValue() == 0L)
+    // under the 8x8 grid → null; byte soup → null
+    assert(Multimodal.aHashBytes(encodePng(Array.fill(4, 12)(9))) == null)
+    assert(Multimodal.aHashBytes("not an image".getBytes) == null)
+  }
+
+  test("aHash: non-multiple-of-8 sizes crop to equal cells; tweak flips few bits") {
+    // 19x13 → crop to 16x8: equal cell sizes keep the integer compare
+    // exact. Same half/half layout → same mask as the 16x16 case
+    val grid = Array.tabulate(13, 19)((_, x) => if (x < 8) 10 else 210)
+    val base = Multimodal.aHashBytes(encodePng(grid))
+    assert(base != null && base.longValue() == 0xF0F0F0F0F0F0F0F0L,
+      f"got ${base.longValue()}%016x")
+    // darken ONE light cell region fully → exactly that bit flips
+    val tweaked = Array.tabulate(13, 19)((y, x) =>
+      if (x >= 14 && x < 16 && y < 1) 0 else if (x < 8) 10 else 210)
+    val t = Multimodal.aHashBytes(encodePng(tweaked))
+    val hd = java.lang.Long.bitCount(base.longValue() ^ t.longValue())
+    assert(hd >= 1 && hd <= 3, s"expected a small flip, hamming=$hd")
+  }
+
+  test("imageAHash kernel + hammingPairs: near-dup images pair, distinct don't") {
+    val s = spark
+    import s.implicits._
+    val a = encodePng(Array.tabulate(16, 16)((_, x) => if (x < 8) 0 else 200))
+    val a2 = encodePng(Array.tabulate(16, 16)((_, x) => if (x < 8) 35 else 235))
+    val b = encodePng(Array.tabulate(16, 16)((y, _) => if (y < 8) 0 else 200))
+    val junk = "nope".getBytes
+    val df = Seq((1L, a), (2L, a2), (3L, b), (4L, junk))
+      .toDF("doc_id", "payload")
+    val hashed = Multimodal.imageAHash(df, "payload")
+    assert(hashed.columns.toSeq ==
+      Seq("doc_id", "payload", "ahash"))
+    val rows = hashed.select("doc_id", "ahash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(1L) == rows(2L) && rows(1L).isDefined)
+    assert(rows(3L).isDefined && rows(3L) != rows(1L))
+    assert(rows(4L).isEmpty)
+    val pairs = Dedup.hammingPairs(hashed, "doc_id", "ahash",
+        bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // keepFromPairs completes the dedup decision
+    val kept = Dedup.keepFromPairs(hashed, "doc_id",
+        Dedup.hammingPairs(hashed, "doc_id", "ahash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("hammingPairs: pigeonhole exhaustiveness under bands and the bucket cap") {
+    val s = spark
+    import s.implicits._
+    // fp pairs at hamming 3 (< bands=4) MUST be found regardless of
+    // which bits differ; hamming 4 may or may not — here placed to
+    // straddle all four bands so it must NOT appear
+    val base = 0x0123456789ABCDEFL
+    val h3 = base ^ 0x7L                    // 3 bits, one band
+    val h4 = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))
+    val df = Seq((1L, base), (2L, h3), (3L, h4))
+      .toDF("id", "fp")
+    val got = Dedup.hammingPairs(df, "id", "fp", bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // identical-fingerprint pile-up: the bucket cap drops the bucket
+    val many = (0L until 500L).map(i => (i, 42L)).toDF("id", "fp")
+    assert(Dedup.hammingPairs(many, "id", "fp",
+      maxBucketSize = 100).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, "id", "fp", bands = 5)
+    }
+  }
+
+  test("pngGradientBytes: real codec round-trip; adler matches java.util.zip") {
+    val s = spark
+    import s.implicits._
+    for ((w, h, base, step) <- Seq((8, 8, 0, 1), (16, 32, 100, 7),
+        (9, 21, 250, 3), (128, 16, 17, 255))) {
+      val bytes = Seq(1).toDF("x")
+        .select(Multimodal.pngGradientBytes(lit(w), lit(h), lit(base),
+          lit(step)).as("b"))
+        .collect().head.getAs[Array[Byte]](0)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected gradient (w=$w h=$h)")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- Seq(0, h / 2, h - 1)) {
+        val v = (base + y * step) % 256
+        val p = img.getRGB(w - 1, y)
+        assert(((p >> 16) & 0xFF) == v && ((p >> 8) & 0xFF) == v &&
+          (p & 0xFF) == v, s"row $y: got ${p.toHexString}, want $v")
+      }
+      // closed-form adler vs the library over the raw scanline stream
+      val raw = (0 until h).flatMap { y =>
+        val v = ((base + y * step) % 256).toByte
+        0.toByte +: Array.fill(3 * w)(v)
+      }.toArray
+      val ad = new java.util.zip.Adler32()
+      ad.update(raw)
+      // the IDAT zlib tail: last 4 bytes before the IDAT CRC
+      val idatEnd = bytes.length - 12 /*IEND*/ - 4 /*IDAT crc*/
+      val got = java.nio.ByteBuffer.wrap(bytes, idatEnd - 4, 4).getInt
+      assert(got == ad.getValue.toInt,
+        f"adler mismatch: got $got%08x want ${ad.getValue.toInt}%08x")
+    }
+  }
 }

@@ -169,6 +169,54 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("streaming"))
   }
 
+  test("dedup_media stage: perceptual image dedup keeps one per component") {
+    val s = spark
+    import s.implicits._
+    def png(grid: Array[Array[Int]]): Array[Byte] = {
+      val h = grid.length; val w = grid(0).length
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = grid(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val half = png(Array.tabulate(16, 16)((_, x) => if (x < 8) 0 else 200))
+    val shifted = png(Array.tabulate(16, 16)((_, x) => if (x < 8) 30 else 230))
+    val flipped = png(Array.tabulate(16, 16)((y, _) => if (y < 8) 0 else 200))
+    val junk = "not an image at all".getBytes
+    val media = Seq((1L, half), (2L, shifted), (3L, flipped), (4L, junk))
+      .toDF("doc_id", "payload")
+    val out = run(
+      """pipeline:
+        |  - type: dedup_media
+        |    id_field: doc_id
+        |    bytes_field: payload
+        |""".stripMargin, media)
+    // 1 and 2 hash identically (brightness invariance) → min id 1 kept;
+    // 3 is a different picture; 4 is undecodable (null hash, survives)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L))
+    assert(out.columns.toSeq == media.columns.toSeq) // no leaked columns
+    // missing bytes column fails loudly; batch-only on streams
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: dedup_media\n    id_field: doc_id\n" +
+        "    bytes_field: nope\n", media)
+    }
+    assert(e.getMessage.contains("nope"))
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val streamDf = mem.toDF().toDF("doc_id", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        "pipeline:\n  - type: dedup_media\n    id_field: doc_id\n"))(
+        streamDf).main
+    }
+    assert(e2.getMessage.contains("streaming"))
+  }
+
   test("weighted_sample stage: per-stratum content-addressed rates") {
     val out = run(
       """pipeline:
