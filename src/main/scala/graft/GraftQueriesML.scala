@@ -814,6 +814,37 @@ object GraftQueriesML {
          i -> l.bits[i+1] <> r2.bits[i+1])) <= 3
        ORDER BY a, b"""))
 
+  /** Real PCM SAMPLE decode, oracle-predicted: the engine builds a
+    * sawtooth 8-bit mono WAV per row, reads the raw samples back
+    * ([[Multimodal.parsePcm]] — exact integer sums, two divisions and
+    * one IEEE sqrt at the end), and DuckDB predicts peak/mean/rms from
+    * the sawtooth parameters alone.
+    */
+  private val mAudioPcm = Spec("ml_audio_pcm",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val wav = d.withColumn("payload", Multimodal.wavPcmBytes(
+        lit(8000), (col("doc_id") % 50 + 50).cast("int"),
+        (col("doc_id") % 256).cast("int"),
+        (col("doc_id") % 5 + 1).cast("int")))
+      Multimodal.decodePcm(wav, "payload")
+        .select(col("doc_id"),
+          col("pcm_features.n_vals").as("n_vals"),
+          col("pcm_features.peak_abs").as("peak_abs"),
+          col("pcm_features.mean_abs").as("mean_abs"),
+          col("pcm_features.rms").as("rms"))
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id % 50 + 50 AS n,
+              doc_id % 256 AS b0, doc_id % 5 + 1 AS st FROM documents),
+            v AS (SELECT doc_id, abs((b0 + t*st) % 256 - 128) AS a
+              FROM p, unnest(range(n)) AS u(t)),
+            agg AS (SELECT doc_id, count(*) AS n_vals, max(a) AS peak_abs,
+              round(sum(a)*1.0/count(*), 6) AS mean_abs,
+              round(sqrt(sum(a*a)*1.0/count(*)), 6) AS rms
+              FROM v GROUP BY doc_id)
+            SELECT doc_id, n_vals, peak_abs, mean_abs, rms FROM p
+            JOIN agg USING (doc_id)"""))
+
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -2443,7 +2474,7 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
-    mMultimodalPixels, mImageAHash, mImageNearDup,
+    mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,

@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   *
   * Container headers (PNG/JPEG/GIF, RIFF/FLAC, PDF, ISO-BMFF) are REAL
   * byte-layout parsers; image PIXEL facts are a real `javax.imageio`
-  * decode (in-JDK codecs). Only audio SAMPLE payloads and video frame
-  * pixels remain behind a stub contract (no in-JVM codec exists for
-  * them) — the Spark-side shape (schema, mapPartitions batching,
-  * per-task decoder init, null-on-undecodable) is the production one
-  * throughout.
+  * decode (in-JDK codecs); audio SAMPLE facts are a real integer-PCM
+  * read ([[parsePcm]] — raw PCM needs no codec). Only COMPRESSED audio
+  * samples (FLAC) and video frame pixels remain behind a stub contract
+  * (no in-JVM codec exists for them) — the Spark-side shape (schema,
+  * mapPartitions batching, per-task decoder init, null-on-undecodable)
+  * is the production one throughout.
   */
 object Multimodal {
 
@@ -346,10 +347,11 @@ object Multimodal {
       1, maxFrames)
 
   // -------------------------------------------------------------------
-  // Audio / document envelopes. Unlike pixel decoding, container HEADERS
-  // are pure byte layout — these parsers are REAL (RIFF/WAVE, FLAC
-  // STREAMINFO, PDF header + page markers), no library needed; only
-  // sample/pixel payload decoding stays behind the stub contract above.
+  // Audio / document envelopes. Container HEADERS are pure byte layout —
+  // these parsers are REAL (RIFF/WAVE, FLAC STREAMINFO, PDF header +
+  // page markers), no library needed — and so are integer-PCM sample
+  // facts ([[parsePcm]]); only COMPRESSED payload decoding (FLAC
+  // samples, video frames) stays behind the stub contract above.
   // Same batched mapPartitions shape: at 100 TB the bytes never leave
   // the task, and a malformed header yields a null struct, never a
   // failed job (the Tables.configure try-semantics).
@@ -451,6 +453,84 @@ object Multimodal {
           case _ => null
         }
         Row.fromSeq(row.toSeq :+ parseAudio(bytes))
+      }
+    }(enc)
+  }
+
+  val pcmFeatureSchema: StructType = StructType(Seq(
+    StructField("n_vals", LongType),
+    StructField("peak_abs", LongType),
+    StructField("mean_abs", DoubleType),
+    StructField("rms", DoubleType)))
+
+  /** REAL audio SAMPLE facts for PCM WAV — raw PCM needs no codec, just
+    * the byte layout, so the former "audio sample payloads are stubbed"
+    * note narrows to compressed audio (FLAC) only. Supported: RIFF/WAVE
+    * with `fmt` audioFormat 1 (integer PCM), 8-bit unsigned or 16-bit
+    * signed little-endian, any channel count (stats run over every
+    * channel-interleaved value). Amplitudes center at zero (8-bit:
+    * v − 128), sums accumulate in longs (exact), the only floating ops
+    * are the two final divisions and one IEEE sqrt — all correctly
+    * rounded, so an oracle predicts mean_abs/rms to round-6 from the
+    * construction parameters. Anything else (float PCM, 24-bit, FLAC,
+    * truncated data) → null struct, never a failed job.
+    */
+  private[ml] def parsePcm(b: Array[Byte]): Row = {
+    if (b == null || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+      return null
+    var off = 12L
+    var fmt = -1; var bits = -1
+    var dataOff = -1L; var dataLen = -1L
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off.toInt, 4)
+      val len = le(b, off.toInt + 4, 4)
+      val payloadPresent = off + 8 + len <= b.length
+      if (id == "fmt " && len >= 16 && payloadPresent) {
+        fmt = le(b, off.toInt + 8, 2).toInt
+        bits = le(b, off.toInt + 22, 2).toInt
+      } else if (id == "data" && payloadPresent) {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8L + len + (len & 1L)
+    }
+    if (fmt != 1 || (bits != 8 && bits != 16) || dataOff < 0 || dataLen <= 0)
+      return null
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    if (n == 0) return null
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+    var t = 0L
+    while (t < n) {
+      val o = (dataOff + t * bytesPer).toInt
+      val v: Long =
+        if (bits == 8) (b(o) & 0xFF) - 128L
+        else ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > peak) peak = a
+      t += 1
+    }
+    Row(n, peak,
+      math.round(sumAbs.toDouble / n * 1e6) / 1e6,
+      math.round(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6)
+  }
+
+  /** Batched PCM sample-fact extraction ([[parsePcm]]): input columns +
+    * `pcm_features` struct — the audio counterpart of the image pixel
+    * fact, same mapPartitions kernel shape.
+    */
+  def decodePcm(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("pcm_features", pcmFeatureSchema))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ parsePcm(bytes))
       }
     }(enc)
   }
@@ -696,6 +776,39 @@ object Multimodal {
         array_join(transform(sequence(lit(1), dataLen.cast("int")),
           _ => lit("00")), ""))
         .otherwise(lit("")))
+    unhex(hexStr)
+  }
+
+  /** Mono 8-bit PCM WAV with a SAWTOOTH payload from Catalyst
+    * expressions: sample t is the unsigned byte `(base + t·step) mod
+    * 256`, so the [[parsePcm]] sample facts (peak/mean/rms of the
+    * centered amplitudes) are predictable from the construction
+    * parameters alone — the audio counterpart of [[pngGradientBytes]].
+    * Same 44-byte canonical header as [[wavBytes]].
+    */
+  def wavPcmBytes(sampleRate: Column, nSamples: Column, base: Column,
+                  step: Column): Column = {
+    val n = nSamples.cast("long")
+    def vAt(t: Column): Column =
+      pmod(base.cast("long") + t * step.cast("long"), lit(256L))
+    val payloadHex = array_join(
+      transform(sequence(lit(0L), n - lit(1L)),
+        t => lpad(lower(hex(vAt(t))), 2, "0")), "")
+    val hexStr = concat(
+      lit("52494646"),
+      leHex(n + 36, 4),
+      lit("57415645"),
+      lit("666d7420"),
+      leHex(lit(16), 4),
+      leHex(lit(1), 2),                 // PCM
+      leHex(lit(1), 2),                 // mono
+      leHex(sampleRate, 4),
+      leHex(sampleRate, 4),             // byteRate = rate × 1 × 1
+      leHex(lit(1), 2),                 // block align
+      leHex(lit(8), 2),                 // 8-bit
+      lit("64617461"),
+      leHex(n, 4),
+      payloadHex)
     unhex(hexStr)
   }
 

@@ -1459,10 +1459,12 @@ object CurationStages {
     str(c, "kind", "image") match {
       case "image" => Multimodal.decodeImages(df, f)
       case "audio" => Multimodal.decodeAudio(df, f)
+      case "audio_pcm" => Multimodal.decodePcm(df, f)
       case "doc" => Multimodal.decodeDocs(df, f)
       case "video" => Multimodal.decodeVideo(df, f)
       case other => throw new IllegalArgumentException(
-        s"media_envelope: unknown kind `$other` (image | audio | doc | video)")
+        s"media_envelope: unknown kind `$other` " +
+          "(image | audio | audio_pcm | doc | video)")
     }
   }
 

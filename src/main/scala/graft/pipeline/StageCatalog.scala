@@ -633,11 +633,12 @@ object StageCatalog {
       y("""pipeline:
           |  - type: media_envelope
           |    bytes_field: payload
-          |    kind: video         # image | audio | doc | video"""),
+          |    kind: video         # image | audio | audio_pcm | doc | video"""),
       schemaKind = "media",
       oracle = Seq("ml_multimodal_decode", "ml_multimodal_audio",
-        "ml_multimodal_pdf", "ml_multimodal_video", "ml_multimodal_pixels"),
-      notes = "Narrow and stream-safe (batched mapPartitions - a real decoder amortizes its init per task, never per row). Malformed or unrecognized headers yield null structs, never failed jobs; audio sample payloads and video frame pixels remain behind the stub contract (no in-JVM codec)."),
+        "ml_multimodal_pdf", "ml_multimodal_video", "ml_multimodal_pixels",
+        "ml_audio_pcm"),
+      notes = "Narrow and stream-safe (batched mapPartitions - a real decoder amortizes its init per task, never per row). Malformed or unrecognized headers yield null structs, never failed jobs. audio_pcm reads raw integer-PCM samples (peak/mean/rms - no codec needed); only compressed audio samples (FLAC) and video frame pixels remain behind the stub contract (no in-JVM codec)."),
     StageDoc("contamination_filter", "curation",
       "Drop documents whose shingle overlap with a benchmark side table reaches the threshold (train/test-leak gate).",
       y("""pipeline:

@@ -644,6 +644,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parsePcm: real sample facts on hand-built 16- and 8-bit PCM; refusals") {
+    // 16-bit stereo: 4 known frames of (L, R) = (+100, -100), (+2000,
+    // -2000), (0, 0), (-32768, +32767) → 8 values
+    val vals = Array[Short](100, -100, 2000, -2000, 0, 0, -32768, 32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(16)
+    vals.foreach(bb.putShort)
+    val r = Multimodal.parsePcm(bb.array())
+    assert(r != null)
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == 32768L)
+    val sumAbs = vals.map(v => math.abs(v.toLong)).sum
+    val sumSq = vals.map(v => v.toLong * v).sum
+    assert(r.getDouble(2) == math.round(sumAbs.toDouble / 8 * 1e6) / 1e6)
+    assert(r.getDouble(3) ==
+      math.round(math.sqrt(sumSq.toDouble / 8) * 1e6) / 1e6)
+    // 8-bit golden: goldenWav is 16 zero BYTES of 16-bit data → all
+    // values 0 → mean/rms/peak all zero
+    val z = Multimodal.parsePcm(goldenWav)
+    assert(z != null && z.getLong(1) == 0L && z.getDouble(3) == 0.0)
+    // refusals: FLAC (compressed — no codec, stays null), float PCM,
+    // byte soup
+    assert(Multimodal.parsePcm(goldenFlac) == null)
+    val fl = bb.array().clone(); fl(20) = 3 // wFormatTag = IEEE float
+    assert(Multimodal.parsePcm(fl) == null)
+    assert(Multimodal.parsePcm("junk".getBytes) == null)
+  }
+
+  test("wavPcmBytes: sawtooth payload round-trips through parsePcm exactly") {
+    val s = spark
+    import s.implicits._
+    for ((n, base, step) <- Seq((50, 0, 1), (97, 200, 7), (64, 128, 0))) {
+      val bytes = Seq(1).toDF("x")
+        .select(Multimodal.wavPcmBytes(lit(8000), lit(n), lit(base),
+          lit(step)).as("b"))
+        .collect().head.getAs[Array[Byte]](0)
+      val r = Multimodal.parsePcm(bytes)
+      assert(r != null, s"parsePcm rejected built WAV (n=$n)")
+      assert(r.getLong(0) == n.toLong)
+      val amps = (0 until n).map(t => math.abs((base + t * step) % 256 - 128L))
+      assert(r.getLong(1) == amps.max)
+      assert(r.getDouble(2) ==
+        math.round(amps.sum.toDouble / n * 1e6) / 1e6)
+      // the header side parses as a normal WAV too
+      val hdr = Multimodal.parseAudio(bytes)
+      assert(hdr.getString(0) == "wav" && hdr.getInt(1) == 8000 &&
+        hdr.getInt(2) == 1 && hdr.getInt(3) == 8 && hdr.getLong(4) == n)
+    }
+  }
+
   test("pngGradientBytes: real codec round-trip; adler matches java.util.zip") {
     val s = spark
     import s.implicits._
