@@ -584,6 +584,69 @@ object GraftQueriesML {
             ELSE 'fr' END AS lang_guess FROM h"""
     })
 
+  /** Line-level language mix over constructed line structure: newline
+    * every four words; every third doc gets a French marker line
+    * appended, so the mixed flag genuinely fires and the majority vote
+    * is exercised against minority lines.
+    */
+  private val mLangMix = Spec("ml_lang_mix",
+    (s, dir) => {
+      val lined = t(s, dir, "documents").withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){4})", "$1\n"))
+      val mixed = lined.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nle la les et est dans")))
+        .otherwise(col("text")))
+      mixed.select(col("doc_id"), TextAnalysis.langMix(col("text")).as("m"))
+        .select(col("doc_id"),
+          col("m.n_lines").as("n_lines"),
+          col("m.n_langs").as("n_langs"),
+          col("m.main_lang").as("main_lang"),
+          col("m.mixed").as("mixed"))
+    },
+    Some {
+      val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val hits = markers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_intersect(toks, $lst)) AS h_$lang"
+      }.mkString(", ")
+      val cnts = markers.map { case (lang, _) =>
+        s"sum(CASE WHEN lang = '$lang' THEN 1 ELSE 0 END) AS c_$lang"
+      }.mkString(", ")
+      s"""WITH lined AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN regexp_replace(text, '((\\S+ ){4})', '\\1'||chr(10), 'g')
+              || chr(10) || 'le la les et est dans'
+            ELSE regexp_replace(text, '((\\S+ ){4})', '\\1'||chr(10), 'g')
+            END AS text FROM documents),
+          ln AS (SELECT doc_id, trim(l) AS line
+            FROM lined, unnest(string_split(text, chr(10))) AS u(l)
+            WHERE trim(l) <> ''),
+          tk AS (SELECT doc_id,
+            regexp_split_to_array(lower(line), '\\s+') AS toks FROM ln),
+          h AS (SELECT doc_id, $hits FROM tk),
+          pl AS (SELECT doc_id, CASE
+            WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang FROM h),
+          agg AS (SELECT doc_id, count(*) AS n_lines,
+            count(DISTINCT CASE WHEN lang <> 'und' THEN lang END)
+              AS n_langs, $cnts
+            FROM pl GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(n_lines, 0) AS INT) AS n_lines,
+            CAST(coalesce(n_langs, 0) AS INT) AS n_langs,
+            coalesce(CASE
+              WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+              WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+              WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+              WHEN c_es >= c_fr THEN 'es'
+              ELSE 'fr' END, 'und') AS main_lang,
+            CAST(coalesce(CAST(n_langs > 1 AS INT), 0) AS INT) AS mixed
+          FROM documents d LEFT JOIN agg USING (doc_id)"""
+    })
+
   private val mQuality = Spec("ml_quality_score",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
@@ -2471,7 +2534,7 @@ object GraftQueriesML {
     mSimhashKeep,
     mJaccardPairs, mContainmentPairs, mNearDupKeep, mNearDupClusters,
     mClusterSplit,
-    mTopK, mLsh, mCosPairs, mIvf, mLangId, mQuality, mTokenCount,
+    mTopK, mLsh, mCosPairs, mIvf, mLangId, mLangMix, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
     mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm,

@@ -38,6 +38,40 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** LINE-level language mix: [[langId]] applied per newline-split line,
+    * aggregated to `(n_lines, n_langs, main_lang, mixed)` — the CCNet
+    * cross-lingual hygiene check (Wenzek et al. 2020 run language-ID per
+    * PARAGRAPH precisely because web pages mix languages, and a
+    * document-level argmax hides a bilingual page from both languages'
+    * corpora). `n_langs` counts DISTINCT identified languages over the
+    * non-empty lines ("und" lines are unidentified, not a language);
+    * `main_lang` is the line-majority language under the [[langId]]
+    * tie-break order; `mixed` flags n_langs > 1. Pure Column algebra —
+    * narrow, codegen'd, stream-safe like every quality signal.
+    */
+  def langMix(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= "")
+    val langs = transform(lines, l => langId(l))
+    val known = filter(langs, l => l =!= "und")
+    val perLang = langMarkers.keys.toSeq.sorted.map { lang =>
+      lang -> size(filter(known, x => x === lang))
+    }
+    val allMax = greatest(perLang.map(_._2): _*)
+    // first-max-wins in alphabetical order — the langId tie-break,
+    // mirrored in the oracle SQL (foldRight puts the earliest language's
+    // `when` outermost)
+    val main = when(allMax === 0, lit("und")).otherwise(
+      perLang.foldRight(lit("und")) { case ((lang, n), acc) =>
+        when(n === allMax, lit(lang)).otherwise(acc)
+      })
+    struct(
+      size(lines).as("n_lines"),
+      size(array_distinct(known)).as("n_langs"),
+      main.as("main_lang"),
+      (size(array_distinct(known)) > 1).cast("int").as("mixed"))
+  }
+
   /** Quality score in [0,1]: blend of length band, punctuation ratio,
     * stopword ratio, mean word length band. Deterministic arithmetic,
     * rounded for cross-engine stability.

@@ -314,15 +314,21 @@ object CurationStages {
   private val allSignals = Seq("lang", "quality", "n_tokens",
     "dup_word_frac", "dup_bigram_frac", "top_word_frac", "fingerprint")
 
+  // opt-in extras that change the output shape (structs / multi-column
+  // facts) — never part of the default so existing configs keep their
+  // schema
+  private val optInSignals = Seq("lang_mix")
+
   private def qualitySignals(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val text = col(textField(c))
     val prefix = str(c, "prefix", "q_")
     val wanted = c.get("signals")
       .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(allSignals)
-    val unknown = wanted.filterNot(allSignals.contains)
+    val known = allSignals ++ optInSignals
+    val unknown = wanted.filterNot(known.contains)
     require(unknown.isEmpty,
       s"quality_signals: unknown signals ${unknown.mkString(", ")} " +
-      s"(available: ${allSignals.mkString(", ")})")
+      s"(available: ${known.mkString(", ")})")
     // two staged token arrays, each computed once per row: the repetition
     // trio reads Curation.words (single-space split); quality reads the
     // lowercased whitespace split its stopword intersect is defined over
@@ -342,6 +348,9 @@ object CurationStages {
         .as(prefix + "top_word_frac")
       case "fingerprint" => TextAnalysis.fingerprint(text)
         .as(prefix + "fingerprint")
+      // opt-in: line-level language mix (n_lines/n_langs/main_lang/mixed
+      // as one struct column — the CCNet per-paragraph hygiene check)
+      case "lang_mix" => TextAnalysis.langMix(text).as(prefix + "lang_mix")
     }
     staged.select(df.columns.map(col) ++ cols: _*)
   }

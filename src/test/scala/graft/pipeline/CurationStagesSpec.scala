@@ -169,6 +169,24 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("streaming"))
   }
 
+  test("quality_signals: opt-in lang_mix signal; default schema unchanged") {
+    val dflt = run(
+      "pipeline:\n  - type: quality_signals\n    text_field: text\n", docs)
+    assert(!dflt.columns.exists(_.contains("lang_mix")))
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [lang, lang_mix]
+        |""".stripMargin,
+      docs.withColumn("text",
+        concat(col("text"), lit("\nle la les et est dans"))))
+    assert(out.columns.contains("q_lang_mix"))
+    val m = out.filter(col("doc_id") === 1L)
+      .select("q_lang_mix.n_langs", "q_lang_mix.mixed").head()
+    assert(m.getInt(0) == 2 && m.getInt(1) == 1)
+  }
+
   test("dedup_media stage: perceptual image dedup keeps one per component") {
     val s = spark
     import s.implicits._
