@@ -2046,6 +2046,68 @@ object GraftQueriesML {
           WHERE d.doc_id % 53 <> 0"""
     })
 
+  /** Trigram stupid backoff (Brants et al. 2007), reference-trained on
+    * the doc_id % 53 = 0 exemplar subset — the oracle replays all three
+    * count tables and the backoff CASE; the add-one unigram floor keeps
+    * fully-OOV positions finite.
+    */
+  private val mTrigramBackoff = Spec("ml_trigram_backoff",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusStats.trigramStupidBackoff(
+        d.filter(col("doc_id") % 53 =!= 0),
+        d.filter(col("doc_id") % 53 === 0),
+        "doc_id", "text", alpha = 0.4)
+    },
+    Some {
+      val a = 0.4
+      s"""WITH tw AS (SELECT list_filter(string_split(text, ' '),
+            x -> x <> '') AS w FROM documents WHERE doc_id % 53 = 0),
+          uni AS (SELECT t, count(*) AS c1 FROM
+            (SELECT unnest(w) AS t FROM tw) GROUP BY t),
+          st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+            CAST(count(*) AS DOUBLE) AS v FROM uni),
+          bc AS (SELECT g, count(*) AS cb FROM
+            (SELECT unnest(list_transform(range(len(w)-1),
+               i -> w[i+1]||' '||w[i+2])) AS g FROM tw WHERE len(w) >= 2)
+            GROUP BY g),
+          tc AS (SELECT g, count(*) AS c3 FROM
+            (SELECT unnest(list_transform(range(len(w)-2),
+               i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g
+             FROM tw WHERE len(w) >= 3)
+            GROUP BY g),
+          cw AS (SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS w FROM documents WHERE doc_id % 53 <> 0),
+          tg AS (SELECT doc_id, unnest(list_transform(range(len(w)-2),
+              i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g
+            FROM cw WHERE len(w) >= 3),
+          sp AS (SELECT g, string_split(g, ' ')[1] AS w1,
+            string_split(g, ' ')[2] AS w2, string_split(g, ' ')[3] AS w3
+            FROM (SELECT DISTINCT g FROM tg)),
+          pr AS (SELECT sp.g, CASE
+              WHEN c3 IS NOT NULL
+                THEN CAST(c3 AS DOUBLE) / CAST(cpre AS DOUBLE)
+              WHEN csuf IS NOT NULL
+                THEN $a*CAST(csuf AS DOUBLE) / CAST(c2 AS DOUBLE)
+              ELSE $a*$a*(CAST(coalesce(c3u, 0) AS DOUBLE) + 1.0)
+                / (n + v + 1.0) END AS p
+            FROM sp LEFT JOIN tc ON tc.g = sp.g
+              LEFT JOIN (SELECT g AS pg, cb AS cpre FROM bc)
+                ON pg = w1||' '||w2
+              LEFT JOIN (SELECT g AS sg, cb AS csuf FROM bc)
+                ON sg = w2||' '||w3
+              LEFT JOIN (SELECT t AS u2, c1 AS c2 FROM uni) ON u2 = w2
+              LEFT JOIN (SELECT t AS u3, c1 AS c3u FROM uni) ON u3 = w3
+              CROSS JOIN st),
+          per AS (SELECT doc_id, count(*) AS n_trigrams,
+              round(avg(ln(p)), 6) AS avg_logscore
+            FROM tg JOIN pr USING (g) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
+            coalesce(avg_logscore, 0.0) AS avg_logscore
+          FROM documents d LEFT JOIN per USING (doc_id)
+          WHERE d.doc_id % 53 <> 0"""
+    })
+
   /** DuckDB CTE prefix `fb(doc_id, b)`: the DSIR hashed uni+bigram
     * feature buckets, md5-half hashing ([[Dedup.md5half]] convention).
     */
@@ -2546,6 +2608,7 @@ object GraftQueriesML {
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
+    mTrigramBackoff,
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,

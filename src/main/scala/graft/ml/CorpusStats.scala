@@ -528,6 +528,98 @@ object CorpusStats {
       decontaminateSpans(corpus, idCol, textCol, bench, benchTextCol, k),
       idCol, textCol)
 
+  /** Reference-trained trigram LM with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the scoring
+    * scheme invented precisely for corpus-scale count LMs: no
+    * discounting to fit, just relative frequencies with a constant
+    * back-off multiplier α, which is why it distributes as pure count
+    * joins). Per corpus-document mean natural log of
+    *
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)                (trigram seen)
+    *                 | α · c(w2w3)/c(w2)                (bigram seen)
+    *                 | α² · (c(w3)+1)/(N+V+1)           (add-one floor)
+    *
+    * with counts from TRAIN only. Pure Brants scores an unseen word 0 —
+    * the add-one unigram floor ([[bigramLogProbAgainst]]'s convention)
+    * keeps every position finite instead, so a fully-OOV document
+    * scores far below in-distribution text rather than −∞.
+    *
+    * Scale: the [[bigramLogProbAgainst]] architecture with one more
+    * level — ALL THREE train count tables ride a single fused explode
+    * into one persisted TYPE-sized aggregate (kinds 0/1/2); the corpus
+    * side DISTINCTs its trigram types, prices each type with five
+    * vocabulary-keyed left joins (trigram, both sub-bigrams by digest,
+    * two unigrams) + a broadcast scalar, then one gram-keyed join back
+    * per occurrence. Occurrence-sized shuffles key on 16-byte md5
+    * digests throughout; nothing pairwise.
+    */
+  def trigramStupidBackoff(corpus: DataFrame, train: DataFrame,
+                           idCol: String, textCol: String,
+                           alpha: Double = 0.4): DataFrame = {
+    val counts = train.select(explode(concat(
+        transform(Curation.words(col(textCol)),
+          w => struct(lit(0).as("kind"), w.as("g"))),
+        transform(ngramArray(col(textCol), 2),
+          b => struct(lit(1).as("kind"), b.as("g"))),
+        transform(ngramArray(col(textCol), 3),
+          t3 => struct(lit(2).as("kind"), t3.as("g"))))).as("e"))
+      .select(col("e.kind").as("kind"), col("e.g").as("g"))
+      .groupBy(col("kind"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("kind"), unhex(md5(col("g"))).as("gd"),
+        col("c"), col("g"))
+      .persist() // one corpus pass shared by the five price joins
+    val uni = counts.filter(col("kind") === 0)
+      .select(col("g").as("t"), col("c").as("c1"))
+    val stats = uni.agg(sum(col("c1")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val bi = counts.filter(col("kind") === 1)
+      .select(col("gd").as("bd"), col("c").as("cb"))
+    val tri = counts.filter(col("kind") === 2)
+      .select(col("gd"), col("c").as("c3"))
+    val occ = corpus.select(col(idCol).as("id"),
+      explode(ngramArray(col(textCol), 3)).as("g"))
+      .select(col("id"), unhex(md5(col("g"))).as("gd"))
+    val types = corpus
+      .select(explode(ngramArray(col(textCol), 3)).as("g")).distinct()
+      .select(unhex(md5(col("g"))).as("gd"), col("g"))
+      .withColumn("__w1", element_at(split(col("g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("g"), " "), 2))
+      .withColumn("__w3", element_at(split(col("g"), " "), 3))
+      .withColumn("__pre", unhex(md5(concat_ws(" ", col("__w1"), col("__w2")))))
+      .withColumn("__suf", unhex(md5(concat_ws(" ", col("__w2"), col("__w3")))))
+    // per-TYPE price, mirrored token for token in the oracle SQL
+    val probs = types
+      .join(tri, Seq("gd"), "left")
+      .join(bi.select(col("bd").as("__pre"), col("cb").as("__cpre")),
+        Seq("__pre"), "left")
+      .join(bi.select(col("bd").as("__suf"), col("cb").as("__csuf")),
+        Seq("__suf"), "left")
+      .join(uni.select(col("t").as("__w2"), col("c1").as("__c2")),
+        Seq("__w2"), "left")
+      .join(uni.select(col("t").as("__w3"), col("c1").as("__c3u")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("gd"),
+        when(col("c3").isNotNull,
+            col("c3").cast("double") / col("__cpre").cast("double"))
+          .when(col("__csuf").isNotNull,
+            lit(alpha) * col("__csuf").cast("double") /
+              col("__c2").cast("double"))
+          .otherwise(lit(alpha) * lit(alpha) *
+            (coalesce(col("__c3u"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("n") + col("v") + lit(1.0)))
+          .as("p"))
+    val per = occ.join(probs, Seq("gd"))
+      .groupBy(col("id")).agg(
+        count(lit(1)).as("n_trigrams"),
+        round(avg(log(col("p"))), 6).as("avg_logscore"))
+    corpus.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("avg_logscore"), lit(0.0)).as("avg_logscore"))
+  }
+
   /** Zipf-law audit: least-squares slope of ln(frequency) against
     * ln(rank) over the `topN` most frequent tokens, plus the corpus
     * totals. Natural language sits near slope −1 (Zipf 1949); a corpus

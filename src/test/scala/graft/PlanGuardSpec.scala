@@ -148,6 +148,8 @@ class PlanGuardSpec extends SparkSpec {
                                // the RETURNED plan is two cache scans
                                // joined; the threshold is a plan-time
                                // scalar folded in as a literal
+    "ml_trigram_backoff" -> 11, // the bigram_xent shape + one more count
+                               // level (two extra type-keyed left joins)
     "ml_bigram_xent" -> 9,     // the bigram-LM shape with a corpus-type
                                // distinct + three LEFT prob-table joins
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg

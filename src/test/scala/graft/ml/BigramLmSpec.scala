@@ -102,6 +102,40 @@ class BigramLmSpec extends SparkSpec {
     assert(m(3L) === ((0L, 0.0)))
   }
 
+  test("stupid backoff: each of the three branches scores its exact value") {
+    val s = spark
+    import s.implicits._
+    // train counts: "a b c a b d" → uni a:2 b:2 c:1 d:1 (N=6, V=4);
+    // bigrams: "a b":2, "b c":1, "c a":1, "b d":1; trigrams:
+    // "a b c":1, "b c a":1, "c a b":1, "a b d":1
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val a = 0.4
+    // corpus doc exercises one trigram per branch:
+    //   "a b c": trigram seen → c3/c(a b) = 1/2
+    //   "b c d": unseen; suffix "c d" unseen; floor on d → a²·(1+1)/(6+4+1)
+    //   "c a b": trigram seen → 1/1
+    val corpus = Seq(
+      (1L, "a b c"),                 // branch 1 only
+      (2L, "x b d y"),               // "x b d": unseen, suffix "b d" seen
+                                     //   → a·c(b d)/c(b) = a·1/2
+                                     // "b d y": unseen, suffix "d y" unseen
+                                     //   → floor on y: a²·(0+1)/11
+      (3L, "zz")                     // < 3 tokens → 0 trigrams
+    ).toDF("doc_id", "text")
+    val m = CorpusStats.trigramStupidBackoff(corpus, train,
+        "doc_id", "text", alpha = a)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_logscore"))).toMap
+    assert(m(1L)._1 === 1L)
+    assert(m(1L)._2 === math.rint(math.log(0.5) * 1e6) / 1e6)
+    val p1 = a * 1.0 / 2.0            // "x b d": backoff to c(b d)/c(b)
+    val p2 = a * a * (0.0 + 1.0) / (6.0 + 4.0 + 1.0) // "b d y": floor
+    val exp2 = (math.log(p1) + math.log(p2)) / 2.0
+    assert(m(2L)._1 === 2L)
+    assert(m(2L)._2 === math.rint(exp2 * 1e6) / 1e6)
+    assert(m(3L) === ((0L, 0.0)))
+  }
+
   test("lambda=1 is pure bigram MLE") {
     // single doc "a b a b": bigrams "a b":2, "b a":1; with λ=1 the
     // probabilities are c2/c1(w1): p(b|a)=2/2=1, p(a|b)=1/2

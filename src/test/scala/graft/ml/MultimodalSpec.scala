@@ -331,6 +331,8 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parsePdf(bytes)
       Multimodal.parseMp4(bytes)
       Multimodal.parseImage(bytes)
+      Multimodal.parsePcm(bytes)
+      Multimodal.aHashBytes(bytes)
       assert(System.nanoTime() < deadline,
         s"parsers wedged on fuzz case $i (${bytes.take(16).toSeq})")
     }
