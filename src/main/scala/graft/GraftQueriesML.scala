@@ -647,32 +647,65 @@ object GraftQueriesML {
           FROM documents d LEFT JOIN agg USING (doc_id)"""
     })
 
+  /** DuckDB CTE chain through `q(doc_id, quality)` — the qualityScore
+    * replica, shared by the score oracle and the budget-selection
+    * oracle.
+    */
+  private def qualityCteSql: String = {
+    val stopList = TextAnalysis.langMarkers.values.flatten.toSeq.distinct
+      .map(m => s"'$m'").mkString("[", ",", "]")
+    s"""WITH b AS (SELECT doc_id,
+          CAST(length(text) AS DOUBLE) AS len,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+          CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'),
+            $stopList)) AS DOUBLE) AS stop
+          FROM documents),
+        c AS (SELECT doc_id,
+          least(len/500.0, 1.0) AS len_score,
+          1.0 - least((CASE WHEN len > 0 THEN punct/len ELSE 0.0 END)*10.0, 1.0) AS punct_score,
+          CASE WHEN ntok > 0 THEN least(stop/ntok*4.0, 1.0) ELSE 0.0 END AS stop_score,
+          CASE WHEN (CASE WHEN ntok > 0 THEN (len-ntok+1)/ntok ELSE 0.0 END)
+            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score
+          FROM b),
+        q AS (SELECT doc_id, round(len_score*0.3 + punct_score*0.2
+          + stop_score*0.3 + word_score*0.2, 6) AS quality FROM c)"""
+  }
+
   private val mQuality = Spec("ml_quality_score",
     (s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         ml.Dedup.tokens(lower(col("text"))).as("__wl"))
       .select(col("doc_id"),
         TextAnalysis.qualityScoreOf(col("text"), col("__wl")).as("quality")),
-    Some {
-      val stopList = TextAnalysis.langMarkers.values.flatten.toSeq.distinct
-        .map(m => s"'$m'").mkString("[", ",", "]")
-      s"""WITH b AS (SELECT doc_id,
-            CAST(length(text) AS DOUBLE) AS len,
-            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS ntok,
-            CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
-            CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'),
-              $stopList)) AS DOUBLE) AS stop
-            FROM documents),
-          c AS (SELECT doc_id,
-            least(len/500.0, 1.0) AS len_score,
-            1.0 - least((CASE WHEN len > 0 THEN punct/len ELSE 0.0 END)*10.0, 1.0) AS punct_score,
-            CASE WHEN ntok > 0 THEN least(stop/ntok*4.0, 1.0) ELSE 0.0 END AS stop_score,
-            CASE WHEN (CASE WHEN ntok > 0 THEN (len-ntok+1)/ntok ELSE 0.0 END)
-              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS word_score
-            FROM b)
-          SELECT doc_id, round(len_score*0.3 + punct_score*0.2
-            + stop_score*0.3 + word_score*0.2, 6) AS quality FROM c"""
-    })
+    Some(qualityCteSql + " SELECT doc_id, quality FROM q"))
+
+  /** Exact quality-ranked budget cut: the oracle is the GLOBAL-sort
+    * running sum the engine's banded two-phase plan must reproduce row
+    * for row (keep iff strictly-better-ranked tokens < budget).
+    */
+  private val mQualityBudget = Spec("ml_quality_budget",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__wl", ml.Dedup.tokens(lower(col("text"))))
+        .withColumn("quality",
+          TextAnalysis.qualityScoreOf(col("text"), col("__wl")))
+      Curation.qualityBudgetSelect(d, "doc_id", "quality",
+          size(ml.Dedup.tokens(col("text"))).cast("long"), budget = 1000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(qualityCteSql + """,
+       s AS (SELECT q.doc_id, quality,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+         FROM q JOIN documents USING (doc_id)),
+       o AS (SELECT doc_id, quality, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cx
+         FROM s)
+       SELECT doc_id, quality, n_tokens FROM o WHERE cx < 1000
+       ORDER BY doc_id"""))
 
   // Pretraining text cleanup: the query CONSTRUCTS messy text per row
   // (HTML wrapper, tab, entities including the &amp;lt; double-decode
@@ -2605,6 +2638,7 @@ object GraftQueriesML {
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,
+    mQualityBudget,
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,

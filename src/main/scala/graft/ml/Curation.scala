@@ -297,6 +297,69 @@ object Curation {
       .withColumn("mix_rate", cut.cast("double") / buckets)
   }
 
+  /** Quality-ranked token-budget selection — "train on the BEST N
+    * tokens" (the DataComp-LM / SlimPajama selection step, where a
+    * classifier or heuristic score ranks documents and the top of the
+    * ranking fills the budget). Keeps exactly the rows a global
+    * `ORDER BY score DESC, id` prefix-cut would keep: a row survives iff
+    * the total tokens of strictly-better-ranked rows is < `budget` (so
+    * the budget-crossing row is kept and completes the budget — the
+    * keep-first-overrun convention).
+    *
+    * Unlike [[tokenBudgetSample]] (statistical hash-uniform thinning,
+    * no ranking) this is an EXACT ordered cut — and the scale shape is
+    * the point: a naive global sort + running sum is a range exchange
+    * plus a single-partition window over the corpus. Instead, scores
+    * (contract: [0, 1], ties allowed) quantize into `buckets` bands;
+    * band totals come to the driver (≤ buckets rows — the packChunks
+    * two-phase prefix-sum convention); whole bands above the cut keep
+    * everything, bands below drop everything, and ONLY the single
+    * boundary band runs a within-band running-sum window (corpus/buckets
+    * rows through one task). Quantization changes nothing: score-desc
+    * order refines band order, and score ties always share a band, so
+    * the kept set is identical to the global-sort semantics the oracle
+    * replays. Appends `n_tokens`.
+    */
+  def qualityBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                          nTokens: Column, budget: Long,
+                          buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val staged = df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("__qb", least(greatest(
+        floor((lit(1.0) - col(scoreCol)) * buckets).cast("int"), lit(0)),
+        lit(buckets - 1)))
+    val totals = staged.groupBy(col("__qb"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    var fullBands = List.empty[Int]
+    var boundary = Option.empty[(Int, Long)] // (band, tokens before it)
+    (0 until buckets).foreach { b =>
+      val t = totals.getOrElse(b, 0L)
+      if (t > 0) {
+        if (cum + t <= budget) fullBands ::= b
+        else if (cum < budget && boundary.isEmpty) boundary = Some((b, cum))
+        cum += t
+      }
+    }
+    val keepFull =
+      if (fullBands.isEmpty) staged.filter(lit(false))
+      else staged.filter(col("__qb").isin(fullBands: _*))
+    val keepBoundary = boundary match {
+      case None => staged.filter(lit(false))
+      case Some((b, before)) =>
+        val w = Window.partitionBy(col("__qb"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        staged.filter(col("__qb") === b)
+          .withColumn("__cx", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .filter(lit(before) + col("__cx") < budget)
+          .drop("__cx")
+    }
+    keepFull.unionByName(keepBoundary).drop("__qb")
+  }
+
   /** Deterministic global shuffle layout — the final step of a
     * training-data writer (examples must reach the trainer in an order
     * uncorrelated with curation order, and the order must be

@@ -48,7 +48,7 @@ object CurationStages {
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
-    "leakage_safe_split", "dedup_media")
+    "leakage_safe_split", "dedup_media", "quality_budget_select")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -64,7 +64,8 @@ object CurationStages {
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
-    "knn_graph", "temperature_sample", "leakage_safe_split", "dedup_media")
+    "knn_graph", "temperature_sample", "leakage_safe_split", "dedup_media",
+    "quality_budget_select")
 
   def compile(ptype: String, rule: RuleSpec, df: DataFrame): DataFrame = {
     if (df.isStreaming && batchOnly.contains(ptype))
@@ -83,6 +84,7 @@ object CurationStages {
       case "pii_redact" => piiRedact(pre, c)
       case "hash_split" => hashSplit(pre, c)
       case "leakage_safe_split" => leakageSafeSplit(pre, c)
+      case "quality_budget_select" => qualityBudgetSelect(pre, c)
       case "weighted_sample" => weightedSample(pre, c)
       case "stratified_sample" => stratifiedSample(pre, c)
       case "dedup_exact" => dedupExact(pre, c)
@@ -428,6 +430,36 @@ object CurationStages {
       bands = int(c, "bands", 4), rowsPerBand = int(c, "rows_per_band", 3),
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5),
       splitCol = str(c, "target_field", "split"))
+  }
+
+  // ---- quality_budget_select -----------------------------------------
+  //
+  // Exact quality-ranked prefix cut (Curation.qualityBudgetSelect):
+  // "the best `budget` tokens by `score_field`". Band totals collect at
+  // plan time → batch-only. The score column comes from an upstream
+  // stage (quality_signals' q_quality, quality_model's score, a
+  // perplexity_score column) — scores must sit in [0, 1].
+
+  private def qualityBudgetSelect(df: DataFrame,
+                                  c: Map[String, Any]): DataFrame = {
+    val scoreF = reqStr(c, "score_field", "quality_budget_select")
+    require(df.columns.contains(scoreF),
+      s"quality_budget_select: score_field `$scoreF` not in " +
+        s"${df.columns.mkString(", ")} — compute it upstream " +
+        "(quality_signals / quality_model / perplexity_score)")
+    require(!df.columns.contains("n_tokens"),
+      "quality_budget_select would overwrite existing column n_tokens — " +
+        "rename it upstream")
+    val budget = c.get("budget") match {
+      case Some(v: Int) => v.toLong
+      case Some(v: Long) => v
+      case Some(v: java.lang.Integer) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"quality_budget_select: integer `budget` required, got $other")
+    }
+    Curation.qualityBudgetSelect(df, idField(c, "quality_budget_select"),
+      scoreF, TextAnalysis.tokenCount(col(textField(c))), budget,
+      buckets = int(c, "buckets", 1024))
   }
 
   // ---- weighted_sample ----------------------------------------------

@@ -444,6 +444,17 @@ object StageCatalog {
           |    train_pct: 80
           |    valid_pct: 10"""),
       schemaKind = "documents", oracle = Seq("ml_cluster_split")),
+    StageDoc("quality_budget_select", "curation",
+      "Exact quality-ranked token-budget cut: keep the best-scored documents until the budget fills (banded two-phase prefix sum - no global sort; batch-only).",
+      y("""pipeline:
+          |  - type: quality_signals
+          |    text_field: text
+          |    signals: [quality]
+          |  - type: quality_budget_select
+          |    id_field: doc_id
+          |    score_field: q_quality
+          |    budget: 1000000"""),
+      schemaKind = "documents", oracle = Seq("ml_quality_budget")),
     StageDoc("weighted_sample", "curation",
       "Per-source mixture sampling at configured rates (content-addressed, rate-nested across changes).",
       y("""pipeline:

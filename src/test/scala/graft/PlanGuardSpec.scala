@@ -123,6 +123,8 @@ class PlanGuardSpec extends SparkSpec {
                                // + the spec's orderBy range exchange
     "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_ngram_topk" -> 1,
+    "ml_quality_budget" -> 2,  // boundary-band window + the spec orderBy
+                               // (band totals collect at plan time)
     "ml_zipf_fit" -> 2,        // token count agg + bounded top-N tail
                                // (vocab cache inside)
     "ml_pack_chunks" -> 3,

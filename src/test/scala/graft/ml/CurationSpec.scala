@@ -92,4 +92,40 @@ class CurationSpec extends SparkSpec {
     assert(!Curation.temperatureSample(withNull, "id", "g", 0.3, 0.5)
       .collect().map(_.getLong(0)).contains(2000L))
   }
+
+  test("qualityBudgetSelect: exact ranked prefix cut, crossing row kept") {
+    val s = spark
+    import s.implicits._
+    // (id, score, n_tokens): ranked by score desc → ids 5, 4, 3, 2, 1
+    val df = Seq(
+      (1L, 0.10, 100L), (2L, 0.30, 40L), (3L, 0.50, 25L),
+      (4L, 0.70, 30L), (5L, 0.90, 20L)
+    ).toDF("id", "score", "nt")
+    def keep(budget: Long) =
+      Curation.qualityBudgetSelect(df, "id", "score", col("nt"), budget)
+        .collect().map(_.getLong(0)).toSet
+    // budget 60: 5 (cum-before 0) + 4 (20) + 3 (50 < 60, CROSSES and is
+    // kept) — 2 would start at 75 ≥ 60
+    assert(keep(60L) == Set(5L, 4L, 3L))
+    // exact fit: 50 keeps 5+4 and the crossing 3 (cum-before 50 = 50 →
+    // NOT < 50, dropped)
+    assert(keep(50L) == Set(5L, 4L))
+    assert(keep(0L) == Set.empty[Long])
+    assert(keep(1L) == Set(5L))          // first row always completes
+    assert(keep(10000L) == Set(1L, 2L, 3L, 4L, 5L))
+    // ties: equal scores order by id asc; with few buckets ties share a
+    // band so the cut equals the global-sort semantics
+    val tied = Seq((1L, 0.5, 10L), (2L, 0.5, 10L), (3L, 0.5, 10L))
+      .toDF("id", "score", "nt")
+    val k = Curation.qualityBudgetSelect(tied, "id", "score", col("nt"),
+        budget = 15L, buckets = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(k == Set(1L, 2L)) // 1 fits, 2 crosses, 3 starts at 20 ≥ 15
+    // n_tokens appended, input columns preserved
+    val cols = Curation.qualityBudgetSelect(df, "id", "score", col("nt"), 60L)
+      .columns.toSeq
+    assert(cols == Seq("id", "score", "nt", "n_tokens"))
+    intercept[IllegalArgumentException](
+      Curation.qualityBudgetSelect(df, "id", "score", col("nt"), -1L))
+  }
 }

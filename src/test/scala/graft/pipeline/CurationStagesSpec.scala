@@ -187,6 +187,49 @@ class CurationStagesSpec extends SparkSpec {
     assert(m.getInt(0) == 2 && m.getInt(1) == 1)
   }
 
+  test("quality_budget_select stage: ranked cut on an upstream score") {
+    val out = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [quality]
+        |  - type: quality_budget_select
+        |    id_field: doc_id
+        |    score_field: q_quality
+        |    budget: 20
+        |""".stripMargin, docs)
+    assert(out.columns.contains("n_tokens"))
+    // replicate: global sort by (q_quality desc, doc_id), keep while
+    // strictly-better tokens < 20
+    val scored = run(
+      """pipeline:
+        |  - type: quality_signals
+        |    text_field: text
+        |    signals: [quality, n_tokens]
+        |""".stripMargin, docs)
+      .select("doc_id", "q_quality", "q_n_tokens")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+      .sortBy(r => (-r._2, r._1))
+    var cum = 0L
+    val expect = scored.takeWhile { r =>
+      val ok = cum < 20L; cum += r._3; ok
+    }.map(_._1).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    // a missing score column points at the upstream stages
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: quality_budget_select\n" +
+        "    id_field: doc_id\n    score_field: nope\n    budget: 5\n", docs)
+    }
+    assert(e.getMessage.contains("upstream"))
+    // budget is required
+    val e2 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: quality_signals\n    text_field: text\n" +
+        "    signals: [quality]\n  - type: quality_budget_select\n" +
+        "    id_field: doc_id\n    score_field: q_quality\n", docs)
+    }
+    assert(e2.getMessage.contains("budget"))
+  }
+
   test("dedup_media stage: perceptual image dedup keeps one per component") {
     val s = spark
     import s.implicits._
