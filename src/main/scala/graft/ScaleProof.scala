@@ -172,7 +172,11 @@ object ScaleProof {
       // assignment is narrow) and the LSH-candidate k-NN graph (the
       // embed_neardup bucket machinery + per-node WindowGroupLimit)
       "ml_kmeans_assign" -> GraftQueries.queries("ml_kmeans_assign"),
-      "ml_knn_graph" -> GraftQueries.queries("ml_knn_graph"))
+      "ml_knn_graph" -> GraftQueries.queries("ml_knn_graph"),
+      // round-12 third session: the df-capped containment inverted index
+      // (fan-out bounded by construction; measured x10/base 1.83 at 7
+      // exchanges in a quiet-ish window)
+      "ml_containment_pairs" -> GraftQueries.queries("ml_containment_pairs"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.

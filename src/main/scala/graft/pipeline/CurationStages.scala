@@ -932,9 +932,11 @@ object CurationStages {
 
   private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame =
     str(c, "mode", "exact") match {
-      case m @ ("exact" | "near" | "embedding") => dedupIngestCore(df, c, m)
+      case m @ ("exact" | "near" | "embedding" | "media") =>
+        dedupIngestCore(df, c, m)
       case other => throw new IllegalArgumentException(
-        s"dedup_ingest: unknown mode `$other` (exact | near | embedding)")
+        s"dedup_ingest: unknown mode `$other` " +
+          "(exact | near | embedding | media)")
     }
 
   /** The store's state-layout contract, recorded as a `_graft_mode.json`
@@ -967,8 +969,14 @@ object CurationStages {
         s"""{"mode":"embedding","bands":${int(c, "bands", 8)},""" +
           s""""planes_per_band":${int(c, "planes_per_band", 8)},""" +
           s""""dim":${int(c, "dim", 64)}}"""
+      // media keys live in a DIFFERENT key space (16-hex aHash / md5 of
+      // bytes, never md5 of text) — no geometry, but incompatible with
+      // every text-keyed mode including exact (see checkModeMarker)
+      case "media" => """{"mode":"media"}"""
       case _ => """{"mode":"exact"}"""
     }
+
+  private val mediaContract = """{"mode":"media"}"""
 
   private val exactContract = """{"mode":"exact"}"""
 
@@ -987,16 +995,22 @@ object CurationStages {
     }
   }
 
-  /** Fail on two disagreeing fuzzy contracts; exact mixes with all. */
+  /** Fail on two disagreeing fuzzy contracts; exact mixes with every
+    * TEXT-keyed mode (the shared md5 leg) — but media keys are a
+    * different key space entirely, so media mixes with nothing.
+    */
   private def checkModeMarker(spark: org.apache.spark.sql.SparkSession,
                               store: String, contract: String): Unit =
     readMarker(spark, store).foreach { recorded =>
-      require(recorded == contract || recorded == exactContract ||
-          contract == exactContract,
-        s"dedup_ingest store $store holds fuzzy state under contract " +
+      val mediaInvolved =
+        recorded == mediaContract || contract == mediaContract
+      require(recorded == contract || (!mediaInvolved &&
+          (recorded == exactContract || contract == exactContract)),
+        s"dedup_ingest store $store holds state under contract " +
           s"$recorded but this pipeline is configured for $contract — " +
-          "mixing fuzzy modes or band geometries over one store silently " +
-          "re-admits stored duplicates; use a separate store per contract")
+          "mixing fuzzy modes, band geometries, or key spaces (media vs " +
+          "text) over one store silently re-admits stored duplicates; " +
+          "use a separate store per contract")
     }
 
   /** Record the strongest contract seen: write when absent, upgrade
@@ -1132,18 +1146,28 @@ object CurationStages {
     checkModeMarker(spark, store, contract)
     val bid = graft.streaming.StreamRunner.currentBatchToken.value
       .getOrElse("run-" + java.util.UUID.randomUUID().toString)
-    val contentKey: Column = mode match {
+    // media stages the aHash kernel column first (a mapPartitions
+    // transform, not a Column); every other mode keys df directly
+    val (staged, contentKey): (DataFrame, Column) = mode match {
       case "embedding" =>
         val vecF = str(c, "vec_field", "embedding")
         require(df.columns.contains(vecF),
           s"dedup_ingest mode embedding: no `$vecF` column (set vec_field)")
-        md5(concat_ws(",",
-          col(vecF).cast("array<double>").cast("array<string>")))
-      case _ => md5(col(textCol))
+        (df, md5(concat_ws(",",
+          col(vecF).cast("array<double>").cast("array<string>"))))
+      case "media" =>
+        val bytesF = str(c, "bytes_field", "payload")
+        require(df.columns.contains(bytesF),
+          s"dedup_ingest mode media: no `$bytesF` column (set bytes_field)")
+        // perceptual key: 16-hex aHash (re-encodes/brightness shifts
+        // collapse); undecodable payloads fall back to exact-bytes md5
+        (graft.ml.Multimodal.imageAHash(df, bytesF, "__mh"),
+          coalesce(lpad(hex(col("__mh")), 16, "0"), md5(col(bytesF))))
+      case _ => (df, md5(col(textCol)))
     }
     // in-batch exact keep (min id per content key — Dedup.exact's rule,
     // on the SAME key the store holds)
-    val keyed = df.withColumn("__h", contentKey)
+    val keyed = staged.withColumn("__h", contentKey)
     val keepIds = keyed.groupBy(col("__h"))
       .agg(min(col(id)).as("__keepid"))
     val withKey = keyed.alias("k").join(keepIds.alias("d"),
@@ -1156,8 +1180,17 @@ object CurationStages {
     // marker-less legacy store: verify the stored fuzzy geometry against
     // this run's contract BEFORE adopting it (limit-1 probes, once per
     // store lifetime — every later run short-circuits on the marker)
+    // a media run can never adopt a marker-less legacy store: legacy
+    // state is text-keyed (md5-32) and aHash keys (hex-16) would simply
+    // never match — a silent no-dedup, the quiet failure the marker
+    // machinery exists to prevent
+    require(mode != "media" || refKeys.isEmpty ||
+        readMarker(spark, store).isDefined,
+      s"dedup_ingest mode media: store $store exists without a contract " +
+        "marker — legacy stores are text-keyed and not comparable with " +
+        "media keys; use a fresh store for media ingest")
     val blockAdoption =
-      if (readMarker(spark, store).isEmpty)
+      if (readMarker(spark, store).isEmpty && mode != "media")
         checkLegacyGeometry(store, mode, c, refKeys)
       else false
 
@@ -1204,7 +1237,7 @@ object CurationStages {
       .write.mode("append").parquet(store)
     writeModeMarker(spark, store, contract, blockAdoption)
     fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
-    settled.drop("__h")
+    settled.drop("__h", "__mh")
   }
 
   /** Compact a dedup_ingest store OFFLINE: collapse to ONE row per

@@ -621,13 +621,13 @@ object StageCatalog {
           |    id_field: doc_id
           |    text_field: text
           |    store: "/tmp/graft-docs-ingest-keys"
-          |    mode: near          # exact (default) | near | embedding
+          |    mode: near          # exact (default) | near | embedding | media
           |    bands: 4
           |    rows_per_band: 3
           |    shingle_k: 3
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, `bands`, `planes_per_band`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, `bands`, `planes_per_band`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of an image payload (re-encodes and brightness shifts collapse to one key; undecodable payloads fall back to exact-bytes md5) - a media store mixes with NO text-keyed mode (different key space, enforced by the contract marker)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -620,4 +620,77 @@ class StreamCurationSpec extends SparkSpec {
       java.nio.file.Paths.get(store + ".compact-tmp")))
     assert(s.read.parquet(store).count() == 1L)
   }
+
+  test("dedup_ingest mode media: perceptual keys reject re-encoded images cross-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def png(shift: Int, vertical: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val lit = if (vertical) y >= 8 else x >= 8
+        val v = (if (lit) 200 else 0) + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-media").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    mode: media
+         |    bytes_field: payload
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-mck").toString
+
+    // batch 1: a picture, its brightness-shifted copy (same aHash —
+    // in-batch perceptual dup), a different picture, and junk bytes
+    mem.addData((1L, png(0, vertical = false)),
+      (2L, png(30, vertical = false)),
+      (3L, png(0, vertical = true)),
+      (4L, "junk payload".getBytes))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "payload"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 4L), s"batch 1: $seen")
+
+    // batch 2: another brightness shift of picture 1 (cross-batch
+    // perceptual dup), the SAME junk bytes (md5-fallback dup), and a
+    // genuinely new picture (horizontal gradient ≠ either)
+    mem.addData((5L, png(45, vertical = false)),
+      (6L, "junk payload".getBytes),
+      (7L, png(0, vertical = true)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "payload"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 4L), s"after batch 2: $seen")
+
+    // state: one key per distinct perceptual/byte identity (2 pictures
+    // + 1 junk md5), marker pins the media contract
+    assert(s.read.parquet(store).select("h").distinct().count() == 3L)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"media\""))
+
+    // a text-mode run over the media store fails loudly (different key
+    // space), and vice versa for a media run over an exact store
+    val e = intercept[Exception] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"pipeline:\n  - type: dedup_ingest\n    id_field: doc_id\n" +
+        s"    text_field: text\n    store: $store\n"))(
+        Seq((9L, "t")).toDF("doc_id", "text")).main
+    }
+    assert(e.getMessage.contains("key space") ||
+      e.getMessage.contains("contract"), e.getMessage)
+  }
 }
