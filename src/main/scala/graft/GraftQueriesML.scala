@@ -1202,6 +1202,49 @@ object GraftQueriesML {
                 AS n_chunks
             FROM o"""))
 
+  /** Luhn-validated card redaction: the query constructs a card line per
+    * doc — valid check digit on even ids, broken on odd, separator style
+    * cycling dash/space/none — so the gate proves the CHECKSUM decides
+    * (a shape-only regex would redact both parities). The oracle replays
+    * the candidate extraction, the Luhn fold, and the replacement fold.
+    */
+  private val mPiiCards = Spec("ml_pii_cards",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val sep = when(col("doc_id") % 3 === 0, lit("-"))
+        .when(col("doc_id") % 3 === 1, lit(" ")).otherwise(lit(""))
+      val ck = when(col("doc_id") % 2 === 0, lit("1")).otherwise(lit("2"))
+      val line = concat(lit("order "), col("doc_id").cast("string"),
+        lit(" pay 4111"), sep, lit("1111"), sep, lit("1111"), sep,
+        lit("111"), ck, lit(" thanks"))
+      d.select(col("doc_id"), TextAnalysis.redactCards(line).as("clean"))
+    },
+    Some {
+      val dg = "regexp_replace(x, '[^0-9]', '', 'g')"
+      val digit = s"CAST($dg[len($dg)-i+1] AS INT)"
+      s"""WITH p AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN '-'
+                 WHEN doc_id % 3 = 1 THEN ' ' ELSE '' END AS sep,
+            CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END AS ck
+            FROM documents),
+          l AS (SELECT doc_id, 'order ' || CAST(doc_id AS VARCHAR)
+            || ' pay 4111' || sep || '1111' || sep || '1111' || sep
+            || '111' || ck || ' thanks' AS line FROM p),
+          c AS (SELECT doc_id, line, regexp_extract_all(line,
+            '\\d(?:[ -]?\\d){12,18}') AS cands FROM l)
+          SELECT doc_id, CASE WHEN len(cands) = 0 THEN line
+            ELSE list_reduce(list_prepend(line, cands), (acc, x) ->
+              CASE WHEN list_aggregate(list_transform(
+                  range(1, len($dg)+1),
+                  i -> CASE WHEN i % 2 = 0 THEN
+                         CASE WHEN 2*$digit > 9 THEN 2*$digit - 9
+                              ELSE 2*$digit END
+                       ELSE $digit END), 'sum') % 10 = 0
+                THEN replace(acc, x, '<CARD>') ELSE acc END)
+            END AS clean
+          FROM c"""
+    })
+
   private val mPiiRedact = Spec("ml_pii_redact",
     (s, dir) => {
       // the synthetic corpus carries no PII, so the query CONSTRUCTS a
@@ -2635,6 +2678,7 @@ object GraftQueriesML {
     mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
+    mPiiCards,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,

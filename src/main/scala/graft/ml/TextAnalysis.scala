@@ -126,6 +126,40 @@ object TextAnalysis {
     regexp_replace(ip, """[+(]?\d[\d\s().-]{5,}\d""", "<PHONE>")
   }
 
+  /** Luhn checksum over the digits of a candidate string (ISO/IEC
+    * 7812): from the right, double every second digit, subtract 9 when
+    * the double exceeds 9, sum ≡ 0 (mod 10). Pure Column algebra on a
+    * lambda-var-safe path so it runs INSIDE higher-order functions.
+    */
+  private def luhnOk(cand: Column): Column = {
+    val d = regexp_replace(cand, "[^0-9]", "")
+    val n = length(d)
+    val s = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val v = d.substr(n - i + lit(1), lit(1)).cast("int")
+      val dbl = v * lit(2)
+      val v2 = when(dbl > 9, dbl - 9).otherwise(dbl)
+      acc + when(pmod(i, lit(2)) === 0, v2).otherwise(v)
+    })
+    pmod(s, lit(10)) === 0
+  }
+
+  /** Payment-card redaction with LUHN VALIDATION: 13–19-digit runs
+    * (spaces/dashes allowed between digits) replace with `<CARD>` ONLY
+    * when the checksum passes — a shape-only regex would eat order ids,
+    * timestamps, and serial numbers, which is why card redaction cannot
+    * be another [[redactPii]] regexp pass. Candidates extract once, and
+    * the replacement folds over them (`aggregate` with the text as the
+    * accumulator) — still a narrow per-row projection, stream-safe.
+    * Opt-in (the `pii_redact` stage's `cards: true`), applied BEFORE
+    * the standard passes so the phone pattern can't eat a card first.
+    */
+  def redactCards(text: Column): Column = {
+    val cands = regexp_extract_all(text,
+      lit("""\d(?:[ -]?\d){12,18}"""), lit(0))
+    aggregate(cands, text, (acc, c) =>
+      when(luhnOk(c), replace(acc, c, lit("<CARD>"))).otherwise(acc))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable under formatting noise; the cheap exact-dup key.
     */

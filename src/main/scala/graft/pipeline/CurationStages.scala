@@ -366,8 +366,13 @@ object CurationStages {
     val fields = c.get("fields")
       .map(_.asInstanceOf[Seq[Any]].map(_.toString))
       .getOrElse(Seq(textField(c)))
-    fields.foldLeft(df)((d, f) =>
-      d.withColumn(f, TextAnalysis.redactPii(col(f))))
+    // opt-in Luhn-validated card redaction runs FIRST (the phone pattern
+    // would eat a card-shaped digit run otherwise)
+    val cards = c.get("cards").exists(_ == true)
+    fields.foldLeft(df) { (d, f) =>
+      val pre = if (cards) TextAnalysis.redactCards(col(f)) else col(f)
+      d.withColumn(f, TextAnalysis.redactPii(pre))
+    }
   }
 
   // ---- text_normalize ------------------------------------------------

@@ -187,6 +187,32 @@ class CurationStagesSpec extends SparkSpec {
     assert(m.getInt(0) == 2 && m.getInt(1) == 1)
   }
 
+  test("pii_redact cards option: Luhn decides, phones still redact after") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "pay 4111 1111 1111 1111 or call +49 151 23456789"),
+      (2L, "invoice 4111 1111 1111 1112 listed")  // bad check digit
+    ).toDF("doc_id", "text")
+    val out = run(
+      """pipeline:
+        |  - type: pii_redact
+        |    fields: [text]
+        |    cards: true
+        |""".stripMargin, d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "pay <CARD> or call <PHONE>", out(1L))
+    // invalid checksum: NOT a card — the phone pass then matches the
+    // digit run (shape-wise it IS phone-like; that's the documented
+    // order), so the audit trail is <PHONE>, never <CARD>
+    assert(out(2L) == "invoice <PHONE> listed", out(2L))
+    // without the option the default output is unchanged (no card pass)
+    val dflt = run(
+      "pipeline:\n  - type: pii_redact\n    fields: [text]\n", d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!dflt(1L).contains("<CARD>"))
+  }
+
   test("quality_budget_select stage: ranked cut on an upstream score") {
     val out = run(
       """pipeline:
