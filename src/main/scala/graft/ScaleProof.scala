@@ -176,7 +176,10 @@ object ScaleProof {
       // round-12 third session: the df-capped containment inverted index
       // (fan-out bounded by construction; measured x10/base 1.83 at 7
       // exchanges in a quiet-ish window)
-      "ml_containment_pairs" -> GraftQueries.queries("ml_containment_pairs"))
+      "ml_containment_pairs" -> GraftQueries.queries("ml_containment_pairs"),
+      // the deepest count-LM (three vocabulary tables, five price
+      // joins); measured x10/base 2.07 at 11 exchanges
+      "ml_trigram_backoff" -> GraftQueries.queries("ml_trigram_backoff"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
     * (query, tier). Callers own warm-up.
