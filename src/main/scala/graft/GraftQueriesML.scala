@@ -941,6 +941,84 @@ object GraftQueriesML {
             SELECT doc_id, n_vals, peak_abs, mean_abs, rms FROM p
             JOIN agg USING (doc_id)"""))
 
+  /** The COMPOSED multimodal curation recipe (the image counterpart of
+    * ml_pretrain_recipe / ml_curation_pipeline): construct real PNG
+    * payloads with deliberate perceptual-dup families → media_envelope
+    * decode (real codec) → dedup_media (aHash + Hamming components) →
+    * hash_split — one YAML pipeline end to end. The oracle replays the
+    * ENTIRE chain: predicted fingerprints, the quadratic Hamming pairs
+    * (exhaustive ≡ the banded plan at maxHamming < bands), the
+    * recursive-CTE component closure, the min-id keep, the pixel fact,
+    * and the split.
+    */
+  private val mMediaRecipe = Spec("ml_media_recipe",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+      // even ids: ascending gradients (any small step — monotone ⇒ one
+      // shared fingerprint: the whole family collapses); odd ids: large
+      // steps that WRAP mod 256 into per-step sawtooth patterns ⇒
+      // several distinct perceptual identities survive
+      val png = d.withColumn("payload", Multimodal.pngGradientBytes(
+        lit(16), lit(32), (lit(100) + col("doc_id") % 40).cast("int"),
+        when(col("doc_id") % 2 === 0, lit(1) + col("doc_id") % 3)
+          .otherwise(lit(200) + (col("doc_id") % 7) * 8)
+          .cast("int")))
+      val yaml =
+        """pipeline:
+          |  - type: media_envelope
+          |    bytes_field: payload
+          |    kind: image
+          |  - type: dedup_media
+          |    id_field: doc_id
+          |    bytes_field: payload
+          |  - type: hash_split
+          |    id_field: doc_id
+          |    train_pct: 80
+          |    valid_pct: 10
+          |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(png).main
+        .select(col("doc_id"),
+          col("image_features.format").as("format"),
+          col("image_features.width").as("width"),
+          col("image_features.height").as("height"),
+          col("image_features.mean_luma").as("mean_luma"),
+          col("split"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val m = "CAST(16*sv AS DOUBLE)/512"
+      aHashBitsSql(
+        """WITH RECURSIVE p AS (SELECT doc_id, 100 + doc_id % 40 AS b0,
+             CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+                  ELSE 200 + (doc_id % 7) * 8 END AS st
+           FROM documents WHERE doc_id < 60)""") + s""",
+         pairs AS (SELECT l.doc_id AS a, r2.doc_id AS b
+           FROM hs l JOIN hs r2 ON l.doc_id < r2.doc_id
+           WHERE len(list_filter(range(64),
+             i -> l.bits[i+1] <> r2.bits[i+1])) <= 3),
+         edges AS (SELECT a, b FROM pairs
+           UNION SELECT b AS a, a AS b FROM pairs),
+         reach AS (SELECT doc_id AS id, doc_id AS r FROM p
+           UNION
+           SELECT e.b AS id, reach.r AS r
+           FROM reach JOIN edges e ON e.a = reach.id),
+         roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         lum AS (SELECT doc_id, sum(v) AS sv FROM r GROUP BY doc_id)
+         SELECT doc_id, 'png' AS format, 16 AS width, 32 AS height,
+           round(0.299*($m) + 0.587*($m) + 0.114*($m), 6) AS mean_luma,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100 AS b
+           FROM roots JOIN p ON p.doc_id = roots.id
+           WHERE root = id) k
+         JOIN lum USING (doc_id)
+         ORDER BY doc_id"""
+    })
+
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -2675,7 +2753,7 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mLangMix, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
-    mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm,
+    mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm, mMediaRecipe,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,

@@ -133,6 +133,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_simhash_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_simhash_pairs" -> 7,
     "ml_image_ahash" -> 1,     // mapPartitions hash kernel + orderBy
+    "ml_media_recipe" -> 2,    // composed envelope→dedup_media→split:
+                               // the keep semi-join + spec orderBy (the
+                               // Hamming components settle at plan time)
     "ml_image_neardup" -> 7,   // banded 64-bit Hamming join (the
                                // simhash_pairs shape over image hashes)
     "ml_stratified_sample" -> 1,
