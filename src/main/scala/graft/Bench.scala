@@ -55,7 +55,11 @@ object Bench {
       // the per-round headline. The 10-query baseline subset is
       // unchanged — these add to the 20-query headline only.
       "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"),
-      "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"))
+      "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"),
+      // round-12 third session: the composed multimodal recipe (real
+      // PNG encode → codec decode → perceptual dedup → split) so the
+      // image pipeline has a per-round bench presence
+      "ml_media_recipe" -> GraftQueries.queries("ml_media_recipe"))
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>

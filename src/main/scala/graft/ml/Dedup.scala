@@ -229,8 +229,13 @@ object Dedup {
       s"bands must divide 64 and be >= 2, got $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    // persisted pre-explode, the simhashPairs convention — the (id, fp)
+    // table is two longs per row, while recomputing it re-runs whatever
+    // produced the fingerprints (for imageAHash: a full image decode
+    // per consumer of the banded join). CacheSweep-released.
     val base = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .filter(col("fp").isNotNull)
+      .persist()
     val banded = base.select(col("id"), col("fp"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -528,7 +528,9 @@ object CurationStages {
     val pairs = Dedup.hammingPairs(hashed, id, "__ahash",
       bands = int(c, "bands", 4), maxHamming = int(c, "max_hamming", 3),
       maxBucketSize = int(c, "max_bucket", 4096))
-    val kept = Dedup.keepFromPairs(hashed.select(col(id)), id, pairs)
+    // the node set needs only ids — taking it from `hashed` would run
+    // the decode kernel a second time for a column df already has
+    val kept = Dedup.keepFromPairs(df.select(col(id)), id, pairs)
     df.alias("d").join(kept.alias("keep"),
       col(s"d.$id") === col(s"keep.$id"), "left_semi")
   }
