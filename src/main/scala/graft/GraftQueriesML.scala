@@ -844,21 +844,22 @@ object GraftQueriesML {
     * cy·8+cx ⇔ 64·cellSum > total; MSB-first 64-char bit string = the
     * engine's `lpad(bin(ahash), 64, '0')`).
     */
-  private def aHashBitsSql(fromP: String): String =
-    fromP + """,
-       r AS (SELECT doc_id, y, (b0 + y*st) % 256 AS v
-         FROM p, unnest(range(32)) AS u(y)),
-       cells AS (SELECT doc_id, y // 4 AS cy, 2*sum(v) AS s
-         FROM r GROUP BY doc_id, y // 4),
-       tot AS (SELECT doc_id, 8*sum(s) AS total FROM cells GROUP BY doc_id),
-       bits AS (SELECT j.doc_id, j.j,
+  private def aHashBitsSql(fromP: String, sfx: String = ""): String =
+    fromP + s""",
+       r$sfx AS (SELECT doc_id, y, (b0 + y*st) % 256 AS v
+         FROM p$sfx, unnest(range(32)) AS u(y)),
+       cells$sfx AS (SELECT doc_id, y // 4 AS cy, 2*sum(v) AS s
+         FROM r$sfx GROUP BY doc_id, y // 4),
+       tot$sfx AS (SELECT doc_id, 8*sum(s) AS total FROM cells$sfx
+         GROUP BY doc_id),
+       bits$sfx AS (SELECT j.doc_id, j.j,
            CASE WHEN 64*c.s > t.total THEN '1' ELSE '0' END AS ch
          FROM (SELECT doc_id, j, (63 - j) // 8 AS cy
-           FROM p, unnest(range(64)) AS u(j)) j
-         JOIN cells c ON c.doc_id = j.doc_id AND c.cy = j.cy
-         JOIN tot t ON t.doc_id = j.doc_id),
-       hs AS (SELECT doc_id, string_agg(ch, '' ORDER BY j) AS bits
-         FROM bits GROUP BY doc_id)"""
+           FROM p$sfx, unnest(range(64)) AS u(j)) j
+         JOIN cells$sfx c ON c.doc_id = j.doc_id AND c.cy = j.cy
+         JOIN tot$sfx t ON t.doc_id = j.doc_id),
+       hs$sfx AS (SELECT doc_id, string_agg(ch, '' ORDER BY j) AS bits
+         FROM bits$sfx GROUP BY doc_id)"""
 
   /** Full encode→decode→perceptual-hash round trip, oracle-predicted:
     * the engine BUILDS a real PNG per row (expression-side encoder),
@@ -1018,6 +1019,83 @@ object GraftQueriesML {
          JOIN lum USING (doc_id)
          ORDER BY doc_id"""
     })
+
+  /** Perceptual AUDIO hash, oracle-predicted: frame-energy aHash of a
+    * constructed sawtooth PCM clip — the construct→decode→hash round
+    * trip for the audio column, DuckDB replaying frames, energies, and
+    * the cross-multiplied threshold bit for bit.
+    */
+  private val mAudioAHash = Spec("ml_audio_ahash",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val wav = d.withColumn("payload", Multimodal.wavPcmBytes(
+        lit(8000), (col("doc_id") % 64 + 128).cast("int"),
+        (col("doc_id") % 256).cast("int"),
+        (col("doc_id") % 9 + 1).cast("int")))
+      Multimodal.audioAHash(wav, "payload")
+        .select(col("doc_id"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id % 64 + 128 AS n,
+              doc_id % 256 AS b0, doc_id % 9 + 1 AS st FROM documents),
+            v AS (SELECT doc_id, abs((b0 + t*st) % 256 - 128) AS a,
+              t // (n // 64) AS f
+              FROM p, unnest(range(n)) AS u(t)
+              WHERE t < (n // 64) * 64),
+            fr AS (SELECT doc_id, f, sum(a) AS s FROM v
+              GROUP BY doc_id, f),
+            tot AS (SELECT doc_id, sum(s) AS total FROM fr
+              GROUP BY doc_id),
+            bits AS (SELECT j.doc_id, j.j,
+              CASE WHEN 64*fr.s > tot.total THEN '1' ELSE '0' END AS ch
+              FROM (SELECT doc_id, j, 63 - j AS f
+                FROM p, unnest(range(64)) AS u(j)) j
+              JOIN fr ON fr.doc_id = j.doc_id AND fr.f = j.f
+              JOIN tot ON tot.doc_id = j.doc_id)
+            SELECT doc_id, string_agg(ch, '' ORDER BY j) AS ahash_bits
+            FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The against leg of media dedup: incoming images vs a reference
+    * image corpus — the reference's ascending family matches every
+    * incoming ascending gradient (shared fingerprint), sawtooth
+    * families survive unless the replayed Hamming match says otherwise.
+    */
+  private val mMediaAgainst = Spec("ml_media_against",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def grad(base: Column, step: Column) =
+        Multimodal.pngGradientBytes(lit(16), lit(32), base.cast("int"),
+          step.cast("int"))
+      val incoming = d.filter(col("doc_id") < 40)
+        .withColumn("payload", grad(lit(100) + col("doc_id") % 40,
+          when(col("doc_id") % 2 === 0, lit(1))
+            .otherwise(lit(200) + (col("doc_id") % 7) * 8)))
+      val ref = d.filter(col("doc_id") >= 100 && col("doc_id") < 105)
+        .withColumn("payload", grad(lit(50) + col("doc_id") % 20, lit(2)))
+      val incHashed = Multimodal.imageAHash(
+        incoming.select(col("doc_id"), col("payload")), "payload", "fp")
+      val refHashed = Multimodal.imageAHash(
+        ref.select(col("doc_id"), col("payload")), "payload", "fp")
+      Dedup.hammingAgainst(incHashed, refHashed, "doc_id", "fp",
+          bands = 4, maxHamming = 3)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(aHashBitsSql(
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 40 AS b0,
+           CASE WHEN doc_id % 2 = 0 THEN 1
+                ELSE 200 + (doc_id % 7) * 8 END AS st
+         FROM documents WHERE doc_id < 40)""") +
+      aHashBitsSql(
+        """, p2 AS (SELECT doc_id, 50 + doc_id % 20 AS b0, 2 AS st
+           FROM documents WHERE doc_id >= 100 AND doc_id < 105)""",
+        "2") + """,
+       m AS (SELECT DISTINCT l.doc_id FROM hs l, hs2 r2
+         WHERE len(list_filter(range(64),
+           k -> l.bits[k+1] <> r2.bits[k+1])) <= 3)
+       SELECT doc_id FROM hs
+       WHERE doc_id NOT IN (SELECT doc_id FROM m)
+       ORDER BY doc_id"""))
 
   private val mMultimodalAudio = Spec("ml_multimodal_audio",
     (s, dir) => {
@@ -2754,6 +2832,7 @@ object GraftQueriesML {
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
     mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm, mMediaRecipe,
+    mAudioAHash, mMediaAgainst,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,

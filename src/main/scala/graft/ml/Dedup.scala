@@ -255,6 +255,51 @@ object Dedup {
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
   }
 
+  /** Incremental-ingestion Hamming dedup: drop `incoming` rows whose
+    * 64-bit fingerprint sits within `maxHamming` of ANY reference
+    * fingerprint — [[dedupAgainstExact]]'s shape over perceptual keys
+    * (the against leg of the media dedup family: pairs / keep / ingest /
+    * against, mirroring the text side). Same banding as
+    * [[hammingPairs]] with the two sides kept apart (no self-pairs):
+    * candidates share a band slice, verify at full-fingerprint
+    * `bit_count`; the distinct matched-id set anti-joins incoming.
+    * `maxBucketSize` caps JOINT (band, key) occupancy — a reference
+    * full of one fingerprint can't make the join O(bucket²).
+    * Null-fingerprint incoming rows (undecodable payloads) never match
+    * and always survive.
+    */
+  def hammingAgainst(incoming: DataFrame, ref: DataFrame, idCol: String,
+                     fpCol: String, bands: Int = 4, maxHamming: Int = 3,
+                     maxBucketSize: Int = 4096): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, side: Int): DataFrame =
+      df.filter(col(fpCol).isNotNull)
+        .select(col(idCol).as("id"), col(fpCol).as("fp"), lit(side).as("side"))
+        .select(col("id"), col("fp"), col("side"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("fp"), b * width)
+                .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+        .select(col("id"), col("fp"), col("side"), col("b.band"), col("b.key"))
+    val all = banded(incoming, 0).unionByName(
+      banded(ref.select(col(idCol), col(fpCol)), 1)).persist()
+    val oversized = all.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val capped = all.join(broadcast(oversized), Seq("band", "key"),
+      "left_anti")
+    val l = capped.filter(col("side") === 0).alias("l")
+    val r = capped.filter(col("side") === 1).alias("r")
+    val dirty = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(bit_count(col("l.fp").bitwiseXOR(col("r.fp"))) <= maxHamming)
+      .select(col("l.id").as("__dirty")).distinct()
+    incoming.join(dirty, col(idCol) === col("__dirty"), "left_anti")
+  }
+
   /** Connected-component keep-one selection over ANY pair list: the
     * minimum id of each duplicate cluster survives (plus every
     * singleton) — [[nearDupKeep]]'s decision step factored out so any

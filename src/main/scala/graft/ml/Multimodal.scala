@@ -475,9 +475,14 @@ object Multimodal {
     * construction parameters. Anything else (float PCM, 24-bit, FLAC,
     * truncated data) → null struct, never a failed job.
     */
-  private[ml] def parsePcm(b: Array[Byte]): Row = {
+  /** The integer-PCM layout of a RIFF/WAVE payload, or None: `(bits,
+    * dataOff, n)` with n = total channel-interleaved values. Shared by
+    * [[parsePcm]] and [[audioAHash]] — same chunk-walk hardening as
+    * [[parseAudio]].
+    */
+  private def pcmLayout(b: Array[Byte]): Option[(Int, Long, Long)] = {
     if (b == null || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
-      return null
+      return None
     var off = 12L
     var fmt = -1; var bits = -1
     var dataOff = -1L; var dataLen = -1L
@@ -494,17 +499,32 @@ object Multimodal {
       off += 8L + len + (len & 1L)
     }
     if (fmt != 1 || (bits != 8 && bits != 16) || dataOff < 0 || dataLen <= 0)
-      return null
-    val bytesPer = bits / 8
-    val n = dataLen / bytesPer
-    if (n == 0) return null
+      None
+    else {
+      val n = dataLen / (bits / 8)
+      if (n == 0) None else Some((bits, dataOff, n))
+    }
+  }
+
+  /** Centered sample value t of an integer-PCM payload (8-bit unsigned
+    * → v−128; 16-bit signed LE).
+    */
+  private def pcmVal(b: Array[Byte], bits: Int, dataOff: Long,
+                     t: Long): Long = {
+    val o = (dataOff + t * (bits / 8)).toInt
+    if (bits == 8) (b(o) & 0xFF) - 128L
+    else ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
+  }
+
+  private[ml] def parsePcm(b: Array[Byte]): Row = {
+    val (bits, dataOff, n) = pcmLayout(b) match {
+      case Some(l) => l
+      case None => return null
+    }
     var sumAbs = 0L; var sumSq = 0L; var peak = 0L
     var t = 0L
     while (t < n) {
-      val o = (dataOff + t * bytesPer).toInt
-      val v: Long =
-        if (bits == 8) (b(o) & 0xFF) - 128L
-        else ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
+      val v = pcmVal(b, bits, dataOff, t)
       val a = math.abs(v)
       sumAbs += a; sumSq += v * v
       if (a > peak) peak = a
@@ -513,6 +533,70 @@ object Multimodal {
     Row(n, peak,
       math.round(sumAbs.toDouble / n * 1e6) / 1e6,
       math.round(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6)
+  }
+
+  /** 64-bit perceptual AUDIO hash of an integer-PCM WAV payload, or
+    * null: the [[aHashOne]] scheme over FRAME ENERGIES instead of grid
+    * cells — crop to 64 equal frames of ⌊n/64⌋ values, frame value =
+    * Σ|centered sample| (exact longs), bit f set iff 64·S_f > ΣS
+    * (cross-multiplied, no division). GAIN-INVARIANT by construction
+    * (uniform k·v scales every frame sum and the total alike), so a
+    * louder re-master of the same clip hashes identically — the audio
+    * analog of aHash's brightness invariance. Needs ≥ 64 values;
+    * compressed audio (FLAC) hashes null (no codec — the documented
+    * stub boundary).
+    */
+  private def audioAHashOne(b: Array[Byte]): java.lang.Long = {
+    val (bits, dataOff, n) = pcmLayout(b) match {
+      case Some(l) => l
+      case None => return null
+    }
+    if (n < 64) return null
+    val fl = n / 64
+    val sums = new Array[Long](64)
+    var f = 0
+    while (f < 64) {
+      var t = f * fl
+      val end = t + fl
+      var s = 0L
+      while (t < end) { s += math.abs(pcmVal(b, bits, dataOff, t)); t += 1 }
+      sums(f) = s
+      f += 1
+    }
+    var total = 0L; var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var hash = 0L; i = 0
+    while (i < 64) {
+      if (64L * sums(i) > total) hash |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Test access to the audio-hash kernel. */
+  private[ml] def audioAHashBytes(b: Array[Byte]): java.lang.Long =
+    audioAHashOne(b)
+
+  /** Append the [[audioAHashOne]] perceptual hash of `bytesCol` as a
+    * nullable long column — feeds [[graft.ml.Dedup.hammingPairs]] /
+    * `keepFromPairs` exactly like [[imageAHash]], extending perceptual
+    * dedup to the audio column.
+    */
+  def audioAHash(df: DataFrame, bytesCol: String,
+                 outCol: String = "ahash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(idx) match {
+          case bb: Array[Byte] => bb
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ audioAHashOne(bytes))
+      }
+    }(enc)
   }
 
   /** Batched PCM sample-fact extraction ([[parsePcm]]): input columns +

@@ -894,8 +894,30 @@ object CurationStages {
           bands = int(c, "bands", 4),
           rowsPerBand = int(c, "rows_per_band", 3),
           k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
+      case "media" =>
+        // perceptual image dedup vs a reference IMAGE corpus: aHash both
+        // sides, banded Hamming match, anti-join (dedup_media's against
+        // leg). `reference: {path, bytes_field}`; undecodable incoming
+        // payloads never match and survive.
+        val id = idField(c, "dedup_against")
+        val bytesF = str(c, "bytes_field", "payload")
+        require(df.columns.contains(bytesF),
+          s"dedup_against mode media: bytes_field `$bytesF` not in " +
+            s"${df.columns.mkString(", ")}")
+        val refBytes = str(refCfg, "bytes_field", "payload")
+        val refHashed = graft.ml.Multimodal.imageAHash(
+          ref0.select(md5(col(refBytes)).as(id), col(refBytes).as("__rb")),
+          "__rb", "__against_fp")
+        val incHashed = graft.ml.Multimodal.imageAHash(
+          df.select(col(id), col(bytesF)), bytesF, "__against_fp")
+        val kept = Dedup.hammingAgainst(incHashed, refHashed, id,
+          "__against_fp", bands = int(c, "bands", 4),
+          maxHamming = int(c, "max_hamming", 3),
+          maxBucketSize = int(c, "max_bucket", 4096))
+        df.alias("d").join(kept.alias("keep"),
+          col(s"d.$id") === col(s"keep.$id"), "left_semi")
       case other => throw new IllegalArgumentException(
-        s"dedup_against: unknown mode `$other` (exact | near)")
+        s"dedup_against: unknown mode `$other` (exact | near | media)")
     }
   }
 

@@ -508,17 +508,19 @@ object StageCatalog {
           |    threshold: 0.9"""),
       schemaKind = "embeddings", oracle = Seq("ml_semantic_keep")),
     StageDoc("dedup_against", "curation",
-      "Incremental dedup vs a STATIC reference corpus (exact digests or MinHash near mode).",
+      "Incremental dedup vs a STATIC reference corpus (exact digests, MinHash near mode, or perceptual media mode for image payloads).",
       y("""pipeline:
           |  - type: dedup_against
           |    id_field: doc_id
           |    text_field: text
-          |    mode: exact
+          |    mode: exact         # exact | near | media
           |    reference:
           |      path: "/root/testdata/sf0.001/documents.parquet"
           |      text_field: text"""),
       schemaKind = "documents",
-      oracle = Seq("ml_dedup_against", "ml_neardup_against")),
+      oracle = Seq("ml_dedup_against", "ml_neardup_against",
+        "ml_media_against"),
+      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference images with the 64-bit aHash and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive."),
     StageDoc("dedup_spans", "curation",
       "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
       y("""pipeline:

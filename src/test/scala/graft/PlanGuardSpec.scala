@@ -133,6 +133,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_simhash_keep" -> 1,    // settled checkpoint scan + keep filter
     "ml_simhash_pairs" -> 7,
     "ml_image_ahash" -> 1,     // mapPartitions hash kernel + orderBy
+    "ml_audio_ahash" -> 1,     // same shape over PCM frame energies
+    "ml_media_against" -> 8,   // two-sided banded Hamming match + anti
+                               // (persisted two-side fp table inside)
     "ml_media_recipe" -> 2,    // composed envelope→dedup_media→split:
                                // the keep semi-join + spec orderBy (the
                                // Hamming components settle at plan time)

@@ -333,6 +333,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseImage(bytes)
       Multimodal.parsePcm(bytes)
       Multimodal.aHashBytes(bytes)
+      Multimodal.audioAHashBytes(bytes)
       assert(System.nanoTime() < deadline,
         s"parsers wedged on fuzz case $i (${bytes.take(16).toSeq})")
     }
@@ -700,6 +701,62 @@ class MultimodalSpec extends SparkSpec {
       assert(hdr.getString(0) == "wav" && hdr.getInt(1) == 8000 &&
         hdr.getInt(2) == 1 && hdr.getInt(3) == 8 && hdr.getLong(4) == n)
     }
+  }
+
+  /** 16-bit mono PCM WAV from raw sample values. */
+  private def pcm16(vals: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + vals.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(vals.length * 2)
+    vals.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("audioAHash: loud-half clip sets the loud frames; gain-invariant") {
+    // 128 samples: first 64 silent, last 64 loud → frames 32..63 set
+    val vals = Array.tabulate(128)(t => if (t < 64) 0 else 1000)
+      .map(_.toShort)
+    val h = Multimodal.audioAHashBytes(pcm16(vals))
+    assert(h != null)
+    assert(h.longValue() == 0xFFFFFFFF00000000L, f"got ${h.longValue()}%016x")
+    // uniform gain ×3: every frame energy scales alike → SAME hash (the
+    // re-master invariance that makes this a dedup key)
+    val louder = vals.map(v => (v * 3).toShort)
+    assert(Multimodal.audioAHashBytes(pcm16(louder)).longValue() ==
+      0xFFFFFFFF00000000L)
+    // constant clip → no frame above the mean → 0
+    assert(Multimodal.audioAHashBytes(
+      pcm16(Array.fill(128)(500.toShort))).longValue() == 0L)
+    // under 64 values → null; FLAC/byte soup → null
+    assert(Multimodal.audioAHashBytes(pcm16(Array.fill(50)(1.toShort))) == null)
+    assert(Multimodal.audioAHashBytes(goldenFlac) == null)
+    assert(Multimodal.audioAHashBytes("soup".getBytes) == null)
+  }
+
+  test("hammingAgainst: incoming drops on reference match, nulls survive") {
+    val s = spark
+    import s.implicits._
+    val base = 0x0123456789ABCDEFL
+    val incoming = Seq(
+      (1L, java.lang.Long.valueOf(base)),            // == ref → dropped
+      (2L, java.lang.Long.valueOf(base ^ 0x7L)),     // hamming 3 → dropped
+      (3L, java.lang.Long.valueOf(~base)),           // far → survives
+      (4L, null.asInstanceOf[java.lang.Long])        // undecodable → survives
+    ).toDF("id", "fp")
+    val ref = Seq((100L, java.lang.Long.valueOf(base)))
+      .toDF("id", "fp")
+    val kept = Dedup.hammingAgainst(incoming, ref, "id", "fp",
+        bands = 4, maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+    // an empty reference keeps everything
+    assert(Dedup.hammingAgainst(incoming, ref.filter(lit(false)),
+      "id", "fp").count() == 4L)
   }
 
   test("pngGradientBytes: real codec round-trip; adler matches java.util.zip") {

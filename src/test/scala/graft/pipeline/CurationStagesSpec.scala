@@ -213,6 +213,44 @@ class CurationStagesSpec extends SparkSpec {
     assert(!dflt(1L).contains("<CARD>"))
   }
 
+  test("dedup_against mode media: incoming images drop on reference match") {
+    val s = spark
+    import s.implicits._
+    def png(grid: Array[Array[Int]]): Array[Byte] = {
+      val h = grid.length; val w = grid(0).length
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = grid(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val half = png(Array.tabulate(16, 16)((_, x) => if (x < 8) 0 else 200))
+    val shifted = png(Array.tabulate(16, 16)((_, x) => if (x < 8) 25 else 225))
+    val flipped = png(Array.tabulate(16, 16)((y, _) => if (y < 8) 0 else 200))
+    val junk = "not an image".getBytes
+    val refDir = java.nio.file.Files.createTempDirectory("media-ref")
+      .toString + "/ref.parquet"
+    // reference holds the ORIGINAL; incoming offers a brightness-shifted
+    // copy (must drop), a different picture and junk (must survive)
+    Seq(Tuple1(half)).toDF("payload").write.parquet(refDir)
+    val incoming = Seq((1L, shifted), (2L, flipped), (3L, junk))
+      .toDF("doc_id", "payload")
+    val out = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    mode: media
+         |    id_field: doc_id
+         |    bytes_field: payload
+         |    reference: {path: "$refDir", bytes_field: payload}
+         |""".stripMargin, incoming)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    assert(out.columns.toSeq == incoming.columns.toSeq)
+  }
+
   test("quality_budget_select stage: ranked cut on an upstream score") {
     val out = run(
       """pipeline:
