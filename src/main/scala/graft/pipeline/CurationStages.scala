@@ -523,8 +523,15 @@ object CurationStages {
     require(df.columns.contains(bytesF),
       s"dedup_media: bytes_field `$bytesF` not in " +
         s"${df.columns.mkString(", ")}")
-    val hashed = graft.ml.Multimodal.imageAHash(
-      df.select(col(id), col(bytesF)), bytesF, "__ahash")
+    val narrow = df.select(col(id), col(bytesF))
+    val hashed = str(c, "media_kind", "image") match {
+      case "image" =>
+        graft.ml.Multimodal.imageAHash(narrow, bytesF, "__ahash")
+      case "audio" =>
+        graft.ml.Multimodal.audioAHash(narrow, bytesF, "__ahash")
+      case other => throw new IllegalArgumentException(
+        s"dedup_media: unknown media_kind `$other` (image | audio)")
+    }
     val pairs = Dedup.hammingPairs(hashed, id, "__ahash",
       bands = int(c, "bands", 4), maxHamming = int(c, "max_hamming", 3),
       maxBucketSize = int(c, "max_bucket", 4096))

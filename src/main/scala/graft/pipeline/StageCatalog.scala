@@ -490,13 +490,15 @@ object StageCatalog {
           |    threshold: 0.5"""),
       schemaKind = "documents", oracle = Seq("ml_neardup_keep")),
     StageDoc("dedup_media", "curation",
-      "Perceptual image dedup: 64-bit aHash of the payload column, banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
+      "Perceptual media dedup: 64-bit aHash of the payload column (image grid cells or gain-invariant audio frame energies), banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
       y("""pipeline:
           |  - type: dedup_media
           |    id_field: doc_id
           |    bytes_field: payload
+          |    media_kind: image   # image | audio
           |    max_hamming: 3"""),
-      schemaKind = "media", oracle = Seq("ml_image_ahash", "ml_image_neardup")),
+      schemaKind = "media",
+      oracle = Seq("ml_image_ahash", "ml_image_neardup", "ml_audio_ahash")),
     StageDoc("dedup_semantic", "curation",
       "SemDeDup: k-means-cluster the embedding column, drop rows with a senior in-cluster neighbor at cosine ≥ threshold.",
       y("""pipeline:

@@ -213,6 +213,45 @@ class CurationStagesSpec extends SparkSpec {
     assert(!dflt(1L).contains("<CARD>"))
   }
 
+  test("dedup_media media_kind audio: gain-shifted clips collapse") {
+    val s = spark
+    import s.implicits._
+    def pcm(vals: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + vals.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(vals.length * 2)
+      vals.foreach(bb.putShort)
+      bb.array()
+    }
+    val clip = Array.tabulate(128)(t => if (t < 64) 0 else 1000)
+      .map(_.toShort)
+    val remaster = clip.map(v => (v * 2).toShort)   // gain ×2: same hash
+    val other = Array.tabulate(128)(t => if (t < 64) 1000 else 0)
+      .map(_.toShort)
+    val media = Seq((1L, pcm(clip)), (2L, pcm(remaster)),
+      (3L, pcm(other)), (4L, "noise".getBytes))
+      .toDF("doc_id", "payload")
+    val out = run(
+      """pipeline:
+        |  - type: dedup_media
+        |    id_field: doc_id
+        |    bytes_field: payload
+        |    media_kind: audio
+        |""".stripMargin, media)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: dedup_media\n    id_field: doc_id\n" +
+        "    bytes_field: payload\n    media_kind: nope\n", media)
+    }
+    assert(e.getMessage.contains("media_kind"))
+  }
+
   test("dedup_against mode media: incoming images drop on reference match") {
     val s = spark
     import s.implicits._
