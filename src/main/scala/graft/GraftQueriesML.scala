@@ -1362,7 +1362,8 @@ object GraftQueriesML {
     * doc — valid check digit on even ids, broken on odd, separator style
     * cycling dash/space/none — so the gate proves the CHECKSUM decides
     * (a shape-only regex would redact both parities). The oracle replays
-    * the candidate extraction, the Luhn fold, and the replacement fold.
+    * the candidate extraction, the Luhn fold, and the span-anchored
+    * split-splice reassembly.
     */
   private val mPiiCards = Spec("ml_pii_cards",
     (s, dir) => {
@@ -1386,18 +1387,21 @@ object GraftQueriesML {
           l AS (SELECT doc_id, 'order ' || CAST(doc_id AS VARCHAR)
             || ' pay 4111' || sep || '1111' || sep || '1111' || sep
             || '111' || ck || ' thanks' AS line FROM p),
-          c AS (SELECT doc_id, line, regexp_extract_all(line,
-            '\\d(?:[ -]?\\d){12,18}') AS cands FROM l)
-          SELECT doc_id, CASE WHEN len(cands) = 0 THEN line
-            ELSE list_reduce(list_prepend(line, cands), (acc, x) ->
+          c AS (SELECT doc_id, line,
+            regexp_split_to_array(line,
+              '\\d(?:[ -]?\\d){12,18}') AS parts,
+            list_transform(regexp_extract_all(line,
+              '\\d(?:[ -]?\\d){12,18}'), x ->
               CASE WHEN list_aggregate(list_transform(
                   range(1, len($dg)+1),
                   i -> CASE WHEN i % 2 = 0 THEN
                          CASE WHEN 2*$digit > 9 THEN 2*$digit - 9
                               ELSE 2*$digit END
                        ELSE $digit END), 'sum') % 10 = 0
-                THEN replace(acc, x, '<CARD>') ELSE acc END)
-            END AS clean
+                THEN '<CARD>' ELSE x END) AS reps FROM l)
+          SELECT doc_id, parts[1] || coalesce(array_to_string(
+              list_transform(range(1, len(reps)+1),
+                i -> reps[i] || parts[i+1]), ''), '') AS clean
           FROM c"""
     })
 

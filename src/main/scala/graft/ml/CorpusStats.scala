@@ -652,9 +652,13 @@ object CorpusStats {
       log(col("c").cast("double")).as("y"))
     // the oracle SQL mirrors this exact expression structure so the
     // doubles agree to well inside round-6
+    // fewer than 2 fitted points makes the least-squares denominator
+    // avg(x²)−avg(x)² zero — return an EXPLICIT null slope for the
+    // degenerate corpus (≤1 distinct token) instead of a silent NaN
     val fit = xy.agg(
-      ((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
-        (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
+      when(count(lit(1)) >= 2,
+        (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+          (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
         .as("slope"),
       avg(col("x")).as("mx"), avg(col("y")).as("my"))
     totals.crossJoin(fit)

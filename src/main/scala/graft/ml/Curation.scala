@@ -325,13 +325,19 @@ object Curation {
                           buckets: Int = 1024): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val staged = df.withColumn("n_tokens", nTokens.cast("long"))
+    // a NULL score has no place in a ranking cut: it would band to a
+    // null __qb whose driver-side group key unboxes to 0 and collides
+    // with band 0's token total, silently dropping real top-band rows —
+    // unrankable rows are excluded BEFORE banding instead
+    val staged = df.filter(col(scoreCol).isNotNull)
+      .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("__qb", least(greatest(
         floor((lit(1.0) - col(scoreCol)) * buckets).cast("int"), lit(0)),
         lit(buckets - 1)))
     val totals = staged.groupBy(col("__qb"))
       .agg(sum(col("n_tokens")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     var cum = 0L
     var fullBands = List.empty[Int]
     var boundary = Option.empty[(Int, Long)] // (band, tokens before it)

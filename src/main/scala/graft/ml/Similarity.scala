@@ -318,6 +318,17 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, iters: Int): Seq[Seq[Double]] = {
     require(k > 0 && dim > 0 && iters >= 0, "kmeansCentroids: bad geometry")
+    // INIT buckets come from pmod(id, k); a non-numeric id (string doc
+    // ids are common) would cast to null, every init centroid would
+    // silently collapse to the zero vector and the clustering would
+    // degenerate to one cluster with no error — fail loudly instead
+    corpus.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"kmeansCentroids: id column `$idCol` must be numeric (init " +
+          s"buckets are pmod(id, k)); got $other — hash a string id to " +
+          "long (e.g. xxhash64) before training")
+    }
     val v = col(vecCol).cast("array<double>")
     val clean = kmeansClean(corpus, v).filter(size(v) === dim)
     def roundedMeans(bucket: Column,

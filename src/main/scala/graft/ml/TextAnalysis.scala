@@ -147,17 +147,26 @@ object TextAnalysis {
     * (spaces/dashes allowed between digits) replace with `<CARD>` ONLY
     * when the checksum passes — a shape-only regex would eat order ids,
     * timestamps, and serial numbers, which is why card redaction cannot
-    * be another [[redactPii]] regexp pass. Candidates extract once, and
-    * the replacement folds over them (`aggregate` with the text as the
-    * accumulator) — still a narrow per-row projection, stream-safe.
-    * Opt-in (the `pii_redact` stage's `cards: true`), applied BEFORE
-    * the standard passes so the phone pattern can't eat a card first.
+    * be another [[redactPii]] regexp pass. The replacement is SPAN-
+    * ANCHORED: the text splits on the match sites and reassembles as
+    * segment‖decision‖segment‖… — a global substring replace would
+    * mangle a longer, Luhn-INVALID run elsewhere in the text that
+    * happens to contain a valid card's digits (serials, order ids).
+    * Still one narrow codegen'd HOF projection, stream-safe. Opt-in
+    * (the `pii_redact` stage's `cards: true`), applied BEFORE the
+    * standard passes so the phone pattern can't eat a card first.
     */
   def redactCards(text: Column): Column = {
-    val cands = regexp_extract_all(text,
-      lit("""\d(?:[ -]?\d){12,18}"""), lit(0))
-    aggregate(cands, text, (acc, c) =>
-      when(luhnOk(c), replace(acc, c, lit("<CARD>"))).otherwise(acc))
+    val pat = """\d(?:[ -]?\d){12,18}"""
+    // parts and cands come from the SAME pattern, so parts has exactly
+    // size(cands)+1 segments and the splice is positionally exact
+    val parts = split(text, pat, -1)
+    val reps = transform(
+      regexp_extract_all(text, lit(pat), lit(0)),
+      c => when(luhnOk(c), lit("<CARD>")).otherwise(c))
+    concat(element_at(parts, 1), array_join(
+      zip_with(reps, slice(parts, lit(2), size(reps)), (r, p) => concat(r, p)),
+      ""))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —

@@ -62,8 +62,16 @@ object BucketedLayout {
       .saveAsTable(tmp)
     // external table: DROP keeps the files; only the catalog entry goes
     spark.sql(s"DROP TABLE ${q(tmp)}")
-    val marker = s"""{"bucket_col":"$bucketCol","buckets":$buckets,""" +
-      s""""sort_cols":[${sort.map("\"" + _ + "\"").mkString(",")}]}"""
+    // a real JSON encoder — string-interpolating column names with
+    // quotes/backslashes would emit invalid JSON that a regex parser
+    // then misreads into the WRONG geometry (silent mis-bucketing)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("bucket_col", bucketCol)
+    root.put("buckets", buckets)
+    val arr = root.putArray("sort_cols")
+    sort.foreach(arr.add)
+    val marker = mapper.writeValueAsString(root)
     val p = markerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -83,17 +91,18 @@ object BucketedLayout {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val quote = "\""
-      val col = ("" + quote + "bucket_col" + quote + ":" + quote +
-        "([^" + quote + "]+)" + quote).r.findFirstMatchIn(txt)
-        .map(_.group(1))
-      val n = (quote + "buckets" + quote + ":(\\d+)").r
-        .findFirstMatchIn(txt).map(_.group(1).toInt)
-      val sorts = (quote + "sort_cols" + quote + ":\\[([^\\]]*)\\]").r
-        .findFirstMatchIn(txt)
-        .map(_.group(1).split(",").toSeq
-          .map(_.trim.stripPrefix(quote).stripSuffix(quote))
-          .filter(_.nonEmpty))
+      // real JSON decode (same encoder as [[write]]) — geometry is too
+      // load-bearing for a regex parse to get "mostly" right
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node =
+        try mapper.readTree(txt)
+        catch { case _: java.io.IOException => return None }
+      val col = Option(node.get("bucket_col")).filter(_.isTextual)
+        .map(_.asText)
+      val n = Option(node.get("buckets")).filter(_.isInt).map(_.asInt)
+      val sorts = Option(node.get("sort_cols")).filter(_.isArray).map { a =>
+        (0 until a.size).map(a.get(_).asText).toSeq
+      }.filter(_.nonEmpty)
       for (c <- col; b <- n) yield (c, b, sorts.getOrElse(Seq(c)))
     }
   }
@@ -117,7 +126,7 @@ object BucketedLayout {
          |CLUSTERED BY (${q(bucketCol)})
          |SORTED BY (${sortCols.map(q).mkString(", ")})
          |INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+         |LOCATION '${path.replace("'", "''")}'""".stripMargin)
     spark.table(table)
   }
 }

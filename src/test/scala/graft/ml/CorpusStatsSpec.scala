@@ -286,5 +286,12 @@ class CorpusStatsSpec extends SparkSpec {
     val flat = CorpusStats.zipfFit(uni, "text", topN = 20).head()
     assert(flat.getAs[Double]("zipf_slope") === 0.0)
     intercept[IllegalArgumentException](CorpusStats.zipfFit(df, "text", 1))
+    // a degenerate corpus (1 distinct token) zeroes the least-squares
+    // denominator — the slope must come back EXPLICITLY null, not NaN
+    val one = Seq(Tuple1("same same same")).toDF("text")
+    val deg = CorpusStats.zipfFit(one, "text", topN = 5).head()
+    assert(deg.getAs[Long]("n_types") === 1L)
+    assert(deg.isNullAt(deg.fieldIndex("zipf_slope")))
+    assert(deg.isNullAt(deg.fieldIndex("zipf_intercept")))
   }
 }

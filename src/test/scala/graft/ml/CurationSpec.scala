@@ -127,5 +127,16 @@ class CurationSpec extends SparkSpec {
     assert(cols == Seq("id", "score", "nt", "n_tokens"))
     intercept[IllegalArgumentException](
       Curation.qualityBudgetSelect(df, "id", "score", col("nt"), -1L))
+    // NULL scores are unrankable: they drop BEFORE banding and must not
+    // collide with band 0's token total (the null-unboxes-to-0 trap) —
+    // a top-score row next to a huge null-score row still survives
+    val withNull = Seq(
+      (1L, Some(0.95), 20L),                       // best real row
+      (2L, None: Option[Double], 1000000L),        // unrankable
+      (3L, Some(0.10), 40L)
+    ).toDF("id", "score", "nt")
+    val kn = Curation.qualityBudgetSelect(withNull, "id", "score",
+      col("nt"), budget = 20L).collect().map(_.getLong(0)).toSet
+    assert(kn == Set(1L))
   }
 }

@@ -119,4 +119,17 @@ class KmeansSpec extends SparkSpec {
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       s"clusterSample should shuffle only on the cluster key:\n$plan")
   }
+
+  test("a non-numeric id column fails loudly instead of degenerating") {
+    // pmod(string_id, k) casts to null → every init bucket empty → all
+    // centroids zero → one silent mega-cluster; the schema gate must
+    // reject the call instead
+    val named = blobs.withColumn("vec_id", concat(lit("doc_"),
+      col("vec_id").cast("string")))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(named, "vec_id", "embedding",
+        k = 2, dim = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+  }
 }

@@ -106,4 +106,30 @@ class TextNormalizeSpec extends SparkSpec {
     assert(out(1) == "")
     assert(out(2) == "")
   }
+
+  test("redactCards is span-anchored: a valid card's digits inside a " +
+      "longer Luhn-invalid run are NOT touched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def redact(t: String): String = Seq(t).toDF("t")
+      .select(TextAnalysis.redactCards(col("t")).as("c"))
+      .collect().head.getString(0)
+    // standalone valid card redacts; bad check digit survives
+    assert(redact("pay 4111111111111111 now") == "pay <CARD> now")
+    assert(redact("ref 4111111111111112 now") == "ref 4111111111111112 now")
+    // the serial 994111111111111111177 CONTAINS the valid card's digit
+    // run but is itself one longer Luhn-invalid candidate — a global
+    // substring replace would splice <CARD> into the serial's middle
+    assert(redact("card 4111111111111111 serial 994111111111111111177")
+      == "card <CARD> serial 994111111111111111177")
+    // separator-style runs splice at the exact match spans too
+    assert(redact("a 4111 1111 1111 1111 b 4111-1111-1111-1111 c")
+      == "a <CARD> b <CARD> c")
+    // no candidates at all: text unchanged; null stays null
+    assert(redact("no digits here") == "no digits here")
+    val n = Seq[(Long, Option[String])]((1L, None)).toDF("id", "t")
+      .select(TextAnalysis.redactCards(col("t")).as("c")).collect().head
+    assert(n.isNullAt(0))
+  }
 }

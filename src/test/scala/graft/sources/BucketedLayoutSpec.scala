@@ -96,4 +96,33 @@ class BucketedLayoutSpec extends SparkSpec {
       BucketedLayout.write(docs, s"$base/bad", "doc_id", 0)
     }
   }
+
+  test("marker is real JSON: quoted column names and quoted paths " +
+      "round-trip instead of corrupting the geometry") {
+    // a column name with a quote and a backslash would break a string-
+    // interpolated marker (invalid JSON → regex parser misreads) — the
+    // Jackson encode/decode must round-trip it exactly
+    val weird = docs.withColumnRenamed("doc_id", "doc\"id\\x")
+    val wDir = s"$base/weird"
+    BucketedLayout.write(weird, wDir, "doc\"id\\x", 4)
+    assert(BucketedLayout.geometry(spark, wDir)
+      .contains(("doc\"id\\x", 4, Seq("doc\"id\\x"))))
+    val t = BucketedLayout.register(spark, wDir, "bl_weird")
+    try assert(t.count() == 200L)
+    finally spark.sql("DROP TABLE bl_weird")
+    // a path with a single quote must not break the LOCATION literal
+    val qDir = s"$base/qu'ote/docs"
+    BucketedLayout.write(docs, qDir, "doc_id", 4)
+    val t2 = BucketedLayout.register(spark, qDir, "bl_quote")
+    try assert(t2.count() == 200L)
+    finally spark.sql("DROP TABLE bl_quote")
+    // garbage marker → None, not a misread geometry
+    val gDir = s"$base/garbage"
+    docs.write.mode("overwrite").parquet(gDir)
+    val p = new org.apache.hadoop.fs.Path(gDir, "_graft_buckets.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+    assert(BucketedLayout.geometry(spark, gDir).isEmpty)
+  }
 }
