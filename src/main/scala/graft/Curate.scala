@@ -114,8 +114,10 @@ object Curate {
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfgPath)), "UTF-8")
     val spec = pipeline.RuleLoader.fromYaml(yaml)
+    // bucket-aware input: a corpus written by a previous `--bucket-by`
+    // run keeps its co-located id-joins through every later run
     val result = pipeline.PipelineCompiler.compile(spec)(
-      spark.read.parquet(inPath))
+      sources.BucketedLayout.load(spark, inPath))
     val missing = partitionBy.filterNot(result.main.columns.contains)
     require(missing.isEmpty,
       s"--partition-by column(s) ${missing.mkString(", ")} not in the " +

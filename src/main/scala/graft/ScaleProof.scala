@@ -140,7 +140,22 @@ object ScaleProof {
       "events_chain" -> ((s, d) => BenchChains.eventsChain(s, d)),
       "pipeline_chain" -> ((s, d) => BenchChains.pipelineChain(s, d)),
       "ml_minhash_pairs" -> GraftQueries.queries("ml_minhash_pairs"),
-      "ml_embed_neardup" -> GraftQueries.queries("ml_embed_neardup"),
+      // the two banded-embedding queries size their LSH geometry TO THE
+      // TIER (Similarity.scaledLshGeometry — the operator's documented
+      // discipline): a fixed r=8 keyspace (256 buckets/band) saturates
+      // at x10 — measured 98.7× candidate-pair growth for 10× rows with
+      // replicas landing in DISTINCT buckets (avg 9.97/10 distinct band
+      // keys per original), so the blow-up was geometry, not the
+      // replica construction. At the base tier the scaled geometry
+      // reproduces the oracle's (8,8) exactly, keeping base numbers
+      // comparable across rounds.
+      "ml_embed_neardup" -> ((s, d) => {
+        val emb = Tables.table(s, d, "embeddings")
+        graft.ml.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+            graft.ml.Similarity.scaledLshGeometry(emb.count(), 64),
+            threshold = 0.4, maxBucketSize = 4096)
+          .orderBy("a", "b")
+      }),
       "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"),
       // round-7 surfaces: corpus-aggregate ops and the composed curation
       // pipeline (stage wiring + dedup + split + sample), BPE training
@@ -172,7 +187,13 @@ object ScaleProof {
       // assignment is narrow) and the LSH-candidate k-NN graph (the
       // embed_neardup bucket machinery + per-node WindowGroupLimit)
       "ml_kmeans_assign" -> GraftQueries.queries("ml_kmeans_assign"),
-      "ml_knn_graph" -> GraftQueries.queries("ml_knn_graph"),
+      // tier-scaled geometry — see ml_embed_neardup above
+      "ml_knn_graph" -> ((s, d) => {
+        val emb = Tables.table(s, d, "embeddings")
+        graft.ml.Similarity.knnGraph(emb, "vec_id", "embedding",
+          graft.ml.Similarity.scaledLshGeometry(emb.count(), 64),
+          k = 3, maxBucketSize = 4096)
+      }),
       // round-12 third session: the df-capped containment inverted index
       // (fan-out bounded by construction; measured x10/base 1.83 at 7
       // exchanges in a quiet-ish window)
@@ -185,8 +206,10 @@ object ScaleProof {
     * (query, tier). Callers own warm-up.
     */
   def run(spark: SparkSession, tiers: Seq[(String, String)],
-          runs: Int = 2): Seq[TierResult] =
-    for ((name, fn) <- headline; (tier, dir) <- tiers) yield {
+          runs: Int = 2,
+          queries: Seq[(String, (SparkSession, String) => DataFrame)] = headline)
+      : Seq[TierResult] =
+    for ((name, fn) <- queries; (tier, dir) <- tiers) yield {
       val df = fn(spark, dir)
       val exchanges = planExchanges(df)
       val times = (1 to runs).map { _ =>
@@ -204,6 +227,10 @@ object ScaleProof {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    // optional trailing args: run only these queries (local iteration)
+    val only = args.drop(1).toSet
+    val picked =
+      if (only.isEmpty) headline else headline.filter(q => only(q._1))
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -214,15 +241,15 @@ object ScaleProof {
     buildReplicas(spark, src, out)
 
     // warm-up (JIT + codegen), not timed
-    headline.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
       CacheSweep.sweep(spark)
     }
 
-    for (r <- run(spark, Seq("sf0.1" -> src, "sf1" -> out))) {
+    for (r <- run(spark, Seq("sf0.1" -> src, "sf1" -> out), queries = picked)) {
       val name = r.query; val tier = r.tier
-      val fn = headline.find(_._1 == name).get._2
+      val fn = picked.find(_._1 == name).get._2
       val dir = if (tier == "sf0.1") src else out
       // pair queries at sf1: split true (in-replica) pairs from chance
       // cross-replica collisions — the latter measure the THRESHOLD's

@@ -431,10 +431,11 @@ object CorpusStats {
     * Scale: train-side work is ONE fused pass (both vocabulary count
     * tables from a single persisted [[fusedGramCounts]] aggregate — the
     * [[bigramLogProb]] shape and caching convention) + two scalars; the
-    * corpus side first DISTINCTS its bigram types, prices each TYPE
-    * with three vocabulary-keyed left joins, then one gram-keyed join
-    * back per occurrence — never per-occurrence pricing, never
-    * pairwise. Occurrence-sized shuffles (the fused count agg, the
+    * corpus side runs ONE persisted gram explode whose cache feeds both
+    * the type-distinct and the occurrence table, DISTINCTs its bigram
+    * types, prices each TYPE with three vocabulary-keyed left joins,
+    * then one gram-keyed join back per occurrence — never
+    * per-occurrence pricing, never pairwise. Occurrence-sized shuffles (the fused count agg, the
     * corpus type-distinct, the price join) key on 16-byte md5 digests,
     * the [[bigramLogProb]] / [[Dedup.dupSpans]] convention.
     */
@@ -448,16 +449,22 @@ object CorpusStats {
       count(lit(1)).cast("double").as("v"))
     val bcnt = counts.filter(col("kind") === 1)
       .select(col("gd"), col("c").as("c2"))
-    val big = corpus.select(col(idCol).as("id"),
-      explode(ngramArray(col(textCol), 2)).as("g"))
-      .select(col("id"), unhex(md5(col("g"))).as("gd"))
+    // ONE corpus gram explode feeds BOTH the occurrence table and the
+    // type-distinct — persisted, because the two consumers prune the
+    // subtree differently (id+digest vs bare text) and can never
+    // canonicalize to a shared exchange (the fusedGramCounts finding,
+    // train side); un-persisted, the corpus-sized explode + word split
+    // ran TWICE. Digests compute on the cached read so the cache rows
+    // stay (id, gram) narrow. CacheSweep-released.
+    val grams = corpus.select(col(idCol).as("id"),
+      explode(ngramArray(col(textCol), 2)).as("g")).persist()
+    val big = grams.select(col("id"), unhex(md5(col("g"))).as("gd"))
     // type table: text-keyed distinct (map-side combined — TYPE-sized
     // shuffle), digest projected AFTER — a `first(g)` rider would
     // demote this corpus-occurrence-sized pass from HashAggregate to
     // SortAggregate (the fusedGramCounts finding), where a bare
     // distinct keeps the hash fast path with an empty buffer
-    val types = corpus
-      .select(explode(ngramArray(col(textCol), 2)).as("g")).distinct()
+    val types = grams.select(col("g")).distinct()
       .select(unhex(md5(col("g"))).as("gd"), col("g"))
       .withColumn("__w1", element_at(split(col("g"), " "), 1))
       .withColumn("__w2", element_at(split(col("g"), " "), 2))
@@ -547,7 +554,8 @@ object CorpusStats {
     * Scale: the [[bigramLogProbAgainst]] architecture with one more
     * level — ALL THREE train count tables ride a single fused explode
     * into one persisted TYPE-sized aggregate (kinds 0/1/2); the corpus
-    * side DISTINCTs its trigram types, prices each type with five
+    * side runs ONE persisted trigram explode feeding both the
+    * occurrence table and the type-distinct, prices each type with five
     * vocabulary-keyed left joins (trigram, both sub-bigrams by digest,
     * two unigrams) + a broadcast scalar, then one gram-keyed join back
     * per occurrence. Occurrence-sized shuffles key on 16-byte md5
@@ -577,11 +585,12 @@ object CorpusStats {
       .select(col("gd").as("bd"), col("c").as("cb"))
     val tri = counts.filter(col("kind") === 2)
       .select(col("gd"), col("c").as("c3"))
-    val occ = corpus.select(col(idCol).as("id"),
-      explode(ngramArray(col(textCol), 3)).as("g"))
-      .select(col("id"), unhex(md5(col("g"))).as("gd"))
-    val types = corpus
-      .select(explode(ngramArray(col(textCol), 3)).as("g")).distinct()
+    // one persisted corpus trigram explode for BOTH consumers (the
+    // bigramLogProbAgainst corpus-side convention — see its scale note)
+    val grams = corpus.select(col(idCol).as("id"),
+      explode(ngramArray(col(textCol), 3)).as("g")).persist()
+    val occ = grams.select(col("id"), unhex(md5(col("g"))).as("gd"))
+    val types = grams.select(col("g")).distinct()
       .select(unhex(md5(col("g"))).as("gd"), col("g"))
       .withColumn("__w1", element_at(split(col("g"), " "), 1))
       .withColumn("__w2", element_at(split(col("g"), " "), 2))

@@ -971,6 +971,28 @@ object Similarity {
       if (next() < 0) -1.0 else 1.0)
   }
 
+  /** Corpus-sized banded-LSH geometry — the sizing discipline
+    * [[cosineNearDupPairs]]'s scaladoc prescribes, packaged so callers
+    * apply it instead of hard-coding an r that silently saturates:
+    * r = ⌈log₂(n / targetOccupancy)⌉ planes per band keeps expected
+    * bucket occupancy ≈ targetOccupancy at any corpus size (fixed r is
+    * the classic LSH scale trap — 2^r buckets saturate, occupancy grows
+    * with n, and in-bucket candidate work grows n²; measured on the
+    * two-tier fixture: 10× rows at r=8 → 98.7× candidate pairs), and
+    * the band count rises WITH r because each extra bit per band lowers
+    * a true pair's per-band collision odds — more OR-combined bands buy
+    * the recall back. Work per band stays ~n·targetOccupancy, so total
+    * candidate work grows ~n·log n instead of n².
+    */
+  def scaledLshGeometry(n: Long, dim: Int, targetOccupancy: Int = 8,
+                        minPlanes: Int = 8): Seq[Seq[Seq[Double]]] = {
+    require(n > 0 && dim > 0 && targetOccupancy > 0,
+      "scaledLshGeometry: bad geometry")
+    val r = math.max(minPlanes, math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+    rademacherBandPlanes(bands = r, planesPerBand = r, dim)
+  }
+
   def lshBandKeys(vec: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column = {
     val planes: Array[Array[Array[Double]]] =
       bandPlanes.map(_.map(_.toArray).toArray).toArray

@@ -630,9 +630,8 @@ object CurationStages {
         CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
       case (None, Some(t)) =>
         val tc = t.asInstanceOf[Map[String, Any]]
-        val train = df.sparkSession.read
-          .format(str(tc, "format", "parquet"))
-          .load(reqStr(tc, "path", "perplexity_score train"))
+        val train = readSideTable(df.sparkSession, tc,
+            "perplexity_score train")
           .withColumnRenamed(str(tc, "text_field", "text"), textField(c))
         CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
       case _ => CorpusStats.bigramLogProb(df, id, textField(c), lam)
@@ -860,21 +859,32 @@ object CurationStages {
     val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
       .getOrElse(throw new IllegalArgumentException(
         "bm25_topk stage needs `queries: {path, qid_field, qtext_field}`"))
-    val q = df.sparkSession.read
-      .format(str(qCfg, "format", "parquet"))
-      .load(reqStr(qCfg, "path", "bm25_topk queries"))
+    val q = readSideTable(df.sparkSession, qCfg, "bm25_topk queries")
     CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
       q, str(qCfg, "qid_field", "qid"), str(qCfg, "qtext_field", "qtext"),
       k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+  }
+
+  /** Side-table read for stage configs (`{path, format}`): parquet
+    * paths go through [[graft.sources.BucketedLayout.load]] so a
+    * reference/train corpus written as a bucketed layout keeps its
+    * co-located joins; other formats read plainly.
+    */
+  private def readSideTable(spark: org.apache.spark.sql.SparkSession,
+                            cfg: Map[String, Any], what: String): DataFrame = {
+    val path = reqStr(cfg, "path", what)
+    str(cfg, "format", "parquet") match {
+      case "parquet" => graft.sources.BucketedLayout.load(spark, path)
+      case f => spark.read.format(f).load(path)
+    }
   }
 
   private def dedupAgainst(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val refCfg = c.get("reference").map(_.asInstanceOf[Map[String, Any]])
       .getOrElse(throw new IllegalArgumentException(
         "dedup_against stage needs `reference: {path, text_field}`"))
-    val ref0 = df.sparkSession.read
-      .format(str(refCfg, "format", "parquet"))
-      .load(reqStr(refCfg, "path", "dedup_against reference"))
+    val ref0 = readSideTable(df.sparkSession, refCfg,
+      "dedup_against reference")
     val refText = str(refCfg, "text_field", "text")
     val textCol = textField(c)
     str(c, "mode", "exact") match {

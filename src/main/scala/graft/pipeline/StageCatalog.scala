@@ -522,7 +522,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_dedup_against", "ml_neardup_against",
         "ml_media_against"),
-      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference images with the 64-bit aHash and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive."),
+      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference images with the 64-bit aHash and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located."),
     StageDoc("dedup_spans", "curation",
       "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
       y("""pipeline:
@@ -731,7 +731,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile",
         "ml_lm_buckets"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle)."),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle). A BUCKETED corpus input (BucketedLayout.load over a Curate --bucket-by output, buckets = shuffle partitions) plans the id-join-backs with ZERO corpus re-shuffle - the per-doc score aggregate's output partitioning is already join-compatible and the corpus side reads co-located buckets (spec-asserted); `train: {path}` parquet references read bucket-aware the same way."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:

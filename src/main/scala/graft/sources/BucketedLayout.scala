@@ -107,6 +107,28 @@ object BucketedLayout {
     }
   }
 
+  /** Bucket-aware read of `path` when it carries a layout marker, plain
+    * parquet read otherwise — the drop-in form for pipeline inputs and
+    * reference stores (Curate's input, dedup_against's reference,
+    * perplexity_score's train corpus): a caller that already paid the
+    * bucketed write gets co-located id-joins with no config, and a
+    * non-bucketed path behaves exactly as before. The catalog entry is
+    * internal (name derived from the path) and re-created on every
+    * load, so a REWRITTEN layout with new geometry never serves stale
+    * bucket metadata.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    geometry(spark, path) match {
+      case None => spark.read.parquet(path)
+      case Some(_) =>
+        val table = "graft_bucketed_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(path.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        spark.sql(s"DROP TABLE IF EXISTS ${q(table)}")
+        register(spark, path, table)
+    }
+
   /** Attach a fresh session to a bucketed layout: re-creates the external
     * table `table` over `path` with the MARKER's geometry (no geometry
     * parameters on purpose — see the class doc) and returns it as a

@@ -1434,4 +1434,69 @@ class CurationStagesSpec extends SparkSpec {
     }
     assert(se.getMessage.contains("cluster_sample"))
   }
+
+  test("bucketed corpus input: perplexity_score's id-joins plan with " +
+      "ZERO corpus re-shuffle (the BucketedLayout wiring)") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 300L)
+      .map(i => (i, s"document body number $i shares common words $i"))
+      .toDF("doc_id", "text")
+    val dir = "/tmp/graft-curation-bucketed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val plainDir = s"$dir-plain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plainDir))
+    // buckets == spark.sql.shuffle.partitions, so the score aggregate's
+    // output partitioning is join-compatible with the bucketed scan
+    graft.sources.BucketedLayout.write(corpus, dir, "doc_id", 4)
+    corpus.write.parquet(plainDir)
+    val yaml =
+      """pipeline:
+        |  - type: perplexity_score
+        |    id_field: doc_id
+        |    text_field: text
+        |""".stripMargin
+    // co-located SMJs are the 100 TB shape — keep broadcasts out of it
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      def planOf(in: DataFrame): (Int, String) = {
+        val out = run(yaml, in)
+        val p = (graft.ScaleProof.planExchanges(out),
+          out.queryExecution.executedPlan.toString)
+        graft.CacheSweep.sweep(spark)
+        p
+      }
+      val (plainEx, plainPlan) = planOf(spark.read.parquet(plainDir))
+      val (buckEx, buckPlan) =
+        planOf(graft.sources.BucketedLayout.load(spark, dir))
+      assert(buckPlan.contains("Bucketed: true"),
+        s"stage input lost bucket awareness:\n$buckPlan")
+      // plain input: the corpus re-shuffles on its id for the join-back
+      assert(plainPlan.contains("Exchange hashpartitioning(doc_id"),
+        s"expected a corpus id shuffle in the plain plan:\n$plainPlan")
+      // bucketed input: the id-joins add ZERO exchange — the corpus
+      // side reads co-located buckets, and the score side's only
+      // exchange is the per-doc aggregate's (required regardless, and
+      // already join-compatible)
+      assert(!buckPlan.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed corpus must not re-shuffle on its id:\n$buckPlan")
+      assert(buckEx == plainEx - 2,
+        s"bucketing should remove exactly the two corpus id shuffles: " +
+          s"plain=$plainEx bucketed=$buckEx")
+      // and the result is input-layout-independent
+      val a = run(yaml, spark.read.parquet(plainDir))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      graft.CacheSweep.sweep(spark)
+      val b = run(yaml, graft.sources.BucketedLayout.load(spark, dir))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      graft.CacheSweep.sweep(spark)
+      assert(a.sameElements(b))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
