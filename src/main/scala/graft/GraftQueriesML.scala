@@ -942,6 +942,41 @@ object GraftQueriesML {
             SELECT doc_id, n_vals, peak_abs, mean_abs, rms FROM p
             JOIN agg USING (doc_id)"""))
 
+  /** Real FLAC SAMPLE decode, oracle-predicted: the engine encodes the
+    * ml_audio_pcm sawtooth as a multi-frame FLAC per row (real
+    * [[FlacCodec]] encoder), decodes it back through the full codec
+    * path (frames, FIXED/CONSTANT subframes, Rice residuals, CRCs),
+    * and the oracle predicts peak/mean/rms from the sawtooth parameters
+    * alone — the SAME SQL as the WAV leg, because lossless
+    * encode→decode must be the identity.
+    */
+  private val mAudioFlac = Spec("ml_audio_flac",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 50 + 50).cast("int").as("__n"),
+          (col("doc_id") % 256).cast("int").as("__b0"),
+          (col("doc_id") % 5 + 1).cast("int").as("__st"))
+      val flac = Multimodal.flacSawtoothBytes(d, "__n", "__b0", "__st",
+        "payload")
+      Multimodal.decodePcm(flac, "payload")
+        .select(col("doc_id"),
+          col("pcm_features.n_vals").as("n_vals"),
+          col("pcm_features.peak_abs").as("peak_abs"),
+          col("pcm_features.mean_abs").as("mean_abs"),
+          col("pcm_features.rms").as("rms"))
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id % 50 + 50 AS n,
+              doc_id % 256 AS b0, doc_id % 5 + 1 AS st FROM documents),
+            v AS (SELECT doc_id, abs((b0 + t*st) % 256 - 128) AS a
+              FROM p, unnest(range(n)) AS u(t)),
+            agg AS (SELECT doc_id, count(*) AS n_vals, max(a) AS peak_abs,
+              round(sum(a)*1.0/count(*), 6) AS mean_abs,
+              round(sqrt(sum(a*a)*1.0/count(*)), 6) AS rms
+              FROM v GROUP BY doc_id)
+            SELECT doc_id, n_vals, peak_abs, mean_abs, rms FROM p
+            JOIN agg USING (doc_id)"""))
+
   /** The COMPOSED multimodal curation recipe (the image counterpart of
     * ml_pretrain_recipe / ml_curation_pipeline): construct real PNG
     * payloads with deliberate perceptual-dup families → media_envelope
@@ -2835,7 +2870,8 @@ object GraftQueriesML {
     mTopK, mLsh, mCosPairs, mIvf, mLangId, mLangMix, mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
-    mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm, mMediaRecipe,
+    mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm, mAudioFlac,
+    mMediaRecipe,
     mAudioAHash, mMediaAgainst,
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,

@@ -12,9 +12,15 @@ import org.apache.spark.sql.types._
   * Container headers (PNG/JPEG/GIF, RIFF/FLAC, PDF, ISO-BMFF) are REAL
   * byte-layout parsers; image PIXEL facts are a real `javax.imageio`
   * decode (in-JDK codecs); audio SAMPLE facts are a real integer-PCM
-  * read ([[parsePcm]] — raw PCM needs no codec). Only COMPRESSED audio
-  * samples (FLAC) and video frame pixels remain behind a stub contract
-  * (no in-JVM codec exists for them) — the Spark-side shape (schema,
+  * read ([[parsePcm]] — raw PCM needs no codec) or a real FLAC decode
+  * ([[FlacCodec]] — full subframe/Rice/decorrelation coverage with CRC
+  * verification). VIDEO frame pixels are the one remaining decode this
+  * engine rules OUT OF SCOPE rather than stubs: no in-JVM codec for
+  * H.264/VP9/AV1 exists, a JNI binding is a deployment artifact (the
+  * Kafka-broker class of dependency), and every fact/dedup kernel that
+  * would consume frames already runs against the real image and audio
+  * decoders — the envelope (ISO-BMFF walk) stays real, frame decode
+  * returns the documented null. The Spark-side shape (schema,
   * mapPartitions batching, per-task decoder init, null-on-undecodable)
   * is the production one throughout.
   */
@@ -472,8 +478,10 @@ object Multimodal {
     * v − 128), sums accumulate in longs (exact), the only floating ops
     * are the two final divisions and one IEEE sqrt — all correctly
     * rounded, so an oracle predicts mean_abs/rms to round-6 from the
-    * construction parameters. Anything else (float PCM, 24-bit, FLAC,
-    * truncated data) → null struct, never a failed job.
+    * construction parameters. FLAC payloads take the REAL codec path
+    * ([[FlacCodec.decode]] — lossless, so the same exact-integer stats
+    * apply to the decoded samples). Anything else (float PCM, 24-bit
+    * WAV, truncated data) → null struct, never a failed job.
     */
   /** The integer-PCM layout of a RIFF/WAVE payload, or None: `(bits,
     * dataOff, n)` with n = total channel-interleaved values. Shared by
@@ -516,7 +524,36 @@ object Multimodal {
     else ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
   }
 
+  /** Decoded FLAC samples when the payload IS FLAC, else None — the
+    * real codec ([[FlacCodec]]) behind the audio fact/hash kernels.
+    * FLAC samples are signed (already zero-centered), so they feed the
+    * same exact-integer stats as centered PCM.
+    */
+  private def flacSamples(b: Array[Byte]): Option[Array[Int]] =
+    if (b != null && b.length >= 4 && ascii(b, 0, 4) == "fLaC")
+      FlacCodec.decode(b).map(_.samples)
+    else None
+
+  private def sampleFacts(vals: Array[Int]): Row = {
+    val n = vals.length.toLong
+    if (n == 0) return null
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i).toLong
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > peak) peak = a
+      i += 1
+    }
+    Row(n, peak,
+      math.round(sumAbs.toDouble / n * 1e6) / 1e6,
+      math.round(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6)
+  }
+
   private[ml] def parsePcm(b: Array[Byte]): Row = {
+    val flac = flacSamples(b)
+    if (flac.isDefined) return sampleFacts(flac.get)
     val (bits, dataOff, n) = pcmLayout(b) match {
       case Some(l) => l
       case None => return null
@@ -542,15 +579,23 @@ object Multimodal {
     * (cross-multiplied, no division). GAIN-INVARIANT by construction
     * (uniform k·v scales every frame sum and the total alike), so a
     * louder re-master of the same clip hashes identically — the audio
-    * analog of aHash's brightness invariance. Needs ≥ 64 values;
-    * compressed audio (FLAC) hashes null (no codec — the documented
-    * stub boundary).
+    * analog of aHash's brightness invariance. Needs ≥ 64 values; FLAC
+    * payloads hash over their REAL decoded samples ([[FlacCodec]]), so
+    * a WAV clip and its lossless FLAC encoding carry the SAME
+    * fingerprint and collapse in media dedup.
     */
   private def audioAHashOne(b: Array[Byte]): java.lang.Long = {
-    val (bits, dataOff, n) = pcmLayout(b) match {
-      case Some(l) => l
-      case None => return null
+    val sampleAt: (Long => Long, Long) = flacSamples(b) match {
+      case Some(vals) =>
+        ((t: Long) => vals(t.toInt).toLong, vals.length.toLong)
+      case None =>
+        pcmLayout(b) match {
+          case Some((bits, dataOff, n)) =>
+            ((t: Long) => pcmVal(b, bits, dataOff, t), n)
+          case None => return null
+        }
     }
+    val (vAt, n) = sampleAt
     if (n < 64) return null
     val fl = n / 64
     val sums = new Array[Long](64)
@@ -559,7 +604,7 @@ object Multimodal {
       var t = f * fl
       val end = t + fl
       var s = 0L
-      while (t < end) { s += math.abs(pcmVal(b, bits, dataOff, t)); t += 1 }
+      while (t < end) { s += math.abs(vAt(t)); t += 1 }
       sums(f) = s
       f += 1
     }
@@ -861,6 +906,37 @@ object Multimodal {
           _ => lit("00")), ""))
         .otherwise(lit("")))
     unhex(hexStr)
+  }
+
+  /** Mono 8-bit FLAC with the SAME sawtooth samples as [[wavPcmBytes]]
+    * (centered: `(base + t·step) mod 256 − 128`), built per row by the
+    * real [[FlacCodec]] encoder in a mapPartitions kernel (FLAC needs
+    * CRCs and Rice bit-packing — not Column algebra; kernel-side codec
+    * work is the documented batched exception). A small block size
+    * forces MULTI-FRAME streams, so an oracle round trip exercises
+    * frame sequencing, not just one subframe. The oracle predicts the
+    * decode facts from the sawtooth parameters alone — identical SQL to
+    * the WAV leg, which is the point: encode→decode must be identity.
+    */
+  def flacSawtoothBytes(df: DataFrame, nCol: String, baseCol: String,
+                        stepCol: String, outCol: String,
+                        sampleRate: Int = 8000,
+                        blockSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (ni, bi, si) = (df.schema.fieldIndex(nCol),
+      df.schema.fieldIndex(baseCol), df.schema.fieldIndex(stepCol))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val n = row.getInt(ni); val b0 = row.getInt(bi)
+        val st = row.getInt(si)
+        val vals = Array.tabulate(n)(t =>
+          math.floorMod(b0 + t * st, 256) - 128)
+        Row.fromSeq(row.toSeq :+
+          FlacCodec.encode(vals, sampleRate, 1, 8, blockSize))
+      }
+    }(enc)
   }
 
   /** Mono 8-bit PCM WAV with a SAWTOOTH payload from Catalyst

@@ -52,7 +52,7 @@ class PlanGuardSpec extends SparkSpec {
     // native-argmin projection over a pushed-down scan
     "ml_kmeans_assign",
     "ml_classifier_margin", "ml_multimodal_decode",
-    "ml_audio_pcm", "ml_lang_mix", "ml_pii_cards",
+    "ml_audio_pcm", "ml_audio_flac", "ml_lang_mix", "ml_pii_cards",
     "ml_multimodal_audio", "ml_multimodal_pdf", "ml_multimodal_video",
     "ml_multimodal_image", "ml_multimodal_pixels",
     // driver-side merge table (computed before the plan; the result is
