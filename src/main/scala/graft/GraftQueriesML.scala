@@ -987,41 +987,54 @@ object GraftQueriesML {
     * recursive-CTE component closure, the min-id keep, the pixel fact,
     * and the split.
     */
+  /** The media-recipe FIXTURE (expression-built PNG payloads) and the
+    * recipe BODY, split so [[graft.Bench]] can stage the fixture to
+    * parquet once per run and time decode→dedup→split from a scan —
+    * production corpora arrive as stored bytes, so conflating the
+    * oracle's PNG-encode (fixture construction) with the pipeline under
+    * test misstated the recipe's cost (BASELINE.md r13 accounting
+    * note). The oracle query composes both, unchanged.
+    */
+  def mediaRecipePayloads(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+    // even ids: ascending gradients (any small step — monotone ⇒ one
+    // shared fingerprint: the whole family collapses); odd ids: large
+    // steps that WRAP mod 256 into per-step sawtooth patterns ⇒
+    // several distinct perceptual identities survive
+    d.withColumn("payload", Multimodal.pngGradientBytes(
+      lit(16), lit(32), (lit(100) + col("doc_id") % 40).cast("int"),
+      when(col("doc_id") % 2 === 0, lit(1) + col("doc_id") % 3)
+        .otherwise(lit(200) + (col("doc_id") % 7) * 8)
+        .cast("int")))
+  }
+
+  def mediaRecipeBody(png: DataFrame): DataFrame = {
+    val yaml =
+      """pipeline:
+        |  - type: media_envelope
+        |    bytes_field: payload
+        |    kind: image
+        |  - type: dedup_media
+        |    id_field: doc_id
+        |    bytes_field: payload
+        |  - type: hash_split
+        |    id_field: doc_id
+        |    train_pct: 80
+        |    valid_pct: 10
+        |""".stripMargin
+    graft.pipeline.PipelineCompiler.compile(
+        graft.pipeline.RuleLoader.fromYaml(yaml))(png).main
+      .select(col("doc_id"),
+        col("image_features.format").as("format"),
+        col("image_features.width").as("width"),
+        col("image_features.height").as("height"),
+        col("image_features.mean_luma").as("mean_luma"),
+        col("split"))
+      .orderBy("doc_id")
+  }
+
   private val mMediaRecipe = Spec("ml_media_recipe",
-    (s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 60)
-      // even ids: ascending gradients (any small step — monotone ⇒ one
-      // shared fingerprint: the whole family collapses); odd ids: large
-      // steps that WRAP mod 256 into per-step sawtooth patterns ⇒
-      // several distinct perceptual identities survive
-      val png = d.withColumn("payload", Multimodal.pngGradientBytes(
-        lit(16), lit(32), (lit(100) + col("doc_id") % 40).cast("int"),
-        when(col("doc_id") % 2 === 0, lit(1) + col("doc_id") % 3)
-          .otherwise(lit(200) + (col("doc_id") % 7) * 8)
-          .cast("int")))
-      val yaml =
-        """pipeline:
-          |  - type: media_envelope
-          |    bytes_field: payload
-          |    kind: image
-          |  - type: dedup_media
-          |    id_field: doc_id
-          |    bytes_field: payload
-          |  - type: hash_split
-          |    id_field: doc_id
-          |    train_pct: 80
-          |    valid_pct: 10
-          |""".stripMargin
-      graft.pipeline.PipelineCompiler.compile(
-          graft.pipeline.RuleLoader.fromYaml(yaml))(png).main
-        .select(col("doc_id"),
-          col("image_features.format").as("format"),
-          col("image_features.width").as("width"),
-          col("image_features.height").as("height"),
-          col("image_features.mean_luma").as("mean_luma"),
-          col("split"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => mediaRecipeBody(mediaRecipePayloads(s, dir)),
     Some {
       val m = "CAST(16*sv AS DOUBLE)/512"
       aHashBitsSql(
