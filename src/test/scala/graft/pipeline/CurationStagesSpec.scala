@@ -250,6 +250,24 @@ class CurationStagesSpec extends SparkSpec {
         "    bytes_field: payload\n    media_kind: nope\n", media)
     }
     assert(e.getMessage.contains("media_kind"))
+    // a clip and its lossless FLAC encoding carry the SAME perceptual
+    // fingerprint (FlacCodec path) — cross-FORMAT dedup collapses them
+    val clipInts = clip.map(_.toInt)
+    val mixed = Seq(
+      (1L, pcm(clip)),
+      (2L, graft.ml.FlacCodec.encode(clipInts, 8000, 1, 16)),
+      (3L, pcm(other))
+    ).toDF("doc_id", "payload")
+    val kept = run(
+      """pipeline:
+        |  - type: dedup_media
+        |    id_field: doc_id
+        |    bytes_field: payload
+        |    media_kind: audio
+        |""".stripMargin, mixed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"WAV and its FLAC encoding must dedup cross-format, kept $kept")
   }
 
   test("dedup_against mode media: incoming images drop on reference match") {
