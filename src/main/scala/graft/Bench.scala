@@ -64,8 +64,12 @@ object Bench {
       // fixture construction, not pipeline cost — the bench times the
       // recipe from the scan (BASELINE.md records the change)
       "ml_media_recipe" -> ((s: SparkSession, d: String) => {
+        // the fixture derives from the documents table — key the staged
+        // dir on its mtime so regenerated testdata re-stages instead of
+        // serving a stale fixture (the ScaleProof fingerprint convention)
+        val srcM = new java.io.File(d, "documents.parquet").lastModified()
         val staged = "/tmp/graft-media-staged-" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+          d.replaceAll("[^A-Za-z0-9.]", "_") + s"-$srcM"
         if (!new java.io.File(staged, "_SUCCESS").exists())
           GraftQueriesML.mediaRecipePayloads(s, d)
             .write.mode("overwrite").parquet(staged)
