@@ -912,20 +912,27 @@ object CurationStages {
           rowsPerBand = int(c, "rows_per_band", 3),
           k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
       case "media" =>
-        // perceptual image dedup vs a reference IMAGE corpus: aHash both
-        // sides, banded Hamming match, anti-join (dedup_media's against
-        // leg). `reference: {path, bytes_field}`; undecodable incoming
-        // payloads never match and survive.
+        // perceptual media dedup vs a reference corpus: aHash both
+        // sides (`media_kind: image | audio` picks the kernel — both
+        // sides MUST share it, the fingerprints are incomparable
+        // otherwise), banded Hamming match, anti-join (dedup_media's
+        // against leg). `reference: {path, bytes_field}`; undecodable
+        // incoming payloads never match and survive.
         val id = idField(c, "dedup_against")
         val bytesF = str(c, "bytes_field", "payload")
         require(df.columns.contains(bytesF),
           s"dedup_against mode media: bytes_field `$bytesF` not in " +
             s"${df.columns.mkString(", ")}")
         val refBytes = str(refCfg, "bytes_field", "payload")
-        val refHashed = graft.ml.Multimodal.imageAHash(
+        def hash(d: DataFrame, in: String, out: String): DataFrame =
+          mediaKind(c) match {
+            case "audio" => graft.ml.Multimodal.audioAHash(d, in, out)
+            case _ => graft.ml.Multimodal.imageAHash(d, in, out)
+          }
+        val refHashed = hash(
           ref0.select(md5(col(refBytes)).as(id), col(refBytes).as("__rb")),
           "__rb", "__against_fp")
-        val incHashed = graft.ml.Multimodal.imageAHash(
+        val incHashed = hash(
           df.select(col(id), col(bytesF)), bytesF, "__against_fp")
         val kept = Dedup.hammingAgainst(incHashed, refHashed, id,
           "__against_fp", bands = int(c, "bands", 4),
@@ -1017,12 +1024,36 @@ object CurationStages {
           s""""dim":${int(c, "dim", 64)}}"""
       // media keys live in a DIFFERENT key space (16-hex aHash / md5 of
       // bytes, never md5 of text) — no geometry, but incompatible with
-      // every text-keyed mode including exact (see checkModeMarker)
-      case "media" => """{"mode":"media"}"""
+      // every text-keyed mode including exact (see checkModeMarker).
+      // media_kind is PART of the contract: image and audio aHashes are
+      // both 16-hex longs, so an image-keyed store consulted by an
+      // audio run would compare incomparable fingerprints and silently
+      // re-admit stored duplicates — exactly the quiet failure the
+      // marker exists to refuse
+      case "media" =>
+        s"""{"mode":"media","media_kind":"${mediaKind(c)}"}"""
       case _ => """{"mode":"exact"}"""
     }
 
-  private val mediaContract = """{"mode":"media"}"""
+  /** The validated `media_kind` of a media-mode stage config. */
+  private def mediaKind(c: Map[String, Any]): String =
+    str(c, "media_kind", "image") match {
+      case k @ ("image" | "audio") => k
+      case other => throw new IllegalArgumentException(
+        s"unknown media_kind `$other` (image | audio)")
+    }
+
+  /** r12 stores were written before media_kind existed and are
+    * image-keyed by construction — normalize the legacy form so they
+    * keep working under an image run and REFUSE an audio one.
+    */
+  private def normalizeContract(s: String): String =
+    if (s == """{"mode":"media"}""")
+      """{"mode":"media","media_kind":"image"}"""
+    else s
+
+  private def isMediaContract(s: String): Boolean =
+    s.startsWith("""{"mode":"media"""")
 
   private val exactContract = """{"mode":"exact"}"""
 
@@ -1047,9 +1078,10 @@ object CurationStages {
     */
   private def checkModeMarker(spark: org.apache.spark.sql.SparkSession,
                               store: String, contract: String): Unit =
-    readMarker(spark, store).foreach { recorded =>
+    readMarker(spark, store).foreach { recorded0 =>
+      val recorded = normalizeContract(recorded0)
       val mediaInvolved =
-        recorded == mediaContract || contract == mediaContract
+        isMediaContract(recorded) || isMediaContract(contract)
       require(recorded == contract || (!mediaInvolved &&
           (recorded == exactContract || contract == exactContract)),
         s"dedup_ingest store $store holds state under contract " +
@@ -1205,10 +1237,15 @@ object CurationStages {
         val bytesF = str(c, "bytes_field", "payload")
         require(df.columns.contains(bytesF),
           s"dedup_ingest mode media: no `$bytesF` column (set bytes_field)")
-        // perceptual key: 16-hex aHash (re-encodes/brightness shifts
-        // collapse); undecodable payloads fall back to exact-bytes md5
-        (graft.ml.Multimodal.imageAHash(df, bytesF, "__mh"),
-          coalesce(lpad(hex(col("__mh")), 16, "0"), md5(col(bytesF))))
+        // perceptual key: 16-hex aHash (image: re-encodes/brightness
+        // shifts collapse; audio: re-masters and lossless re-encodes
+        // collapse — media_kind is marker-pinned, see modeContract);
+        // undecodable payloads fall back to exact-bytes md5
+        val hashed = mediaKind(c) match {
+          case "audio" => graft.ml.Multimodal.audioAHash(df, bytesF, "__mh")
+          case _ => graft.ml.Multimodal.imageAHash(df, bytesF, "__mh")
+        }
+        (hashed, coalesce(lpad(hex(col("__mh")), 16, "0"), md5(col(bytesF))))
       case _ => (df, md5(col(textCol)))
     }
     // in-batch exact keep (min id per content key — Dedup.exact's rule,

@@ -522,7 +522,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_dedup_against", "ml_neardup_against",
         "ml_media_against"),
-      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference images with the 64-bit aHash and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located."),
+      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference payloads with the 64-bit perceptual aHash (`media_kind: image | audio` picks the kernel - image brightness-shift-invariant, audio gain-invariant over decoded PCM/FLAC samples; both sides must share the kind) and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located."),
     StageDoc("dedup_spans", "curation",
       "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
       y("""pipeline:
@@ -631,7 +631,7 @@ object StageCatalog {
           |    shingle_k: 3
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, `bands`, `planes_per_band`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of an image payload (re-encodes and brightness shifts collapse to one key; undecodable payloads fall back to exact-bytes md5) - a media store mixes with NO text-keyed mode (different key space, enforced by the contract marker)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, `bands`, `planes_per_band`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -308,6 +308,46 @@ class CurationStagesSpec extends SparkSpec {
     assert(out.columns.toSeq == incoming.columns.toSeq)
   }
 
+  test("dedup_against mode media media_kind audio: re-masters of " +
+      "reference clips drop") {
+    val s = spark
+    import s.implicits._
+    def wav(vals: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + vals.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(vals.length * 2)
+      vals.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    val clip = Array.tabulate(128)(t => if (t < 64) 0 else 1000)
+    val other = Array.tabulate(128)(t => if (t < 64) 1000 else 0)
+    val refDir = java.nio.file.Files.createTempDirectory("media-aref")
+      .toString + "/ref.parquet"
+    // reference holds the clip AS FLAC; incoming offers a gain-doubled
+    // WAV re-master (cross-format perceptual match — must drop), a
+    // different clip and junk (must survive)
+    Seq(Tuple1(graft.ml.FlacCodec.encode(clip, 8000, 1, 16)))
+      .toDF("payload").write.parquet(refDir)
+    val incoming = Seq((1L, wav(clip.map(_ * 2))), (2L, wav(other)),
+      (3L, "junk".getBytes)).toDF("doc_id", "payload")
+    val out = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    mode: media
+         |    media_kind: audio
+         |    id_field: doc_id
+         |    bytes_field: payload
+         |    reference: {path: "$refDir", bytes_field: payload}
+         |""".stripMargin, incoming)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
   test("quality_budget_select stage: ranked cut on an upstream score") {
     val out = run(
       """pipeline:

@@ -692,5 +692,97 @@ class StreamCurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("key space") ||
       e.getMessage.contains("contract"), e.getMessage)
+
+    // media_kind is PART of the contract: this store is image-keyed,
+    // so an AUDIO media run must refuse it (both kinds are 16-hex
+    // longs — mixing them compares incomparable fingerprints)
+    val ea = intercept[Exception] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"pipeline:\n  - type: dedup_ingest\n    id_field: doc_id\n" +
+        s"    mode: media\n    media_kind: audio\n" +
+        s"    bytes_field: payload\n    store: $store\n"))(
+        Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")).main
+    }
+    assert(ea.getMessage.contains("contract"), ea.getMessage)
+
+    // an r12 store carries the legacy marker {"mode":"media"} —
+    // image-keyed by construction: an image run keeps working over it,
+    // an audio run refuses. (Write through the Hadoop FS so the local
+    // checksum sidecar stays consistent.)
+    val mp = new org.apache.hadoop.fs.Path(store, "_graft_mode.json")
+    val mfs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mout = mfs.create(mp, true)
+    try mout.write("{\"mode\":\"media\"}\n".getBytes("UTF-8"))
+    finally mout.close()
+    mem.addData((8L, png(50, vertical = false))) // another shift of pic 1
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "payload"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 4L), s"after batch 3: $seen")
+    val el = intercept[Exception] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"pipeline:\n  - type: dedup_ingest\n    id_field: doc_id\n" +
+        s"    mode: media\n    media_kind: audio\n" +
+        s"    bytes_field: payload\n    store: $store\n"))(
+        Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")).main
+    }
+    assert(el.getMessage.contains("contract"), el.getMessage)
+  }
+
+  test("dedup_ingest mode media media_kind audio: re-masters and FLAC " +
+      "re-encodes reject cross-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def wav(vals: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + vals.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + vals.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(vals.length * 2)
+      vals.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    val clip = Array.tabulate(128)(t => if (t < 64) 0 else 1000)
+    val other = Array.tabulate(128)(t => if (t < 64) 1000 else 0)
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-audio").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    mode: media
+         |    media_kind: audio
+         |    bytes_field: payload
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ack").toString
+    // batch 1: the clip + its gain-doubled re-master (same frame-energy
+    // hash) + a different clip
+    mem.addData((1L, wav(clip)), (2L, wav(clip.map(_ * 2))),
+      (3L, wav(other)))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "payload"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L), s"batch 1: $seen")
+    // batch 2: the SAME clip arriving as a lossless FLAC re-encode
+    // (cross-FORMAT perceptual dup) + a fresh clip
+    val fresh = Array.tabulate(128)(t => (t * 31 % 512) - 256)
+    mem.addData((4L, graft.ml.FlacCodec.encode(clip, 8000, 1, 16)),
+      (5L, wav(fresh)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "payload"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 5L), s"after batch 2: $seen")
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"media_kind\":\"audio\""), marker)
   }
 }
