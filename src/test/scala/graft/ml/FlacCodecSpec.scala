@@ -136,6 +136,36 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: mutated and garbage streams decode to None or valid " +
+      "samples, never a throw (the per-row never-fail contract)") {
+    val rng = new scala.util.Random(0x5EED)
+    val base = FlacCodec.encode(
+      Array.tabulate(500)(i => (i * 97 % 4096) - 2048), 8000, 1, 16, 64)
+    // single- and multi-byte mutations at random positions: most break a
+    // CRC (None); any that survive must decode without throwing
+    var survived = 0
+    for (_ <- 1 to 500) {
+      val m = base.clone()
+      val flips = 1 + rng.nextInt(4)
+      for (_ <- 1 to flips)
+        m(rng.nextInt(m.length)) = (rng.nextInt(256) & 0xFF).toByte
+      if (FlacCodec.decode(m).isDefined) survived += 1 // no throw = pass
+    }
+    // truncations at every length
+    for (len <- 0 until base.length by 7)
+      FlacCodec.decode(base.take(len))
+    // pure garbage with the magic prefixed (forces the parse path)
+    for (_ <- 1 to 200) {
+      val g = new Array[Byte](8 + rng.nextInt(300))
+      rng.nextBytes(g)
+      System.arraycopy("fLaC".getBytes, 0, g, 0, 4)
+      FlacCodec.decode(g)
+    }
+    // the CRCs make silent mis-decodes of mutated payloads rare: most
+    // mutations must be rejected outright
+    assert(survived < 100, s"$survived/500 mutations survived the CRCs")
+  }
+
   test("decodePcm and audioAHash consume FLAC like PCM WAV") {
     // facts: a FLAC clip's stats equal the same samples' arithmetic
     val vals = Array.tabulate(200)(i => (i * 13 % 256) - 128)
