@@ -383,17 +383,130 @@ object Similarity {
     Curation.stratifiedSample(assigned, Seq("cluster"), idCol, perCluster)
   }
 
+  // ---- index geometry marker -----------------------------------------
+  //
+  // A written IVF index is only usable with the EXACT centroids (and PQ
+  // books) that assigned its rows — probing with different geometry
+  // silently prunes to partitions the matching rows aren't in, and
+  // recall quietly collapses. That is the same mis-declared-geometry
+  // hazard BucketedLayout's marker and dedup_ingest's contract marker
+  // refuse, so the index gets the same treatment: the write half
+  // records `_graft_ivf.json` (kind + centroids + books, driver-small
+  // by definition) next to the data, marker-aware readers need NO
+  // geometry arguments, and the legacy geometry-taking readers VERIFY
+  // against the marker when one exists instead of trusting the caller.
+
+  private val IvfMarkerFile = "_graft_ivf.json"
+
+  private def ivfMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, IvfMarkerFile)
+
+  private def writeIvfMarker(spark: org.apache.spark.sql.SparkSession,
+                             path: String, kind: String,
+                             centroids: Seq[Seq[Double]],
+                             books: Seq[Seq[Seq[Double]]]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("kind", kind)
+    val ca = root.putArray("centroids")
+    centroids.foreach { c => val a = ca.addArray(); c.foreach(a.add) }
+    if (books.nonEmpty) {
+      val ba = root.putArray("books")
+      books.foreach { b =>
+        val sub = ba.addArray()
+        b.foreach { c => val a = sub.addArray(); c.foreach(a.add) }
+      }
+    }
+    val p = ivfMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The geometry a written index was built with, or None for a
+    * pre-marker (or foreign) directory: (kind, centroids, books).
+    */
+  def ivfIndexGeometry(spark: org.apache.spark.sql.SparkSession,
+                       path: String)
+      : Option[(String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = {
+    val p = ivfMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(txt)
+               catch { case _: java.io.IOException => return None }
+    def arr2(n: com.fasterxml.jackson.databind.JsonNode): Seq[Seq[Double]] =
+      (0 until n.size).map(i =>
+        (0 until n.get(i).size).map(j => n.get(i).get(j).asDouble))
+    for {
+      kind <- Option(node.get("kind")).filter(_.isTextual).map(_.asText)
+      cen <- Option(node.get("centroids")).filter(_.isArray).map(arr2)
+    } yield (kind, cen,
+      Option(node.get("books")).filter(_.isArray)
+        .map(b => (0 until b.size).map(i => arr2(b.get(i))).toSeq)
+        .getOrElse(Seq.empty))
+  }
+
+  /** Marker-vs-caller verification for the legacy geometry-taking
+    * readers: a marker-less index (pre-marker layouts) proceeds on the
+    * caller's word, a present marker must MATCH — a silent geometry
+    * mismatch is a recall collapse, not an error anyone sees.
+    */
+  private def requireIvfGeometry(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, kind: String,
+                                 centroids: Seq[Seq[Double]],
+                                 books: Seq[Seq[Seq[Double]]]): Unit =
+    ivfIndexGeometry(spark, path).foreach { case (mk, mc, mb) =>
+      require(mk == kind,
+        s"index at $path was written as `$mk` but is being read as " +
+          s"`$kind` — wrong reader for this layout")
+      require(mc == centroids && (books.isEmpty || mb == books),
+        s"index at $path was written under DIFFERENT geometry than " +
+          "supplied — probing with foreign centroids/books silently " +
+          "collapses recall; read without geometry arguments (the " +
+          "marker is authoritative) or rebuild the index")
+    }
+
+  private def markerGeometry(spark: org.apache.spark.sql.SparkSession,
+                             path: String, kind: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val (mk, cen, books) = ivfIndexGeometry(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path carries no $IvfMarkerFile marker — a pre-marker index " +
+          "must be read through the geometry-taking overload (and " +
+          "should be rebuilt to record its geometry)"))
+    require(mk == kind, s"index at $path is `$mk`, not `$kind`")
+    (cen, books)
+  }
+
   /** Materialize an IVF index: the corpus written partitioned by its
     * centroid bucket. At query time [[ivfReadTopK]]'s bucket filter
     * becomes a PARTITION FILTER on this layout — a 100 TB corpus scan
     * touches only `nprobe` directories. (The docs on [[assignBucket]]
     * promised this layout; this is the write half, and IvfIndexSpec
-    * proves the pruning appears in the executed plan.)
+    * proves the pruning appears in the executed plan.) The geometry
+    * marker rides with the data so readers need no centroid arguments.
     */
   def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    centroids: Seq[Seq[Double]], path: String): Unit =
+                    centroids: Seq[Seq[Double]], path: String): Unit = {
     corpus.withColumn("bucket", assignBucket(col(vecCol), centroids))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIvfMarker(corpus.sparkSession, path, "flat", centroids, Seq.empty)
+  }
+
+  /** Marker-read IVF query — the recommended form: centroids come from
+    * the index's own geometry marker, so probing with the WRONG
+    * centroids (the silent recall collapse) is unrepresentable.
+    */
+  def ivfReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, vecCol: String, query: Seq[Double],
+                  k: Int, nprobe: Int): DataFrame =
+    ivfReadTopK(spark, path, idCol, vecCol, query,
+      markerGeometry(spark, path, "flat")._1, k, nprobe)
 
   /** Query a written IVF index: the query's `nprobe` nearest centroids
     * compute ON THE DRIVER (k small by definition), the scan filters to
@@ -405,6 +518,7 @@ object Similarity {
                   idCol: String, vecCol: String, query: Seq[Double],
                   centroids: Seq[Seq[Double]], k: Int,
                   nprobe: Int = 1): DataFrame = {
+    requireIvfGeometry(spark, path, "flat", centroids, Seq.empty)
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -436,7 +550,15 @@ object Similarity {
       .select(col(idCol), col("__scale").as("scale"),
         col("__codes").as("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIvfMarker(corpus.sparkSession, path, "sq8", centroids, Seq.empty)
   }
+
+  /** Marker-read IVF-SQ8 query ([[ivfReadTopK]]'s convention). */
+  def ivfSqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, query: Seq[Double],
+                    k: Int, nprobe: Int): DataFrame =
+    ivfSqReadTopK(spark, path, idCol, query,
+      markerGeometry(spark, path, "sq8")._1, k, nprobe)
 
   /** Query a written IVF-SQ8 index: probes compute on the driver
     * ([[ivfReadTopK]]'s path), the scan prunes to the probed bucket
@@ -450,6 +572,7 @@ object Similarity {
                     idCol: String, query: Seq[Double],
                     centroids: Seq[Seq[Double]], k: Int,
                     nprobe: Int = 1): DataFrame = {
+    requireIvfGeometry(spark, path, "sq8", centroids, Seq.empty)
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -830,6 +953,26 @@ object Similarity {
           centroidAt(col("bucket"), centroids), (x, y) => x - y), books)
           .as("codes"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIvfMarker(corpus.sparkSession, path, "pq", centroids, books)
+  }
+
+  /** Marker-read IVF-PQ query ([[ivfReadTopK]]'s convention): both the
+    * coarse centroids AND the residual books come from the index's own
+    * geometry marker.
+    */
+  def ivfPqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, query: Seq[Double],
+                    k: Int, nprobe: Int): DataFrame = {
+    val (cen, books) = markerGeometry(spark, path, "pq")
+    ivfPqReadTopK(spark, path, idCol, query, cen, books, k, nprobe)
+  }
+
+  /** Marker-read batched IVF-PQ search ([[ivfPqTopKBatch]]). */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, queryRows: Seq[(Long, Seq[Double])],
+                     k: Int, nprobe: Int): DataFrame = {
+    val (cen, books) = markerGeometry(spark, path, "pq")
+    ivfPqTopKBatch(spark, path, idCol, queryRows, cen, books, k, nprobe)
   }
 
   private def l2Driver(a: Seq[Double], b: Seq[Double]): Double =
@@ -867,6 +1010,7 @@ object Similarity {
                      centroids: Seq[Seq[Double]],
                      books: Seq[Seq[Seq[Double]]], k: Int,
                      nprobe: Int = 1): DataFrame = {
+    requireIvfGeometry(spark, path, "pq", centroids, books)
     import org.apache.spark.sql.expressions.Window
     val m = books.length
     val kk = books.head.length

@@ -70,4 +70,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(two.forall(id => id % 3 == 0 || id % 3 == 1))
     assert(two.exists(_ % 3 == 0) && two.exists(_ % 3 == 1))
   }
+
+  test("the geometry marker travels with the index: marker-read needs " +
+      "no centroids, foreign geometry is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-mk").toString
+    Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", centroids, dir)
+    val q = Seq(0.9, 0.1, 0.0, 0.0)
+    // marker-read ≡ geometry-supplied read
+    val viaMarker = Similarity.ivfReadTopK(spark, dir, "vec_id",
+      "embedding", q, k = 5, nprobe = 1).collect().map(_.getLong(0))
+    val viaArgs = Similarity.ivfReadTopK(spark, dir, "vec_id",
+      "embedding", q, centroids, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(viaMarker.toSeq == viaArgs.toSeq)
+    assert(Similarity.ivfIndexGeometry(spark, dir)
+      .exists { case (k0, c, b) =>
+        k0 == "flat" && c == centroids && b.isEmpty })
+    // probing with DIFFERENT centroids would silently collapse recall —
+    // the marker refuses it loudly instead
+    val foreign = centroids.map(_.map(_ * 0.5))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfReadTopK(spark, dir, "vec_id", "embedding", q,
+        foreign, k = 5, nprobe = 1)
+    }
+    assert(e.getMessage.contains("DIFFERENT geometry"), e.getMessage)
+    // the wrong READER for the layout is refused by kind
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfSqReadTopK(spark, dir, "vec_id", q, k = 5, nprobe = 1)
+    }
+    assert(e2.getMessage.contains("flat"), e2.getMessage)
+    // a marker-less pre-r13 index still reads through the legacy
+    // overload (caller's word), and the marker-read overload explains
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivf.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    assert(Similarity.ivfReadTopK(spark, dir, "vec_id", "embedding", q,
+      centroids, k = 5, nprobe = 1).count() == 5)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfReadTopK(spark, dir, "vec_id", "embedding", q,
+        k = 5, nprobe = 1)
+    }
+    assert(e3.getMessage.contains("no _graft_ivf.json"), e3.getMessage)
+  }
+
+  test("IVF-PQ marker carries the books too; sq8 kind round-trips") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-mk").toString
+    val books = Similarity.ivfPqTrain(corpus, "vec_id", "embedding",
+      centroids, m = 2, k = 4, iters = 2)
+    Similarity.ivfPqWriteIndex(corpus, "vec_id", "embedding", centroids,
+      books, dir)
+    val q = Seq(0.9, 0.1, 0.0, 0.0)
+    val viaMarker = Similarity.ivfPqReadTopK(s, dir, "vec_id", q,
+      k = 5, nprobe = 1).collect().map(_.getLong(0))
+    val viaArgs = Similarity.ivfPqReadTopK(s, dir, "vec_id", q, centroids,
+      books, k = 5, nprobe = 1).collect().map(_.getLong(0))
+    assert(viaMarker.toSeq == viaArgs.toSeq && viaMarker.length == 5)
+    assert(Similarity.ivfIndexGeometry(s, dir)
+      .exists { case (k0, c, b) => k0 == "pq" && c == centroids && b == books })
+    // sq8: write + marker-read agree with geometry-supplied read
+    val sqDir = java.nio.file.Files.createTempDirectory("ivfsq-mk").toString
+    Similarity.ivfSqWriteIndex(corpus, "vec_id", "embedding", centroids,
+      sqDir)
+    val a = Similarity.ivfSqReadTopK(s, sqDir, "vec_id", q, k = 5,
+      nprobe = 1).collect().map(_.getLong(0))
+    val b = Similarity.ivfSqReadTopK(s, sqDir, "vec_id", q, centroids,
+      k = 5, nprobe = 1).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+  }
 }
