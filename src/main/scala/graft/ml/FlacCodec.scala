@@ -467,14 +467,21 @@ object FlacCodec {
       case _ => 0L // STREAMINFO
     }, 3)
     w.writeBits(0, 1)
-    // UTF-8-coded frame index
+    // UTF-8-coded frame index (up to 21 bits here — ~2M frames, far
+    // beyond any fixture; the decoder handles the full 36-bit range)
     val fi = frameIdx.toLong
+    require(fi < 0x200000, s"encoder frame index out of range: $fi")
     if (fi < 0x80) w.writeBits(fi, 8)
     else if (fi < 0x800) {
       w.writeBits(0xC0L | (fi >>> 6), 8)
       w.writeBits(0x80L | (fi & 0x3F), 8)
-    } else {
+    } else if (fi < 0x10000) {
       w.writeBits(0xE0L | (fi >>> 12), 8)
+      w.writeBits(0x80L | ((fi >>> 6) & 0x3F), 8)
+      w.writeBits(0x80L | (fi & 0x3F), 8)
+    } else {
+      w.writeBits(0xF0L | (fi >>> 18), 8)
+      w.writeBits(0x80L | ((fi >>> 12) & 0x3F), 8)
       w.writeBits(0x80L | ((fi >>> 6) & 0x3F), 8)
       w.writeBits(0x80L | (fi & 0x3F), 8)
     }
