@@ -472,16 +472,16 @@ object Multimodal {
   /** REAL audio SAMPLE facts for PCM WAV — raw PCM needs no codec, just
     * the byte layout, so the former "audio sample payloads are stubbed"
     * note narrows to compressed audio (FLAC) only. Supported: RIFF/WAVE
-    * with `fmt` audioFormat 1 (integer PCM), 8-bit unsigned or 16-bit
-    * signed little-endian, any channel count (stats run over every
+    * with `fmt` audioFormat 1 (integer PCM), 8-bit unsigned or 16/24-
+    * bit signed little-endian, any channel count (stats run over every
     * channel-interleaved value). Amplitudes center at zero (8-bit:
     * v − 128), sums accumulate in longs (exact), the only floating ops
     * are the two final divisions and one IEEE sqrt — all correctly
     * rounded, so an oracle predicts mean_abs/rms to round-6 from the
     * construction parameters. FLAC payloads take the REAL codec path
     * ([[FlacCodec.decode]] — lossless, so the same exact-integer stats
-    * apply to the decoded samples). Anything else (float PCM, 24-bit
-    * WAV, truncated data) → null struct, never a failed job.
+    * apply to the decoded samples). Anything else (float PCM,
+    * truncated data) → null struct, never a failed job.
     */
   /** The integer-PCM layout of a RIFF/WAVE payload, or None: `(bits,
     * dataOff, n)` with n = total channel-interleaved values. Shared by
@@ -506,7 +506,8 @@ object Multimodal {
       }
       off += 8L + len + (len & 1L)
     }
-    if (fmt != 1 || (bits != 8 && bits != 16) || dataOff < 0 || dataLen <= 0)
+    if (fmt != 1 || (bits != 8 && bits != 16 && bits != 24) ||
+        dataOff < 0 || dataLen <= 0)
       None
     else {
       val n = dataLen / (bits / 8)
@@ -515,13 +516,16 @@ object Multimodal {
   }
 
   /** Centered sample value t of an integer-PCM payload (8-bit unsigned
-    * → v−128; 16-bit signed LE).
+    * → v−128; 16/24-bit signed LE).
     */
   private def pcmVal(b: Array[Byte], bits: Int, dataOff: Long,
                      t: Long): Long = {
     val o = (dataOff + t * (bits / 8)).toInt
     if (bits == 8) (b(o) & 0xFF) - 128L
-    else ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
+    else if (bits == 16) ((b(o + 1) << 8) | (b(o) & 0xFF)).toShort.toLong
+    else // 24-bit: sign-extend via the int shift pair
+      ((((b(o + 2) & 0xFF) << 16) | ((b(o + 1) & 0xFF) << 8) |
+        (b(o) & 0xFF)) << 8) >> 8
   }
 
   /** Decoded FLAC samples when the payload IS FLAC, else None — the

@@ -673,12 +673,34 @@ class MultimodalSpec extends SparkSpec {
     // values 0 → mean/rms/peak all zero
     val z = Multimodal.parsePcm(goldenWav)
     assert(z != null && z.getLong(1) == 0L && z.getDouble(3) == 0.0)
-    // refusals: FLAC (compressed — no codec, stays null), float PCM,
-    // byte soup
+    // refusals: a header-only FLAC envelope (no frames to decode —
+    // sample facts need samples; full streams decode via FlacCodec),
+    // float PCM, byte soup
     assert(Multimodal.parsePcm(goldenFlac) == null)
     val fl = bb.array().clone(); fl(20) = 3 // wFormatTag = IEEE float
     assert(Multimodal.parsePcm(fl) == null)
     assert(Multimodal.parsePcm("junk".getBytes) == null)
+    // 24-bit mono: known values incl. sign extension at both extremes
+    val v24 = Array(8388607, -8388608, 1000, -1000, 0, 70000)
+    val b24 = java.nio.ByteBuffer.allocate(44 + v24.length * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b24.put("RIFF".getBytes("US-ASCII")).putInt(36 + v24.length * 3)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(48000).putInt(48000 * 3)
+      .putShort(3).putShort(24)
+      .put("data".getBytes("US-ASCII")).putInt(v24.length * 3)
+    v24.foreach { v =>
+      b24.put((v & 0xFF).toByte).put(((v >> 8) & 0xFF).toByte)
+        .put(((v >> 16) & 0xFF).toByte)
+    }
+    val r24 = Multimodal.parsePcm(b24.array())
+    assert(r24 != null, "24-bit integer PCM must decode")
+    assert(r24.getLong(0) == v24.length.toLong)
+    assert(r24.getLong(1) == 8388608L)
+    val sa24 = v24.map(v => math.abs(v.toLong)).sum
+    assert(r24.getDouble(2) ==
+      math.round(sa24.toDouble / v24.length * 1e6) / 1e6)
   }
 
   test("wavPcmBytes: sawtooth payload round-trips through parsePcm exactly") {
