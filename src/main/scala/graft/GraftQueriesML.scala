@@ -2330,6 +2330,35 @@ object GraftQueriesML {
           WHERE d.doc_id % 53 <> 0"""
     })
 
+  /** The incremental-statistics form of [[mBigramXent]]: the SAME
+    * exemplar subset lands in a [[graft.ml.GramStore]] as TWO batches
+    * (plus a replayed duplicate that must no-op), and scoring trains
+    * from the store's merged counts. The oracle is ml_bigram_xent's SQL
+    * VERBATIM — batch counts sum exactly to one-shot counts, so
+    * store-trained scores must be bit-identical to corpus-trained ones.
+    */
+  private val mBigramXentStore = Spec("ml_bigram_xent_store",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("doc_id") % 53 === 0)
+      val store = "/tmp/graft-xent-store-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/grams"
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 === 0), "text", store, "even")
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 =!= 0), "text", store, "odd")
+      // a replayed batch must be a no-op, or the counts double
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 === 0), "text", store, "even")
+      CorpusStats.bigramLogProbFromStore(
+        d.filter(col("doc_id") % 53 =!= 0), store,
+        "doc_id", "text", lambda = 0.9)
+    },
+    mBigramXent.oracle)
+
   /** Trigram stupid backoff (Brants et al. 2007), reference-trained on
     * the doc_id % 53 = 0 exemplar subset — the oracle replays all three
     * count tables and the backoff CASE; the add-one unigram floor keeps
@@ -2896,6 +2925,7 @@ object GraftQueriesML {
     mClassifierMargin, mDedupAgainst, mNearDupAgainst, mPqEncode,
     mChunkSpans, mShuffleLayout, mBpeMerges, mBpeTokens, mCurationPipeline,
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
+    mBigramXentStore,
     mTrigramBackoff,
     mDsirWeights, mDsirSample,
     mDecontamSpans,

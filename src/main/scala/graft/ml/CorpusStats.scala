@@ -321,16 +321,28 @@ object CorpusStats {
     * that carry gram text.
     */
   private def fusedGramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(concat(
-        transform(Curation.words(col(textCol)),
-          w => struct(lit(0).as("kind"), w.as("g"))),
-        transform(ngramArray(col(textCol), 2),
-          b => struct(lit(1).as("kind"), b.as("g"))))).as("e"))
+    fusedGramCountsN(df, textCol, 2)
+
+  /** [[fusedGramCounts]] generalized to orders 1..n (kind = order−1):
+    * ONE explode trains every count table — the shape the bigram
+    * (n=2) and trigram (n=3) LMs and the [[GramStore]] appends share.
+    */
+  private[graft] def fusedGramCountsN(df: DataFrame, textCol: String,
+                                   orders: Int): DataFrame = {
+    require(orders >= 1 && orders <= 5, s"gram orders 1..5, got $orders")
+    val legs = (1 to orders).map { n =>
+      if (n == 1) transform(Curation.words(col(textCol)),
+        w => struct(lit(0).as("kind"), w.as("g")))
+      else transform(ngramArray(col(textCol), n),
+        b => struct(lit(n - 1).as("kind"), b.as("g")))
+    }
+    df.select(explode(concat(legs: _*)).as("e"))
       .select(col("e.kind").as("kind"), col("e.g").as("g"))
       .groupBy(col("kind"), col("g"))
       .agg(count(lit(1)).as("c"))
       .select(col("kind"), unhex(md5(col("g"))).as("gd"),
         col("c"), col("g"))
+  }
 
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
@@ -441,8 +453,32 @@ object CorpusStats {
     */
   def bigramLogProbAgainst(corpus: DataFrame, train: DataFrame,
                            idCol: String, textCol: String,
-                           lambda: Double = 0.9): DataFrame = {
-    val counts = fusedGramCounts(train, textCol).persist()
+                           lambda: Double = 0.9): DataFrame =
+    bigramScoreFromCounts(corpus, fusedGramCounts(train, textCol),
+      idCol, textCol, lambda)
+
+  /** [[bigramLogProbAgainst]] trained from an incremental [[GramStore]]
+    * instead of a training CORPUS — the 100 TB retraining shape: the
+    * store's merged count table is vocabulary-sized (never re-scanning
+    * the exemplar corpus), and because batch counts sum exactly to the
+    * one-shot counts, the scores are BIT-IDENTICAL to training on the
+    * concatenated corpus (oracle-gated: ml_bigram_xent_store replays
+    * the direct computation).
+    */
+  def bigramLogProbFromStore(corpus: DataFrame, store: String,
+                             idCol: String, textCol: String,
+                             lambda: Double = 0.9): DataFrame = {
+    val spark = corpus.sparkSession
+    require(GramStore.orders(spark, store) >= 2,
+      s"bigram scoring needs a gram store of orders >= 2 at $store")
+    bigramScoreFromCounts(corpus, GramStore.counts(spark, store),
+      idCol, textCol, lambda)
+  }
+
+  private def bigramScoreFromCounts(corpus: DataFrame, counts0: DataFrame,
+                                    idCol: String, textCol: String,
+                                    lambda: Double): DataFrame = {
+    val counts = counts0.persist()
     val uni = counts.filter(col("kind") === 0)
       .select(col("g").as("t"), col("c").as("c1"))
     val stats = uni.agg(sum(col("c1")).cast("double").as("n"),
@@ -563,20 +599,28 @@ object CorpusStats {
     */
   def trigramStupidBackoff(corpus: DataFrame, train: DataFrame,
                            idCol: String, textCol: String,
-                           alpha: Double = 0.4): DataFrame = {
-    val counts = train.select(explode(concat(
-        transform(Curation.words(col(textCol)),
-          w => struct(lit(0).as("kind"), w.as("g"))),
-        transform(ngramArray(col(textCol), 2),
-          b => struct(lit(1).as("kind"), b.as("g"))),
-        transform(ngramArray(col(textCol), 3),
-          t3 => struct(lit(2).as("kind"), t3.as("g"))))).as("e"))
-      .select(col("e.kind").as("kind"), col("e.g").as("g"))
-      .groupBy(col("kind"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("kind"), unhex(md5(col("g"))).as("gd"),
-        col("c"), col("g"))
-      .persist() // one corpus pass shared by the five price joins
+                           alpha: Double = 0.4): DataFrame =
+    trigramScoreFromCounts(corpus,
+      fusedGramCountsN(train, textCol, 3), idCol, textCol, alpha)
+
+  /** [[trigramStupidBackoff]] trained from an incremental [[GramStore]]
+    * (orders ≥ 3) — the [[bigramLogProbFromStore]] convention.
+    */
+  def trigramStupidBackoffFromStore(corpus: DataFrame, store: String,
+                                    idCol: String, textCol: String,
+                                    alpha: Double = 0.4): DataFrame = {
+    val spark = corpus.sparkSession
+    require(GramStore.orders(spark, store) >= 3,
+      s"trigram scoring needs a gram store of orders >= 3 at $store")
+    trigramScoreFromCounts(corpus, GramStore.counts(spark, store),
+      idCol, textCol, alpha)
+  }
+
+  private def trigramScoreFromCounts(corpus: DataFrame, counts0: DataFrame,
+                                     idCol: String, textCol: String,
+                                     alpha: Double): DataFrame = {
+    val counts = counts0
+      .persist() // one count pass shared by the five price joins
     val uni = counts.filter(col("kind") === 0)
       .select(col("g").as("t"), col("c").as("c1"))
     val stats = uni.agg(sum(col("c1")).cast("double").as("n"),

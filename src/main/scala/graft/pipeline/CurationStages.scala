@@ -48,7 +48,8 @@ object CurationStages {
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
-    "leakage_safe_split", "dedup_media", "quality_budget_select")
+    "leakage_safe_split", "dedup_media", "quality_budget_select",
+    "stats_ingest")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -105,6 +106,7 @@ object CurationStages {
       case "bpe_tokenize" => bpeTokenize(pre, c)
       case "dedup_against" => dedupAgainst(pre, c)
       case "dedup_ingest" => dedupIngest(pre, c)
+      case "stats_ingest" => statsIngest(pre, c)
       case "media_envelope" => mediaEnvelope(pre, c)
       case "text_normalize" => textNormalize(pre, c)
       case "token_budget_sample" =>
@@ -630,10 +632,24 @@ object CurationStages {
         CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
       case (None, Some(t)) =>
         val tc = t.asInstanceOf[Map[String, Any]]
-        val train = readSideTable(df.sparkSession, tc,
-            "perplexity_score train")
-          .withColumnRenamed(str(tc, "text_field", "text"), textField(c))
-        CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
+        tc.get("store") match {
+          // `train: {store: path}` — an incremental GramStore built by
+          // stats_ingest / GramStore.append: training reads the merged
+          // vocabulary-sized count table, never a training corpus
+          case Some(p) =>
+            require(!tc.contains("path"),
+              "perplexity_score train: give `path` (a corpus) OR " +
+                "`store` (a gram store), not both")
+            CorpusStats.bigramLogProbFromStore(df, p.toString, id,
+              textField(c), lam)
+          case None =>
+            val train = readSideTable(df.sparkSession, tc,
+                "perplexity_score train")
+              .withColumnRenamed(str(tc, "text_field", "text"),
+                textField(c))
+            CorpusStats.bigramLogProbAgainst(df, train, id, textField(c),
+              lam)
+        }
       case _ => CorpusStats.bigramLogProb(df, id, textField(c), lam)
     }
     val scores = raw
@@ -943,6 +959,35 @@ object CurationStages {
       case other => throw new IllegalArgumentException(
         s"dedup_against: unknown mode `$other` (exact | near | media)")
     }
+  }
+
+  // ---- stats_ingest ---------------------------------------------------
+  //
+  // Incremental corpus statistics (ml/GramStore): append this batch's
+  // gram counts to a growing store and pass the rows through unchanged —
+  // the tap that keeps a reference LM's count tables current as data
+  // lands, so `perplexity_score train: {store: ...}` retrains from a
+  // vocabulary-sized scan instead of re-reading the exemplar corpus.
+  //
+  // Idempotence is per BATCH ID: streaming runs use the checkpoint-
+  // derived attempt token (replays are no-ops — the dedup_ingest
+  // discipline); batch runs must supply an explicit `batch_id:` — a
+  // fresh random id per run would silently DOUBLE-COUNT a re-run,
+  // which for statistics (unlike dedup keys) corrupts every score
+  // trained afterwards.
+
+  private def statsIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val store = reqStr(c, "store", "stats_ingest")
+    val bid = graft.streaming.StreamRunner.currentBatchToken.value
+      .orElse(c.get("batch_id").map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "stats_ingest in batch mode needs an explicit `batch_id:` — " +
+          "counts are idempotent PER BATCH ID, and a random id per run " +
+          "would double-count re-runs (streaming runs use the " +
+          "checkpoint attempt token automatically)"))
+    graft.ml.GramStore.append(df, textField(c), store, bid,
+      orders = int(c, "orders", 2))
+    df
   }
 
   // ---- dedup_ingest --------------------------------------------------

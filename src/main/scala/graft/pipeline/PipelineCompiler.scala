@@ -308,6 +308,15 @@ object PipelineCompiler {
         PipelineResult(remaining, acc.extra)
 
       case other =>
+        // the unknown-type check lives in the PER-RULE dispatch, so a
+        // typo'd stage type with an EMPTY rules list would fold over
+        // nothing and compile to a silent no-op — the worst outcome for
+        // a misconfiguration; refuse it here instead
+        if (stage.rules.isEmpty)
+          throw new IllegalArgumentException(
+            s"stage type `$other` is not a relational/curation stage " +
+              "and carries no rules — either the type is misspelled or " +
+              "the processor's rules list is missing")
         // apply_multiple_times (reference abc/processor.py:203-210): the
         // fixpoint loop is bounded-unrolled at compile time — K sequential
         // guarded projections; rules whose predicate no longer matches

@@ -618,6 +618,17 @@ object StageCatalog {
       schemaKind = "embeddings",
       oracle = Seq("ml_kmeans_assign"),
       notes = "With `train: {path, vec_field, id_field, format}` the centroids come from a reference table at plan time (the perplexity_score train: convention) and the stage is STREAM-SAFE - assignment is the narrow native argmin kernel with centroids riding as one plan reference. Without `train:` the k-means runs over the input corpus itself (whole-corpus semantics - refused on streaming inputs at compile time), and the composed input is shared across the training rounds + labeling pass via lazy cache (`materialize: path` spills to parquet instead - the 100 TB form). Training cost: iters+1 map-side-combined aggregates over the training table, k*dim doubles to the driver each."),
+    StageDoc("stats_ingest", "curation",
+      "Incremental corpus statistics: append this batch's gram counts (orders 1..n) to a growing GramStore and pass rows through unchanged.",
+      y("""pipeline:
+          |  - type: stats_ingest
+          |    text_field: text
+          |    store: "/tmp/graft-docs-gram-store"
+          |    orders: 2
+          |    batch_id: example-batch"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_bigram_xent_store"),
+      notes = "The tap that keeps a reference LM's count tables current as data lands: each batch pays ONE fused count pass (vocabulary-of-batch rows appended as (kind, gram, count, batch_id)), and `perplexity_score train: {store: ...}` then retrains from the merged vocabulary-sized table instead of re-scanning the exemplar corpus - batch counts sum EXACTLY to one-shot counts, so store-trained scores are bit-identical (oracle-gated). Idempotent per batch id: streaming runs use the checkpoint attempt token (replays are no-ops); batch runs must supply `batch_id:` explicitly - a random id per run would double-count re-runs, which corrupts every score trained afterwards. The `_graft_grams.json` marker pins the store's orders (a mismatched append is refused - mixed shapes leave higher-order tables silently partial); GramStore.compact folds per-batch rows with the ingest compactor's crash-safe swap."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:
@@ -731,7 +742,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile",
         "ml_lm_buckets"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle). A BUCKETED corpus input (BucketedLayout.load over a Curate --bucket-by output, buckets = shuffle partitions) plans the id-join-backs with ZERO corpus re-shuffle - the per-doc score aggregate's output partitioning is already join-compatible and the corpus side reads co-located buckets (spec-asserted); `train: {path}` parquet references read bucket-aware the same way."),
+      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor; `train: {store: path}` trains from an incremental GramStore (stats_ingest) - a vocabulary-sized scan instead of a training-corpus pass, bit-identical scores. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle). A BUCKETED corpus input (BucketedLayout.load over a Curate --bucket-by output, buckets = shuffle partitions) plans the id-join-backs with ZERO corpus re-shuffle - the per-doc score aggregate's output partitioning is already join-compatible and the corpus side reads co-located buckets (spec-asserted); `train: {path}` parquet references read bucket-aware the same way."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:

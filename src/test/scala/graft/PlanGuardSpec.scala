@@ -160,6 +160,10 @@ class PlanGuardSpec extends SparkSpec {
                                // level (two extra type-keyed left joins)
     "ml_bigram_xent" -> 9,     // the bigram-LM shape with a corpus-type
                                // distinct + three LEFT prob-table joins
+    "ml_bigram_xent_store" -> 9, // the same returned plan; the store
+                               // appends run at plan-build time and the
+                               // merged count table persists like the
+                               // fused train pass
     "ml_decontam_spans" -> 3,  // bench digests broadcast; gram join + id agg
     "ml_decontam_clean" -> 4,  // spans + span-table id agg; doc join broadcasts
     "ml_pretrain_recipe" -> 3, // 5-stage composed recipe: every corpus-

@@ -729,6 +729,58 @@ class StreamCurationSpec extends SparkSpec {
     assert(el.getMessage.contains("contract"), el.getMessage)
   }
 
+  test("stats_ingest through StreamRunner: counts accumulate per batch, " +
+      "a failed-sink replay never double-counts, store-trained scores " +
+      "match one-shot training") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("stats-ingest").toString + "/grams"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: stats_ingest
+         |    text_field: text
+         |    store: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    @volatile var failFirst = false
+    val sink: DataFrame => Unit = df => {
+      df.count() // force delivery
+      if (failFirst) { failFirst = false; sys.error("sink down") }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("stats-ck").toString
+    val allDocs = Seq((1L, "the cat sat"), (2L, "the dog sat"),
+      (3L, "a cat and a dog"))
+
+    mem.addData(allDocs(0), allDocs(1))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+
+    // batch 2 appends its counts, then the SINK fails — the replay must
+    // find its own counts under the attempt token and no-op
+    failFirst = true
+    mem.addData(allDocs(2))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q2.awaitTermination() }
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+
+    // merged counts == one-shot counts over the whole stream
+    val streamed = graft.ml.GramStore.counts(s, store)
+      .select("kind", "g", "c").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val oneShot = graft.ml.CorpusStats.fusedGramCountsN(
+        allDocs.toDF("doc_id", "text"), "text", 2)
+      .select("kind", "g", "c").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot,
+      s"streamed counts diverged:\n$streamed\nvs\n$oneShot")
+  }
+
   test("dedup_ingest mode media media_kind audio: re-masters and FLAC " +
       "re-encodes reject cross-batch") {
     val s = spark
