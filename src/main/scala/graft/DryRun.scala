@@ -63,9 +63,13 @@ object DryRun {
     val input = spark.read.json(jsonLines.toDS)
       .withColumn("__dry_id", monotonically_increasing_id())
 
-    val result = pipeline.PipelineCompiler.compile(spec)(input)
-    val before = collectJson(input)
-    val after = collectJson(result.main)
+    // a DRY run must never advance a real ingest/statistics store —
+    // state-mutating stages compute their outputs but write nothing
+    val (result, before, after) =
+      pipeline.CurationStages.suppressStateWrites.withValue(true) {
+        val r = pipeline.PipelineCompiler.compile(spec)(input)
+        (r, collectJson(input), collectJson(r.main))
+      }
 
     val sb = new StringBuilder
     var changed = 0

@@ -38,7 +38,11 @@ object TestConfig {
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
         case None => spark.emptyDataFrame
       }
-      PipelineCompiler.compile(spec)(frame)
+      // config VALIDATION must not advance real ingest/statistics
+      // stores (the DryRun contract)
+      pipeline.CurationStages.suppressStateWrites.withValue(true) {
+        PipelineCompiler.compile(spec)(frame)
+      }
       val failures =
         if (runUnitTests)
           RuleSelfTest.run(spark, spec, testsFromYaml(configText)) ++

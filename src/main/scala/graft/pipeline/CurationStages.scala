@@ -59,6 +59,15 @@ object CurationStages {
     * or `dedup_against` a reference table) — StreamCurationSpec pins
     * that scoping.
     */
+  /** When set, state-mutating stages (dedup_ingest's key append,
+    * stats_ingest's count append) compute their outputs but write
+    * NOTHING — the dry-run contract: debugging a config against a real
+    * store must never advance the store. dedup_ingest still READS the
+    * store, so the dry-run verdicts are the production ones.
+    */
+  val suppressStateWrites =
+    new scala.util.DynamicVariable[Boolean](false)
+
   val batchOnly: Set[String] = Set(
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
@@ -985,8 +994,9 @@ object CurationStages {
           "counts are idempotent PER BATCH ID, and a random id per run " +
           "would double-count re-runs (streaming runs use the " +
           "checkpoint attempt token automatically)"))
-    graft.ml.GramStore.append(df, textField(c), store, bid,
-      orders = int(c, "orders", 2))
+    if (!suppressStateWrites.value)
+      graft.ml.GramStore.append(df, textField(c), store, bid,
+        orders = int(c, "orders", 2))
     df
   }
 
@@ -1360,10 +1370,12 @@ object CurationStages {
           Seq("h"), "left_anti")
       case None => newKeys
     }
-    toAppend.localCheckpoint(true)
-      .withColumn("bid", lit(bid))
-      .write.mode("append").parquet(store)
-    writeModeMarker(spark, store, contract, blockAdoption)
+    if (!suppressStateWrites.value) {
+      toAppend.localCheckpoint(true)
+        .withColumn("bid", lit(bid))
+        .write.mode("append").parquet(store)
+      writeModeMarker(spark, store, contract, blockAdoption)
+    }
     fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h", "__mh")
   }

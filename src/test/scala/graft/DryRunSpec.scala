@@ -60,4 +60,43 @@ class DryRunSpec extends SparkSpec with Matchers {
     val d = DryRun.ndiff("a\nb\nc", "a\nc\nd")
     d shouldBe "  a\n- b\n  c\n+ d\n"
   }
+
+  test("a dry run never advances ingest or statistics stores, but its " +
+      "dedup verdicts still read them") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dry-stores")
+    val keyStore = s"$base/keys"
+    val gramStore = s"$base/grams"
+    // a real ingest run admits "known text" into the key store
+    graft.pipeline.PipelineCompiler.compile(
+      graft.pipeline.RuleLoader.fromYaml(
+        s"pipeline:\n  - type: dedup_ingest\n    id_field: doc_id\n" +
+        s"    text_field: text\n    store: $keyStore\n"))(
+      Seq((1L, "known text")).toDF("doc_id", "text")).main.count()
+    val keysBefore = s.read.parquet(keyStore).count()
+    val cfg = write(
+      s"""pipeline:
+         |  - type: stats_ingest
+         |    text_field: text
+         |    store: $gramStore
+         |    batch_id: dry
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $keyStore
+         |""".stripMargin, ".yml")
+    val events = write(
+      """{"doc_id": 7, "text": "known text"}
+        |{"doc_id": 8, "text": "fresh text"}
+        |""".stripMargin, ".jsonl")
+    val report = DryRun.report(spark, cfg, events)
+    // the stored duplicate is dropped IN THE REPORT (the store was read)
+    report should include("SUMMARY: 2 events")
+    // ...but neither store moved: no new keys, no gram store at all
+    assert(s.read.parquet(keyStore).count() == keysBefore,
+      "dry run appended to the dedup key store")
+    assert(!new java.io.File(gramStore).exists(),
+      "dry run created the gram store")
+  }
 }
