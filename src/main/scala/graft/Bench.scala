@@ -56,6 +56,11 @@ object Bench {
       // unchanged — these add to the 20-query headline only.
       "ml_neardup_keep" -> GraftQueries.queries("ml_neardup_keep"),
       "ml_bigram_logprob" -> GraftQueries.queries("ml_bigram_logprob"),
+      // round-13 promotion: the reference-trained LM has been the
+      // chronic scale watch-list item (r11 3.3-4x -> r13 ~2.2-2.9x via
+      // the corpus-explode persist); a per-round headline presence
+      // makes base-cost regressions visible, not just x10 ratios
+      "ml_bigram_xent" -> GraftQueries.queries("ml_bigram_xent"),
       // round-12 third session: the composed multimodal recipe (codec
       // decode → perceptual dedup → split) so the image pipeline has a
       // per-round bench presence. The PNG fixture stages to parquet

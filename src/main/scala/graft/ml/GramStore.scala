@@ -62,6 +62,11 @@ object GramStore {
     * is a no-op, so streaming replays and batch-job retries never
     * double-count. The first append records the marker; later appends
     * must match its orders exactly.
+    *
+    * Single-writer discipline (the ingest key store's contract): the
+    * seen-check then append is not atomic across two SIMULTANEOUS
+    * writers using the same batchId — serialize appends per store
+    * (Structured Streaming's one-query-per-checkpoint already does).
     */
   def append(batch: DataFrame, textCol: String, store: String,
              batchId: String, orders: Int = 2): Unit = {
