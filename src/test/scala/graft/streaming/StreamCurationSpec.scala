@@ -781,6 +781,61 @@ class StreamCurationSpec extends SparkSpec {
       s"streamed counts diverged:\n$streamed\nvs\n$oneShot")
   }
 
+  test("stats_ingest -> perplexity_score(train: store) composes: a " +
+      "SELF-UPDATING LM gate whose model grows with the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("selflm").toString + "/grams"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: stats_ingest
+         |    text_field: text
+         |    store: $store
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    train: {store: "$store"}
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map.empty[Long, Double]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized {
+        df.select("doc_id", "lm_logprob").collect()
+          .foreach(r => seen(r.getLong(0)) = r.getDouble(1))
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("selflm-ck").toString
+    val b1 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"))
+    mem.addData(b1: _*)
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    // batch 1 scored against a model trained on batch 1's own counts
+    // (the stats_ingest append runs BEFORE the scorer reads the store)
+    val expect1 = graft.ml.CorpusStats.bigramLogProbAgainst(
+        b1.toDF("doc_id", "text"), b1.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(seen.toMap == expect1, s"batch 1: $seen vs $expect1")
+    graft.CacheSweep.sweep(s)
+    // batch 2's model includes batch 1's counts — the gate UPDATED
+    val b2 = Seq((3L, "the cat sat on the mat"))
+    mem.addData(b2: _*)
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val expect2 = graft.ml.CorpusStats.bigramLogProbAgainst(
+        b2.toDF("doc_id", "text"), (b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(seen(3L) == expect2(3L),
+      s"batch 2 should score under the GROWN model: ${seen(3L)} vs " +
+        s"${expect2(3L)}")
+    graft.CacheSweep.sweep(s)
+  }
+
   test("dedup_ingest mode media media_kind audio: re-masters and FLAC " +
       "re-encodes reject cross-batch") {
     val s = spark
