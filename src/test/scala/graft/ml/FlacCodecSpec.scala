@@ -42,6 +42,39 @@ class FlacCodecSpec extends AnyFunSuite {
   val fxRightSide = "664c6143800000220008000800000000000001f402700000000800000000000000000000000000000000fff87092000007c50201ff00bfa03fe013f6140a0c01322001d0058fc08d10"
   val fxRightSideExpect = Array(13, 10, 8, 12, 14, 9, 24, 30, -13, -20, -3, 5, 15, 6, -3, 7)
 
+  // randomized stress set (python-generated, seed 0xF1AC)
+  val fxStress: Seq[(String, Array[Int])] = Seq(
+    ("664c6143800000220010001000000000000001f400b00000001000000000000000000000000000000000fff8700400000fdf4432af82b40b3ebb04d57b81b45e255d24bd43eb13383bf65e6a577cf371f389b7386f6018b8803268",
+     Array(810, -126, -1216, -1016, 182, 1299, -494, 1930, 582, -1702, -398, 1902, -991, 204, -1966, 1591)),
+    ("664c6143800000220010001000000000000001f400700000001000000000000000000000000000000000fff8700200000fab4c17cf4eda2ee9efb2daeda3ca888754482ccaa81abd29a41bdc64427aec641a24104d6c2bd258ad",
+     Array(23, -49, 78, -38, 46, -23, -17, -1, 67, -104, 34, 98, 118, 7, 70, 107)),
+    ("664c6143800000220020002000000000000001f400f00000002000000000000000000000000000000000fff8700800001f474a05311719f9a304008ca2b91222162da0e929b1709033b1018949bc080bee85934026972f4b00829b4164782cc537cb35f607b98bb8be66068ea3bfa1e4806d5e0aa7c43024bf20bd5c0bda807618",
+     Array(1329, 5913, -1629, 1024, -29534, -18158, 1134, 5664, -16784, -22106, -7000, 28232, 16225, -16979, 435, 29858, -27164, -23367, -17732, 3017, 20571, 11728, 21280, -12430, 17984, 8115, -25455, -25768, -23896, -17845, -28161, 29525)),
+    ("664c6143800000220040004000000000000001f400f00000004000000000000000000000000000000000fff8700800003fa7468ff9a33b43edfc3e63fccffeaa2f525292987ad71b2fd9f52a8e05b60c8fd252b3b59bb9c1d6a18d80a8cda41ded4763e5f40b25d61e1dc4169fba6310ad1f29089448e34a116e343e975501a8a84141d8948d6e459ccc62e22d5767adeed35f52de524fb128cbbed6f7231eb7c4b96056f0c6b2a6a329670748d64220ffe5c1fff25c5b0f3507ee1f10a18093dc",
+     Array(-28679, -23749, 17389, -962, -14622, -26939, 8963, 16873, -7353, 27530, -25961, -7876, 26601, 5664, 17546, 30903, -4318, -29548, -8993, -18284, -21565, 27564, 25886, 30957, -32125, 765, -27798, 8948, 16484, 32740, 7602, 2061, -12186, 5410, -21896, -17827, -28545, -26502, 23725, -29360, -15898, 3816, -31811, 31450, 5853, -32529, -30125, 25213, -22176, 21418, -8965, 18619, 14934, -15730, 26815, -1876, -10618, -10585, -7101, 15894, 11466, -27004, 8095, 16622)),
+    ("664c6143800000220010001000000000000001f400b00000001000000000000000000000000000000000fff8700400000fdf42a7d483a47e03f205a0089cf259a0bc8ec6669354da2d64107634ace382c88f0f5708",
+     Array(-1411, 1155, -1903, 236, -1557, 636, -985, -262, 350, 1184, 1232, -921, -1189, 1175, -44, -629)),
+    ("664c6143800000220040004000000000000001f400b00000004000000000000000000000000000000000fff8700400003f4f48c9c6281beeefd7030e9d6f81a91994c3727e949953232ded2757eb29e0b385220ba6aa29f7ac7eaba80a33ec544cc0d421b931247f71368fdcad67fd29e57c4d5d4cea1b7abc7551416f3476dbc774deefd4521b6d6b7bbfbc683e1193c67fbb63d925986466898c6b1b6d255655a766863a5676f5f00ed1a0b1f1",
+     Array(-868, 1576, 446, -273, -656, 1965, 745, 752, -30, 1744, -506, -675, 813, 2045, -1585, -370, -1363, 1662, 957, -1613, -1591, -205, -1724, -1634, -1481, -1276, -1485, 823, -1200, 499, 1921, 4, -856, 1349, 1040, -965, -2041, 1315, -1353, -651, 1737, -1367, -124, -788, -90, -1473, 1482, 1301, 719, -1735, 1289, -1505, 1937, 1815, -1257, -1012, -981, 1414, -1273, -1657, 957, 1784, 1092, -1598)),
+    ("664c6143800000220020002000000000000001f400b00000002000000000000000000000000000000000fff8700400001faf4234b71eb1c2e41da532ff7a9c1cd4ee1b2a61648c67fe5bd0992cec35ceccec156e129dfccb7e6158a632c42fc0cc905b958722a06d59ab2145747908649432b1799fb3d3602f7538272d5461b6c649b68161df7f36f2738720a473",
+     Array(843, 1822, 23, 1978, -1699, 1627, -796, -1531, 1946, 2, -815, -221, 1083, -780, -321, -1957, 506, 567, 1207, 1299, 1945, 789, 936, 661, -353, 1878, -67, -1232, -392, 1262, -424, 961)),
+    ("664c6143800000220020002000000000000001f400700000002000000000000000000000000000000000fff8700200001fdb46db43e4dc53757a0b20744e5ed4272e7e26d76366c58ad4df4bc340eca988929339e8d45c2666502058df",
+     Array(-37, 67, -28, -36, -55, -8, 41, -26, -81, -18, 64, 14, 3, -104, 9, -67, 84, -72, -106, 30, 35, -108, 54, -91, 125, 27, 82, 91, 111, -82, 16, 14)),
+    ("664c6143800000220040004000000000000001f400f00000004000000000000000000000000000000000fff8700800003fa74a3c3600c9ea024d2466713ef364530f35a30b2169f9281a5580435e005e8e16d386c5205c0e063a42105df6349a8d9c900856de2c81d8b16f632cd9d30f9ac1b481f7c9ce38159a6fb2b2d42c07d042020171599490055d8ebe8016977ae20053d627b348b85f2201c3000112b4364c2b838c1d0027af1ee8f98e044ba458e26e4009d3c0eb0c37870039f14c9a0982a0e5c1869de1e380fa93",
+     Array(15414, 201, -5630, 19748, 26225, 16115, -21683, -25270, -22458, -30158, -13789, -24802, -22378, 26372, -17760, 8324, -23340, 19408, -29808, -2962, 23407, 10014, -5894, -11567, -3469, 31709, -18407, -11679, 19267, 4460, -919, -32134, -11347, -26986, 19118, 24949, 872, 32557, -13887, -26309, -13573, 12062, -4285, 26767, 28459, 713, 5010, -23288, -26404, -11696, -895, -23681, -12573, 11132, -29640, -23179, -25208, -31068, 2468, 13029, -1100, -9546, -1169, 23933)),
+    ("664c6143800000220020002000000000000001f400b00000002000000000000000000000000000000000fff8700400001faf4edbca7d19af7422a953fae4dc95430aefa45ecab68c4f6c037a033cbf2fcfc7ab7f46b13db6d000eb821d834e9ecc5295247bccdfc3c0cf47997895ef16b281d0e4b8",
+     Array(-580, -1411, 410, -140, 554, -1709, -82, 1244, -327, 53, -685, 1744, 1994, 996, 212, -1443, 1652, -268, 1288, 1911, 1318, 1613, 352, -1086, -948, -1209, 1755, -1247, 1199, -716, -163, -1112))
+  )
+
+  test("randomized LPC stress set (independent encoder, seed 0xF1AC): " +
+      "orders 1-8, precisions 3-12, shifts 0-10, rice/rice2, partitions") {
+    for (((hx, expect), i) <- fxStress.zipWithIndex) {
+      val a = FlacCodec.decode(hex(hx))
+        .getOrElse(fail(s"stress case $i failed to decode"))
+      assert(a.samples.sameElements(expect), s"stress case $i mismatched")
+    }
+  }
+
   test("VERBATIM subframe decodes exactly") {
     val a = dec(fxVerbatim)
     assert(a.sampleRate == 8000 && a.channels == 1 && a.bits == 8)
