@@ -125,6 +125,197 @@ class GramStoreSpec extends SparkSpec {
     assert(again(0 -> "novel") == 1L + before.getOrElse(0 -> "novel", 0L))
   }
 
+  // ---- r14 durability: crash windows, pruning, ledger, park-swap ----
+
+  test("crash windows: marker lands before data; staging garbage and " +
+      "unmarked directories cannot double-count") {
+    // the reference state: one clean two-batch store
+    val clean = freshStore("crash-ref")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", clean, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", clean, "b2")
+    val expect = countMap(clean)
+
+    // window 1 (the r13 flaw, inverted): crash AFTER the marker write,
+    // BEFORE the first batch's commit rename — the store is pinned but
+    // empty, and the retry must append exactly once
+    val s1 = freshStore("crash-1")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", s1, "b1")
+    // simulate the crash state: drop the committed partition, keep the
+    // marker (this is exactly what a crash between marker and commit
+    // leaves, since the marker is written first)
+    val part1 = new java.io.File(s1, "bid=b1")
+    assert(part1.exists(), "commit should be a bid= partition directory")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(part1)
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", s1, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", s1, "b2")
+    assert(countMap(s1) == expect, "retry after marker-only crash")
+
+    // window 2: crash mid-staging — a half-written hidden staging dir
+    // is invisible to reads and reclaimed by the retry
+    val s2 = freshStore("crash-2")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", s2, "b1")
+    val stage = new java.io.File(s2, ".stage-b2")
+    stage.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(stage, "junk.parquet").toPath, Array[Byte](1, 2))
+    // the staging dir must be invisible to reads: counts equal b1 alone
+    val b1Only = {
+      val ref = freshStore("crash-2-ref")
+      GramStore.append(docs.filter(col("doc_id") <= 2), "text", ref, "b1")
+      countMap(ref)
+    }
+    assert(countMap(s2) == b1Only, "staging garbage leaked into a read")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", s2, "b2")
+    assert(countMap(s2) == expect, "retry after staging crash")
+    assert(!stage.exists(), "staging garbage reclaimed")
+
+    // a directory holding data but no marker is refused, not adopted
+    val s3 = freshStore("crash-3")
+    docs.limit(1).select(lit(0).as("kind"), col("text").as("g"),
+      lit(9L).as("c")).write.parquet(s3)
+    new java.io.File(s3, "_SUCCESS").delete() // keep only real data files
+    val e = intercept[IllegalArgumentException] {
+      GramStore.append(docs, "text", s3, "b1")
+    }
+    assert(e.getMessage.contains("no _graft_grams.json"), e.getMessage)
+  }
+
+  test("seen-check is a directory probe; a bid filter prunes " +
+      "partitions in-plan") {
+    val store = freshStore("prune")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "b2")
+    // commits are per-bid partition directories (the O(1) probe target)
+    assert(new java.io.File(store, "bid=b1").exists())
+    assert(new java.io.File(store, "bid=b2").exists())
+    // and a bid-filtered read prunes to ONE directory in the plan (the
+    // IvfIndexSpec convention) — the store never pays a full scan for
+    // a replay probe even when read relationally
+    val probe = GramStore.storeDf(spark, store)
+      .filter(col("bid") === "b1")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("bid"), plan)
+    // the partition column is STRING by explicit schema — no inference
+    assert(probe.schema("bid").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(probe.select("bid").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("b1"))
+  }
+
+  test("numeric-lookalike and path-hostile bids stay distinct " +
+      "(no inference collision, escaped directories)") {
+    val store = freshStore("escape")
+    // "1" vs "01": partition-type inference would read both as int 1
+    // and the second append's seen-check would false-positive — the
+    // explicit string schema keeps them distinct
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "01")
+    val expect = {
+      val ref = freshStore("escape-ref")
+      GramStore.append(docs.filter(col("doc_id") <= 2), "text", ref, "a")
+      GramStore.append(docs.filter(col("doc_id") > 2), "text", ref, "b")
+      countMap(ref)
+    }
+    assert(countMap(store) == expect)
+    val before = countMap(store)
+    GramStore.append(docs, "text", store, "1") // replay
+    GramStore.append(docs, "text", store, "01") // replay
+    assert(countMap(store) == before)
+    // a bid full of path-hostile characters round-trips through the
+    // escaped directory name
+    val hostile = "run 2026/08:15 a=b#x%y"
+    GramStore.append(docs.limit(1), "text", store, hostile)
+    val withHostile = countMap(store)
+    GramStore.append(docs.limit(1), "text", store, hostile) // replay
+    assert(countMap(store) == withHostile)
+    assert(GramStore.storeDf(spark, store).select("bid").distinct()
+      .collect().map(_.getString(0)).toSet == Set("1", "01", hostile))
+  }
+
+  test("compaction ledger: a batch replayed after its partition was " +
+      "folded still no-ops (including an empty batch)") {
+    val store = freshStore("ledger")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
+    GramStore.append(docs.limit(0), "text", store, "empty") // zero rows
+    val before = countMap(store)
+    GramStore.compact(spark, store)
+    assert(countMap(store) == before, "compaction changed the counts")
+    // folded ids recorded from the partition DIRECTORIES, so the
+    // empty batch's commit survives the fold too
+    assert(GramStore.foldedBids(spark, store) == Set("b1", "empty"))
+    // the exact corruption ADVICE r13 flagged: replay a pre-compaction
+    // batch — the ledger, not the (gone) partition, must catch it
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
+    GramStore.append(docs, "text", store, "empty")
+    assert(countMap(store) == before, "post-compaction replay double-counted")
+    // a second compaction folds the ledger forward
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "b2")
+    GramStore.compact(spark, store)
+    assert(GramStore.foldedBids(spark, store) == Set("b1", "empty", "b2"))
+    GramStore.append(docs, "text", store, "b2")
+    val ref = freshStore("ledger-ref")
+    GramStore.append(docs, "text", ref, "all")
+    assert(countMap(store) == countMap(ref))
+  }
+
+  test("interrupted park-swap rolls back intact on the next entry") {
+    val store = freshStore("swapcrash")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "b2")
+    val before = countMap(store)
+    // simulate a crash between rename(dir -> old) and rename(tmp -> dir):
+    // no live store directory, the parked copy intact, a half-built tmp
+    assert(new java.io.File(store)
+      .renameTo(new java.io.File(store + ".compact-old")))
+    new java.io.File(store + ".compact-tmp").mkdirs()
+    // ADVICE r13: before recovery existed, the next append saw
+    // exists=false and silently started a FRESH store — now the parked
+    // copy rolls back and everything continues
+    assert(countMap(store) == before, "rollback lost counts")
+    assert(new java.io.File(store).exists())
+    assert(!new java.io.File(store + ".compact-old").exists())
+    assert(!new java.io.File(store + ".compact-tmp").exists())
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
+    assert(countMap(store) == before, "replay after rollback double-counted")
+    // and a later compact still works
+    val (b, a) = GramStore.compact(spark, store)
+    assert(a <= b)
+    assert(countMap(store) == before)
+  }
+
+  test("legacy (bid-as-column) stores migrate in place, preserving " +
+      "per-batch idempotence") {
+    val store = freshStore("legacy")
+    // fabricate a pre-r14 store: un-partitioned rows with bid as a
+    // data column, and a marker that pins only the orders
+    CorpusStats.fusedGramCountsN(docs.filter(col("doc_id") <= 2), "text", 2)
+      .select(col("kind"), col("g"), col("c"))
+      .withColumn("bid", lit("old1"))
+      .write.parquet(store)
+    java.nio.file.Files.write(
+      new java.io.File(store, "_graft_grams.json").toPath,
+      """{"orders":2}""".getBytes("UTF-8"))
+    assert(GramStore.orders(spark, store) == 2)
+    // reading works pre-migration
+    assert(countMap(store).nonEmpty)
+    // the next append migrates to the partitioned layout
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "b2")
+    assert(new java.io.File(store, "bid=old1").exists(), "not migrated")
+    assert(new java.io.File(store, "bid=b2").exists())
+    val ref = freshStore("legacy-ref")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", ref, "x")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", ref, "y")
+    assert(countMap(store) == countMap(ref))
+    // the legacy batch's idempotence survives the migration
+    GramStore.append(docs, "text", store, "old1")
+    assert(countMap(store) == countMap(ref), "legacy bid replayed as new")
+  }
+
   test("stats_ingest stage: explicit batch_id in batch mode, " +
       "pass-through rows, store feeds perplexity_score") {
     val s = spark
