@@ -2421,6 +2421,43 @@ object GraftQueriesML {
           WHERE d.doc_id % 53 <> 0"""
     })
 
+  /** The incremental-statistics form of [[mTrigramBackoff]] (the
+    * [[mBigramXentStore]] convention, one level deeper): the exemplar
+    * subset lands in an orders-3 [[graft.ml.GramStore]] as two batches
+    * with a COMPACTION between them and a post-compaction replay of the
+    * folded batch — exercising the r14 ledger (a batch whose partition
+    * was folded must still no-op) under the oracle. The oracle is
+    * ml_trigram_backoff's SQL VERBATIM: batch counts sum exactly to
+    * one-shot counts through the fold, so store-trained scores must be
+    * bit-identical to corpus-trained ones.
+    */
+  private val mTrigramBackoffStore = Spec("ml_trigram_backoff_store",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("doc_id") % 53 === 0)
+      val store = "/tmp/graft-tri-store-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/grams"
+      val p = new org.apache.hadoop.fs.Path(store).getParent
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 === 0), "text", store, "even",
+        orders = 3)
+      graft.ml.GramStore.compact(s, store) // folds "even" into the ledger
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 =!= 0), "text", store, "odd",
+        orders = 3)
+      // replayed AFTER its partition was folded away: the marker's
+      // ledger (not the gone directory) must make this a no-op
+      graft.ml.GramStore.append(
+        train.filter(col("doc_id") % 2 === 0), "text", store, "even",
+        orders = 3)
+      CorpusStats.trigramStupidBackoffFromStore(
+        d.filter(col("doc_id") % 53 =!= 0), store,
+        "doc_id", "text", alpha = 0.4)
+    },
+    mTrigramBackoff.oracle)
+
   /** DuckDB CTE prefix `fb(doc_id, b)`: the DSIR hashed uni+bigram
     * feature buckets, md5-half hashing ([[Dedup.md5half]] convention).
     */
@@ -2927,6 +2964,7 @@ object GraftQueriesML {
     mGopher, mDedupLines, mC4Lines, mBigramLP, mBigramXent,
     mBigramXentStore,
     mTrigramBackoff,
+    mTrigramBackoffStore,
     mDsirWeights, mDsirSample,
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,

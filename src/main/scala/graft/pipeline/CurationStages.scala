@@ -622,7 +622,26 @@ object CurationStages {
     val df = stagedInput(df0, c)
     val id = idField(c, "perplexity_score")
     val prefix = str(c, "prefix", "lm_")
-    val clash = Seq(prefix + "n_bigrams", prefix + "logprob")
+    // `model: bigram` (default — interpolated bigram, CCNet's shape) or
+    // `model: trigram` (stupid backoff, Brants et al. 2007 — the deeper
+    // count LM for when the exemplar corpus is large enough to populate
+    // trigram tables). Both expose the score as `<prefix>logprob`, so
+    // the gates and bucket labels below work unchanged; the gram count
+    // keeps its model-specific name (`n_bigrams` / `n_trigrams`).
+    val model = str(c, "model", "bigram")
+    require(model == "bigram" || model == "trigram",
+      s"perplexity_score model: `$model` (bigram | trigram)")
+    // a smoothing knob for the OTHER model would be silently ignored —
+    // a config hazard worth refusing (lambda interpolates the bigram;
+    // alpha multiplies the trigram backoff)
+    require(model == "bigram" || !c.contains("lambda"),
+      "perplexity_score: `lambda` is the bigram interpolation weight — " +
+        "the trigram model's knob is `alpha` (backoff multiplier)")
+    require(model == "trigram" || !c.contains("alpha"),
+      "perplexity_score: `alpha` is the trigram backoff multiplier — " +
+        "the bigram model's knob is `lambda` (interpolation weight)")
+    val nCol = if (model == "bigram") "n_bigrams" else "n_trigrams"
+    val clash = Seq(prefix + nCol, prefix + "logprob")
       .filter(df.columns.contains)
     require(clash.isEmpty,
       s"perplexity_score would overwrite existing column(s) " +
@@ -631,39 +650,51 @@ object CurationStages {
     // `train_filter` (filter DSL selecting the exemplar subset) or
     // `train: {path, text_field}` (external clean corpus) the model
     // trains on the REFERENCE and OOV text is penalized — the full
-    // CCNet architecture (CorpusStats.bigramLogProbAgainst)
+    // CCNet architecture (CorpusStats.bigramLogProbAgainst /
+    // trigramStupidBackoff)
     val lam = dbl(c, "lambda", 0.9)
+    val alp = dbl(c, "alpha", 0.4)
+    val text = textField(c)
+    def against(train: DataFrame): DataFrame =
+      if (model == "bigram")
+        CorpusStats.bigramLogProbAgainst(df, train, id, text, lam)
+      else CorpusStats.trigramStupidBackoff(df, train, id, text, alp)
     val raw = (c.get("train_filter"), c.get("train")) match {
       case (Some(f), _) =>
-        val train = df.filter(coalesce(
+        against(df.filter(coalesce(
           graft.filter.FilterCompiler.predicate(f.toString, df.schema),
-          lit(false)))
-        CorpusStats.bigramLogProbAgainst(df, train, id, textField(c), lam)
+          lit(false))))
       case (None, Some(t)) =>
         val tc = t.asInstanceOf[Map[String, Any]]
         tc.get("store") match {
           // `train: {store: path}` — an incremental GramStore built by
           // stats_ingest / GramStore.append: training reads the merged
-          // vocabulary-sized count table, never a training corpus
+          // vocabulary-sized count table, never a training corpus (the
+          // trigram form needs an orders >= 3 store — refused loudly
+          // otherwise)
           case Some(p) =>
             require(!tc.contains("path"),
               "perplexity_score train: give `path` (a corpus) OR " +
                 "`store` (a gram store), not both")
-            CorpusStats.bigramLogProbFromStore(df, p.toString, id,
-              textField(c), lam)
+            if (model == "bigram")
+              CorpusStats.bigramLogProbFromStore(df, p.toString, id,
+                text, lam)
+            else CorpusStats.trigramStupidBackoffFromStore(df,
+              p.toString, id, text, alp)
           case None =>
-            val train = readSideTable(df.sparkSession, tc,
+            against(readSideTable(df.sparkSession, tc,
                 "perplexity_score train")
-              .withColumnRenamed(str(tc, "text_field", "text"),
-                textField(c))
-            CorpusStats.bigramLogProbAgainst(df, train, id, textField(c),
-              lam)
+              .withColumnRenamed(str(tc, "text_field", "text"), text))
         }
-      case _ => CorpusStats.bigramLogProb(df, id, textField(c), lam)
+      case _ =>
+        if (model == "bigram") CorpusStats.bigramLogProb(df, id, text, lam)
+        else against(df) // self-trained stupid backoff
     }
     val scores = raw
-      .withColumnRenamed("n_bigrams", prefix + "n_bigrams")
-      .withColumnRenamed("avg_logprob", prefix + "logprob")
+      .withColumnRenamed(nCol, prefix + nCol)
+      .withColumnRenamed(
+        if (model == "bigram") "avg_logprob" else "avg_logscore",
+        prefix + "logprob")
     val joined = df.join(scores, Seq(id))
     // Gates, most to least scale-safe:
     //   min_logprob_quantile: q — drop the lowest-likelihood q fraction.

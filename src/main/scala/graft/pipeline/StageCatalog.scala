@@ -627,8 +627,8 @@ object StageCatalog {
           |    orders: 2
           |    batch_id: example-batch"""),
       schemaKind = "documents",
-      oracle = Seq("ml_bigram_xent_store"),
-      notes = "The tap that keeps a reference LM's count tables current as data lands: each batch pays ONE fused count pass (vocabulary-of-batch rows appended as (kind, gram, count, batch_id)), and `perplexity_score train: {store: ...}` then retrains from the merged vocabulary-sized table instead of re-scanning the exemplar corpus - batch counts sum EXACTLY to one-shot counts, so store-trained scores are bit-identical (oracle-gated). Idempotent per batch id: streaming runs use the checkpoint attempt token (replays are no-ops); batch runs must supply `batch_id:` explicitly - a random id per run would double-count re-runs, which corrupts every score trained afterwards. The `_graft_grams.json` marker pins the store's orders (a mismatched append is refused - mixed shapes leave higher-order tables silently partial); GramStore.compact folds per-batch rows with the ingest compactor's crash-safe swap."),
+      oracle = Seq("ml_bigram_xent_store", "ml_trigram_backoff_store"),
+      notes = "The tap that keeps a reference LM's count tables current as data lands: each batch pays ONE fused count pass (vocabulary-of-batch rows landing as their own bid=<batch_id> partition), and `perplexity_score train: {store: ...}` then retrains from the merged vocabulary-sized table instead of re-scanning the exemplar corpus - batch counts sum EXACTLY to one-shot counts, so store-trained scores are bit-identical (oracle-gated, bigram AND trigram). Idempotent per batch id UNDER A CRASH AT ANY POINT (r14): the marker (orders pin + compaction ledger) is written before any data, each batch commits by one atomic rename from a hidden staging dir, and the seen-check is an O(1) directory probe plus a ledger lookup - never a store scan, so per-batch overhead stays constant at production batch counts. Streaming runs use the checkpoint attempt token (replays are no-ops); batch runs must supply `batch_id:` explicitly - a random id per run would double-count re-runs, which corrupts every score trained afterwards. GramStore.compact folds per-batch partitions into one and records the folded batch ids in the marker's ledger, so a batch replayed after compaction still no-ops; an interrupted park-swap rolls back intact on the next entry. SINGLE-WRITER per store: appends and compactions must be serialized (Structured Streaming's one-query-per-checkpoint already is); readers are safe alongside a writer."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:
@@ -741,8 +741,8 @@ object StageCatalog {
           |    min_logprob_quantile: 0.1"""),
       schemaKind = "documents",
       oracle = Seq("ml_bigram_logprob", "ml_bigram_xent", "ml_lm_quantile",
-        "ml_lm_buckets"),
-      notes = "Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor; `train: {store: path}` trains from an incremental GramStore (stats_ingest) - a vocabulary-sized scan instead of a training-corpus pass, bit-identical scores. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle). A BUCKETED corpus input (BucketedLayout.load over a Curate --bucket-by output, buckets = shuffle partitions) plans the id-join-backs with ZERO corpus re-shuffle - the per-doc score aggregate's output partitioning is already join-compatible and the corpus side reads co-located buckets (spec-asserted); `train: {path}` parquet references read bucket-aware the same way."),
+        "ml_lm_buckets", "ml_bigram_xent_store", "ml_trigram_backoff_store"),
+      notes = "`model: bigram` (default) or `model: trigram` (stupid backoff, Brants et al. 2007 - knob `alpha:` instead of `lambda:`; a knob for the other model is refused, not ignored); both expose the score as `<prefix>logprob` so gates and buckets compose identically, and both take every train mode incl. `train: {store:}` (trigram needs an orders>=3 store - refused loudly otherwise). Perplexity = exp(-logprob) is monotone in the score, so filters threshold lm_logprob directly. `quantile_buckets: [q1, q2, ...]` labels each doc with the number of percentile_disc thresholds at or below its score (CCNet's head/middle/tail split with [0.33, 0.67]; bucket N-1 = best) - labeling, not gating, composable with either gate; all thresholds come from ONE aggregate pass over the persisted scored table. ONE fused vocabulary count aggregate (unigrams + bigrams in a single corpus pass, persisted type-sized); the per-type probability table assembles with vocabulary-keyed joins; the corpus side is one gram-keyed join (16-byte digest keys, the dup-span convention) — never pairwise. Default is self-trained (word-ORDER anomaly signal); `train_filter:` (filter-DSL exemplar subset) or `train: {path, text_field}` switches to the reference-trained CCNet form, where OOV text is penalized at the add-one unigram floor; `train: {store: path}` trains from an incremental GramStore (stats_ingest) - a vocabulary-sized scan instead of a training-corpus pass, bit-identical scores. Gate with `min_logprob_quantile:` (drop the lowest-likelihood fraction — CCNet's quantile architecture, stable under distribution shift) or `min_logprob:` (absolute threshold, for externally-calibrated cutoffs; silently over- or under-selects when the corpus mix changes) — exactly one of the two. The composed stage input is shared via lazy executor cache by default; `materialize: path` writes it to parquet and reads it back instead — the 100 TB form, where a storage round-trip beats pinning the corpus in cache (caller owns the path's lifecycle). A BUCKETED corpus input (BucketedLayout.load over a Curate --bucket-by output, buckets = shuffle partitions) plans the id-join-backs with ZERO corpus re-shuffle - the per-doc score aggregate's output partitioning is already join-compatible and the corpus side reads co-located buckets (spec-asserted); `train: {path}` parquet references read bucket-aware the same way."),
     StageDoc("dsir_sample", "curation",
       "DSIR importance resampling (Xie et al. 2023): hashed n-gram importance weights vs an exemplar target set, Gumbel top-k selection.",
       y("""pipeline:

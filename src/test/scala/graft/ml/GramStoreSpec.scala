@@ -316,6 +316,71 @@ class GramStoreSpec extends SparkSpec {
     assert(countMap(store) == countMap(ref), "legacy bid replayed as new")
   }
 
+  test("perplexity_score model: trigram — YAML wiring, store training, " +
+      "knob hygiene") {
+    def run(yaml: String, in: org.apache.spark.sql.DataFrame =
+        docs) = graft.pipeline.PipelineCompiler.compile(
+      graft.pipeline.RuleLoader.fromYaml(yaml))(in).main
+    val store3 = freshStore("yaml3")
+    GramStore.append(docs, "text", store3, "all", orders = 3)
+    // store-trained trigram through the stage == the operator directly
+    val scored = run(
+      s"""pipeline:
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    model: trigram
+         |    train: {store: "$store3"}
+         |""".stripMargin)
+    assert(scored.columns.contains("lm_n_trigrams") &&
+      scored.columns.contains("lm_logprob"))
+    val expect = CorpusStats.trigramStupidBackoff(docs, docs,
+      "doc_id", "text")
+    assert(scored.select("doc_id", "lm_n_trigrams", "lm_logprob")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      expect.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    graft.CacheSweep.sweep(spark)
+    // the quantile gate composes on the trigram score unchanged
+    val gated = run(
+      s"""pipeline:
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    model: trigram
+         |    alpha: 0.4
+         |    train: {store: "$store3"}
+         |    min_logprob_quantile: 0.5
+         |""".stripMargin)
+    assert(gated.count() < docs.count() && gated.count() > 0)
+    graft.CacheSweep.sweep(spark)
+    // a smoothing knob for the OTHER model is refused, not ignored
+    val e1 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: perplexity_score\n    id_field: doc_id\n" +
+        "    text_field: text\n    model: trigram\n    lambda: 0.9\n")
+    }
+    assert(e1.getMessage.contains("alpha"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: perplexity_score\n    id_field: doc_id\n" +
+        "    text_field: text\n    alpha: 0.4\n")
+    }
+    assert(e2.getMessage.contains("lambda"), e2.getMessage)
+    // a trigram scorer over an orders-2 store is refused up front
+    val store2 = freshStore("yaml2")
+    GramStore.append(docs, "text", store2, "all", orders = 2)
+    val e3 = intercept[IllegalArgumentException] {
+      run(s"pipeline:\n  - type: perplexity_score\n    id_field: doc_id\n" +
+        s"    text_field: text\n    model: trigram\n" +
+        s"    train: {store: \"$store2\"}\n")
+    }
+    assert(e3.getMessage.contains("orders >= 3"), e3.getMessage)
+    // unknown model name: loud
+    val e4 = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: perplexity_score\n    id_field: doc_id\n" +
+        "    text_field: text\n    model: fourgram\n")
+    }
+    assert(e4.getMessage.contains("bigram | trigram"), e4.getMessage)
+  }
+
   test("stats_ingest stage: explicit batch_id in batch mode, " +
       "pass-through rows, store feeds perplexity_score") {
     val s = spark

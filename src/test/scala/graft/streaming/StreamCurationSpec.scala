@@ -836,6 +836,87 @@ class StreamCurationSpec extends SparkSpec {
     graft.CacheSweep.sweep(s)
   }
 
+  test("stats_ingest (orders 3) -> perplexity_score(model: trigram, " +
+      "train: store): compaction mid-stream keeps checkpoint replays " +
+      "idempotent and the trigram gate grows with the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("selftri").toString + "/grams"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: stats_ingest
+         |    text_field: text
+         |    store: $store
+         |    orders: 3
+         |  - type: perplexity_score
+         |    id_field: doc_id
+         |    text_field: text
+         |    model: trigram
+         |    train: {store: "$store"}
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map.empty[Long, Double]
+    @volatile var failFirst = false
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("doc_id", "lm_logprob").collect()
+      if (failFirst) { failFirst = false; sys.error("sink down") }
+      seen.synchronized {
+        rows.foreach(r => seen(r.getLong(0)) = r.getDouble(1))
+      }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("selftri-ck").toString
+    val b1 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"))
+    mem.addData(b1: _*)
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    graft.CacheSweep.sweep(s)
+    // VERDICT r13 item 6: compact while the SAME checkpoint keeps
+    // appending — batch 1's attempt token is folded into the ledger,
+    // and later replays must stay idempotent across the fold
+    graft.ml.GramStore.compact(s, store)
+    // batch 2 appends its counts, then the SINK fails — the retried
+    // attempt carries the same token and must no-op against the store
+    failFirst = true
+    val b2 = Seq((3L, "the cat sat on the mat"))
+    mem.addData(b2: _*)
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q2.awaitTermination() }
+    graft.CacheSweep.sweep(s)
+    // and compact AGAIN between the failure and the replay — the replay
+    // now has neither its partition (folded) nor a fresh store: only
+    // the ledger stands between it and a double-count
+    graft.ml.GramStore.compact(s, store)
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    graft.CacheSweep.sweep(s)
+    // merged counts == one-shot counts over the whole stream, through
+    // two compactions and one crash-replay
+    val streamed = graft.ml.GramStore.counts(s, store)
+      .select("kind", "g", "c").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val oneShot = graft.ml.CorpusStats.fusedGramCountsN(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", 3)
+      .select("kind", "g", "c").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot,
+      s"streamed counts diverged:\n$streamed\nvs\n$oneShot")
+    // batch 2 scored under the GROWN trigram model (batches 1+2)
+    val expect2 = graft.ml.CorpusStats.trigramStupidBackoff(
+        b2.toDF("doc_id", "text"), (b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(seen(3L) == expect2(3L),
+      s"trigram gate should score under the grown model: ${seen(3L)} " +
+        s"vs ${expect2(3L)}")
+    graft.CacheSweep.sweep(s)
+  }
+
   test("dedup_ingest mode media media_kind audio: re-masters and FLAC " +
       "re-encodes reject cross-batch") {
     val s = spark
