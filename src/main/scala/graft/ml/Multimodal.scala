@@ -475,9 +475,12 @@ object Multimodal {
     * with `fmt` audioFormat 1 (integer PCM), 8-bit unsigned or 16/24-
     * bit signed little-endian, any channel count (stats run over every
     * channel-interleaved value). Amplitudes center at zero (8-bit:
-    * v − 128), sums accumulate in longs (exact), the only floating ops
-    * are the two final divisions and one IEEE sqrt — all correctly
-    * rounded, so an oracle predicts mean_abs/rms to round-6 from the
+    * v − 128), sums accumulate exactly — |v| in a long (bounded by
+    * payload size × 2³¹ < 2⁶³), v² in an unsigned 128-bit hi/lo long
+    * pair ([[addSq]]: a 24-bit sample squares to 2⁴⁶ and a 32-bit FLAC
+    * sample to 2⁶², so seconds of loud audio overflow a single long) —
+    * the only floating ops are the final divisions and one IEEE sqrt,
+    * so an oracle predicts mean_abs/rms to round-6 from the
     * construction parameters. FLAC payloads take the REAL codec path
     * ([[FlacCodec.decode]] — lossless, so the same exact-integer stats
     * apply to the decoded samples). Anything else (float PCM,
@@ -538,21 +541,41 @@ object Multimodal {
       FlacCodec.decode(b).map(_.samples)
     else None
 
-  private def sampleFacts(vals: Array[Int]): Row = {
+  /** Exact unsigned 128-bit accumulation of v² (each term ≤ 2⁶² fits a
+    * long; the running SUM does not: n·2⁴⁶ for 24-bit PCM overflows a
+    * long within ~3 s of loud 44.1 kHz audio, and a 32-bit FLAC sample
+    * pair overflows immediately). `lo` is treated as unsigned; a carry
+    * is detected by the unsigned wrap. Returns the new (hi, lo).
+    */
+  @inline private def addSq(hi: Long, lo: Long, v: Long): (Long, Long) = {
+    val nlo = lo + v * v
+    (if (java.lang.Long.compareUnsigned(nlo, lo) < 0) hi + 1 else hi, nlo)
+  }
+
+  /** The 128-bit (hi, unsigned lo) sum as a double — exact until the
+    * value exceeds 2⁵³ (where double itself rounds; rms is a double
+    * anyway, and the division/sqrt below are the only lossy steps).
+    */
+  @inline private def u128ToDouble(hi: Long, lo: Long): Double =
+    hi.toDouble * 1.8446744073709552E19 +
+      ((lo >>> 1).toDouble * 2.0 + (lo & 1L))
+
+  private[ml] def sampleFacts(vals: Array[Int]): Row = {
     val n = vals.length.toLong
     if (n == 0) return null
-    var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+    var sumAbs = 0L; var sqHi = 0L; var sqLo = 0L; var peak = 0L
     var i = 0
     while (i < vals.length) {
       val v = vals(i).toLong
       val a = math.abs(v)
-      sumAbs += a; sumSq += v * v
+      sumAbs += a
+      val s = addSq(sqHi, sqLo, v); sqHi = s._1; sqLo = s._2
       if (a > peak) peak = a
       i += 1
     }
     Row(n, peak,
       math.round(sumAbs.toDouble / n * 1e6) / 1e6,
-      math.round(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6)
+      math.round(math.sqrt(u128ToDouble(sqHi, sqLo) / n) * 1e6) / 1e6)
   }
 
   private[ml] def parsePcm(b: Array[Byte]): Row = {
@@ -562,18 +585,19 @@ object Multimodal {
       case Some(l) => l
       case None => return null
     }
-    var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+    var sumAbs = 0L; var sqHi = 0L; var sqLo = 0L; var peak = 0L
     var t = 0L
     while (t < n) {
       val v = pcmVal(b, bits, dataOff, t)
       val a = math.abs(v)
-      sumAbs += a; sumSq += v * v
+      sumAbs += a
+      val s = addSq(sqHi, sqLo, v); sqHi = s._1; sqLo = s._2
       if (a > peak) peak = a
       t += 1
     }
     Row(n, peak,
       math.round(sumAbs.toDouble / n * 1e6) / 1e6,
-      math.round(math.sqrt(sumSq.toDouble / n) * 1e6) / 1e6)
+      math.round(math.sqrt(u128ToDouble(sqHi, sqLo) / n) * 1e6) / 1e6)
   }
 
   /** 64-bit perceptual AUDIO hash of an integer-PCM WAV payload, or

@@ -321,16 +321,30 @@ object Similarity {
     // INIT buckets come from pmod(id, k); a non-numeric id (string doc
     // ids are common) would cast to null, every init centroid would
     // silently collapse to the zero vector and the clustering would
-    // degenerate to one cluster with no error — fail loudly instead
+    // degenerate to one cluster with no error. NUMERIC-string ids cast
+    // cleanly and bucket exactly as numerics (long-standing callers —
+    // ADVICE r13 #5 regressed them to a hard failure), so a StringType
+    // id is accepted after ONE cheap short-circuit probe proves every
+    // id parses; anything else (or a non-numeric string) fails loudly
+    // with the xxhash64 hint.
+    val v = col(vecCol).cast("array<double>")
+    val clean = kmeansClean(corpus, v).filter(size(v) === dim)
     corpus.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.StringType =>
+        val bad = clean.filter(col(idCol).isNotNull &&
+          col(idCol).cast("double").isNull).limit(1).count()
+        require(bad == 0L,
+          s"kmeansCentroids: string id column `$idCol` holds " +
+            "non-numeric values — init buckets are pmod(id, k) and a " +
+            "non-numeric id casts to null, silently collapsing the " +
+            "clustering; hash the id to long (e.g. xxhash64) before " +
+            "training")
       case other => throw new IllegalArgumentException(
         s"kmeansCentroids: id column `$idCol` must be numeric (init " +
           s"buckets are pmod(id, k)); got $other — hash a string id to " +
           "long (e.g. xxhash64) before training")
     }
-    val v = col(vecCol).cast("array<double>")
-    val clean = kmeansClean(corpus, v).filter(size(v) === dim)
     def roundedMeans(bucket: Column,
         prev: Option[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
       val agg = clean.groupBy(bucket.cast("int").as("b"))

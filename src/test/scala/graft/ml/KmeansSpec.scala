@@ -120,16 +120,36 @@ class KmeansSpec extends SparkSpec {
       s"clusterSample should shuffle only on the cluster key:\n$plan")
   }
 
-  test("a non-numeric id column fails loudly instead of degenerating") {
+  test("a non-numeric id column fails loudly instead of degenerating; " +
+      "numeric-STRING ids keep working (ADVICE r13 regression)") {
     // pmod(string_id, k) casts to null → every init bucket empty → all
-    // centroids zero → one silent mega-cluster; the schema gate must
-    // reject the call instead
+    // centroids zero → one silent mega-cluster; the gate must reject
+    // non-numeric strings…
     val named = blobs.withColumn("vec_id", concat(lit("doc_"),
       col("vec_id").cast("string")))
     val e = intercept[IllegalArgumentException] {
       Similarity.kmeansCentroids(named, "vec_id", "embedding",
         k = 2, dim = 3, iters = 1)
     }
-    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+    assert(e.getMessage.contains("non-numeric"), e.getMessage)
+    // …while ids that HAPPEN to be strings of digits cast cleanly
+    // inside pmod and must reproduce the numeric trajectory exactly
+    // (callers with string-typed numeric ids worked before the r13
+    // gate and must not regress to a hard failure)
+    val stringy = blobs.withColumn("vec_id", col("vec_id").cast("string"))
+    val viaString = Similarity.kmeansCentroids(stringy, "vec_id",
+      "embedding", k = 2, dim = 3, iters = 2)
+    val viaLong = Similarity.kmeansCentroids(blobs, "vec_id",
+      "embedding", k = 2, dim = 3, iters = 2)
+    assert(viaString == viaLong,
+      s"string-id trajectory diverged:\n$viaString\nvs\n$viaLong")
+    // other types still refused up front
+    val ts = blobs.withColumn("vec_id",
+      org.apache.spark.sql.functions.to_timestamp(lit("2026-01-01")))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(ts, "vec_id", "embedding",
+        k = 2, dim = 3, iters = 1)
+    }
+    assert(e2.getMessage.contains("must be numeric"), e2.getMessage)
   }
 }

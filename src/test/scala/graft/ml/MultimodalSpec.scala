@@ -703,6 +703,51 @@ class MultimodalSpec extends SparkSpec {
       math.round(sa24.toDouble / v24.length * 1e6) / 1e6)
   }
 
+  test("parsePcm/sampleFacts: sum-of-squares survives loud long audio " +
+      "(ADVICE r13 — a single long overflows within seconds of 24-bit)") {
+    // 140000 full-scale 24-bit samples: sumSq = 140000 * 8388607^2
+    // ~ 9.85e18 > Long.MaxValue — the r13 long accumulator wrapped
+    // negative here and rms came out NaN/garbage; the 128-bit pair
+    // must report rms == the constant amplitude exactly
+    val n = 140000
+    val amp = 8388607
+    val b = java.nio.ByteBuffer.allocate(44 + n * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 3)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(48000).putInt(48000 * 3)
+      .putShort(3).putShort(24)
+      .put("data".getBytes("US-ASCII")).putInt(n * 3)
+    (0 until n).foreach { _ =>
+      b.put((amp & 0xFF).toByte).put(((amp >> 8) & 0xFF).toByte)
+        .put(((amp >> 16) & 0xFF).toByte)
+    }
+    val r = Multimodal.parsePcm(b.array())
+    assert(r != null)
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == amp.toLong)
+    assert(r.getDouble(2) == amp.toDouble, s"mean_abs ${r.getDouble(2)}")
+    assert(r.getDouble(3) == amp.toDouble, s"rms ${r.getDouble(3)}")
+    // the FLAC-fed kernel at 32-bit depth: 3 near-extreme samples
+    // already exceed 2^63 in summed squares
+    val v32 = Array.fill(3)(-2147483647)
+    val f = Multimodal.sampleFacts(v32)
+    assert(f.getLong(0) == 3L && f.getLong(1) == 2147483647L)
+    assert(f.getDouble(2) == 2147483647.0 && f.getDouble(3) == 2147483647.0,
+      s"32-bit stats: $f")
+    // and a mixed-sign loud ramp agrees with BigInt-exact arithmetic
+    val ramp = Array.tabulate(100000)(i =>
+      (if (i % 2 == 0) 1 else -1) * (8000000 + i))
+    val g = Multimodal.sampleFacts(ramp)
+    val exactSq = ramp.map(v => BigInt(v.toLong) * v).sum
+    val expectRms = math.round(math.sqrt(
+      (BigDecimal(exactSq) / ramp.length).toDouble) * 1e6) / 1e6
+    // the kernel's 128->double conversion and BigDecimal's may round an
+    // ulp apart before the sqrt — compare at the rounding grain
+    assert(math.abs(g.getDouble(3) - expectRms) <= 1e-6,
+      s"${g.getDouble(3)} vs $expectRms")
+  }
+
   test("wavPcmBytes: sawtooth payload round-trips through parsePcm exactly") {
     val s = spark
     import s.implicits._
