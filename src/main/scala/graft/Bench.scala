@@ -86,20 +86,7 @@ object Bench {
     // 1 at launch, WAIT (up to 5 minutes) for the window instead of
     // committing a noisy artifact; if it never quiets, the env block
     // records an explicit waiver rather than silence
-    val loadGate: String = {
-      def load(): Double = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      val initial = load()
-      var waited = 0
-      while (load() > 1.0 && waited < 300) {
-        System.err.println(f"[bench] load_avg ${load()}%.2f > 1.0 — waiting")
-        Thread.sleep(30000); waited += 30
-      }
-      val fin = load()
-      val status = if (fin > 1.0) "waiver: still contended after wait"
-                   else "ok"
-      f"""{"initial":$initial%.2f,"at_start":$fin%.2f,"waited_s":$waited,"status":"$status"}"""
-    }
+    val loadGate: String = LoadGate.await(300)
 
     // JVM/codegen warm-up on the smallest tier, not timed
     headline.foreach { case (_, fn) =>
@@ -255,19 +242,30 @@ object Bench {
     // tier, each with wall time + planned exchange count — linearity
     // evidence without cross-referencing BASELINE.md. Disable with
     // SPARK_GRAFT_SCALE=0.
+    //
+    // r14 item 4: the tiers run under the SAME quiet-window discipline
+    // as the headline — a load gate BEFORE the section (shorter cap than
+    // the launch gate: the 1-min average still carries our own headline
+    // work, which decays in ~1–2 min; an external hog outlasts the cap
+    // and lands in the recorded waiver) and min-of-3 (+2 when
+    // sub-second) inside ScaleProof.run, matching measure()'s N. The
+    // gate result is embedded in the artifact under "load_gate" so a
+    // contended scale table convicts itself.
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") """"disabled""""
       else try {
         val out = "/tmp/graft-x10-" +
           sfDir.replaceAll("[^A-Za-z0-9.]", "_")
         ScaleProof.buildReplicas(spark, sfDir, out)
+        val scaleGate = LoadGate.await(180, tag = "bench-scale")
         val tiers = ScaleProof.run(spark, Seq("base" -> sfDir, "x10" -> out))
-        tiers.groupBy(_.query).toSeq.sortBy(_._1).map { case (q, rs) =>
+        val qjson = tiers.groupBy(_.query).toSeq.sortBy(_._1).map { case (q, rs) =>
           val base = rs.find(_.tier == "base").get
           val x10 = rs.find(_.tier == "x10").get
           val ratio = if (base.secMin > 0) x10.secMin / base.secMin else -1.0
           f""""$q":{"base_sec":${base.secMin}%.3f,"x10_sec":${x10.secMin}%.3f,"ratio":$ratio%.2f,"base_rows":${base.rows},"x10_rows":${x10.rows},"exchanges":${x10.exchanges}}"""
         }.mkString("{", ",", "}")
+        s"""{"load_gate":$scaleGate,"queries":$qjson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale section failed: ${e.getMessage}")
         """"failed""""

@@ -45,6 +45,39 @@ object ScaleProof {
     (lower + upper + digits,
       rot(lower, i) + rot(upper, i) + rot(digits, i))
 
+  /** Per-replica seeded alphabet PERMUTATION for the x100 tier (VERDICT
+    * r13 item 3). Rotation — the x10 scheme — has period 26 on letters
+    * and 10 on digits: at 100 replicas, replicas i and i+26 map every
+    * letter-only word IDENTICALLY, so whole shingles collide across
+    * replicas and the pair queries would measure replication leakage,
+    * not 100× data. A Fisher–Yates permutation seeded by the replica id
+    * keeps the in-replica shingle structure exactly (any character
+    * bijection does: shingles map bijectively, so intersections, unions
+    * and document frequencies are preserved one-for-one), while two
+    * replicas map a whole k-word shingle identically only if their
+    * permutations agree on EVERY distinct character in it — probability
+    * ≤ (1/26)^m for m distinct letters, negligible at shingle width 3.
+    * Residual cross-replica leakage is measured, not assumed: the x100
+    * runner records same-replica purity for the pair queries. Identity
+    * at i = 0, so the original corpus is replica 0 verbatim (the
+    * rotation convention).
+    *
+    * Uppercase mirrors the lowercase permutation, preserving case
+    * structure the way rotation did (case-folding pipelines see the
+    * same token statistics either way).
+    */
+  private[graft] def permuted(i: Int): (String, String) = {
+    val id = lower + upper + digits
+    if (i == 0) (id, id)
+    else {
+      val rnd = new scala.util.Random(
+        0x9E3779B97F4A7C15L ^ (i.toLong * 6364136223846793005L))
+      val pl = rnd.shuffle(lower.toList).mkString
+      val pd = rnd.shuffle(digits.toList).mkString
+      (id, pl + pl.toUpperCase(java.util.Locale.ROOT) + pd)
+    }
+  }
+
   /** Fingerprint of the source tables (path, length, mtime per file) —
     * the reuse marker carries it so replicas of REGENERATED testdata
     * rebuild instead of silently comparing base-vs-x10 across different
@@ -101,6 +134,116 @@ object ScaleProof {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
+  }
+
+  /** x100 fixture (VERDICT r13 item 3): 100 permutation-isomorphic
+    * replicas of the sf0.1 `documents` and `embeddings` tables — the two
+    * tables the flagship scalers read. `events` (and the TPC-H tables)
+    * are deliberately omitted: no flagship query touches them, and the
+    * tier exists to test the claimed growth laws one decade past x10,
+    * not to re-replicate the whole warehouse. Character maps come from
+    * [[permuted]] (rotation saturates at 26 replicas); embeddings reuse
+    * the diagonal ±1 map, which is collision-free at any replica count
+    * (hash(i, j) keys the sign).
+    */
+  val Replicas100 = 100
+
+  def buildReplicas100(spark: SparkSession, src: String, out: String): Unit = {
+    val done = new java.io.File(out, "_REPLICAS_OK")
+    val fp = s"n=$Replicas100\n" + sourceFingerprint(src)
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath),
+          "UTF-8") == fp) return
+    new java.io.File(out).mkdirs()
+
+    val docs = Tables.table(spark, src, "documents")
+    val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until Replicas100).map { i =>
+      val (from, to) = permuted(i)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i * docMax))
+        .withColumn("text", translate(col("text"), from, to))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.table(spark, src, "embeddings")
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until Replicas100).map { i =>
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(i * embMax))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
+  }
+
+  /** LSH candidate-pair count at the tier's scaled geometry: Σ over
+    * (band, key) buckets of C(n, 2), eligible buckets only (n ≤
+    * `maxBucketSize`, mirroring [[graft.ml.Similarity.cosineNearDupPairs]]'s
+    * cap) — the pre-distinct join volume, i.e. exactly the quantity that
+    * grew 98.7× for 10× rows under fixed-r geometry (NOTES_r13) and that
+    * [[graft.ml.Similarity.scaledLshGeometry]]'s n·log n claim bounds.
+    * Recorded per tier in the x100 artifact so the growth law is
+    * measured, not extrapolated.
+    */
+  def lshCandidatePairs(spark: SparkSession, dir: String,
+                        maxBucketSize: Int = 4096): Long = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val geo = graft.ml.Similarity.scaledLshGeometry(emb.count(), 64)
+    val banded = emb
+      .select(col("vec_id").as("id"),
+        posexplode(graft.ml.Similarity.lshBandKeys(col("embedding"), geo)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val row = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucketSize)
+      // integer DIV: `/` on longs is SQL double division — lossy past
+      // 2^53 and the wrong type for an exact count
+      .agg(coalesce(sum(expr("(n * (n - 1)) DIV 2")), lit(0L)).as("pairs"))
+      .head()
+    row.getLong(0)
+  }
+
+  /** Containment inverted-index candidate-pair count: Σ over eligible
+    * grams (df ≤ `maxDf`) of C(df, 2) — the exact output volume of
+    * [[graft.ml.Dedup.containmentPairs]]'s index self-join before the
+    * (a,b) aggregation, replicating the operator's own df accounting
+    * (occurrence counts over the same shingle explode).
+    */
+  def containmentCandidatePairs(spark: SparkSession, dir: String,
+                                k: Int = 3, maxDf: Int = 64): Long = {
+    val d = Tables.table(spark, dir, "documents")
+    val grams = d
+      .select(col("doc_id").as("id"),
+        explode(graft.ml.Dedup.shingles(col("text"), k)).as("g"))
+      .select(unhex(md5(col("g"))).as("gd"))
+    grams.groupBy(col("gd")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .agg(coalesce(sum(expr("(df * (df - 1)) DIV 2")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Per-tier LM input sizes for the xent/backoff amortization-floor
+    * claim (NOTES_r13's decomposition, extended a decade): corpus
+    * bigram occurrences and distinct types, and the train-side unigram
+    * vocabulary — the three quantities that scaled exactly 10× at x10.
+    */
+  def xentInputs(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val d = Tables.table(spark, dir, "documents")
+    val words = filter(split(col("text"), " "), x => x =!= "")
+    val corpus = d.filter(col("doc_id") % 53 =!= 0)
+      .select(words.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("g"))
+    val occ = corpus.count()
+    val types = corpus.distinct().count()
+    val vocab = d.filter(col("doc_id") % 53 === 0)
+      .select(explode(words).as("t")).distinct().count()
+    (occ, types, vocab)
   }
 
   final case class TierResult(query: String, tier: String, rows: Long,
@@ -203,40 +346,128 @@ object ScaleProof {
       "ml_trigram_backoff" -> GraftQueries.queries("ml_trigram_backoff"))
 
   /** Run the two-tier headline subset; one [[TierResult]] per
-    * (query, tier). Callers own warm-up.
+    * (query, tier). Callers own warm-up (and the quiet-window gate —
+    * [[LoadGate]]; Bench gates before calling, [[main]] gates at
+    * launch).
+    *
+    * Discipline matches the headline's measure() (r14 item 4): min of 3
+    * rebuild-and-run passes, +2 passes when the first three all land
+    * sub-second — a single contended run can't corrupt the signal, and
+    * min≈median in `secs` proves the window was quiet.
     */
   def run(spark: SparkSession, tiers: Seq[(String, String)],
-          runs: Int = 2,
+          runs: Int = 3,
           queries: Seq[(String, (SparkSession, String) => DataFrame)] = headline)
       : Seq[TierResult] =
     for ((name, fn) <- queries; (tier, dir) <- tiers) yield {
       val df = fn(spark, dir)
       val exchanges = planExchanges(df)
-      val times = (1 to runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         CacheSweep.sweep(spark)
         dt
       }
+      val first = (1 to runs).map(_ => once())
+      val times = if (runs >= 3 && first.min < 1.0) first ++ Seq.fill(2)(once())
+                  else first
       val rows = fn(spark, dir).count()
       CacheSweep.sweep(spark)
       TierResult(name, tier, rows, times.min, times, exchanges)
     }
 
-  def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
-    val out = args.headOption.getOrElse("/tmp/graft-sf1")
-    // optional trailing args: run only these queries (local iteration)
-    val only = args.drop(1).toSet
-    val picked =
-      if (only.isEmpty) headline else headline.filter(q => only(q._1))
+  /** The x100 flagship subset (VERDICT r13 item 3): the five queries
+    * whose growth laws were, until r14, extrapolations from one decade —
+    * the scaled-geometry LSH pair (n·log n candidate-work claim), the
+    * df-capped containment index, and the two trained count-LMs
+    * (amortization-floor claim).
+    */
+  val flagship100: Seq[String] = Seq("ml_bigram_xent", "ml_embed_neardup",
+    "ml_knn_graph", "ml_containment_pairs", "ml_trigram_backoff")
+
+  private def session(): SparkSession = {
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** Three-tier run over the flagship subset: base (sf0.1), x10
+    * (rotation replicas), x100 (permutation replicas), with per-tier
+    * candidate-pair counts, LM input sizes, and same-replica purity for
+    * the pair queries. `runMain graft.ScaleProof x100 [out10] [out100]`;
+    * one JSON line per fact — redirect to the committed artifact.
+    */
+  private def mainX100(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out10 = args.headOption.getOrElse("/tmp/graft-sf1")
+    val out100 = args.drop(1).headOption.getOrElse("/tmp/graft-sf10")
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "scale-x100")
+    println(s"""{"load_gate":$gate}""")
+    buildReplicas(spark, src, out10)
+    buildReplicas100(spark, src, out100)
+    val picked = headline.filter(q => flagship100.contains(q._1))
+    picked.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      CacheSweep.sweep(spark)
+    }
+    val tiers = Seq("base" -> src, "x10" -> out10, "x100" -> out100)
+    for (r <- run(spark, tiers, queries = picked)) {
+      println(f"""{"query":"${r.query}","tier":"${r.tier}","rows":${r.rows},"sec_min":${r.secMin}%.3f,"sec_all":[${r.secs.map(t => f"$t%.3f").mkString(",")}],"exchanges":${r.exchanges}}""")
+    }
+    // growth-law inputs, AFTER the timings so the extra executions can't
+    // warm or contend with them
+    val docMax = Tables.table(spark, src, "documents")
+      .agg(max("doc_id")).head().getLong(0) + 1
+    val embMax = Tables.table(spark, src, "embeddings")
+      .agg(max("vec_id")).head().getLong(0) + 1
+    for ((tier, dir) <- tiers) {
+      val lsh = lshCandidatePairs(spark, dir)
+      CacheSweep.sweep(spark)
+      val cont = containmentCandidatePairs(spark, dir)
+      CacheSweep.sweep(spark)
+      val (occ, types, vocab) = xentInputs(spark, dir)
+      CacheSweep.sweep(spark)
+      // same-replica purity of the two pair queries on replica tiers:
+      // in-replica pairs are the structure-preserving signal; the
+      // leftover is chance cross-replica collision (thresholded pair
+      // queries) measured, not assumed away
+      val purity = if (tier == "base") "" else {
+        def frac(df: DataFrame, off: Long): String = {
+          val tot = df.count()
+          val same = df.filter(
+            floor(col("a") / off) === floor(col("b") / off)).count()
+          CacheSweep.sweep(spark)
+          s"""{"pairs":$tot,"same_replica":$same}"""
+        }
+        val nd = frac(picked.find(_._1 == "ml_embed_neardup").get._2(spark, dir), embMax)
+        val cp = frac(picked.find(_._1 == "ml_containment_pairs").get._2(spark, dir), docMax)
+        s""","embed_neardup_purity":$nd,"containment_purity":$cp"""
+      }
+      println(s"""{"tier":"$tier","lsh_candidate_pairs":$lsh,"containment_candidate_pairs":$cont,"bigram_occurrences":$occ,"bigram_types":$types,"train_vocab":$vocab$purity}""")
+    }
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("x100")) { mainX100(args.drop(1)); return }
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    // optional trailing args: run only these queries (local iteration)
+    val only = args.drop(1).toSet
+    val picked =
+      if (only.isEmpty) headline else headline.filter(q => only(q._1))
+    val spark = session()
+    // standalone runs carry the same quiet-window discipline as the
+    // official artifact (r14 item 4) — the gate result goes to stderr,
+    // not the JSON lines, so existing consumers parse unchanged
+    System.err.println(s"[scale] load_gate ${LoadGate.await(300, tag = "scale")}")
 
     buildReplicas(spark, src, out)
 
