@@ -406,12 +406,17 @@ object ScaleProof {
     val src = "/root/testdata/sf0.1"
     val out10 = args.headOption.getOrElse("/tmp/graft-sf1")
     val out100 = args.drop(1).headOption.getOrElse("/tmp/graft-sf10")
+    // optional trailing args: run only these queries (local iteration,
+    // the generic main's convention); counters/purity skip absent ones
+    val only = args.drop(2).toSet
     val spark = session()
     val gate = LoadGate.await(300, tag = "scale-x100")
-    println(s"""{"load_gate":$gate}""")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    println(s"""{"load_gate":$gate,"heap_max_mb":$heapMb,"procs":${Runtime.getRuntime.availableProcessors()}}""")
     buildReplicas(spark, src, out10)
     buildReplicas100(spark, src, out100)
-    val picked = headline.filter(q => flagship100.contains(q._1))
+    val picked = headline.filter(q => flagship100.contains(q._1) &&
+      (only.isEmpty || only(q._1)))
     picked.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
@@ -446,9 +451,13 @@ object ScaleProof {
           CacheSweep.sweep(spark)
           s"""{"pairs":$tot,"same_replica":$same}"""
         }
-        val nd = frac(picked.find(_._1 == "ml_embed_neardup").get._2(spark, dir), embMax)
-        val cp = frac(picked.find(_._1 == "ml_containment_pairs").get._2(spark, dir), docMax)
-        s""","embed_neardup_purity":$nd,"containment_purity":$cp"""
+        val nd = picked.find(_._1 == "ml_embed_neardup")
+          .map(q => s""","embed_neardup_purity":${frac(q._2(spark, dir), embMax)}""")
+          .getOrElse("")
+        val cp = picked.find(_._1 == "ml_containment_pairs")
+          .map(q => s""","containment_purity":${frac(q._2(spark, dir), docMax)}""")
+          .getOrElse("")
+        nd + cp
       }
       println(s"""{"tier":"$tier","lsh_candidate_pairs":$lsh,"containment_candidate_pairs":$cont,"bigram_occurrences":$occ,"bigram_types":$types,"train_vocab":$vocab$purity}""")
     }

@@ -1176,20 +1176,30 @@ object Similarity {
     *    10³. A single constant-size bucket set would make the self-join
     *    O(n²/buckets) — the scale-killer this banding removes.
     *  - candidates are OR-combined across bands (a pair is a candidate if
-    *    ANY band collides), deduplicated BEFORE scoring so the exact
-    *    cosine runs once per pair, not once per colliding band.
+    *    ANY band collides); the exact cosine is computed INSIDE the band
+    *    self-join — where both normalized vectors are already present in
+    *    the joined row — then thresholded, and only the surviving narrow
+    *    (a, b, sim) rows are deduplicated across bands. A pair colliding
+    *    in several bands recomputes an identical dot per band (the bands
+    *    are OR-duplicates, ~1.2× at target occupancy), which is the
+    *    right trade: the alternative — dedup narrow candidates first,
+    *    then join the vectors back for one scoring pass — re-shuffles
+    *    candidates × vector-width bytes TWICE (measured 8.5 GB and the
+    *    dominant, GC-noisy cost at the 200k-vector x100 tier, r14
+    *    decomposition), while the in-join dot ships the wide rows
+    *    through ONE exchange (reused by both self-join sides) and every
+    *    later shuffle is 24-byte rows, already threshold-filtered.
     *  - `maxBucketSize` drops degenerate buckets (a plane set aligned with
     *    the corpus distribution can pile mass into one key; a capped
     *    bucket contributes ≤ cap²/2 pairs instead of unbounded).
     *    Oversized buckets are found with one map-side-combined aggregate
-    *    and broadcast-anti-joined away (same shape as
-    *    [[Dedup.minhashPairs]]): the self-join branches stay narrow
-    *    cached-signature → band-explode, with no per-branch
-    *    Exchange+Sort from a count window.
+    *    (column pruning keeps the vector out of its shuffle) and
+    *    broadcast-anti-joined away (same shape as [[Dedup.minhashPairs]]),
+    *    with no per-branch Exchange+Sort from a count window.
     *
-    * The compact signature table (id + one key per band) is persisted once
-    * and feeds both join branches; vectors are re-joined only for the
-    * verified candidates. Cache lifetime is caller-owned — see
+    * The signature table (id + normalized vector + one key per band) is
+    * persisted once and feeds both self-join branches through a single
+    * reused exchange. Cache lifetime is caller-owned — see
     * [[graft.CacheSweep]].
     */
   /** Semantic dedup keep-set (SemDeDup, Abbas et al. 2023 "SemDeDup:
@@ -1261,23 +1271,21 @@ object Similarity {
         .otherwise(col("v")).as("u"),
       lshBandKeys(col("v"), bandPlanes).as("ks")).persist()
     val banded = sig
-      .select(col("id"), posexplode(col("ks")))
+      .select(col("id"), col("u"), posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val oversized = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
-    val cand = l.join(r, col("l.band") === col("r.band") &&
+    // dot INSIDE the band join (both u's are in the joined row), filter,
+    // THEN dedup the narrow survivors — see the scaladoc trade-off
+    l.join(r, col("l.band") === col("r.band") &&
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
-    val va = sig.select(col("id").as("a"), col("u").as("ua"))
-    val vb = sig.select(col("id").as("b"), col("u").as("ub"))
-    cand.join(va, "a").join(vb, "b")
-      .select(col("a"), col("b"),
-        round(dot(col("ua"), col("ub")), 6).as("sim"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        round(dot(col("l.u"), col("r.u")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .groupBy(col("a"), col("b")).agg(first(col("sim")).as("sim"))
   }
 
   /** Clustering-quality audit against a ground-truth label column:

@@ -100,7 +100,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,
     "ml_ivf_kmeans_topk" -> 2,  // same probe/score plan, trained centroids
-    "ml_embed_neardup" -> 9,
+    "ml_embed_neardup" -> 7,   // r14: dot computed IN the band join —
+                               // the narrow-candidate → wide verify-join
+                               // re-shuffle (2 exchanges) is gone
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k
@@ -111,7 +113,7 @@ class PlanGuardSpec extends SparkSpec {
     "ml_containment_pairs" -> 7, // df-capped inverted-index self-join:
                                // gram agg, semi, per-doc n, pair agg,
                                // two n joins, orderBy (occ cache inside)
-    "ml_knn_graph" -> 10,      // the embed_neardup candidate machinery
+    "ml_knn_graph" -> 7,       // the embed_neardup candidate machinery
                                // + the per-node top-k window shuffle
     "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
                                // from the count) + banded bucket joins
@@ -157,6 +159,8 @@ class PlanGuardSpec extends SparkSpec {
                                // joined; the threshold is a plan-time
                                // scalar folded in as a literal
     "ml_trigram_backoff" -> 11, // the bigram_xent shape + one more count
+    "ml_trigram_backoff_store" -> 11, // same scoring plan; counts come
+                               // from the store's bid partitions
                                // level (two extra type-keyed left joins)
     "ml_bigram_xent" -> 9,     // the bigram-LM shape with a corpus-type
                                // distinct + three LEFT prob-table joins
