@@ -1331,8 +1331,15 @@ object Similarity {
     * a self-join — incremental batches never pair with themselves — and
     * the bucket cap counts BOTH sides jointly (a pile-up on either side
     * blows up the same join, the nearDupAgainst convention). Vectors
-    * normalize once per row; candidates dedup before the single
-    * dot-product verify.
+    * normalize once per row; the dot runs INSIDE the band join (the
+    * r14 [[cosineNearDupPairs]] re-shape: re-joining vectors onto
+    * deduplicated narrow candidates shipped candidate-count ×
+    * vector-width bytes through two more exchanges — measured as the
+    * dominant, GC-noisy cost at the x100 tier), and only surviving
+    * incoming ids cross the final distinct. A pair colliding in
+    * several bands recomputes an identical dot per band; the outcome
+    * — "this incoming id has a verified reference neighbor" — is
+    * band-count-invariant.
     */
   def cosineNearDupAgainst(incoming: DataFrame, ref: DataFrame,
       idCol: String, vecCol: String, bandPlanes: Seq[Seq[Seq[Double]]],
@@ -1351,7 +1358,8 @@ object Similarity {
     // verify joins — the cosineNearDupPairs convention, CacheSweep-
     // released by the caller
     val sig = sigOf(incoming, 0).unionByName(sigOf(ref, 1)).persist()
-    val banded = sig.select(col("id"), col("side"), posexplode(col("ks")))
+    val banded = sig.select(col("id"), col("side"), col("u"),
+        posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val oversized = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
@@ -1359,17 +1367,10 @@ object Similarity {
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.filter(col("side") === 0).alias("l")
     val r = capped.filter(col("side") === 1).alias("r")
-    val cand = l.join(r, col("l.band") === col("r.band") &&
-        col("l.key") === col("r.key"))
-      .select(col("l.id").as("iid"), col("r.id").as("rid"))
-      .distinct()
-    val vi = sig.filter(col("side") === 0)
-      .select(col("id").as("iid"), col("u").as("ui"))
-    val vr = sig.filter(col("side") === 1)
-      .select(col("id").as("rid"), col("u").as("ur"))
-    val dirty = cand.join(vi, "iid").join(vr, "rid")
-      .filter(round(dot(col("ui"), col("ur")), 6) >= threshold)
-      .select(col("iid")).distinct()
+    val dirty = l.join(r, col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key") &&
+        round(dot(col("l.u"), col("r.u")), 6) >= threshold)
+      .select(col("l.id").as("iid")).distinct()
     incoming.join(dirty, col(idCol) === col("iid"), "left_anti")
   }
 

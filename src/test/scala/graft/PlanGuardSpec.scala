@@ -118,7 +118,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_minhash_pairs" -> 6,   // persisted signature table (excluded
                                // from the count) + banded bucket joins
     "ml_minhash_signature" -> 1,
-    "ml_embed_neardup_against" -> 10, // two-sided band join + verify
+    "ml_embed_neardup_against" -> 7, // two-sided band join, dot in-join
+                               // (r14) — no narrow-candidate verify
+                               // re-join
     "ml_neardup_against" -> 10,
     "ml_neardup_clusters" -> 1, // settled checkpoint scan, label select
     "ml_cluster_split" -> 3,   // label join back to the corpus (2 sides)
