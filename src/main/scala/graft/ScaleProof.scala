@@ -239,11 +239,12 @@ object ScaleProof {
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
         .as("g"))
-    val occ = corpus.count()
-    val types = corpus.distinct().count()
+    // one pass over the corpus explode for both counts — a separate
+    // count + distinct().count() re-executes the full split+explode
+    val row = corpus.agg(count(lit(1)), count_distinct(col("g"))).head()
     val vocab = d.filter(col("doc_id") % 53 === 0)
       .select(explode(words).as("t")).distinct().count()
-    (occ, types, vocab)
+    (row.getLong(0), row.getLong(1), vocab)
   }
 
   final case class TierResult(query: String, tier: String, rows: Long,
@@ -370,7 +371,7 @@ object ScaleProof {
         dt
       }
       val first = (1 to runs).map(_ => once())
-      val times = if (runs >= 3 && first.min < 1.0) first ++ Seq.fill(2)(once())
+      val times = if (runs >= 3 && first.max < 1.0) first ++ Seq.fill(2)(once())
                   else first
       val rows = fn(spark, dir).count()
       CacheSweep.sweep(spark)
@@ -444,12 +445,17 @@ object ScaleProof {
       // leftover is chance cross-replica collision (thresholded pair
       // queries) measured, not assumed away
       val purity = if (tier == "base") "" else {
+        // ONE aggregate pass per query: total and same-replica counts
+        // together — a count-then-filtered-count would execute the full
+        // pair query twice per tier, and these are the tier's most
+        // expensive plans
         def frac(df: DataFrame, off: Long): String = {
-          val tot = df.count()
-          val same = df.filter(
-            floor(col("a") / off) === floor(col("b") / off)).count()
+          val row = df.agg(count(lit(1)),
+            coalesce(sum(when(
+              floor(col("a") / off) === floor(col("b") / off), 1L)
+              .otherwise(0L)), lit(0L))).head()
           CacheSweep.sweep(spark)
-          s"""{"pairs":$tot,"same_replica":$same}"""
+          s"""{"pairs":${row.getLong(0)},"same_replica":${row.getLong(1)}}"""
         }
         val nd = picked.find(_._1 == "ml_embed_neardup")
           .map(q => s""","embed_neardup_purity":${frac(q._2(spark, dir), embMax)}""")

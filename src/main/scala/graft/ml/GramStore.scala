@@ -121,8 +121,21 @@ object GramStore {
     root.put("layout", m.layout)
     val arr = root.putArray("folded")
     m.folded.toSeq.sorted.foreach(arr.add)
-    val out = f.create(new Path(dir, Marker), true)
+    // write-then-rename: a crash mid-write must never leave a truncated
+    // marker in place — readMeta refuses malformed JSON LOUDLY, so a
+    // partial marker would brick the store until hand-repaired (the one
+    // marker mutation on a LIVE store is the first append's; the
+    // compact/migrate markers are built inside a tmp dir and committed
+    // by the whole-dir park-swap). The dot-prefixed temp is invisible
+    // to parquet reads and tolerated by the fresh-store check; the
+    // single-writer contract (StageCatalog) makes the fixed temp name
+    // safe. The rename target never pre-exists at any call site (fresh
+    // store / fresh tmp dir), so plain rename semantics suffice.
+    val tmp = new Path(dir, "." + Marker + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
+    require(f.rename(tmp, new Path(dir, Marker)),
+      s"writeMeta: could not commit $tmp -> $Marker in $dir")
   }
 
   /** Repair an interrupted [[compact]]/migration park-swap: a crash

@@ -332,14 +332,21 @@ object Similarity {
     corpus.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => ()
       case org.apache.spark.sql.types.StringType =>
+        // the probe must reject non-FINITE parses too: 'NaN'/'Infinity'
+        // strings cast to non-null doubles, but pmod(NaN, k) is NaN,
+        // whose int cast is null — those rows would fall out of every
+        // init bucket with no error, the silent degeneration this gate
+        // exists to refuse
+        val cast = col(idCol).cast("double")
         val bad = clean.filter(col(idCol).isNotNull &&
-          col(idCol).cast("double").isNull).limit(1).count()
+          (cast.isNull || isnan(cast) || cast === Double.PositiveInfinity ||
+            cast === Double.NegativeInfinity)).limit(1).count()
         require(bad == 0L,
           s"kmeansCentroids: string id column `$idCol` holds " +
-            "non-numeric values — init buckets are pmod(id, k) and a " +
-            "non-numeric id casts to null, silently collapsing the " +
-            "clustering; hash the id to long (e.g. xxhash64) before " +
-            "training")
+            "non-numeric or non-finite values — init buckets are " +
+            "pmod(id, k) and such ids bucket to null, silently " +
+            "collapsing the clustering; hash the id to long (e.g. " +
+            "xxhash64) before training")
       case other => throw new IllegalArgumentException(
         s"kmeansCentroids: id column `$idCol` must be numeric (init " +
           s"buckets are pmod(id, k)); got $other — hash a string id to " +

@@ -161,9 +161,9 @@ class PlanGuardSpec extends SparkSpec {
                                // joined; the threshold is a plan-time
                                // scalar folded in as a literal
     "ml_trigram_backoff" -> 11, // the bigram_xent shape + one more count
+                               // level (two extra type-keyed left joins)
     "ml_trigram_backoff_store" -> 11, // same scoring plan; counts come
                                // from the store's bid partitions
-                               // level (two extra type-keyed left joins)
     "ml_bigram_xent" -> 9,     // the bigram-LM shape with a corpus-type
                                // distinct + three LEFT prob-table joins
     "ml_bigram_xent_store" -> 9, // the same returned plan; the store

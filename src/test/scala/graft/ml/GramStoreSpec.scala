@@ -184,6 +184,32 @@ class GramStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("no _graft_grams.json"), e.getMessage)
   }
 
+  test("marker writes are atomic: a crash mid-write leaves only the " +
+      "dot-temp, and the retry starts clean") {
+    // r14 review finding: writeMeta used create+write in place — a
+    // crash mid-write left a TRUNCATED marker that readMeta refuses
+    // forever (store bricked until hand-repaired). With write-then-
+    // rename, the worst crash state is a dot-prefixed temp next to no
+    // marker, which a retry simply overwrites.
+    val s = freshStore("marker-atomic")
+    new java.io.File(s).mkdirs()
+    // simulate the crash state: temp written (even truncated), rename
+    // never happened
+    java.nio.file.Files.write(
+      new java.io.File(s, "._graft_grams.json.tmp").toPath,
+      """{"orders":""".getBytes("UTF-8"))
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", s, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", s, "b2")
+    val clean = freshStore("marker-atomic-ref")
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", clean, "b1")
+    GramStore.append(docs.filter(col("doc_id") > 2), "text", clean, "b2")
+    assert(countMap(s) == countMap(clean),
+      "retry after a marker-temp crash must count exactly once")
+    // and a successful append leaves no temp behind
+    assert(!new java.io.File(s, "._graft_grams.json.tmp").exists())
+    assert(new java.io.File(s, "_graft_grams.json").exists())
+  }
+
   test("seen-check is a directory probe; a bid filter prunes " +
       "partitions in-plan") {
     val store = freshStore("prune")

@@ -151,5 +151,18 @@ class KmeansSpec extends SparkSpec {
         k = 2, dim = 3, iters = 1)
     }
     assert(e2.getMessage.contains("must be numeric"), e2.getMessage)
+    // …and non-FINITE numeric strings: 'NaN'/'Infinity' cast to
+    // non-null doubles, but pmod(NaN, k)'s int cast is null — those
+    // rows would silently fall out of every init bucket (r14 review
+    // finding); the probe must refuse them like any non-numeric id
+    for (evil <- Seq("NaN", "Infinity", "-Infinity")) {
+      val poisoned = stringy.withColumn("vec_id",
+        when(col("vec_id") === "0", lit(evil)).otherwise(col("vec_id")))
+      val e3 = intercept[IllegalArgumentException] {
+        Similarity.kmeansCentroids(poisoned, "vec_id", "embedding",
+          k = 2, dim = 3, iters = 1)
+      }
+      assert(e3.getMessage.contains("non-finite"), s"$evil: ${e3.getMessage}")
+    }
   }
 }
