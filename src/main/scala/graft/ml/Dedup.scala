@@ -122,6 +122,18 @@ object Dedup {
     // neither survives 100 TB. The persisted form is the compact
     // pre-explode signature (id + n smallints); the cheap band explode
     // runs per branch, and AQE sizes the join off the cached table.
+    //
+    // r14 note — why this persist STAYS while cosineNearDupPairs' was
+    // removed: Spark 4 AQE wraps each cache scan in its own
+    // TableCacheQueryStage, which breaks sibling-exchange reuse, so the
+    // persist doubles the banded shuffle here too. Measured at the x100
+    // documents tier: persist 7 stages / 320 MB vs no-persist 6 / 217 MB,
+    // wall times equal within noise. The banded rows are NARROW (id +
+    // short band key), so the doubled shuffle is ~100 MB where the
+    // embed operator doubled a vector-wide one — and dropping the
+    // persist would recompute the minhash aggregate (the dominant,
+    // CPU-heavy leg) in the oversized-bucket branch. Compute is the
+    // scarce resource here; shuffle is there.
     val banded = sig.persist()
       .select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -818,7 +830,11 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
     // occ persists lazily (its three consumers — perDoc, both join sides
     // — would each re-run the explode+df-cap otherwise); released by
-    // [[graft.CacheSweep]], the minhashPairs convention
+    // [[graft.CacheSweep]], the minhashPairs convention. r14: measured
+    // no-persist at the x100 tier (the TableCacheQueryStage reuse
+    // finding) — 8 stages / 4643 MB vs 7 / 4529 MB, times equal within
+    // noise: the pair-aggregate shuffle dominates either way, and the
+    // persist still saves the third (perDoc) gram-explode re-run. Stays.
     shared
       .join(perDoc.select(col("id").as("a"), col("n").as("na")), Seq("a"))
       .join(perDoc.select(col("id").as("b"), col("n").as("nb")), Seq("b"))

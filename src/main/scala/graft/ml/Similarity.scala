@@ -1205,9 +1205,18 @@ object Similarity {
     *    with no per-branch Exchange+Sort from a count window.
     *
     * The signature table (id + normalized vector + one key per band) is
-    * persisted once and feeds both self-join branches through a single
-    * reused exchange. Cache lifetime is caller-owned — see
-    * [[graft.CacheSweep]].
+    * deliberately NOT persisted (r14, measured): Spark 4's AQE wraps
+    * each scan of a cached table in its own TableCacheQueryStage, whose
+    * distinct stage ids make the two self-join side exchanges —
+    * canonically EQUAL without the cache — non-reusable, so the persist
+    * that once prevented double signature computation CAUSED a double
+    * wide shuffle (measured at the 200k-vector x100 tier: 6 shuffle
+    * stages / 2.73 GB written with the persist vs 4 / 1.37 GB without;
+    * wall 3.9–15.9 s vs 3.1–6.7 s). Un-persisted, both sides share ONE
+    * reused exchange — compute-once AND shuffle-once, with no cache
+    * memory. The price is one extra scan+key pass in the narrow
+    * oversized-bucket aggregate branch (embarrassingly parallel CPU;
+    * the shuffle is the scarce resource at cluster scale).
     */
   /** Semantic dedup keep-set (SemDeDup, Abbas et al. 2023 "SemDeDup:
     * Data-efficient learning at web-scale through semantic
@@ -1276,7 +1285,7 @@ object Similarity {
       col("id"),
       when(col("n") > 0, transform(col("v"), x => x / col("n")))
         .otherwise(col("v")).as("u"),
-      lshBandKeys(col("v"), bandPlanes).as("ks")).persist()
+      lshBandKeys(col("v"), bandPlanes).as("ks"))
     val banded = sig
       .select(col("id"), col("u"), posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
