@@ -194,7 +194,11 @@ object Dedup {
                    maxBucketSize: Int = 4096,
                    maxHamming: Int = Int.MaxValue): DataFrame = {
     // persisted pre-explode for the same reason as [[minhashPairs]]:
-    // one simhash aggregation, not two
+    // one simhash aggregation, not two. r14 audit: the persist blocks
+    // AQE sibling-exchange reuse (the cosineNearDupPairs finding), but
+    // the banded rows here are four longs — the doubled shuffle is
+    // trivia next to recomputing the 32-bit-sum aggregate, the minhash
+    // trade exactly.
     val sig = simhashes(df, idCol, textCol).persist()
     val banded = sig.select(col("id"), col("sh"),
       explode(array(
