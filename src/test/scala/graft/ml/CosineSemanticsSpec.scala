@@ -77,6 +77,37 @@ class CosineSemanticsSpec extends SparkSpec {
       s"operator/defn diverged:\nonly-op=${got -- expected}\nonly-defn=${expected -- got}")
   }
 
+  test("knnGraph == per-node top-k over the banded candidate edges " +
+      "(driver recompute)") {
+    val dim = 8
+    val bp = planes(4, 4, dim)
+    val df = corpus(40, dim)
+    val k = 3
+    val ks = keysOf(df, bp)
+    val u = normOf(df)
+    // candidate UNDIRECTED pairs by band collision, scored exactly
+    val pairs = (for {
+      a <- ks.keys; b <- ks.keys if a < b
+      if ks(a).zip(ks(b)).exists { case (x, y) => x == y }
+    } yield {
+      val sim = BigDecimal(u(a).zip(u(b)).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, sim)
+    }).toSeq
+    // both directed edges; per node: top-k by (sim desc, dst asc)
+    val expected = pairs.flatMap { case (a, b, s) => Seq((a, b, s), (b, a, s)) }
+      .groupBy(_._1).toSeq.flatMap { case (src, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(k).zipWithIndex
+          .map { case ((_, dst, s), i) => (src, i + 1, dst, s) }
+      }.toSet
+    val got = Similarity.knnGraph(df, "id", "v", bp, k = k,
+        maxBucketSize = 4096)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"knnGraph/defn diverged:\nonly-op=${got -- expected}\nonly-defn=${expected -- got}")
+  }
+
   test("against-variant drops exactly the incoming ids with a verified " +
       "band-colliding reference neighbor") {
     val dim = 8
