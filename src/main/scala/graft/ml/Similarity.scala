@@ -1279,8 +1279,10 @@ object Similarity {
     val base = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm(col("v")))
-    // the persisted signature table carries the normalized vector too:
-    // the verify step joins IT, not a fresh parquet scan
+    // the signature table is NOT persisted: both self-join sides read it
+    // through one reused exchange (Spark 4 AQE wraps each cache scan in
+    // its own TableCacheQueryStage, which defeats exchange reuse and
+    // doubles the wide shuffle — measured r14, PLANS persist table)
     val sig = base.select(
       col("id"),
       when(col("n") > 0, transform(col("v"), x => x / col("n")))

@@ -289,7 +289,8 @@ class GramStoreSpec extends SparkSpec {
     assert(countMap(store) == countMap(ref))
   }
 
-  test("interrupted park-swap rolls back intact on the next entry") {
+  test("interrupted park-swap: a READER falls back to the parked copy " +
+      "without repairing; the next WRITER entry rolls back") {
     val store = freshStore("swapcrash")
     GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
     GramStore.append(docs.filter(col("doc_id") > 2), "text", store, "b2")
@@ -299,18 +300,72 @@ class GramStoreSpec extends SparkSpec {
     assert(new java.io.File(store)
       .renameTo(new java.io.File(store + ".compact-old")))
     new java.io.File(store + ".compact-tmp").mkdirs()
+    // VERDICT r14 #3: a reader must NOT repair — a rollback here could
+    // be stealing a LIVE compactor's park target. It outwaits the retry
+    // window, reads the complete parked copy, and mutates nothing.
+    assert(countMap(store) == before, "reader lost the parked counts")
+    assert(!new java.io.File(store).exists(),
+      "reader mutated the store (rolled back) — writer-only repair")
+    assert(new java.io.File(store + ".compact-old").exists())
+    assert(new java.io.File(store + ".compact-tmp").exists())
     // ADVICE r13: before recovery existed, the next append saw
-    // exists=false and silently started a FRESH store — now the parked
-    // copy rolls back and everything continues
-    assert(countMap(store) == before, "rollback lost counts")
+    // exists=false and silently started a FRESH store — the parked
+    // copy rolls back on WRITER entry and everything continues
+    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
     assert(new java.io.File(store).exists())
     assert(!new java.io.File(store + ".compact-old").exists())
     assert(!new java.io.File(store + ".compact-tmp").exists())
-    GramStore.append(docs.filter(col("doc_id") <= 2), "text", store, "b1")
     assert(countMap(store) == before, "replay after rollback double-counted")
     // and a later compact still works
     val (b, a) = GramStore.compact(spark, store)
     assert(a <= b)
+    assert(countMap(store) == before)
+  }
+
+  test("a reader interleaved between compact's two renames retries; " +
+      "the compaction completes (VERDICT r14 #3)") {
+    // Build the EXACT mid-swap state a compactor passes through: a
+    // complete tmp (built by a real compact of an identical store) and
+    // the live dir parked. A background 'compactor' finishes the swap
+    // 300 ms later; the reader's counts() must retry into the swapped
+    // store instead of rolling the park back and making the
+    // compactor's second rename fail — the r14 reader-repair race.
+    val store = freshStore("swaprace")
+    val twin = freshStore("swaprace-twin")
+    for (s <- Seq(store, twin)) {
+      GramStore.append(docs.filter(col("doc_id") <= 2), "text", s, "b1")
+      GramStore.append(docs.filter(col("doc_id") > 2), "text", s, "b2")
+    }
+    val before = countMap(store)
+    GramStore.compact(spark, twin) // twin now holds the post-fold state
+    assert(new java.io.File(twin)
+      .renameTo(new java.io.File(store + ".compact-tmp")))
+    assert(new java.io.File(store)
+      .renameTo(new java.io.File(store + ".compact-old")))
+    // mid-swap. The 'compactor' completes after the reader has entered
+    // its retry loop.
+    @volatile var swapOk = false
+    val compactor = new Thread(() => {
+      Thread.sleep(300)
+      val a = new java.io.File(store + ".compact-tmp")
+        .renameTo(new java.io.File(store))
+      val b = { // compact's final cleanup
+        val old = new java.io.File(store + ".compact-old")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(old); !old.exists()
+      }
+      swapOk = a && b
+    })
+    compactor.start()
+    val read = countMap(store) // enters the retry window mid-swap
+    compactor.join()
+    assert(swapOk, "reader aborted the live compaction (park stolen " +
+      "or tmp consumed) — the r14 reader-repair race")
+    assert(read == before, "reader saw wrong counts across the swap")
+    assert(GramStore.foldedBids(spark, store) == Set("b1", "b2"))
     assert(countMap(store) == before)
   }
 
