@@ -1151,11 +1151,23 @@ object Similarity {
     */
   def scaledLshGeometry(n: Long, dim: Int, targetOccupancy: Int = 8,
                         minPlanes: Int = 8): Seq[Seq[Seq[Double]]] = {
-    require(n > 0 && dim > 0 && targetOccupancy > 0,
-      "scaledLshGeometry: bad geometry")
+    require(dim > 0, "scaledLshGeometry: bad dim")
+    val (b, r) = scaledLshBandsPlanes(n, targetOccupancy, minPlanes)
+    rademacherBandPlanes(bands = b, planesPerBand = r, dim)
+  }
+
+  /** The (bands, planesPerBand) pair [[scaledLshGeometry]] sizes for a
+    * corpus of `n` rows — exposed separately so config surfaces that
+    * PIN geometry (the dedup_ingest store marker) can resolve and
+    * record the numbers the plane builder will use.
+    */
+  def scaledLshBandsPlanes(n: Long, targetOccupancy: Int = 8,
+                           minPlanes: Int = 8): (Int, Int) = {
+    require(n > 0 && targetOccupancy > 0,
+      "scaledLshBandsPlanes: bad geometry")
     val r = math.max(minPlanes, math.ceil(
       math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
-    rademacherBandPlanes(bands = r, planesPerBand = r, dim)
+    (r, r)
   }
 
   def lshBandKeys(vec: Column, bandPlanes: Seq[Seq[Seq[Double]]]): Column = {
@@ -1291,8 +1303,10 @@ object Similarity {
     val banded = sig
       .select(col("id"), col("u"), posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "cosine_pairs")
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
@@ -1379,8 +1393,10 @@ object Similarity {
     val banded = sig.select(col("id"), col("side"), col("u"),
         posexplode(col("ks")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "cosine_against")
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.filter(col("side") === 0).alias("l")

@@ -240,12 +240,33 @@ object CurationStages {
         val vec = str(c, "vec_field", "embedding")
         require(pre.columns.contains(vec),
           s"knn_graph: no `$vec` column (set vec_field)")
-        val planes = graft.ml.Similarity.rademacherBandPlanes(
-          int(c, "bands", 8), int(c, "planes_per_band", 8),
-          int(c, "dim", 64))
-        graft.ml.Similarity.knnGraph(pre, idField(c, "knn_graph"), vec,
-          planes, k = int(c, "k", 10),
-          maxBucketSize = int(c, "max_bucket_size", 4096))
+        val dim = int(c, "dim", 64)
+        if (c.contains("bands") || c.contains("planes_per_band")) {
+          // explicit geometry — the operator trusts the caller
+          val planes = graft.ml.Similarity.rademacherBandPlanes(
+            int(c, "bands", 8), int(c, "planes_per_band", 8), dim)
+          graft.ml.Similarity.knnGraph(pre, idField(c, "knn_graph"), vec,
+            planes, k = int(c, "k", 10),
+            maxBucketSize = int(c, "max_bucket_size", 4096))
+        } else {
+          // DEFAULT: size the banded-LSH geometry FROM THE CORPUS at
+          // plan time (Similarity.scaledLshGeometry — one count()).
+          // The former fixed 8×8 default is the classic LSH scale
+          // trap: 2^8 buckets/band saturate as the corpus grows
+          // (measured 98.7× candidate pairs at 10× rows, NOTES_r13),
+          // and because oversized buckets are EXEMPTED from pairing,
+          // saturation does not blow the join up — it silently drops
+          // recall toward zero. Self-sizing reproduces 8×8 on small
+          // corpora (n ≤ 2048 at the default occupancy), so existing
+          // configs see identical output until they actually grow.
+          // stagedInput shares the composed upstream across the count
+          // and the graph (the perplexity_score convention).
+          val src = stagedInput(pre, c)
+          val geo = graft.ml.Similarity.scaledLshGeometry(src.count(), dim)
+          graft.ml.Similarity.knnGraph(src, idField(c, "knn_graph"), vec,
+            geo, k = int(c, "k", 10),
+            maxBucketSize = int(c, "max_bucket_size", 4096))
+        }
       case "cluster_sample" =>
         // Cluster-balanced diversity sample (ml/Similarity.clusterSample):
         // deterministic k-means over the embedding column, then a
@@ -1105,8 +1126,9 @@ object CurationStages {
           s""""rows_per_band":${int(c, "rows_per_band", 3)},""" +
           s""""shingle_k":${int(c, "shingle_k", 3)}}"""
       case "embedding" =>
-        s"""{"mode":"embedding","bands":${int(c, "bands", 8)},""" +
-          s""""planes_per_band":${int(c, "planes_per_band", 8)},""" +
+        val (bands, ppb) = embedBandsPlanes(c)
+        s"""{"mode":"embedding","bands":$bands,""" +
+          s""""planes_per_band":$ppb,""" +
           s""""dim":${int(c, "dim", 64)}}"""
       // media keys live in a DIFFERENT key space (16-hex aHash / md5 of
       // bytes, never md5 of text) — no geometry, but incompatible with
@@ -1119,6 +1141,31 @@ object CurationStages {
       case "media" =>
         s"""{"mode":"media","media_kind":"${mediaKind(c)}"}"""
       case _ => """{"mode":"exact"}"""
+    }
+
+  /** Resolved (bands, planesPerBand) for an embedding-mode LSH config.
+    * Explicit `bands:`/`planes_per_band:` win; otherwise
+    * `expected_corpus: <rows>` sizes the geometry with
+    * [[graft.ml.Similarity.scaledLshBandsPlanes]] — the scale-safe
+    * path for a store whose geometry is PINNED at creation (an ingest
+    * store cannot count a corpus that has not arrived yet, so the
+    * caller declares the order of magnitude it is building toward;
+    * err HIGH — oversizing r costs a few extra bands of narrow keys,
+    * undersizing saturates the keyspace and silently drops near-dup
+    * recall via the bucket-cap exemption). With neither knob the
+    * legacy 8×8 applies (adequate to ~2k rows; existing stores have it
+    * marker-pinned). RE-BANDING an existing store = rebuild it: band
+    * keys of different geometry are incomparable, so the marker
+    * refuses the mismatch loudly — re-ingest the corpus into a fresh
+    * store with the new knob rather than editing the marker.
+    */
+  private def embedBandsPlanes(c: Map[String, Any]): (Int, Int) =
+    if (c.contains("bands") || c.contains("planes_per_band"))
+      (int(c, "bands", 8), int(c, "planes_per_band", 8))
+    else c.get("expected_corpus") match {
+      case Some(n) =>
+        graft.ml.Similarity.scaledLshBandsPlanes(n.toString.toLong)
+      case None => (8, 8)
     }
 
   /** The validated `media_kind` of a media-mode stage config. */
@@ -1247,7 +1294,7 @@ object CurationStages {
               s"dedup_ingest store $store holds near-mode state but this " +
                 "pipeline is configured for mode embedding — use a " +
                 "separate store per fuzzy contract")
-            val bands = int(c, "bands", 8)
+            val bands = embedBandsPlanes(c)._1
             ekeysLen.foreach(len => require(len == bands,
               s"dedup_ingest store $store holds sign-LSH band keys of " +
                 s"length $len but this pipeline's bands = $bands — match " +
@@ -1558,12 +1605,13 @@ object CurationStages {
     val refBanded = refSigs.map(r =>
       explodeBands(r.withColumnRenamed("rsig", "sig"), "rh"))
 
-    val oversized = refBanded
-      .map(r => batchBanded.select("band", "band_key")
-        .union(r.select("band", "band_key")))
-      .getOrElse(batchBanded.select("band", "band_key"))
-      .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).select("band", "band_key")
+    val oversized = graft.ml.CapAudit.observed(refBanded
+        .map(r => batchBanded.select("band", "band_key")
+          .union(r.select("band", "band_key")))
+        .getOrElse(batchBanded.select("band", "band_key"))
+        .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket), "ingest_near")
+      .select("band", "band_key")
     val cappedBatch = batchBanded.join(broadcast(oversized),
       Seq("band", "band_key"), "left_anti")
 
@@ -1610,8 +1658,7 @@ object CurationStages {
                            bid: String, c: Map[String, Any], id: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val vecF = str(c, "vec_field", "embedding")
-    val bands = int(c, "bands", 8)
-    val ppb = int(c, "planes_per_band", 8)
+    val (bands, ppb) = embedBandsPlanes(c)
     val dim = int(c, "dim", 64)
     val threshold = dbl(c, "threshold", 0.9)
     val maxBucket = int(c, "max_bucket", 4096)
@@ -1638,12 +1685,13 @@ object CurationStages {
     val batchBanded = explodeBands(sigs, "id")
     val refBanded = refSigs.map(explodeBands(_, "rh"))
 
-    val oversized = refBanded
-      .map(r => batchBanded.select("band", "band_key")
-        .union(r.select("band", "band_key")))
-      .getOrElse(batchBanded.select("band", "band_key"))
-      .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).select("band", "band_key")
+    val oversized = graft.ml.CapAudit.observed(refBanded
+        .map(r => batchBanded.select("band", "band_key")
+          .union(r.select("band", "band_key")))
+        .getOrElse(batchBanded.select("band", "band_key"))
+        .groupBy("band", "band_key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket), "ingest_embedding")
+      .select("band", "band_key")
     val cappedBatch = batchBanded.join(broadcast(oversized),
       Seq("band", "band_key"), "left_anti")
 

@@ -597,13 +597,11 @@ object StageCatalog {
           |    id_field: vec_id
           |    vec_field: embedding
           |    dim: 64
-          |    bands: 8
-          |    planes_per_band: 8
           |    k: 10
           |    max_bucket_size: 4096"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_knn_graph"),
-      notes = "The NN-descent seed / graph-dedup / label-propagation structure; exact all-pairs is O(n^2) by definition, so the LSH candidate set IS the scale path (recall tunable via bands x planes_per_band; 0.8 recall@5 floor spec-gated on the clustered fixture). Output is EDGES, not the input schema (the bm25_topk result-set precedent). Candidate generation shares the cosineNearDupPairs plan (persisted signature table, capped buckets, one scoring per pair); both directed edges come from one pass and per-node top-k plans as WindowGroupLimit. Whole-corpus by construction - batch only."),
+      notes = "The NN-descent seed / graph-dedup / label-propagation structure; exact all-pairs is O(n^2) by definition, so the LSH candidate set IS the scale path (0.8 recall@5 floor spec-gated on the clustered fixture). GEOMETRY SELF-SIZES from the corpus at plan time by default (one count(), Similarity.scaledLshGeometry: r = ceil(log2(n/8)) planes and bands, min 8x8 - identical to the old fixed default up to ~2k rows): a fixed 8x8 keyspace saturates as the corpus grows (measured 98.7x candidate pairs at 10x rows), and because oversized buckets are exempted from pairing, saturation silently DROPS recall rather than blowing the join up. Explicit `bands:`/`planes_per_band:` override the self-sizing. Output is EDGES, not the input schema (the bm25_topk result-set precedent). Candidate generation shares the cosineNearDupPairs plan (capped buckets, one scoring per pair); both directed edges come from one pass and per-node top-k plans as WindowGroupLimit. Whole-corpus by construction - batch only."),
     StageDoc("cluster_assign", "curation",
       "Narrow embedding-cluster labeling: plan-time-trained deterministic k-means centroids, nearest-centroid label per row (malformed vectors label null, rows never drop).",
       y("""pipeline:
@@ -642,7 +640,7 @@ object StageCatalog {
           |    shingle_k: 3
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, `bands`, `planes_per_band`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -399,6 +399,68 @@ class StreamCurationSpec extends SparkSpec {
     assert(keys.filter(col("ecodes").isNull).count() == 0L)
   }
 
+  test("dedup_ingest mode embedding: expected_corpus sizes the pinned " +
+      "LSH geometry (VERDICT r14 #1); mismatched later runs refused") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-emb-geo").toString + "/keys"
+    def runBatch(extra: String, rows: Seq[(Long, Seq[Double])]): Seq[Long] =
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"""pipeline:
+           |  - type: dedup_ingest
+           |    mode: embedding
+           |    id_field: doc_id
+           |    vec_field: embedding
+           |    dim: 4
+           |    store: $store
+           |$extra""".stripMargin))(rows.toDF("doc_id", "embedding"))
+        .main.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // expected_corpus: 1e6 -> r = ceil(log2(1e6/8)) = 17 bands x 17
+    // planes, pinned into the store marker at creation
+    runBatch("    expected_corpus: 1000000\n",
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))))
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"bands\":17") &&
+      marker.contains("\"planes_per_band\":17"), marker)
+    // the stored state really carries 17 band keys
+    val keys = s.read.parquet(store)
+    assert(keys.select(size(col("ekeys"))).head().getInt(0) == 17)
+    // a later run WITHOUT the knob resolves the legacy 8x8 — a
+    // different fuzzy contract over the same store must fail loudly
+    // (silent partial dedup is the quiet failure the marker refuses)
+    intercept[IllegalArgumentException] {
+      runBatch("", Seq((2L, Seq(0.0, 1.0, 0.0, 0.0))))
+    }
+    // the same knob re-resolves the same geometry: accepted
+    val admitted = runBatch("    expected_corpus: 1000000\n",
+      Seq((2L, Seq(0.0, 1.0, 0.0, 0.0))))
+    assert(admitted == Seq(2L))
+    // explicit bands/planes_per_band beat the knob (and pin their own
+    // contract on a fresh store)
+    val store2 = java.nio.file.Files
+      .createTempDirectory("ingest-emb-geo2").toString + "/keys"
+    graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    mode: embedding
+         |    id_field: doc_id
+         |    vec_field: embedding
+         |    dim: 4
+         |    bands: 2
+         |    planes_per_band: 3
+         |    expected_corpus: 1000000
+         |    store: $store2
+         |""".stripMargin))(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("doc_id", "embedding"))
+      .main.collect()
+    val marker2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store2, "_graft_mode.json")), "UTF-8")
+    assert(marker2.contains("\"bands\":2") &&
+      marker2.contains("\"planes_per_band\":3"), marker2)
+  }
+
   test("dedup_ingest mode embedding: malformed vectors never fail the batch") {
     val s = spark
     import s.implicits._
