@@ -137,8 +137,10 @@ object Dedup {
     val banded = sig.persist()
       .select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val oversized = banded.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        banded.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "minhash_pairs")
       .select(col("band"), col("band_key"))
     val capped = banded.join(broadcast(oversized),
       Seq("band", "band_key"), "left_anti")
@@ -205,8 +207,10 @@ object Dedup {
         struct(lit(0).as("band"), (col("sh").bitwiseAND(lit(0xFFFFL))).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "simhash_pairs")
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     val l = capped.alias("l"); val r = capped.alias("r")
@@ -258,8 +262,10 @@ object Dedup {
           shiftrightunsigned(col("fp"), b * width)
             .bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
       .select(col("id"), col("fp"), col("b.band"), col("b.key"))
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "hamming_pairs")
       .select(col("band"), col("key"))
     val capped = banded.join(broadcast(oversized), Seq("band", "key"),
       "left_anti")
@@ -302,8 +308,10 @@ object Dedup {
         .select(col("id"), col("fp"), col("side"), col("b.band"), col("b.key"))
     val all = banded(incoming, 0).unionByName(
       banded(ref.select(col(idCol), col(fpCol)), 1)).persist()
-    val oversized = all.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        all.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "hamming_against")
       .select(col("band"), col("key"))
     val capped = all.join(broadcast(oversized), Seq("band", "key"),
       "left_anti")
@@ -603,8 +611,10 @@ object Dedup {
     }
     val inc = banded(incoming)
     val rf = banded(ref)
-    val oversized = inc.union(rf).groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+    val oversized = CapAudit.observed(
+        inc.union(rf).groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize),
+        "neardup_against")
       .select(col("band"), col("band_key"))
     val cappedInc = inc.join(broadcast(oversized),
       Seq("band", "band_key"), "left_anti")

@@ -112,12 +112,21 @@ object MetricsRegistry {
     values.foreach { case (metric, v) => add(metric, stage, v) }
   }
 
+  /** Counter state, merged with the accumulator-backed bucket-cap
+    * exemption audit ([[graft.ml.CapAudit]] — `stage="cap_<op>"`), so
+    * the one snapshot (and the Prometheus text built from it) carries
+    * both observation-fed and accumulator-fed counters.
+    */
   def snapshot(): Map[(String, String), Long] = {
     import scala.jdk.CollectionConverters._
-    counters.asScala.map { case (k, v) => k -> v.sum() }.toMap
+    counters.asScala.map { case (k, v) => k -> v.sum() }.toMap ++
+      graft.ml.CapAudit.snapshot()
   }
 
-  def reset(): Unit = counters.clear()
+  def reset(): Unit = {
+    counters.clear()
+    graft.ml.CapAudit.reset()
+  }
 
   private def recordRow(name: String, row: org.apache.spark.sql.Row): Unit = {
     val values = row.schema.fieldNames.flatMap { f =>
