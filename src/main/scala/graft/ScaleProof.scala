@@ -180,6 +180,135 @@ object ScaleProof {
     java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
   }
 
+  /** Exact-cosine planted near-duplicates (VERDICT r14 item 2): for
+    * every base vector u with ‖u‖ > 0, a partner at EXACTLY cosine c —
+    * u' = c·û + √(1−c²)·ŵ⊥, where w is a deterministic per-id
+    * pseudo-random vector and ŵ⊥ its component orthogonal to û,
+    * normalized. c cycles [[PlantCosines]] by `vec_id % 5`, all above
+    * the production near-dup threshold 0.9, so ground truth AT the
+    * threshold is known by construction: pair (i, i + `embMax`) has
+    * cosine exactly `PlantCosines(i % 5)`. Replication with the
+    * diagonal ±1 sign map preserves every in-replica cosine
+    * bit-for-bit, so the truth set scales exactly with the replica
+    * count — the fixture that turns "per-band collision survives the r
+    * growth at production thresholds" from theory into a measured
+    * recall row (PLANS r14's honesty note: `scaledLshGeometry` trades
+    * NEAR-threshold recall for bounded candidate work; this measures
+    * how much, where users actually run dedup).
+    *
+    * Every intermediate is materialized into its own column — a lambda
+    * referencing an inline expression re-evaluates it per element (no
+    * CSE inside lambda bodies, the Dedup.shingles pitfall).
+    */
+  val PlantCosines: Seq[Double] = Seq(0.91, 0.93, 0.95, 0.97, 0.99)
+
+  def plantNearDups(emb: DataFrame, embMax: Long, dim: Int = 64): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0d),
+        (a, x) => a + x * x)))
+      .filter(col("__n") > 0)
+      .withColumn("__u", transform(col("__v"), x => x / col("__n")))
+      .withColumn("__w", transform(sequence(lit(0), lit(dim - 1)),
+        j => pmod(hash(col("vec_id"), j), lit(1000)).cast("double")
+          / lit(500.0) - lit(1.0)))
+      .withColumn("__d", aggregate(
+        zip_with(col("__w"), col("__u"), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("__wp", zip_with(col("__w"), col("__u"),
+        (a, b) => a - col("__d") * b))
+      .withColumn("__np", sqrt(aggregate(col("__wp"), lit(0.0d),
+        (a, x) => a + x * x)))
+      .filter(col("__np") > 1e-9)
+      .withColumn("__c", element_at(array(PlantCosines.map(lit): _*),
+        (col("vec_id") % 5).cast("int") + 1))
+      .withColumn("__s", sqrt(lit(1.0) - col("__c") * col("__c")) / col("__np"))
+    base.select(col("vec_id"), col("__v").as("embedding"))
+      .unionByName(base.select(
+        (col("vec_id") + lit(embMax)).as("vec_id"),
+        zip_with(col("__u"), col("__wp"),
+          (a, b) => col("__c") * a + col("__s") * b).as("embedding")))
+  }
+
+  /** The recall fixture's three tiers: base = sf0.1 embeddings +
+    * planted partners (ids offset by embMax), x10/x100 = sign-map
+    * replicas (in-replica cosines preserved exactly; cross-replica
+    * decorrelated). One parquet per tier under `out`.
+    */
+  def buildRecallTiers(spark: SparkSession, src: String,
+                       out: String): Seq[(String, String, Int)] = {
+    val done = new java.io.File(out, "_RECALL_OK")
+    val fp = sourceFingerprint(src)
+    val emb = Tables.table(spark, src, "embeddings")
+    val embMax = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val newMax = 2 * embMax
+    val tiers = Seq(("base", s"$out/base", 1), ("x10", s"$out/x10", 10),
+      ("x100", s"$out/x100", 100))
+    if (!(done.exists() && new String(java.nio.file.Files.readAllBytes(
+        done.toPath), "UTF-8") == fp)) {
+      new java.io.File(out).mkdirs()
+      // materialize the planted base ONCE, replicate from the parquet
+      // scan: a 100-branch union whose every branch re-plans the full
+      // planting subtree (norms, orthogonalization, per-element
+      // lambdas) spends minutes in analysis alone, while scan-per-
+      // branch is the r14 buildReplicas100 shape and compiles in
+      // seconds
+      plantNearDups(emb, embMax)
+        .write.mode("overwrite").parquet(s"$out/base/embeddings.parquet")
+      val planted = spark.read.parquet(s"$out/base/embeddings.parquet")
+      for ((_, dir, replicas) <- tiers.drop(1)) {
+        (0 until replicas).map { i =>
+          planted
+            .withColumn("vec_id", col("vec_id") + lit(i * newMax))
+            .withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x)))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
+    }
+    tiers
+  }
+
+  /** Recall@`threshold` of the scaled-geometry LSH pair operator on a
+    * recall-fixture tier: found = the operator's output restricted to
+    * planted pairs (partner offset `embMax`, same replica), truth =
+    * planted pairs whose exact cosine clears the threshold (known from
+    * the id's cosine bucket). Returns (overall recall, per-cosine hit
+    * counts, truth per cosine).
+    */
+  def recallAtThreshold(spark: SparkSession, dir: String, embMax: Long,
+                        threshold: Double)
+      : (Double, Map[Double, Long], Long) = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val n = emb.count()
+    val geo = graft.ml.Similarity.scaledLshGeometry(n, 64)
+    val newMax = 2 * embMax
+    require(n % newMax == 0 && embMax % 5 == 0,
+      s"recall tier $dir: $n rows is not a whole number of replicas of " +
+        s"$newMax (plantNearDups dropped rows?) — truth accounting invalid")
+    val found = graft.ml.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", geo, threshold, maxBucketSize = 4096)
+      .filter(col("b") - col("a") === lit(embMax) &&
+        pmod(col("a"), lit(newMax)) < lit(embMax))
+      // embMax and newMax are multiples of 5, so a % 5 == base id % 5 =
+      // the planted-cosine bucket
+      .groupBy(pmod(col("a"), lit(5)).as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    CacheSweep.sweep(spark)
+    val replicas = n / newMax
+    val truthPerBucket = (embMax / 5) * replicas
+    val eligible = PlantCosines.zipWithIndex.filter(_._1 >= threshold)
+    val perC = eligible.map { case (c, i) =>
+      c -> found.getOrElse(i, 0L)
+    }.toMap
+    val recall =
+      perC.values.sum.toDouble / (truthPerBucket * eligible.size)
+    (recall, perC, truthPerBucket)
+  }
+
   /** LSH candidate-pair count at the tier's scaled geometry: Σ over
     * (band, key) buckets of C(n, 2), eligible buckets only (n ≤
     * `maxBucketSize`, mirroring [[graft.ml.Similarity.cosineNearDupPairs]]'s
@@ -248,7 +377,8 @@ object ScaleProof {
   }
 
   final case class TierResult(query: String, tier: String, rows: Long,
-                              secMin: Double, secs: Seq[Double], exchanges: Int)
+                              secMin: Double, secs: Seq[Double],
+                              exchanges: Int, rounds: Int = -1)
 
   /** Exchange count of the PRE-execution physical plan — the plan-shape
     * metric every artifact reports. Counts Exchange NODES (shuffle or
@@ -362,7 +492,12 @@ object ScaleProof {
           queries: Seq[(String, (SparkSession, String) => DataFrame)] = headline)
       : Seq[TierResult] =
     for ((name, fn) <- queries; (tier, dir) <- tiers) yield {
+      graft.ml.Dedup.lastComponentRounds.set(-1)
       val df = fn(spark, dir)
+      // the iterative operators run their settle loop driver-side
+      // during construction — rounds-to-settle is known here (-1 for
+      // non-iterative queries)
+      val rounds = graft.ml.Dedup.lastComponentRounds.get.intValue
       val exchanges = planExchanges(df)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -380,7 +515,7 @@ object ScaleProof {
                   else first
       val rows = fn(spark, dir).count()
       CacheSweep.sweep(spark)
-      TierResult(name, tier, rows, times.min, times, exchanges)
+      TierResult(name, tier, rows, times.min, times, exchanges, rounds)
     }
 
   /** The x100 flagship subset (VERDICT r13 item 3): the five queries
@@ -390,7 +525,11 @@ object ScaleProof {
     * (amortization-floor claim).
     */
   val flagship100: Seq[String] = Seq("ml_bigram_xent", "ml_embed_neardup",
-    "ml_knn_graph", "ml_containment_pairs", "ml_trigram_backoff")
+    "ml_knn_graph", "ml_containment_pairs", "ml_trigram_backoff",
+    // r15: the iterative component sweep (rounds-to-settle recorded —
+    // the log-diameter claim was measured only to x10) and the
+    // output-proportional span dedup
+    "ml_neardup_keep", "ml_dup_spans")
 
   private def session(): SparkSession = {
     val spark = Tables.configure(SparkSession.builder()
@@ -430,7 +569,8 @@ object ScaleProof {
     }
     val tiers = Seq("base" -> src, "x10" -> out10, "x100" -> out100)
     for (r <- run(spark, tiers, queries = picked)) {
-      println(f"""{"query":"${r.query}","tier":"${r.tier}","rows":${r.rows},"sec_min":${r.secMin}%.3f,"sec_all":[${r.secs.map(t => f"$t%.3f").mkString(",")}],"exchanges":${r.exchanges}}""")
+      val rounds = if (r.rounds >= 0) s""","rounds":${r.rounds}""" else ""
+      println(f"""{"query":"${r.query}","tier":"${r.tier}","rows":${r.rows},"sec_min":${r.secMin}%.3f,"sec_all":[${r.secs.map(t => f"$t%.3f").mkString(",")}],"exchanges":${r.exchanges}$rounds}""")
     }
     // growth-law inputs, AFTER the timings so the extra executions can't
     // warm or contend with them
@@ -475,8 +615,37 @@ object ScaleProof {
     spark.stop()
   }
 
+  /** Recall-at-threshold across the three tiers (VERDICT r14 item 2):
+    * `runMain graft.ScaleProof recall [outDir]` — one JSON line per
+    * tier with overall recall@0.9 and the per-planted-cosine hit
+    * counts; redirect into the round's scale artifact.
+    */
+  private def mainRecall(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft-recall")
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "recall")
+    println(s"""{"load_gate":$gate}""")
+    val embMax = Tables.table(spark, src, "embeddings")
+      .agg(max("vec_id")).head().getLong(0) + 1
+    val tiers = buildRecallTiers(spark, src, out)
+    for ((tier, dir, replicas) <- tiers) {
+      val n = Tables.table(spark, dir, "embeddings").count()
+      val (bands, planes) = graft.ml.Similarity.scaledLshBandsPlanes(n)
+      val t0 = System.nanoTime()
+      val (recall, perC, truthPerC) =
+        recallAtThreshold(spark, dir, embMax, threshold = 0.9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val perCs = perC.toSeq.sortBy(_._1).map { case (c, h) =>
+        s""""$c":$h""" }.mkString(",")
+      println(f"""{"recall_tier":"$tier","replicas":$replicas,"n":$n,"threshold":0.9,"bands":$bands,"planes_per_band":$planes,"recall":$recall%.4f,"per_c_hits":{$perCs},"truth_per_c":$truthPerC,"sec":$dt%.3f}""")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("x100")) { mainX100(args.drop(1)); return }
+    if (args.headOption.contains("recall")) { mainRecall(args.drop(1)); return }
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     // optional trailing args: run only these queries (local iteration)

@@ -476,8 +476,18 @@ object Dedup {
     // localCheckpoint = one bounded id→root table, a scan-shaped plan.
     val settled = labels.localCheckpoint()
     backing.unpersist(blocking = false)
+    lastComponentRounds.set(round)
     (settled, round)
   }
+
+  /** Diagnostic: rounds the LAST [[componentMins]] run on this thread
+    * took to settle — the scale harness records rounds-to-settle per
+    * tier for the iterative operators (the loop runs driver-side
+    * during plan construction, so the constructing thread reads it
+    * right after building the query). -1 before any run.
+    */
+  private[graft] val lastComponentRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(-1))
 
   /** Connected components over a near-dup pair list → the KEEP set: the
     * minimum doc id of each duplicate cluster survives (plus every
