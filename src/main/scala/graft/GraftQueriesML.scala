@@ -419,6 +419,40 @@ object GraftQueriesML {
                       JOIN un ub ON ub.vec_id = cand.b)
           SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""))
 
+  /** The recall-targeted geometry (r15) under the full oracle gate:
+    * the same banded pipeline as [[mCosPairs]] but sized by
+    * [[Similarity.recallLshBandsPlanes]] at a declared expected corpus
+    * (4000 rows, target recall 0.9 at cosine 0.8 — the
+    * `expected_corpus:`/`target_recall:` stage convention) → a
+    * NON-SQUARE 17 bands × 9 planes, so this row also pins that
+    * bands ≠ planes flows through banding, capping, in-join scoring
+    * and the oracle identically. The engine and the generated SQL
+    * resolve the geometry through the same pure function, so they
+    * cannot drift.
+    */
+  private val mCosPairsRecall = Spec("ml_embed_neardup_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        Similarity.recallLshGeometry(4000L, 64,
+          targetRecall = 0.9, refCosine = 0.8),
+        threshold = 0.4, maxBucketSize = NdCap)
+        .orderBy("a", "b")
+    },
+    Some {
+      val (rb, rr) = Similarity.recallLshBandsPlanes(4000L, 0.9, 0.8)
+      embedBandsCte(lshBandPlanes(rb, rr, 64), NdCap) + s""",
+          cand AS (
+            SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id),
+          scored AS (
+            SELECT cand.a, cand.b, ${unDotSql("ua", "ub")} AS sim
+            FROM cand JOIN un ua ON ua.vec_id = cand.a
+                      JOIN un ub ON ub.vec_id = cand.b)
+          SELECT a, b, sim FROM scored WHERE sim >= 0.4 ORDER BY a, b"""
+    })
+
   /** Embedding against-a-reference dedup: incoming = `vec_id % 5 = 0`,
     * reference = the rest — [[mNearDupAgainst]]'s split convention on
     * the embeddings table.
@@ -2946,7 +2980,8 @@ object GraftQueriesML {
     mSimhashKeep,
     mJaccardPairs, mContainmentPairs, mNearDupKeep, mNearDupClusters,
     mClusterSplit,
-    mTopK, mLsh, mCosPairs, mIvf, mLangId, mLangMix, mQuality, mTokenCount,
+    mTopK, mLsh, mCosPairs, mCosPairsRecall, mIvf, mLangId, mLangMix,
+    mQuality, mTokenCount,
     mTextNormalize, mMultimodal,
     mMultimodalAudio, mMultimodalPdf, mMultimodalVideo, mMultimodalImage,
     mMultimodalPixels, mImageAHash, mImageNearDup, mAudioPcm, mAudioFlac,

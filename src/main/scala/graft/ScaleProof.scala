@@ -279,11 +279,20 @@ object ScaleProof {
     * counts, truth per cosine).
     */
   def recallAtThreshold(spark: SparkSession, dir: String, embMax: Long,
-                        threshold: Double)
+                        threshold: Double,
+                        targetRecall: Option[Double] = None)
       : (Double, Map[Double, Long], Long) = {
     val emb = Tables.table(spark, dir, "embeddings")
     val n = emb.count()
-    val geo = graft.ml.Similarity.scaledLshGeometry(n, 64)
+    // targetRecall selects the recall-targeted geometry (bands grown
+    // past r until the OR-of-bands model at the THRESHOLD cosine — the
+    // conservative floor — reaches the target); None is the square
+    // occupancy geometry whose per-decade recall decay this measures
+    val geo = targetRecall match {
+      case Some(tr) => graft.ml.Similarity.recallLshGeometry(
+        n, 64, tr, refCosine = threshold)
+      case None => graft.ml.Similarity.scaledLshGeometry(n, 64)
+    }
     val newMax = 2 * embMax
     require(n % newMax == 0 && embMax % 5 == 0,
       s"recall tier $dir: $n rows is not a whole number of replicas of " +
@@ -319,9 +328,14 @@ object ScaleProof {
     * measured, not extrapolated.
     */
   def lshCandidatePairs(spark: SparkSession, dir: String,
-                        maxBucketSize: Int = 4096): Long = {
+                        maxBucketSize: Int = 4096,
+                        targetRecall: Option[Double] = None): Long = {
     val emb = Tables.table(spark, dir, "embeddings")
-    val geo = graft.ml.Similarity.scaledLshGeometry(emb.count(), 64)
+    val geo = targetRecall match {
+      case Some(tr) => graft.ml.Similarity.recallLshGeometry(
+        emb.count(), 64, tr, refCosine = 0.9)
+      case None => graft.ml.Similarity.scaledLshGeometry(emb.count(), 64)
+    }
     val banded = emb
       .select(col("vec_id").as("id"),
         posexplode(graft.ml.Similarity.lshBandKeys(col("embedding"), geo)))
@@ -631,14 +645,29 @@ object ScaleProof {
     val tiers = buildRecallTiers(spark, src, out)
     for ((tier, dir, replicas) <- tiers) {
       val n = Tables.table(spark, dir, "embeddings").count()
-      val (bands, planes) = graft.ml.Similarity.scaledLshBandsPlanes(n)
-      val t0 = System.nanoTime()
-      val (recall, perC, truthPerC) =
-        recallAtThreshold(spark, dir, embMax, threshold = 0.9)
-      val dt = (System.nanoTime() - t0) / 1e9
-      val perCs = perC.toSeq.sortBy(_._1).map { case (c, h) =>
-        s""""$c":$h""" }.mkString(",")
-      println(f"""{"recall_tier":"$tier","replicas":$replicas,"n":$n,"threshold":0.9,"bands":$bands,"planes_per_band":$planes,"recall":$recall%.4f,"per_c_hits":{$perCs},"truth_per_c":$truthPerC,"sec":$dt%.3f}""")
+      // both geometries per tier: the square occupancy default (whose
+      // recall decay the r15 rows document) and the recall-targeted
+      // sizing (target 0.95 at the threshold cosine) that buys the
+      // decay back at an explicit b/r candidate-work cost
+      for (target <- Seq(None, Some(0.95))) {
+        val (bands, planes) = target match {
+          case Some(tr) =>
+            graft.ml.Similarity.recallLshBandsPlanes(n, tr, 0.9)
+          case None => graft.ml.Similarity.scaledLshBandsPlanes(n)
+        }
+        val tag = target.map(tr =>
+          s""","geometry":"recall","target_recall":$tr""").getOrElse("")
+        val t0 = System.nanoTime()
+        val (recall, perC, truthPerC) =
+          recallAtThreshold(spark, dir, embMax, threshold = 0.9, target)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // the geometry's candidate-work cost, deterministic by
+        // construction — the recall rows carry the price of the recall
+        val cand = lshCandidatePairs(spark, dir, targetRecall = target)
+        val perCs = perC.toSeq.sortBy(_._1).map { case (c, h) =>
+          s""""$c":$h""" }.mkString(",")
+        println(f"""{"recall_tier":"$tier","replicas":$replicas,"n":$n,"threshold":0.9,"bands":$bands,"planes_per_band":$planes$tag,"recall":$recall%.4f,"per_c_hits":{$perCs},"truth_per_c":$truthPerC,"lsh_candidate_pairs":$cand,"sec":$dt%.3f}""")
+      }
     }
     spark.stop()
   }

@@ -107,6 +107,63 @@ object Dedup {
     * docs enter LSH once and the cap only ever trims true near-dup
     * pile-ups.
     */
+  /** Analytic MinHash-LSH recall at Jaccard `s` for b bands × r rows:
+    * 1 − (1 − s^r)^b — the Jaccard sibling of
+    * [[Similarity.lshOrOfBandsRecall]] (per-row collision for a pair
+    * at Jaccard s is exactly s, so a band of r rows collides with
+    * probability s^r and bands OR-combine). Unlike sign-LSH, the band
+    * keyspace here is hash-sized, not 2^r — recall does NOT decay with
+    * corpus growth, so sizing is purely a (threshold, recall,
+    * precision) contract, never a function of n.
+    */
+  def jaccardBandRecall(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0.0 && s <= 1.0, s"jaccardBandRecall: jaccard $s out of [0,1]")
+    require(bands > 0 && rowsPerBand > 0, "jaccardBandRecall: bad geometry")
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+  }
+
+  /** (bands, rowsPerBand) sized from the dedup CONTRACT instead of
+    * hand-picked: the smallest r whose expected candidate rate at the
+    * noise Jaccard `noiseJaccard` (default threshold/2 — "clearly not
+    * a near-dup") stays ≤ `maxNoiseRate` once b is grown to reach
+    * `targetRecall` at the `threshold` Jaccard. Growing r steepens the
+    * S-curve (cuts false candidates geometrically, since
+    * (noise/threshold)^r → 0) but costs bands to keep recall — this
+    * walks r up until the noise side of the curve is paid for. The
+    * hand-picked legacy default 4×3 corresponds to (threshold 0.8,
+    * recall 0.9, noise rate ≈ 0.23): usable precision at high
+    * thresholds, leaky at low ones — the knob makes that trade a
+    * stated contract.
+    */
+  def minhashBandsRows(threshold: Double, targetRecall: Double = 0.9,
+                       noiseJaccard: Double = Double.NaN,
+                       maxNoiseRate: Double = 0.05): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"minhashBandsRows: threshold $threshold out of (0,1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"minhashBandsRows: targetRecall $targetRecall out of (0,1)")
+    val noise = if (noiseJaccard.isNaN) threshold / 2.0 else noiseJaccard
+    require(noise >= 0.0 && noise < threshold,
+      s"minhashBandsRows: noiseJaccard $noise must sit below threshold " +
+        s"$threshold — it names the similarity that should NOT pair")
+    require(maxNoiseRate > 0.0 && maxNoiseRate < 1.0,
+      s"minhashBandsRows: maxNoiseRate $maxNoiseRate out of (0,1)")
+    // r is bounded: the noise candidate rate b·noise^r shrinks by
+    // (noise/threshold) < 1 per step once b ≈ ln(1/(1−recall))/threshold^r,
+    // so a smallest r exists; 64 rows ≈ a 1024-component signature at
+    // 16 bands — far past any practical contract, a loud failure if hit
+    (1 to 64).iterator.map { r =>
+      val b = math.max(1, math.ceil(math.log1p(-targetRecall) /
+        math.log1p(-math.pow(threshold, r))).toInt)
+      (b, r)
+    }.find { case (b, r) =>
+      jaccardBandRecall(noise, b, r) <= maxNoiseRate
+    }.getOrElse(throw new IllegalArgumentException(
+      s"minhashBandsRows: no geometry under 64 rows/band satisfies " +
+        s"recall $targetRecall at $threshold with noise rate " +
+        s"$maxNoiseRate at $noise — loosen the contract"))
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
                    maxBucketSize: Int = 4096): DataFrame = {

@@ -261,8 +261,18 @@ object CurationStages {
           // configs see identical output until they actually grow.
           // stagedInput shares the composed upstream across the count
           // and the graph (the perplexity_score convention).
+          // `target_recall:` (+ `recall_cosine:`, default 0.9 — knn has
+          // no threshold, so the caller names the cosine that matters)
+          // grows the band count past r so near-threshold recall holds
+          // flat across corpus decades instead of decaying with the
+          // square geometry.
           val src = stagedInput(pre, c)
-          val geo = graft.ml.Similarity.scaledLshGeometry(src.count(), dim)
+          val n = src.count()
+          val geo = c.get("target_recall") match {
+            case Some(tr) => graft.ml.Similarity.recallLshGeometry(n, dim,
+              tr.toString.toDouble, dbl(c, "recall_cosine", 0.9))
+            case None => graft.ml.Similarity.scaledLshGeometry(n, dim)
+          }
           graft.ml.Similarity.knnGraph(src, idField(c, "knn_graph"), vec,
             geo, k = int(c, "k", 10),
             maxBucketSize = int(c, "max_bucket_size", 4096))
@@ -461,10 +471,11 @@ object CurationStages {
     require(clash.isEmpty,
       s"leakage_safe_split would overwrite existing column(s) " +
         s"${clash.mkString(", ")} — rename them upstream or set target_field")
+    val (nb, nr) = nearBandsRows(c, 0.5)
     Dedup.leakageSafeSplit(df, idField(c, "leakage_safe_split"),
       textField(c),
       trainPct = int(c, "train_pct", 80), validPct = int(c, "valid_pct", 10),
-      bands = int(c, "bands", 4), rowsPerBand = int(c, "rows_per_band", 3),
+      bands = nb, rowsPerBand = nr,
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5),
       splitCol = str(c, "target_field", "split"))
   }
@@ -534,8 +545,9 @@ object CurationStages {
 
   private def dedupNear(df: DataFrame, c: Map[String, Any]): DataFrame = {
     val id = idField(c, "dedup_near")
+    val (nb, nr) = nearBandsRows(c, 0.5)
     val kept = Dedup.nearDupKeep(df, id, textField(c),
-      bands = int(c, "bands", 4), rowsPerBand = int(c, "rows_per_band", 3),
+      bands = nb, rowsPerBand = nr,
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
     df.alias("d").join(kept.alias("keep"),
         col(s"d.$id") === col(s"keep.$id"), "left_semi")
@@ -984,9 +996,9 @@ object CurationStages {
             ref0.select(col(id), col(refText).as(textCol))
           else ref0.select(md5(col(refText)).as(id),
             col(refText).as(textCol))
+        val (nb, nr) = nearBandsRows(c, 0.5)
         Dedup.nearDupAgainst(df, ref, id, textCol,
-          bands = int(c, "bands", 4),
-          rowsPerBand = int(c, "rows_per_band", 3),
+          bands = nb, rowsPerBand = nr,
           k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
       case "media" =>
         // perceptual media dedup vs a reference corpus: aHash both
@@ -1122,8 +1134,9 @@ object CurationStages {
   private def modeContract(mode: String, c: Map[String, Any]): String =
     mode match {
       case "near" =>
-        s"""{"mode":"near","bands":${int(c, "bands", 4)},""" +
-          s""""rows_per_band":${int(c, "rows_per_band", 3)},""" +
+        val (nb, nr) = nearBandsRows(c, 0.8)
+        s"""{"mode":"near","bands":$nb,""" +
+          s""""rows_per_band":$nr,""" +
           s""""shingle_k":${int(c, "shingle_k", 3)}}"""
       case "embedding" =>
         val (bands, ppb) = embedBandsPlanes(c)
@@ -1158,14 +1171,58 @@ object CurationStages {
     * keys of different geometry are incomparable, so the marker
     * refuses the mismatch loudly — re-ingest the corpus into a fresh
     * store with the new knob rather than editing the marker.
+    *
+    * `target_recall: <0..1>` (with `expected_corpus:`) upgrades the
+    * sizing to [[graft.ml.Similarity.recallLshBandsPlanes]]: r still
+    * comes from the occupancy law, but the band count grows past r
+    * until the analytic OR-of-bands recall at `recall_cosine:`
+    * (default: the stage's `threshold:`, the conservative floor)
+    * reaches the target — the square b = r geometry holds candidate
+    * work to n·log n but its recall@threshold decays ~2.5
+    * points/decade (measured r15: 0.9805 → 0.9576 → 0.9297), and this
+    * knob is how a user buys that decay back at an explicit, linear
+    * b/r cost instead of discovering it in production dedup rates.
     */
+  /** Resolved (bands, rows_per_band) for a MinHash near-dup config:
+    * explicit `bands:`/`rows_per_band:` win; `target_recall:` sizes
+    * both from the S-curve contract instead
+    * ([[graft.ml.Dedup.minhashBandsRows]] at the stage's `threshold:`,
+    * optional `noise_jaccard:`/`max_noise_rate:` precision knobs);
+    * with neither the legacy 4×3 applies. Unlike the embedding
+    * geometry, MinHash band keys are hash-sized — recall does not
+    * decay with corpus growth, so no `expected_corpus:` is involved;
+    * the knob exists because 4×3's recall/precision point is a
+    * hand-me-down, not a stated contract.
+    */
+  private def nearBandsRows(c: Map[String, Any],
+                            defaultThreshold: Double): (Int, Int) =
+    if (c.contains("bands") || c.contains("rows_per_band"))
+      (int(c, "bands", 4), int(c, "rows_per_band", 3))
+    else c.get("target_recall") match {
+      case Some(tr) => graft.ml.Dedup.minhashBandsRows(
+        dbl(c, "threshold", defaultThreshold), tr.toString.toDouble,
+        noiseJaccard = dbl(c, "noise_jaccard", Double.NaN),
+        maxNoiseRate = dbl(c, "max_noise_rate", 0.05))
+      case None => (4, 3)
+    }
+
   private def embedBandsPlanes(c: Map[String, Any]): (Int, Int) =
     if (c.contains("bands") || c.contains("planes_per_band"))
       (int(c, "bands", 8), int(c, "planes_per_band", 8))
     else c.get("expected_corpus") match {
       case Some(n) =>
-        graft.ml.Similarity.scaledLshBandsPlanes(n.toString.toLong)
-      case None => (8, 8)
+        val rows = n.toString.toLong
+        c.get("target_recall") match {
+          case Some(tr) => graft.ml.Similarity.recallLshBandsPlanes(rows,
+            tr.toString.toDouble,
+            dbl(c, "recall_cosine", dbl(c, "threshold", 0.9)))
+          case None => graft.ml.Similarity.scaledLshBandsPlanes(rows)
+        }
+      case None =>
+        require(!c.contains("target_recall"),
+          "target_recall needs expected_corpus: — recall-targeted band " +
+            "sizing is a function of the corpus size being built toward")
+        (8, 8)
     }
 
   /** The validated `media_kind` of a media-mode stage config. */
@@ -1282,7 +1339,7 @@ object CurationStages {
               s"dedup_ingest store $store holds embedding-mode state but " +
                 "this pipeline is configured for mode near — use a " +
                 "separate store per fuzzy contract")
-            val n = int(c, "bands", 4) * int(c, "rows_per_band", 3)
+            val n = { val (nb, nr) = nearBandsRows(c, 0.8); nb * nr }
             sigLen.foreach(len => require(len == n,
               s"dedup_ingest store $store holds minhash signatures of " +
                 s"length $len but this pipeline's bands·rows_per_band = $n " +
@@ -1572,8 +1629,7 @@ object CurationStages {
                           bid: String, c: Map[String, Any], id: String,
                           textCol: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val bands = int(c, "bands", 4)
-    val rpb = int(c, "rows_per_band", 3)
+    val (bands, rpb) = nearBandsRows(c, 0.8)
     val k = int(c, "shingle_k", 3)
     val threshold = dbl(c, "threshold", 0.8)
     val maxBucket = int(c, "max_bucket", 4096)

@@ -443,7 +443,8 @@ object StageCatalog {
           |    text_field: text
           |    train_pct: 80
           |    valid_pct: 10"""),
-      schemaKind = "documents", oracle = Seq("ml_cluster_split")),
+      schemaKind = "documents", oracle = Seq("ml_cluster_split"),
+      notes = "The MinHash geometry takes the dedup_near knobs: explicit `bands:`/`rows_per_band:` win, `target_recall:` sizes both from the S-curve contract at the stage's `threshold:` (Dedup.minhashBandsRows), neither resolves the legacy 4x3."),
     StageDoc("quality_budget_select", "curation",
       "Exact quality-ranked token-budget cut: keep the best-scored documents until the budget fills (banded two-phase prefix sum - no global sort; batch-only).",
       y("""pipeline:
@@ -488,7 +489,8 @@ object StageCatalog {
           |    bands: 4
           |    rows_per_band: 3
           |    threshold: 0.5"""),
-      schemaKind = "documents", oracle = Seq("ml_neardup_keep")),
+      schemaKind = "documents", oracle = Seq("ml_neardup_keep"),
+      notes = "Geometry: explicit `bands:`/`rows_per_band:` win; `target_recall: <0..1>` sizes BOTH from the S-curve contract instead (Dedup.minhashBandsRows at the stage's `threshold:`, optional `noise_jaccard:` default threshold/2 and `max_noise_rate:` default 0.05) - e.g. threshold 0.8 at target 0.9 resolves 8x6 where the legacy 4x3 default is 0.943 recall but passes ~23% of half-threshold noise as candidates; low thresholds are HONESTLY expensive (Jaccard 0.5 at 0.9 recall needs 147 bands) and the sizing surfaces that cost instead of silently under-recalling. MinHash band keys are hash-sized, so recall does not decay with corpus growth - no expected_corpus involved, unlike the embedding geometry."),
     StageDoc("dedup_media", "curation",
       "Perceptual media dedup: 64-bit aHash of the payload column (image grid cells or gain-invariant audio frame energies), banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
       y("""pipeline:
@@ -522,7 +524,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_dedup_against", "ml_neardup_against",
         "ml_media_against"),
-      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference payloads with the 64-bit perceptual aHash (`media_kind: image | audio` picks the kernel - image brightness-shift-invariant, audio gain-invariant over decoded PCM/FLAC samples; both sides must share the kind) and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located."),
+      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference payloads with the 64-bit perceptual aHash (`media_kind: image | audio` picks the kernel - image brightness-shift-invariant, audio gain-invariant over decoded PCM/FLAC samples; both sides must share the kind) and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located. Near mode takes the dedup_near geometry knobs: explicit `bands:`/`rows_per_band:` win, `target_recall:` sizes both from the S-curve contract at the stage's `threshold:`, neither resolves the legacy 4x3."),
     StageDoc("dedup_spans", "curation",
       "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
       y("""pipeline:
@@ -601,7 +603,7 @@ object StageCatalog {
           |    max_bucket_size: 4096"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_knn_graph"),
-      notes = "The NN-descent seed / graph-dedup / label-propagation structure; exact all-pairs is O(n^2) by definition, so the LSH candidate set IS the scale path (0.8 recall@5 floor spec-gated on the clustered fixture). GEOMETRY SELF-SIZES from the corpus at plan time by default (one count(), Similarity.scaledLshGeometry: r = ceil(log2(n/8)) planes and bands, min 8x8 - identical to the old fixed default up to ~2k rows): a fixed 8x8 keyspace saturates as the corpus grows (measured 98.7x candidate pairs at 10x rows), and because oversized buckets are exempted from pairing, saturation silently DROPS recall rather than blowing the join up. Explicit `bands:`/`planes_per_band:` override the self-sizing. Output is EDGES, not the input schema (the bm25_topk result-set precedent). Candidate generation shares the cosineNearDupPairs plan (capped buckets, one scoring per pair); both directed edges come from one pass and per-node top-k plans as WindowGroupLimit. Whole-corpus by construction - batch only."),
+      notes = "The NN-descent seed / graph-dedup / label-propagation structure; exact all-pairs is O(n^2) by definition, so the LSH candidate set IS the scale path (0.8 recall@5 floor spec-gated on the clustered fixture). GEOMETRY SELF-SIZES from the corpus at plan time by default (one count(), Similarity.scaledLshGeometry: r = ceil(log2(n/8)) planes and bands, min 8x8 - identical to the old fixed default up to ~2k rows): a fixed 8x8 keyspace saturates as the corpus grows (measured 98.7x candidate pairs at 10x rows), and because oversized buckets are exempted from pairing, saturation silently DROPS recall rather than blowing the join up. Explicit `bands:`/`planes_per_band:` override the self-sizing. `target_recall: <0..1>` (optional `recall_cosine:`, default 0.9) upgrades the sizing to Similarity.recallLshBandsPlanes: r still comes from the occupancy law but the band count grows past r until the analytic OR-of-bands recall at recall_cosine reaches the target - the square b=r geometry's recall@0.9 decays ~2.5 points/decade (measured r15: 0.9805 -> 0.9576 -> 0.9297 across three corpus decades) and this knob holds it flat (~0.99 measured at every tier) at an explicit, linear b/r candidate-work cost (1.2x/1.6x/2.2x at the three tiers). Output is EDGES, not the input schema (the bm25_topk result-set precedent). Candidate generation shares the cosineNearDupPairs plan (capped buckets, one scoring per pair); both directed edges come from one pass and per-node top-k plans as WindowGroupLimit. Whole-corpus by construction - batch only."),
     StageDoc("cluster_assign", "curation",
       "Narrow embedding-cluster labeling: plan-time-trained deterministic k-means centroids, nearest-centroid label per row (malformed vectors label null, rows never drop).",
       y("""pipeline:
@@ -640,7 +642,7 @@ object StageCatalog {
           |    shingle_k: 3
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

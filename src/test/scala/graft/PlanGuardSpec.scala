@@ -103,6 +103,9 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_neardup" -> 7,   // r14: dot computed IN the band join —
                                // the narrow-candidate → wide verify-join
                                // re-shuffle (2 exchanges) is gone
+    "ml_embed_neardup_recall" -> 7, // same plan, recall-targeted 17x9
+                               // geometry — more bands widen the band
+                               // explode, never the exchange count
     "ml_embed_outlier" -> 2,   // dim-sized centroid to driver; dist narrow
     "ml_embed_topk" -> 2,
     "ml_embed_sq8_topk" -> 2, // broadcast queries + per-query window top-k

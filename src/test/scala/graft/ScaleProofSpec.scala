@@ -148,4 +148,54 @@ class ScaleProofSpec extends SparkSpec {
     // collide in some band with near-certainty at r = 8
     assert(perC(0.99) >= 95L, s"recall at c=0.99: ${perC(0.99)}/100")
   }
+
+  test("recall-targeted geometry: analytic model pinned, sizing law " +
+      "pinned, and buying bands buys measured recall (r15)") {
+    import graft.ml.Similarity
+    // closed-form pins of the OR-of-bands model the r15 three-tier
+    // measurement validated: at the x100 square geometry (16×16) the
+    // model predicts 0.802 recall at c=0.91 — the measured row was
+    // 0.804 (SCALE_X100_r15.json)
+    assert(math.abs(Similarity.lshPlaneCollision(0.91) - 0.8639) < 5e-4)
+    assert(math.abs(
+      Similarity.lshOrOfBandsRecall(0.91, 16, 16) - 0.8021) < 5e-4)
+    // band sizing at the x100/expected-corpus scales: the numbers the
+    // stage surface resolves for target 0.95 at threshold 0.9
+    assert(Similarity.lshBandsForRecall(0.95, 0.9, 16) == 35)
+    assert(Similarity.recallLshBandsPlanes(400000L, 0.95, 0.9) == ((35, 16)))
+    assert(Similarity.recallLshBandsPlanes(1000000L, 0.95, 0.9) == ((41, 17)))
+    // r is the occupancy law's (never shrunk) and b never drops below
+    // r even when the target is trivially met
+    assert(Similarity.recallLshBandsPlanes(100L, 0.5, 0.99) == ((8, 8)))
+    // unreachable targets are refused, not silently clamped
+    intercept[IllegalArgumentException] {
+      Similarity.lshBandsForRecall(1.0, 0.9, 8)
+    }
+    // e2e on the planted fixture: the recall-targeted geometry's
+    // measured recall is at least the square geometry's (model says
+    // 0.949 → 0.988 at c=0.91 for 8 → 12 bands at n=1000)
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val emb = Tables.table(s, "/root/testdata/sf0.001", "embeddings")
+    val embMax = 500L
+    val planted = ScaleProof.plantNearDups(emb, embMax)
+    val dir = java.nio.file.Files.createTempDirectory("recall-tgt").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (sqRecall, _, _) =
+      ScaleProof.recallAtThreshold(s, dir, embMax, threshold = 0.9)
+    val (tgtRecall, tgtPerC, _) = ScaleProof.recallAtThreshold(
+      s, dir, embMax, threshold = 0.9, targetRecall = Some(0.98))
+    assert(tgtRecall >= sqRecall,
+      s"recall-targeted $tgtRecall < square $sqRecall")
+    assert(tgtRecall >= 0.95,
+      s"recall-targeted geometry under its own model: $tgtRecall " +
+        s"(per-c: $tgtPerC)")
+    // and the price is visible in the same counters the x100 artifact
+    // records: more bands → more candidate pairs, linearly in b/r
+    val sqCand = ScaleProof.lshCandidatePairs(s, dir)
+    val tgtCand = ScaleProof.lshCandidatePairs(s, dir,
+      targetRecall = Some(0.98))
+    assert(tgtCand > sqCand,
+      s"recall bands bought no candidates? $tgtCand <= $sqCand")
+  }
 }

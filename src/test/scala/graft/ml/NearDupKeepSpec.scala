@@ -222,4 +222,42 @@ class NearDupKeepSpec extends SparkSpec {
     assert(Dedup.minhashPairs(few, "doc_id", "text",
       bands = 4, rowsPerBand = 3, k = 3, maxBucketSize = 100).count() == 10L)
   }
+
+  test("minhashBandsRows: S-curve sizing pinned — geometry from the " +
+      "dedup contract, not a hand-me-down (r15)") {
+    // the closed form itself, and the legacy default's actual contract:
+    // 4x3 at threshold 0.8 is 0.943 recall but lets ~23% of
+    // half-threshold noise through as candidates
+    assert(math.abs(Dedup.jaccardBandRecall(0.8, 4, 3) - 0.9433) < 5e-4)
+    assert(math.abs(Dedup.jaccardBandRecall(0.4, 4, 3) - 0.2325) < 5e-4)
+    // sized geometries: recall >= target at the threshold AND noise
+    // rate <= 5% at threshold/2 — by construction, pinned by value
+    assert(Dedup.minhashBandsRows(0.8, 0.9) == ((8, 6)))
+    assert(Dedup.minhashBandsRows(0.9, 0.9) == ((4, 6)))
+    val (b, r) = Dedup.minhashBandsRows(0.8, 0.9)
+    assert(Dedup.jaccardBandRecall(0.8, b, r) >= 0.9)
+    assert(Dedup.jaccardBandRecall(0.4, b, r) <= 0.05)
+    // a low-threshold contract is HONESTLY expensive (147 bands at
+    // Jaccard 0.5) — the sizing surfaces the cost instead of silently
+    // under-recalling like an undersized hand-pick would
+    assert(Dedup.minhashBandsRows(0.5, 0.9) == ((147, 6)))
+    // noise at-or-above the threshold is refused, not absorbed
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandsRows(0.8, 0.9, noiseJaccard = 0.8)
+    }
+    // the sized geometry actually runs: same pair semantics as an
+    // explicit (bands, rows) call
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val sized = Dedup.minhashPairs(docs, "doc_id", "text",
+      bands = b, rowsPerBand = r).collect().map(x =>
+      (x.getLong(0), x.getLong(1))).toSet
+    assert(sized.contains((1L, 2L)), s"near pair missed: $sized")
+    assert(!sized.contains((1L, 3L)) && !sized.contains((2L, 3L)),
+      s"noise paired: $sized")
+  }
 }

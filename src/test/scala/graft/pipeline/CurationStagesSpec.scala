@@ -504,6 +504,43 @@ class CurationStagesSpec extends SparkSpec {
     assert(out.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("dedup_near stage: target_recall sizes (bands, rows_per_band) " +
+      "from the S-curve contract; explicit knobs still win (r15)") {
+    import graft.ml.Dedup
+    // the sizing the stage resolves: threshold 0.8, target 0.9 → (8, 6)
+    assert(Dedup.minhashBandsRows(0.8, 0.9) == ((8, 6)))
+    def keepIds(yaml: String) =
+      run(yaml, docs).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val staged = keepIds(
+      """pipeline:
+        |  - type: dedup_near
+        |    id_field: doc_id
+        |    text_field: text
+        |    threshold: 0.8
+        |    target_recall: 0.9
+        |""".stripMargin)
+    // must equal the library run at the sized geometry
+    val lib = Dedup.nearDupKeep(docs, "doc_id", "text",
+        bands = 8, rowsPerBand = 6, k = 3, threshold = 0.8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(staged == lib, s"stage $staged != library $lib")
+    // explicit bands/rows beat the knob
+    val explicit = keepIds(
+      """pipeline:
+        |  - type: dedup_near
+        |    id_field: doc_id
+        |    text_field: text
+        |    threshold: 0.8
+        |    target_recall: 0.9
+        |    bands: 4
+        |    rows_per_band: 3
+        |""".stripMargin)
+    val libLegacy = Dedup.nearDupKeep(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, k = 3, threshold = 0.8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(explicit == libLegacy, s"explicit $explicit != library $libLegacy")
+  }
+
   test("contamination_filter stage: drops docs overlapping the benchmark") {
     val dir = java.nio.file.Files.createTempDirectory("cur-bench").toString
     val s = spark
@@ -1458,6 +1495,25 @@ class CurationStagesSpec extends SparkSpec {
         |    k: 2
         |""".stripMargin, emb))
     assert(stagedFixed == fixedLib, "explicit geometry knobs ignored")
+    // target_recall: the recall-targeted sizing — same r, more bands
+    // (2100 rows → r = 9; target 0.98 at the default recall_cosine 0.9
+    // grows b past 9), and the stage output matches the library run at
+    // that geometry
+    val stagedRecall = edges(run(
+      """pipeline:
+        |  - type: knn_graph
+        |    id_field: vec_id
+        |    vec_field: embedding
+        |    dim: 16
+        |    k: 2
+        |    target_recall: 0.98
+        |""".stripMargin, emb))
+    val (bR, rR) = Similarity.recallLshBandsPlanes(2100L, 0.98, 0.9)
+    assert(rR == 9 && bR > 9, s"recall sizing ($bR, $rR)")
+    val recallLib = edges(Similarity.knnGraph(emb, "vec_id", "embedding",
+      Similarity.recallLshGeometry(2100L, 16, 0.98, 0.9), k = 2))
+    assert(stagedRecall == recallLib,
+      "stage target_recall diverged from the recall-targeted library geometry")
   }
 
   test("cluster_assign stage: labels in batch; stream-safe with train:; " +

@@ -461,6 +461,49 @@ class StreamCurationSpec extends SparkSpec {
       marker2.contains("\"planes_per_band\":3"), marker2)
   }
 
+  test("dedup_ingest mode embedding: target_recall grows the pinned " +
+      "band count past r (recall-targeted sizing, r15); refused " +
+      "without expected_corpus") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-emb-recall").toString + "/keys"
+    def yaml(st: String, extra: String) =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    mode: embedding
+         |    id_field: doc_id
+         |    vec_field: embedding
+         |    dim: 4
+         |    store: $st
+         |$extra""".stripMargin
+    // expected_corpus 1e6 at threshold 0.9 (the recall_cosine default)
+    // and target 0.95: r = 17 from the occupancy law, b grown to 41 by
+    // the OR-of-bands model — recall held across corpus growth instead
+    // of the square geometry's measured ~2.5-points/decade decay
+    graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(yaml(store,
+      "    expected_corpus: 1000000\n    target_recall: 0.95\n")))(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("doc_id", "embedding"))
+      .main.collect()
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"bands\":41") &&
+      marker.contains("\"planes_per_band\":17"), marker)
+    val keys = s.read.parquet(store)
+    assert(keys.select(size(col("ekeys"))).head().getInt(0) == 41)
+    // target_recall without expected_corpus: refused loudly — band
+    // sizing is a function of the corpus size being built toward
+    val store2 = java.nio.file.Files
+      .createTempDirectory("ingest-emb-recall2").toString + "/keys"
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(yaml(
+        store2, "    target_recall: 0.95\n")))(
+        Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("doc_id", "embedding"))
+        .main.collect()
+    }
+    assert(e.getMessage.contains("expected_corpus"), e.getMessage)
+  }
+
   test("dedup_ingest mode embedding: malformed vectors never fail the batch") {
     val s = spark
     import s.implicits._
