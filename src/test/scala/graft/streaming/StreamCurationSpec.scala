@@ -644,6 +644,67 @@ class StreamCurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("contract"), e2.getMessage)
   }
 
+  test("dedup_ingest mode near: target_recall resolves the marker-pinned " +
+      "geometry from the S-curve; a knob-less rerun is refused (r15)") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-near-recall").toString + "/keys"
+    def yaml(extra: String) =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: $store
+         |    mode: near
+         |$extra""".stripMargin
+    def runBatch(y: String, docs: Seq[(Long, String)]): Seq[Long] =
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(y))(
+        docs.toDF("doc_id", "text"))
+        .main.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // threshold 0.8 at target 0.9 → Dedup.minhashBandsRows = (8, 6):
+    // the contract marker and the stored signature length both carry it.
+    // docA/docB: 40 tokens differing in the last → 37 of 39 distinct
+    // shingles shared (Jaccard 0.949, comfortably above the 0.8
+    // agreement verify) — sanity-asserted below so a fixture drift
+    // fails legibly, not as a mystery admit
+    val docA = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docB = (1 to 39).map(i => s"tok$i").mkString(" ") + " zzz"
+    val sigAgree = {
+      val sigs = graft.ml.Dedup.minhashSignatures(
+        Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"), "doc_id",
+        "text", n = 48, k = 3).collect()
+        .map(r => r.getLong(0) -> (1 to 48).map(i => r.getLong(i)))
+        .toMap
+      sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    }
+    assert(sigAgree >= math.ceil(0.8 * 48).toInt,
+      s"fixture drift: only $sigAgree/48 signature components agree")
+    runBatch(yaml("    threshold: 0.8\n    target_recall: 0.9\n"),
+      Seq((1L, docA)))
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"bands\":8") &&
+      marker.contains("\"rows_per_band\":6"), marker)
+    val sigLen = s.read.parquet(store)
+      .select(size(col("sig"))).head().getInt(0)
+    assert(sigLen == 48, s"stored signature length $sigLen != 8*6")
+    // a rerun WITHOUT the knob resolves the legacy 4x3 — incomparable
+    // signatures, refused loudly
+    val e = intercept[IllegalArgumentException] {
+      runBatch(yaml("    threshold: 0.8\n"),
+        Seq((2L, "nine ten eleven twelve thirteen")))
+    }
+    assert(e.getMessage.contains("contract"), e.getMessage)
+    // the same knob re-resolves the same geometry: accepted, and the
+    // store actually rejects a near-dup of batch 1 across batches
+    val admitted = runBatch(
+      yaml("    threshold: 0.8\n    target_recall: 0.9\n"),
+      Seq((3L, docB),
+        (4L, "completely different text with nothing shared here at all")))
+    assert(admitted == Seq(4L), s"near store sweep under 8x6: $admitted")
+  }
+
   test("legacy marker-less store: fuzzy geometry verified on adoption; " +
       "exact defers the marker") {
     val s = spark
