@@ -198,4 +198,56 @@ class ScaleProofSpec extends SparkSpec {
     assert(tgtCand > sqCand,
       s"recall bands bought no candidates? $tgtCand <= $sqCand")
   }
+
+  test("ingest-path recall matches the exact-verify path on the planted " +
+      "fixture: SQ8 quantized verify costs nothing measurable at a 0.01 " +
+      "threshold margin (r15)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val emb = Tables.table(s, "/root/testdata/sf0.001", "embeddings")
+    val embMax = 500L
+    val planted = ScaleProof.plantNearDups(emb, embMax)
+    // exact-verify reference: cosineNearDupPairs at the same geometry
+    // the ingest store pins (expected_corpus 1000 → the 8×8 floor, the
+    // same sizing recallAtThreshold resolves at n = 1000)
+    val dir = java.nio.file.Files.createTempDirectory("recall-ing").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (exactRecall, exactPerC, _) =
+      ScaleProof.recallAtThreshold(s, dir, embMax, threshold = 0.9)
+    // ingest path: ONE batch through dedup_ingest mode embedding —
+    // same Rademacher planes, but the verify decodes BOTH sides from
+    // SQ8 codes (the only vector representation the store holds).
+    // Every planted partner (c ≥ 0.91) is junior by id to its base, so
+    // the senior sweep's drop set restricted to partner ids IS the
+    // found set — quantization flips only pairs within the SQ8 cosine
+    // error (~1e-3 at dim 64) of the threshold, and the nearest
+    // planted cosine sits 0.01 above it.
+    val store = java.nio.file.Files
+      .createTempDirectory("recall-ing-store").toString + "/keys"
+    val admitted = graft.pipeline.PipelineCompiler.compile(
+      graft.pipeline.RuleLoader.fromYaml(
+        s"""pipeline:
+           |  - type: dedup_ingest
+           |    mode: embedding
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    dim: 64
+           |    threshold: 0.9
+           |    expected_corpus: 1000
+           |    store: $store
+           |""".stripMargin))(planted)
+      .main.select("vec_id").collect().map(_.getLong(0)).toSet
+    val detected = (0L until embMax)
+      .count(i => !admitted.contains(i + embMax))
+    val ingestRecall = detected.toDouble / embMax
+    // base vectors never drop (corpus max pairwise cosine ~0.48)
+    assert((0L until embMax).forall(admitted.contains),
+      "a base vector was dropped — cross-pair contamination")
+    info(f"exact-verify recall $exactRecall%.4f (per-c $exactPerC), " +
+      f"ingest SQ8 recall $ingestRecall%.4f")
+    assert(math.abs(ingestRecall - exactRecall) <= 0.02,
+      f"SQ8 ingest recall $ingestRecall%.4f vs exact $exactRecall%.4f — " +
+        "quantized verify is flipping near-threshold pairs")
+    assert(ingestRecall >= 0.9, f"ingest recall floor: $ingestRecall%.4f")
+  }
 }
