@@ -565,11 +565,18 @@ object GraftQueriesML {
           centroids, k = 5, nprobe = 2)
         .select(col("qid"), col("rank"), col("id"), col("sim"))
     },
-    Some {
-      val cosAssign = cosSql("e0.embedding", "t.cen")
-      val cosProbe = cosSql("q0.embedding", "t.cen")
-      val cosScore = cosSql("q.qe", "e.embedding")
-      kmeansSql(8, 64, 1) + s""",
+    Some(ivfKmeansTopkSql))
+
+  /** The kmeans-trained IVF top-k oracle, shared verbatim by
+    * [[mIvfKmeans]] (library call) and [[mAnnPipeline]] (the same plan
+    * reached through the `ann_topk` YAML stage — identical SQL is the
+    * point: the stage surface must add nothing to the semantics).
+    */
+  private def ivfKmeansTopkSql: String = {
+    val cosAssign = cosSql("e0.embedding", "t.cen")
+    val cosProbe = cosSql("q0.embedding", "t.cen")
+    val cosScore = cosSql("q.qe", "e.embedding")
+    kmeansSql(8, 64, 1) + s""",
           assign AS (
             SELECT vec_id, c AS bucket FROM (
               SELECT e0.vec_id, t.c, row_number() OVER (
@@ -591,7 +598,48 @@ object GraftQueriesML {
             SELECT qid, id, sim, CAST(row_number() OVER (
               PARTITION BY qid ORDER BY sim DESC, id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= 5"""
-    })
+  }
+
+  /** The `ann_topk` STAGE path end to end under the full oracle gate:
+    * queries staged to a parquet side table (the stage's production
+    * shape — at plan time here, because the oracle's query set must be
+    * derivable from the registered tables: it is `embeddings WHERE
+    * vec_id < 3` re-read from disk), centroids trained through
+    * `trainer: kmeans` (the SQL-replayable trainer, the mIvfKmeans
+    * convention), `nprobe:` explicit. Exercises the whole config
+    * surface — side-table read, plan-time training, probe-pruned
+    * search — against the SAME SQL as the library row.
+    */
+  private val mAnnPipeline = Spec("ml_ann_pipeline",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qDir = java.nio.file.Files.createTempDirectory("ann-queries")
+        .toString
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .coalesce(1).write.mode("overwrite").parquet(qDir)
+      val yaml =
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    trainer: kmeans
+           |    centroids: 8
+           |    dim: 64
+           |    iters: 1
+           |    nprobe: 2
+           |    k: 5
+           |    queries:
+           |      path: $qDir
+           |      qid_field: qid
+           |      qvec_field: qvec
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(emb).main
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+    },
+    Some(ivfKmeansTopkSql))
 
   // ======================================================================
   // Text analysis
@@ -3004,5 +3052,6 @@ object GraftQueriesML {
     mDecontamSpans,
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
     mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans,
+    mAnnPipeline,
     mEmbedAgainst, mClusterPurity)
 }

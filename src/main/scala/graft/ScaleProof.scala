@@ -672,9 +672,96 @@ object ScaleProof {
     spark.stop()
   }
 
+  /** IVF recall across the three tiers: `runMain graft.ScaleProof
+    * annrecall [outDir]` — the ANN sibling of [[mainRecall]]. Same
+    * replica fixture, but the question is the OTHER family's scale
+    * behavior: with a FIXED centroid count, does recall at a fixed
+    * nprobe decay as the corpus grows (the sign-map replicas spread
+    * mass into new orthants, so cluster count outgrows C — the
+    * realistic drift case), and does [[graft.ml.Recall.tuneNprobe]]
+    * hold a stated target by paying a measured, visible probe-width
+    * cost. One JSON line per tier: the fixed-nprobe curve, the tuned
+    * width, and its recall.
+    */
+  private def mainAnnRecall(args: Array[String]): Unit = {
+    import graft.ml.{Recall, Similarity}
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft-recall")
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "annrecall")
+    println(s"""{"load_gate":$gate}""")
+    val k = 10
+    val c = 16
+    val target = 0.95
+    for ((tier, dir, replicas) <- buildRecallTiers(spark, src, out)) {
+      val emb = Tables.table(spark, dir, "embeddings").persist()
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      val cs = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        c, iters = 3)
+      // the tuner's own content-addressed sample, reproduced here so
+      // the fixed-nprobe curve and the tuned row read the same queries
+      val sample = emb.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"),
+          md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h")).limit(16).drop("__h").persist()
+      sample.count()
+      val curve = Recall.ivfRecallCurve(emb, "vec_id", "embedding",
+        sample, "qid", "qvec", cs, k, Seq(1, 2, 4, c))
+      val (np, rec) = Recall.tuneNprobe(emb, "vec_id", "embedding",
+        sample, "qid", "qvec", cs, k, target)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val curveJson = curve.map { case (p, r) =>
+        f""""$p":$r%.4f""" }.mkString(",")
+      println(f"""{"ann_tier":"$tier","replicas":$replicas,"n":$n,"centroids":$c,"k":$k,"recall_at_nprobe":{$curveJson},"target_recall":$target,"tuned_nprobe":$np,"tuned_recall":$rec%.4f,"sec":$dt%.3f}""")
+      sample.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      CacheSweep.sweep(spark)
+    }
+    // The replica fixture is near-uniform on the sphere — IVF's worst
+    // case, where holding the target honestly costs most of the probe
+    // range. The clustered tiers measure the shape IVF EXISTS for
+    // (mixed-topic clusters, Recall.clusteredEmbeddings' realistic
+    // w=0.85 variant) at the same three sizes: the claim under test is
+    // that fixed-C IVF recall at a given nprobe HOLDS as the corpus
+    // grows when the cluster count is stable — growth adds rows per
+    // cluster, not clusters — so the tuned width stays put across
+    // decades instead of drifting toward exhaustive.
+    for ((tier, mult) <- Seq(("clustered_base", 1), ("clustered_x10", 10),
+        ("clustered_x100", 100))) {
+      val emb = graft.ml.Recall.clusteredEmbeddings(spark, nClusters = 16,
+        perCluster = 250 * mult, dim = 64, secondaryWeight = 0.85)
+        .persist()
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      val cs = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        c, iters = 3)
+      val sample = emb.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"),
+          md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h")).limit(16).drop("__h").persist()
+      sample.count()
+      val curve = Recall.ivfRecallCurve(emb, "vec_id", "embedding",
+        sample, "qid", "qvec", cs, k, Seq(1, 2, 4, c))
+      val (np, rec) = Recall.tuneNprobe(emb, "vec_id", "embedding",
+        sample, "qid", "qvec", cs, k, target)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val curveJson = curve.map { case (p, r) =>
+        f""""$p":$r%.4f""" }.mkString(",")
+      println(f"""{"ann_tier":"$tier","n":$n,"centroids":$c,"k":$k,"recall_at_nprobe":{$curveJson},"target_recall":$target,"tuned_nprobe":$np,"tuned_recall":$rec%.4f,"sec":$dt%.3f}""")
+      sample.unpersist(blocking = false)
+      emb.unpersist(blocking = false)
+      CacheSweep.sweep(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("x100")) { mainX100(args.drop(1)); return }
     if (args.headOption.contains("recall")) { mainRecall(args.drop(1)); return }
+    if (args.headOption.contains("annrecall")) {
+      mainAnnRecall(args.drop(1)); return
+    }
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     // optional trailing args: run only these queries (local iteration)

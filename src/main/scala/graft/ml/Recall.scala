@@ -49,6 +49,74 @@ object Recall {
     curve
   }
 
+  /** Smallest `nprobe` whose MEASURED recall@k on a deterministic query
+    * sample reaches `targetRecall` — the IVF sibling of the LSH/MinHash
+    * `target_recall` sizing. LSH geometry is closed-form (the OR-of-bands
+    * model), but IVF recall at a given nprobe depends on how the corpus
+    * clusters around the trained centroids, so the contract is empirical:
+    * sample queries content-addressed (smallest `md5(qid)` — the
+    * [[Similarity.seedCandidates]] convention, deterministic for a given
+    * query table), take exact brute-force truth for the sample, then walk
+    * nprobe doubling from 1 and binary-refine to the minimal passing
+    * value. Cost: ONE full-scan truth pass over the corpus (broadcast of
+    * ≤ `sampleN` queries, no corpus shuffle) plus ≤ 2·log₂(C)
+    * bucket-pruned sample searches — a one-time tuning pass at index
+    * build, independent of the production query load.
+    *
+    * Returns (nprobe, measured sample recall at that nprobe). The
+    * exhaustive point `nprobe = |centroids|` is the cap: if even it
+    * misses `targetRecall` (possible only when truth contains rows the
+    * bucketed scan cannot reach, e.g. malformed vectors assigned no
+    * bucket), the cap is returned with its honest sub-target recall
+    * rather than an error — probing wider than every bucket buys
+    * nothing. Empty query table → ((1, 0.0)) (nothing to tune; the
+    * [[recallAtK]] n = 0 convention).
+    */
+  def tuneNprobe(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 centroids: Seq[Seq[Double]], k: Int,
+                 targetRecall: Double, sampleN: Int = 16): (Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"tuneNprobe: target_recall must be in (0, 1], got $targetRecall")
+    val sample = queries
+      .select(col(qidCol), col(qvecCol),
+        md5(col(qidCol).cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(sampleN).drop("__h")
+      .persist()
+    val nSample = sample.count()
+    if (nSample == 0) { sample.unpersist(blocking = false); return (1, 0.0) }
+    val truth = Similarity.bruteForceTopK(corpus, idCol, vecCol,
+      sample, qidCol, qvecCol, k).persist()
+    truth.count()
+    def measure(np: Int): Double =
+      recallAtK(truth, Similarity.ivfTopK(corpus, idCol, vecCol,
+        sample, qidCol, qvecCol, centroids, k, np))
+    val cMax = math.max(1, centroids.length)
+    // doubling ascent: first passing power of two (or the exhaustive cap)
+    var np = 1
+    var rec = measure(np)
+    while (rec < targetRecall && np < cMax) {
+      np = math.min(np * 2, cMax)
+      rec = measure(np)
+    }
+    // binary refine on the half-open (np/2, np]: doubling overshoots by
+    // up to 2× and every probed bucket is a scanned bucket forever after.
+    // Skipped when even the exhaustive cap missed target — no narrower
+    // probe can pass where the cap did not.
+    var lo = if (rec < targetRecall) np - 1
+             else np / 2 // known-failing (or 0 when np == 1 passed outright)
+    var hi = np
+    var hiRec = rec
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      val r = measure(mid)
+      if (r >= targetRecall) { hi = mid; hiRec = r } else lo = mid
+    }
+    truth.unpersist(blocking = false)
+    sample.unpersist(blocking = false)
+    (hi, hiRec)
+  }
+
   /** Exact L2 top-k (the metric PQ approximates — cosine truth would
     * conflate quantization error with metric mismatch).
     */

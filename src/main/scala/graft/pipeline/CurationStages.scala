@@ -45,7 +45,8 @@ object CurationStages {
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
-    "token_budget_sample", "dedup_paragraph", "bm25_topk", "pca_project",
+    "token_budget_sample", "dedup_paragraph", "bm25_topk", "ann_topk",
+    "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
     "leakage_safe_split", "dedup_media", "quality_budget_select",
@@ -72,7 +73,7 @@ object CurationStages {
     "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
-    "bm25_topk", "pca_project",
+    "bm25_topk", "ann_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
     "knn_graph", "temperature_sample", "leakage_safe_split", "dedup_media",
     "quality_budget_select")
@@ -141,6 +142,7 @@ object CurationStages {
           textField(c), minDocs = int(c, "min_docs", 2),
           delimPattern = str(c, "delim", "\n{2,}"))
       case "bm25_topk" => bm25Stage(pre, c)
+      case "ann_topk" => annTopK(pre, c)
       case "pca_project" =>
         // PCA basis trained on the input corpus at plan time (the
         // dedup_semantic convention: one moment-aggregate pass, dim²
@@ -952,6 +954,73 @@ object CurationStages {
     CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
       q, str(qCfg, "qid_field", "qid"), str(qCfg, "qtext_field", "qtext"),
       k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+  }
+
+  // ---- ann_topk --------------------------------------------------------
+  //
+  // Embedding retrieval as a terminal stage: the output IS the result
+  // set (qid, rank, id, sim) — bm25_topk's sibling on the vector column,
+  // completing the similarity-search family's reach from the config
+  // surface. Queries arrive as a side table (small by definition, the
+  // bm25/dedup_against convention). `mode: brute` (default) is the exact
+  // baseline — ONE broadcast of the query set against a single corpus
+  // scan, no corpus shuffle, per-query top-k via a partitioned window;
+  // `mode: ivf` is the scale path: centroids train at plan time over the
+  // input corpus (production maximin/Lloyd by default; `trainer: kmeans`
+  // picks the SQL-replayable k-means so oracle-gated configs can
+  // reproduce the codebook), the search then scans ONLY each query's
+  // `nprobe` best buckets. Probe width comes from `nprobe:`, or from
+  // `target_recall:` — [[graft.ml.Recall.tuneNprobe]] measures recall@k
+  // on a content-addressed query sample against exact brute-force truth
+  // and picks the smallest passing width. The empirical sibling of the
+  // LSH `target_recall` sizing: LSH recall has a closed-form OR-of-bands
+  // model, IVF recall depends on how the corpus clusters around the
+  // trained centroids, so the contract is measured, not modeled.
+
+  private def annTopK(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "ann_topk stage needs `queries: {path, qid_field, qvec_field}`"))
+    val q = readSideTable(df.sparkSession, qCfg, "ann_topk queries")
+    val qid = str(qCfg, "qid_field", "qid")
+    val qvec = str(qCfg, "qvec_field", "qvec")
+    val id = idField(c, "ann_topk")
+    val vec = str(c, "vec_field", "embedding")
+    require(df.columns.contains(vec),
+      s"ann_topk: no `$vec` column (set vec_field)")
+    val k = int(c, "k", 10)
+    str(c, "mode", "brute") match {
+      case "brute" =>
+        graft.ml.Similarity.bruteForceTopK(df, id, vec, q, qid, qvec, k)
+      case "ivf" =>
+        // the composed upstream feeds training (+1 scan per Lloyd round),
+        // the optional tuning truth pass, and the search — share it (the
+        // perplexity_score convention; `materialize: path` spills)
+        val staged = stagedInput(df, c)
+        val kC = int(c, "centroids", 16)
+        val centroids = str(c, "trainer", "maximin") match {
+          case "maximin" => graft.ml.Similarity.trainCentroids(
+            staged, id, vec, kC, iters = int(c, "iters", 5))
+          case "kmeans" => graft.ml.Similarity.kmeansCentroids(
+            staged, id, vec, kC, int(c, "dim", 64), int(c, "iters", 1))
+          case other => throw new IllegalArgumentException(
+            s"ann_topk: unknown trainer `$other` (maximin | kmeans)")
+        }
+        val np = c.get("target_recall") match {
+          case Some(tr) =>
+            require(!c.contains("nprobe"),
+              "ann_topk: give `nprobe:` OR `target_recall:`, not both — " +
+                "target_recall exists to size nprobe")
+            graft.ml.Recall.tuneNprobe(staged, id, vec, q, qid, qvec,
+              centroids, k, tr.toString.toDouble,
+              sampleN = int(c, "tune_sample", 16))._1
+          case None => int(c, "nprobe", 1)
+        }
+        graft.ml.Similarity.ivfTopK(staged, id, vec, q, qid, qvec,
+          centroids, k, np)
+      case other => throw new IllegalArgumentException(
+        s"ann_topk: unknown mode `$other` (brute | ivf)")
+    }
   }
 
   /** Side-table read for stage configs (`{path, format}`): parquet

@@ -100,6 +100,10 @@ class PlanGuardSpec extends SparkSpec {
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,
     "ml_ivf_kmeans_topk" -> 2,  // same probe/score plan, trained centroids
+    "ml_ann_pipeline" -> 2,    // the ivf_kmeans plan reached through the
+                               // ann_topk YAML stage (corpus persisted
+                               // by stagedInput — cache subtree excluded;
+                               // queries side table broadcasts)
     "ml_embed_neardup" -> 7,   // r14: dot computed IN the band join —
                                // the narrow-candidate → wide verify-join
                                // re-shuffle (2 exchanges) is gone

@@ -79,6 +79,67 @@ class RecallSpec extends SparkSpec {
     cl.unpersist(blocking = false)
   }
 
+  test("tuneNprobe: minimal passing width on a deterministic sample") {
+    val s = spark
+    import s.implicits._
+    // mixed-topic fixture: the secondary block pushes some true
+    // neighbors into OTHER primary buckets, so nprobe=1 under-recalls
+    // and the walk genuinely has work to do
+    val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 50, dim = 64, secondaryWeight = 0.85).persist()
+    cl.count()
+    val queries = cl.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val cs = Similarity.trainCentroids(cl, "vec_id", "embedding",
+      k = 8, iters = 4)
+    val target = 0.95
+    val (np, rec) = Recall.tuneNprobe(cl, "vec_id", "embedding",
+      queries, "qid", "qvec", cs, k, target)
+    assert(rec >= target, f"tuned recall $rec%.3f misses target $target")
+    assert(np > 1 && np <= 8,
+      s"fixture must force a walk past nprobe=1, got $np")
+    // minimality: one probe narrower fails the target on the SAME
+    // content-addressed sample the tuner used
+    val sample = queries
+      .withColumn("__h", md5(col("qid").cast("string")))
+      .orderBy(col("__h")).limit(16).drop("__h")
+    val below = Recall.ivfRecallCurve(cl, "vec_id", "embedding",
+      sample, "qid", "qvec", cs, k, Seq(np - 1)).head._2
+    assert(below < target,
+      f"nprobe=${np - 1} already passes ($below%.3f) — tuner not minimal")
+    // deterministic: same corpus/queries/centroids → same answer
+    assert(Recall.tuneNprobe(cl, "vec_id", "embedding",
+      queries, "qid", "qvec", cs, k, target) == ((np, rec)))
+    cl.unpersist(blocking = false)
+  }
+
+  test("tuneNprobe: exhaustive cap, empty queries, bad target") {
+    val s = spark
+    import s.implicits._
+    val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 50, dim = 64).persist()
+    cl.count()
+    val queries = cl.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val cs = Similarity.trainCentroids(cl, "vec_id", "embedding",
+      k = 8, iters = 4)
+    // target 1.0 is reachable (nprobe=C is exhaustive), so the tuner
+    // must return a width with measured recall exactly 1.0 — possibly
+    // below C when a narrower probe is already exact on the sample
+    val (np, rec) = Recall.tuneNprobe(cl, "vec_id", "embedding",
+      queries, "qid", "qvec", cs, k, targetRecall = 1.0)
+    assert(rec == 1.0 && np <= 8, s"exhaustive cap broken: ($np, $rec)")
+    // empty query table: nothing to tune — the recallAtK n=0 convention
+    assert(Recall.tuneNprobe(cl, "vec_id", "embedding",
+      queries.filter(col("qid") < 0), "qid", "qvec", cs, k, 0.9)
+      == ((1, 0.0)))
+    intercept[IllegalArgumentException] {
+      Recall.tuneNprobe(cl, "vec_id", "embedding",
+        queries, "qid", "qvec", cs, k, targetRecall = 1.5)
+    }
+    cl.unpersist(blocking = false)
+  }
+
   test("clustered corpus: PQ m=8 clears 0.6 recall") {
     val cl = Recall.clusteredEmbeddings(spark, nClusters = 8,
       perCluster = 50, dim = 64).persist()

@@ -1369,6 +1369,115 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("queries"))
   }
 
+  test("ann_topk stage: brute baseline and tuned ivf from a queries side table") {
+    val s = spark
+    import s.implicits._
+    // two clean direction clusters — ivf with a sane probe must agree
+    // with the exact baseline here
+    val emb = (0 until 16).map { i =>
+      val sign = if (i < 8) 1.0f else -1.0f
+      (i.toLong, Seq(sign, sign * (1.0f + i * 0.01f),
+        sign * 0.1f * (i % 3), 0.05f * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-q").toString
+    emb.filter(col("vec_id").isin(0L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(qDir)
+    val brute = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+    assert(brute.columns.toSet == Set("qid", "id", "sim", "rank"))
+    val bruteRows = brute.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(bruteRows.size == 6) // 2 queries × k
+    // neighbors come from the query's own sign cluster
+    assert(bruteRows.forall { case (q, i) => (q < 8) == (i < 8) })
+    // ivf with target_recall: the tuner sizes nprobe, and on this clean
+    // fixture the probed search reproduces the exact result set
+    val ivf = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    centroids: 2
+         |    k: 3
+         |    target_recall: 0.9
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+    val ivfRows = ivf.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(ivfRows == bruteRows,
+      s"tuned ivf diverged from exact: $ivfRows vs $bruteRows")
+    // nprobe and target_recall are alternatives, not companions
+    val eBoth = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    nprobe: 1
+           |    target_recall: 0.9
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eBoth.getMessage.contains("not both"))
+    // unknown mode, missing queries, missing vec column all fail loudly
+    val eMode = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: hnsw
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eMode.getMessage.contains("unknown mode"))
+    val eQ = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: ann_topk\n    id_field: vec_id\n", emb)
+    }
+    assert(eQ.getMessage.contains("queries"))
+    val eVec = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: nope
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eVec.getMessage.contains("nope"))
+    // whole-corpus by construction: refused on a streaming input
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val eStream = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, mem.toDF().toDF("vec_id", "embedding"))
+    }
+    assert(eStream.getMessage.contains("ann_topk"))
+  }
+
   test("pca_project stage: plan-time-trained whitened projection") {
     val s = spark
     import s.implicits._
