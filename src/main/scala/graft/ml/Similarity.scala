@@ -557,6 +557,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-query read of a written flat IVF index — ONE job for the
+    * whole query set where the per-query [[ivfReadTopK]] loop schedules
+    * |queries| jobs (the [[pqAdcTopKBatch]]-documented bound). Each
+    * query's probe set computes on its own row with the same native
+    * top-idx kernel [[ivfTopK]] uses; the UNION of probed buckets
+    * collects to the driver (≤ |centroids| ints — bounded regardless of
+    * corpus or query-set size) so the scan's bucket filter is a
+    * PLANNING-time partition filter on the written layout: a 100 TB
+    * index read touches only the probed directories. A broadcast join
+    * on `array_contains(probes, bucket)` then restricts each surviving
+    * row to the queries that actually probed its bucket. Probe
+    * selection is [[ivfTopK]]'s exactly (same kernel, ties toward the
+    * HIGHER centroid index); [[ivfReadTopK]]'s driver-side sort ties
+    * toward the lower index, so the two agree everywhere except on
+    * exact centroid-sim ties.
+    */
+  def ivfReadTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = markerGeometry(spark, path, "flat")._1
+    val probed = queries.select(
+      col(qidCol).as("qid"), col(qvecCol).as("__qv"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CosineTopIdxExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            col(qvecCol).cast("array<double>")),
+          centroids.map(_.toArray).toArray,
+          math.max(1, nprobe))).as("__probe"))
+    // the probe union as a LITERAL filter: collected before the scan
+    // plan is built, so it prunes partitions at planning (the queries
+    // side is side-table-small by convention — this action is cheap)
+    val allProbed = probed.select(explode(col("__probe")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val scored = spark.read.parquet(path)
+      .filter(col("bucket").isin(allProbed: _*))
+      .join(broadcast(probed),
+        array_contains(col("__probe"), col("bucket")))
+      .select(col("qid"), col(idCol).as("id"),
+        round(cosine(col(vecCol).cast("array<double>"),
+          col("__qv").cast("array<double>")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-SQ8 index: [[ivfWriteIndex]]'s bucket-partitioned layout with
     * [[sq8Encode]]'s per-vector int8 payload instead of the raw floats —
     * the middle rung of the index-size ladder (IVF-flat stores dim·4

@@ -986,38 +986,79 @@ object CurationStages {
     val qvec = str(qCfg, "qvec_field", "qvec")
     val id = idField(c, "ann_topk")
     val vec = str(c, "vec_field", "embedding")
-    require(df.columns.contains(vec),
-      s"ann_topk: no `$vec` column (set vec_field)")
     val k = int(c, "k", 10)
+    def resolveNprobe(corpus: DataFrame,
+                      centroids: Seq[Seq[Double]]): Int =
+      c.get("target_recall") match {
+        case Some(tr) =>
+          require(!c.contains("nprobe"),
+            "ann_topk: give `nprobe:` OR `target_recall:`, not both — " +
+              "target_recall exists to size nprobe")
+          graft.ml.Recall.tuneNprobe(corpus, id, vec, q, qid, qvec,
+            centroids, k, tr.toString.toDouble,
+            sampleN = int(c, "tune_sample", 16))._1
+        case None => int(c, "nprobe", 1)
+      }
     str(c, "mode", "brute") match {
       case "brute" =>
+        require(df.columns.contains(vec),
+          s"ann_topk: no `$vec` column (set vec_field)")
         graft.ml.Similarity.bruteForceTopK(df, id, vec, q, qid, qvec, k)
-      case "ivf" =>
-        // the composed upstream feeds training (+1 scan per Lloyd round),
-        // the optional tuning truth pass, and the search — share it (the
-        // perplexity_score convention; `materialize: path` spills)
-        val staged = stagedInput(df, c)
-        val kC = int(c, "centroids", 16)
-        val centroids = str(c, "trainer", "maximin") match {
-          case "maximin" => graft.ml.Similarity.trainCentroids(
-            staged, id, vec, kC, iters = int(c, "iters", 5))
-          case "kmeans" => graft.ml.Similarity.kmeansCentroids(
-            staged, id, vec, kC, int(c, "dim", 64), int(c, "iters", 1))
-          case other => throw new IllegalArgumentException(
-            s"ann_topk: unknown trainer `$other` (maximin | kmeans)")
-        }
-        val np = c.get("target_recall") match {
-          case Some(tr) =>
-            require(!c.contains("nprobe"),
-              "ann_topk: give `nprobe:` OR `target_recall:`, not both — " +
-                "target_recall exists to size nprobe")
-            graft.ml.Recall.tuneNprobe(staged, id, vec, q, qid, qvec,
-              centroids, k, tr.toString.toDouble,
-              sampleN = int(c, "tune_sample", 16))._1
-          case None => int(c, "nprobe", 1)
-        }
-        graft.ml.Similarity.ivfTopK(staged, id, vec, q, qid, qvec,
-          centroids, k, np)
+      case "ivf" => c.get("index") match {
+        case Some(i) =>
+          // search a PRE-WRITTEN bucket-partitioned index
+          // (Similarity.ivfWriteIndex) instead of the piped input —
+          // the 100 TB query path: the scan prunes to the probed
+          // bucket directories at planning; assignment was paid once
+          // at write. The input frame is NOT searched in this mode
+          // (the stage is terminal either way; the index is the
+          // corpus, written earlier). Marker geometry is
+          // authoritative — training knobs alongside `index:` would
+          // be silently dead config, so they refuse loudly.
+          require(!c.contains("trainer") && !c.contains("centroids") &&
+              !c.contains("iters"),
+            "ann_topk: `index:` searches a written index whose marker " +
+              "fixes the geometry — `trainer:`/`centroids:`/`iters:` " +
+              "would be silently ignored; drop them or drop `index:`")
+          val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
+            "ann_topk index")
+          val spark = df.sparkSession
+          val np = c.get("target_recall") match {
+            case Some(_) =>
+              // the tuner's truth pass needs the corpus + centroids:
+              // the index IS the corpus (flat layout stores vectors),
+              // the marker carries the centroids
+              val (kind, cen, _) = graft.ml.Similarity
+                .ivfIndexGeometry(spark, ipath)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"ann_topk: $ipath carries no IVF geometry marker"))
+              require(kind == "flat",
+                s"ann_topk: index at $ipath is `$kind`, not `flat`")
+              resolveNprobe(spark.read.parquet(ipath), cen)
+            case None => int(c, "nprobe", 1)
+          }
+          graft.ml.Similarity.ivfReadTopKBatch(spark, ipath, id, vec,
+            q, qid, qvec, k, np)
+        case None =>
+          require(df.columns.contains(vec),
+            s"ann_topk: no `$vec` column (set vec_field)")
+          // the composed upstream feeds training (+1 scan per Lloyd
+          // round), the optional tuning truth pass, and the search —
+          // share it (the perplexity_score convention; `materialize:
+          // path` spills)
+          val staged = stagedInput(df, c)
+          val kC = int(c, "centroids", 16)
+          val centroids = str(c, "trainer", "maximin") match {
+            case "maximin" => graft.ml.Similarity.trainCentroids(
+              staged, id, vec, kC, iters = int(c, "iters", 5))
+            case "kmeans" => graft.ml.Similarity.kmeansCentroids(
+              staged, id, vec, kC, int(c, "dim", 64), int(c, "iters", 1))
+            case other => throw new IllegalArgumentException(
+              s"ann_topk: unknown trainer `$other` (maximin | kmeans)")
+          }
+          graft.ml.Similarity.ivfTopK(staged, id, vec, q, qid, qvec,
+            centroids, k, resolveNprobe(staged, centroids))
+      }
       case other => throw new IllegalArgumentException(
         s"ann_topk: unknown mode `$other` (brute | ivf)")
     }

@@ -1478,6 +1478,107 @@ class CurationStagesSpec extends SparkSpec {
     assert(eStream.getMessage.contains("ann_topk"))
   }
 
+  test("ann_topk stage: index mode searches a written index; training " +
+      "knobs alongside index refuse") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 16).map { i =>
+      val sign = if (i < 8) 1.0f else -1.0f
+      (i.toLong, Seq(sign, sign * (1.0f + i * 0.01f),
+        sign * 0.1f * (i % 3), 0.05f * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val cs = graft.ml.Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 2, iters = 5)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-idx").toString
+    graft.ml.Similarity.ivfWriteIndex(emb, "vec_id", "embedding", cs, idxDir)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-idx-q").toString
+    emb.filter(col("vec_id").isin(0L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(qDir)
+    // any non-empty input frame works — index mode searches the index
+    val out = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    nprobe: 1
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+    val got = out.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    // clean sign clusters at nprobe=1 ≡ the exact result
+    val want = graft.ml.Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", emb.filter(col("vec_id").isin(0L, 9L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 3)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(got == want, s"index-mode diverged from exact: $got vs $want")
+    // target_recall over the index: marker centroids + the index as the
+    // tuning corpus — same result set here (the tuner can only widen)
+    val tuned = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    target_recall: 0.9
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(tuned == want)
+    // training knobs next to index: would be silently dead config
+    val eDead = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    trainer: kmeans
+           |    index:
+           |      path: "$idxDir"
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eDead.getMessage.contains("silently ignored"))
+    // a marker-less directory is not an index
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-ann-bare").toString
+    emb.write.mode("overwrite").parquet(bare)
+    val eMk = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    target_recall: 0.9
+           |    index:
+           |      path: "$bare"
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eMk.getMessage.contains("marker"))
+  }
+
   test("pca_project stage: plan-time-trained whitened projection") {
     val s = spark
     import s.implicits._
