@@ -662,6 +662,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-query read of a written IVF-SQ8 index —
+    * [[ivfReadTopKBatch]]'s one-job shape over the codes-only payload:
+    * probe sets per query row ([[ivfTopK]]'s kernel, ties toward the
+    * higher index), probe-union literal → PLANNING-time partition
+    * pruning, one broadcast join, and each surviving row scores
+    * `scale · Σ code_i·q_i` (the [[sq8TopK]] arithmetic) against the
+    * query it collided with — reading (dim+8)/(dim·4) of the flat
+    * index's bytes. Approximate inner-product ranking; per-query
+    * window top-k.
+    */
+  def ivfSqReadTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String,
+                         queries: DataFrame, qidCol: String,
+                         qvecCol: String, k: Int,
+                         nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = markerGeometry(spark, path, "sq8")._1
+    val probed = queries.select(
+      col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CosineTopIdxExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            col(qvecCol).cast("array<double>")),
+          centroids.map(_.toArray).toArray,
+          math.max(1, nprobe))).as("__probe"))
+    val allProbed = probed.select(explode(col("__probe")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dotQ = aggregate(
+      zip_with(col("codes"), col("__qv"), (c, x) => c.cast("double") * x),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = spark.read.parquet(path)
+      .filter(col("bucket").isin(allProbed: _*))
+      .join(broadcast(probed),
+        array_contains(col("__probe"), col("bucket")))
+      .select(col("qid"), col(idCol).as("id"),
+        round(col("scale") * dotQ, 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Squared L2 distance between two double-array columns — index-ordered
     * fold, so engine and SQL oracle share the operation order.
     */

@@ -1023,22 +1023,36 @@ object CurationStages {
           val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
             "ann_topk index")
           val spark = df.sparkSession
-          val np = c.get("target_recall") match {
-            case Some(_) =>
-              // the tuner's truth pass needs the corpus + centroids:
-              // the index IS the corpus (flat layout stores vectors),
-              // the marker carries the centroids
-              val (kind, cen, _) = graft.ml.Similarity
-                .ivfIndexGeometry(spark, ipath)
-                .getOrElse(throw new IllegalArgumentException(
-                  s"ann_topk: $ipath carries no IVF geometry marker"))
-              require(kind == "flat",
-                s"ann_topk: index at $ipath is `$kind`, not `flat`")
-              resolveNprobe(spark.read.parquet(ipath), cen)
-            case None => int(c, "nprobe", 1)
+          val (kind, cen, _) = graft.ml.Similarity
+            .ivfIndexGeometry(spark, ipath)
+            .getOrElse(throw new IllegalArgumentException(
+              s"ann_topk: $ipath carries no IVF geometry marker"))
+          kind match {
+            case "flat" =>
+              val np = c.get("target_recall") match {
+                // the tuner's truth pass needs the corpus + centroids:
+                // the flat index IS the corpus (it stores the vectors),
+                // the marker carries the centroids
+                case Some(_) => resolveNprobe(spark.read.parquet(ipath), cen)
+                case None => int(c, "nprobe", 1)
+              }
+              graft.ml.Similarity.ivfReadTopKBatch(spark, ipath, id, vec,
+                q, qid, qvec, k, np)
+            case "sq8" =>
+              // codes-only payload: there is NO exact truth inside the
+              // index to tune against — a quantized self-truth would
+              // certify the quantization with its own error. Tune on
+              // the flat index or the corpus, then pin nprobe here.
+              require(!c.contains("target_recall"),
+                "ann_topk: an sq8 index stores codes only — no exact " +
+                  "truth to tune against; tune `target_recall:` on the " +
+                  "flat index (or the corpus) and pin `nprobe:` here")
+              graft.ml.Similarity.ivfSqReadTopKBatch(spark, ipath, id,
+                q, qid, qvec, k, int(c, "nprobe", 1))
+            case other => throw new IllegalArgumentException(
+              s"ann_topk: index kind `$other` is not searchable here " +
+                "(flat | sq8)")
           }
-          graft.ml.Similarity.ivfReadTopKBatch(spark, ipath, id, vec,
-            q, qid, qvec, k, np)
         case None =>
           require(df.columns.contains(vec),
             s"ann_topk: no `$vec` column (set vec_field)")

@@ -62,6 +62,36 @@ class IvfSqIndexSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("batch read: pruned one-job scan matches the per-query reader") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-batch").toString
+    Similarity.ivfSqWriteIndex(corpus, "vec_id", "embedding",
+      centroids, dir)
+    val qRows = Seq(
+      (100L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (101L, Seq(0.0, 0.95, 0.05, 0.0)))
+    val queries = qRows.toDF("qid_src", "qvec")
+    val batch = Similarity.ivfSqReadTopKBatch(spark, dir, "vec_id",
+      queries, "qid_src", "qvec", k = 5, nprobe = 1)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("bucket"))
+    val got = batch.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")),
+        r.getDouble(r.fieldIndex("score")))).toSet
+    // identity with the single-query reader per query (probe ties
+    // cannot arise on this fixture, so the kernel/driver tie-break
+    // difference is moot)
+    val want = qRows.flatMap { case (qid, qv) =>
+      Similarity.ivfSqReadTopK(spark, dir, "vec_id", qv, centroids,
+          k = 5, nprobe = 1)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(got == want, s"batch sq8 read diverged:\n$got\nvs\n$want")
+  }
+
   test("full probe equals whole-corpus sq8 search") {
     val dir = java.nio.file.Files.createTempDirectory("ivfsq-full").toString
     Similarity.ivfSqWriteIndex(corpus, "vec_id", "embedding",

@@ -1558,6 +1558,57 @@ class CurationStagesSpec extends SparkSpec {
            |""".stripMargin, emb)
     }
     assert(eDead.getMessage.contains("silently ignored"))
+    // sq8 index: the compressed rung — codes-only search at the pinned
+    // nprobe. SQ8 ranks by INNER PRODUCT (scale·Σ code·q), not cosine,
+    // so the contract pinned here is identity with the single-query
+    // sq8 reader on the same index, not with the cosine-exact set
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-sq").toString
+    graft.ml.Similarity.ivfSqWriteIndex(emb, "vec_id", "embedding",
+      cs, sqDir)
+    val sqGot = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$sqDir"
+         |    nprobe: 1
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val sqWant = Seq(0L, 9L).flatMap { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      graft.ml.Similarity.ivfSqReadTopK(spark, sqDir, "vec_id", qv,
+          cs, k = 3, nprobe = 1)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(sqGot == sqWant,
+      s"sq8 index-mode diverged from the per-query reader: " +
+        s"$sqGot vs $sqWant")
+    // no exact truth lives inside a codes-only index — tuning refuses
+    val eSqTune = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    target_recall: 0.9
+           |    index:
+           |      path: "$sqDir"
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(eSqTune.getMessage.contains("codes only"))
     // a marker-less directory is not an index
     val bare = java.nio.file.Files
       .createTempDirectory("graft-ann-bare").toString
