@@ -1049,9 +1049,40 @@ object CurationStages {
                   "flat index (or the corpus) and pin `nprobe:` here")
               graft.ml.Similarity.ivfSqReadTopKBatch(spark, ipath, id,
                 q, qid, qvec, k, int(c, "nprobe", 1))
+            case "pq" =>
+              // the memory-scale rung: m bytes/vector, residual-LUT ADC
+              // scoring. LUTs compute on the driver per (query, probe),
+              // so the query set collects — side-table-small by the
+              // stage convention, and the library batches the LUT
+              // broadcast internally. Codes-only like sq8 → tuning
+              // refuses for the same reason.
+              require(!c.contains("target_recall"),
+                "ann_topk: a pq index stores codes only — no exact " +
+                  "truth to tune against; tune `target_recall:` on the " +
+                  "flat index (or the corpus) and pin `nprobe:` here")
+              val rows = q.select(col(qid), col(qvec)
+                  .cast("array<double>")).collect().map { r =>
+                val qidVal = r.get(0) match {
+                  case l: java.lang.Long => l.longValue
+                  case n: java.lang.Integer => n.longValue
+                  case other => throw new IllegalArgumentException(
+                    "ann_topk: pq index queries need integral qids " +
+                      s"(got ${if (other == null) "null"
+                               else other.getClass.getSimpleName})")
+                }
+                (qidVal, r.getSeq[Double](1).toSeq)
+              }.toSeq
+              val out = graft.ml.Similarity.ivfPqTopKBatch(spark, ipath,
+                id, rows, k, int(c, "nprobe", 1))
+              // rank rides the result set like the other modes (the
+              // library drops it; result-set sized recompute)
+              out.withColumn("rank", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("qid"))
+                  .orderBy(col("d2").asc, col("id").asc)))
             case other => throw new IllegalArgumentException(
               s"ann_topk: index kind `$other` is not searchable here " +
-                "(flat | sq8)")
+                "(flat | sq8 | pq)")
           }
         case None =>
           require(df.columns.contains(vec),

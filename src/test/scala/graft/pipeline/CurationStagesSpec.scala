@@ -1609,6 +1609,58 @@ class CurationStagesSpec extends SparkSpec {
            |""".stripMargin, emb)
     }
     assert(eSqTune.getMessage.contains("codes only"))
+    // pq index: the memory-scale rung — ADC scoring over residual
+    // codes, identity with the per-query pq reader; tuning refuses
+    // like sq8 (codes only)
+    val pqBooks = graft.ml.Similarity.ivfPqTrain(emb, "vec_id",
+      "embedding", cs, m = 2, k = 4, iters = 2)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-pq").toString
+    graft.ml.Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding",
+      cs, pqBooks, pqDir)
+    val pqGot = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$pqDir"
+         |    nprobe: 1
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, emb)
+    assert(pqGot.columns.contains("rank"))
+    val pqPairs = pqGot.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val pqWant = Seq(0L, 9L).flatMap { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      graft.ml.Similarity.ivfPqReadTopK(spark, pqDir, "vec_id", qv,
+          k = 3, nprobe = 1)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(pqPairs == pqWant,
+      s"pq index-mode diverged from the per-query reader: " +
+        s"$pqPairs vs $pqWant")
+    val ePqTune = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    target_recall: 0.9
+           |    index:
+           |      path: "$pqDir"
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, emb)
+    }
+    assert(ePqTune.getMessage.contains("codes only"))
     // a marker-less directory is not an index
     val bare = java.nio.file.Files
       .createTempDirectory("graft-ann-bare").toString
