@@ -417,18 +417,20 @@ object Similarity {
   // geometry arguments, and the legacy geometry-taking readers VERIFY
   // against the marker when one exists instead of trusting the caller.
 
-  private val IvfMarkerFile = "_graft_ivf.json"
+  private[ml] val IvfMarkerFile = "_graft_ivf.json"
 
-  private def ivfMarkerPath(path: String) =
+  private[ml] def ivfMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, IvfMarkerFile)
 
-  private def writeIvfMarker(spark: org.apache.spark.sql.SparkSession,
+  private[ml] def writeIvfMarker(spark: org.apache.spark.sql.SparkSession,
                              path: String, kind: String,
                              centroids: Seq[Seq[Double]],
-                             books: Seq[Seq[Seq[Double]]]): Unit = {
+                             books: Seq[Seq[Seq[Double]]],
+                             layout: Option[String] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("kind", kind)
+    layout.foreach(root.put("layout", _))
     val ca = root.putArray("centroids")
     centroids.foreach { c => val a = ca.addArray(); c.foreach(a.add) }
     if (books.nonEmpty) {
@@ -472,6 +474,24 @@ object Similarity {
         .getOrElse(Seq.empty))
   }
 
+  /** The layout a written index declares: "bidpart" for an ingestable
+    * batch-partitioned index ([[IvfIngest]]), None for the classic
+    * single-write layout (no layout field — every pre-ingest index).
+    */
+  def ivfIndexLayout(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[String] = {
+    val p = ivfMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+                     .readTree(txt)
+               catch { case _: java.io.IOException => return None }
+    Option(node.get("layout")).filter(_.isTextual).map(_.asText)
+  }
+
   /** Marker-vs-caller verification for the legacy geometry-taking
     * readers: a marker-less index (pre-marker layouts) proceeds on the
     * caller's word, a present marker must MATCH — a silent geometry
@@ -492,7 +512,7 @@ object Similarity {
           "marker is authoritative) or rebuild the index")
     }
 
-  private def markerGeometry(spark: org.apache.spark.sql.SparkSession,
+  private[ml] def markerGeometry(spark: org.apache.spark.sql.SparkSession,
                              path: String, kind: String)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val (mk, cen, books) = ivfIndexGeometry(spark, path).getOrElse(

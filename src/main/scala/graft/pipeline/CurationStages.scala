@@ -46,7 +46,7 @@ object CurationStages {
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "ann_topk",
-    "pca_project",
+    "ann_ingest", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
     "leakage_safe_split", "dedup_media", "quality_budget_select",
@@ -143,6 +143,7 @@ object CurationStages {
           delimPattern = str(c, "delim", "\n{2,}"))
       case "bm25_topk" => bm25Stage(pre, c)
       case "ann_topk" => annTopK(pre, c)
+      case "ann_ingest" => annIngest(pre, c)
       case "pca_project" =>
         // PCA basis trained on the input corpus at plan time (the
         // dedup_semantic convention: one moment-aggregate pass, dim²
@@ -1107,6 +1108,59 @@ object CurationStages {
       case other => throw new IllegalArgumentException(
         s"ann_topk: unknown mode `$other` (brute | ivf)")
     }
+  }
+
+  // ---- ann_ingest ------------------------------------------------------
+  //
+  // Incremental ANN index build: each batch's embeddings append into a
+  // bid-partitioned IVF index (ml/IvfIngest — the GramStore commit
+  // discipline: marker before data, one bid= partition per batch
+  // committed by rename, O(1) replay no-op), which `ann_topk index:`
+  // then searches with unchanged partition pruning. Geometry is pinned
+  // at creation; `create:` trains centroids ON THE FIRST BATCH (its
+  // distribution fixes the bucket geometry for the index's lifetime —
+  // the dedup_ingest re-banding convention: re-index to retrain; a
+  // tuned nprobe restores recall against drift in the meantime, at a
+  // visible probe-width cost). Rows pass through unchanged — ingest
+  // stages label/copy state, they never filter. Batch mode REQUIRES an
+  // explicit batch_id (the stats_ingest contract: a random id per run
+  // would double-ingest re-runs); streaming uses the checkpoint
+  // attempt token automatically, so replays of a failed sink no-op.
+
+  private def annIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val iCfg = c.get("index").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "ann_ingest stage needs `index: {path}`"))
+    val ipath = reqStr(iCfg, "path", "ann_ingest index")
+    val id = idField(c, "ann_ingest")
+    val vec = str(c, "vec_field", "embedding")
+    require(df.columns.contains(vec),
+      s"ann_ingest: no `$vec` column (set vec_field)")
+    val bid = graft.streaming.StreamRunner.currentBatchToken.value
+      .orElse(c.get("batch_id").map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "ann_ingest in batch mode needs an explicit `batch_id:` — " +
+          "appends are idempotent PER BATCH ID, and a random id per " +
+          "run would double-ingest re-runs (streaming runs use the " +
+          "checkpoint attempt token automatically)"))
+    if (!suppressStateWrites.value) {
+      val spark = df.sparkSession
+      if (graft.ml.Similarity.ivfIndexGeometry(spark, ipath).isEmpty) {
+        c.get("create").map(_.asInstanceOf[Map[String, Any]]) match {
+          case Some(cr) =>
+            val cs = graft.ml.Similarity.trainCentroids(df, id, vec,
+              int(cr, "centroids", 16), iters = int(cr, "iters", 5))
+            graft.ml.IvfIngest.create(spark, ipath, cs,
+              kind = str(cr, "kind", "flat"))
+          case None => throw new IllegalArgumentException(
+            s"ann_ingest: no index at $ipath — add `create: " +
+              "{centroids:, kind:}` to train geometry on the FIRST " +
+              "batch (pinned thereafter; re-index to retrain)")
+        }
+      }
+      graft.ml.IvfIngest.append(df, id, vec, ipath, bid)
+    }
+    df
   }
 
   /** Side-table read for stage configs (`{path, format}`): parquet

@@ -1682,6 +1682,101 @@ class CurationStagesSpec extends SparkSpec {
     assert(eMk.getMessage.contains("marker"))
   }
 
+  test("ann_ingest stage: first batch creates, later batches append, " +
+      "ann_topk searches the result; batch_id required; dry-run inert") {
+    val s = spark
+    import s.implicits._
+    def batch(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(sign, sign * (1.0f + i * 0.01f), 0.1f * (i % 3), 0.0f))
+    }.toDF("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-annig").toString + "/idx"
+    val yaml =
+      s"""pipeline:
+         |  - type: ann_ingest
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    batch_id: "%s"
+         |    index:
+         |      path: "$idxDir"
+         |    create:
+         |      centroids: 2
+         |      iters: 4
+         |""".stripMargin
+    // rows pass through unchanged (ingest stages never filter)
+    val out1 = run(yaml.format("b1"), batch(0, 12))
+    assert(out1.count() == 12 &&
+      out1.columns.toSeq == Seq("vec_id", "embedding"))
+    run(yaml.format("b2"), batch(12, 24))
+    // a replayed batch id ingests nothing
+    run(yaml.format("b2"), batch(12, 24))
+    assert(spark.read.parquet(idxDir).count() == 24)
+    // the ingested index serves ann_topk with the exact result on the
+    // clean two-cluster fixture
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-annig-q").toString
+    batch(0, 24).filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(qDir)
+    val got = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    nprobe: 1
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, batch(0, 1))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val want = graft.ml.Similarity.bruteForceTopK(batch(0, 24), "vec_id",
+        "embedding", batch(0, 24).filter(col("vec_id").isin(0L, 1L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 3)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(got == want,
+      s"search over the ingested index diverged from exact: $got vs $want")
+    // batch mode without batch_id refuses (the stats_ingest contract)
+    val eBid = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_ingest
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    index:
+           |      path: "$idxDir"
+           |""".stripMargin, batch(24, 30))
+    }
+    assert(eBid.getMessage.contains("batch_id"))
+    // no index and no create: refused with the training contract
+    val eNew = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_ingest
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    batch_id: x
+           |    index:
+           |      path: "${idxDir}-none"
+           |""".stripMargin, batch(0, 6))
+    }
+    assert(eNew.getMessage.contains("FIRST"))
+    // dry-run: a state-mutating stage writes NOTHING
+    graft.pipeline.CurationStages.suppressStateWrites.withValue(true) {
+      run(yaml.format("b9"), batch(24, 36))
+    }
+    assert(spark.read.parquet(idxDir).count() == 24,
+      "dry-run must not advance the index")
+  }
+
   test("pca_project stage: plan-time-trained whitened projection") {
     val s = spark
     import s.implicits._

@@ -947,6 +947,73 @@ class StreamCurationSpec extends SparkSpec {
       s"streamed counts diverged:\n$streamed\nvs\n$oneShot")
   }
 
+  test("ann_ingest through StreamRunner: the index grows per batch, a " +
+      "failed-sink replay never double-ingests, search equals one-shot") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("ann-ingest").toString + "/idx"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: ann_ingest
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    index:
+         |      path: $idx
+         |    create:
+         |      centroids: 2
+         |      iters: 4
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    @volatile var failFirst = false
+    val sink: DataFrame => Unit = df => {
+      df.count()
+      if (failFirst) { failFirst = false; sys.error("sink down") }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-ck").toString
+    def vec(i: Int): Seq[Float] = {
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      Seq(sign, sign * (1.0f + i * 0.01f), 0.1f * (i % 3), 0.0f)
+    }
+    val all = (0 until 12).map(i => (i.toLong, vec(i)))
+
+    mem.addData(all.take(6): _*)
+    val q1 = StreamRunner.run(mem.toDF().toDF("vec_id", "embedding"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(s.read.parquet(idx).count() == 6)
+
+    // batch 2 ingests, then the SINK fails — the replay must find its
+    // bid committed under the attempt token and no-op
+    failFirst = true
+    mem.addData(all.drop(6): _*)
+    val q2 = StreamRunner.run(mem.toDF().toDF("vec_id", "embedding"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q2.awaitTermination() }
+    val q3 = StreamRunner.run(mem.toDF().toDF("vec_id", "embedding"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(s.read.parquet(idx).count() == 12,
+      "the replayed micro-batch must not double-ingest")
+
+    // search over the streamed index == in-memory search over the
+    // whole stream at the index's own (first-batch-trained) geometry
+    val cen = graft.ml.Similarity.ivfIndexGeometry(s, idx).get._2
+    val queries = Seq((100L, vec(0).map(_.toDouble)))
+      .toDF("qid_src", "qvec")
+    val got = graft.ml.Similarity.ivfReadTopKBatch(s, idx, "vec_id",
+        "embedding", queries, "qid_src", "qvec", k = 4, nprobe = 1)
+      .collect().map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val want = graft.ml.Similarity.ivfTopK(
+        all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        queries, "qid_src", "qvec", cen, k = 4, nprobe = 1)
+      .collect().map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(got == want, s"streamed index diverged: $got vs $want")
+  }
+
   test("stats_ingest -> perplexity_score(train: store) composes: a " +
       "SELF-UPDATING LM gate whose model grows with the stream") {
     val s = spark
