@@ -27,11 +27,17 @@ object Curate {
     val usage = "usage: Curate <config.yaml> <input.parquet> <outDir> " +
       "[--partition-by cols] [--format parquet|json] " +
       "[--profile-by stratumCol[:textCol]] [--bucket-by col:N]\n" +
-      "       Curate compact-store <storePath>"
-    // maintenance action: offline compaction of a dedup_ingest key
-    // store (one row per content key under a fresh epoch token — see
-    // CurationStages.compactIngestStore for the replay discipline)
-    if (args.headOption.contains("compact-store")) {
+      "       Curate compact-store <storePath>\n" +
+      "       Curate compact-grams <storePath>\n" +
+      "       Curate compact-ann <indexPath>"
+    // maintenance actions: offline compaction of the three ingest
+    // stores (dedup_ingest keys / stats_ingest gram counts / the
+    // ann_ingest IVF index) — each is a single-writer action, so run
+    // them while the corresponding streaming query is stopped. Replays
+    // of folded batches stay no-ops afterwards (epoch token for the
+    // key store; the marker ledger for the other two).
+    val maintenance = Set("compact-store", "compact-grams", "compact-ann")
+    if (args.headOption.exists(maintenance)) {
       require(args.length == 2, usage)
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val s = Tables.configure(SparkSession.builder()
@@ -39,11 +45,20 @@ object Curate {
         .config("spark.sql.shuffle.partitions", cpus0)
         .config("spark.ui.enabled", "false")).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
-      try {
-        val (before, after) =
-          pipeline.CurationStages.compactIngestStore(s, args(1))
-        println(s"""{"compact_store":"ok","store":"${args(1)}",""" +
-          s""""rows_before":$before,"rows_after":$after}""")
+      try args(0) match {
+        case "compact-store" =>
+          val (before, after) =
+            pipeline.CurationStages.compactIngestStore(s, args(1))
+          println(s"""{"compact_store":"ok","store":"${args(1)}",""" +
+            s""""rows_before":$before,"rows_after":$after}""")
+        case "compact-grams" =>
+          val (before, after) = ml.GramStore.compact(s, args(1))
+          println(s"""{"compact_grams":"ok","store":"${args(1)}",""" +
+            s""""rows_before":$before,"rows_after":$after}""")
+        case "compact-ann" =>
+          val (before, after) = ml.IvfIngest.compact(s, args(1))
+          println(s"""{"compact_ann":"ok","index":"${args(1)}",""" +
+            s""""files_before":$before,"files_after":$after}""")
       } finally s.stop()
       return
     }

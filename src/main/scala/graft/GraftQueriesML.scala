@@ -641,6 +641,62 @@ object GraftQueriesML {
     },
     Some(ivfKmeansTopkSql))
 
+  /** The incremental-index form of [[mAnnPipeline]] (the
+    * [[mTrigramBackoffStore]] convention applied to ANN): the corpus
+    * lands in an ingestable IVF index as two batches with a COMPACTION
+    * between them and a post-fold replay of the folded batch —
+    * exercising the r15 ledger (a batch whose `bid=` partition was
+    * folded must still no-op) — and the `ann_topk index:` stage then
+    * searches the store. The oracle is [[ivfKmeansTopkSql]] VERBATIM:
+    * batch-wise ingestion and the fold are pure re-layouts, so
+    * store-served top-k must be bit-identical to the one-shot search.
+    */
+  private val mAnnIngest = Spec("ml_ann_ingest",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 1)
+      val root = "/tmp/graft-ann-ingest-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      val ipath = root + "/index"
+      graft.ml.IvfIngest.create(s, ipath, centroids)
+      graft.ml.IvfIngest.append(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ipath, "even")
+      graft.ml.IvfIngest.compact(s, ipath) // folds "even" into the ledger
+      graft.ml.IvfIngest.append(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", ipath, "odd")
+      // replayed AFTER its partition was folded away: the marker's
+      // ledger (not the gone directory) must make this a no-op
+      graft.ml.IvfIngest.append(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ipath, "even")
+      val qDir = root + "/queries"
+      emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .coalesce(1).write.mode("overwrite").parquet(qDir)
+      val yaml =
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    index:
+           |      path: $ipath
+           |    nprobe: 2
+           |    k: 5
+           |    queries:
+           |      path: $qDir
+           |      qid_field: qid
+           |      qvec_field: qvec
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(emb).main
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+    },
+    Some(ivfKmeansTopkSql))
+
   // ======================================================================
   // Text analysis
   // ======================================================================
@@ -3053,5 +3109,6 @@ object GraftQueriesML {
     mDecontamClean, mPretrainRecipe, mLmQuantile, mLmBuckets, mSq8, mSq8TopK,
     mCorpusProfile, mKmeans, mClusterSample, mKnnGraph, mIvfKmeans,
     mAnnPipeline,
+    mAnnIngest,
     mEmbedAgainst, mClusterPurity)
 }

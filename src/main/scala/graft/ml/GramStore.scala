@@ -141,70 +141,20 @@ object GramStore {
       s"writeMeta: could not commit $tmp -> $Marker in $dir")
   }
 
-  /** Repair an interrupted [[compact]]/migration park-swap — WRITERS
-    * ONLY (append/compact entry): a crash between rename(dir→old) and
-    * rename(tmp→dir) leaves no store directory but a complete parked
-    * copy — roll BACK to it (the rebuild is idempotent and re-runs);
-    * superseded `.compact-old` and stale `.compact-tmp` dirs are also
-    * dropped. Readers must never call this: a reader-side rollback
-    * racing a LIVE compactor caught between its two renames would
-    * steal the park target and make the compactor's second rename fail
-    * (VERDICT r14 What's-wrong #3) — readers resolve via [[readerDir]]
-    * instead, which mutates nothing.
-    */
-  private def recover(f: FileSystem, store: String): Unit = {
-    val dir = new Path(store)
-    val tmp = new Path(store + ".compact-tmp")
-    val old = new Path(store + ".compact-old")
-    if (!f.exists(dir) && f.exists(old)) {
-      require(f.rename(old, dir),
-        s"recover: could not restore parked $old to $store")
-      // tmp (if any) is a possibly-incomplete build for the restored
-      // state — always stale after a rollback
-      if (f.exists(tmp)) f.delete(tmp, true)
-    }
-    if (f.exists(dir)) {
-      if (f.exists(old)) f.delete(old, true) // superseded parked copy
-      if (f.exists(tmp)) f.delete(tmp, true) // crashed build
-    }
-  }
+  // The park-swap commit protocol (recover / readerDir / swap) lives
+  // in [[ParkSwap]] since r15 — the IVF ingest compaction
+  // ([[IvfIngest.compact]]) needed the identical discipline, and two
+  // hand-maintained copies of a crash-safety protocol is how the two
+  // drift apart. Writer entries call ParkSwap.recover; readers resolve
+  // through ParkSwap.readerDir and never mutate.
+  private def recover(f: FileSystem, store: String): Unit =
+    ParkSwap.recover(f, store)
 
-  /** Resolve the directory a READER consults, mutating nothing. During
-    * a park-swap at least one of {store, store.compact-old} exists at
-    * every instant (both renames are atomic), so a missing store dir
-    * means either a swap IN FLIGHT — the dir reappears within the
-    * compactor's next rename; retry briefly — or a genuine crash
-    * between the renames, where the complete parked copy IS the
-    * store's durable pre-compaction state: read it in place. The next
-    * WRITER entry ([[recover]]) rolls the crash back; a reader that
-    * merely outwaits a slow live compactor also lands on the parked
-    * copy, which is still the correct committed state (the swap has
-    * not completed). Single-writer discipline means no ABA: the parked
-    * copy observed here is the same state a pre-swap read would have
-    * returned.
-    */
-  private def readerDir(f: FileSystem, store: String): String = {
-    val dir = new Path(store)
-    val old = new Path(store + ".compact-old")
-    var waited = 0L
-    while (!f.exists(dir) && f.exists(old) && waited < 2000) {
-      Thread.sleep(50); waited += 50
-    }
-    if (!f.exists(dir) && f.exists(old)) store + ".compact-old" else store
-  }
+  private def readerDir(f: FileSystem, store: String): String =
+    ParkSwap.readerDir(f, store)
 
-  /** Park-swap commit: `store + ".compact-tmp"` (complete, marker
-    * included) replaces the live store. [[recover]] repairs a crash
-    * between the renames.
-    */
-  private def swap(f: FileSystem, store: String): Unit = {
-    val dir = new Path(store)
-    val tmp = new Path(store + ".compact-tmp")
-    val old = new Path(store + ".compact-old")
-    require(f.rename(dir, old), s"swap: could not park $store")
-    require(f.rename(tmp, dir), s"swap: could not move $tmp into place")
-    f.delete(old, true)
-  }
+  private def swap(f: FileSystem, store: String): Unit =
+    ParkSwap.swap(f, store)
 
   /** Rewrite a pre-r14 (bid-as-data-column) store into the partitioned
     * layout, preserving per-batch separation — one `partitionBy("bid")`

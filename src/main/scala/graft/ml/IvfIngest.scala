@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   *   - readers are unchanged: partition discovery yields (bid, bucket)
   *     columns and the batch readers' bucket filter prunes at planning
   *     inside every bid — [[Similarity.ivfReadTopKBatch]] /
-  *     [[Similarity.ivfSqReadTopKBatch]] work on both layouts.
+  *     [[Similarity.ivfSqReadTopKBatch]] work on both layouts;
+  *   - [[compact]] folds the per-batch partitions into one
+  *     `bid=__compact` partition (one file per bucket) and records the
+  *     folded batch ids in the marker's ledger, so replays of folded
+  *     batches still no-op — the small-files control that keeps a
+  *     year of batches from turning partition discovery into the
+  *     dominant query cost. Readers stay safe across the fold's
+  *     park-swap instant ([[ParkSwap.readerDir]]).
   *
   * Geometry is pinned at creation: bucket assignment under one centroid
   * set is incomparable with another, so re-centering = re-ingest into a
@@ -36,9 +43,14 @@ import org.apache.spark.sql.functions._
   * the meantime at a visible probe-width cost).
   *
   * Kinds: `flat` stores (id, vec, bucket) — tunable, exact-verifiable;
-  * `sq8` stores (id, scale, codes, bucket) — 4× smaller, IP ranking.
+  * `sq8` stores (id, scale, codes, bucket) — 4× smaller, IP ranking;
+  * `pq` stores (id, codes, bucket) — m bytes/vector residual codes
+  * against codebooks pinned at creation alongside the centroids
+  * (train both on the first batch; the memory-scale rung).
   */
 object IvfIngest {
+
+  private val CompactBid = "__compact"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -46,6 +58,10 @@ object IvfIngest {
   private def escape(bid: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(bid)
+
+  private def unescape(dirName: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName)
 
   /** Create an ingestable index: marker only, no data — the marker
     * rides ahead of the first append (the GramStore crash rule: a
@@ -55,15 +71,22 @@ object IvfIngest {
     * adopt a marker-less directory that already holds data.
     */
   def create(spark: SparkSession, path: String,
-             centroids: Seq[Seq[Double]], kind: String = "flat"): Unit = {
-    require(kind == "flat" || kind == "sq8",
-      s"IvfIngest: kind `$kind` not ingestable (flat | sq8)")
+             centroids: Seq[Seq[Double]], kind: String = "flat",
+             books: Seq[Seq[Seq[Double]]] = Seq.empty): Unit = {
+    require(kind == "flat" || kind == "sq8" || kind == "pq",
+      s"IvfIngest: kind `$kind` not ingestable (flat | sq8 | pq)")
     require(centroids.nonEmpty, "IvfIngest.create: no centroids")
+    require((kind == "pq") == books.nonEmpty,
+      if (kind == "pq")
+        "IvfIngest.create: kind pq needs trained residual codebooks " +
+          "(Similarity.ivfPqTrain) — codes are meaningless without them"
+      else s"IvfIngest.create: kind $kind takes no codebooks")
     val f = fs(spark, path)
+    ParkSwap.recover(f, path) // writer entry: repair an interrupted fold
     val dir = new Path(path)
     Similarity.ivfIndexGeometry(spark, path) match {
-      case Some((mk, mc, _)) =>
-        require(mk == kind && mc == centroids &&
+      case Some((mk, mc, mb)) =>
+        require(mk == kind && mc == centroids && mb == books &&
             Similarity.ivfIndexLayout(spark, path).contains("bidpart"),
           s"IvfIngest: $path already carries a DIFFERENT index " +
             "(kind/geometry/layout mismatch) — appending under foreign " +
@@ -79,7 +102,7 @@ object IvfIngest {
             "directory)")
         f.mkdirs(dir)
         Similarity.writeIvfMarker(spark, path, kind, centroids,
-          Seq.empty, layout = Some("bidpart"))
+          books, layout = Some("bidpart"))
     }
   }
 
@@ -90,9 +113,13 @@ object IvfIngest {
     */
   def append(batch: DataFrame, idCol: String, vecCol: String,
              path: String, batchId: String): Boolean = {
-    require(batchId.nonEmpty, "IvfIngest.append: empty batchId")
+    require(batchId.nonEmpty && batchId != CompactBid,
+      s"IvfIngest.append: batchId must be non-empty and not the " +
+        s"reserved `$CompactBid`")
     val spark = batch.sparkSession
-    val (kind, centroids, _) = Similarity.ivfIndexGeometry(spark, path)
+    val f = fs(spark, path)
+    ParkSwap.recover(f, path) // writer entry: repair an interrupted fold
+    val (kind, centroids, books) = Similarity.ivfIndexGeometry(spark, path)
       .getOrElse(throw new IllegalArgumentException(
         s"IvfIngest: $path carries no geometry marker — create(...) " +
           "the index first (geometry is pinned at creation)"))
@@ -101,7 +128,10 @@ object IvfIngest {
         "layout — appending would mix root-level and bid-level bucket " +
         "partitions and break partition discovery; rebuild it as an " +
         "ingestable index (IvfIngest.create) to ingest into it")
-    val f = fs(spark, path)
+    // a batch whose partition a compact folded away must still no-op:
+    // the marker's ledger (not the gone directory) carries the memory
+    if (Similarity.ivfIndexFolded(spark, path).contains(batchId))
+      return false
     val part = new Path(path, "bid=" + escape(batchId))
     if (f.exists(part)) return false // committed by a previous attempt
     val stage = new Path(path, ".stage-" + escape(batchId))
@@ -119,13 +149,95 @@ object IvfIngest {
             Similarity.assignBucket(col(vecCol), centroids))
           .select(col(idCol), col("__scale").as("scale"),
             col("__codes").as("codes"), col("bucket"))
+      case "pq" =>
+        // the one-shot layout's exact projection (L2 coarse
+        // assignment + residual PQ codes — shared builder, so
+        // ingested rows are bit-identical to ivfPqWriteIndex's)
+        Similarity.pqIndexRows(batch, idCol, vecCol, centroids, books)
+          .select(col(idCol), col("codes"), col("bucket"))
       case other => throw new IllegalArgumentException(
-        s"IvfIngest: kind `$other` not ingestable (flat | sq8)")
+        s"IvfIngest: kind `$other` not ingestable (flat | sq8 | pq)")
     }
     rows.write.partitionBy("bucket").parquet(stage.toString)
     // the rename IS the commit point
     require(f.rename(stage, part),
       s"IvfIngest: could not commit $stage -> $part")
     true
+  }
+
+  /** Count of visible data files under the index's `bid=` partitions —
+    * the quantity compaction exists to bound (staging and metadata
+    * files excluded). Metadata-only; never reads data.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) return 0L
+    f.listStatus(dir).iterator
+      .filter(_.getPath.getName.startsWith("bid="))
+      .map { bidDir =>
+        val it = f.listFiles(bidDir.getPath, true)
+        var n = 0L
+        while (it.hasNext) {
+          val nm = it.next().getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+        }
+        n
+      }.sum
+  }
+
+  /** Fold the per-batch `bid=` partitions into one `bid=__compact`
+    * partition — the small-files control for a long-lived ingest
+    * index: N batches × C buckets leaves N·C data files (and N·C
+    * directories for partition discovery to list), which at production
+    * batch counts dominates both the planning-time listing and the
+    * scan's per-file open cost. The fold is a pure re-layout — rows
+    * are unioned, never aggregated — re-shuffled on `bucket` so each
+    * bucket lands as ONE file, and committed by [[ParkSwap]]'s
+    * park-swap (marker written LAST into the tmp build; an
+    * interrupted swap rolls back on the next writer entry, and
+    * readers resolve through the parked copy meanwhile). Every folded
+    * batch id lands in the marker's `folded` ledger, so a batch
+    * replayed after compaction still no-ops instead of
+    * double-ingesting (the GramStore ledger rule — folded ids come
+    * from the partition DIRECTORIES, so even an empty batch's commit
+    * survives the fold). Readers are unchanged: bucket pruning works
+    * identically on `bid=__compact/bucket=N`.
+    *
+    * Returns (data files before, data files after). Single-writer
+    * discipline: serialize with appends.
+    */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    val f = fs(spark, path)
+    ParkSwap.recover(f, path)
+    val (kind, centroids, books) = Similarity.ivfIndexGeometry(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"IvfIngest: $path carries no geometry marker — not an IVF index"))
+    require(Similarity.ivfIndexLayout(spark, path).contains("bidpart"),
+      s"IvfIngest: the index at $path is the classic single-write " +
+        "layout — it is already one immutable write per bucket; there " +
+        "is nothing to fold")
+    val dir = new Path(path)
+    val live: Set[String] = f.listStatus(dir).iterator
+      .map(_.getPath.getName).filter(_.startsWith("bid="))
+      .map(n => unescape(n.drop(4))).toSet
+    val before = dataFileCount(spark, path)
+    if (live.isEmpty) return (before, before) // nothing ingested yet
+    val folded = Similarity.ivfIndexFolded(spark, path)
+    val tmp = ParkSwap.tmpDir(path)
+    if (f.exists(new Path(tmp))) f.delete(new Path(tmp), true)
+    // partition discovery yields (…data…, bid, bucket); bid is dropped
+    // (its memory moves into the ledger) and ONE shuffle on the bucket
+    // key lands each bucket as one file under the consolidated bid
+    spark.read.parquet(path)
+      .drop("bid")
+      .withColumn("bid", lit(CompactBid))
+      .repartition(col("bucket"))
+      .write.partitionBy("bid", "bucket").parquet(tmp)
+    // marker LAST while building tmp — a tmp with a marker is complete
+    Similarity.writeIvfMarker(spark, tmp, kind, centroids, books,
+      layout = Some("bidpart"), folded = folded ++ (live - CompactBid))
+    ParkSwap.swap(f, path)
+    (before, dataFileCount(spark, path))
   }
 }

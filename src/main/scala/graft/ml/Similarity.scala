@@ -422,11 +422,24 @@ object Similarity {
   private[ml] def ivfMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, IvfMarkerFile)
 
+  /** Resolve the directory a reader consults — the live index, or the
+    * parked copy while an [[IvfIngest.compact]] park-swap is in flight
+    * (the [[ParkSwap.readerDir]] discipline; classic never-compacted
+    * indexes resolve to themselves at the cost of one existence
+    * probe). Readers never mutate; repair is writer-only.
+    */
+  private[ml] def indexReaderDir(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): String =
+    ParkSwap.readerDir(
+      ivfMarkerPath(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), path)
+
   private[ml] def writeIvfMarker(spark: org.apache.spark.sql.SparkSession,
                              path: String, kind: String,
                              centroids: Seq[Seq[Double]],
                              books: Seq[Seq[Seq[Double]]],
-                             layout: Option[String] = None): Unit = {
+                             layout: Option[String] = None,
+                             folded: Set[String] = Set.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("kind", kind)
@@ -440,11 +453,46 @@ object Similarity {
         b.foreach { c => val a = sub.addArray(); c.foreach(a.add) }
       }
     }
+    if (folded.nonEmpty) {
+      val fa = root.putArray("folded")
+      folded.toSeq.sorted.foreach(fa.add)
+    }
+    // write-then-rename (the GramStore.writeMeta rule): a crash
+    // mid-write must never leave a truncated marker in place — a
+    // partial marker would read as marker-less and brick the index's
+    // refusal checks. The dot-prefixed temp is invisible to parquet
+    // reads; single-writer discipline makes the fixed temp name safe.
     val p = ivfMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path, "." + IvfMarkerFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // classic overwrite sites
+    require(fs.rename(tmp, p),
+      s"writeIvfMarker: could not commit $tmp -> $p")
+  }
+
+  /** The compaction ledger of an ingestable index ([[IvfIngest]]):
+    * every batch id whose `bid=` partition a compact has folded into
+    * the consolidated partition. Empty for classic single-write
+    * indexes and never-compacted ingest indexes.
+    */
+  def ivfIndexFolded(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Set[String] = {
+    val p = ivfMarkerPath(indexReaderDir(spark, path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+                     .readTree(txt)
+               catch { case _: java.io.IOException => return Set.empty }
+    Option(node.get("folded")).filter(_.isArray).map { arr =>
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(_.asText).toSet
+    }.getOrElse(Set.empty)
   }
 
   /** The geometry a written index was built with, or None for a
@@ -453,7 +501,7 @@ object Similarity {
   def ivfIndexGeometry(spark: org.apache.spark.sql.SparkSession,
                        path: String)
       : Option[(String, Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = {
-    val p = ivfMarkerPath(path)
+    val p = ivfMarkerPath(indexReaderDir(spark, path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -480,7 +528,7 @@ object Similarity {
     */
   def ivfIndexLayout(spark: org.apache.spark.sql.SparkSession,
                      path: String): Option[String] = {
-    val p = ivfMarkerPath(path)
+    val p = ivfMarkerPath(indexReaderDir(spark, path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -559,7 +607,8 @@ object Similarity {
                   idCol: String, vecCol: String, query: Seq[Double],
                   centroids: Seq[Seq[Double]], k: Int,
                   nprobe: Int = 1): DataFrame = {
-    requireIvfGeometry(spark, path, "flat", centroids, Seq.empty)
+    val at = indexReaderDir(spark, path)
+    requireIvfGeometry(spark, at, "flat", centroids, Seq.empty)
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -570,7 +619,7 @@ object Similarity {
       .sortBy { case (c, i) => (-cos(query, c), i) }
       .take(math.max(1, nprobe)).map(_._2)
     val q = array(query.map(lit): _*)
-    spark.read.parquet(path)
+    spark.read.parquet(at)
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -598,7 +647,8 @@ object Similarity {
                        queries: DataFrame, qidCol: String, qvecCol: String,
                        k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = markerGeometry(spark, path, "flat")._1
+    val at = indexReaderDir(spark, path)
+    val centroids = markerGeometry(spark, at, "flat")._1
     val probed = queries.select(
       col(qidCol).as("qid"), col(qvecCol).as("__qv"),
       org.apache.spark.sql.GraftSqlBridge.column(
@@ -612,7 +662,7 @@ object Similarity {
     // side is side-table-small by convention — this action is cheap)
     val allProbed = probed.select(explode(col("__probe")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val scored = spark.read.parquet(path)
+    val scored = spark.read.parquet(at)
       .filter(col("bucket").isin(allProbed: _*))
       .join(broadcast(probed),
         array_contains(col("__probe"), col("bucket")))
@@ -661,7 +711,8 @@ object Similarity {
                     idCol: String, query: Seq[Double],
                     centroids: Seq[Seq[Double]], k: Int,
                     nprobe: Int = 1): DataFrame = {
-    requireIvfGeometry(spark, path, "sq8", centroids, Seq.empty)
+    val at = indexReaderDir(spark, path)
+    requireIvfGeometry(spark, at, "sq8", centroids, Seq.empty)
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val na = math.sqrt(a.map(x => x * x).sum)
@@ -675,7 +726,7 @@ object Similarity {
     val dotQ = aggregate(
       zip_with(col("codes"), q, (c, x) => c.cast("double") * x),
       lit(0.0), (acc, x) => acc + x)
-    spark.read.parquet(path)
+    spark.read.parquet(at)
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), round(col("scale") * dotQ, 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -698,7 +749,8 @@ object Similarity {
                          qvecCol: String, k: Int,
                          nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = markerGeometry(spark, path, "sq8")._1
+    val at = indexReaderDir(spark, path)
+    val centroids = markerGeometry(spark, at, "sq8")._1
     val probed = queries.select(
       col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("__qv"),
@@ -713,7 +765,7 @@ object Similarity {
     val dotQ = aggregate(
       zip_with(col("codes"), col("__qv"), (c, x) => c.cast("double") * x),
       lit(0.0), (acc, x) => acc + x)
-    val scored = spark.read.parquet(path)
+    val scored = spark.read.parquet(at)
       .filter(col("bucket").isin(allProbed: _*))
       .join(broadcast(probed),
         array_contains(col("__probe"), col("bucket")))
@@ -1077,6 +1129,19 @@ object Similarity {
   def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: Seq[Seq[Double]],
                       books: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    pqIndexRows(corpus, idCol, vecCol, centroids, books)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIvfMarker(corpus.sparkSession, path, "pq", centroids, books)
+  }
+
+  /** The (id, bucket, codes) projection an IVF-PQ layout stores —
+    * shared by the one-shot write and [[IvfIngest.append]] so the two
+    * layouts are bit-identical per row (L2 coarse assignment, residual
+    * PQ codes, vectors never stored).
+    */
+  private[ml] def pqIndexRows(corpus: DataFrame, idCol: String,
+                              vecCol: String, centroids: Seq[Seq[Double]],
+                              books: Seq[Seq[Seq[Double]]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     corpus.select(col(idCol), v.as("__v"),
         assignNearestL2(v, centroids).as("bucket"))
@@ -1084,8 +1149,6 @@ object Similarity {
         pqEncode(zip_with(col("__v"),
           centroidAt(col("bucket"), centroids), (x, y) => x - y), books)
           .as("codes"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeIvfMarker(corpus.sparkSession, path, "pq", centroids, books)
   }
 
   /** Marker-read IVF-PQ query ([[ivfReadTopK]]'s convention): both the
@@ -1166,7 +1229,7 @@ object Similarity {
     val allBuckets = probeRows.map(_._2).distinct
     import spark.implicits._
     val luts = probeRows.toDF("qid", "bucket", "__lut")
-    val scored = spark.read.parquet(path)
+    val scored = spark.read.parquet(indexReaderDir(spark, path))
       .filter(col("bucket").isin(allBuckets: _*))
       .join(broadcast(luts), Seq("bucket"))
       .select(col("qid"), col(idCol).as("id"),

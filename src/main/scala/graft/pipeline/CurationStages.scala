@@ -982,9 +982,19 @@ object CurationStages {
     val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
       .getOrElse(throw new IllegalArgumentException(
         "ann_topk stage needs `queries: {path, qid_field, qvec_field}`"))
-    val q = readSideTable(df.sparkSession, qCfg, "ann_topk queries")
-    val qid = str(qCfg, "qid_field", "qid")
-    val qvec = str(qCfg, "qvec_field", "qvec")
+    val q0 = readSideTable(df.sparkSession, qCfg, "ann_topk queries")
+    val qidSrc = str(qCfg, "qid_field", "qid")
+    val qvecSrc = str(qCfg, "qvec_field", "qvec")
+    require(q0.columns.contains(qidSrc) && q0.columns.contains(qvecSrc),
+      s"ann_topk: queries table has no `$qidSrc`/`$qvecSrc` column " +
+        "(set qid_field/qvec_field)")
+    // rename the query side onto internal names IMMEDIATELY: the query
+    // table is routinely a projection of the corpus itself (same
+    // parquet, same column names), and the downstream cross/broadcast
+    // joins would make every same-named reference ambiguous
+    val qid = "__ann_qid"
+    val qvec = "__ann_qvec"
+    val q = q0.select(col(qidSrc).as(qid), col(qvecSrc).as(qvec))
     val id = idField(c, "ann_topk")
     val vec = str(c, "vec_field", "embedding")
     val k = int(c, "k", 10)
@@ -1150,8 +1160,16 @@ object CurationStages {
           case Some(cr) =>
             val cs = graft.ml.Similarity.trainCentroids(df, id, vec,
               int(cr, "centroids", 16), iters = int(cr, "iters", 5))
-            graft.ml.IvfIngest.create(spark, ipath, cs,
-              kind = str(cr, "kind", "flat"))
+            val kind = str(cr, "kind", "flat")
+            // pq pins residual codebooks alongside the centroids —
+            // both trained on the first batch, both frozen thereafter
+            val books =
+              if (kind == "pq") graft.ml.Similarity.ivfPqTrain(df, id,
+                vec, cs, m = int(cr, "m", 8), k = int(cr, "pq_k", 16),
+                iters = int(cr, "iters", 5))
+              else Seq.empty
+            graft.ml.IvfIngest.create(spark, ipath, cs, kind = kind,
+              books = books)
           case None => throw new IllegalArgumentException(
             s"ann_ingest: no index at $ipath — add `create: " +
               "{centroids:, kind:}` to train geometry on the FIRST " +

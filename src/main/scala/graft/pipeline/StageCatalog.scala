@@ -557,6 +557,36 @@ object StageCatalog {
           |      qtext_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_bm25_topk"),
       notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit."),
+    StageDoc("ann_topk", "curation",
+      "Embedding similarity search: top-k corpus rows per query vector (cosine) - bm25_topk's sibling on the vector column, from exact baseline to probe-pruned written indexes.",
+      y("""pipeline:
+          |  - type: ann_topk
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    mode: brute         # brute (exact) | ivf (scale path)
+          |    k: 5
+          |    queries:
+          |      path: "/root/testdata/sf0.001/embeddings.parquet"
+          |      qid_field: vec_id
+          |      qvec_field: embedding"""),
+      schemaKind = "embeddings",
+      oracle = Seq("ml_ann_pipeline", "ml_embed_topk", "ml_ivf_kmeans_topk"),
+      notes = "Terminal stage: the output IS the result set (qid, rank, id, sim). `mode: brute` broadcasts the (small-by-definition) query set against ONE corpus scan - exact, no corpus shuffle, per-query top-k as a partitioned window. `mode: ivf` trains centroids at plan time over the input corpus (`trainer: maximin` default; `kmeans` is the SQL-replayable trainer oracle configs use) and scans only each query's `nprobe` best buckets. Probe width: `nprobe:` explicit, or `target_recall: <0..1>` - Recall.tuneNprobe measures recall@k of a content-addressed 16-query sample against exact brute-force truth and binary-refines to the minimal passing width (IVF recall has no closed form: it depends on how the corpus clusters around the trained centroids, so the contract is MEASURED, where the LSH stages' target_recall is modeled); the two knobs refuse together. `index: {path}` searches a PRE-WRITTEN bucket-partitioned index instead of the piped input - the 100 TB query path: the probe union collects to a literal so bucket pruning happens at PLANNING time, one broadcast join restricts rows to the queries that probed their bucket, one job for the whole query set. The marker's kind dispatches flat | sq8 | pq (the index-size ladder: dim*4 -> dim+8 -> m bytes/vector); marker geometry is authoritative, so training knobs alongside `index:` refuse loudly as dead config, and `target_recall:` on a codes-only index (sq8/pq) refuses - no exact truth inside the index to tune against (tune on the flat index or corpus, pin `nprobe:` here). Ingested (ann_ingest) and single-write indexes read identically. Whole-corpus semantics - batch only."),
+    StageDoc("ann_ingest", "curation",
+      "Incremental ANN index build: append each batch's embeddings into a growing bid-partitioned IVF index (flat or SQ8-compressed) that ann_topk `index:` then searches with unchanged planning-time pruning.",
+      y("""pipeline:
+          |  - type: ann_ingest
+          |    id_field: vec_id
+          |    vec_field: embedding
+          |    index:
+          |      path: "/tmp/graft-docs-ann-index"
+          |    create:
+          |      centroids: 2      # trained on the FIRST batch
+          |      kind: flat        # flat | sq8 | pq (codes-only rungs)
+          |    batch_id: example-batch"""),
+      schemaKind = "embeddings",
+      oracle = Seq("ml_ann_ingest"),
+      notes = "Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline applied to the IVF layout: the geometry marker (kind + centroids + layout) is written BEFORE any data, each batch is ONE bid=<batch_id>/bucket=N partition committed by an atomic rename (the rename IS the commit point), the seen-check is an O(1) directory probe plus the marker's folded ledger - so at-least-once delivery ingests each batch EXACTLY once under a crash at any point, and crash-abandoned staging is reclaimed by the retry. Geometry pins at creation: `create:` trains centroids on the FIRST batch (maximin; its distribution fixes the bucket geometry for the index's lifetime - re-index to retrain, the dedup_ingest re-banding convention; a tuned nprobe restores recall against drift meanwhile at a visible probe-width cost). IvfIngest.compact (CLI: `Curate compact-ann <path>`) folds the per-batch partitions into one bid=__compact partition with ONE file per bucket and records folded batch ids in the marker's ledger (replays of folded batches still no-op) - the small-files control that keeps a year of batches from turning partition discovery into the dominant query cost; the fold commits by park-swap (an interrupted swap rolls back on the next writer entry) and readers stay safe across the swap instant (they resolve through the parked copy, never repair). Batch mode REQUIRES explicit `batch_id:` (a random id per run would double-ingest re-runs); streaming uses the checkpoint attempt token automatically, so failed-sink replays no-op. Dry-run (suppressStateWrites) writes nothing. SINGLE-WRITER per index: serialize appends and compactions; readers are safe alongside a writer. Kinds span the full index-size ladder: `flat` (dim*4 B/vector, tunable/exact-verifiable), `sq8` (dim+8), `pq` (m bytes/vector - `create: {kind: pq, m:, pq_k:}` trains the residual codebooks on the first batch alongside the centroids, both frozen in the marker; the shared row builder makes ingested codes bit-identical to the one-shot ivfPqWriteIndex layout)."),
     StageDoc("pca_project", "curation",
       "Project embeddings onto a PCA basis trained on the input corpus (optionally whitened) - embedding post-processing before ANN indexing or semantic dedup.",
       y("""pipeline:

@@ -104,6 +104,9 @@ class PlanGuardSpec extends SparkSpec {
                                // ann_topk YAML stage (corpus persisted
                                // by stagedInput — cache subtree excluded;
                                // queries side table broadcasts)
+    "ml_ann_ingest" -> 2,      // written-index batch read: bucket-pruned
+                               // scan + broadcast probe join + the
+                               // per-query window top-k exchange
     "ml_embed_neardup" -> 7,   // r14: dot computed IN the band join —
                                // the narrow-candidate → wide verify-join
                                // re-shuffle (2 exchanges) is gone

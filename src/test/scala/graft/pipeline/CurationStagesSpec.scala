@@ -1478,6 +1478,43 @@ class CurationStagesSpec extends SparkSpec {
     assert(eStream.getMessage.contains("ann_topk"))
   }
 
+  test("ann_topk stage: a queries table sharing the corpus's column " +
+      "names resolves unambiguously (the self-query shape)") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 12).map { i =>
+      val sign = if (i < 6) 1.0 else -1.0
+      (i.toLong, Seq(sign, sign * (1.0 + i * 0.01), 0.1 * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    // the routine production shape: queries ARE corpus rows, same
+    // parquet columns — un-renamed, this made every reference in the
+    // broadcast join ambiguous (the doc example's own failure)
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-self").toString
+    emb.filter(col("vec_id").isin(0L, 7L))
+      .write.mode("overwrite").parquet(qDir)
+    def topk(mode: String) = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: $mode
+         |    ${if (mode == "ivf") "centroids: 2\n    nprobe: 1" else ""}
+         |    k: 2
+         |    queries:
+         |      path: "$qDir"
+         |      qid_field: vec_id
+         |      qvec_field: embedding
+         |""".stripMargin, emb).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val brute = topk("brute")
+    // each query's own row is its top hit (sim 1.0), from its cluster
+    assert(brute.contains((0L, 0L)) && brute.contains((7L, 7L)))
+    assert(brute.forall { case (q, i) => (q < 6) == (i < 6) })
+    assert(topk("ivf") == brute)
+  }
+
   test("ann_topk stage: index mode searches a written index; training " +
       "knobs alongside index refuse") {
     val s = spark
@@ -1680,6 +1717,74 @@ class CurationStagesSpec extends SparkSpec {
            |""".stripMargin, emb)
     }
     assert(eMk.getMessage.contains("marker"))
+  }
+
+  test("ann_ingest stage: kind pq pins codebooks from the first batch; " +
+      "a mid-stream compact is invisible to the stage and the search") {
+    val s = spark
+    import s.implicits._
+    def batch(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Seq(sign, sign * (1.0 + i * 0.01), 0.1 * (i % 3), 0.05))
+    }.toDF("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-annig-pq").toString + "/idx"
+    val yaml =
+      s"""pipeline:
+         |  - type: ann_ingest
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    batch_id: "%s"
+         |    index:
+         |      path: "$idxDir"
+         |    create:
+         |      centroids: 2
+         |      kind: pq
+         |      m: 2
+         |      pq_k: 4
+         |""".stripMargin
+    run(yaml.format("b1"), batch(0, 12))
+    // marker pins kind + trained books from the FIRST batch
+    val (kind, _, books) =
+      graft.ml.Similarity.ivfIndexGeometry(s, idxDir).get
+    assert(kind == "pq" && books.length == 2 &&
+      books.forall(_.length == 4))
+    graft.ml.IvfIngest.compact(s, idxDir) // mid-stream maintenance fold
+    run(yaml.format("b2"), batch(12, 24))
+    run(yaml.format("b1"), batch(0, 12)) // folded bid: replay no-ops
+    assert(spark.read.parquet(idxDir).count() == 24)
+    assert(!spark.read.parquet(idxDir).columns.contains("embedding"))
+    // the stage search == the per-query pq reader over the same index
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-annig-pq-q").toString
+    batch(0, 24).filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(qDir)
+    val got = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    nprobe: 2
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, batch(0, 1))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    val want = Seq(0L, 1L).flatMap { q =>
+      val qv = batch(0, 24).filter(col("vec_id") === q)
+        .select(col("embedding")).collect().head.getSeq[Double](0)
+      graft.ml.Similarity.ivfPqReadTopK(s, idxDir, "vec_id", qv,
+          k = 3, nprobe = 2).collect()
+        .map(r => (q, r.getLong(r.fieldIndex("vec_id"))))
+    }.toSet
+    assert(got == want,
+      s"stage pq search over the ingested index diverged: $got vs $want")
   }
 
   test("ann_ingest stage: first batch creates, later batches append, " +

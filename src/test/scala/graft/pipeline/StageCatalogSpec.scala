@@ -73,6 +73,15 @@ class StageCatalogSpec extends SparkSpec {
                 "$1 \"" + java.nio.file.Files
                   .createTempDirectory("catalog-ingest")
                   .toString + "/keys\"")
+            else if (d.name == "ann_ingest")
+              // same reasoning: the compile IS a run (create + append),
+              // and a persistent documented path would let a stale
+              // index from an earlier fixture refuse a retrained
+              // create on geometry mismatch
+              d.example.replaceAll("(?m)^(\\s*path:).*$",
+                "$1 \"" + java.nio.file.Files
+                  .createTempDirectory("catalog-ann")
+                  .toString + "/index\"")
             else d.example
           PipelineCompiler.compile(
             RuleLoader.fromYaml(example))(frame(d.schemaKind))
