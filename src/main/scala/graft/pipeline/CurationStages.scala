@@ -979,12 +979,36 @@ object CurationStages {
   // trained centroids, so the contract is measured, not modeled.
 
   private def annTopK(df: DataFrame, c: Map[String, Any]): DataFrame = {
-    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
-      .getOrElse(throw new IllegalArgumentException(
-        "ann_topk stage needs `queries: {path, qid_field, qvec_field}`"))
-    val q0 = readSideTable(df.sparkSession, qCfg, "ann_topk queries")
-    val qidSrc = str(qCfg, "qid_field", "qid")
-    val qvecSrc = str(qCfg, "qvec_field", "qvec")
+    // `queries: input` — the piped rows ARE the query set, served from
+    // a pre-written index (the retrieval-service shape: inside
+    // StreamRunner each micro-batch of arriving queries searches the
+    // index and the result set flows to the sink). There is no corpus
+    // in the pipe in this shape, so it REQUIRES `index:`; and
+    // `target_recall:` refuses — the tuner would re-measure per run
+    // (per micro-batch, in a stream), so tune once with a side-table
+    // config against the same index and pin `nprobe:` here.
+    val (q0, qidSrc, qvecSrc) = c.get("queries") match {
+      case Some("input") =>
+        require(c.get("index").isDefined &&
+            str(c, "mode", "brute") == "ivf",
+          "ann_topk: `queries: input` means the piped rows are the " +
+            "QUERY set — there is no corpus in the pipe to search; " +
+            "give `mode: ivf` with `index: {path}`")
+        require(!c.contains("target_recall"),
+          "ann_topk: `queries: input` + `target_recall:` would re-tune " +
+            "on every run (every micro-batch, in a stream); tune once " +
+            "with a side-table queries config against this index and " +
+            "pin `nprobe:` here")
+        (df, str(c, "qid_field", "qid"), str(c, "qvec_field", "qvec"))
+      case Some(m: Map[_, _]) =>
+        val qCfg = m.asInstanceOf[Map[String, Any]]
+        (readSideTable(df.sparkSession, qCfg, "ann_topk queries"),
+          str(qCfg, "qid_field", "qid"), str(qCfg, "qvec_field", "qvec"))
+      case _ => throw new IllegalArgumentException(
+        "ann_topk stage needs `queries: {path, qid_field, qvec_field}` " +
+          "(side table) or `queries: input` (the piped rows are the " +
+          "queries, searched against `index:`)")
+    }
     require(q0.columns.contains(qidSrc) && q0.columns.contains(qvecSrc),
       s"ann_topk: queries table has no `$qidSrc`/`$qvecSrc` column " +
         "(set qid_field/qvec_field)")

@@ -571,7 +571,7 @@ object StageCatalog {
           |      qvec_field: embedding"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_ann_pipeline", "ml_embed_topk", "ml_ivf_kmeans_topk"),
-      notes = "Terminal stage: the output IS the result set (qid, rank, id, sim). `mode: brute` broadcasts the (small-by-definition) query set against ONE corpus scan - exact, no corpus shuffle, per-query top-k as a partitioned window. `mode: ivf` trains centroids at plan time over the input corpus (`trainer: maximin` default; `kmeans` is the SQL-replayable trainer oracle configs use) and scans only each query's `nprobe` best buckets. Probe width: `nprobe:` explicit, or `target_recall: <0..1>` - Recall.tuneNprobe measures recall@k of a content-addressed 16-query sample against exact brute-force truth and binary-refines to the minimal passing width (IVF recall has no closed form: it depends on how the corpus clusters around the trained centroids, so the contract is MEASURED, where the LSH stages' target_recall is modeled); the two knobs refuse together. `index: {path}` searches a PRE-WRITTEN bucket-partitioned index instead of the piped input - the 100 TB query path: the probe union collects to a literal so bucket pruning happens at PLANNING time, one broadcast join restricts rows to the queries that probed their bucket, one job for the whole query set. The marker's kind dispatches flat | sq8 | pq (the index-size ladder: dim*4 -> dim+8 -> m bytes/vector); marker geometry is authoritative, so training knobs alongside `index:` refuse loudly as dead config, and `target_recall:` on a codes-only index (sq8/pq) refuses - no exact truth inside the index to tune against (tune on the flat index or corpus, pin `nprobe:` here). Ingested (ann_ingest) and single-write indexes read identically. Whole-corpus semantics - batch only."),
+      notes = "Terminal stage: the output IS the result set (qid, rank, id, sim). `mode: brute` broadcasts the (small-by-definition) query set against ONE corpus scan - exact, no corpus shuffle, per-query top-k as a partitioned window. `mode: ivf` trains centroids at plan time over the input corpus (`trainer: maximin` default; `kmeans` is the SQL-replayable trainer oracle configs use) and scans only each query's `nprobe` best buckets. Probe width: `nprobe:` explicit, or `target_recall: <0..1>` - Recall.tuneNprobe measures recall@k of a content-addressed 16-query sample against exact brute-force truth and binary-refines to the minimal passing width (IVF recall has no closed form: it depends on how the corpus clusters around the trained centroids, so the contract is MEASURED, where the LSH stages' target_recall is modeled); the two knobs refuse together. `index: {path}` searches a PRE-WRITTEN bucket-partitioned index instead of the piped input - the 100 TB query path: the probe union collects to a literal so bucket pruning happens at PLANNING time, one broadcast join restricts rows to the queries that probed their bucket, one job for the whole query set. The marker's kind dispatches flat | sq8 | pq (the index-size ladder: dim*4 -> dim+8 -> m bytes/vector); marker geometry is authoritative, so training knobs alongside `index:` refuse loudly as dead config, and `target_recall:` on a codes-only index (sq8/pq) refuses - no exact truth inside the index to tune against (tune on the flat index or corpus, pin `nprobe:` here). Ingested (ann_ingest) and single-write indexes read identically. `queries: input` flips the stage into the retrieval-SERVICE shape: the piped rows ARE the query set (top-level `qid_field:`/`qvec_field:` name their columns), searched against `index:` - inside StreamRunner each micro-batch of arriving queries is served from the written index and the result set flows to the sink (real-time retrieval; the e2e gates it); it requires `index:` (there is no corpus in the pipe) and refuses `target_recall:` (the tuner would re-measure per micro-batch - tune once with a side-table config, pin `nprobe:`). Whole-corpus semantics otherwise - batch only outside StreamRunner's micro-batch scope."),
     StageDoc("ann_ingest", "curation",
       "Incremental ANN index build: append each batch's embeddings into a growing bid-partitioned IVF index (flat or SQ8-compressed) that ann_topk `index:` then searches with unchanged planning-time pruning.",
       y("""pipeline:

@@ -1719,6 +1719,85 @@ class CurationStagesSpec extends SparkSpec {
     assert(eMk.getMessage.contains("marker"))
   }
 
+  test("ann_topk `queries: input`: the piped rows are the query set " +
+      "served from a written index; corpus-less shapes refuse") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0 until 16).map { i =>
+      val sign = if (i < 8) 1.0 else -1.0
+      (i.toLong, Seq(sign, sign * (1.0 + i * 0.01), 0.1 * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 1.0, 0.1), Seq(-1.0, -1.0, -0.1))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("ann-qin").toString + "/idx"
+    graft.ml.Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
+      centroids, idxDir)
+    val queries = corpus.filter(col("vec_id").isin(0L, 9L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    queries: input
+         |    nprobe: 1
+         |    k: 3
+         |""".stripMargin, queries).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    // identical to the same index searched via a side-table config
+    val qDir = java.nio.file.Files
+      .createTempDirectory("ann-qin-q").toString
+    queries.write.mode("overwrite").parquet(qDir)
+    val want = run(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: "$idxDir"
+         |    nprobe: 1
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, corpus).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))).toSet
+    assert(got == want && got.nonEmpty,
+      s"input-queries diverged from side-table queries: $got vs $want")
+    // no index: there is no corpus in the pipe to search
+    val eNoIdx = intercept[IllegalArgumentException] {
+      run(
+        """pipeline:
+          |  - type: ann_topk
+          |    id_field: vec_id
+          |    queries: input
+          |""".stripMargin, queries)
+    }
+    assert(eNoIdx.getMessage.contains("no corpus in the pipe"))
+    // target_recall would re-tune per run (per micro-batch in a stream)
+    val eTune = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: ann_topk
+           |    id_field: vec_id
+           |    vec_field: embedding
+           |    mode: ivf
+           |    index:
+           |      path: "$idxDir"
+           |    queries: input
+           |    target_recall: 0.9
+           |""".stripMargin, queries)
+    }
+    assert(eTune.getMessage.contains("pin `nprobe:`"))
+  }
+
   test("ann_ingest stage: kind pq pins codebooks from the first batch; " +
       "a mid-stream compact is invisible to the stage and the search") {
     val s = spark

@@ -983,6 +983,11 @@ class StreamCurationSpec extends SparkSpec {
       spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
     q1.awaitTermination()
     assert(s.read.parquet(idx).count() == 6)
+    // compact while the SAME checkpoint keeps appending (the
+    // stats_ingest convention): batch 1's attempt token is folded into
+    // the marker ledger; later batches append beside the consolidated
+    // partition
+    graft.ml.IvfIngest.compact(s, idx)
 
     // batch 2 ingests, then the SINK fails — the replay must find its
     // bid committed under the attempt token and no-op
@@ -991,11 +996,15 @@ class StreamCurationSpec extends SparkSpec {
     val q2 = StreamRunner.run(mem.toDF().toDF("vec_id", "embedding"),
       spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
     intercept[Exception] { q2.awaitTermination() }
+    // compact AGAIN between the failure and the replay — the replayed
+    // attempt now has neither its partition (folded) nor a fresh
+    // index: only the ledger stands between it and a double-ingest
+    graft.ml.IvfIngest.compact(s, idx)
     val q3 = StreamRunner.run(mem.toDF().toDF("vec_id", "embedding"),
       spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
     q3.awaitTermination()
     assert(s.read.parquet(idx).count() == 12,
-      "the replayed micro-batch must not double-ingest")
+      "the replayed micro-batch must not double-ingest across the fold")
 
     // search over the streamed index == in-memory search over the
     // whole stream at the index's own (first-batch-trained) geometry
@@ -1012,6 +1021,65 @@ class StreamCurationSpec extends SparkSpec {
       .collect().map(r => (r.getInt(r.fieldIndex("rank")),
         r.getLong(r.fieldIndex("id")))).toSet
     assert(got == want, s"streamed index diverged: $got vs $want")
+  }
+
+  test("ann_topk `queries: input` through StreamRunner: a query stream " +
+      "is served from a written index per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def vec(i: Int): Seq[Double] = {
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      Seq(sign, sign * (1.0 + i * 0.01), 0.1 * (i % 3))
+    }
+    val corpus = (0 until 16).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(1.0, 1.0, 0.1), Seq(-1.0, -1.0, -0.1))
+    val idx = java.nio.file.Files
+      .createTempDirectory("ann-serve").toString + "/idx"
+    graft.ml.Similarity.ivfWriteIndex(corpus, "vec_id", "embedding",
+      centroids, idx)
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: ann_topk
+         |    id_field: vec_id
+         |    vec_field: embedding
+         |    mode: ivf
+         |    index:
+         |      path: $idx
+         |    queries: input
+         |    nprobe: 1
+         |    k: 3
+         |""".stripMargin)
+    val seen = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("qid", "rank", "id").collect()
+      seen.synchronized {
+        rows.foreach(r =>
+          seen += ((r.getLong(0), r.getInt(1), r.getLong(2))))
+      }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-serve-ck")
+      .toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // two query micro-batches, one from each sign cluster
+    mem.addData((100L, vec(0)))
+    val q1 = StreamRunner.run(mem.toDF().toDF("qid", "qvec"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    mem.addData((101L, vec(1)), (102L, vec(2)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("qid", "qvec"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    // every served result equals the per-query reader over the index
+    val want = Seq(100L -> vec(0), 101L -> vec(1), 102L -> vec(2))
+      .flatMap { case (qid, v) =>
+        graft.ml.Similarity.ivfReadTopK(s, idx, "vec_id", "embedding",
+            v, k = 3, nprobe = 1).collect().zipWithIndex
+          .map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+      }.toSet
+    assert(seen.toSet == want,
+      s"served stream diverged from the reader:\n${seen.toSet}\nvs\n$want")
   }
 
   test("stats_ingest -> perplexity_score(train: store) composes: a " +
