@@ -256,6 +256,64 @@ object GraftQueriesML {
        roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)"""
   }
 
+  /** The fuzzy-dedup fixture: a short normalized field (24-char text
+    * prefix) plus a one-edit mutated twin for every fifth doc — true
+    * edit-distance duplicates exist by construction, and any
+    * accidental cross-doc near-matches are computed identically by
+    * both engines.
+    */
+  private def fuzzyFixture(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("s"))
+    base.unionAll(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("s"), 1, 23), lit("x")).as("s")))
+  }
+
+  /** CTEs `f` (the fixture) and `p` (qualifying pairs) for the fuzzy
+    * family. The oracle join is the FULL quadratic one on purpose: the
+    * engine blocks on length bands, and identical output at the value
+    * level is a proof the blocking is lossless (edit distance ≥ length
+    * difference), not an assumption.
+    */
+  private def fuzzyPairsSql: String =
+    """WITH RECURSIVE f AS (
+         SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, substr(substr(text, 1, 24), 1, 23) || 'x'
+         FROM documents WHERE doc_id % 5 = 0),
+       p AS (SELECT a, b, dist FROM (
+         SELECT la.doc_id AS a, rb.doc_id AS b,
+           CAST(levenshtein(la.s, rb.s) AS INT) AS dist
+         FROM f la JOIN f rb ON la.doc_id < rb.doc_id
+           AND abs(length(la.s) - length(rb.s)) <= 2)
+         WHERE dist <= 2)"""
+
+  private val mFuzzyPairs = Spec("ml_fuzzy_pairs",
+    (s, dir) => Dedup.fuzzyDupPairs(fuzzyFixture(t(s, dir, "documents")),
+        "doc_id", "s", maxDist = 2, maxBucketSize = 1 << 20)
+      .orderBy("a", "b"),
+    Some(fuzzyPairsSql + " SELECT a, b, dist FROM p ORDER BY a, b"))
+
+  /** Component-min keep over the fuzzy pairs — the recursive-CTE
+    * closure convention of [[mNearDupKeep]] on the edit-distance edge
+    * set.
+    */
+  private val mFuzzyKeep = Spec("ml_fuzzy_keep",
+    (s, dir) => {
+      val f = fuzzyFixture(t(s, dir, "documents"))
+      Dedup.fuzzyDedupKeep(f, "doc_id", "s", maxDist = 2,
+        maxBucketSize = 1 << 20).orderBy("doc_id")
+    },
+    Some(fuzzyPairsSql + """,
+       edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       reach AS (SELECT doc_id AS id, doc_id AS r FROM f
+         UNION
+         SELECT e.b AS id, reach.r AS r
+         FROM reach JOIN edges e ON e.a = reach.id),
+       roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+       SELECT id AS doc_id FROM roots WHERE root = id ORDER BY doc_id"""))
+
   private val mNearDupKeep = Spec("ml_neardup_keep",
     (s, dir) => Dedup.nearDupKeep(t(s, dir, "documents"), "doc_id", "text",
         bands = 4, rowsPerBand = 3, k = 3, threshold = 0.5)
@@ -3082,7 +3140,8 @@ object GraftQueriesML {
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mSimhashKeep,
-    mJaccardPairs, mContainmentPairs, mNearDupKeep, mNearDupClusters,
+    mJaccardPairs, mContainmentPairs, mFuzzyPairs, mFuzzyKeep,
+    mNearDupKeep, mNearDupClusters,
     mClusterSplit,
     mTopK, mLsh, mCosPairs, mCosPairsRecall, mIvf, mLangId, mLangMix,
     mQuality, mTokenCount,

@@ -422,6 +422,77 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Edit-distance duplicate pairs over a SHORT string field (titles,
+    * URLs, names — any normalized key where a one-typo copy must
+    * collapse; for document bodies the shingle/MinHash family is the
+    * right tool, edit distance on kilobyte strings measures nothing
+    * useful at O(len²) cost). Returns `(a, b, dist)` with
+    * `dist ≤ maxDist`, each unordered pair exactly once (`a < b`).
+    *
+    * Blocking is LOSSLESS, which the oracle gate exploits: the engine
+    * runs length-band blocking while the DuckDB oracle runs the full
+    * quadratic join — identical output is a proof the blocking drops
+    * nothing. Edit distance ≥ |len(a) − len(b)|, so bucketing on
+    * `len / maxDist` makes every qualifying pair land within one
+    * bucket of itself: one side keys on its own bucket, the other
+    * explodes to {b−1, b, b+1}, and the equi-join finds each pair via
+    * exactly ONE of the three emits (no dedup pass needed). The
+    * verifier is Spark's thresholded `levenshtein(l, r, maxDist)` —
+    * codegen'd, Ukkonen-banded O(maxDist·len) per pair with early
+    * abort, returning −1 above the threshold.
+    *
+    * Scale: the shuffle carries (id, field, len) — field is short by
+    * contract — and the quadratic term is confined to same-length
+    * bands. `maxBucketSize` caps a pathological band (e.g. millions of
+    * equal-length keys) with the [[CapAudit]] exemption counters, the
+    * LSH family's convention: capped = silent recall loss made
+    * visible, never a blown-up join.
+    */
+  def fuzzyDupPairs(df: DataFrame, idCol: String, fieldCol: String,
+                    maxDist: Int = 2,
+                    maxBucketSize: Int = 4096): DataFrame = {
+    require(maxDist >= 1, s"fuzzyDupPairs: maxDist must be ≥ 1 (got " +
+      s"$maxDist — for exact dedup use dedupExact)")
+    // materialize the compact (id, s, len, bkt) projection ONCE — it
+    // feeds three plan consumers (the cap count, both join sides), and
+    // without the persist each re-runs the upstream scan/projection
+    // (the minhashPairs signature-persist rationale; the cached rows
+    // are short-field-narrow by the operator's contract)
+    val rows = df
+      .select(col(idCol).as("id"), col(fieldCol).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("bkt", floor(col("len") / maxDist))
+      .persist()
+    val oversized = CapAudit.observed(
+      rows.groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize), "fuzzy_dedup")
+    val capped = rows.join(broadcast(oversized.select(col("bkt"))),
+      Seq("bkt"), "left_anti")
+    val left = capped.select(col("bkt").as("jk"), col("id").as("a"),
+      col("s").as("sa"), col("len").as("la"))
+    val right = capped.select(
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jk"),
+      col("id").as("b"), col("s").as("sb"), col("len").as("lb"))
+    left.join(right, Seq("jk"))
+      .filter(col("a") < col("b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // thresholded lev: −1 above maxDist
+  }
+
+  /** Keep-one selection under edit-distance duplication: the minimum
+    * id of each fuzzy-duplicate component survives (plus every
+    * singleton) — [[fuzzyDupPairs]] → [[keepFromPairs]], the family's
+    * standard decision step. Returns the kept-id frame.
+    */
+  def fuzzyDedupKeep(df: DataFrame, idCol: String, fieldCol: String,
+                     maxDist: Int = 2,
+                     maxBucketSize: Int = 4096): DataFrame =
+    keepFromPairs(df, idCol,
+      fuzzyDupPairs(df, idCol, fieldCol, maxDist, maxBucketSize))
+
   /** Per-node component MINIMUM over an undirected edge list — the
     * label-propagation core shared by [[nearDupKeep]] (and spec'd
     * directly on synthetic graphs). `ids` must have one `id` column

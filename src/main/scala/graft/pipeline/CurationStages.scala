@@ -41,7 +41,8 @@ object CurationStages {
 
   val stageTypes: Set[String] = Set(
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
-    "stratified_sample", "dedup_exact", "dedup_near", "dedup_semantic",
+    "stratified_sample", "dedup_exact", "dedup_near", "dedup_fuzzy",
+    "dedup_semantic",
     "contamination_filter", "pack_chunks", "shuffle_layout", "chunk_spans",
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
@@ -70,7 +71,8 @@ object CurationStages {
     new scala.util.DynamicVariable[Boolean](false)
 
   val batchOnly: Set[String] = Set(
-    "dedup_exact", "dedup_near", "dedup_semantic", "contamination_filter",
+    "dedup_exact", "dedup_near", "dedup_fuzzy", "dedup_semantic",
+    "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
     "bm25_topk", "ann_topk", "pca_project",
@@ -100,6 +102,7 @@ object CurationStages {
       case "stratified_sample" => stratifiedSample(pre, c)
       case "dedup_exact" => dedupExact(pre, c)
       case "dedup_near" => dedupNear(pre, c)
+      case "dedup_fuzzy" => dedupFuzzy(pre, c)
       case "dedup_media" => dedupMedia(pre, c)
       case "dedup_semantic" => dedupSemantic(pre, c)
       case "contamination_filter" => contaminationFilter(pre, c)
@@ -552,6 +555,23 @@ object CurationStages {
     val kept = Dedup.nearDupKeep(df, id, textField(c),
       bands = nb, rowsPerBand = nr,
       k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
+    df.alias("d").join(kept.alias("keep"),
+        col(s"d.$id") === col(s"keep.$id"), "left_semi")
+  }
+
+  // ---- dedup_fuzzy -----------------------------------------------------
+  //
+  // Edit-distance dedup over a SHORT normalized field (titles, URLs,
+  // names) — the typo rung of the dedup ladder between dedup_exact
+  // (byte-identical) and dedup_near (shingle Jaccard, built for
+  // bodies). Lossless length-band blocking + thresholded codegen
+  // levenshtein verify; component-min keep (keepFromPairs).
+
+  private def dedupFuzzy(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val id = idField(c, "dedup_fuzzy")
+    val kept = Dedup.fuzzyDedupKeep(df, id, textField(c),
+      maxDist = int(c, "max_dist", 2),
+      maxBucketSize = int(c, "max_bucket_size", 4096))
     df.alias("d").join(kept.alias("keep"),
         col(s"d.$id") === col(s"keep.$id"), "left_semi")
   }

@@ -491,6 +491,17 @@ object StageCatalog {
           |    threshold: 0.5"""),
       schemaKind = "documents", oracle = Seq("ml_neardup_keep"),
       notes = "Geometry: explicit `bands:`/`rows_per_band:` win; `target_recall: <0..1>` sizes BOTH from the S-curve contract instead (Dedup.minhashBandsRows at the stage's `threshold:`, optional `noise_jaccard:` default threshold/2 and `max_noise_rate:` default 0.05) - e.g. threshold 0.8 at target 0.9 resolves 8x6 where the legacy 4x3 default is 0.943 recall but passes ~23% of half-threshold noise as candidates; low thresholds are HONESTLY expensive (Jaccard 0.5 at 0.9 recall needs 147 bands) and the sizing surfaces that cost instead of silently under-recalling. MinHash band keys are hash-sized, so recall does not decay with corpus growth - no expected_corpus involved, unlike the embedding geometry."),
+    StageDoc("dedup_fuzzy", "curation",
+      "Edit-distance dedup over a SHORT normalized field (titles, URLs, names) - the typo rung between dedup_exact (byte-identical) and dedup_near (shingle Jaccard, built for bodies); keep-one per edit-distance component.",
+      y("""pipeline:
+          |  - type: dedup_fuzzy
+          |    id_field: doc_id
+          |    text_field: text
+          |    max_dist: 2
+          |    max_bucket_size: 4096"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_fuzzy_pairs", "ml_fuzzy_keep"),
+      notes = "Blocking is LOSSLESS, and the oracle proves it: edit distance >= length difference, so bucketing on len/max_dist puts every qualifying pair within one bucket of itself - one side keys on its own bucket, the other emits {b-1, b, b+1}, and the equi-join finds each unordered pair via exactly ONE emit (no dedup pass). The DuckDB oracle runs the FULL quadratic join; value-identical output is the losslessness proof, not an assumption. Verification is Spark's thresholded levenshtein (codegen'd, Ukkonen-banded O(max_dist*len) with early abort). The shuffle carries (id, field, len) only; the honest quadratic term is confined to same-length bands, so this stage is for SHORT fields by contract - a pathological same-length pile-up (millions of equal-length keys) is capped per band with the CapAudit exemption counters (stage=cap_fuzzy_dedup on /metrics), the LSH family's convention: capped = visible recall loss, never a blown-up join. Keep semantics: component MINIMUM id survives (keepFromPairs label propagation - a typo CHAIN a~b~c collapses to one survivor even where a and c are beyond max_dist). Whole-corpus by construction - batch only."),
     StageDoc("dedup_media", "curation",
       "Perceptual media dedup: 64-bit aHash of the payload column (image grid cells or gain-invariant audio frame energies), banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
       y("""pipeline:

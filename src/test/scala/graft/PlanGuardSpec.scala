@@ -119,6 +119,16 @@ class PlanGuardSpec extends SparkSpec {
     "ml_cluster_purity" -> 2,  // cluster-label histogram + tiny window
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
+    "ml_fuzzy_pairs" -> 6,     // banded self-join (two sides keyed on
+                               // the length bucket) + the spec orderBy;
+                               // the cap-count agg/anti branch replans
+                               // per join side over the PERSISTED
+                               // narrow (id, s, len, bkt) projection
+                               // (the minhashPairs sig-persist shape —
+                               // the duplicated branch aggregates
+                               // cached short-field rows)
+    "ml_fuzzy_keep" -> 2,      // settled checkpoint scan (componentMins
+                               // truncates lineage) + keep filter
     "ml_jaccard_pairs" -> 8,
     "ml_containment_pairs" -> 7, // df-capped inverted-index self-join:
                                // gram agg, semi, per-doc n, pair agg,

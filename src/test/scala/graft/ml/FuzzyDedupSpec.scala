@@ -1,0 +1,107 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edit-distance dedup: the length-band blocking must be LOSSLESS
+  * (checked against a driver-side brute-force pair set), each pair
+  * must surface exactly once, the bucket cap must surface through the
+  * CapAudit counters, and the keep step must collapse transitive
+  * chains to the component minimum.
+  */
+class FuzzyDedupSpec extends SparkSpec {
+
+  /** Deterministic short-string corpus with planted typo families:
+    * ids 0..n-1 map onto `base(i % 7)` plus i/7 edits appended — so
+    * family members sit at controlled distances and different
+    * families are far apart.
+    */
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val bases = Seq("alpha query", "beta search", "gamma filter",
+      "delta join", "epsilon scan", "zeta sort", "eta merge")
+    (0 until n).map { i =>
+      val extra = "x" * (i / 7)
+      (i.toLong, bases(i % 7) + extra)
+    }.toDF("id", "s")
+  }
+
+  private def brutePairs(rows: Seq[(Long, String)], d: Int) = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist)).toSet
+  }
+
+  test("blocking is lossless: banded pairs == brute-force pairs, each " +
+      "exactly once") {
+    val df = corpus(49)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (d <- Seq(1, 2, 3)) {
+      val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.length == got.toSet.size,
+        s"d=$d: a pair surfaced more than once")
+      assert(got.toSet == brutePairs(rows, d),
+        s"d=$d: banded pairs diverged from brute force")
+    }
+  }
+
+  test("adjacent-length pairs cross the band boundary in both " +
+      "directions (the 3-emit join finds them regardless of id order)") {
+    val s = spark
+    import s.implicits._
+    // lengths 5 and 7 with maxDist 2: buckets 2 and 3 — only the
+    // boundary crossing finds these; both id orders exercised
+    val df = Seq((1L, "aaaaa"), (2L, "aaaaaxy"),
+      (10L, "bbbbbxy"), (9L, "bbbbb")).toDF("id", "s")
+    val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2), (9L, 10L, 2)), s"got $got")
+  }
+
+  test("the bucket cap exempts a pile-up VISIBLY (CapAudit counters), " +
+      "and other bands keep pairing") {
+    val s = spark
+    import s.implicits._
+    CapAudit.reset()
+    // 40 equal-length keys pile into one band; a two-row family lives
+    // at a different length and must still pair
+    val pile = (0 until 40).map(i => (i.toLong, f"key-$i%04d"))
+    val ok = Seq((100L, "longer-field-aa"), (101L, "longer-field-ab"))
+    val df = (pile ++ ok).toDF("id", "s")
+    val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = 2,
+        maxBucketSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"capped band must drop, uncapped band must pair: $got")
+    val snap = CapAudit.snapshot()
+    val exempted = snap.getOrElse(("exempted_rows", "cap_fuzzy_dedup"), 0L)
+    assert(exempted >= 40L && exempted % 40L == 0L,
+      s"exemption must be counted (at-least-once), got $snap")
+    CapAudit.reset()
+  }
+
+  test("fuzzyDedupKeep collapses a transitive typo chain to the " +
+      "component minimum") {
+    val s = spark
+    import s.implicits._
+    // chain: a--b at 1, b--c at 1, a--c at 2 (> maxDist=1) — component
+    // semantics keep ONE survivor where greedy pairwise would keep two
+    val df = Seq((1L, "report"), (2L, "reporx"), (3L, "reporxy"),
+      (9L, "unrelated string")).toDF("id", "s")
+    val kept = Dedup.fuzzyDedupKeep(df, "id", "s", maxDist = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L), s"expected component-min keep, got $kept")
+  }
+}

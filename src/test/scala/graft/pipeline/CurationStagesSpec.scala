@@ -504,6 +504,40 @@ class CurationStagesSpec extends SparkSpec {
     assert(out.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("dedup_fuzzy stage: one-typo copies collapse to the min id, " +
+      "schema preserved, streaming refused") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "gamma filter", "en", "src0"),
+      (2L, "gamma filter", "en", "src0"),   // exact copy: dist 0
+      (3L, "gamma fitler", "en", "src1"),   // transposed typo: dist 2
+      (4L, "delta join",   "en", "src0"),
+      (5L, "an entirely different title", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = run(
+      """pipeline:
+        |  - type: dedup_fuzzy
+        |    id_field: doc_id
+        |    text_field: text
+        |    max_dist: 2
+        |""".stripMargin, rows)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 4L, 5L))
+    assert(out.columns.toSeq == rows.columns.toSeq)
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """pipeline:
+          |  - type: dedup_fuzzy
+          |    id_field: doc_id
+          |    text_field: text
+          |""".stripMargin, mem.toDF().toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("dedup_fuzzy"))
+  }
+
   test("dedup_near stage: target_recall sizes (bands, rows_per_band) " +
       "from the S-curve contract; explicit knobs still win (r15)") {
     import graft.ml.Dedup
