@@ -276,12 +276,15 @@ object GraftQueriesML {
     * level is a proof the blocking is lossless (edit distance ≥ length
     * difference), not an assumption.
     */
-  private def fuzzyPairsSql: String =
+  private def fuzzyFixtureSql: String =
     """WITH RECURSIVE f AS (
          SELECT doc_id, substr(text, 1, 24) AS s FROM documents
          UNION ALL
          SELECT doc_id + 100000, substr(substr(text, 1, 24), 1, 23) || 'x'
-         FROM documents WHERE doc_id % 5 = 0),
+         FROM documents WHERE doc_id % 5 = 0)"""
+
+  private def fuzzyPairsSql: String =
+    fuzzyFixtureSql + """,
        p AS (SELECT a, b, dist FROM (
          SELECT la.doc_id AS a, rb.doc_id AS b,
            CAST(levenshtein(la.s, rb.s) AS INT) AS dist
@@ -313,6 +316,84 @@ object GraftQueriesML {
          FROM reach JOIN edges e ON e.a = reach.id),
        roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
        SELECT id AS doc_id FROM roots WHERE root = id ORDER BY doc_id"""))
+
+  /** The against leg of the fuzzy family (typo-rung decontamination):
+    * incoming = every third fixture row, reference = the rest. The
+    * oracle anti-join is the FULL quadratic levenshtein — identical
+    * kept sets prove the length-band blocking lossless on the against
+    * shape too (one side keys its own bucket, the other emits ±1).
+    */
+  private val mFuzzyAgainst = Spec("ml_fuzzy_against",
+    (s, dir) => {
+      val f = fuzzyFixture(t(s, dir, "documents"))
+      Dedup.fuzzyAgainst(f.filter(col("doc_id") % 3 === 0),
+          f.filter(col("doc_id") % 3 =!= 0), "doc_id", "s",
+          maxDist = 2, maxBucketSize = 1 << 20)
+        .select(col("doc_id"), col("s")).orderBy("doc_id")
+    },
+    Some(fuzzyFixtureSql + """
+       SELECT doc_id, s FROM f d
+       WHERE doc_id % 3 = 0 AND NOT EXISTS
+         (SELECT 1 FROM f r WHERE r.doc_id % 3 <> 0
+          AND levenshtein(d.s, r.s) <= 2)
+       ORDER BY doc_id"""))
+
+  /** The ingest leg of the fuzzy family, through the STAGE surface (the
+    * mode exists only there): the fixture lands in a growing store as
+    * two batches — batch B must drop against batch A's STORED strings
+    * (exact on the content key, fuzzy at ≤ max_dist edits) as well as
+    * against its own seniors. The oracle replays the batch semantics
+    * with full quadratic levenshtein joins: within-batch exact keep
+    * (min id per key), junior-with-senior fuzzy drop, then the two
+    * store legs. NOT EXISTS with an equality (never NOT IN) on the
+    * store legs — the anti-join convention; the fixture itself is
+    * null-free by construction (substr of a non-null text).
+    */
+  private val mFuzzyIngest = Spec("ml_fuzzy_ingest",
+    (s, dir) => {
+      val f = fuzzyFixture(t(s, dir, "documents"))
+      val root = "/tmp/graft-fuzzy-ingest-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      val yaml =
+        s"""pipeline:
+           |  - type: dedup_ingest
+           |    mode: fuzzy
+           |    id_field: doc_id
+           |    text_field: s
+           |    store: $root/store
+           |    max_dist: 2
+           |    max_bucket_size: 1048576
+           |""".stripMargin
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(df).main
+      // the store append inside the stage is an eager action, so batch
+      // A's state is durable before batch B's plan reads the store
+      val a = run(f.filter(col("doc_id") % 2 === 0))
+      val b = run(f.filter(col("doc_id") % 2 =!= 0))
+      a.unionByName(b).orderBy("doc_id")
+    },
+    Some(fuzzyFixtureSql + """,
+       a AS (SELECT doc_id, s FROM f WHERE doc_id % 2 = 0),
+       b AS (SELECT doc_id, s FROM f WHERE doc_id % 2 <> 0),
+       ax AS (SELECT doc_id, s FROM a
+         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY s)),
+       ak AS (SELECT doc_id, s FROM ax d WHERE NOT EXISTS
+         (SELECT 1 FROM ax q WHERE q.doc_id < d.doc_id
+          AND levenshtein(q.s, d.s) <= 2)),
+       bx AS (SELECT doc_id, s FROM b
+         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY s)),
+       bk AS (SELECT doc_id, s FROM bx d
+         WHERE NOT EXISTS (SELECT 1 FROM ak r WHERE r.s = d.s)
+           AND NOT EXISTS (SELECT 1 FROM bx q WHERE q.doc_id < d.doc_id
+             AND levenshtein(q.s, d.s) <= 2)
+           AND NOT EXISTS (SELECT 1 FROM ak r
+             WHERE levenshtein(r.s, d.s) <= 2))
+       SELECT doc_id, s FROM ak UNION ALL SELECT doc_id, s FROM bk
+       ORDER BY doc_id"""))
 
   private val mNearDupKeep = Spec("ml_neardup_keep",
     (s, dir) => Dedup.nearDupKeep(t(s, dir, "documents"), "doc_id", "text",
@@ -3141,6 +3222,7 @@ object GraftQueriesML {
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mSimhashKeep,
     mJaccardPairs, mContainmentPairs, mFuzzyPairs, mFuzzyKeep,
+    mFuzzyAgainst, mFuzzyIngest,
     mNearDupKeep, mNearDupClusters,
     mClusterSplit,
     mTopK, mLsh, mCosPairs, mCosPairsRecall, mIvf, mLangId, mLangMix,

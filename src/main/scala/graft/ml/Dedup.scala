@@ -493,6 +493,51 @@ object Dedup {
     keepFromPairs(df, idCol,
       fuzzyDupPairs(df, idCol, fieldCol, maxDist, maxBucketSize))
 
+  /** Incremental-ingestion FUZZY dedup: drop `incoming` rows whose
+    * short field sits within `maxDist` edits of ANY reference string —
+    * [[dedupAgainstExact]]'s shape at the typo rung (the against leg of
+    * the fuzzy family: pairs / keep / against / ingest, mirroring
+    * near and media). Same lossless length-band blocking as
+    * [[fuzzyDupPairs]] with the two sides kept apart: incoming keys
+    * its OWN bucket, the reference emits {b−1, b, b+1}, so every
+    * qualifying cross pair (edit distance ≥ length difference) meets
+    * via exactly one emit; the verifier is the thresholded codegen
+    * `levenshtein`. The bucket cap counts JOINT (bucket) occupancy —
+    * a same-length pile-up on either side blows up the same join —
+    * and exemptions surface through [[CapAudit]] (`cap_fuzzy_against`).
+    * Null-field incoming rows carry no evidence and always survive.
+    */
+  def fuzzyAgainst(incoming: DataFrame, ref: DataFrame, idCol: String,
+                   fieldCol: String, maxDist: Int = 2,
+                   maxBucketSize: Int = 4096): DataFrame = {
+    require(maxDist >= 1, s"fuzzyAgainst: maxDist must be ≥ 1 (got " +
+      s"$maxDist — for exact dedup use dedupAgainstExact)")
+    def rows(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select((col(fieldCol).cast("string").as("s") +: keep): _*)
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("bkt", floor(col("len") / maxDist))
+    val inc = rows(incoming, Seq(col(idCol).as("id"))).persist()
+    val rf = rows(ref, Seq.empty).persist()
+    val oversized = CapAudit.observed(
+      inc.select(col("bkt")).union(rf.select(col("bkt")))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize), "fuzzy_against")
+    val cap = broadcast(oversized.select(col("bkt")))
+    val left = inc.join(cap, Seq("bkt"), "left_anti")
+      .select(col("bkt").as("jk"), col("id"), col("s").as("sa"),
+        col("len").as("la"))
+    val right = rf.join(cap, Seq("bkt"), "left_anti")
+      .select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+          .as("jk"),
+        col("s").as("sb"), col("len").as("lb"))
+    val dirty = left.join(right, Seq("jk"))
+      .filter(abs(col("la") - col("lb")) <= maxDist &&
+        levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+      .select(col("id").as("__dirty")).distinct()
+    incoming.join(dirty, col(idCol) === col("__dirty"), "left_anti")
+  }
+
   /** Per-node component MINIMUM over an undirected edge list — the
     * label-propagation core shared by [[nearDupKeep]] (and spec'd
     * directly on synthetic graphs). `ids` must have one `id` column

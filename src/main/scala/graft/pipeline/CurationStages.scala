@@ -1271,6 +1271,17 @@ object CurationStages {
         Dedup.nearDupAgainst(df, ref, id, textCol,
           bands = nb, rowsPerBand = nr,
           k = int(c, "shingle_k", 3), threshold = dbl(c, "threshold", 0.5))
+      case "fuzzy" =>
+        // typo-rung decontamination: drop incoming rows whose short
+        // normalized field (title, URL, name) sits within `max_dist`
+        // edits of any reference string — the against leg of the
+        // dedup_fuzzy family. Reference needs only its strings; the
+        // rename-to-incoming-field projection is the exact-mode
+        // convention (fails loudly on a misspelled reference field)
+        Dedup.fuzzyAgainst(df,
+          ref0.select(col(refText).as(textCol)), idField(c, "dedup_against"),
+          textCol, maxDist = int(c, "max_dist", 2),
+          maxBucketSize = int(c, "max_bucket_size", 4096))
       case "media" =>
         // perceptual media dedup vs a reference corpus: aHash both
         // sides (`media_kind: image | audio` picks the kernel — both
@@ -1301,7 +1312,7 @@ object CurationStages {
         df.alias("d").join(kept.alias("keep"),
           col(s"d.$id") === col(s"keep.$id"), "left_semi")
       case other => throw new IllegalArgumentException(
-        s"dedup_against: unknown mode `$other` (exact | near | media)")
+        s"dedup_against: unknown mode `$other` (exact | near | fuzzy | media)")
     }
   }
 
@@ -1375,11 +1386,11 @@ object CurationStages {
 
   private def dedupIngest(df: DataFrame, c: Map[String, Any]): DataFrame =
     str(c, "mode", "exact") match {
-      case m @ ("exact" | "near" | "embedding" | "media") =>
+      case m @ ("exact" | "near" | "fuzzy" | "embedding" | "media") =>
         dedupIngestCore(df, c, m)
       case other => throw new IllegalArgumentException(
         s"dedup_ingest: unknown mode `$other` " +
-          "(exact | near | embedding | media)")
+          "(exact | near | fuzzy | embedding | media)")
     }
 
   /** The store's state-layout contract, recorded as a `_graft_mode.json`
@@ -1414,6 +1425,13 @@ object CurationStages {
         s"""{"mode":"embedding","bands":$bands,""" +
           s""""planes_per_band":$ppb,""" +
           s""""dim":${int(c, "dim", 64)}}"""
+      // fuzzy state is the RAW short string (fstr) — interpretable at
+      // ANY max_dist (edit distance recomputes per run), so the
+      // distance is decision-side and never pinned; only the mode is
+      // (its state column is incomparable with near sigs / embedding
+      // codes, and the FIELD consistency obligation is the caller's,
+      // exactly as exact mode's md5(text) key)
+      case "fuzzy" => """{"mode":"fuzzy"}"""
       // media keys live in a DIFFERENT key space (16-hex aHash / md5 of
       // bytes, never md5 of text) — no geometry, but incompatible with
       // every text-keyed mode including exact (see checkModeMarker).
@@ -1634,6 +1652,17 @@ object CurationStages {
                 s"this pipeline's dim = $dim — match the geometry or use " +
                 "a separate store"))
             false
+          case "fuzzy" =>
+            // legacy (pre-marker) stores predate fstr state entirely —
+            // any sig/ekeys state they hold is a DIFFERENT fuzzy
+            // contract and must refuse; a bare-digest legacy store is
+            // adoptable (exact mixes with everything)
+            require(sigLen.isEmpty && ekeysLen.isEmpty,
+              s"dedup_ingest store $store holds " +
+                s"${if (sigLen.nonEmpty) "near" else "embedding"}-mode " +
+                "state but this pipeline is configured for mode fuzzy — " +
+                "use a separate store per fuzzy contract")
+            false
           case _ =>
             val fuzzy = sigLen.nonEmpty || ekeysLen.nonEmpty
             if (fuzzy) System.err.println(
@@ -1662,7 +1691,8 @@ object CurationStages {
         val ks = if (ks0.columns.contains("bid")) ks0
                  else ks0.withColumn("bid", lit(""))
         Seq("sig" -> "array<bigint>", "escale" -> "double",
-            "ecodes" -> "array<int>", "ekeys" -> "array<string>")
+            "ecodes" -> "array<int>", "ekeys" -> "array<string>",
+            "fstr" -> "string")
           .foldLeft(ks) { case (d, (n, t)) =>
             if (d.columns.contains(n)) d
             else d.withColumn(n, lit(null).cast(t))
@@ -1741,6 +1771,7 @@ object CurationStages {
     // (drop set, per-id state table to append, caches to release)
     val fuzzyState = mode match {
       case "near" => Some(nearDropSet(withKey, refKeys, bid, c, id, textCol))
+      case "fuzzy" => Some(fuzzyDropSet(withKey, refKeys, bid, c, id, textCol))
       case "embedding" => Some(embedDropSet(withKey, refKeys, bid, c, id))
       case _ => None
     }
@@ -1821,7 +1852,7 @@ object CurationStages {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h"))
       .orderBy(col("sig").isNull.asc, col("ecodes").isNull.asc,
-        col("bid").asc)
+        col("fstr").isNull.asc, col("bid").asc)
     val compacted = ks
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -1973,6 +2004,70 @@ object CurationStages {
     val nearDrop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
     (nearDrop, sigs, Seq(sigs) ++ refSigs)
+  }
+
+  /** The fuzzy-mode machinery (streaming typo dedup over a short
+    * normalized field): lossless length-band candidates (edit distance
+    * ≥ length difference, the [[graft.ml.Dedup.fuzzyDupPairs]]
+    * geometry), thresholded codegen levenshtein verify, and the RAW
+    * string as stored state (`fstr` — interpretable at any max_dist,
+    * so the distance is decision-side, see modeContract). Returns
+    * (drop set of batch ids, the (id, fstr) state table for the append
+    * step, caches to release after the batch settles).
+    */
+  private def fuzzyDropSet(inBatch: DataFrame, refKeys: Option[DataFrame],
+                           bid: String, c: Map[String, Any], id: String,
+                           textCol: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val maxDist = int(c, "max_dist", 2)
+    val maxBucket = int(c, "max_bucket_size", 4096)
+    val rows = inBatch
+      .select(col(id).as("id"), col(textCol).cast("string").as("fstr"))
+      .filter(col("fstr").isNotNull)
+      .withColumn("len", length(col("fstr")))
+      .withColumn("bkt", floor(col("len") / maxDist))
+      .persist()
+    val refRows = refKeys.map(_
+      .filter(col("bid") =!= bid && col("fstr").isNotNull)
+      .select(col("fstr").as("rs"))
+      .withColumn("len", length(col("rs")))
+      .withColumn("bkt", floor(col("len") / maxDist))
+      .persist())
+    // the cap counts JOINT bucket occupancy (a same-length pile-up on
+    // either side blows up the same join), the nearDropSet convention
+    val oversized = graft.ml.CapAudit.observed(refRows
+        .map(r => rows.select(col("bkt")).union(r.select(col("bkt"))))
+        .getOrElse(rows.select(col("bkt")))
+        .groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket), "ingest_fuzzy")
+    val cap = broadcast(oversized.select(col("bkt")))
+    val capped = rows.join(cap, Seq("bkt"), "left_anti")
+    val left = capped.select(col("bkt").as("jk"), col("id"),
+      col("fstr").as("sa"), col("len").as("la"))
+    // juniors with a senior within max_dist IN THIS BATCH (the
+    // nearDropSet rule: direct senior neighbor, not component closure)
+    val rightBatch = capped.select(
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jk"),
+      col("id").as("__sid"), col("fstr").as("sb"), col("len").as("lb"))
+    val dropInBatch = left.join(rightBatch, Seq("jk"))
+      .filter(col("id") > col("__sid") &&
+        abs(col("la") - col("lb")) <= maxDist &&
+        levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+      .select(col("id")).distinct()
+    // batch rows within max_dist of a STORED string
+    val dropVsStore = refRows.map { rr =>
+      val cappedRef = rr.join(cap, Seq("bkt"), "left_anti")
+        .select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+            .as("jk"),
+          col("rs").as("sb"), col("len").as("lb"))
+      left.join(cappedRef, Seq("jk"))
+        .filter(abs(col("la") - col("lb")) <= maxDist &&
+          levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+        .select(col("id")).distinct()
+    }
+    val drop = dropVsStore
+      .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
+    (drop, rows.select(col("id"), col("fstr")), Seq(rows) ++ refRows)
   }
 
   /** The embedding-mode machinery (streaming semantic dedup): band keys

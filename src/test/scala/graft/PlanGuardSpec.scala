@@ -119,6 +119,15 @@ class PlanGuardSpec extends SparkSpec {
     "ml_cluster_purity" -> 2,  // cluster-label histogram + tiny window
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
+    "ml_fuzzy_against" -> 15,  // two capped sides (cap groupBy + three
+                               // broadcast uses of the cap set), the
+                               // cross band join, dirty-id distinct,
+                               // final anti join + spec orderBy; per-key
+                               // join size is cap-bounded on both sides
+    "ml_fuzzy_ingest" -> 2,    // returned plan is the union of two
+                               // settled (localCheckpoint) batches +
+                               // spec orderBy; the per-batch machinery
+                               // runs eagerly at plan build
     "ml_fuzzy_pairs" -> 6,     // banded self-join (two sides keyed on
                                // the length bucket) + the spec orderBy;
                                // the cap-count agg/anti branch replans

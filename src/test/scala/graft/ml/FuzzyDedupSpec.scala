@@ -27,16 +27,17 @@ class FuzzyDedupSpec extends SparkSpec {
     }.toDF("id", "s")
   }
 
-  private def brutePairs(rows: Seq[(Long, String)], d: Int) = {
-    def lev(a: String, b: String): Int = {
-      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
-          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      m(a.length)(b.length)
+  private def lev(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
     }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  private def brutePairs(rows: Seq[(Long, String)], d: Int) = {
     (for {
       (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
       dist = lev(sa, sb) if dist <= d
@@ -89,6 +90,46 @@ class FuzzyDedupSpec extends SparkSpec {
     val exempted = snap.getOrElse(("exempted_rows", "cap_fuzzy_dedup"), 0L)
     assert(exempted >= 40L && exempted % 40L == 0L,
       s"exemption must be counted (at-least-once), got $snap")
+    CapAudit.reset()
+  }
+
+  test("fuzzyAgainst keeps exactly the incoming rows with no reference " +
+      "string within maxDist (brute-force equality, three distances)") {
+    val df = corpus(49)
+    val incoming = df.filter(col("id") % 3 === 0)
+    val ref = df.filter(col("id") % 3 =!= 0)
+    val incRows = incoming.collect().map(r => (r.getLong(0), r.getString(1)))
+    val refRows = ref.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (d <- Seq(1, 2, 3)) {
+      val want = incRows.filter { case (_, sa) =>
+        !refRows.exists { case (_, sb) => lev(sa, sb) <= d }
+      }.map(_._1).toSet
+      val got = Dedup.fuzzyAgainst(incoming, ref, "id", "s", maxDist = d)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"d=$d: kept set diverged from brute force")
+    }
+  }
+
+  test("fuzzyAgainst: null-field incoming rows always survive; the cap " +
+      "exempts a pile-up visibly while other bands keep dropping") {
+    val s = spark
+    import s.implicits._
+    CapAudit.reset()
+    // reference pile at one length saturates its bucket; an incoming
+    // twin of the pile must SURVIVE (capped — counted), an incoming
+    // twin at another length must DROP, a null row must survive
+    val pile = (0 until 40).map(i => (1000L + i, f"key-$i%04d"))
+    val refOk = Seq((2000L, "longer-field-aa"))
+    val ref = (pile ++ refOk).toDF("id", "s")
+    val inc = Seq((1L, Some("key-0000")), (2L, Some("longer-field-ab")),
+      (3L, None)).toDF("id", "s")
+    val kept = Dedup.fuzzyAgainst(inc, ref, "id", "s", maxDist = 2,
+      maxBucketSize = 10).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"capped bucket keeps, uncapped drops, null survives: $kept")
+    val snap = CapAudit.snapshot()
+    val exempted = snap.getOrElse(("exempted_rows", "cap_fuzzy_against"), 0L)
+    assert(exempted >= 41L, s"joint exemption must be counted, got $snap")
     CapAudit.reset()
   }
 

@@ -775,6 +775,43 @@ class CurationStagesSpec extends SparkSpec {
       Seq(4L, 5L, 6L, 7L))
   }
 
+  test("dedup_against mode fuzzy: drops rows a typo away from the " +
+      "reference; distance and field are config knobs") {
+    val dir = java.nio.file.Files.createTempDirectory("cur-fuzzy").toString
+    val s = spark
+    import s.implicits._
+    Seq(("introduction to spark", 1), ("catalog of stories", 2))
+      .toDF("title", "rid").write.mode("overwrite").parquet(dir)
+    val rows = Seq((1L, "introduction to sparkk"), // 1 edit → drop
+      (2L, "introduction to sparkql"),             // 2 edits → drop
+      (3L, "introduction to sparkqlx"),            // 3 edits → keep
+      (4L, "catalog of stories"),                  // exact (0) → drop
+      (5L, "an unrelated entry")).toDF("doc_id", "name")
+    val out = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    mode: fuzzy
+         |    id_field: doc_id
+         |    text_field: name
+         |    max_dist: 2
+         |    reference: {path: "$dir", text_field: title}
+         |""".stripMargin, rows)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 5L))
+    // max_dist: 3 pulls the three-edit row in too
+    val wider = run(
+      s"""pipeline:
+         |  - type: dedup_against
+         |    mode: fuzzy
+         |    id_field: doc_id
+         |    text_field: name
+         |    max_dist: 3
+         |    reference: {path: "$dir", text_field: title}
+         |""".stripMargin, rows)
+    assert(wider.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L))
+  }
+
   test("quality_model stage: trained weights score at scan speed") {
     val dim = 8
     val w = graft.ml.Classifier.trainLogReg(

@@ -287,6 +287,76 @@ class StreamCurationSpec extends SparkSpec {
     assert(keys.select("h").distinct().count() == 3L)
   }
 
+  test("dedup_ingest mode fuzzy: typo rejection against the growing " +
+      "store; state is the raw string, mode pinned in the marker") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-fuzzy").toString + "/keys"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: title
+         |    store: $store
+         |    mode: fuzzy
+         |    max_dist: 2
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = df =>
+      seen.synchronized { seen ++= df.select("doc_id").collect().map(_.getLong(0)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("fuzzy-ck").toString
+
+    // batch 1: a title + an IN-BATCH one-typo junior (dropped) + a far
+    // title at a very different length (its bucket is 2+ away)
+    mem.addData((1L, "introduction to spark"),
+      (2L, "introduction to sparkk"), (3L, "zen"))
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "title"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L),
+      s"batch 1 (one-typo junior must drop): $seen")
+
+    // batch 2: a two-edit variant of the STORED title (fuzzy
+    // cross-batch reject — not an exact match), a genuinely new title,
+    // and an exact replay of the short row (exact leg still applies)
+    mem.addData((4L, "introduction to sparkql"),
+      (5L, "a different catalog of stories"), (6L, "zen"))
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "title"), spec,
+      Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 3L, 5L),
+      s"batch 2 (fuzzy cross-batch reject + exact replay reject): $seen")
+
+    // state: one (digest, raw string) row per admitted title — the
+    // string IS the fuzzy state (recomparable at any max_dist)
+    val keys = s.read.parquet(store)
+    assert(keys.columns.sorted.toSeq == Seq("bid", "fstr", "h"))
+    assert(keys.count() == 3L, s"store rows: ${keys.collect().toSeq}")
+    assert(keys.filter(col("fstr").isNotNull).count() == 3L)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "_graft_mode.json")), "UTF-8")
+    assert(marker.contains("\"mode\":\"fuzzy\""), marker)
+
+    // a near-mode run over the SAME store must refuse loudly — two
+    // disagreeing fuzzy contracts silently re-admit stored duplicates
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"""pipeline:
+           |  - type: dedup_ingest
+           |    id_field: doc_id
+           |    text_field: title
+           |    store: $store
+           |    mode: near
+           |""".stripMargin))(Seq((7L, "x")).toDF("doc_id", "title")).main
+        .collect()
+    }
+    assert(e.getMessage.contains("separate store per contract"),
+      e.getMessage)
+  }
+
   test("dedup_ingest mode near: an exact-mode store upgrades in place") {
     val s = spark
     import s.implicits._
