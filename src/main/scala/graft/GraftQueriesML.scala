@@ -294,6 +294,17 @@ object GraftQueriesML {
 
   private val mFuzzyPairs = Spec("ml_fuzzy_pairs",
     (s, dir) => Dedup.fuzzyDupPairs(fuzzyFixture(t(s, dir, "documents")),
+        "doc_id", "s", maxDist = 2, maxBucketSize = 1 << 20,
+        blocking = "length")
+      .orderBy("a", "b"),
+    Some(fuzzyPairsSql + " SELECT a, b, dist FROM p ORDER BY a, b"))
+
+  /** The same pair set under the DEFAULT pigeonhole segment blocking
+    * (PassJoin) — one quadratic DuckDB oracle, two blocking schemes,
+    * each proved lossless independently by the value-identical gate.
+    */
+  private val mFuzzyPairsSeg = Spec("ml_fuzzy_pairs_seg",
+    (s, dir) => Dedup.fuzzyDupPairs(fuzzyFixture(t(s, dir, "documents")),
         "doc_id", "s", maxDist = 2, maxBucketSize = 1 << 20)
       .orderBy("a", "b"),
     Some(fuzzyPairsSql + " SELECT a, b, dist FROM p ORDER BY a, b"))
@@ -3221,8 +3232,8 @@ object GraftQueriesML {
   val all: Seq[Spec] = Seq(
     mExact, mFingerprint, mMinhashSig, mMinhashPairs, mSimhash, mSimhashPairs,
     mSimhashKeep,
-    mJaccardPairs, mContainmentPairs, mFuzzyPairs, mFuzzyKeep,
-    mFuzzyAgainst, mFuzzyIngest,
+    mJaccardPairs, mContainmentPairs, mFuzzyPairs, mFuzzyPairsSeg,
+    mFuzzyKeep, mFuzzyAgainst, mFuzzyIngest,
     mNearDupKeep, mNearDupClusters,
     mClusterSplit,
     mTopK, mLsh, mCosPairs, mCosPairsRecall, mIvf, mLangId, mLangMix,

@@ -429,30 +429,105 @@ object Dedup {
     * useful at O(len²) cost). Returns `(a, b, dist)` with
     * `dist ≤ maxDist`, each unordered pair exactly once (`a < b`).
     *
-    * Blocking is LOSSLESS, which the oracle gate exploits: the engine
-    * runs length-band blocking while the DuckDB oracle runs the full
-    * quadratic join — identical output is a proof the blocking drops
-    * nothing. Edit distance ≥ |len(a) − len(b)|, so bucketing on
-    * `len / maxDist` makes every qualifying pair land within one
-    * bucket of itself: one side keys on its own bucket, the other
-    * explodes to {b−1, b, b+1}, and the equi-join finds each pair via
-    * exactly ONE of the three emits (no dedup pass needed). The
-    * verifier is Spark's thresholded `levenshtein(l, r, maxDist)` —
-    * codegen'd, Ukkonen-banded O(maxDist·len) per pair with early
-    * abort, returning −1 above the threshold.
+    * Blocking is LOSSLESS either way, which the oracle gate exploits:
+    * the engine blocks, the DuckDB oracle runs the full quadratic
+    * join, and identical output is a proof the blocking drops nothing.
+    * Two schemes:
     *
-    * Scale: the shuffle carries (id, field, len) — field is short by
-    * contract — and the quadratic term is confined to same-length
-    * bands. `maxBucketSize` caps a pathological band (e.g. millions of
-    * equal-length keys) with the [[CapAudit]] exemption counters, the
-    * LSH family's convention: capped = silent recall loss made
-    * visible, never a blown-up join.
+    *  - `blocking = "segment"` (DEFAULT — the scale path):
+    *    [[fuzzySegmentCandidates]]' pigeonhole segment keys. Candidate
+    *    volume is content-selective, measured at 1M title-like rows:
+    *    312k candidates where length bands produce ~10¹⁰, and all
+    *    planted pairs found where the band cap had silently dropped
+    *    99.6% of them.
+    *  - `blocking = "length"`: [[fuzzyLengthCandidates]]' length
+    *    bands (edit distance ≥ length difference; bucket `len/maxDist`
+    *    ± one). Cheapest emit constant (1 key/row vs ~(d+1)²(2d+1)),
+    *    right for small corpora with diverse lengths; its quadratic
+    *    same-length term makes it the wrong default at scale.
+    *
+    * The verifier is Spark's thresholded `levenshtein(l, r, maxDist)`
+    * — codegen'd, Ukkonen-banded O(maxDist·len) per pair with early
+    * abort, returning −1 above the threshold. Shuffles carry
+    * (id, field, len | 8-byte keys) — field is short by contract.
+    * `maxBucketSize` caps pathological key pile-ups with the
+    * [[CapAudit]] exemption counters, the LSH family's convention:
+    * capped = visible recall loss, never a blown-up join (and under
+    * segment blocking a capped key still leaves a pair's OTHER
+    * untouched segments to find it).
     */
   def fuzzyDupPairs(df: DataFrame, idCol: String, fieldCol: String,
                     maxDist: Int = 2,
-                    maxBucketSize: Int = 4096): DataFrame = {
+                    maxBucketSize: Int = 4096,
+                    blocking: String = "segment"): DataFrame = {
     require(maxDist >= 1, s"fuzzyDupPairs: maxDist must be ≥ 1 (got " +
       s"$maxDist — for exact dedup use dedupExact)")
+    fuzzyCandidatePairs(df, idCol, fieldCol, maxDist, maxBucketSize,
+        blocking, "fuzzy_dedup")
+      .select(col("a"), col("b"),
+        levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // thresholded lev: −1 above maxDist
+  }
+
+  /** Blocking dispatch for the fuzzy self-pair shape: UNVERIFIED
+    * candidate pairs (a, b, sa, sb), each unordered pair once. Shared
+    * by [[fuzzyDupPairs]] and the dedup_ingest in-batch junior drop.
+    */
+  private[graft] def fuzzyCandidatePairs(df: DataFrame, idCol: String,
+                                         fieldCol: String, maxDist: Int,
+                                         maxBucketSize: Int,
+                                         blocking: String,
+                                         capOp: String): DataFrame =
+    blocking match {
+      case "length" =>
+        fuzzyLengthCandidates(df, idCol, fieldCol, maxDist,
+          maxBucketSize, capOp)
+      case "segment" =>
+        fuzzySegmentCandidates(df, idCol, fieldCol, maxDist,
+          maxBucketSize, capOp)
+      case other => throw new IllegalArgumentException(
+        s"fuzzy dedup: unknown blocking `$other` (length | segment)")
+    }
+
+  /** Blocking dispatch for the fuzzy cross shape: DIRTY incoming ids
+    * (one column `a`) with some reference string within `maxDist`
+    * edits — verified. Shared by [[fuzzyAgainst]] and the
+    * dedup_ingest vs-store drop. `refStrings` needs only the field
+    * column (the reference carries evidence, not identity).
+    */
+  private[graft] def fuzzyCrossDirty(incoming: DataFrame,
+                                     refStrings: DataFrame,
+                                     idCol: String, fieldCol: String,
+                                     refFieldCol: String, maxDist: Int,
+                                     maxBucketSize: Int, blocking: String,
+                                     capOp: String): DataFrame =
+    blocking match {
+      case "length" =>
+        fuzzyLengthCrossDirty(incoming,
+          refStrings.select(col(refFieldCol).as(fieldCol)),
+          idCol, fieldCol, maxDist, maxBucketSize, capOp)
+      case "segment" =>
+        val inc = compactRows(incoming, idCol, fieldCol).persist()
+        val rf = compactRows(
+          refStrings.withColumn("__rid", lit(0L)), "__rid", refFieldCol)
+          .persist()
+        fuzzySegmentCrossCandidates(inc, rf, maxDist, maxBucketSize, capOp)
+          .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+          .select(col("a")).distinct()
+      case other => throw new IllegalArgumentException(
+        s"fuzzy dedup: unknown blocking `$other` (length | segment)")
+    }
+
+  /** Candidate pairs under LENGTH-BAND blocking: (a, b, sa, sb), each
+    * unordered pair exactly once (`a < b`), UNVERIFIED (the caller runs
+    * the levenshtein). See [[fuzzyDupPairs]] for the losslessness
+    * argument; the quadratic term is confined to same-length bands.
+    */
+  private[ml] def fuzzyLengthCandidates(df: DataFrame, idCol: String,
+                                        fieldCol: String, maxDist: Int,
+                                        maxBucketSize: Int,
+                                        capOp: String = "fuzzy_dedup")
+      : DataFrame = {
     // materialize the compact (id, s, len, bkt) projection ONCE — it
     // feeds three plan consumers (the cap count, both join sides), and
     // without the persist each re-runs the upstream scan/projection
@@ -466,7 +541,7 @@ object Dedup {
       .persist()
     val oversized = CapAudit.observed(
       rows.groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize), "fuzzy_dedup")
+        .filter(col("__n") > maxBucketSize), capOp)
     val capped = rows.join(broadcast(oversized.select(col("bkt"))),
       Seq("bkt"), "left_anti")
     val left = capped.select(col("bkt").as("jk"), col("id").as("a"),
@@ -477,9 +552,173 @@ object Dedup {
     left.join(right, Seq("jk"))
       .filter(col("a") < col("b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select(col("a"), col("b"),
-        levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
-      .filter(col("dist") >= 0) // thresholded lev: −1 above maxDist
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+  }
+
+  /** PassJoin-style even-partition segment scheme (Li, Deng, Feng,
+    * VLDB 2011 "PASS-JOIN: a partition-based method for similarity
+    * joins"): a string of length `la` splits into `maxDist + 1`
+    * segments — the first `k − la%k` of length ⌊la/k⌋, the rest one
+    * longer. Both sides of the candidate join recompute (start, len)
+    * from (la, slot) with THESE formulas, so the contract is a pure
+    * function of the two ints. 1-indexed starts (Spark substr).
+    */
+  private def segLen(k: Int)(la: Column, i: Column): Column =
+    (floor(la / k) + when(i >= lit(k) - la % k, 1).otherwise(0)).cast("int")
+  private def segStart(k: Int)(la: Column, i: Column): Column =
+    (lit(1) + floor(la / k) * i +
+      greatest(i - (lit(k) - la % k), lit(0))).cast("int")
+
+  /** Candidate pairs under PIGEONHOLE SEGMENT blocking — the
+    * scale-safe alternative to length bands when many keys share a
+    * length (the length-band quadratic term).
+    *
+    * Pigeonhole: an edit script of cost ≤ d cannot touch every one of
+    * d+1 segments, so some segment of the SHORTER string survives
+    * untouched and appears VERBATIM in the longer string, shifted by
+    * at most d positions (insertions minus deletions before it).
+    * Hence each row emits (index side) its d+1 segments keyed
+    * (own length, slot, segment text), and (probe side) for every
+    * candidate shorter length `la ∈ [len−d, len]` and slot, its
+    * substrings of the segment's length at the ±d position window —
+    * ≤ (d+1)²·(2d+1) short keys per row. A qualifying pair meets on at
+    * least one (la, slot, seg) key; equal-length pairs meet in both
+    * orientations and the canonicalize+distinct collapses them. The
+    * join key carries segment CONTENT, so a million same-length titles
+    * only collide where they actually share a segment — the length
+    * band's n² term becomes data-dependent selectivity.
+    *
+    * Same cap discipline ([[CapAudit]] `fuzzy_dedup`, joint occupancy
+    * per key) and the same losslessness gate: the DuckDB oracle runs
+    * the full quadratic join.
+    */
+  /** The two emit sides of segment blocking over a compact
+    * (id, s, len) frame. The (la, slot, seg) key is packed into ONE
+    * xxhash64 long (`k`) — a hash collision only ADDS a candidate the
+    * levenshtein verify then kills, so the packing stays lossless
+    * while the candidate shuffle carries 8-byte keys instead of
+    * segment strings. Returns (index emits, probe emits), both
+    * (id, s, k).
+    */
+  private def segEmits(rows: DataFrame, maxDist: Int)
+      : (DataFrame, DataFrame) = {
+    val d = maxDist
+    val k = d + 1
+    val ln = segLen(k) _
+    val st = segStart(k) _
+    def key(la: Column, slot: Column, seg: Column): Column =
+      xxhash64(la.cast("int"), slot.cast("int"), seg)
+    // Emits are a CONSTANT-fanout explode over a sequence literal plus
+    // plain projections — everything stays inside whole-stage codegen.
+    // (The first draft nested transform/flatten/filter higher-order
+    // functions; per-row nested ArrayData allocation made candidate
+    // generation linear-in-rows with a ~130 µs/row constant at 1M
+    // rows. This shape removed the HOFs entirely.)
+    // index side: this row's own d+1 segments, keyed by its own length
+    val idx = rows
+      .select(col("id"), col("s"), col("len"),
+        explode(sequence(lit(0), lit(d))).as("slot"))
+      .select(col("id"), col("s"),
+        key(col("len"), col("slot"),
+          col("s").substr(st(col("len"), col("slot")),
+            ln(col("len"), col("slot")))).as("k"))
+    // probe side: substrings that could equal an untouched segment of
+    // a shorter partner. j enumerates (Δ = len−la, slot, shift s):
+    // an untouched segment shifted by s needs ≥ |s| edits before it
+    // (net insertions) and ≥ |Δ−s| after, so |s| + |Δ−s| ≤ d bounds
+    // the window (the PassJoin position lemma) — tighter than a flat
+    // ±d and filtered BEFORE the shuffle.
+    val w = 2 * d + 1
+    val nE = k * k * w
+    val delta = floor(col("j") / (k * w)).cast("int")
+    val slot = floor((col("j") % (k * w)) / w).cast("int")
+    val shift = (col("j") % w).cast("int") - d
+    val prb = rows
+      .select(col("id"), col("s"), col("len"),
+        explode(sequence(lit(0), lit(nE - 1))).as("j"))
+      .withColumn("la", col("len") - delta)
+      .withColumn("sl", slot)
+      .withColumn("q", st(col("la"), col("sl")) + shift)
+      .filter(col("la") >= 0 &&
+        shift >= -floor((lit(d) - delta) / 2).cast("int") &&
+        shift <= floor((lit(d) + delta) / 2).cast("int") &&
+        col("q") >= 1 &&
+        col("q") + ln(col("la"), col("sl")) <= col("len") + 1)
+      .select(col("id"), col("s"),
+        key(col("la"), col("sl"),
+          col("s").substr(col("q").cast("int"),
+            ln(col("la"), col("sl")))).as("k"))
+    (idx, prb)
+  }
+
+  /** Joint per-key cap over segment emits: oversized keys (a shared
+    * template slot, a hot substring) are exempted wholesale and
+    * counted ([[CapAudit]] `op`). Unlike the length band — where the
+    * bucket is the ONLY key a pair can meet on — a pair dropped at one
+    * capped slot key still meets at every OTHER untouched segment, so
+    * capping here degrades recall gradually instead of zeroing it.
+    */
+  private def segCap(sides: Seq[DataFrame], maxBucketSize: Int,
+                     op: String): Seq[DataFrame] = {
+    // persisted: tiny BY DEFINITION (only over-cap keys survive the
+    // filter), consumed by every side's anti-join — without the
+    // persist the emit-union aggregate re-executes per consumer
+    val oversized = CapAudit.observed(
+      sides.map(_.select(col("k"))).reduce(_ union _)
+        .groupBy(col("k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize), op)
+      .select(col("k")).persist()
+    val cap = broadcast(oversized)
+    sides.map(_.join(cap, Seq("k"), "left_anti"))
+  }
+
+  private def compactRows(df: DataFrame, idCol: String,
+                          fieldCol: String): DataFrame = df
+    .select(col(idCol).as("id"), col(fieldCol).cast("string").as("s"))
+    .filter(col("s").isNotNull)
+    .withColumn("len", length(col("s")))
+
+  private[ml] def fuzzySegmentCandidates(df: DataFrame, idCol: String,
+                                         fieldCol: String, maxDist: Int,
+                                         maxBucketSize: Int,
+                                         capOp: String = "fuzzy_dedup")
+      : DataFrame = {
+    val rows = compactRows(df, idCol, fieldCol).persist()
+    val (idx, prb) = segEmits(rows, maxDist)
+    val Seq(cIdx, cPrb) = segCap(Seq(idx, prb), maxBucketSize, capOp)
+    cIdx.select(col("k"), col("id").as("a"), col("s").as("sa"))
+      .join(cPrb.select(col("k"), col("id").as("b"), col("s").as("sb")),
+        Seq("k"))
+      .filter(col("a") =!= col("b"))
+      .select(when(col("a") < col("b"),
+          struct(col("a").as("x"), col("b").as("y"),
+            col("sa").as("sx"), col("sb").as("sy")))
+        .otherwise(struct(col("b").as("x"), col("a").as("y"),
+          col("sb").as("sx"), col("sa").as("sy"))).as("p"))
+      .select(col("p.x").as("a"), col("p.y").as("b"),
+        col("p.sx").as("sa"), col("p.sy").as("sb"))
+      .distinct()
+  }
+
+  /** Cross-corpus segment candidates: (a, sa, sb) rows pairing `left`
+    * ids with `right` STRINGS (the against/ingest shape — the right
+    * side needs no ids, only evidence strings). Either side of a
+    * qualifying pair can be the shorter one, so both sides emit both
+    * roles and the candidate set is the union of the two oriented
+    * joins. Same hashed keys, same joint cap.
+    */
+  private[ml] def fuzzySegmentCrossCandidates(
+      left: DataFrame, right: DataFrame, maxDist: Int,
+      maxBucketSize: Int, capOp: String): DataFrame = {
+    val (lIdx, lPrb) = segEmits(left, maxDist)
+    val (rIdx, rPrb) = segEmits(right, maxDist)
+    val Seq(cLIdx, cLPrb, cRIdx, cRPrb) =
+      segCap(Seq(lIdx, lPrb, rIdx, rPrb), maxBucketSize, capOp)
+    def leg(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("k"), col("id").as("a"), col("s").as("sa"))
+        .join(r.select(col("k"), col("s").as("sb")), Seq("k"))
+        .select(col("a"), col("sa"), col("sb"))
+    leg(cLIdx, cRPrb).union(leg(cLPrb, cRIdx)).distinct()
   }
 
   /** Keep-one selection under edit-distance duplication: the minimum
@@ -489,29 +728,48 @@ object Dedup {
     */
   def fuzzyDedupKeep(df: DataFrame, idCol: String, fieldCol: String,
                      maxDist: Int = 2,
-                     maxBucketSize: Int = 4096): DataFrame =
+                     maxBucketSize: Int = 4096,
+                     blocking: String = "segment"): DataFrame =
     keepFromPairs(df, idCol,
-      fuzzyDupPairs(df, idCol, fieldCol, maxDist, maxBucketSize))
+      fuzzyDupPairs(df, idCol, fieldCol, maxDist, maxBucketSize, blocking))
 
   /** Incremental-ingestion FUZZY dedup: drop `incoming` rows whose
     * short field sits within `maxDist` edits of ANY reference string —
     * [[dedupAgainstExact]]'s shape at the typo rung (the against leg of
     * the fuzzy family: pairs / keep / against / ingest, mirroring
-    * near and media). Same lossless length-band blocking as
-    * [[fuzzyDupPairs]] with the two sides kept apart: incoming keys
-    * its OWN bucket, the reference emits {b−1, b, b+1}, so every
-    * qualifying cross pair (edit distance ≥ length difference) meets
-    * via exactly one emit; the verifier is the thresholded codegen
-    * `levenshtein`. The bucket cap counts JOINT (bucket) occupancy —
-    * a same-length pile-up on either side blows up the same join —
-    * and exemptions surface through [[CapAudit]] (`cap_fuzzy_against`).
-    * Null-field incoming rows carry no evidence and always survive.
+    * near and media). Same blocking ladder as [[fuzzyDupPairs]] with
+    * the two sides kept apart — `segment` (default, pigeonhole keys
+    * via [[fuzzySegmentCrossCandidates]]: either side of a cross pair
+    * can be the shorter one, so candidates are the union of the two
+    * oriented joins) or `length` (bands: incoming keys its own bucket,
+    * the reference emits {b−1, b, b+1}). Verifier: the thresholded
+    * codegen `levenshtein`. The cap counts JOINT key occupancy — a
+    * pile-up on either side blows up the same join — with exemptions
+    * surfaced through [[CapAudit]] (`cap_fuzzy_against`). Null-field
+    * incoming rows carry no evidence and always survive.
     */
   def fuzzyAgainst(incoming: DataFrame, ref: DataFrame, idCol: String,
                    fieldCol: String, maxDist: Int = 2,
-                   maxBucketSize: Int = 4096): DataFrame = {
+                   maxBucketSize: Int = 4096,
+                   blocking: String = "segment"): DataFrame = {
     require(maxDist >= 1, s"fuzzyAgainst: maxDist must be ≥ 1 (got " +
       s"$maxDist — for exact dedup use dedupAgainstExact)")
+    val dirty = fuzzyCrossDirty(incoming, ref.select(col(fieldCol)),
+        idCol, fieldCol, fieldCol, maxDist, maxBucketSize, blocking,
+        "fuzzy_against")
+      .withColumnRenamed("a", "__dirty")
+    incoming.join(dirty, col(idCol) === col("__dirty"), "left_anti")
+  }
+
+  /** The length-band cross leg: dirty incoming ids (column `a`) with a
+    * reference string within `maxDist` — [[fuzzyAgainst]]'s legacy
+    * blocking, kept selectable for narrow corpora where the ~(d+1)²·
+    * (2d+1) segment emit constant outweighs the band's quadratic term.
+    */
+  private def fuzzyLengthCrossDirty(incoming: DataFrame, ref: DataFrame,
+                                    idCol: String, fieldCol: String,
+                                    maxDist: Int, maxBucketSize: Int,
+                                    capOp: String): DataFrame = {
     def rows(df: DataFrame, keep: Seq[Column]): DataFrame = df
       .select((col(fieldCol).cast("string").as("s") +: keep): _*)
       .filter(col("s").isNotNull)
@@ -522,7 +780,7 @@ object Dedup {
     val oversized = CapAudit.observed(
       inc.select(col("bkt")).union(rf.select(col("bkt")))
         .groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize), "fuzzy_against")
+        .filter(col("__n") > maxBucketSize), capOp)
     val cap = broadcast(oversized.select(col("bkt")))
     val left = inc.join(cap, Seq("bkt"), "left_anti")
       .select(col("bkt").as("jk"), col("id"), col("s").as("sa"),
@@ -531,11 +789,10 @@ object Dedup {
       .select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
           .as("jk"),
         col("s").as("sb"), col("len").as("lb"))
-    val dirty = left.join(right, Seq("jk"))
+    left.join(right, Seq("jk"))
       .filter(abs(col("la") - col("lb")) <= maxDist &&
         levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-      .select(col("id").as("__dirty")).distinct()
-    incoming.join(dirty, col(idCol) === col("__dirty"), "left_anti")
+      .select(col("id").as("a")).distinct()
   }
 
   /** Per-node component MINIMUM over an undirected edge list — the

@@ -571,7 +571,8 @@ object CurationStages {
     val id = idField(c, "dedup_fuzzy")
     val kept = Dedup.fuzzyDedupKeep(df, id, textField(c),
       maxDist = int(c, "max_dist", 2),
-      maxBucketSize = int(c, "max_bucket_size", 4096))
+      maxBucketSize = int(c, "max_bucket_size", 4096),
+      blocking = str(c, "blocking", "segment"))
     df.alias("d").join(kept.alias("keep"),
         col(s"d.$id") === col(s"keep.$id"), "left_semi")
   }
@@ -1281,7 +1282,8 @@ object CurationStages {
         Dedup.fuzzyAgainst(df,
           ref0.select(col(refText).as(textCol)), idField(c, "dedup_against"),
           textCol, maxDist = int(c, "max_dist", 2),
-          maxBucketSize = int(c, "max_bucket_size", 4096))
+          maxBucketSize = int(c, "max_bucket_size", 4096),
+          blocking = str(c, "blocking", "segment"))
       case "media" =>
         // perceptual media dedup vs a reference corpus: aHash both
         // sides (`media_kind: image | audio` picks the kernel — both
@@ -2021,53 +2023,30 @@ object CurationStages {
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val maxDist = int(c, "max_dist", 2)
     val maxBucket = int(c, "max_bucket_size", 4096)
-    val rows = inBatch
+    val blocking = str(c, "blocking", "segment")
+    val state = inBatch
       .select(col(id).as("id"), col(textCol).cast("string").as("fstr"))
       .filter(col("fstr").isNotNull)
-      .withColumn("len", length(col("fstr")))
-      .withColumn("bkt", floor(col("len") / maxDist))
       .persist()
-    val refRows = refKeys.map(_
+    val storeRows = refKeys.map(_
       .filter(col("bid") =!= bid && col("fstr").isNotNull)
-      .select(col("fstr").as("rs"))
-      .withColumn("len", length(col("rs")))
-      .withColumn("bkt", floor(col("len") / maxDist))
-      .persist())
-    // the cap counts JOINT bucket occupancy (a same-length pile-up on
-    // either side blows up the same join), the nearDropSet convention
-    val oversized = graft.ml.CapAudit.observed(refRows
-        .map(r => rows.select(col("bkt")).union(r.select(col("bkt"))))
-        .getOrElse(rows.select(col("bkt")))
-        .groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucket), "ingest_fuzzy")
-    val cap = broadcast(oversized.select(col("bkt")))
-    val capped = rows.join(cap, Seq("bkt"), "left_anti")
-    val left = capped.select(col("bkt").as("jk"), col("id"),
-      col("fstr").as("sa"), col("len").as("la"))
+      .select(col("fstr")).persist())
     // juniors with a senior within max_dist IN THIS BATCH (the
-    // nearDropSet rule: direct senior neighbor, not component closure)
-    val rightBatch = capped.select(
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jk"),
-      col("id").as("__sid"), col("fstr").as("sb"), col("len").as("lb"))
-    val dropInBatch = left.join(rightBatch, Seq("jk"))
-      .filter(col("id") > col("__sid") &&
-        abs(col("la") - col("lb")) <= maxDist &&
-        levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-      .select(col("id")).distinct()
+    // nearDropSet rule: direct senior neighbor, not component
+    // closure) — candidate pairs come back canonical (a < b), so the
+    // junior of each verified pair is b
+    val dropInBatch = graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
+        "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy")
+      .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+      .select(col("b").as("id")).distinct()
     // batch rows within max_dist of a STORED string
-    val dropVsStore = refRows.map { rr =>
-      val cappedRef = rr.join(cap, Seq("bkt"), "left_anti")
-        .select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
-            .as("jk"),
-          col("rs").as("sb"), col("len").as("lb"))
-      left.join(cappedRef, Seq("jk"))
-        .filter(abs(col("la") - col("lb")) <= maxDist &&
-          levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-        .select(col("id")).distinct()
-    }
+    val dropVsStore = storeRows.map(rr =>
+      graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
+          maxDist, maxBucket, blocking, "ingest_fuzzy")
+        .withColumnRenamed("a", "id"))
     val drop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
-    (drop, rows.select(col("id"), col("fstr")), Seq(rows) ++ refRows)
+    (drop, state, Seq(state) ++ storeRows)
   }
 
   /** The embedding-mode machinery (streaming semantic dedup): band keys

@@ -500,8 +500,8 @@ object StageCatalog {
           |    max_dist: 2
           |    max_bucket_size: 4096"""),
       schemaKind = "documents",
-      oracle = Seq("ml_fuzzy_pairs", "ml_fuzzy_keep"),
-      notes = "Blocking is LOSSLESS, and the oracle proves it: edit distance >= length difference, so bucketing on len/max_dist puts every qualifying pair within one bucket of itself - one side keys on its own bucket, the other emits {b-1, b, b+1}, and the equi-join finds each unordered pair via exactly ONE emit (no dedup pass). The DuckDB oracle runs the FULL quadratic join; value-identical output is the losslessness proof, not an assumption. Verification is Spark's thresholded levenshtein (codegen'd, Ukkonen-banded O(max_dist*len) with early abort). The shuffle carries (id, field, len) only; the honest quadratic term is confined to same-length bands, so this stage is for SHORT fields by contract - a pathological same-length pile-up (millions of equal-length keys) is capped per band with the CapAudit exemption counters (stage=cap_fuzzy_dedup on /metrics), the LSH family's convention: capped = visible recall loss, never a blown-up join. Keep semantics: component MINIMUM id survives (keepFromPairs label propagation - a typo CHAIN a~b~c collapses to one survivor even where a and c are beyond max_dist). Whole-corpus by construction - batch only."),
+      oracle = Seq("ml_fuzzy_pairs", "ml_fuzzy_pairs_seg", "ml_fuzzy_keep"),
+      notes = "Blocking is LOSSLESS, and the oracle proves it: the DuckDB oracle runs the FULL quadratic join and value-identical output is the proof, not an assumption. Two schemes behind `blocking:`. `segment` (DEFAULT - the scale path): PassJoin pigeonhole keys (Li/Deng/Feng VLDB 2011) - an edit script of cost <= d cannot touch every one of d+1 segments, so some segment of the shorter string appears verbatim in the longer one within a +-shift window bounded by |s|+|delta-s| <= d; each row emits its d+1 segments plus the windowed probe substrings (~24 8-byte hashed keys/row at d=2, all whole-stage codegen), and candidates exist only where content actually shares a segment. `length` (legacy): bucket len/max_dist +-1 - cheapest emit constant, but its quadratic same-length term is the scale hazard: measured at 1M title-like rows, length banding needs ~10^10 candidate pairs uncapped, and AT THE SHIPPED CAP (4096) it exempts essentially every bucket and finds 36 of 10,000 planted typo pairs - a 99.6% silent recall loss, vs segment blocking's 230k candidates finding ALL 10,000 in comparable wall time. Verification is Spark's thresholded levenshtein (codegen'd, Ukkonen-banded O(max_dist*len) with early abort). Cap exemptions surface as stage=cap_fuzzy_dedup on /metrics; under segment blocking a capped key (a shared template slot like a common title prefix) degrades recall GRADUALLY - a pair's other untouched segments still find it - where the length band's cap zeroes the whole bucket. Keep semantics: component MINIMUM id survives (keepFromPairs label propagation - a typo CHAIN a~b~c collapses to one survivor even where a and c are beyond max_dist). Whole-corpus by construction - batch only."),
     StageDoc("dedup_media", "curation",
       "Perceptual media dedup: 64-bit aHash of the payload column (image grid cells or gain-invariant audio frame energies), banded Hamming pairs, keep-one per component; undecodable payloads always survive (batch-only).",
       y("""pipeline:
@@ -535,7 +535,7 @@ object StageCatalog {
       schemaKind = "documents",
       oracle = Seq("ml_dedup_against", "ml_neardup_against",
         "ml_fuzzy_against", "ml_media_against"),
-      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference payloads with the 64-bit perceptual aHash (`media_kind: image | audio` picks the kernel - image brightness-shift-invariant, audio gain-invariant over decoded PCM/FLAC samples; both sides must share the kind) and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located. Near mode takes the dedup_near geometry knobs: explicit `bands:`/`rows_per_band:` win, `target_recall:` sizes both from the S-curve contract at the stage's `threshold:`, neither resolves the legacy 4x3. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's against leg - typo-rung decontamination over a SHORT normalized field (a one-typo copy of a benchmark title is byte-different AND can slip a conservative Jaccard threshold): same lossless length-band blocking (incoming keys its own bucket, the reference emits {b-1, b, b+1}), thresholded codegen levenshtein verify, joint bucket cap surfaced as cap_fuzzy_against; null-field incoming rows always survive; its oracle runs the FULL quadratic reference join, so the value-identical gate is the losslessness proof."),
+      notes = "Media mode (`bytes_field` on both sides) hashes incoming and reference payloads with the 64-bit perceptual aHash (`media_kind: image | audio` picks the kernel - image brightness-shift-invariant, audio gain-invariant over decoded PCM/FLAC samples; both sides must share the kind) and drops incoming rows within `max_hamming` of any reference fingerprint (banded join, joint bucket cap); undecodable incoming payloads never match and survive. A parquet `reference.path` written as a BucketedLayout (Curate --bucket-by) reads bucket-aware automatically - its keyed joins plan co-located. Near mode takes the dedup_near geometry knobs: explicit `bands:`/`rows_per_band:` win, `target_recall:` sizes both from the S-curve contract at the stage's `threshold:`, neither resolves the legacy 4x3. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's against leg - typo-rung decontamination over a SHORT normalized field (a one-typo copy of a benchmark title is byte-different AND can slip a conservative Jaccard threshold): dedup_fuzzy's blocking ladder with the sides kept apart (`blocking: segment` default - pigeonhole keys, either side of a cross pair can be the shorter one so candidates union the two oriented joins; `length` legacy bands), thresholded codegen levenshtein verify, joint cap surfaced as cap_fuzzy_against; null-field incoming rows always survive; its oracle runs the FULL quadratic reference join, so the value-identical gate is the losslessness proof."),
     StageDoc("dedup_spans", "curation",
       "Exact-substring removal (Lee et al. 2022): cut every token inside a corpus-duplicated substring of ≥ min_tokens.",
       y("""pipeline:
@@ -684,7 +684,7 @@ object StageCatalog {
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
       oracle = Seq("ml_fuzzy_ingest"),
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (lossless length-band candidates, thresholded codegen levenshtein verify, joint bucket cap surfaced as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -119,15 +119,21 @@ class PlanGuardSpec extends SparkSpec {
     "ml_cluster_purity" -> 2,  // cluster-label histogram + tiny window
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
-    "ml_fuzzy_against" -> 15,  // two capped sides (cap groupBy + three
-                               // broadcast uses of the cap set), the
-                               // cross band join, dirty-id distinct,
-                               // final anti join + spec orderBy; per-key
-                               // join size is cap-bounded on both sides
+    "ml_fuzzy_against" -> 17,  // segment cross shape: emit-union cap agg
+                               // (persisted; its broadcast appears under
+                               // each of the 4 anti-joins), two oriented
+                               // candidate legs, dirty distinct, final
+                               // anti join + spec orderBy. Plan-TEXT
+                               // count; executed stages reuse the cap
+                               // broadcast and both legs' exchanges
     "ml_fuzzy_ingest" -> 2,    // returned plan is the union of two
                                // settled (localCheckpoint) batches +
                                // spec orderBy; the per-batch machinery
                                // runs eagerly at plan build
+    "ml_fuzzy_pairs_seg" -> 5, // one oriented join (idx x probe emits
+                               // over one persisted compact projection),
+                               // persisted cap agg, canonical distinct
+                               // + spec orderBy
     "ml_fuzzy_pairs" -> 6,     // banded self-join (two sides keyed on
                                // the length bucket) + the spec orderBy;
                                // the cap-count agg/anti branch replans

@@ -48,14 +48,68 @@ class FuzzyDedupSpec extends SparkSpec {
       "exactly once") {
     val df = corpus(49)
     val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    for (d <- Seq(1, 2, 3)) {
-      val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = d).collect()
+    for (d <- Seq(1, 2, 3); blocking <- Seq("length", "segment")) {
+      val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = d,
+          blocking = blocking).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(got.length == got.toSet.size,
-        s"d=$d: a pair surfaced more than once")
+        s"d=$d $blocking: a pair surfaced more than once")
       assert(got.toSet == brutePairs(rows, d),
-        s"d=$d: banded pairs diverged from brute force")
+        s"d=$d $blocking: banded pairs diverged from brute force")
     }
+  }
+
+  test("segment blocking is lossless on adversarial shapes: equal " +
+      "lengths, cross-length, tiny strings, indel position shifts") {
+    val s = spark
+    import s.implicits._
+    // tiny strings (segments go empty), pure indels at the front
+    // (max position shift), substitutions at segment boundaries
+    val rows = Seq(
+      (1L, ""), (2L, "a"), (3L, "ab"), (4L, "ba"), (5L, "xy"),
+      (10L, "abcdefghij"), (11L, "XXabcdefghij"), // 2 inserts at front
+      (12L, "abcdefghijXX"),                      // 2 inserts at back
+      (13L, "abXdefghij"),                        // boundary substitution
+      (20L, "mnopqrstuv"), (21L, "mnopqrstuv"))   // exact twin
+    val df = rows.toDF("id", "s")
+    for (d <- Seq(1, 2, 3)) {
+      val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = d,
+          blocking = "segment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brutePairs(rows, d),
+        s"d=$d: segment pairs diverged from brute force")
+    }
+  }
+
+  test("segment blocking's candidate set is content-selective where " +
+      "length banding goes quadratic on a same-length pile") {
+    val s = spark
+    import s.implicits._
+    // 300 DISTINCT content-diverse same-length keys (hash hex — the
+    // "real titles" shape, no shared template) + one planted typo
+    // twin: length banding must candidate every pair (n²/2), segment
+    // blocking only rows that actually share a slot's content. NB a
+    // TEMPLATED pile ("item-00001-tail") shares whole slots and
+    // collides segment keys too — that shape is the cap's business,
+    // where dropping one slot key still leaves the other slots
+    // finding pairs (see the losslessness-under-cap contract).
+    def key(i: Int): String = java.security.MessageDigest
+      .getInstance("MD5").digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val pile = (0 until 300).map(i => (i.toLong, key(i)))
+    val df = (pile :+ (900L, key(7).updated(3, 'Z'))).toDF("id", "s")
+    val lenCand = Dedup.fuzzyLengthCandidates(df, "id", "s", 2, 1 << 20)
+      .count()
+    val segCand = Dedup.fuzzySegmentCandidates(df, "id", "s", 2, 1 << 20)
+      .count()
+    assert(lenCand >= 301L * 300 / 2, s"length banding candidates: $lenCand")
+    assert(segCand < lenCand / 100,
+      s"segment blocking must be content-selective: $segCand vs $lenCand")
+    // and the planted substitution pair is still found
+    val pairs = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = 2,
+      blocking = "segment").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((7L, 900L)),
+      s"planted typo pair lost: ${pairs.toSeq}")
   }
 
   test("adjacent-length pairs cross the band boundary in both " +
@@ -72,7 +126,7 @@ class FuzzyDedupSpec extends SparkSpec {
   }
 
   test("the bucket cap exempts a pile-up VISIBLY (CapAudit counters), " +
-      "and other bands keep pairing") {
+      "and other bands keep pairing (length blocking)") {
     val s = spark
     import s.implicits._
     CapAudit.reset()
@@ -82,7 +136,7 @@ class FuzzyDedupSpec extends SparkSpec {
     val ok = Seq((100L, "longer-field-aa"), (101L, "longer-field-ab"))
     val df = (pile ++ ok).toDF("id", "s")
     val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = 2,
-        maxBucketSize = 10).collect()
+        maxBucketSize = 10, blocking = "length").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((100L, 101L)),
       s"capped band must drop, uncapped band must pair: $got")
@@ -90,6 +144,31 @@ class FuzzyDedupSpec extends SparkSpec {
     val exempted = snap.getOrElse(("exempted_rows", "cap_fuzzy_dedup"), 0L)
     assert(exempted >= 40L && exempted % 40L == 0L,
       s"exemption must be counted (at-least-once), got $snap")
+    CapAudit.reset()
+  }
+
+  test("segment blocking degrades GRACEFULLY under a capped slot: the " +
+      "counters fire, and pairs sharing an uncapped segment still pair") {
+    val s = spark
+    import s.implicits._
+    CapAudit.reset()
+    // the pile shares its first two slots ("key-0NNN": "ke", "y-0") —
+    // both blow the cap of 10 and get exempted VISIBLY; the planted
+    // family's pair survives because its own slots stay under the cap.
+    // NB pile neighbors ("key-0012"~"key-0013", dist 1) differ in the
+    // capped-exempt slots' complement, so they are genuinely lost —
+    // the documented graceful-degradation contract, counted not silent
+    val pile = (0 until 40).map(i => (i.toLong, f"key-$i%04d"))
+    val ok = Seq((100L, "longer-field-aa"), (101L, "longer-field-ab"))
+    val df = (pile ++ ok).toDF("id", "s")
+    val got = Dedup.fuzzyDupPairs(df, "id", "s", maxDist = 2,
+        maxBucketSize = 10, blocking = "segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), s"got $got")
+    val snap = CapAudit.snapshot()
+    val exempted = snap.getOrElse(("exempted_rows", "cap_fuzzy_dedup"), 0L)
+    assert(exempted >= 80L,
+      s"shared-slot exemptions must be counted, got $snap")
     CapAudit.reset()
   }
 
