@@ -634,6 +634,71 @@ object ScaleProof {
     * tier with overall recall@0.9 and the per-planted-cosine hit
     * counts; redirect into the round's scale artifact.
     */
+  /** Deterministic title-like corpus for the fuzzy-blocking growth
+    * rows: n base rows of 3–6 pseudo-random words (3–8 chars, derived
+    * from md5 of the row id — content-diverse, lengths 11–53), plus a
+    * one-edit twin for every 100th row. Planted twins = n/100, the
+    * ground truth the recall column divides by.
+    */
+  private def fuzzyTitleFixture(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).toDF("id")
+      .withColumn("nw", (conv(substring(md5(col("id").cast("string")), 1, 2),
+        16, 10).cast("int") % 4) + 3)
+      .withColumn("title", concat_ws(" ",
+        slice(transform(sequence(lit(0), lit(5)), i =>
+          substring(concat(md5(concat(col("id").cast("string"), i)),
+            md5(concat(i, col("id").cast("string")))), 1, 8)
+            .substr(lit(1), (conv(substring(md5(concat(col("id"),
+              lit("w"), i)), 1, 2), 16, 10).cast("int") % 6) + 3)),
+          lit(1), col("nw"))))
+      .select(col("id"), col("title"))
+    base.unionByName(base.filter(col("id") % 100 === 0)
+      .select((col("id") + n).as("id"),
+        concat(col("title").substr(lit(1), length(col("title")) - 1),
+          lit("z")).as("title")))
+  }
+
+  /** Fuzzy-blocking growth rows: `runMain graft.ScaleProof fuzzy`.
+    * The committed evidence behind shipping PassJoin segment blocking
+    * as the fuzzy default (PLANS round-15, fourth session): per
+    * (tier, blocking, cap) — candidate-pair count (deterministic by
+    * construction), planted-pair recall, CapAudit row exemptions, and
+    * wall seconds. Length bands run at the SHIPPED cap (what a user
+    * gets) and uncapped at the 100k tier only (the uncapped 1M band
+    * join is the ~10¹⁰-candidate shape the row extrapolates, not
+    * runs). One JSON line per configuration.
+    */
+  private def mainFuzzy(): Unit = {
+    import graft.ml.{CapAudit, Dedup}
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "fuzzy")
+    println(s"""{"load_gate":$gate}""")
+    for (n <- Seq(100000L, 1000000L)) {
+      val df = fuzzyTitleFixture(spark, n).persist()
+      val planted = df.count() - n
+      val configs = Seq(("length", 4096), ("length", 1 << 20),
+        ("segment", 1 << 20))
+        .filterNot { case (b, cap) =>
+          b == "length" && cap > 4096 && n > 100000L }
+      for ((blocking, cap) <- configs) {
+        CapAudit.reset()
+        val t0 = System.nanoTime()
+        val cand = Dedup.fuzzyCandidatePairs(df, "id", "title", 2, cap,
+          blocking, "fuzzy_dedup").count()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val found = Dedup.fuzzyDupPairs(df, "id", "title", 2, cap,
+          blocking).count()
+        val tPairs = (System.nanoTime() - t1) / 1e9
+        val exempted = CapAudit.snapshot()
+          .getOrElse(("exempted_rows", "cap_fuzzy_dedup"), 0L)
+        println(f"""{"fuzzy_tier":$n,"blocking":"$blocking","cap":$cap,"candidates":$cand,"planted":$planted,"found":$found,"exempted_rows":$exempted,"cand_sec":$tCand%.2f,"pairs_sec":$tPairs%.2f}""")
+      }
+      df.unpersist()
+    }
+    spark.stop()
+  }
+
   private def mainRecall(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-recall")
@@ -762,6 +827,7 @@ object ScaleProof {
     if (args.headOption.contains("annrecall")) {
       mainAnnRecall(args.drop(1)); return
     }
+    if (args.headOption.contains("fuzzy")) { mainFuzzy(); return }
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     // optional trailing args: run only these queries (local iteration)
