@@ -2325,6 +2325,73 @@ object GraftQueriesML {
               id AS doc, score
             FROM sc QUALIFY rank <= 10"""))
 
+  /** Hybrid retrieval: BM25 lexical and exact-cosine channels over the
+    * SAME corpus (documents ⋈ embeddings — the synthetic tables share
+    * the id space 1:1), reciprocal-rank-fused. The oracle replays both
+    * channels' rounded-score rankings and the RRF sum; each document
+    * contributes ≤ 2 reciprocal terms, so the per-(qid, id) sum is
+    * order-insensitive and `round(…, 6)` pins both engines.
+    */
+  private val mHybrid = Spec("ml_hybrid_topk",
+    (s, dir) => {
+      val d = t(s, dir, "documents").join(
+        t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      val queries = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(Curation.words(col("text")), 1, 5), " ")
+            .as("qtext"),
+          col("embedding").as("qvec"))
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      Similarity.hybridTopK(corpus, "doc_id", "text", "embedding",
+        queries, "qid", "qtext", "qvec", k = 10, fetchK = 20)
+    },
+    Some {
+      val cos = cosSql("q.qvec", "c.embedding")
+      s"""WITH j AS (SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          q AS (SELECT doc_id AS qid,
+            array_to_string(list_filter(string_split(text, ' '),
+              x -> x <> '')[1:5], ' ') AS qtext, embedding AS qvec
+            FROM j WHERE doc_id % 97 = 0),
+          c AS (SELECT * FROM j WHERE doc_id % 97 <> 0),
+          docs AS (SELECT doc_id AS id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM c),
+          d2 AS (SELECT id, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            avg(dl) AS avgdl FROM d2),
+          qt AS (SELECT qid, unnest(list_distinct(list_filter(
+            string_split(qtext, ' '), x -> x <> ''))) AS t FROM q),
+          tok AS (SELECT id, unnest(w) AS t FROM docs),
+          tf AS (SELECT id, t, count(*) AS tf FROM tok
+            WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY id, t),
+          dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+          sc AS (SELECT qid, id, round(sum(
+              ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                * (tf * (1.2 + 1.0))
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+              AS score
+            FROM tf JOIN dfx USING (t) JOIN qt USING (t)
+              JOIN d2 USING (id) CROSS JOIN stats
+            GROUP BY qid, id),
+          lexr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, id ASC) AS rank
+            FROM sc QUALIFY rank <= 20),
+          sem AS (SELECT q.qid, c.doc_id AS id, round($cos, 6) AS sim
+            FROM q CROSS JOIN c),
+          semr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, id ASC) AS rank
+            FROM sem QUALIFY rank <= 20),
+          fused AS (SELECT qid, id,
+              round(sum(1.0/(60 + rank)), 6) AS score
+            FROM (SELECT qid, id, rank FROM lexr
+                  UNION ALL SELECT qid, id, rank FROM semr) u
+            GROUP BY qid, id)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, id ASC) AS BIGINT) AS rank, id, score
+          FROM fused QUALIFY rank <= 10"""
+    })
+
   /** Feature covariance of the embedding corpus as (i, j, cov) rows —
     * the distributed kernel under PCA/whitening ([[Similarity.pcaTrain]]
     * consumes the same one-row moment aggregate; the eigensolve on top
@@ -3246,7 +3313,8 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,
-    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mParaDedup,
+    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mHybrid,
+    mParaDedup,
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,
     mQualityBudget,

@@ -1845,4 +1845,55 @@ object Similarity {
         GraftSqlBridge.expression(col(vecCol).cast("array<double>")),
         mat, model.mean)))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009
+    * "Reciprocal rank fusion outperforms Condorcet and individual rank
+    * learning methods"): fuse ANY per-query rankings — each a
+    * (qid, id, rank) frame with rank 1-based — into one top-k by
+    * `score(d) = Σ_r 1 / (rrfK + rank_r(d))`. Rank-only fusion needs
+    * no score calibration between channels (BM25 log-scale vs cosine
+    * in [−1, 1]), which is why it is the standard hybrid-retrieval
+    * combiner. The union carries (qid, id, rank) only; each document
+    * contributes ≤ |rankings| terms, so the per-(qid, id) sum is a
+    * bounded deterministic add and `round(…, 6)` pins both engines.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    import org.apache.spark.sql.expressions.Window
+    val all = rankings
+      .map(_.select(col("qid"), col("id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = all.groupBy(col("qid"), col("id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Hybrid retrieval: BM25 lexical top-`fetchK` and exact-cosine
+    * embedding top-`fetchK` over the SAME corpus, RRF-fused to top-k —
+    * the standard two-channel shape (a term-match channel that wins on
+    * names/rare tokens, an embedding channel that wins on paraphrase;
+    * fusion needs only ranks, see [[rrfFuse]]). Queries carry both a
+    * text and a vector column. Scale shape: both channels broadcast
+    * the (small by definition) query side and scan the corpus once
+    * each; the fusion input is ≤ 2·|queries|·fetchK rank rows — the
+    * corpus never shuffles.
+    */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String,
+                 vecCol: String, queries: DataFrame, qidCol: String,
+                 qtextCol: String, qvecCol: String, k: Int = 10,
+                 fetchK: Int = 20, rrfK: Int = 60, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    val lex = CorpusStats.bm25TopK(corpus, idCol, textCol,
+        queries, qidCol, qtextCol, k = fetchK, k1 = k1, b = b)
+      .select(col("qid"), col("doc").as("id"), col("rank"))
+    val sem = bruteForceTopK(corpus, idCol, vecCol,
+        queries, qidCol, qvecCol, k = fetchK)
+      .select(col("qid"), col("id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k = k, rrfK = rrfK)
+  }
 }

@@ -47,7 +47,7 @@ object CurationStages {
     "quality_model", "bpe_tokenize", "dedup_against", "dedup_ingest",
     "dedup_spans", "media_envelope", "text_normalize",
     "token_budget_sample", "dedup_paragraph", "bm25_topk", "ann_topk",
-    "ann_ingest", "pca_project",
+    "ann_ingest", "hybrid_topk", "pca_project",
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
     "leakage_safe_split", "dedup_media", "quality_budget_select",
@@ -75,7 +75,7 @@ object CurationStages {
     "contamination_filter",
     "pack_chunks", "stratified_sample", "shuffle_layout", "dedup_against",
     "dedup_ingest", "dedup_spans", "token_budget_sample", "dedup_paragraph",
-    "bm25_topk", "ann_topk", "pca_project",
+    "bm25_topk", "ann_topk", "hybrid_topk", "pca_project",
     "perplexity_score", "dsir_sample", "decontaminate", "cluster_sample",
     "knn_graph", "temperature_sample", "leakage_safe_split", "dedup_media",
     "quality_budget_select")
@@ -146,6 +146,7 @@ object CurationStages {
           delimPattern = str(c, "delim", "\n{2,}"))
       case "bm25_topk" => bm25Stage(pre, c)
       case "ann_topk" => annTopK(pre, c)
+      case "hybrid_topk" => hybridTopKStage(pre, c)
       case "ann_ingest" => annIngest(pre, c)
       case "pca_project" =>
         // PCA basis trained on the input corpus at plan time (the
@@ -976,6 +977,45 @@ object CurationStages {
     CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
       q, str(qCfg, "qid_field", "qid"), str(qCfg, "qtext_field", "qtext"),
       k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+  }
+
+  // ---- hybrid_topk ---------------------------------------------------
+  //
+  // Two-channel retrieval as a terminal stage: BM25 lexical top-fetch_k
+  // and exact-cosine embedding top-fetch_k over the SAME piped corpus,
+  // reciprocal-rank-fused (Cormack et al. 2009) to top-k — rank-only
+  // fusion needs no score calibration between a log-scale BM25 and a
+  // [−1, 1] cosine, which is why it is the standard hybrid combiner.
+  // Output IS the result set (qid, rank, id, score), the
+  // bm25_topk/ann_topk convention; queries carry BOTH a text and a
+  // vector column and are small by definition (side-table convention).
+
+  private def hybridTopKStage(df: DataFrame, c: Map[String, Any])
+      : DataFrame = {
+    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "hybrid_topk stage needs `queries: {path, qid_field, " +
+          "qtext_field, qvec_field}`"))
+    val q0 = readSideTable(df.sparkSession, qCfg, "hybrid_topk queries")
+    val qidF = str(qCfg, "qid_field", "qid")
+    val qtextF = str(qCfg, "qtext_field", "qtext")
+    val qvecF = str(qCfg, "qvec_field", "qvec")
+    val missing = Seq(qidF, qtextF, qvecF).filterNot(q0.columns.contains)
+    require(missing.isEmpty,
+      s"hybrid_topk: queries table has no ${missing.mkString("/")} " +
+        "column (set qid_field/qtext_field/qvec_field)")
+    // rename the query side onto internal names IMMEDIATELY (the
+    // ann_topk self-query lesson: queries are routinely corpus rows
+    // re-read from the same parquet, and same-named columns make the
+    // downstream cross/broadcast joins ambiguous)
+    val q = q0.select(col(qidF).as("__hy_qid"),
+      col(qtextF).as("__hy_qtext"), col(qvecF).as("__hy_qvec"))
+    graft.ml.Similarity.hybridTopK(df, idField(c, "hybrid_topk"),
+      textField(c), str(c, "vec_field", "embedding"),
+      q, "__hy_qid", "__hy_qtext", "__hy_qvec",
+      k = int(c, "k", 10), fetchK = int(c, "fetch_k", 20),
+      rrfK = int(c, "rrf_k", 60),
+      k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
   }
 
   // ---- ann_topk --------------------------------------------------------

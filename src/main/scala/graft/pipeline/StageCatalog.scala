@@ -568,6 +568,23 @@ object StageCatalog {
           |      qtext_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_bm25_topk"),
       notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit."),
+    StageDoc("hybrid_topk", "curation",
+      "Hybrid retrieval: BM25 lexical top-fetch_k and exact-cosine embedding top-fetch_k over the same corpus, reciprocal-rank-fused (RRF) to top-k per query.",
+      y("""pipeline:
+          |  - type: hybrid_topk
+          |    id_field: doc_id
+          |    text_field: text
+          |    vec_field: embedding
+          |    k: 10
+          |    fetch_k: 20         # per-channel depth before fusion
+          |    rrf_k: 60           # RRF constant (Cormack et al. 2009)
+          |    queries:
+          |      path: "/tmp/graft-hybrid-queries"   # parquet with qid + qtext + qvec
+          |      qid_field: qid
+          |      qtext_field: qtext
+          |      qvec_field: qvec"""),
+      schemaKind = "hybrid", oracle = Seq("ml_hybrid_topk"),
+      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of 1/(rrf_k + rank)) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side and scan the corpus once each - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only, the bm25_topk rule."),
     StageDoc("ann_topk", "curation",
       "Embedding similarity search: top-k corpus rows per query vector (cosine) - bm25_topk's sibling on the vector column, from exact baseline to probe-pruned written indexes.",
       y("""pipeline:

@@ -101,6 +101,38 @@ class ExecutedStagesSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy segment blocking executes lean: the 17-exchange plan " +
+      "TEXT of the against shape reuses down to single-digit stages") {
+    noBroadcast {
+      val s = spark
+      CacheSweep.sweep(s)
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("sf"))
+      val pairs = ExecutedStages.of(s,
+        graft.ml.Dedup.fuzzyDupPairs(docs, "doc_id", "sf", maxDist = 2,
+          maxBucketSize = 1 << 20, blocking = "segment"))
+      CacheSweep.sweep(s)
+      val against = ExecutedStages.of(s,
+        graft.ml.Dedup.fuzzyAgainst(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "sf",
+          maxDist = 2, maxBucketSize = 1 << 20, blocking = "segment"))
+      CacheSweep.sweep(s)
+      // PlanGuard pins the plan TEXT at 5 / 17 exchanges (subtrees
+      // re-printed under every consumer); the executed truth is what
+      // matters at scale. ±1 for cache-build history sensitivity.
+      assert(pairs.shuffleWriteStages <= 5,
+        s"fuzzy segment pairs executed ${pairs.shuffleWriteStages} " +
+          "shuffle-write stages (expect ≤5: cap agg + two emit sides + " +
+          "distinct; more means a shared subtree stopped reusing)")
+      assert(against.shuffleWriteStages <= 8,
+        s"fuzzyAgainst executed ${against.shuffleWriteStages} " +
+          "shuffle-write stages (expect ≤8: cap agg + four emit sides + " +
+          "dirty distinct + anti; the 17 in PlanGuard is print-side " +
+          "double counting, not execution)")
+    }
+  }
+
   test("minhashPairs / containmentPairs keep their measured executed " +
       "shapes (persists deliberately kept, PLANS r14 table)") {
     noBroadcast {

@@ -119,6 +119,14 @@ class PlanGuardSpec extends SparkSpec {
     "ml_cluster_purity" -> 2,  // cluster-label histogram + tiny window
     "ml_cluster_sample" -> 1,  // one shuffle on the cluster key (top-k
                                // is a WindowGroupLimit below the sort)
+    "ml_hybrid_topk" -> 13,    // bm25 channel (persisted tf feeds df +
+                               // scoring, broadcast-pruned) + cosine
+                               // channel (broadcast queries, window
+                               // top-k) + the RRF fuse agg/window; both
+                               // channels broadcast the query side, so
+                               // the corpus never shuffles — the counted
+                               // exchanges carry ≤ 2·|q|·fetch_k rank
+                               // rows and query-term-sized aggregates
     "ml_fuzzy_against" -> 17,  // segment cross shape: emit-union cap agg
                                // (persisted; its broadcast appears under
                                // each of the 4 anti-joins), two oriented

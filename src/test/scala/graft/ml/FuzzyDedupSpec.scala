@@ -179,13 +179,15 @@ class FuzzyDedupSpec extends SparkSpec {
     val ref = df.filter(col("id") % 3 =!= 0)
     val incRows = incoming.collect().map(r => (r.getLong(0), r.getString(1)))
     val refRows = ref.collect().map(r => (r.getLong(0), r.getString(1)))
-    for (d <- Seq(1, 2, 3)) {
+    for (d <- Seq(1, 2, 3); blocking <- Seq("length", "segment")) {
       val want = incRows.filter { case (_, sa) =>
         !refRows.exists { case (_, sb) => lev(sa, sb) <= d }
       }.map(_._1).toSet
-      val got = Dedup.fuzzyAgainst(incoming, ref, "id", "s", maxDist = d)
+      val got = Dedup.fuzzyAgainst(incoming, ref, "id", "s", maxDist = d,
+          blocking = blocking)
         .collect().map(_.getLong(0)).toSet
-      assert(got == want, s"d=$d: kept set diverged from brute force")
+      assert(got == want,
+        s"d=$d $blocking: kept set diverged from brute force")
     }
   }
 

@@ -1440,6 +1440,55 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("queries"))
   }
 
+  test("hybrid_topk stage: RRF fusion of the BM25 and cosine channels, " +
+      "identical to the library call; self-named queries are safe") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark shuffle exchange partitions", Seq(0.0f, 1.0f)),
+      (2L, "completely unrelated words here", Seq(1.0f, 0.02f)),
+      (3L, "spark shuffle tuning notes", Seq(1.0f, 0.01f)),
+      (4L, "nothing in common at all", Seq(0.0f, -1.0f)))
+      .toDF("doc_id", "text", "embedding")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-q").toString
+    // the query table deliberately REUSES the corpus column names —
+    // the ann_topk self-query regression shape
+    corpus.filter(col("doc_id") === 3L)
+      .select(col("doc_id"), lit("spark shuffle").as("text"),
+        col("embedding"))
+      .write.mode("overwrite").parquet(qDir)
+    val out = run(
+      s"""pipeline:
+         |  - type: hybrid_topk
+         |    id_field: doc_id
+         |    text_field: text
+         |    vec_field: embedding
+         |    k: 4
+         |    queries:
+         |      path: "$qDir"
+         |      qid_field: doc_id
+         |      qtext_field: text
+         |      qvec_field: embedding
+         |""".stripMargin, corpus)
+    val lib = graft.ml.Similarity.hybridTopK(corpus, "doc_id", "text",
+      "embedding",
+      corpus.filter(col("doc_id") === 3L)
+        .select(col("doc_id").as("qid"), lit("spark shuffle").as("qtext"),
+          col("embedding").as("qvec")),
+      "qid", "qtext", "qvec", k = 4)
+    assert(out.orderBy("rank").collect().toSeq ==
+      lib.orderBy("rank").collect().toSeq)
+    // the two-channel doc (3: lexical + semantic) fuses to rank 1
+    assert(out.filter(col("rank") === 1).head().getLong(2) == 3L)
+    // missing queries config fails loudly
+    val e = intercept[IllegalArgumentException] {
+      run("pipeline:\n  - type: hybrid_topk\n    id_field: doc_id\n",
+        corpus)
+    }
+    assert(e.getMessage.contains("queries"))
+  }
+
   test("ann_topk stage: brute baseline and tuned ivf from a queries side table") {
     val s = spark
     import s.implicits._

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** The documentation drift gate: every StageCatalog entry (the source
   * of the generated `doc/` tree) must name a real stage type, compile
@@ -32,6 +33,10 @@ class StageCatalogSpec extends SparkSpec {
         Seq((1L, Seq(1.0, 0.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0, 0.1)),
           (3L, Seq(0.0, 1.0, 0.1, 0.0)), (4L, Seq(0.1, 0.9, 0.0, 0.0)))
           .toDF("vec_id", "embedding")
+      case "hybrid" => // text AND vector columns (hybrid_topk's corpus)
+        Seq((1L, "alpha beta gamma", Seq(1.0, 0.0, 0.0, 0.1)),
+          (2L, "delta epsilon zeta", Seq(0.0, 1.0, 0.1, 0.0)))
+          .toDF("doc_id", "text", "embedding")
       case "media" =>
         Seq((1L, "not a real container".getBytes("US-ASCII")),
           (2L, Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes("US-ASCII")))
@@ -73,6 +78,20 @@ class StageCatalogSpec extends SparkSpec {
                 "$1 \"" + java.nio.file.Files
                   .createTempDirectory("catalog-ingest")
                   .toString + "/keys\"")
+            else if (d.name == "hybrid_topk") {
+              // the documented queries table needs text AND vector
+              // columns; no committed testdata parquet carries both,
+              // so the gate materializes one (the ann_ingest
+              // temp-path precedent)
+              val qDir = java.nio.file.Files
+                .createTempDirectory("catalog-hybrid").toString + "/q"
+              frame("hybrid")
+                .select(col("doc_id").as("qid"), col("text").as("qtext"),
+                  col("embedding").as("qvec"))
+                .write.mode("overwrite").parquet(qDir)
+              d.example.replaceAll("(?m)^(\\s*path:).*$",
+                "$1 \"" + qDir + "\"")
+            }
             else if (d.name == "ann_ingest")
               // same reasoning: the compile IS a run (create + append),
               // and a persistent documented path would let a stale
