@@ -469,6 +469,21 @@ object Dedup {
       .filter(col("dist") >= 0) // thresholded lev: −1 above maxDist
   }
 
+  /** Persist registry for the fuzzy helpers: batch callers discard the
+    * default instance (their persists live until the query's
+    * CacheSweep, the minhashPairs convention), while the STREAMING
+    * caller (dedup_ingest's drop set) passes its own and releases
+    * every frame after the micro-batch settles — without this, each
+    * helper-internal `.persist()` would leak one cache entry per
+    * micro-batch for the lifetime of the stream.
+    */
+  private[graft] final class CacheTracker {
+    val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+    def persist(df: DataFrame): DataFrame = {
+      val p = df.persist(); frames += p; p
+    }
+  }
+
   /** Blocking dispatch for the fuzzy self-pair shape: UNVERIFIED
     * candidate pairs (a, b, sa, sb), each unordered pair once. Shared
     * by [[fuzzyDupPairs]] and the dedup_ingest in-batch junior drop.
@@ -477,14 +492,16 @@ object Dedup {
                                          fieldCol: String, maxDist: Int,
                                          maxBucketSize: Int,
                                          blocking: String,
-                                         capOp: String): DataFrame =
+                                         capOp: String,
+                                         track: CacheTracker =
+                                           new CacheTracker): DataFrame =
     blocking match {
       case "length" =>
         fuzzyLengthCandidates(df, idCol, fieldCol, maxDist,
-          maxBucketSize, capOp)
+          maxBucketSize, capOp, track)
       case "segment" =>
         fuzzySegmentCandidates(df, idCol, fieldCol, maxDist,
-          maxBucketSize, capOp)
+          maxBucketSize, capOp, track)
       case other => throw new IllegalArgumentException(
         s"fuzzy dedup: unknown blocking `$other` (length | segment)")
     }
@@ -500,18 +517,20 @@ object Dedup {
                                      idCol: String, fieldCol: String,
                                      refFieldCol: String, maxDist: Int,
                                      maxBucketSize: Int, blocking: String,
-                                     capOp: String): DataFrame =
+                                     capOp: String,
+                                     track: CacheTracker =
+                                       new CacheTracker): DataFrame =
     blocking match {
       case "length" =>
         fuzzyLengthCrossDirty(incoming,
           refStrings.select(col(refFieldCol).as(fieldCol)),
-          idCol, fieldCol, maxDist, maxBucketSize, capOp)
+          idCol, fieldCol, maxDist, maxBucketSize, capOp, track)
       case "segment" =>
-        val inc = compactRows(incoming, idCol, fieldCol).persist()
-        val rf = compactRows(
-          refStrings.withColumn("__rid", lit(0L)), "__rid", refFieldCol)
-          .persist()
-        fuzzySegmentCrossCandidates(inc, rf, maxDist, maxBucketSize, capOp)
+        val inc = track.persist(compactRows(incoming, idCol, fieldCol))
+        val rf = track.persist(compactRows(
+          refStrings.withColumn("__rid", lit(0L)), "__rid", refFieldCol))
+        fuzzySegmentCrossCandidates(inc, rf, maxDist, maxBucketSize,
+            capOp, track)
           .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
           .select(col("a")).distinct()
       case other => throw new IllegalArgumentException(
@@ -526,19 +545,19 @@ object Dedup {
   private[ml] def fuzzyLengthCandidates(df: DataFrame, idCol: String,
                                         fieldCol: String, maxDist: Int,
                                         maxBucketSize: Int,
-                                        capOp: String = "fuzzy_dedup")
-      : DataFrame = {
+                                        capOp: String = "fuzzy_dedup",
+                                        track: CacheTracker =
+                                          new CacheTracker): DataFrame = {
     // materialize the compact (id, s, len, bkt) projection ONCE — it
     // feeds three plan consumers (the cap count, both join sides), and
     // without the persist each re-runs the upstream scan/projection
     // (the minhashPairs signature-persist rationale; the cached rows
     // are short-field-narrow by the operator's contract)
-    val rows = df
+    val rows = track.persist(df
       .select(col(idCol).as("id"), col(fieldCol).cast("string").as("s"))
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-      .withColumn("bkt", floor(col("len") / maxDist))
-      .persist()
+      .withColumn("bkt", floor(col("len") / maxDist)))
     val oversized = CapAudit.observed(
       rows.groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBucketSize), capOp)
@@ -659,15 +678,15 @@ object Dedup {
     * capping here degrades recall gradually instead of zeroing it.
     */
   private def segCap(sides: Seq[DataFrame], maxBucketSize: Int,
-                     op: String): Seq[DataFrame] = {
+                     op: String, track: CacheTracker): Seq[DataFrame] = {
     // persisted: tiny BY DEFINITION (only over-cap keys survive the
     // filter), consumed by every side's anti-join — without the
     // persist the emit-union aggregate re-executes per consumer
-    val oversized = CapAudit.observed(
+    val oversized = track.persist(CapAudit.observed(
       sides.map(_.select(col("k"))).reduce(_ union _)
         .groupBy(col("k")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBucketSize), op)
-      .select(col("k")).persist()
+      .select(col("k")))
     val cap = broadcast(oversized)
     sides.map(_.join(cap, Seq("k"), "left_anti"))
   }
@@ -681,11 +700,13 @@ object Dedup {
   private[ml] def fuzzySegmentCandidates(df: DataFrame, idCol: String,
                                          fieldCol: String, maxDist: Int,
                                          maxBucketSize: Int,
-                                         capOp: String = "fuzzy_dedup")
-      : DataFrame = {
-    val rows = compactRows(df, idCol, fieldCol).persist()
+                                         capOp: String = "fuzzy_dedup",
+                                         track: CacheTracker =
+                                           new CacheTracker): DataFrame = {
+    val rows = track.persist(compactRows(df, idCol, fieldCol))
     val (idx, prb) = segEmits(rows, maxDist)
-    val Seq(cIdx, cPrb) = segCap(Seq(idx, prb), maxBucketSize, capOp)
+    val Seq(cIdx, cPrb) =
+      segCap(Seq(idx, prb), maxBucketSize, capOp, track)
     cIdx.select(col("k"), col("id").as("a"), col("s").as("sa"))
       .join(cPrb.select(col("k"), col("id").as("b"), col("s").as("sb")),
         Seq("k"))
@@ -709,11 +730,12 @@ object Dedup {
     */
   private[ml] def fuzzySegmentCrossCandidates(
       left: DataFrame, right: DataFrame, maxDist: Int,
-      maxBucketSize: Int, capOp: String): DataFrame = {
+      maxBucketSize: Int, capOp: String,
+      track: CacheTracker = new CacheTracker): DataFrame = {
     val (lIdx, lPrb) = segEmits(left, maxDist)
     val (rIdx, rPrb) = segEmits(right, maxDist)
     val Seq(cLIdx, cLPrb, cRIdx, cRPrb) =
-      segCap(Seq(lIdx, lPrb, rIdx, rPrb), maxBucketSize, capOp)
+      segCap(Seq(lIdx, lPrb, rIdx, rPrb), maxBucketSize, capOp, track)
     def leg(l: DataFrame, r: DataFrame): DataFrame =
       l.select(col("k"), col("id").as("a"), col("s").as("sa"))
         .join(r.select(col("k"), col("s").as("sb")), Seq("k"))
@@ -769,14 +791,15 @@ object Dedup {
   private def fuzzyLengthCrossDirty(incoming: DataFrame, ref: DataFrame,
                                     idCol: String, fieldCol: String,
                                     maxDist: Int, maxBucketSize: Int,
-                                    capOp: String): DataFrame = {
+                                    capOp: String,
+                                    track: CacheTracker): DataFrame = {
     def rows(df: DataFrame, keep: Seq[Column]): DataFrame = df
       .select((col(fieldCol).cast("string").as("s") +: keep): _*)
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
       .withColumn("bkt", floor(col("len") / maxDist))
-    val inc = rows(incoming, Seq(col(idCol).as("id"))).persist()
-    val rf = rows(ref, Seq.empty).persist()
+    val inc = track.persist(rows(incoming, Seq(col(idCol).as("id"))))
+    val rf = track.persist(rows(ref, Seq.empty))
     val oversized = CapAudit.observed(
       inc.select(col("bkt")).union(rf.select(col("bkt")))
         .groupBy(col("bkt")).agg(count(lit(1)).as("__n"))

@@ -2064,29 +2064,33 @@ object CurationStages {
     val maxDist = int(c, "max_dist", 2)
     val maxBucket = int(c, "max_bucket_size", 4096)
     val blocking = str(c, "blocking", "segment")
-    val state = inBatch
+    // every persist — ours AND the blocking helpers' internals — goes
+    // through one tracker, released by dedupIngestCore after the batch
+    // settles: a stream would otherwise leak one cache entry per
+    // helper per micro-batch for its whole lifetime
+    val track = new graft.ml.Dedup.CacheTracker
+    val state = track.persist(inBatch
       .select(col(id).as("id"), col(textCol).cast("string").as("fstr"))
-      .filter(col("fstr").isNotNull)
-      .persist()
-    val storeRows = refKeys.map(_
+      .filter(col("fstr").isNotNull))
+    val storeRows = refKeys.map(ks => track.persist(ks
       .filter(col("bid") =!= bid && col("fstr").isNotNull)
-      .select(col("fstr")).persist())
+      .select(col("fstr"))))
     // juniors with a senior within max_dist IN THIS BATCH (the
     // nearDropSet rule: direct senior neighbor, not component
     // closure) — candidate pairs come back canonical (a < b), so the
     // junior of each verified pair is b
     val dropInBatch = graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
-        "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy")
+        "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy", track)
       .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
       .select(col("b").as("id")).distinct()
     // batch rows within max_dist of a STORED string
     val dropVsStore = storeRows.map(rr =>
       graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
-          maxDist, maxBucket, blocking, "ingest_fuzzy")
+          maxDist, maxBucket, blocking, "ingest_fuzzy", track)
         .withColumnRenamed("a", "id"))
     val drop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
-    (drop, state, Seq(state) ++ storeRows)
+    (drop, state, track.frames.toSeq)
   }
 
   /** The embedding-mode machinery (streaming semantic dedup): band keys

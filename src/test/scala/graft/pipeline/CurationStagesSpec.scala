@@ -812,6 +812,37 @@ class CurationStagesSpec extends SparkSpec {
       Seq(5L))
   }
 
+  test("dedup_ingest mode fuzzy releases every cache it creates — the " +
+      "stream-lifetime leak guard (one leaked persist per micro-batch " +
+      "would accumulate forever)") {
+    val s = spark
+    import s.implicits._
+    graft.CacheSweep.sweep(s)
+    val store = java.nio.file.Files
+      .createTempDirectory("ingest-fuzzy-leak").toString + "/keys"
+    def runBatch(rows: Seq[(Long, String)]): Unit =
+      PipelineCompiler.compile(RuleLoader.fromYaml(
+        s"""pipeline:
+           |  - type: dedup_ingest
+           |    mode: fuzzy
+           |    id_field: doc_id
+           |    text_field: title
+           |    store: $store
+           |""".stripMargin))(rows.toDF("doc_id", "title")).main.collect()
+    // bootstrap batch (no store yet) and a second batch (store legs
+    // active): both must leave the CACHE MANAGER exactly as swept —
+    // DataFrame persists are held strongly there until an explicit
+    // unpersist, so a missed release accumulates forever. (The two
+    // localCheckpoint RDDs backing each batch's result are exempt:
+    // ContextCleaner reclaims those once the result is unreachable.)
+    runBatch(Seq((1L, "introduction to spark"), (2L, "zen")))
+    assert(s.sharedState.cacheManager.isEmpty,
+      "bootstrap batch leaked cached DataFrames")
+    runBatch(Seq((3L, "a new title entirely"), (4L, "zen")))
+    assert(s.sharedState.cacheManager.isEmpty,
+      "store-leg batch leaked cached DataFrames")
+  }
+
   test("quality_model stage: trained weights score at scan speed") {
     val dim = 8
     val w = graft.ml.Classifier.trainLogReg(
