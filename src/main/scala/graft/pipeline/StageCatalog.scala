@@ -498,6 +498,7 @@ object StageCatalog {
           |    id_field: doc_id
           |    text_field: text
           |    max_dist: 2
+          |    blocking: segment   # segment (default) | length
           |    max_bucket_size: 4096"""),
       schemaKind = "documents",
       oracle = Seq("ml_fuzzy_pairs", "ml_fuzzy_pairs_seg", "ml_fuzzy_keep"),
