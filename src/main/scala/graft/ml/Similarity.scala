@@ -1853,19 +1853,28 @@ object Similarity {
     * `score(d) = Σ_r 1 / (rrfK + rank_r(d))`. Rank-only fusion needs
     * no score calibration between channels (BM25 log-scale vs cosine
     * in [−1, 1]), which is why it is the standard hybrid-retrieval
-    * combiner. The union carries (qid, id, rank) only; each document
-    * contributes ≤ |rankings| terms, so the per-(qid, id) sum is a
-    * bounded deterministic add and `round(…, 6)` pins both engines.
+    * combiner. Optional per-ranking `weights` (weighted RRF:
+    * `Σ_r w_r / (rrfK + rank_r)`) bias the fusion toward a channel
+    * without re-introducing score calibration — a weight of 0
+    * silences a channel entirely. The union carries (qid, id, rank,
+    * weight) only; each document contributes ≤ |rankings| terms, so
+    * the per-(qid, id) sum is a bounded deterministic add and
+    * `round(…, 6)` pins both engines.
     */
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
-              rrfK: Int = 60): DataFrame = {
+              rrfK: Int = 60,
+              weights: Seq[Double] = Nil): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(weights.isEmpty || weights.size == rankings.size,
+      s"rrfFuse: ${weights.size} weights for ${rankings.size} rankings")
     import org.apache.spark.sql.expressions.Window
-    val all = rankings
-      .map(_.select(col("qid"), col("id"), col("rank")))
+    val ws = if (weights.isEmpty) Seq.fill(rankings.size)(1.0) else weights
+    val all = rankings.zip(ws)
+      .map { case (r, w) =>
+        r.select(col("qid"), col("id"), col("rank"), lit(w).as("__w")) }
       .reduce(_ unionByName _)
     val fused = all.groupBy(col("qid"), col("id"))
-      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("score"))
+      .agg(round(sum(col("__w") / (lit(rrfK) + col("rank"))), 6).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))
@@ -1887,13 +1896,15 @@ object Similarity {
                  vecCol: String, queries: DataFrame, qidCol: String,
                  qtextCol: String, qvecCol: String, k: Int = 10,
                  fetchK: Int = 20, rrfK: Int = 60, k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame = {
+                 b: Double = 0.75, lexWeight: Double = 1.0,
+                 semWeight: Double = 1.0): DataFrame = {
     val lex = CorpusStats.bm25TopK(corpus, idCol, textCol,
         queries, qidCol, qtextCol, k = fetchK, k1 = k1, b = b)
       .select(col("qid"), col("doc").as("id"), col("rank"))
     val sem = bruteForceTopK(corpus, idCol, vecCol,
         queries, qidCol, qvecCol, k = fetchK)
       .select(col("qid"), col("id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k = k, rrfK = rrfK)
+    rrfFuse(Seq(lex, sem), k = k, rrfK = rrfK,
+      weights = Seq(lexWeight, semWeight))
   }
 }

@@ -1015,7 +1015,9 @@ object CurationStages {
       q, "__hy_qid", "__hy_qtext", "__hy_qvec",
       k = int(c, "k", 10), fetchK = int(c, "fetch_k", 20),
       rrfK = int(c, "rrf_k", 60),
-      k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+      k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75),
+      lexWeight = dbl(c, "lex_weight", 1.0),
+      semWeight = dbl(c, "sem_weight", 1.0))
   }
 
   // ---- ann_topk --------------------------------------------------------

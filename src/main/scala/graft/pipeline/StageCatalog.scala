@@ -585,7 +585,7 @@ object StageCatalog {
           |      qtext_field: qtext
           |      qvec_field: qvec"""),
       schemaKind = "hybrid", oracle = Seq("ml_hybrid_topk"),
-      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of 1/(rrf_k + rank)) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side and scan the corpus once each - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only, the bm25_topk rule."),
+      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of weight/(rrf_k + rank); `lex_weight:`/`sem_weight:` default 1.0 - weighted RRF biases a channel without re-introducing score calibration, weight 0 silences it) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side and scan the corpus once each - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only, the bm25_topk rule."),
     StageDoc("ann_topk", "curation",
       "Embedding similarity search: top-k corpus rows per query vector (cosine) - bm25_topk's sibling on the vector column, from exact baseline to probe-pruned written indexes.",
       y("""pipeline:

@@ -68,6 +68,37 @@ class HybridRetrievalSpec extends SparkSpec {
       s"single-channel docs must survive the fusion: ${out.toSeq}")
   }
 
+  test("weighted RRF: weights bias the fusion, a zero weight silences " +
+      "its channel, and defaults reproduce the unweighted sum") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((7L, 1L, 1L), (7L, 2L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((7L, 2L, 1L), (7L, 3L, 2L)).toDF("qid", "id", "rank")
+    // unweighted == weights(1,1), value for value
+    val plain = Similarity.rrfFuse(Seq(a, b), k = 10).orderBy("rank")
+      .collect().toSeq
+    val ones = Similarity.rrfFuse(Seq(a, b), k = 10,
+      weights = Seq(1.0, 1.0)).orderBy("rank").collect().toSeq
+    assert(plain == ones)
+    // weight 0 silences channel b: only a's docs rank, in a's order
+    val solo = Similarity.rrfFuse(Seq(a, b), k = 10,
+        weights = Seq(1.0, 0.0)).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(solo.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(solo(2)._2 == 0.0, "silenced channel contributes zero")
+    // a heavy semantic weight flips the winner: doc 3 (b-only, rank 2)
+    // overtakes doc 1 (a-only, rank 1) at weight 3
+    val heavy = Similarity.rrfFuse(Seq(a, b), k = 10,
+        weights = Seq(1.0, 3.0)).orderBy("rank")
+      .collect().map(_.getLong(2))
+    assert(heavy.head == 2L && heavy.indexOf(3L) < heavy.indexOf(1L),
+      s"weighting must re-rank: ${heavy.toSeq}")
+    // arity mismatch refuses
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(a, b), weights = Seq(1.0))
+    }
+  }
+
   test("hybridTopK: a query with zero lexical hits still retrieves " +
       "semantically") {
     val s = spark
