@@ -437,7 +437,7 @@ object Dedup {
     *  - `blocking = "segment"` (DEFAULT — the scale path):
     *    [[fuzzySegmentCandidates]]' pigeonhole segment keys. Candidate
     *    volume is content-selective, measured at 1M title-like rows:
-    *    312k candidates where length bands produce ~10¹⁰, and all
+    *    ~230k candidates where length bands produce ~10¹⁰, and all
     *    planted pairs found where the band cap had silently dropped
     *    99.6% of them.
     *  - `blocking = "length"`: [[fuzzyLengthCandidates]]' length

@@ -6,8 +6,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * itself in place ([[GramStore.compact]], [[IvfIngest.compact]], and
   * the legacy-layout migrations): build the replacement COMPLETE
   * (marker included) at `store + ".compact-tmp"`, park the live
-  * directory at `store + ".compact-old"`, move the replacement in,
-  * drop the parked copy. Both renames are atomic, so at every instant
+  * directory at `store + ".compact-old"`, move the replacement in.
+  * The parked copy survives until the NEXT writer entry drops it (see
+  * [[swap]] for why). Both renames are atomic, so at every instant
   * at least one of {store, parked copy} holds a complete committed
   * state:
   *
@@ -81,13 +82,31 @@ private[ml] object ParkSwap {
 
   /** Commit: the tmp build (complete, marker included) replaces the
     * live store. [[recover]] repairs a crash between the renames.
+    *
+    * The parked copy is NOT deleted here (VERDICT r15 What's-wrong
+    * #2): a reader that timed out through [[readerDir]] while this
+    * compactor stalled between its two renames is scanning the parked
+    * copy RIGHT NOW — an immediate delete would yank its files
+    * mid-scan. Deferring the drop to the next writer entry
+    * ([[recover]] already clears a superseded parked copy when the
+    * live dir exists) bounds the reader's exposure to the gap between
+    * compactions instead of the swap instant. The park rename below
+    * cannot collide with the leftover: every compaction enters through
+    * [[recover]], which cleared it.
     */
   def swap(f: FileSystem, store: String): Unit = {
     val dir = new Path(store)
     val tmp = tmpPath(store)
     val old = oldPath(store)
     require(f.rename(dir, old), s"swap: could not park $store")
+    midSwapStall()
     require(f.rename(tmp, dir), s"swap: could not move $tmp into place")
-    f.delete(old, true)
   }
+
+  /** Test seam: runs between [[swap]]'s two renames so a spec can hold
+    * a live compactor in the stall window a GC pause or slow
+    * filesystem would open (the window where readers time out to the
+    * parked copy). Production never sets it.
+    */
+  private[ml] var midSwapStall: () => Unit = () => ()
 }

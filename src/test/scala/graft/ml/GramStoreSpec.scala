@@ -117,10 +117,15 @@ class GramStoreSpec extends SparkSpec {
     assert(rowsAfter < rowsBefore, s"$rowsBefore -> $rowsAfter")
     assert(countMap(store) == before, "compaction changed the counts")
     assert(GramStore.orders(spark, store) == 2, "marker lost in the swap")
-    assert(!new java.io.File(store + ".compact-old").exists())
+    // r16: the parked pre-fold copy SURVIVES the swap (a reader that
+    // fell through to it during a stalled swap may still be scanning);
+    // the next writer entry drops it
+    assert(new java.io.File(store + ".compact-old").exists())
     assert(!new java.io.File(store + ".compact-tmp").exists())
-    // the store keeps growing after compaction
+    // the store keeps growing after compaction — and the writer entry
+    // clears the superseded parked copy
     GramStore.append(docs.filter(col("doc_id") === 5), "text", store, "b3")
+    assert(!new java.io.File(store + ".compact-old").exists())
     val again = countMap(store)
     assert(again(0 -> "novel") == 1L + before.getOrElse(0 -> "novel", 0L))
   }
@@ -367,6 +372,60 @@ class GramStoreSpec extends SparkSpec {
     assert(read == before, "reader saw wrong counts across the swap")
     assert(GramStore.foldedBids(spark, store) == Set("b1", "b2"))
     assert(countMap(store) == before)
+  }
+
+  test("a compactor stalled >2 s between its renames: a reader that " +
+      "fell through to the parked copy can still READ it after the " +
+      "swap completes; the NEXT writer entry drops it (VERDICT r15 #2)") {
+    val store = freshStore("swapstall")
+    val twin = freshStore("swapstall-twin")
+    for (s <- Seq(store, twin)) {
+      GramStore.append(docs.filter(col("doc_id") <= 2), "text", s, "b1")
+      GramStore.append(docs.filter(col("doc_id") > 2), "text", s, "b2")
+    }
+    val before = countMap(store)
+    GramStore.compact(spark, twin) // stands in for the compactor's tmp
+    assert(new java.io.File(twin)
+      .renameTo(new java.io.File(store + ".compact-tmp")))
+    val f = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the LIVE compactor stalls 4 s between its two renames (GC pause
+    // / slow FS) — longer than the reader's 2 s retry window
+    ParkSwap.midSwapStall = () => Thread.sleep(4000)
+    val compactor = new Thread(() => ParkSwap.swap(f, store))
+    val resolved = try {
+      compactor.start()
+      // reader arrives mid-swap: first rename done, live dir missing
+      var spins = 0
+      while (new java.io.File(store).exists() && spins < 1000) {
+        Thread.sleep(10); spins += 1
+      }
+      assert(!new java.io.File(store).exists(), "never entered the swap")
+      // the reader's 2 s retry expires INSIDE the stall and it
+      // resolves to the parked copy — holding that path while it scans
+      val r = ParkSwap.readerDir(f, store)
+      compactor.join()
+      r
+    } finally ParkSwap.midSwapStall = () => ()
+    assert(resolved == store + ".compact-old",
+      "the stalled-swap fallback must resolve the parked copy")
+    // the compactor completed its swap while the reader still holds
+    // the parked path — pre-r16, swap deleted it out from under them
+    assert(new java.io.File(store + ".compact-old").exists(),
+      "swap must defer the parked-copy drop to the next writer entry")
+    val parkedSum = spark.read.parquet(resolved)
+      .agg(sum(col("c"))).head().getLong(0)
+    val liveSum = spark.read.parquet(store)
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(parkedSum == liveSum,
+      "parked pre-fold counts must sum to the folded store's")
+    // fresh readers resolve the live folded store
+    assert(ParkSwap.readerDir(f, store) == store)
+    assert(countMap(store) == before)
+    // the next WRITER entry — not the swap — clears the superseded copy
+    GramStore.append(docs.filter(col("doc_id") === 5), "text", store, "b3")
+    assert(!new java.io.File(store + ".compact-old").exists())
+    assert(countMap(store)(0 -> "novel") == before(0 -> "novel") + 1L)
   }
 
   test("legacy (bid-as-column) stores migrate in place, preserving " +
