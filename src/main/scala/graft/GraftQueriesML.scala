@@ -2345,7 +2345,17 @@ object GraftQueriesML {
       Similarity.hybridTopK(corpus, "doc_id", "text", "embedding",
         queries, "qid", "qtext", "qvec", k = 10, fetchK = 20)
     },
-    Some {
+    Some(hybridRrfSql))
+
+  /** The hybrid RRF oracle, shared VERBATIM by [[mHybrid]] (brute
+    * semantic channel, library call) and [[mHybridIndex]] (semantic
+    * channel served from a written flat IVF index probed exhaustively
+    * through the `hybrid_topk index:` stage) — identical SQL is the
+    * point: with the probe set covering every bucket, the index path
+    * is a pure re-layout of the brute scan and must change nothing
+    * (the [[ivfKmeansTopkSql]] convention).
+    */
+  private def hybridRrfSql: String = {
       val cos = cosSql("q.qvec", "c.embedding")
       s"""WITH j AS (SELECT d.doc_id, d.text, e.embedding
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
@@ -2390,7 +2400,60 @@ object GraftQueriesML {
           SELECT qid, CAST(row_number() OVER (PARTITION BY qid
               ORDER BY score DESC, id ASC) AS BIGINT) AS rank, id, score
           FROM fused QUALIFY rank <= 10"""
-    })
+  }
+
+  /** Hybrid retrieval with the SEMANTIC channel served from a written
+    * flat IVF index through the `hybrid_topk index:` stage (VERDICT
+    * r15 missing #1 — retrieval at index scale must not re-scan the
+    * full vector column per query batch). The index is written at
+    * plan time over the corpus embeddings (kmeans centroids, the
+    * SQL-replayable trainer) and probed EXHAUSTIVELY (`nprobe:` =
+    * centroid count), so the probe set covers truth and the fused
+    * output must be bit-identical to [[mHybrid]]'s brute-channel run —
+    * the oracle is [[hybridRrfSql]] VERBATIM.
+    */
+  private val mHybridIndex = Spec("ml_hybrid_index",
+    (s, dir) => {
+      val d = t(s, dir, "documents").join(
+        t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      val root = "/tmp/graft-hybrid-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      val ipath = root + "/index"
+      val centroids = Similarity.kmeansCentroids(corpus, "doc_id",
+        "embedding", k = 8, dim = 64, iters = 1)
+      Similarity.ivfWriteIndex(corpus.select(col("doc_id"),
+        col("embedding")), "doc_id", "embedding", centroids, ipath)
+      val qDir = root + "/queries"
+      d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(Curation.words(col("text")), 1, 5), " ")
+            .as("qtext"),
+          col("embedding").as("qvec"))
+        .coalesce(1).write.mode("overwrite").parquet(qDir)
+      val yaml =
+        s"""pipeline:
+           |  - type: hybrid_topk
+           |    id_field: doc_id
+           |    text_field: text
+           |    k: 10
+           |    fetch_k: 20
+           |    index:
+           |      path: $ipath
+           |    nprobe: 8
+           |    queries:
+           |      path: $qDir
+           |      qid_field: qid
+           |      qtext_field: qtext
+           |      qvec_field: qvec
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(corpus).main
+    },
+    Some(hybridRrfSql))
 
   /** Feature covariance of the embedding corpus as (i, j, cov) rows —
     * the distributed kernel under PCA/whitening ([[Similarity.pcaTrain]]
@@ -3314,6 +3377,7 @@ object GraftQueriesML {
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,
     mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mHybrid,
+    mHybridIndex,
     mParaDedup,
     mCovariance,
     mSemanticKeep, mEmbedOutlier, mWeightedSample, mTemperature, mTokenBudget,

@@ -202,10 +202,14 @@ object GramStore {
     * sits in the compaction ledger) is a no-op; a batch whose staging
     * write crashed left nothing visible and retries cleanly. The very
     * first append writes the marker BEFORE any data, so no ordering
-    * can skip the orders pin-check or the seen-check.
+    * can skip the orders pin-check or the seen-check. Returns true
+    * when the batch was committed by THIS call, false when a previous
+    * attempt (or a pre-fold commit in the ledger) already had — the
+    * [[IvfIngest.append]] contract, which lets `compact_every:` skip
+    * fold checks on replays.
     */
   def append(batch: DataFrame, textCol: String, store: String,
-             batchId: String, orders: Int = 2): Unit = {
+             batchId: String, orders: Int = 2): Boolean = {
     require(batchId.nonEmpty && batchId != CompactBid,
       s"batchId must be non-empty and not the reserved `$CompactBid`")
     val spark = batch.sparkSession
@@ -237,9 +241,9 @@ object GramStore {
         writeMeta(f, store, Meta(orders, "bidpart", Set.empty))
         Meta(orders, "bidpart", Set.empty)
     }
-    if (meta.folded.contains(batchId)) return // folded by a compaction
+    if (meta.folded.contains(batchId)) return false // folded by a compaction
     val part = new Path(store, "bid=" + escape(batchId))
-    if (f.exists(part)) return // committed by a previous attempt
+    if (f.exists(part)) return false // committed by a previous attempt
     // hidden staging dir (dot-prefixed → invisible to reads), named by
     // the bid so a crashed attempt's garbage is reclaimed by its retry
     val stage = new Path(store, ".stage-" + escape(batchId))
@@ -250,6 +254,23 @@ object GramStore {
     // the rename IS the commit point
     require(f.rename(stage, part),
       s"append: could not commit $stage -> $part")
+    true
+  }
+
+  /** Count of live (unfolded) `bid=` batch partitions — the quantity
+    * the stages' `compact_every:` knob thresholds on. Metadata-only
+    * (one directory listing); the consolidated `bid=__compact`
+    * partition is excluded, so the count resets to 0 after a fold. A
+    * legacy (bid-as-column) store has no `bid=` directories and
+    * counts 0 — the next append migrates it to the partitioned layout
+    * and the knob starts working.
+    */
+  def pendingBatchCount(spark: SparkSession, store: String): Int = {
+    val f = fs(spark, store)
+    val dir = new Path(store)
+    if (!f.exists(dir)) return 0
+    f.listStatus(dir).iterator.map(_.getPath.getName)
+      .count(n => n.startsWith("bid=") && unescape(n.drop(4)) != CompactBid)
   }
 
   /** The merged count table, in [[CorpusStats.fusedGramCountsN]]'s

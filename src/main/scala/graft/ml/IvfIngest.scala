@@ -165,6 +165,20 @@ object IvfIngest {
     true
   }
 
+  /** Count of live (unfolded) `bid=` batch partitions — the quantity
+    * the `ann_ingest` stage's `compact_every:` knob thresholds on.
+    * Metadata-only (one directory listing); the consolidated
+    * `bid=__compact` partition is excluded, so the count resets to 0
+    * after a fold.
+    */
+  def pendingBatchCount(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) return 0
+    f.listStatus(dir).iterator.map(_.getPath.getName)
+      .count(n => n.startsWith("bid=") && unescape(n.drop(4)) != CompactBid)
+  }
+
   /** Count of visible data files under the index's `bid=` partitions —
     * the quantity compaction exists to bound (staging and metadata
     * files excluded). Metadata-only; never reads data.

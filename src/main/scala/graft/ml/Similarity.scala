@@ -1856,7 +1856,10 @@ object Similarity {
     * combiner. Optional per-ranking `weights` (weighted RRF:
     * `Σ_r w_r / (rrfK + rank_r)`) bias the fusion toward a channel
     * without re-introducing score calibration — a weight of 0
-    * silences a channel entirely. The union carries (qid, id, rank,
+    * silences a channel entirely: its ranking is dropped BEFORE the
+    * union, so the channel's frame never enters the plan (its scan is
+    * skipped) and its documents cannot occupy top-k slots as score-0
+    * tail fillers (ADVICE r15). The union carries (qid, id, rank,
     * weight) only; each document contributes ≤ |rankings| terms, so
     * the per-(qid, id) sum is a bounded deterministic add and
     * `round(…, 6)` pins both engines.
@@ -1869,7 +1872,11 @@ object Similarity {
       s"rrfFuse: ${weights.size} weights for ${rankings.size} rankings")
     import org.apache.spark.sql.expressions.Window
     val ws = if (weights.isEmpty) Seq.fill(rankings.size)(1.0) else weights
-    val all = rankings.zip(ws)
+    val live = rankings.zip(ws).filter(_._2 != 0.0)
+    require(live.nonEmpty,
+      "rrfFuse: every channel has weight 0 — nothing to fuse (drop " +
+        "the stage instead of silencing all of its channels)")
+    val all = live
       .map { case (r, w) =>
         r.select(col("qid"), col("id"), col("rank"), lit(w).as("__w")) }
       .reduce(_ unionByName _)
@@ -1890,7 +1897,13 @@ object Similarity {
     * text and a vector column. Scale shape: both channels broadcast
     * the (small by definition) query side and scan the corpus once
     * each; the fusion input is ≤ 2·|queries|·fetchK rank rows — the
-    * corpus never shuffles.
+    * corpus never shuffles. The semantic channel here is the EXACT
+    * brute baseline; at index scale, serve it from a written ANN
+    * index instead and fuse through [[rrfFuse]] directly — the
+    * `hybrid_topk` stage's `index: {path}` shape, where the embedding
+    * read prunes to the probed bucket directories
+    * ([[ivfReadTopKBatch]] and its sq8/pq siblings return the same
+    * (qid, id, rank) rows this function fuses).
     */
   def hybridTopK(corpus: DataFrame, idCol: String, textCol: String,
                  vecCol: String, queries: DataFrame, qidCol: String,

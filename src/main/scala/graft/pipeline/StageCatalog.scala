@@ -584,8 +584,8 @@ object StageCatalog {
           |      qid_field: qid
           |      qtext_field: qtext
           |      qvec_field: qvec"""),
-      schemaKind = "hybrid", oracle = Seq("ml_hybrid_topk"),
-      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of weight/(rrf_k + rank); `lex_weight:`/`sem_weight:` default 1.0 - weighted RRF biases a channel without re-introducing score calibration, weight 0 silences it) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side and scan the corpus once each - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only, the bm25_topk rule."),
+      schemaKind = "hybrid", oracle = Seq("ml_hybrid_topk", "ml_hybrid_index"),
+      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of weight/(rrf_k + rank); `lex_weight:`/`sem_weight:` default 1.0 - weighted RRF biases a channel without re-introducing score calibration, weight 0 silences a channel ENTIRELY: its ranking is dropped before the union, so its plan never executes and its docs cannot ride in as score-0 tail fillers) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. The semantic channel is exact cosine over the piped corpus by default; `index: {path}` serves it from a PRE-WRITTEN ANN index instead (the ann_topk dispatch, shared code: marker kind picks flat | sq8 | pq, probe-union bucket pruning at planning, `nprobe:` or - flat only - `target_recall:`; training knobs alongside `index:` refuse as dead config, codes-only + target_recall refuses) - at index scale retrieval reads only the probed bucket directories instead of re-scanning the full vector column per query batch, and the piped input feeds BM25 alone (it need not carry `vec_field`). Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only, the bm25_topk rule."),
     StageDoc("ann_topk", "curation",
       "Embedding similarity search: top-k corpus rows per query vector (cosine) - bm25_topk's sibling on the vector column, from exact baseline to probe-pruned written indexes.",
       y("""pipeline:
@@ -612,10 +612,11 @@ object StageCatalog {
           |    create:
           |      centroids: 2      # trained on the FIRST batch
           |      kind: flat        # flat | sq8 | pq (codes-only rungs)
+          |    compact_every: 64   # self-fold after N unfolded batches
           |    batch_id: example-batch"""),
       schemaKind = "embeddings",
       oracle = Seq("ml_ann_ingest"),
-      notes = "Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline applied to the IVF layout: the geometry marker (kind + centroids + layout) is written BEFORE any data, each batch is ONE bid=<batch_id>/bucket=N partition committed by an atomic rename (the rename IS the commit point), the seen-check is an O(1) directory probe plus the marker's folded ledger - so at-least-once delivery ingests each batch EXACTLY once under a crash at any point, and crash-abandoned staging is reclaimed by the retry. Geometry pins at creation: `create:` trains centroids on the FIRST batch (maximin; its distribution fixes the bucket geometry for the index's lifetime - re-index to retrain, the dedup_ingest re-banding convention; a tuned nprobe restores recall against drift meanwhile at a visible probe-width cost). IvfIngest.compact (CLI: `Curate compact-ann <path>`) folds the per-batch partitions into one bid=__compact partition with ONE file per bucket and records folded batch ids in the marker's ledger (replays of folded batches still no-op) - the small-files control that keeps a year of batches from turning partition discovery into the dominant query cost; the fold commits by park-swap (an interrupted swap rolls back on the next writer entry) and readers stay safe across the swap instant (they resolve through the parked copy, never repair). Batch mode REQUIRES explicit `batch_id:` (a random id per run would double-ingest re-runs); streaming uses the checkpoint attempt token automatically, so failed-sink replays no-op. Dry-run (suppressStateWrites) writes nothing. SINGLE-WRITER per index: serialize appends and compactions; readers are safe alongside a writer. Kinds span the full index-size ladder: `flat` (dim*4 B/vector, tunable/exact-verifiable), `sq8` (dim+8), `pq` (m bytes/vector - `create: {kind: pq, m:, pq_k:}` trains the residual codebooks on the first batch alongside the centroids, both frozen in the marker; the shared row builder makes ingested codes bit-identical to the one-shot ivfPqWriteIndex layout)."),
+      notes = "Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline applied to the IVF layout: the geometry marker (kind + centroids + layout) is written BEFORE any data, each batch is ONE bid=<batch_id>/bucket=N partition committed by an atomic rename (the rename IS the commit point), the seen-check is an O(1) directory probe plus the marker's folded ledger - so at-least-once delivery ingests each batch EXACTLY once under a crash at any point, and crash-abandoned staging is reclaimed by the retry. Geometry pins at creation: `create:` trains centroids on the FIRST batch (maximin; its distribution fixes the bucket geometry for the index's lifetime - re-index to retrain, the dedup_ingest re-banding convention; a tuned nprobe restores recall against drift meanwhile at a visible probe-width cost). IvfIngest.compact (CLI: `Curate compact-ann <path>`) folds the per-batch partitions into one bid=__compact partition with ONE file per bucket and records folded batch ids in the marker's ledger (replays of folded batches still no-op) - the small-files control that keeps a year of batches from turning partition discovery into the dominant query cost; the fold commits by park-swap (an interrupted swap rolls back on the next writer entry) and readers stay safe across the swap instant (they resolve through the parked copy, which survives until the next writer entry). `compact_every: N` makes the fold SELF-TRIGGERING (r16): once the unfolded batch-partition count reaches N after a committed append, the stage folds the store in the same writer turn - safe under at-least-once delivery because the ledger no-ops replays of folded batches and the trigger fires only on a batch THIS call committed (a replay never re-folds); measured motivation: the uncompacted read path degrades 3.1x at just 100 batches. Batch mode REQUIRES explicit `batch_id:` (a random id per run would double-ingest re-runs); streaming uses the checkpoint attempt token automatically, so failed-sink replays no-op. Dry-run (suppressStateWrites) writes nothing. SINGLE-WRITER per index: serialize appends and compactions; readers are safe alongside a writer. Kinds span the full index-size ladder: `flat` (dim*4 B/vector, tunable/exact-verifiable), `sq8` (dim+8), `pq` (m bytes/vector - `create: {kind: pq, m:, pq_k:}` trains the residual codebooks on the first batch alongside the centroids, both frozen in the marker; the shared row builder makes ingested codes bit-identical to the one-shot ivfPqWriteIndex layout)."),
     StageDoc("pca_project", "curation",
       "Project embeddings onto a PCA basis trained on the input corpus (optionally whitened) - embedding post-processing before ANN indexing or semantic dedup.",
       y("""pipeline:
@@ -684,10 +685,11 @@ object StageCatalog {
           |    text_field: text
           |    store: "/tmp/graft-docs-gram-store"
           |    orders: 2
+          |    compact_every: 64   # self-fold after N unfolded batches
           |    batch_id: example-batch"""),
       schemaKind = "documents",
       oracle = Seq("ml_bigram_xent_store", "ml_trigram_backoff_store"),
-      notes = "The tap that keeps a reference LM's count tables current as data lands: each batch pays ONE fused count pass (vocabulary-of-batch rows landing as their own bid=<batch_id> partition), and `perplexity_score train: {store: ...}` then retrains from the merged vocabulary-sized table instead of re-scanning the exemplar corpus - batch counts sum EXACTLY to one-shot counts, so store-trained scores are bit-identical (oracle-gated, bigram AND trigram). Idempotent per batch id UNDER A CRASH AT ANY POINT (r14): the marker (orders pin + compaction ledger) is written before any data, each batch commits by one atomic rename from a hidden staging dir, and the seen-check is an O(1) directory probe plus a ledger lookup - never a store scan, so per-batch overhead stays constant at production batch counts. Streaming runs use the checkpoint attempt token (replays are no-ops); batch runs must supply `batch_id:` explicitly - a random id per run would double-count re-runs, which corrupts every score trained afterwards. GramStore.compact folds per-batch partitions into one and records the folded batch ids in the marker's ledger, so a batch replayed after compaction still no-ops; an interrupted park-swap rolls back intact on the next entry. SINGLE-WRITER per store: appends and compactions must be serialized (Structured Streaming's one-query-per-checkpoint already is); readers are safe alongside a writer."),
+      notes = "The tap that keeps a reference LM's count tables current as data lands: each batch pays ONE fused count pass (vocabulary-of-batch rows landing as their own bid=<batch_id> partition), and `perplexity_score train: {store: ...}` then retrains from the merged vocabulary-sized table instead of re-scanning the exemplar corpus - batch counts sum EXACTLY to one-shot counts, so store-trained scores are bit-identical (oracle-gated, bigram AND trigram). Idempotent per batch id UNDER A CRASH AT ANY POINT (r14): the marker (orders pin + compaction ledger) is written before any data, each batch commits by one atomic rename from a hidden staging dir, and the seen-check is an O(1) directory probe plus a ledger lookup - never a store scan, so per-batch overhead stays constant at production batch counts. Streaming runs use the checkpoint attempt token (replays are no-ops); batch runs must supply `batch_id:` explicitly - a random id per run would double-count re-runs, which corrupts every score trained afterwards. GramStore.compact folds per-batch partitions into one and records the folded batch ids in the marker's ledger, so a batch replayed after compaction still no-ops; an interrupted park-swap rolls back intact on the next entry. `compact_every: N` (r16) makes the fold self-triggering once the unfolded batch-partition count reaches N after a committed append - the ann_ingest contract (ledger no-ops folded replays; a replay never re-folds). SINGLE-WRITER per store: appends and compactions must be serialized (Structured Streaming's one-query-per-checkpoint already is); readers are safe alongside a writer."),
     StageDoc("dedup_ingest", "curation",
       "Incremental-ingestion dedup with a GROWING key store: batch N's admitted keys reject batch N+1 duplicates.",
       y("""pipeline:
@@ -702,7 +704,7 @@ object StageCatalog {
           |    threshold: 0.8      # near: min signature-agreement fraction"""),
       schemaKind = "documents",
       oracle = Seq("ml_fuzzy_ingest"),
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed). NO `compact_every:` here, deliberately (the knob refuses): this store's compaction collapses keys under a fresh EPOCH token, so folding under a live stream would make an attempt replayed from before the fold find its own appended keys foreign and drop its rows - compaction stays the OFFLINE CLI action `Curate compact-store`, run when no stream is mid-retry."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -127,6 +127,13 @@ class PlanGuardSpec extends SparkSpec {
                                // the corpus never shuffles — the counted
                                // exchanges carry ≤ 2·|q|·fetch_k rank
                                // rows and query-term-sized aggregates
+    "ml_hybrid_index" -> 10,   // ml_hybrid_topk with the semantic
+                               // channel served from the written flat
+                               // index: the brute channel's 3
+                               // exchanges become a bucket-pruned scan
+                               // + broadcast probe join + the same
+                               // per-query window top-k — the bm25
+                               // channel and RRF fuse are unchanged
     "ml_fuzzy_against" -> 17,  // segment cross shape: emit-union cap agg
                                // (persisted; its broadcast appears under
                                // each of the 4 anti-joins), two oriented

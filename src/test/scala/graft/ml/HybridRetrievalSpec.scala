@@ -80,12 +80,19 @@ class HybridRetrievalSpec extends SparkSpec {
     val ones = Similarity.rrfFuse(Seq(a, b), k = 10,
       weights = Seq(1.0, 1.0)).orderBy("rank").collect().toSeq
     assert(plain == ones)
-    // weight 0 silences channel b: only a's docs rank, in a's order
+    // weight 0 silences channel b ENTIRELY (r16: the ranking is
+    // dropped before the union, so b's docs cannot ride in as score-0
+    // tail fillers and b's plan never executes): only a's docs rank
     val solo = Similarity.rrfFuse(Seq(a, b), k = 10,
         weights = Seq(1.0, 0.0)).orderBy("rank")
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
-    assert(solo.map(_._1).toSeq == Seq(1L, 2L, 3L))
-    assert(solo(2)._2 == 0.0, "silenced channel contributes zero")
+    assert(solo.map(_._1).toSeq == Seq(1L, 2L),
+      s"a silenced channel's docs must not appear: ${solo.toSeq}")
+    assert(solo.forall(_._2 > 0.0), "every surviving score is positive")
+    // all-zero weights refuse instead of fusing nothing
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(a, b), weights = Seq(0.0, 0.0))
+    }
     // a heavy semantic weight flips the winner: doc 3 (b-only, rank 2)
     // overtakes doc 1 (a-only, rank 1) at weight 3
     val heavy = Similarity.rrfFuse(Seq(a, b), k = 10,
