@@ -673,11 +673,18 @@ object ScaleProof {
     val spark = session()
     val gate = LoadGate.await(300, tag = "fuzzy")
     println(s"""{"load_gate":$gate}""")
-    for (n <- Seq(100000L, 1000000L)) {
+    // r16 extends the measurement one decade (10M rows — the counted
+    // row behind PLANS' ~16M-candidate extrapolation) and adds the
+    // SHIPPED default configuration (segment @ cap 4096, ADVICE r15)
+    // at every tier, so the artifact carries a measured recall row for
+    // what users actually get. Length bands stay capped past 100k
+    // (their uncapped same-length join is the ~10¹⁰-candidate shape
+    // the rows exist to condemn, not to run).
+    for (n <- Seq(100000L, 1000000L, 10000000L)) {
       val df = fuzzyTitleFixture(spark, n).persist()
       val planted = df.count() - n
       val configs = Seq(("length", 4096), ("length", 1 << 20),
-        ("segment", 1 << 20))
+        ("segment", 4096), ("segment", 1 << 20))
         .filterNot { case (b, cap) =>
           b == "length" && cap > 4096 && n > 100000L }
       for ((blocking, cap) <- configs) {
@@ -695,6 +702,83 @@ object ScaleProof {
         println(f"""{"fuzzy_tier":$n,"blocking":"$blocking","cap":$cap,"candidates":$cand,"planted":$planted,"found":$found,"exempted_rows":$exempted,"cand_sec":$tCand%.2f,"pairs_sec":$tPairs%.2f}""")
       }
       df.unpersist()
+    }
+    spark.stop()
+  }
+
+  /** IVF ingest under distribution drift: `runMain graft.ScaleProof
+    * drift [outDir]` — the ingest family's one previously-unmeasured
+    * claim ("a tuned nprobe restores recall against drift meanwhile",
+    * VERDICT r15 item 4). Batches land in an [[graft.ml.IvfIngest]]
+    * flat index whose centroids were trained on batch 0 (the
+    * first-batch contract); each later batch's secondary-block weight
+    * rises (Recall.clusteredEmbeddings' mixed-topic knob, 0 → 0.9), so
+    * arriving vectors increasingly straddle the frozen buckets. Per
+    * batch, one JSON row records recall@10 on a batch-local query
+    * sample (drift hurts the LIVE EDGE first — queries for old data
+    * still cluster cleanly) at (a) the nprobe tuned once on batch 0
+    * and (b) a freshly re-tuned nprobe, plus the re-tuned width — the
+    * measured basis for the re-index threshold stated in PLANS.
+    */
+  private def mainDrift(args: Array[String]): Unit = {
+    import graft.ml.{IvfIngest, Recall, Similarity}
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "drift")
+    println(s"""{"load_gate":$gate}""")
+    val dim = 64
+    val c = 16
+    val k = 10
+    val target = 0.95
+    val perCluster = 250 // 4,000 vectors per batch
+    // the sweep runs to the full two-topic mix (w = 1.0): that is the
+    // edge where arriving vectors sit EXACTLY between frozen buckets
+    // and re-tuning has to buy recall with real probe width — the
+    // regime that separates "re-tune" from "re-index"
+    val weights = Seq(0.0, 0.2, 0.4, 0.6, 0.75, 0.9, 0.95, 1.0)
+    val root = args.headOption.getOrElse("/tmp/graft-drift")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val ipath = root + "/index"
+    var fixedNp = -1
+    for ((w, i) <- weights.zipWithIndex) {
+      val t0 = System.nanoTime()
+      val batch = Recall.clusteredEmbeddings(spark, c, perCluster, dim,
+          secondaryWeight = w)
+        .select((col("vec_id") + lit(i.toLong * c * perCluster))
+          .as("vec_id"), col("embedding"))
+        .persist()
+      batch.count()
+      if (i == 0) {
+        val cs = Similarity.trainCentroids(batch, "vec_id", "embedding",
+          c, iters = 3)
+        IvfIngest.create(spark, ipath, cs)
+      }
+      IvfIngest.append(batch, "vec_id", "embedding", ipath, s"b$i")
+      val cen = Similarity.ivfIndexGeometry(spark, ipath).get._2
+      val corpus = spark.read.parquet(ipath)
+        .select(col("vec_id"), col("embedding")).persist()
+      val n = corpus.count()
+      // batch-local query sample, content-addressed (the tuner's own
+      // convention) — the retrieval surface drift degrades first
+      val sample = batch.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"),
+          md5(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h")).limit(16).drop("__h").persist()
+      sample.count()
+      if (i == 0)
+        fixedNp = Recall.tuneNprobe(corpus, "vec_id", "embedding",
+          sample, "qid", "qvec", cen, k, target)._1
+      val recFixed = Recall.ivfRecallCurve(corpus, "vec_id", "embedding",
+        sample, "qid", "qvec", cen, k, Seq(fixedNp)).head._2
+      val (npRe, recRe) = Recall.tuneNprobe(corpus, "vec_id", "embedding",
+        sample, "qid", "qvec", cen, k, target)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"drift_batch":$i,"secondary_weight":$w%.2f,"n":$n,"centroids":$c,"k":$k,"target_recall":$target,"fixed_nprobe":$fixedNp,"recall_at_fixed":$recFixed%.4f,"retuned_nprobe":$npRe,"recall_at_retuned":$recRe%.4f,"sec":$dt%.3f}""")
+      sample.unpersist(blocking = false)
+      corpus.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+      CacheSweep.sweep(spark)
     }
     spark.stop()
   }
@@ -828,6 +912,7 @@ object ScaleProof {
       mainAnnRecall(args.drop(1)); return
     }
     if (args.headOption.contains("fuzzy")) { mainFuzzy(); return }
+    if (args.headOption.contains("drift")) { mainDrift(args.drop(1)); return }
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     // optional trailing args: run only these queries (local iteration)

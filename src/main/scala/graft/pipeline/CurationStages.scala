@@ -996,14 +996,53 @@ object CurationStages {
 
   private def hybridTopKStage(df: DataFrame, c: Map[String, Any])
       : DataFrame = {
-    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
-      .getOrElse(throw new IllegalArgumentException(
+    // `queries: input` — the retrieval-SERVICE shape (the ann_topk
+    // convention): the piped rows ARE the query set, so inside
+    // StreamRunner each micro-batch of arriving queries retrieves and
+    // the result set flows to the sink. There is no corpus in the
+    // pipe in this shape: the semantic channel REQUIRES `index:`
+    // (probe-pruned read, paid once at write) and the lexical channel
+    // a `corpus: {path}` side table (stage-level id_field/text_field
+    // name its columns — the same names the index mode uses). BM25's
+    // idf/avgdl recompute over the corpus per batch — materialize the
+    // corpus small (or pre-aggregate offline) if the batch rate is
+    // high; the honest cost of corpus-statistics retrieval, stated
+    // rather than hidden. `target_recall:` refuses exactly as in
+    // ann_topk: the tuner would re-measure per micro-batch.
+    val (q0, qidF, qtextF, qvecF, corpus) = c.get("queries") match {
+      case Some("input") =>
+        require(c.get("index").isDefined,
+          "hybrid_topk: `queries: input` means the piped rows are the " +
+            "QUERY set — there is no corpus in the pipe; give the " +
+            "semantic channel `index: {path}` and the lexical channel " +
+            "`corpus: {path}`")
+        require(c.get("corpus").isDefined,
+          "hybrid_topk: `queries: input` needs `corpus: {path}` — " +
+            "the BM25 channel scores against a corpus side table " +
+            "(stage-level id_field/text_field name its columns)")
+        require(!c.contains("target_recall"),
+          "hybrid_topk: `queries: input` + `target_recall:` would " +
+            "re-tune on every run (every micro-batch, in a stream); " +
+            "tune once with a side-table queries config against this " +
+            "index and pin `nprobe:` here")
+        val corp = readSideTable(df.sparkSession,
+          c("corpus").asInstanceOf[Map[String, Any]],
+          "hybrid_topk corpus")
+        (df, str(c, "qid_field", "qid"), str(c, "qtext_field", "qtext"),
+          str(c, "qvec_field", "qvec"), corp)
+      case Some(m: Map[_, _]) =>
+        val qCfg = m.asInstanceOf[Map[String, Any]]
+        val q = readSideTable(df.sparkSession, qCfg,
+          "hybrid_topk queries")
+        (q, str(qCfg, "qid_field", "qid"),
+          str(qCfg, "qtext_field", "qtext"),
+          str(qCfg, "qvec_field", "qvec"), df)
+      case _ => throw new IllegalArgumentException(
         "hybrid_topk stage needs `queries: {path, qid_field, " +
-          "qtext_field, qvec_field}`"))
-    val q0 = readSideTable(df.sparkSession, qCfg, "hybrid_topk queries")
-    val qidF = str(qCfg, "qid_field", "qid")
-    val qtextF = str(qCfg, "qtext_field", "qtext")
-    val qvecF = str(qCfg, "qvec_field", "qvec")
+          "qtext_field, qvec_field}` (side table) or `queries: input` " +
+          "(the piped rows are the queries, served from `index:` + " +
+          "`corpus:`)")
+    }
     val missing = Seq(qidF, qtextF, qvecF).filterNot(q0.columns.contains)
     require(missing.isEmpty,
       s"hybrid_topk: queries table has no ${missing.mkString("/")} " +
@@ -1034,7 +1073,7 @@ object CurationStages {
         // refusals as `ann_topk index:` (shared [[indexTopK]]).
         val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
           "hybrid_topk index")
-        val lex = graft.ml.CorpusStats.bm25TopK(df, id, textField(c),
+        val lex = graft.ml.CorpusStats.bm25TopK(corpus, id, textField(c),
             q, "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
           .select(col("qid"), col("doc").as("id"), col("rank"))
         val sem = indexTopK(df.sparkSession, c, "hybrid_topk", ipath,
@@ -1045,7 +1084,9 @@ object CurationStages {
         graft.ml.Similarity.rrfFuse(Seq(lex, sem), k = k, rrfK = rrfK,
           weights = Seq(lexW, semW))
       case None =>
-        graft.ml.Similarity.hybridTopK(df, id,
+        // corpus == the piped input here (`queries: input` refused
+        // above without `index:`)
+        graft.ml.Similarity.hybridTopK(corpus, id,
           textField(c), str(c, "vec_field", "embedding"),
           q, "__hy_qid", "__hy_qtext", "__hy_qvec",
           k = k, fetchK = fetchK, rrfK = rrfK, k1 = k1, b = b,

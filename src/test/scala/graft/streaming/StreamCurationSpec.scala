@@ -1228,6 +1228,94 @@ class StreamCurationSpec extends SparkSpec {
       s"served stream diverged from the reader:\n${seen.toSet}\nvs\n$want")
   }
 
+  test("hybrid_topk `queries: input` through StreamRunner: a query " +
+      "stream retrieves hybrid (corpus side table + written index) " +
+      "per micro-batch; the shape refuses without its two legs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq(
+      (1L, "spark shuffle exchange partitions", Seq(0.0, 1.0)),
+      (2L, "completely unrelated words here", Seq(1.0, 0.02)),
+      (3L, "spark shuffle tuning notes", Seq(1.0, 0.01)),
+      (4L, "nothing in common at all", Seq(0.0, -1.0)))
+      .toDF("doc_id", "text", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("hybrid-serve").toString
+    val corpDir = s"$root/corpus"
+    corpus.write.mode("overwrite").parquet(corpDir)
+    val idx = s"$root/idx"
+    val centroids = Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))
+    graft.ml.Similarity.ivfWriteIndex(
+      corpus.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", centroids, idx)
+    def yaml(extra: String) =
+      s"""pipeline:
+         |  - type: hybrid_topk
+         |    id_field: doc_id
+         |    text_field: text
+         |    queries: input
+         |    k: 4
+         |    nprobe: 2
+         |$extra
+         |""".stripMargin
+    val full = yaml(
+      s"""    index:
+         |      path: $idx
+         |    corpus:
+         |      path: $corpDir""".stripMargin)
+    val spec = RuleLoader.fromYaml(full)
+    val seen = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("qid", "rank", "id").collect()
+      seen.synchronized {
+        rows.foreach(r =>
+          seen += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hybrid-serve-ck").toString
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    mem.addData((100L, "spark shuffle", Seq(1.0, 0.0)))
+    val q1 = StreamRunner.run(mem.toDF().toDF("qid", "qtext", "qvec"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    mem.addData((200L, "zzz qqq", Seq(0.0, 1.0)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("qid", "qtext", "qvec"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    // each served batch equals the BATCH hybrid over the same corpus
+    // and exhaustively-probed index (nprobe = C ⇒ semantic ≡ brute)
+    val queries = Seq((100L, "spark shuffle", Seq(1.0, 0.0)),
+        (200L, "zzz qqq", Seq(0.0, 1.0)))
+      .toDF("qid", "qtext", "qvec")
+    val want = graft.ml.Similarity.hybridTopK(corpus, "doc_id", "text",
+        "embedding", queries, "qid", "qtext", "qvec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(seen.toSet == want,
+      s"served hybrid diverged from batch:\n${seen.toSet}\nvs\n$want")
+    // the service shape refuses without either leg
+    val noIdx = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml(s"    corpus:\n      path: $corpDir")))(queries).main
+    }
+    assert(noIdx.getMessage.contains("index"))
+    val noCorp = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml(s"    index:\n      path: $idx")))(queries).main
+    }
+    assert(noCorp.getMessage.contains("corpus"))
+    // per-batch re-tuning refuses (the ann_topk contract)
+    val noTune = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml(s"    index:\n      path: $idx\n" +
+          s"    corpus:\n      path: $corpDir\n" +
+          "    target_recall: 0.95")))(queries).main
+    }
+    assert(noTune.getMessage.contains("target_recall"))
+  }
+
   test("stats_ingest -> perplexity_score(train: store) composes: a " +
       "SELF-UPDATING LM gate whose model grows with the stream") {
     val s = spark
