@@ -29,7 +29,9 @@ object Curate {
       "[--profile-by stratumCol[:textCol]] [--bucket-by col:N]\n" +
       "       Curate compact-store <storePath>\n" +
       "       Curate compact-grams <storePath>\n" +
-      "       Curate compact-ann <indexPath>"
+      "       Curate compact-ann <indexPath>\n" +
+      "       Curate build-lex <corpus.parquet> <indexPath> " +
+      "[idField textField [buckets]]"
     // maintenance actions: offline compaction of the three ingest
     // stores (dedup_ingest keys / stats_ingest gram counts / the
     // ann_ingest IVF index) — each is a single-writer action, so run
@@ -37,6 +39,31 @@ object Curate {
     // of folded batches stay no-ops afterwards (epoch token for the
     // key store; the marker ledger for the other two).
     val maintenance = Set("compact-store", "compact-grams", "compact-ann")
+    // build-lex: materialize a BM25 lexical index (ml/LexIndex) —
+    // tokenization and the df/dl/n_docs/avgdl statistics paid ONCE at
+    // write, so bm25_topk/hybrid_topk `lex_index:` reads O(query
+    // terms) of the postings per batch instead of scanning the corpus.
+    // Immutable by contract (BM25 statistics drift under append) —
+    // re-run to refresh.
+    if (args.headOption.contains("build-lex")) {
+      require(args.length >= 3 && args.length <= 6, usage)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = Tables.configure(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus0]"))
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try {
+        val corpus = sources.BucketedLayout.load(s, args(1))
+        val idField = if (args.length > 3) args(3) else "doc_id"
+        val textField = if (args.length > 4) args(4) else "text"
+        val buckets = if (args.length > 5) args(5).toInt else 64
+        ml.LexIndex.write(corpus, idField, textField, args(2), buckets)
+        println(s"""{"build_lex":"ok","index":"${args(2)}",""" +
+          s""""buckets":$buckets}""")
+      } finally s.stop()
+      return
+    }
     if (args.headOption.exists(maintenance)) {
       require(args.length == 2, usage)
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2297,7 +2297,56 @@ object GraftQueriesML {
       CorpusStats.bm25TopK(corpus, "doc_id", "text",
         queries, "qid", "qtext", k = 10)
     },
-    Some("""WITH q AS (SELECT doc_id AS qid,
+    Some(bm25TopkSql))
+
+  /** BM25 retrieval served from a WRITTEN lexical index through the
+    * `bm25_topk index:` stage (r16 — the term-channel twin of
+    * ml_ann_ingest's equivalence rule): the index is built at plan
+    * time over the same corpus, and because df/tf/dl/n_docs/avgdl are
+    * frozen from the identical aggregates the full-scan path computes
+    * per batch, index-served retrieval must match [[mBm25]]'s oracle
+    * VERBATIM — the write is a pure re-layout of the statistics.
+    */
+  private val mBm25Index = Spec("ml_bm25_index",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val root = "/tmp/graft-bm25-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      val ipath = root + "/index"
+      graft.ml.LexIndex.write(d.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", ipath, buckets = 16)
+      val qDir = root + "/queries"
+      d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(Curation.words(col("text")), 1, 5), " ")
+            .as("qtext"))
+        .coalesce(1).write.mode("overwrite").parquet(qDir)
+      val yaml =
+        s"""pipeline:
+           |  - type: bm25_topk
+           |    k: 10
+           |    index:
+           |      path: $ipath
+           |    queries:
+           |      path: $qDir
+           |      qid_field: qid
+           |      qtext_field: qtext
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(
+          d.filter(col("doc_id") % 97 =!= 0)).main
+    },
+    Some(bm25TopkSql))
+
+  /** The BM25 oracle shared VERBATIM by [[mBm25]] (full-scan library
+    * call) and [[mBm25Index]] (the written-index read) — identical SQL
+    * is the point: the index must add nothing to the semantics.
+    */
+  private def bm25TopkSql: String =
+    """WITH q AS (SELECT doc_id AS qid,
               array_to_string(list_filter(string_split(text, ' '),
                 x -> x <> '')[1:5], ' ') AS qtext
               FROM documents WHERE doc_id % 97 = 0),
@@ -2323,7 +2372,7 @@ object GraftQueriesML {
             SELECT qid, CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY score DESC, id ASC) AS BIGINT) AS rank,
               id AS doc, score
-            FROM sc QUALIFY rank <= 10"""))
+            FROM sc QUALIFY rank <= 10"""
 
   /** Hybrid retrieval: BM25 lexical and exact-cosine channels over the
     * SAME corpus (documents ⋈ embeddings — the synthetic tables share
@@ -3376,7 +3425,7 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,
-    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mHybrid,
+    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mBm25Index, mHybrid,
     mHybridIndex,
     mParaDedup,
     mCovariance,

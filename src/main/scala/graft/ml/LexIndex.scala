@@ -1,0 +1,180 @@
+package graft.ml
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A written BM25 lexical index — the term-channel sibling of
+  * [[Similarity.ivfWriteIndex]], completing the retrieval family's
+  * index-scale story on BOTH channels: [[CorpusStats.bm25TopK]] pays
+  * one full corpus scan + tokenize per query batch (idf/avgdl are
+  * whole-corpus statistics), which is the right exact baseline and the
+  * wrong thing to re-pay per retrieval batch at 100 TB. This index
+  * pays tokenization ONCE at write:
+  *
+  *  - `path/postings/tb=<bucket>/` parquet rows `(t, id, tf, dl)` —
+  *    one row per (document, term), partitioned by the term's hash
+  *    bucket `tb = pmod(xxhash64(t), buckets)`. At query time the
+  *    query's term set is side-table-small by the stage convention, so
+  *    both the bucket set AND the term set collect to literals: the
+  *    scan prunes to the probed `tb=` directories at PLANNING
+  *    (PartitionFilters — the [[Similarity.ivfReadTopKBatch]] probe
+  *    rule applied to terms) and the `t IN (...)` literal pushes into
+  *    the parquet row-group stats inside each bucket. A query touches
+  *    O(query terms) of the index, never the corpus.
+  *  - `_graft_bm25.json` marker: `n_docs`, `avgdl` (serialized via
+  *    `Double.toString`, which round-trips the exact IEEE value),
+  *    `buckets`, and the id/text column names the index was built
+  *    from. The marker is authoritative — readers take NO geometry
+  *    arguments, so probing with the wrong bucket count (every row
+  *    silently missed) is unrepresentable.
+  *
+  * Score identity: df(t) = count of postings rows per term — exactly
+  * the query-term-restricted aggregate [[CorpusStats.bm25TopK]]
+  * computes; tf/dl ride the postings rows; n_docs/avgdl come from the
+  * same one-row aggregate, frozen at write. The reader then runs the
+  * IDENTICAL term-score expression, so index-served BM25 is
+  * bit-identical to the full-scan baseline (oracle row `ml_bm25_index`
+  * shares `ml_bm25_topk`'s SQL verbatim; LexIndexSpec pins equality).
+  *
+  * k1/b are QUERY-time knobs (they touch no stored quantity); the
+  * tokenizer ([[Curation.words]]) is an index property — the marker
+  * records version 1 = single-space split.
+  *
+  * The index is immutable (one write, the ivfWriteIndex convention).
+  * A growing corpus re-indexes or unions a delta index's postings at
+  * read — but note df/avgdl staleness is a CORRECTNESS drift for BM25,
+  * unlike ANN's recall drift, so the honest incremental story is
+  * re-index on a cadence, not append.
+  */
+object LexIndex {
+
+  private val MarkerFile = "_graft_bm25.json"
+
+  private def markerPath(path: String) = new Path(path, MarkerFile)
+
+  private case class Meta(nDocs: Long, avgdl: Double, buckets: Int)
+
+  private def readMeta(spark: SparkSession, path: String): Option[Meta] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+                     .readTree(txt)
+               catch { case _: java.io.IOException => return None }
+    for {
+      n <- Option(node.get("n_docs"))
+      a <- Option(node.get("avgdl"))
+      b <- Option(node.get("buckets"))
+    } yield Meta(n.asLong, java.lang.Double.parseDouble(a.asText),
+      b.asInt)
+  }
+
+  /** Materialize the index. Refuses to overwrite a directory holding
+    * data without a marker (not ours to clobber); an existing LexIndex
+    * is rebuilt in place (`overwrite` semantics — the index is one
+    * immutable write by contract).
+    */
+  def write(corpus: DataFrame, idCol: String, textCol: String,
+            path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"LexIndex: buckets must be >= 1 (got $buckets)")
+    val spark = corpus.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || readMeta(spark, path).isDefined ||
+        fs.listStatus(p).forall { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        },
+      s"$path holds data but no $MarkerFile marker — not a LexIndex; " +
+        "refusing to overwrite it (point the write at a fresh directory)")
+    val docs = corpus.select(col(idCol).as("id"),
+        Curation.words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("double"))
+    // the same one-row aggregate bm25TopK computes per query batch —
+    // frozen at write (docs with no words still count toward both)
+    val statsRow = docs.agg(count(lit(1)), avg(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    val postings = docs
+      .select(col("id"), col("dl"), explode(col("__w")).as("t"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("tb", pmod(xxhash64(col("t")), lit(buckets)))
+    // one shuffle on the bucket key so each bucket lands as one file —
+    // the IvfIngest.compact layout rule (a bucket is the read unit)
+    if (fs.exists(p)) fs.delete(p, true)
+    postings.repartition(col("tb"))
+      .write.partitionBy("tb").parquet(path + "/postings")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", 1) // tokenizer: Curation.words single-space split
+    root.put("n_docs", nDocs)
+    root.put("avgdl", java.lang.Double.toString(avgdl)) // exact round-trip
+    root.put("buckets", buckets)
+    // marker LAST: a crash mid-write leaves a marker-less directory
+    // that readers refuse and a rebuild may clobber (data is complete
+    // only once the marker exists — the GramStore crash rule)
+    val tmp = new Path(path, "." + MarkerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    val mp = markerPath(path)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    require(fs.rename(tmp, mp),
+      s"LexIndex.write: could not commit $tmp -> $mp")
+  }
+
+  /** Batch BM25 top-k served from the index — [[CorpusStats.bm25TopK]]
+    * semantics, bit-identical scores, reading O(query terms) of the
+    * postings instead of scanning the corpus. One job for the whole
+    * query set; the query side is side-table-small by convention, so
+    * its distinct terms (and their hash buckets) collect to literals —
+    * the bucket set prunes partitions at planning, the term set pushes
+    * into row-group stats.
+    */
+  def bm25ReadTopK(spark: SparkSession, path: String, queries: DataFrame,
+                   qidCol: String, qtextCol: String, k: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path carries no $MarkerFile marker — not a LexIndex (build " +
+          "it with LexIndex.write; the marker is authoritative for " +
+          "n_docs/avgdl/buckets)"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(Curation.words(col(qtextCol)))).as("t"))
+    // ≤ |distinct query terms| (t, bucket) rows — bounded by the
+    // side-table convention, the ivfReadTopKBatch probe-union rule.
+    // Buckets compute through the SAME pmod(xxhash64) expression the
+    // writer used, so a seed or casting mismatch between a driver-side
+    // reimplementation and the stored layout is unrepresentable.
+    val termRows = qterms.select(col("t"),
+        pmod(xxhash64(col("t")), lit(meta.buckets.toLong)).as("tb"))
+      .distinct().collect()
+    val terms = termRows.map(_.getString(0)).toSeq
+    val buckets = termRows.map(_.getLong(1)).distinct.toSeq
+    val tf = spark.read.parquet(path + "/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("t").isin(terms: _*))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val termScore =
+      log((lit(meta.nDocs.toDouble) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
+    val scored = tf.join(broadcast(dfreq), Seq("t"))
+      .join(broadcast(qterms), Seq("t"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(termScore), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc"), col("score"))
+  }
+}

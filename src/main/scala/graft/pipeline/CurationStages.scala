@@ -974,9 +974,33 @@ object CurationStages {
       .getOrElse(throw new IllegalArgumentException(
         "bm25_topk stage needs `queries: {path, qid_field, qtext_field}`"))
     val q = readSideTable(df.sparkSession, qCfg, "bm25_topk queries")
-    CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
-      q, str(qCfg, "qid_field", "qid"), str(qCfg, "qtext_field", "qtext"),
-      k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+    val qid = str(qCfg, "qid_field", "qid")
+    val qtext = str(qCfg, "qtext_field", "qtext")
+    c.get("index") match {
+      case Some(i) =>
+        // `index: {path}` serves the result set from a written
+        // LexIndex instead of scanning the piped corpus — the
+        // ann_topk `index:` convention on the term channel: the query
+        // terms' hash buckets prune partitions at planning and the
+        // term literal pushes into row-group stats, so a query reads
+        // O(query terms) of the postings. The piped input is NOT
+        // scanned in this mode (the index is the corpus, written
+        // earlier); id/text knobs would be dead config and refuse.
+        require(!c.contains("id_field") && !c.contains("text_field"),
+          "bm25_topk: `index:` serves a written index built from " +
+            "pinned columns — `id_field:`/`text_field:` would be " +
+            "silently ignored; drop them or drop `index:`")
+        val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
+          "bm25_topk index")
+        graft.ml.LexIndex.bm25ReadTopK(df.sparkSession, ipath, q,
+          qid, qtext, k = int(c, "k", 10),
+          k1 = dbl(c, "k1", 1.2), b = dbl(c, "b", 0.75))
+      case None =>
+        CorpusStats.bm25TopK(df, idField(c, "bm25_topk"), textField(c),
+          q, qid, qtext,
+          k = int(c, "k", 10), k1 = dbl(c, "k1", 1.2),
+          b = dbl(c, "b", 0.75))
+    }
   }
 
   // ---- hybrid_topk ---------------------------------------------------
@@ -1015,19 +1039,25 @@ object CurationStages {
           "hybrid_topk: `queries: input` means the piped rows are the " +
             "QUERY set — there is no corpus in the pipe; give the " +
             "semantic channel `index: {path}` and the lexical channel " +
-            "`corpus: {path}`")
-        require(c.get("corpus").isDefined,
-          "hybrid_topk: `queries: input` needs `corpus: {path}` — " +
-            "the BM25 channel scores against a corpus side table " +
-            "(stage-level id_field/text_field name its columns)")
+            "`corpus: {path}` or `lex_index: {path}`")
+        require(c.get("corpus").isDefined != c.get("lex_index").isDefined,
+          "hybrid_topk: `queries: input` needs exactly ONE lexical " +
+            "leg — `corpus: {path}` (full-scan BM25 per batch; " +
+            "stage-level id_field/text_field name its columns) or " +
+            "`lex_index: {path}` (a written LexIndex: the index-scale " +
+            "shape, reads O(query terms) per batch)")
         require(!c.contains("target_recall"),
           "hybrid_topk: `queries: input` + `target_recall:` would " +
             "re-tune on every run (every micro-batch, in a stream); " +
             "tune once with a side-table queries config against this " +
             "index and pin `nprobe:` here")
-        val corp = readSideTable(df.sparkSession,
-          c("corpus").asInstanceOf[Map[String, Any]],
-          "hybrid_topk corpus")
+        // with `lex_index:` the corpus frame is never consulted — the
+        // piped queries stand in as a placeholder the lexical-channel
+        // dispatch below cannot reach
+        val corp = c.get("corpus")
+          .map(cc => readSideTable(df.sparkSession,
+            cc.asInstanceOf[Map[String, Any]], "hybrid_topk corpus"))
+          .getOrElse(df)
         (df, str(c, "qid_field", "qid"), str(c, "qtext_field", "qtext"),
           str(c, "qvec_field", "qvec"), corp)
       case Some(m: Map[_, _]) =>
@@ -1061,28 +1091,54 @@ object CurationStages {
     val b = dbl(c, "b", 0.75)
     val lexW = dbl(c, "lex_weight", 1.0)
     val semW = dbl(c, "sem_weight", 1.0)
+    // lexical channel: full-scan BM25 over the corpus frame, or —
+    // `lex_index: {path}` — a written LexIndex read (O(query terms)
+    // of the postings, the term-channel twin of `index:`)
+    def lexChannel(): DataFrame = c.get("lex_index") match {
+      case Some(li) =>
+        val lpath = reqStr(li.asInstanceOf[Map[String, Any]], "path",
+          "hybrid_topk lex_index")
+        graft.ml.LexIndex.bm25ReadTopK(df.sparkSession, lpath, q,
+            "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
+          .select(col("qid"), col("doc").as("id"), col("rank"))
+      case None =>
+        graft.ml.CorpusStats.bm25TopK(corpus, id, textField(c),
+            q, "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
+          .select(col("qid"), col("doc").as("id"), col("rank"))
+    }
     c.get("index") match {
       case Some(i) =>
         // `index: {path}` serves the SEMANTIC channel from a written
         // ANN index (VERDICT r15 missing #1 — the scale shape: the
-        // lexical channel scans the piped corpus once, the embedding
-        // channel reads only the probed bucket directories instead of
-        // re-scanning the full vector column per query batch). The
-        // piped input feeds BM25 only, so `vec_field` need not exist
-        // on it — the vectors live in the index. Same dispatch and
-        // refusals as `ann_topk index:` (shared [[indexTopK]]).
+        // embedding channel reads only the probed bucket directories
+        // instead of re-scanning the full vector column per query
+        // batch). The piped input feeds BM25 only (or nothing, with
+        // `lex_index:`), so `vec_field` need not exist on it — the
+        // vectors live in the index. Same dispatch and refusals as
+        // `ann_topk index:` (shared [[indexTopK]]).
         val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
           "hybrid_topk index")
-        val lex = graft.ml.CorpusStats.bm25TopK(corpus, id, textField(c),
-            q, "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
-          .select(col("qid"), col("doc").as("id"), col("rank"))
         val sem = indexTopK(df.sparkSession, c, "hybrid_topk", ipath,
             id, str(c, "vec_field", "embedding"),
             q.select(col("__hy_qid"), col("__hy_qvec")),
             "__hy_qid", "__hy_qvec", fetchK)
           .select(col("qid"), col("id"), col("rank"))
-        graft.ml.Similarity.rrfFuse(Seq(lex, sem), k = k, rrfK = rrfK,
-          weights = Seq(lexW, semW))
+        graft.ml.Similarity.rrfFuse(Seq(lexChannel(), sem), k = k,
+          rrfK = rrfK, weights = Seq(lexW, semW))
+      case None if c.contains("lex_index") =>
+        // index-served lexical + exact-cosine semantic over the piped
+        // corpus — the mixed shape (vec_field must exist on the pipe)
+        val vecF = str(c, "vec_field", "embedding")
+        require(corpus.columns.contains(vecF),
+          s"hybrid_topk: no `$vecF` column (set vec_field) — with " +
+            "`lex_index:` alone the semantic channel is exact cosine " +
+            "over the piped corpus")
+        val sem = graft.ml.Similarity.bruteForceTopK(corpus, id, vecF,
+            q.select(col("__hy_qid"), col("__hy_qvec")),
+            "__hy_qid", "__hy_qvec", fetchK)
+          .select(col("qid"), col("id"), col("rank"))
+        graft.ml.Similarity.rrfFuse(Seq(lexChannel(), sem), k = k,
+          rrfK = rrfK, weights = Seq(lexW, semW))
       case None =>
         // corpus == the piped input here (`queries: input` refused
         // above without `index:`)

@@ -96,6 +96,12 @@ class PlanGuardSpec extends SparkSpec {
                                // subtree, excluded from the count by
                                // the tree traversal (r12: cached plans
                                // are no longer double-booked)
+    "ml_bm25_index" -> 5,      // the bm25 tail over a bucket-pruned
+                               // postings read instead of the corpus
+                               // scan: no tokenize/explode subtree at
+                               // all, df agg + score agg + window —
+                               // 2 fewer exchanges than ml_bm25_topk
+                               // and the corpus never enters the plan
     "ml_para_dedup" -> 5,      // digest distinct+count, anti-join, reassembly agg
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,

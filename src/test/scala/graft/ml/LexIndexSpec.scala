@@ -1,0 +1,101 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The written BM25 index: index-served retrieval must be
+  * BIT-IDENTICAL to the full-scan [[CorpusStats.bm25TopK]] baseline
+  * (same df/tf/dl/n_docs/avgdl, same term-score expression), the
+  * postings scan must prune to the query terms' hash-bucket
+  * partitions at planning, and the marker is authoritative.
+  */
+class LexIndexSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "spark shuffle exchange partitions"),
+      (2L, "completely unrelated words here"),
+      (3L, "spark shuffle tuning notes and more notes"),
+      (4L, "nothing in common at all"),
+      (5L, ""), // empty doc: counts toward n_docs/avgdl, no postings
+      (6L, "spark spark spark shuffle")) // tf > 1
+      .toDF("doc_id", "text")
+  }
+
+  private def queries = {
+    val s = spark
+    import s.implicits._
+    Seq((100L, "spark shuffle"), (200L, "notes"),
+      (300L, "zzz qqq")) // zero-hit query: no rows, not a crash
+      .toDF("qid", "qtext")
+  }
+
+  test("index-served BM25 == full-scan bm25TopK, value for value " +
+      "(df/avgdl/n_docs frozen at write are the same aggregates)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("lexidx").toString + "/idx"
+    LexIndex.write(corpus, "doc_id", "text", dir, buckets = 8)
+    val got = LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext",
+      k = 5).orderBy("qid", "rank").collect().toSeq
+    val want = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got == want,
+      s"index-served BM25 diverged from the scan:\n$got\nvs\n$want")
+    // non-default k1/b are query-time knobs on the SAME stored facts
+    val got2 = LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext",
+      k = 5, k1 = 0.9, b = 0.4).orderBy("qid", "rank").collect().toSeq
+    val want2 = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries,
+        "qid", "qtext", k = 5, k1 = 0.9, b = 0.4)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got2 == want2)
+  }
+
+  test("the postings scan prunes to the query terms' hash buckets at " +
+      "planning; a one-term query reads one bucket") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("lexidx-prune").toString + "/idx"
+    LexIndex.write(corpus, "doc_id", "text", dir, buckets = 8)
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "notes")).toDF("qid", "qtext")
+    val df = LexIndex.bm25ReadTopK(spark, dir, one, "qid", "qtext", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("tb"),
+      s"bucket pruning missing from the plan:\n$plan")
+    // and the term literal pushes into the data filters too
+    assert(plan.contains("notes"), s"term literal not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(2)).toSeq == Seq(3L))
+  }
+
+  test("marker discipline: reads refuse marker-less directories; " +
+      "writes refuse to clobber foreign data; rebuild in place works") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("lexidx-marker").toString
+    // marker-less directory with data: read refuses, write refuses
+    val foreign = s"$root/foreign"
+    corpus.write.parquet(foreign)
+    val eRead = intercept[IllegalArgumentException] {
+      LexIndex.bm25ReadTopK(spark, foreign, queries, "qid", "qtext")
+    }
+    assert(eRead.getMessage.contains("marker"))
+    val eWrite = intercept[IllegalArgumentException] {
+      LexIndex.write(corpus, "doc_id", "text", foreign)
+    }
+    assert(eWrite.getMessage.contains("refusing"))
+    // a real index rebuilds in place (immutable-write contract)
+    val dir = s"$root/idx"
+    LexIndex.write(corpus.filter(col("doc_id") <= 3), "doc_id", "text",
+      dir, buckets = 4)
+    LexIndex.write(corpus, "doc_id", "text", dir, buckets = 8)
+    val got = LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext",
+      k = 5).orderBy("qid", "rank").collect().toSeq
+    val want = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got == want, "rebuild must serve the new corpus")
+  }
+}

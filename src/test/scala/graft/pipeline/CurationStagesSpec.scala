@@ -1520,6 +1520,116 @@ class CurationStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("queries"))
   }
 
+  test("bm25_topk stage: `index:` serves the result set from a written " +
+      "LexIndex, identical to the full-scan stage; dead knobs refuse") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark shuffle exchange partitions"),
+      (2L, "completely unrelated words here"),
+      (3L, "spark shuffle tuning notes"),
+      (4L, "nothing in common at all")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString
+    val qDir = s"$root/queries"
+    Seq((100L, "spark shuffle"), (200L, "zzz"))
+      .toDF("qid", "qtext").write.mode("overwrite").parquet(qDir)
+    val ipath = s"$root/idx"
+    graft.ml.LexIndex.write(corpus, "doc_id", "text", ipath, buckets = 4)
+    val scan = run(
+      s"""pipeline:
+         |  - type: bm25_topk
+         |    id_field: doc_id
+         |    text_field: text
+         |    k: 3
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, corpus).orderBy("qid", "rank")
+      .collect().toSeq
+    val served = run(
+      s"""pipeline:
+         |  - type: bm25_topk
+         |    k: 3
+         |    index:
+         |      path: "$ipath"
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, corpus.limit(0)) // piped input unused
+      .orderBy("qid", "rank").collect().toSeq
+    assert(served == scan,
+      s"index-served stage diverged:\n$served\nvs\n$scan")
+    // corpus-column knobs alongside `index:` are dead config — refuse
+    val e = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: bm25_topk
+           |    id_field: doc_id
+           |    index:
+           |      path: "$ipath"
+           |    queries:
+           |      path: "$qDir"
+           |""".stripMargin, corpus)
+    }
+    assert(e.getMessage.contains("id_field"))
+  }
+
+  test("hybrid_topk stage: `lex_index:` serves the lexical channel " +
+      "from a written LexIndex — identical fused output, with either " +
+      "semantic leg") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark shuffle exchange partitions", Seq(0.0f, 1.0f)),
+      (2L, "completely unrelated words here", Seq(1.0f, 0.02f)),
+      (3L, "spark shuffle tuning notes", Seq(1.0f, 0.01f)),
+      (4L, "nothing in common at all", Seq(0.0f, -1.0f)))
+      .toDF("doc_id", "text", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hylex").toString
+    val qDir = s"$root/queries"
+    Seq((100L, "spark shuffle", Seq(1.0f, 0.0f)))
+      .toDF("qid", "qtext", "qvec")
+      .write.mode("overwrite").parquet(qDir)
+    val lexPath = s"$root/lex"
+    graft.ml.LexIndex.write(corpus, "doc_id", "text", lexPath,
+      buckets = 4)
+    val annPath = s"$root/ann"
+    val centroids = graft.ml.Similarity.kmeansCentroids(
+      corpus, "doc_id", "embedding", k = 2, dim = 2, iters = 1)
+    graft.ml.Similarity.ivfWriteIndex(
+      corpus.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", centroids, annPath)
+    def yaml(extra: String): String =
+      s"""pipeline:
+         |  - type: hybrid_topk
+         |    id_field: doc_id
+         |    text_field: text
+         |    k: 4
+         |$extra
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin
+    val brute = run(yaml("    vec_field: embedding"), corpus)
+      .orderBy("rank").collect().toSeq
+    // lex_index + brute semantic over the piped corpus
+    val mixed = run(yaml(
+      s"""    vec_field: embedding
+         |    lex_index:
+         |      path: "$lexPath"""".stripMargin), corpus)
+      .orderBy("rank").collect().toSeq
+    assert(mixed == brute, s"lex_index hybrid diverged:\n$mixed\nvs\n$brute")
+    // both channels index-served: the piped input is fully unused
+    val bothIdx = run(yaml(
+      s"""    lex_index:
+         |      path: "$lexPath"
+         |    index:
+         |      path: "$annPath"
+         |    nprobe: 2""".stripMargin), corpus.drop("embedding"))
+      .orderBy("rank").collect().toSeq
+    assert(bothIdx == brute,
+      s"double-index hybrid diverged:\n$bothIdx\nvs\n$brute")
+  }
+
   test("hybrid_topk stage: `index:` serves the semantic channel from a " +
       "written ANN index — identical to the brute hybrid when probes " +
       "cover every bucket; geometry/knob misuse refuses (r15 missing #1)") {
