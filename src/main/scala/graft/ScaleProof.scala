@@ -783,6 +783,81 @@ object ScaleProof {
     spark.stop()
   }
 
+  /** Written-BM25-index growth rows: `runMain graft.ScaleProof
+    * lexindex [out10 [out100]]` — the measured basis for the LexIndex
+    * claim that index-served retrieval reads O(query terms) of the
+    * postings while the full-scan path re-tokenizes the corpus per
+    * batch. Per tier (base/x10/x100 document replicas, a FIXED
+    * 64-query set): index build seconds (the one-time cost), postings
+    * row count, and min-of-3 retrieval seconds for the scan path vs
+    * the index path — plus a bit-equality check between the two on
+    * every tier (same corpus ⇒ identical result sets, the LexIndexSpec
+    * identity at scale). Honest fixture note: the replicas rotate
+    * letters, so the base queries' terms match only the identity
+    * replica and their postings stay constant-size across tiers — the
+    * structure-preserving property. On a natural corpus a COMMON
+    * query term's postings grow with the corpus; the claim the rows
+    * support is read ∝ postings of the queried terms (never corpus
+    * size), which holds either way.
+    */
+  private def mainLexIndex(args: Array[String]): Unit = {
+    import graft.ml.{CorpusStats, LexIndex}
+    val src = "/root/testdata/sf0.1"
+    val out10 = args.headOption.getOrElse("/tmp/graft-sf1")
+    val out100 = args.drop(1).headOption.getOrElse("/tmp/graft-sf10")
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "lexindex")
+    println(s"""{"load_gate":$gate}""")
+    buildReplicas(spark, src, out10)
+    buildReplicas100(spark, src, out100)
+    val queries = Tables.table(spark, src, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(graft.ml.Curation.words(col("text")), 1, 5), " ")
+          .as("qtext"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(64).drop("__h").persist()
+    queries.count()
+    for ((tier, dir) <- Seq("base" -> src, "x10" -> out10,
+        "x100" -> out100)) {
+      val docs = Tables.table(spark, dir, "documents")
+      val n = docs.count()
+      val idx = s"/tmp/graft-lexidx-$tier"
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ip, true)
+      val b0 = System.nanoTime()
+      LexIndex.write(docs, "doc_id", "text", idx, buckets = 64)
+      val buildSec = (System.nanoTime() - b0) / 1e9
+      val postings = spark.read.parquet(idx + "/postings").count()
+      def timeMin(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk().write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          CacheSweep.sweep(spark)
+          dt
+        }.min
+      val scanSec = timeMin(() => CorpusStats.bm25TopK(docs, "doc_id",
+        "text", queries, "qid", "qtext", k = 10))
+      val idxSec = timeMin(() => LexIndex.bm25ReadTopK(spark, idx,
+        queries, "qid", "qtext", k = 10))
+      // the identity at scale: same corpus ⇒ bit-identical result set
+      val a = CorpusStats.bm25TopK(docs, "doc_id", "text", queries,
+        "qid", "qtext", k = 10).orderBy("qid", "rank")
+        .collect().toSeq
+      val bRows = LexIndex.bm25ReadTopK(spark, idx, queries, "qid",
+        "qtext", k = 10).orderBy("qid", "rank").collect().toSeq
+      val identical = a == bRows
+      CacheSweep.sweep(spark)
+      println(f"""{"lex_tier":"$tier","n_docs":$n,"queries":64,"postings_rows":$postings,"build_sec":$buildSec%.3f,"scan_sec_min":$scanSec%.3f,"index_sec_min":$idxSec%.3f,"identical":$identical,"result_rows":${a.size}}""")
+      require(identical,
+        s"lexindex: index-served BM25 diverged from the scan at $tier")
+    }
+    queries.unpersist(blocking = false)
+    spark.stop()
+  }
+
   private def mainRecall(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-recall")
@@ -913,6 +988,9 @@ object ScaleProof {
     }
     if (args.headOption.contains("fuzzy")) { mainFuzzy(); return }
     if (args.headOption.contains("drift")) { mainDrift(args.drop(1)); return }
+    if (args.headOption.contains("lexindex")) {
+      mainLexIndex(args.drop(1)); return
+    }
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft-sf1")
     // optional trailing args: run only these queries (local iteration)
