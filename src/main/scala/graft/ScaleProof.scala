@@ -854,6 +854,37 @@ object ScaleProof {
       require(identical,
         s"lexindex: index-served BM25 diverged from the scan at $tier")
     }
+    // the buckets default (64), priced at the x100 tier: more buckets
+    // = finer partition pruning (fewer postings read per query) but
+    // more directories/files (listing + open cost, and the same
+    // pruning gain saturates once each bucket holds few queried
+    // terms). One row per candidate so the shipped default carries a
+    // measurement instead of a shrug.
+    val x100docs = Tables.table(spark, out100, "documents")
+    for (bks <- Seq(8, 64, 512)) {
+      val idx = s"/tmp/graft-lexidx-bsweep-$bks"
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      val fs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ip, true)
+      val b0 = System.nanoTime()
+      LexIndex.write(x100docs, "doc_id", "text", idx, buckets = bks)
+      val buildSec = (System.nanoTime() - b0) / 1e9
+      var files = 0L
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx), true)
+      while (it.hasNext) {
+        val nm = it.next().getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) files += 1
+      }
+      val idxSec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        LexIndex.bm25ReadTopK(spark, idx, queries, "qid", "qtext",
+          k = 10).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheSweep.sweep(spark)
+        dt
+      }.min
+      println(f"""{"lex_buckets":$bks,"tier":"x100","data_files":$files,"build_sec":$buildSec%.3f,"index_sec_min":$idxSec%.3f}""")
+    }
     queries.unpersist(blocking = false)
     spark.stop()
   }
