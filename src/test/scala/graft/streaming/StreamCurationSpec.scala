@@ -1314,6 +1314,43 @@ class StreamCurationSpec extends SparkSpec {
           "    target_recall: 0.95")))(queries).main
     }
     assert(noTune.getMessage.contains("target_recall"))
+    // the FULLY index-served service shape: lex_index replaces the
+    // corpus side table, so a serving batch reads O(query terms) of
+    // the postings + the probed ANN buckets and scans no corpus at all
+    val lexIdx = s"$root/lex"
+    graft.ml.LexIndex.write(corpus, "doc_id", "text", lexIdx,
+      buckets = 4)
+    val specLex = RuleLoader.fromYaml(yaml(
+      s"""    index:
+         |      path: $idx
+         |    lex_index:
+         |      path: $lexIdx""".stripMargin))
+    val seenLex = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val sinkLex: DataFrame => Unit = df => {
+      val rows = df.select("qid", "rank", "id").collect()
+      seenLex.synchronized {
+        rows.foreach(r =>
+          seenLex += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+    }
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("hybrid-serve-lex-ck").toString
+    val mem2 = MemoryStream[(Long, String, Seq[Double])]
+    mem2.addData((100L, "spark shuffle", Seq(1.0, 0.0)),
+      (200L, "zzz qqq", Seq(0.0, 1.0)))
+    val q3 = StreamRunner.run(mem2.toDF().toDF("qid", "qtext", "qvec"),
+      specLex, Map("main" -> sinkLex), ckpt2, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(seenLex.toSet == want,
+      s"lex_index-served hybrid diverged:\n${seenLex.toSet}\nvs\n$want")
+    // both lexical legs at once is ambiguous config — refuse
+    val bothLegs = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        yaml(s"    index:\n      path: $idx\n" +
+          s"    corpus:\n      path: $corpDir\n" +
+          s"    lex_index:\n      path: $lexIdx")))(queries).main
+    }
+    assert(bothLegs.getMessage.contains("exactly ONE"))
   }
 
   test("stats_ingest -> perplexity_score(train: store) composes: a " +
