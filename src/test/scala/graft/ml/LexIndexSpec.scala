@@ -98,4 +98,94 @@ class LexIndexSpec extends SparkSpec {
       "qid", "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
     assert(got == want, "rebuild must serve the new corpus")
   }
+
+  test("a rebuild interrupted between ParkSwap's renames never " +
+      "destroys the last good index: readers serve the parked copy, " +
+      "the next write entry repairs and rebuilds (VERDICT r16 #1)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("lexidx-crash").toString
+    val dir = s"$root/idx"
+    val v1 = corpus.filter(col("doc_id") <= 3)
+    LexIndex.write(v1, "doc_id", "text", dir, buckets = 4)
+    val v1Want = LexIndex.bm25ReadTopK(spark, dir, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    // build the EXACT crash state a rebuild passes through between its
+    // two renames: a complete replacement at .compact-tmp (a twin
+    // build of the new corpus) and the live index parked
+    val twin = s"$root/twin"
+    LexIndex.write(corpus, "doc_id", "text", twin, buckets = 4)
+    assert(new java.io.File(twin)
+      .renameTo(new java.io.File(dir + ".compact-tmp")))
+    assert(new java.io.File(dir)
+      .renameTo(new java.io.File(dir + ".compact-old")))
+    // mid-crash: the live path is gone, but the parked copy IS the
+    // durable pre-rebuild index — reads resolve it (pre-fix code had
+    // deleted the only index before the replacement was durable)
+    val gotParked = LexIndex.bm25ReadTopK(spark, dir, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(gotParked == v1Want,
+      "mid-crash reads must serve the parked pre-rebuild index")
+    // the next WRITE entry recovers (rolls the park back, clears the
+    // stale tmp) and the rebuild completes normally
+    LexIndex.write(corpus, "doc_id", "text", dir, buckets = 8)
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    val got = LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext",
+      k = 5).orderBy("qid", "rank").collect().toSeq
+    val want = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got == want, "post-recovery rebuild must serve the new corpus")
+  }
+
+  test("a reader racing a LIVE rebuild stalled between its renames " +
+      "reads the parked copy; the swap completes and the parked copy " +
+      "drops on the next write entry (the GramStore stall interleave)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("lexidx-stall").toString
+    val dir = s"$root/idx"
+    val v1 = corpus.filter(col("doc_id") <= 3)
+    LexIndex.write(v1, "doc_id", "text", dir, buckets = 4)
+    val v1Want = LexIndex.bm25ReadTopK(spark, dir, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    ParkSwap.midSwapStall = () => Thread.sleep(4000)
+    val rebuild = new Thread(() =>
+      LexIndex.write(corpus, "doc_id", "text", dir, buckets = 8))
+    val gotMidSwap = try {
+      rebuild.start()
+      // wait until the rebuild enters its swap (live dir parked)
+      var spins = 0
+      while (new java.io.File(dir).exists() && spins < 3000) {
+        Thread.sleep(10); spins += 1
+      }
+      assert(!new java.io.File(dir).exists(), "never entered the swap")
+      // the reader's retry expires inside the stall → parked copy;
+      // pre-fix code had no parked copy to fall back to
+      LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext", k = 5)
+        .orderBy("qid", "rank").collect().toSeq
+    } finally {
+      rebuild.join()
+      ParkSwap.midSwapStall = () => ()
+    }
+    assert(gotMidSwap == v1Want,
+      "mid-swap reads must serve the pre-rebuild index, not fail")
+    // the parked copy survives the swap (deferred drop) …
+    assert(new java.io.File(dir + ".compact-old").exists(),
+      "swap must defer the parked-copy drop to the next writer entry")
+    // … fresh reads serve the new index …
+    val got = LexIndex.bm25ReadTopK(spark, dir, queries, "qid", "qtext",
+      k = 5).orderBy("qid", "rank").collect().toSeq
+    val want = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got == want)
+    // … and the next write entry clears the superseded v1 copy before
+    // its own swap parks the v2 index there (every in-place rebuild
+    // leaves the PREVIOUS index parked until the next entry — the
+    // deferred-drop contract, so the window is one rebuild cadence)
+    LexIndex.write(corpus, "doc_id", "text", dir, buckets = 16)
+    val parkedMarker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + ".compact-old/_graft_bm25.json")),
+      "UTF-8")
+    assert(parkedMarker.contains("\"buckets\":8"),
+      s"the parked copy must be the superseding rebuild's predecessor " +
+        s"(v2, buckets=8), not the stale v1: $parkedMarker")
+  }
 }
