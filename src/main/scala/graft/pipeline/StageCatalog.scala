@@ -585,7 +585,7 @@ object StageCatalog {
           |      qtext_field: qtext
           |      qvec_field: qvec"""),
       schemaKind = "hybrid", oracle = Seq("ml_hybrid_topk", "ml_hybrid_index"),
-      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of weight/(rrf_k + rank); `lex_weight:`/`sem_weight:` default 1.0 - weighted RRF biases a channel without re-introducing score calibration, weight 0 silences a channel ENTIRELY: its ranking is dropped before the union, so its plan never executes and its docs cannot ride in as score-0 tail fillers) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. The semantic channel is exact cosine over the piped corpus by default; `index: {path}` serves it from a PRE-WRITTEN ANN index instead (the ann_topk dispatch, shared code: marker kind picks flat | sq8 | pq, probe-union bucket pruning at planning, `nprobe:` or - flat only - `target_recall:`; training knobs alongside `index:` refuse as dead config, codes-only + target_recall refuses) - at index scale retrieval reads only the probed bucket directories instead of re-scanning the full vector column per query batch, and the piped input feeds BM25 alone (it need not carry `vec_field`). `lex_index: {path}` (r16) serves the LEXICAL channel from a written LexIndex (see bm25_topk `index:`) — with both knobs set the piped input is fully unused and retrieval reads O(query terms) of the postings plus the probed ANN buckets: the full index-scale hybrid. `queries: input` flips the stage into the retrieval-SERVICE shape (the ann_topk convention): the piped rows ARE the query set (top-level `qid_field:`/`qtext_field:`/`qvec_field:` name their columns) — inside StreamRunner each micro-batch of arriving queries retrieves hybrid and the result set flows to the sink; there is no corpus in the pipe, so it REQUIRES `index: {path}` (semantic) plus exactly ONE lexical leg: `corpus: {path}` (full-scan BM25 per batch - idf/avgdl recompute over the side table, the honest cost of corpus-statistics retrieval; keep it materialized small at high batch rates) or `lex_index: {path}` (the index-scale shape). Refuses `target_recall:` (per-batch re-tuning - tune once with a side-table config, pin `nprobe:`). Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only outside StreamRunner's micro-batch scope, the bm25_topk rule."),
+      notes = "The standard two-channel retrieval shape: the term-match channel wins on names and rare tokens, the embedding channel wins on paraphrase, and reciprocal-rank fusion (score = sum over channels of weight/(rrf_k + rank); `lex_weight:`/`sem_weight:` default 1.0 - weighted RRF biases a channel without re-introducing score calibration, weight 0 silences a channel ENTIRELY: since r17 the silenced channel's plan is not even CONSTRUCTED, so its schema requirements are waived with it - `lex_weight: 0` retrieves from a text-less corpus/query set, `sem_weight: 0` from a vector-less one. BEHAVIOR CHANGE vs pre-r16 configs: a silenced channel's docs no longer ride in as score-0 tail fillers, so a query can return FEWER than k rows than the same config returned before r16, and all-zero weights now refuse instead of returning unranked fillers) combines them WITHOUT score calibration - a log-scale BM25 and a [-1, 1] cosine fuse on ranks alone, which is why RRF is the standard combiner. A channel miss is not fatal (the fusion is a union: a query with zero lexical hits still retrieves semantically). Terminal stage, output = (qid, rank, id, score); queries carry BOTH a text and a vector column and are small by definition (side-table convention), so both channels broadcast the query side - the corpus never shuffles, and the fusion input is at most 2 * |queries| * fetch_k rank rows. The semantic channel is exact cosine over the piped corpus by default; `index: {path}` serves it from a PRE-WRITTEN ANN index instead (the ann_topk dispatch, shared code: marker kind picks flat | sq8 | pq, probe-union bucket pruning at planning, `nprobe:` or - flat only - `target_recall:`; training knobs alongside `index:` refuse as dead config, codes-only + target_recall refuses) - at index scale retrieval reads only the probed bucket directories instead of re-scanning the full vector column per query batch, and the piped input feeds BM25 alone (it need not carry `vec_field`). `lex_index: {path}` (r16) serves the LEXICAL channel from a written LexIndex (see bm25_topk `index:`) — with both knobs set the piped input is fully unused and retrieval reads O(query terms) of the postings plus the probed ANN buckets: the full index-scale hybrid. `queries: input` flips the stage into the retrieval-SERVICE shape (the ann_topk convention): the piped rows ARE the query set (top-level `qid_field:`/`qtext_field:`/`qvec_field:` name their columns) — inside StreamRunner each micro-batch of arriving queries retrieves hybrid and the result set flows to the sink; there is no corpus in the pipe, so it REQUIRES `index: {path}` (semantic) plus exactly ONE lexical leg: `corpus: {path}` (full-scan BM25 per batch - idf/avgdl recompute over the side table, the honest cost of corpus-statistics retrieval; keep it materialized small at high batch rates) or `lex_index: {path}` (the index-scale shape). Refuses `target_recall:` (per-batch re-tuning - tune once with a side-table config, pin `nprobe:`). Each document contributes at most one reciprocal term per channel, so the fused sum is order-insensitive and round(6) makes the oracle gate exact. Whole-corpus statistics (BM25 idf/avgdl) make it batch-only outside StreamRunner's micro-batch scope, the bm25_topk rule."),
     StageDoc("ann_topk", "curation",
       "Embedding similarity search: top-k corpus rows per query vector (cosine) - bm25_topk's sibling on the vector column, from exact baseline to probe-pruned written indexes.",
       y("""pipeline:

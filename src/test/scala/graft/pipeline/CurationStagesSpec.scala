@@ -1682,6 +1682,28 @@ class CurationStagesSpec extends SparkSpec {
     assert(semOnly.nonEmpty &&
       semOnly.map(_.getLong(2)).contains(2L),
       s"semantic-only retrieval lost docs: ${semOnly.toSeq}")
+    // r17 (VERDICT r16 what's-wrong #4): silencing a channel waives
+    // its schema requirements at plan CONSTRUCTION, not merely at
+    // execution — a corpus with no text column serves the semantic
+    // channel alone instead of failing to build the silenced BM25 plan
+    val semOnlyNoText = run(idx + "    lex_weight: 0.0\n",
+        corpus.drop("text"))
+      .orderBy("rank").collect()
+    assert(semOnlyNoText.map(_.getLong(2)).toSeq ==
+      semOnly.map(_.getLong(2)).toSeq,
+      "text-less corpus must serve the semantic channel alone")
+    // and the inverse: sem_weight 0 over a vector-less corpus (brute
+    // shape, no index) retrieves lexically alone
+    val lexOnly = run(yaml("    sem_weight: 0.0"),
+        corpus.drop("embedding"))
+      .orderBy("rank").collect()
+    assert(lexOnly.nonEmpty,
+      "vector-less corpus must serve the lexical channel alone")
+    // all-zero weights refuse at the stage, naming the knobs
+    val eAllZero = intercept[IllegalArgumentException] {
+      run(idx + "    lex_weight: 0.0\n    sem_weight: 0.0\n", corpus)
+    }
+    assert(eAllZero.getMessage.contains("lex_weight"))
     // training knobs alongside `index:` are dead config — refuse
     val eTrainer = intercept[IllegalArgumentException] {
       run(idx + "    trainer: kmeans\n", corpus)
