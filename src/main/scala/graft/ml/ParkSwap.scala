@@ -3,8 +3,10 @@ package graft.ml
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The park-swap commit protocol shared by every store that rewrites
-  * itself in place ([[GramStore.compact]], [[IvfIngest.compact]], and
-  * the legacy-layout migrations): build the replacement COMPLETE
+  * itself in place ([[GramStore.compact]], [[IvfIngest.compact]],
+  * [[LexIndex.write]]'s in-place rebuild, the dedup_ingest key-store
+  * compaction (`graft.pipeline.CurationStages.compactIngestStore`),
+  * and the legacy-layout migrations): build the replacement COMPLETE
   * (marker included) at `store + ".compact-tmp"`, park the live
   * directory at `store + ".compact-old"`, move the replacement in.
   * The parked copy survives until the NEXT writer entry drops it (see
@@ -31,8 +33,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * has not completed). Single-writer discipline per store makes this
   * sound: no ABA, and the fixed tmp/old names never race another
   * writer.
+  *
+  * RESIDUAL window, stated precisely (ADVICE r16): deferring the
+  * parked-copy drop to the next WRITER entry bounds a timed-out
+  * reader's exposure to the gap between writer entries, not the swap
+  * instant — and in a self-folding stream (`compact_every:`) the next
+  * writer entry is the NEXT MICRO-BATCH, which can arrive seconds
+  * after the swap. A reader whose scan of the parked copy outlives
+  * that gap can still lose its files; the retry budget (2 s) covers
+  * the resolve, not the scan. Operationally: the parked copy also
+  * occupies one full store copy of disk until the next writer entry —
+  * indefinitely after a FINAL offline `Curate compact-*`; once no
+  * readers are active it is safe to delete `<store>.compact-old` by
+  * hand (recover would have).
   */
-private[ml] object ParkSwap {
+private[graft] object ParkSwap {
 
   private def tmpPath(store: String) = new Path(store + ".compact-tmp")
   private def oldPath(store: String) = new Path(store + ".compact-old")

@@ -1469,10 +1469,11 @@ object CurationStages {
     df
   }
 
-  /** The `compact_every: N` knob shared by the ledgered ingest stages
-    * (`ann_ingest`, `stats_ingest`): fold the store once its unfolded
-    * batch-partition count reaches N. dedup_ingest REFUSES it — see
-    * [[dedupIngestCore]].
+  /** The `compact_every: N` knob shared by the self-folding ingest
+    * stages: `ann_ingest`/`stats_ingest` fold once their unfolded
+    * batch-partition count reaches N; `dedup_ingest` (r17) folds once
+    * N committed non-empty appends accumulate in its fold ledger —
+    * see [[dedupIngestCore]] and [[compactIngestStore]].
     */
   private def compactEvery(c: Map[String, Any],
                            stage: String): Option[Int] =
@@ -1949,14 +1950,29 @@ object CurationStages {
     * None) and layout evolution: pre-token stores gain an empty `bid`
     * (foreign keys ≠ any attempt), exact-mode stores read by near mode
     * gain a null `sig`. mergeSchema because an upgraded store holds
-    * files of both layouts.
+    * files of both layouts. The read resolves through
+    * [[graft.ml.ParkSwap.readerDir]] so a reader racing a compaction's
+    * swap instant retries briefly and then reads the complete parked
+    * copy instead of failing on the missing path.
+    *
+    * `bid` coalesces null → "" (r17): in a MIXED store (pre-token
+    * files appended to by the token layout) mergeSchema reads the
+    * legacy rows' absent bid as NULL, and `bid =!= token` on null is
+    * null — the legacy keys silently fell out of every foreign-key
+    * filter, re-admitting their documents (the all-legacy store was
+    * handled by the missing-column fill below; the mixed store was
+    * not). Empty string = "no attempt", matching the all-legacy fill.
     */
   private def readIngestStore(spark: org.apache.spark.sql.SparkSession,
-                              store: String): Option[DataFrame] =
-    (try Some(spark.read.option("mergeSchema", "true").parquet(store))
+                              store: String): Option[DataFrame] = {
+    val fs0 = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val at = graft.ml.ParkSwap.readerDir(fs0, store)
+    (try Some(spark.read.option("mergeSchema", "true").parquet(at))
      catch { case _: org.apache.spark.sql.AnalysisException => None })
       .map { ks0 =>
-        val ks = if (ks0.columns.contains("bid")) ks0
+        val ks = if (ks0.columns.contains("bid"))
+                   ks0.withColumn("bid", coalesce(col("bid"), lit("")))
                  else ks0.withColumn("bid", lit(""))
         Seq("sig" -> "array<bigint>", "escale" -> "double",
             "ecodes" -> "array<int>", "ekeys" -> "array<string>",
@@ -1966,6 +1982,7 @@ object CurationStages {
             else d.withColumn(n, lit(null).cast(t))
           }
       }
+  }
 
   // ONE implementation of the token/store discipline for all THREE
   // modes (a fix to replay semantics cannot silently miss one of them):
@@ -1975,23 +1992,30 @@ object CurationStages {
   // for embedding mode — the same key the store holds either way.
   private def dedupIngestCore(df: DataFrame, c: Map[String, Any],
                               mode: String): DataFrame = {
-    // NO `compact_every:` here, deliberately (VERDICT r15 item 3 scoped
-    // it "if file counts warrant" — it doesn't, because safety): unlike
-    // the ledgered gram/ANN stores, this store's compaction collapses
-    // keys under a FRESH epoch token, so an attempt replayed from
-    // before the fold would find its own appended keys foreign and
-    // DROP its rows — data loss, not double work. Compaction stays the
-    // OFFLINE CLI action (`Curate compact-store`), run when no stream
-    // is mid-retry against the store (see [[compactIngestStore]]).
-    require(!c.contains("compact_every"),
-      "dedup_ingest: no `compact_every:` — this store's compaction is " +
-        "epoch-based, and folding under a live stream would make a " +
-        "replayed attempt drop its own rows; run the offline CLI " +
-        "`Curate compact-store` when no stream is mid-retry instead")
+    // `compact_every: N` is supported here since r17 (VERDICT r16 Next
+    // #1 — the last ingest store whose fold was offline-only). The r16
+    // refusal guarded against the EPOCH-based fold: collapsing keys
+    // under a fresh token made an attempt replayed from before the
+    // fold find its own appended keys foreign and DROP its rows (data
+    // loss, not double work). [[compactIngestStore]] now PRESERVES the
+    // winning row's attempt token through the fold, so a replayed
+    // attempt still recognizes its own keys — the fold is replay-safe
+    // by construction and may run inside the writer's own turn, right
+    // after an append this call committed (the ann/stats_ingest
+    // discipline). The trigger counts committed non-empty appends in
+    // the `_graft_folds.json` ledger (metadata-only, maintained only
+    // when the knob is set).
     val textCol = textField(c)
     val id = idField(c, "dedup_ingest")
     val store = reqStr(c, "store", "dedup_ingest")
     val spark = df.sparkSession
+    // writer entry: repair a crashed compaction swap, drop a
+    // superseded parked copy (ParkSwap discipline — writer-only;
+    // dry-runs with suppressed state writes are readers and mutate
+    // nothing, their reads resolve through readerDir instead)
+    if (!suppressStateWrites.value)
+      graft.ml.ParkSwap.recover(new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), store)
     val contract = modeContract(mode, c)
     checkModeMarker(spark, store, contract)
     val bid = graft.streaming.StreamRunner.currentBatchToken.value
@@ -2089,47 +2113,82 @@ object CurationStages {
       case None => newKeys
     }
     if (!suppressStateWrites.value) {
-      toAppend.localCheckpoint(true)
-        .withColumn("bid", lit(bid))
+      val settledKeys = toAppend.localCheckpoint(true)
+      settledKeys.withColumn("bid", lit(bid))
         .write.mode("append").parquet(store)
       writeModeMarker(spark, store, contract, blockAdoption)
+      // `compact_every: N` — self-folding small-files control (the
+      // ann/stats_ingest discipline, r17): the ledger bumps only when
+      // THIS call wrote rows, so a clean replay (all keys already
+      // stored under its token) never re-triggers; a replay completing
+      // a half-crashed append bumps again, which at worst folds one
+      // batch early — safe, because the fold preserves attempt tokens
+      // (see [[compactIngestStore]]). The fold runs in the same writer
+      // turn as the append it follows — single-writer discipline holds.
+      compactEvery(c, "dedup_ingest").foreach { n =>
+        if (settledKeys.count() > 0) {
+          val fsS = new org.apache.hadoop.fs.Path(store)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (bumpFoldLedger(fsS, store) >= n)
+            compactIngestStore(spark, store)
+        }
+      }
     }
     fuzzyState.foreach { case (_, _, caches) => caches.foreach(_.unpersist()) }
     settled.drop("__h", "__mh")
   }
 
-  /** Compact a dedup_ingest store OFFLINE: collapse to ONE row per
-    * content key under a single fresh epoch token, dropping the
-    * per-attempt duplication the append-only discipline accumulates
-    * (replayed attempts append nothing new, but distinct RUNS that
-    * admitted the same key each left a row, and orphaned attempts —
-    * appended keys whose sink commit never happened before the stream
-    * was abandoned — are indistinguishable from live ones and get
-    * folded into the epoch rather than re-admitted forever). Rows WITH
-    * fuzzy state win over bare-digest rows for the same key, so an
-    * upgraded store keeps its near/embedding evidence.
+  /** Compact a dedup_ingest store: collapse to ONE row per content
+    * key, dropping the file-count growth the append-only discipline
+    * accumulates (one parquet write per admitted batch) and any
+    * cross-writer duplicate rows. Rows WITH fuzzy state win over
+    * bare-digest rows for the same key, so an upgraded store keeps its
+    * near/embedding evidence; ties break on the token ordering.
     *
-    * OFFLINE means no stream is mid-retry against this store: the
-    * epoch token matches no attempt, so after compaction EVERY stored
-    * key counts against every batch — exactly the cross-run semantics
-    * — but an attempt replayed from BEFORE the compaction would find
-    * its own keys foreign and drop its rows (the reason this is a CLI
-    * action, `graft.Curate compact-store`, not something the stage
-    * does opportunistically).
+    * REPLAY-SAFE since r17 (VERDICT r16 Next #1): the winning row
+    * KEEPS its original attempt token instead of being re-stamped
+    * under a fresh epoch. Under the single-writer discipline each key
+    * is stored under exactly one token (an attempt only appends keys
+    * absent from the store, and replays append only under their own
+    * token), so preserving the winner's token preserves every
+    * attempt's view: a batch replayed from BEFORE the fold still
+    * finds its own keys under its own token and re-admits its rows
+    * (at-least-once, nothing lost), while every other batch and
+    * stream still dedups against them. This is what lets the
+    * `compact_every:` knob run the fold INSIDE a live stream's writer
+    * turn. (Keys stored under legacy epoch tokens from pre-r17 folds
+    * keep them — an epoch matches no attempt, so they count against
+    * every batch, the old cross-run semantics.) Outside the stated
+    * single-writer discipline a key CAN carry two tokens (concurrent
+    * writers that raced the same content); the fold keeps one, so the
+    * losing attempt's replay degrades to dropping that row — the
+    * same partial view the race itself already created.
     *
-    * The rewrite goes through a temp directory + rename — the store is
-    * never in a half-deleted state on the happy path.
+    * Commit is the [[graft.ml.ParkSwap]] protocol: the compacted
+    * store builds COMPLETE at `.compact-tmp` (mode marker and a reset
+    * fold ledger included), then two atomic renames park the live
+    * store and move the replacement in. A crash at any point leaves a
+    * complete store at the live path or the parked copy; the next
+    * writer entry ([[dedupIngestCore]] or this method) repairs, and
+    * readers resolve through readerDir — never yanked mid-scan. The
+    * caller must be the store's single writer (the stage folds in its
+    * own writer turn; the `Curate compact-store` CLI requires no
+    * concurrent writing stream — concurrent READERS are fine).
     *
     * @return (rows before, rows after)
     */
   def compactIngestStore(spark: org.apache.spark.sql.SparkSession,
                          store: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(conf)
+    graft.ml.ParkSwap.recover(fs, store) // writer entry
     val ks = readIngestStore(spark, store).getOrElse(
       throw new IllegalArgumentException(s"no dedup_ingest store at $store"))
     val before = ks.count()
-    val epoch = "epoch-" + java.util.UUID.randomUUID().toString
     // one row per key, fuzzy-state rows first (sig/ecodes non-null);
-    // deterministic within a tie via the bid ordering
+    // deterministic within a tie via the bid ordering; the winner's
+    // bid SURVIVES the fold (replay safety — see the scaladoc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h"))
       .orderBy(col("sig").isNull.asc, col("ecodes").isNull.asc,
@@ -2137,41 +2196,76 @@ object CurationStages {
     val compacted = ks
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("bid", lit(epoch))
       .localCheckpoint(true) // settle BEFORE touching the store path
     val after = compacted.count()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val storePath = new org.apache.hadoop.fs.Path(store)
-    val fs = storePath.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(store + ".compact-tmp")
-    compacted.write.mode("overwrite").parquet(tmp.toString)
-    // carry the mode marker across the swap
+    val tmp = graft.ml.ParkSwap.tmpDir(store)
+    compacted.write.mode("overwrite").parquet(tmp)
+    // carry the mode marker and reset the fold ledger — both INSIDE
+    // tmp, so they commit atomically with the data
     val marker = markerPath(store)
     if (fs.exists(marker))
       org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
         new org.apache.hadoop.fs.Path(tmp, "_graft_mode.json"),
         false, conf)
-    // crash-safe swap: park the live store aside FIRST, then rename the
-    // compacted tree in, then drop the parked copy. A crash between any
-    // two steps leaves a usable store at either the expected path or
-    // `.compact-old` — never a window where the only copy sits at a tmp
-    // path needing manual recovery (delete-then-rename had exactly that
-    // window). A stale `.compact-old` from a previous crashed run is
-    // cleared first so the park rename cannot collide.
-    val old = new org.apache.hadoop.fs.Path(store + ".compact-old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(storePath, old),
-      s"compaction park rename $storePath -> $old failed; store untouched, " +
-        s"compacted data is at $tmp")
-    if (!fs.rename(tmp, storePath)) {
-      // restore the parked store before failing — no half-swapped state
-      fs.rename(old, storePath)
-      throw new IllegalStateException(
-        s"compaction rename $tmp -> $storePath failed; original store " +
-          s"restored, compacted data is intact at $tmp")
-    }
-    fs.delete(old, true)
+    val folds = readFoldLedger(fs, store)._2 + 1
+    writeFoldLedger(fs, tmp, appends = 0, folds = folds)
+    graft.ml.ParkSwap.swap(fs, store)
+    // parked pre-fold copy drops on the NEXT writer entry (deferred
+    // drop — readers that timed out into it may still be scanning)
     (before, after)
+  }
+
+  /** The dedup_ingest fold ledger `_graft_folds.json`:
+    * `appends_since_fold` is what `compact_every: N` thresholds on
+    * (bumped once per committed NON-EMPTY append when the knob is
+    * set; reset inside the compaction's tmp build so it swaps in
+    * atomically with the folded data), `folds` counts lifetime folds
+    * for observability. Underscore-prefixed → invisible to parquet
+    * reads. Missing or malformed reads as (0, 0): the counter is a
+    * trigger heuristic, never a correctness input — losing it delays
+    * a fold, nothing else.
+    */
+  private def foldLedgerPath(store: String) =
+    new org.apache.hadoop.fs.Path(store, "_graft_folds.json")
+
+  private def readFoldLedger(fs: org.apache.hadoop.fs.FileSystem,
+                             store: String): (Int, Int) = {
+    val p = foldLedgerPath(store)
+    if (!fs.exists(p)) return (0, 0)
+    try {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt)
+      (Option(node.get("appends_since_fold")).map(_.asInt).getOrElse(0),
+        Option(node.get("folds")).map(_.asInt).getOrElse(0))
+    } catch { case _: Exception => (0, 0) }
+  }
+
+  private def writeFoldLedger(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, appends: Int,
+                              folds: Int): Unit = {
+    // write-then-rename: a torn ledger reads as (0, 0), but the rename
+    // keeps even that window out of the single-writer happy path
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_folds.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"appends_since_fold":$appends,"folds":$folds}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    val dst = foldLedgerPath(dir)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"dedup_ingest fold ledger: could not commit $tmp -> $dst")
+  }
+
+  /** Bump the committed-append counter, returning the new count. */
+  private def bumpFoldLedger(fs: org.apache.hadoop.fs.FileSystem,
+                             store: String): Int = {
+    val (appends, folds) = readFoldLedger(fs, store)
+    writeFoldLedger(fs, store, appends + 1, folds)
+    appends + 1
   }
 
   // Near mode (`mode: near`): the growing store additionally keeps the

@@ -701,10 +701,11 @@ object StageCatalog {
           |    bands: 4
           |    rows_per_band: 3
           |    shingle_k: 3
-          |    threshold: 0.8      # near: min signature-agreement fraction"""),
+          |    threshold: 0.8      # near: min signature-agreement fraction
+          |    compact_every: 64   # self-fold after N committed appends"""),
       schemaKind = "documents",
       oracle = Seq("ml_fuzzy_ingest"),
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed). NO `compact_every:` here, deliberately (the knob refuses): this store's compaction collapses keys under a fresh EPOCH token, so folding under a live stream would make an attempt replayed from before the fold find its own appended keys foreign and drop its rows - compaction stays the OFFLINE CLI action `Curate compact-store`, run when no stream is mid-retry."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed). `compact_every: N` (r17) makes the key-store fold self-triggering: once N committed non-empty appends accumulate (counted in the store's `_graft_folds.json` ledger - metadata-only, maintained only when the knob is set), the stage folds the store to one row per key in the same writer turn. The fold is REPLAY-SAFE because it PRESERVES each surviving row's attempt token instead of re-stamping under a fresh epoch (pre-r17 the epoch fold made an attempt replayed from before the fold find its own keys foreign and DROP its rows, which is why the knob used to refuse): under the single-writer discipline each key is stored under exactly one token, so a replayed batch still recognizes its own keys and re-admits its rows - zero lost, zero duplicated (streaming e2e-gated). The fold commits via ParkSwap (build complete beside the store incl. marker + reset ledger, park, swap); the parked pre-fold copy survives until the NEXT writer entry - note in a self-folding stream that entry is the next MICRO-BATCH, so a reader that timed out into the parked copy has until then, not until the next compaction. `Curate compact-store` runs the same fold offline (single-writer: no concurrent appending stream; concurrent readers are fine and resolve through the parked copy)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -2314,9 +2314,9 @@ class CurationStagesSpec extends SparkSpec {
       "dry-run must not advance the index")
   }
 
-  test("compact_every: ann_ingest and stats_ingest fold themselves " +
-      "every N committed batches, replays never re-fold, and " +
-      "dedup_ingest refuses the knob (VERDICT r15 missing #2)") {
+  test("compact_every: ann_ingest, stats_ingest AND dedup_ingest fold " +
+      "themselves every N committed batches; replays never re-fold; " +
+      "the key-store fold preserves attempt tokens (r17)") {
     val s = spark
     import s.implicits._
     def batch(lo: Int, hi: Int) = (lo until hi).map { i =>
@@ -2385,20 +2385,49 @@ class CurationStagesSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == oneShot, "the self-fold changed the counts")
 
-    // dedup_ingest: epoch-based compaction is replay-UNSAFE under a
-    // live stream — the knob refuses with the reason
-    val eDedup = intercept[IllegalArgumentException] {
-      run(
-        s"""pipeline:
-           |  - type: dedup_ingest
-           |    id_field: doc_id
-           |    text_field: text
-           |    store: "$root/keys"
-           |    compact_every: 2
-           |""".stripMargin, docs)
-    }
-    assert(eDedup.getMessage.contains("compact_every") &&
-      eDedup.getMessage.contains("compact-store"))
+    // dedup_ingest (r17): the knob folds the key store too — the
+    // fold PRESERVES attempt tokens (no epoch re-stamp), which is
+    // what makes it replay-safe; the failed-sink replay interleave
+    // is gated in StreamCurationSpec
+    val keys = s"$root/keys"
+    def ledger(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(keys, "_graft_folds.json")), "UTF-8")
+    val yamlD =
+      s"""pipeline:
+         |  - type: dedup_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    store: "$keys"
+         |    compact_every: 2
+         |""".stripMargin
+    run(yamlD, Seq((1L, "doc aa"), (2L, "doc bb")).toDF("doc_id", "text"))
+    assert(ledger().contains("\"appends_since_fold\":1"),
+      s"first committed append must bump the ledger: ${ledger()}")
+    run(yamlD, Seq((3L, "doc cc")).toDF("doc_id", "text"))
+    // second committed append reached the threshold: self-fold, reset
+    assert(ledger().contains("\"appends_since_fold\":0") &&
+      ledger().contains("\"folds\":1"),
+      s"the stage must fold itself at compact_every appends: ${ledger()}")
+    val ks = s.read.parquet(keys)
+    assert(ks.count() == 3L, "one row per key after the fold")
+    val bids = ks.select("bid").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(bids.size == 2 && bids.forall(_.startsWith("run-")),
+      s"the fold must preserve the two runs' attempt tokens: $bids")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keys + ".compact-old")),
+      "parked pre-fold copy awaits the next writer entry")
+    // an append that admits NOTHING (all duplicates) writes no rows
+    // and must not bump the ledger toward a pointless fold — but its
+    // writer entry does drop the superseded parked copy
+    run(yamlD, Seq((4L, "doc aa")).toDF("doc_id", "text"))
+    assert(ledger().contains("\"appends_since_fold\":0"),
+      s"an empty append must not bump the ledger: ${ledger()}")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keys + ".compact-old")),
+      "the next writer entry must drop the parked copy")
+    assert(s.read.parquet(keys).count() == 3L,
+      "dedup discipline must survive the fold (doc aa rejected)")
     // a non-positive cadence refuses
     val eZero = intercept[IllegalArgumentException] {
       run(yaml.format("b9").replace("compact_every: 2",
