@@ -31,13 +31,18 @@ object Curate {
       "       Curate compact-grams <storePath>\n" +
       "       Curate compact-ann <indexPath>\n" +
       "       Curate build-lex <corpus.parquet> <indexPath> " +
-      "[idField textField [buckets]]"
+      "[idField textField [buckets]]\n" +
+      "       Curate build-lex --check <corpus.parquet> <indexPath> " +
+      "[textField]"
     // maintenance actions: offline compaction of the three ingest
     // stores (dedup_ingest keys / stats_ingest gram counts / the
-    // ann_ingest IVF index) — each is a single-writer action, so run
-    // them while the corresponding streaming query is stopped. Replays
-    // of folded batches stay no-ops afterwards (epoch token for the
-    // key store; the marker ledger for the other two).
+    // ann_ingest IVF index) — each is a single-WRITER action, so run
+    // them while the corresponding streaming query is stopped
+    // (concurrent readers are fine: all three commit via ParkSwap).
+    // All three folds are replay-safe: a batch replayed after its
+    // state was folded still behaves correctly (the marker ledger for
+    // grams/ann; preserved attempt tokens for the key store, r17) —
+    // the same folds the stages' `compact_every:` knob runs inline.
     val maintenance = Set("compact-store", "compact-grams", "compact-ann")
     // build-lex: materialize a BM25 lexical index (ml/LexIndex) —
     // tokenization and the df/dl/n_docs/avgdl statistics paid ONCE at
@@ -46,7 +51,14 @@ object Curate {
     // Immutable by contract (BM25 statistics drift under append) —
     // re-run to refresh.
     if (args.headOption.contains("build-lex")) {
-      require(args.length >= 3 && args.length <= 6, usage)
+      // `--check` reports staleness WITHOUT rebuilding: one cheap
+      // aggregate over the current corpus vs the marker's frozen
+      // n_docs/avgdl, so the re-index cadence is a measured number
+      // (doc_drift_pct is also the fraction of the corpus the stale
+      // index cannot see at all — see LexIndex.staleness)
+      val check = args.lift(1).contains("--check")
+      val a = if (check) args.patch(1, Nil, 1) else args
+      require(a.length >= 3 && a.length <= 6, usage)
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val s = Tables.configure(SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus0]"))
@@ -54,13 +66,19 @@ object Curate {
         .config("spark.ui.enabled", "false")).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       try {
-        val corpus = sources.BucketedLayout.load(s, args(1))
-        val idField = if (args.length > 3) args(3) else "doc_id"
-        val textField = if (args.length > 4) args(4) else "text"
-        val buckets = if (args.length > 5) args(5).toInt else 64
-        ml.LexIndex.write(corpus, idField, textField, args(2), buckets)
-        println(s"""{"build_lex":"ok","index":"${args(2)}",""" +
-          s""""buckets":$buckets}""")
+        val corpus = sources.BucketedLayout.load(s, a(1))
+        if (check) {
+          val textField = if (a.length > 3) a(3) else "text"
+          val st = ml.LexIndex.staleness(corpus, textField, a(2))
+          println(f"""{"build_lex_check":"ok","index":"${a(2)}","n_docs_frozen":${st.nDocsFrozen},"n_docs_current":${st.nDocsCurrent},"doc_drift_pct":${st.docDriftPct}%.2f,"avgdl_frozen":${st.avgdlFrozen}%.4f,"avgdl_current":${st.avgdlCurrent}%.4f,"avgdl_drift_pct":${st.avgdlDriftPct}%.2f}""")
+        } else {
+          val idField = if (a.length > 3) a(3) else "doc_id"
+          val textField = if (a.length > 4) a(4) else "text"
+          val buckets = if (a.length > 5) a(5).toInt else 64
+          ml.LexIndex.write(corpus, idField, textField, a(2), buckets)
+          println(s"""{"build_lex":"ok","index":"${a(2)}",""" +
+            s""""buckets":$buckets}""")
+        }
       } finally s.stop()
       return
     }

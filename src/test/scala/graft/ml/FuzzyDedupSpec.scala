@@ -214,6 +214,52 @@ class FuzzyDedupSpec extends SparkSpec {
     CapAudit.reset()
   }
 
+  test("histogram prefilter bound: k random edits move the packed " +
+      "histogram L1 by at most 2k — the losslessness invariant, " +
+      "saturation and surrogate pairs included (r17)") {
+    import graft.functions.{CharHistExpr, NibbleL1Expr}
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long = CharHistExpr.hist(UTF8String.fromString(s))
+    def l1(a: String, b: String): Int = NibbleL1Expr.l1(h(a), h(b))
+    // alphabet biased toward repeats so saturating nibbles (count 15)
+    // actually occur; includes a non-BMP code point (one CHAR edit in
+    // levenshtein terms, two UTF-16 units)
+    val alpha = "aab0𝕏cde ff".toCharArray // raw chars incl. surrogate
+    val alphaCps = new String(alpha).codePoints().toArray
+    val rnd = new scala.util.Random(42)
+    def randCp(): String =
+      new String(Character.toChars(alphaCps(rnd.nextInt(alphaCps.length))))
+    def randStr(nCps: Int): String =
+      (0 until nCps).map(_ => randCp()).mkString
+    for (_ <- 0 until 500) {
+      val a = randStr(1 + rnd.nextInt(60))
+      val k = 1 + rnd.nextInt(3)
+      var b = a
+      for (_ <- 0 until k) {
+        // one edit at a CODE POINT boundary (insert | delete | subst)
+        val cps = b.codePoints().toArray
+        val at = if (cps.isEmpty) 0 else rnd.nextInt(cps.length)
+        val edited: Array[Int] = rnd.nextInt(3) match {
+          case 0 => // insert
+            (cps.take(at) :+ randCp().codePointAt(0)) ++ cps.drop(at)
+          case 1 if cps.nonEmpty => // delete
+            cps.take(at) ++ cps.drop(at + 1)
+          case _ if cps.nonEmpty => // substitute
+            cps.updated(at, randCp().codePointAt(0))
+          case _ => cps
+        }
+        b = new String(edited, 0, edited.length)
+      }
+      assert(l1(a, b) <= 2 * k,
+        s"bound violated: l1=${l1(a, b)} > ${2 * k} for\n`$a`\n`$b`")
+    }
+    // saturation: 40 repeats vs 60 repeats of one char read as equal
+    // nibbles (15 vs 15) — the filter only ever UNDER-estimates
+    assert(l1("x" * 40, "x" * 60) == 0)
+    // and two unrelated strings separate far beyond any small bound
+    assert(l1("abcdefghij", "0123456789zz") > 4)
+  }
+
   test("fuzzyDedupKeep collapses a transitive typo chain to the " +
       "component minimum") {
     val s = spark

@@ -99,6 +99,29 @@ class LexIndexSpec extends SparkSpec {
     assert(got == want, "rebuild must serve the new corpus")
   }
 
+  test("staleness: current-corpus doc count and avgdl drift against " +
+      "the marker's frozen statistics, as percentages (r17)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("lexidx-stale").toString + "/idx"
+    val v1 = corpus.filter(col("doc_id") <= 3)
+    LexIndex.write(v1, "doc_id", "text", dir, buckets = 4)
+    // same corpus: zero drift on both axes
+    val same = LexIndex.staleness(v1, "text", dir)
+    assert(same.nDocsFrozen == 3L && same.nDocsCurrent == 3L &&
+      same.docDriftPct == 0.0 && same.avgdlDriftPct == 0.0, s"$same")
+    // corpus doubled since the index froze: 100% doc drift, and the
+    // avgdl moved (the grown half has different lengths)
+    val grown = LexIndex.staleness(corpus, "text", dir)
+    assert(grown.nDocsFrozen == 3L && grown.nDocsCurrent == 6L &&
+      grown.docDriftPct == 100.0, s"$grown")
+    assert(grown.avgdlDriftPct > 0.0, s"$grown")
+    // not-an-index refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.staleness(corpus, "text", dir + "-nope")
+    }
+    assert(e.getMessage.contains("marker"))
+  }
+
   test("a rebuild interrupted between ParkSwap's renames never " +
       "destroys the last good index: readers serve the parked copy, " +
       "the next write entry repairs and rebuilds (VERDICT r16 #1)") {
