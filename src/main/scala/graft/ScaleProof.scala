@@ -640,7 +640,8 @@ object ScaleProof {
     * one-edit twin for every 100th row. Planted twins = n/100, the
     * ground truth the recall column divides by.
     */
-  private def fuzzyTitleFixture(spark: SparkSession, n: Long): DataFrame = {
+  private[graft] def fuzzyTitleFixture(spark: SparkSession,
+                                       n: Long): DataFrame = {
     val base = spark.range(n).toDF("id")
       .withColumn("nw", (conv(substring(md5(col("id").cast("string")), 1, 2),
         16, 10).cast("int") % 4) + 3)

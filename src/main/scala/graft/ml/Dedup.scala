@@ -450,16 +450,18 @@ object Dedup {
     * — codegen'd, Ukkonen-banded O(maxDist·len) per pair with early
     * abort, returning −1 above the threshold. Before it, a LOSSLESS
     * histogram prefilter (r17, [[graft.functions.CharHistExpr]]):
-    * each row carries a packed 16×4-bit character histogram computed
-    * once pre-shuffle, and the candidate join rejects pairs whose
+    * the candidate join rejects pairs whose packed 16×4-bit character
     * histograms differ by more than 2·maxDist bucket units — a lower
-    * bound on edit distance, so no true pair is lost — with pure
-    * long arithmetic inside the join stage, before the distinct's
-    * string-carrying shuffle and the levenshtein run. This bends the
-    * candidate birthday term's VERIFY cost (the one measured
+    * bound on edit distance, so no true pair is lost. The histograms
+    * compute inside the join stage from the two strings the join
+    * output already carries (zero shuffle bytes added; ~0.4× a
+    * banded levenshtein per candidate), so the distinct's
+    * string-carrying shuffle and the verify see only the ~5% of
+    * candidates the bound cannot kill. This bends the candidate
+    * birthday term's DOWNSTREAM cost (the one measured
     * superlinearity at 10M rows) without touching candidate
-    * generation. Shuffles carry (id, field, len, 8-byte sig | 8-byte
-    * keys) — field is short by contract.
+    * generation. Shuffles carry (id, field, len | 8-byte keys) —
+    * field is short by contract.
     * `maxBucketSize` caps pathological key pile-ups with the
     * [[CapAudit]] exemption counters, the LSH family's convention:
     * capped = visible recall loss, never a blown-up join (and under
@@ -645,9 +647,9 @@ object Dedup {
     // rows. This shape removed the HOFs entirely.)
     // index side: this row's own d+1 segments, keyed by its own length
     val idx = rows
-      .select(col("id"), col("s"), col("len"), col("sig"),
+      .select(col("id"), col("s"), col("len"),
         explode(sequence(lit(0), lit(d))).as("slot"))
-      .select(col("id"), col("s"), col("sig"),
+      .select(col("id"), col("s"),
         key(col("len"), col("slot"),
           col("s").substr(st(col("len"), col("slot")),
             ln(col("len"), col("slot")))).as("k"))
@@ -663,7 +665,7 @@ object Dedup {
     val slot = floor((col("j") % (k * w)) / w).cast("int")
     val shift = (col("j") % w).cast("int") - d
     val prb = rows
-      .select(col("id"), col("s"), col("len"), col("sig"),
+      .select(col("id"), col("s"), col("len"),
         explode(sequence(lit(0), lit(nE - 1))).as("j"))
       .withColumn("la", col("len") - delta)
       .withColumn("sl", slot)
@@ -673,7 +675,7 @@ object Dedup {
         shift <= floor((lit(d) + delta) / 2).cast("int") &&
         col("q") >= 1 &&
         col("q") + ln(col("la"), col("sl")) <= col("len") + 1)
-      .select(col("id"), col("s"), col("sig"),
+      .select(col("id"), col("s"),
         key(col("la"), col("sl"),
           col("s").substr(col("q").cast("int"),
             ln(col("la"), col("sl")))).as("k"))
@@ -702,11 +704,17 @@ object Dedup {
   }
 
   // native prefilter kernels (graft.functions.CharHistExpr): the
-  // packed histogram computes ONCE per row pre-shuffle; the nibble-L1
-  // predicate then rejects candidates with pure long arithmetic
-  // inside the join, before the canonicalize/distinct shuffle and the
-  // levenshtein verify ever see the strings (VERDICT r16 next #2 —
-  // the candidate birthday term's verify cost, bent at the join)
+  // histogram predicate evaluates POST-JOIN on the candidate's two
+  // strings — already carried by the join output, so the filter adds
+  // ZERO shuffle bytes — and rejects impossible candidates at ~0.4×
+  // the cost of the banded levenshtein, before the canonicalize/
+  // distinct shuffle materializes them (VERDICT r16 next #2). The
+  // first r17 draft carried a per-row signature through the emit
+  // shuffle instead ("compute once, reuse per candidate"); measured
+  // at the 10M tier that widened the dominant emit shuffle ~12% and
+  // cost MORE than it saved — the candidates are outnumbered by the
+  // emits, so per-candidate recompute on in-hand strings is the
+  // cheaper side of the trade (numbers in PLANS r17).
   private def charHist(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.CharHistExpr(
@@ -725,16 +733,15 @@ object Dedup {
     */
   private[graft] var disableHistPrefilter: Boolean = false
 
-  private def histPre(ga: Column, gb: Column, maxDist: Int): Column =
+  private def histPre(sa: Column, sb: Column, maxDist: Int): Column =
     if (disableHistPrefilter) lit(true)
-    else nibbleL1(ga, gb) <= lit(2 * maxDist)
+    else nibbleL1(charHist(sa), charHist(sb)) <= lit(2 * maxDist)
 
   private def compactRows(df: DataFrame, idCol: String,
                           fieldCol: String): DataFrame = df
     .select(col(idCol).as("id"), col(fieldCol).cast("string").as("s"))
     .filter(col("s").isNotNull)
     .withColumn("len", length(col("s")))
-    .withColumn("sig", charHist(col("s")))
 
   private[ml] def fuzzySegmentCandidates(df: DataFrame, idCol: String,
                                          fieldCol: String, maxDist: Int,
@@ -746,17 +753,16 @@ object Dedup {
     val (idx, prb) = segEmits(rows, maxDist)
     val Seq(cIdx, cPrb) =
       segCap(Seq(idx, prb), maxBucketSize, capOp, track)
-    // the histogram prefilter evaluates INSIDE the join (a post-join
-    // condition in the same codegen stage): candidates whose packed
+    // the histogram prefilter evaluates INSIDE the join stage on the
+    // strings the join output already carries: candidates whose packed
     // histograms differ by more than 2·maxDist bucket units cannot
     // verify (the CharHistExpr bound) and die before the distinct's
     // string-carrying shuffle and the levenshtein
-    cIdx.select(col("k"), col("id").as("a"), col("s").as("sa"),
-        col("sig").as("ga"))
-      .join(cPrb.select(col("k"), col("id").as("b"), col("s").as("sb"),
-        col("sig").as("gb")), Seq("k"))
+    cIdx.select(col("k"), col("id").as("a"), col("s").as("sa"))
+      .join(cPrb.select(col("k"), col("id").as("b"), col("s").as("sb")),
+        Seq("k"))
       .filter(col("a") =!= col("b") &&
-        histPre(col("ga"), col("gb"), maxDist))
+        histPre(col("sa"), col("sb"), maxDist))
       .select(when(col("a") < col("b"),
           struct(col("a").as("x"), col("b").as("y"),
             col("sa").as("sx"), col("sb").as("sy")))
@@ -784,11 +790,9 @@ object Dedup {
       segCap(Seq(lIdx, lPrb, rIdx, rPrb), maxBucketSize, capOp, track)
     // same in-join histogram prefilter as the self-pair shape
     def leg(l: DataFrame, r: DataFrame): DataFrame =
-      l.select(col("k"), col("id").as("a"), col("s").as("sa"),
-          col("sig").as("ga"))
-        .join(r.select(col("k"), col("s").as("sb"),
-          col("sig").as("gb")), Seq("k"))
-        .filter(histPre(col("ga"), col("gb"), maxDist))
+      l.select(col("k"), col("id").as("a"), col("s").as("sa"))
+        .join(r.select(col("k"), col("s").as("sb")), Seq("k"))
+        .filter(histPre(col("sa"), col("sb"), maxDist))
         .select(col("a"), col("sa"), col("sb"))
     leg(cLIdx, cRPrb).union(leg(cLPrb, cRIdx)).distinct()
   }
