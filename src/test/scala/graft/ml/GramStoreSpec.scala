@@ -122,12 +122,24 @@ class GramStoreSpec extends SparkSpec {
     // the next writer entry drops it
     assert(new java.io.File(store + ".compact-old").exists())
     assert(!new java.io.File(store + ".compact-tmp").exists())
-    // the store keeps growing after compaction — and the writer entry
-    // clears the superseded parked copy
+    // the store keeps growing after compaction — and the YOUNG parked
+    // copy survives the writer entry (r17 age gate: the next entry in
+    // a self-folding stream is the next micro-batch, seconds away —
+    // well inside a timed-out reader's scan of the parked copy)
     GramStore.append(docs.filter(col("doc_id") === 5), "text", store, "b3")
-    assert(!new java.io.File(store + ".compact-old").exists())
+    assert(new java.io.File(store + ".compact-old").exists(),
+      "a writer entry inside the grace window must keep the parked copy")
     val again = countMap(store)
     assert(again(0 -> "novel") == 1L + before.getOrElse(0 -> "novel", 0L))
+    // …and drops once the park has aged past the grace window (a
+    // replayed append is a writer entry too)
+    ParkSwap.parkedGraceMs = 0L
+    try GramStore.append(docs.filter(col("doc_id") === 5), "text",
+      store, "b3")
+    finally ParkSwap.parkedGraceMs = 60000L
+    assert(!new java.io.File(store + ".compact-old").exists(),
+      "an aged parked copy must drop at the next writer entry")
+    assert(countMap(store) == again, "the no-op replay changed counts")
   }
 
   // ---- r14 durability: crash windows, pruning, ledger, park-swap ----
@@ -422,8 +434,16 @@ class GramStoreSpec extends SparkSpec {
     // fresh readers resolve the live folded store
     assert(ParkSwap.readerDir(f, store) == store)
     assert(countMap(store) == before)
-    // the next WRITER entry — not the swap — clears the superseded copy
+    // a writer entry inside the grace window KEEPS the parked copy
+    // (r17 age gate — this reader's scan may still be running); an
+    // entry past the grace drops it
     GramStore.append(docs.filter(col("doc_id") === 5), "text", store, "b3")
+    assert(new java.io.File(store + ".compact-old").exists(),
+      "the grace window must outlive the next writer entry")
+    ParkSwap.parkedGraceMs = 0L
+    try GramStore.append(docs.filter(col("doc_id") === 5), "text",
+      store, "b3")
+    finally ParkSwap.parkedGraceMs = 60000L
     assert(!new java.io.File(store + ".compact-old").exists())
     assert(countMap(store)(0 -> "novel") == before(0 -> "novel") + 1L)
   }

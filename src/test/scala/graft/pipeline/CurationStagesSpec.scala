@@ -2418,14 +2418,21 @@ class CurationStagesSpec extends SparkSpec {
       java.nio.file.Paths.get(keys + ".compact-old")),
       "parked pre-fold copy awaits the next writer entry")
     // an append that admits NOTHING (all duplicates) writes no rows
-    // and must not bump the ledger toward a pointless fold — but its
-    // writer entry does drop the superseded parked copy
+    // and must not bump the ledger toward a pointless fold; its writer
+    // entry KEEPS the young parked copy (r17 age gate) and drops it
+    // only past the grace window
     run(yamlD, Seq((4L, "doc aa")).toDF("doc_id", "text"))
     assert(ledger().contains("\"appends_since_fold\":0"),
       s"an empty append must not bump the ledger: ${ledger()}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(keys + ".compact-old")),
+      "a writer entry inside the grace window must keep the parked copy")
+    graft.ml.ParkSwap.parkedGraceMs = 0L
+    try run(yamlD, Seq((5L, "doc aa")).toDF("doc_id", "text"))
+    finally graft.ml.ParkSwap.parkedGraceMs = 60000L
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(keys + ".compact-old")),
-      "the next writer entry must drop the parked copy")
+      "an aged parked copy must drop at the next writer entry")
     assert(s.read.parquet(keys).count() == 3L,
       "dedup discipline must survive the fold (doc aa rejected)")
     // a non-positive cadence refuses

@@ -678,8 +678,8 @@ class StreamCurationSpec extends SparkSpec {
     // fresh epoch anywhere
     val bids = ks.select("bid").collect().map(_.getString(0)).toSet
     assert(bids == Set("run-1", ""), s"fold must preserve tokens: $bids")
-    // the parked pre-fold copy awaits the next writer entry (deferred
-    // drop), and the next writer entry clears it
+    // the parked pre-fold copy survives writer entries inside the
+    // r17 grace window (a timed-out reader may still be scanning it)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(store + ".compact-old")))
 
@@ -687,9 +687,17 @@ class StreamCurationSpec extends SparkSpec {
     // admits new ones — cross-run semantics under preserved tokens
     val out = admit(Seq((10L, "alpha doc"), (11L, "delta doc")))
     assert(out == Seq(11L), s"post-compaction dedup broke: $out")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store + ".compact-old")),
+      "a writer entry inside the grace window must keep the parked copy")
+    // past the grace window, the next writer entry drops it
+    graft.ml.ParkSwap.parkedGraceMs = 0L
+    val out2 = try admit(Seq((12L, "epsilon doc")))
+    finally graft.ml.ParkSwap.parkedGraceMs = 60000L
+    assert(out2 == Seq(12L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(store + ".compact-old")),
-      "the next writer entry must drop the parked copy")
+      "an aged parked copy must drop at the next writer entry")
   }
 
   test("mode marker: two disagreeing fuzzy contracts fail loudly; exact mixes freely") {
