@@ -30,20 +30,23 @@ object Curate {
       "       Curate compact-store <storePath>\n" +
       "       Curate compact-grams <storePath>\n" +
       "       Curate compact-ann <indexPath>\n" +
+      "       Curate compact-lex <storePath>\n" +
       "       Curate build-lex <corpus.parquet> <indexPath> " +
       "[idField textField [buckets]]\n" +
       "       Curate build-lex --check <corpus.parquet> <indexPath> " +
       "[textField]"
-    // maintenance actions: offline compaction of the three ingest
+    // maintenance actions: offline compaction of the four ingest
     // stores (dedup_ingest keys / stats_ingest gram counts / the
-    // ann_ingest IVF index) — each is a single-WRITER action, so run
-    // them while the corresponding streaming query is stopped
-    // (concurrent readers are fine: all three commit via ParkSwap).
-    // All three folds are replay-safe: a batch replayed after its
-    // state was folded still behaves correctly (the marker ledger for
-    // grams/ann; preserved attempt tokens for the key store, r17) —
-    // the same folds the stages' `compact_every:` knob runs inline.
-    val maintenance = Set("compact-store", "compact-grams", "compact-ann")
+    // ann_ingest IVF index / the lex_ingest BM25 postings store) —
+    // each is a single-WRITER action, so run them while the
+    // corresponding streaming query is stopped (concurrent readers
+    // are fine: all four commit via ParkSwap). All four folds are
+    // replay-safe: a batch replayed after its state was folded still
+    // behaves correctly (the marker ledger for grams/ann/lex;
+    // preserved attempt tokens for the key store, r17) — the same
+    // folds the stages' `compact_every:` knob runs inline.
+    val maintenance = Set("compact-store", "compact-grams", "compact-ann",
+      "compact-lex")
     // build-lex: materialize a BM25 lexical index (ml/LexIndex) —
     // tokenization and the df/dl/n_docs/avgdl statistics paid ONCE at
     // write, so bm25_topk/hybrid_topk `lex_index:` reads O(query
@@ -103,6 +106,10 @@ object Curate {
         case "compact-ann" =>
           val (before, after) = ml.IvfIngest.compact(s, args(1))
           println(s"""{"compact_ann":"ok","index":"${args(1)}",""" +
+            s""""files_before":$before,"files_after":$after}""")
+        case "compact-lex" =>
+          val (before, after) = ml.LexIngest.compact(s, args(1))
+          println(s"""{"compact_lex":"ok","store":"${args(1)}",""" +
             s""""files_before":$before,"files_after":$after}""")
       } finally s.stop()
       return

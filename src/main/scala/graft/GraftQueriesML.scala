@@ -2341,9 +2341,78 @@ object GraftQueriesML {
     },
     Some(bm25TopkSql))
 
+  /** BM25 retrieval served from a GROWING ingest store (r17 —
+    * `lex_ingest` → `bm25_topk index:`): the corpus arrives in THREE
+    * batches through the lex_ingest stage (explicit batch ids, the
+    * batch-mode contract), one of them replayed to prove idempotence,
+    * and the read computes n_docs/avgdl/df from exactly the committed
+    * batches. Because those are the same aggregates the full-scan path
+    * computes — df was a read-time count already; n_docs/avgdl sum the
+    * per-batch sidecars — ingest-served retrieval must match
+    * [[mBm25]]'s oracle VERBATIM (up to the avgdl summation order the
+    * 6-decimal rounding erases). The structural point this row gates:
+    * a store that GREW to the corpus retrieves identically to an index
+    * FROZEN over it — no blind fraction, no staleness.
+    */
+  private val mBm25Ingest = Spec("ml_bm25_ingest",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val root = "/tmp/graft-bm25-ingest-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // rebuild per run — the query owns the path
+      val ipath = root + "/store"
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      def ingestYaml(bid: String) =
+        s"""pipeline:
+           |  - type: lex_ingest
+           |    id_field: doc_id
+           |    text_field: text
+           |    buckets: 16
+           |    batch_id: $bid
+           |    index:
+           |      path: $ipath
+           |""".stripMargin
+      // the ingest-stage append runs at plan-compile time (the
+      // ann_ingest convention) — compiling IS ingesting
+      for (b <- 0 until 3) {
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+        graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(ingestYaml(s"batch-$b")))(
+          batch)
+      }
+      // replay of a committed batch: must no-op (idempotence is part
+      // of the semantics this row gates)
+      graft.pipeline.PipelineCompiler.compile(
+        graft.pipeline.RuleLoader.fromYaml(ingestYaml("batch-1")))(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === 1))
+      val qDir = root + "/queries"
+      d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(Curation.words(col("text")), 1, 5), " ")
+            .as("qtext"))
+        .coalesce(1).write.mode("overwrite").parquet(qDir)
+      val yaml =
+        s"""pipeline:
+           |  - type: bm25_topk
+           |    k: 10
+           |    index:
+           |      path: $ipath
+           |    queries:
+           |      path: $qDir
+           |      qid_field: qid
+           |      qtext_field: qtext
+           |""".stripMargin
+      graft.pipeline.PipelineCompiler.compile(
+          graft.pipeline.RuleLoader.fromYaml(yaml))(corpus).main
+    },
+    Some(bm25TopkSql))
+
   /** The BM25 oracle shared VERBATIM by [[mBm25]] (full-scan library
-    * call) and [[mBm25Index]] (the written-index read) — identical SQL
-    * is the point: the index must add nothing to the semantics.
+    * call), [[mBm25Index]] (the written-index read), and
+    * [[mBm25Ingest]] (the growing-store read) — identical SQL is the
+    * point: neither re-layout may add anything to the semantics.
     */
   private def bm25TopkSql: String =
     """WITH q AS (SELECT doc_id AS qid,
@@ -3425,7 +3494,8 @@ object GraftQueriesML {
     mRepetition, mHashSplit, mStratified,
     mNgramTopK, mZipfFit, mContamination, mDocFreq, mPackChunks, mPiiRedact,
     mPiiCards,
-    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mBm25Index, mHybrid,
+    mUnigramLP, mDupNgrams, mDupSpans, mDupSpansClean, mBm25, mBm25Index,
+    mBm25Ingest, mHybrid,
     mHybridIndex,
     mParaDedup,
     mCovariance,

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,21 +41,31 @@ import org.apache.spark.sql.functions._
   * tokenizer ([[Curation.words]]) is an index property — the marker
   * records version 1 = single-space split.
   *
-  * The index is immutable (one write, the ivfWriteIndex convention).
-  * A growing corpus re-indexes or unions a delta index's postings at
-  * read — but note df/avgdl staleness is a CORRECTNESS drift for BM25,
-  * unlike ANN's recall drift, so the honest incremental story is
-  * re-index on a cadence, not append.
+  * The frozen index is immutable (one write, the ivfWriteIndex
+  * convention) — df/avgdl staleness is a CORRECTNESS drift for BM25,
+  * unlike ANN's recall drift, so its honest refresh is re-index on a
+  * cadence ([[staleness]] prices when). A corpus that keeps GROWING
+  * deserves the ingestable layout instead ([[LexIngest]], marker
+  * `layout: bidpart`): per-batch rename-committed postings partitions
+  * whose df/n_docs/avgdl are computed AT READ from exactly the
+  * committed batches — no frozen statistic, no blind fraction.
+  * [[bm25ReadTopK]] serves both layouts through the marker dispatch.
   */
 object LexIndex {
 
-  private val MarkerFile = "_graft_bm25.json"
+  private[ml] val MarkerFile = "_graft_bm25.json"
 
   private def markerPath(path: String) = new Path(path, MarkerFile)
 
-  private case class Meta(nDocs: Long, avgdl: Double, buckets: Int)
+  /** `layout: frozen` carries authoritative n_docs/avgdl; `bidpart`
+    * ([[LexIngest]]) computes them at read from the committed batch
+    * stats, and the marker instead carries the `folded` batch-id
+    * ledger (the [[IvfIngest.compact]] replay rule).
+    */
+  private[ml] case class Meta(nDocs: Long, avgdl: Double, buckets: Int,
+                              layout: String, folded: Set[String])
 
-  private def readMeta(spark: SparkSession, path: String): Option[Meta] = {
+  private[ml] def readMeta(spark: SparkSession, path: String): Option[Meta] = {
     val p = markerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -65,12 +75,33 @@ object LexIndex {
     val node = try new com.fasterxml.jackson.databind.ObjectMapper()
                      .readTree(txt)
                catch { case _: java.io.IOException => return None }
-    for {
-      n <- Option(node.get("n_docs"))
-      a <- Option(node.get("avgdl"))
-      b <- Option(node.get("buckets"))
-    } yield Meta(n.asLong, java.lang.Double.parseDouble(a.asText),
-      b.asInt)
+    val layout = Option(node.get("layout")).map(_.asText).getOrElse("frozen")
+    val folded: Set[String] = Option(node.get("folded")).map { arr =>
+      (0 until arr.size).map(arr.get(_).asText).toSet
+    }.getOrElse(Set.empty)
+    Option(node.get("buckets")).flatMap { b =>
+      if (layout == "frozen")
+        for {
+          n <- Option(node.get("n_docs"))
+          a <- Option(node.get("avgdl"))
+        } yield Meta(n.asLong, java.lang.Double.parseDouble(a.asText),
+          b.asInt, layout, folded)
+      else Some(Meta(0L, 0.0, b.asInt, layout, folded))
+    }
+  }
+
+  /** Atomically commit marker JSON into `dir` (write to a dot-tmp,
+    * rename over) — shared by the frozen build and [[LexIngest]].
+    */
+  private[ml] def commitMarker(fs: FileSystem, dir: String,
+                               json: String): Unit = {
+    val tmp = new Path(dir, "." + MarkerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val mp = markerPath(dir)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    require(fs.rename(tmp, mp),
+      s"LexIndex: could not commit $tmp -> $mp")
   }
 
   /** Materialize the index. Refuses to overwrite a directory holding
@@ -96,7 +127,12 @@ object LexIndex {
     // writer entry: roll back a crashed swap, drop a superseded parked
     // copy / stale tmp build (the GramStore discipline)
     ParkSwap.recover(fs, path)
-    val existing = readMeta(spark, path).isDefined
+    val prior = readMeta(spark, path)
+    require(prior.forall(_.layout == "frozen"),
+      s"$path is an ingestable lex store (layout bidpart, LexIngest) — " +
+        "its refresh is append + compact, never a frozen re-write; " +
+        "point the build at a fresh directory")
+    val existing = prior.isDefined
     require(!fs.exists(p) || existing ||
         fs.listStatus(p).forall { s =>
           val n = s.getPath.getName
@@ -132,14 +168,7 @@ object LexIndex {
       // marker LAST: data is complete only once the marker exists (the
       // GramStore crash rule) — readers refuse a marker-less dir, and
       // a marker-bearing tmp is a COMPLETE build ParkSwap may commit
-      val tmp = new Path(tgt, "." + MarkerFile + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-      finally out.close()
-      val mp = markerPath(tgt)
-      if (fs.exists(mp)) fs.delete(mp, false)
-      require(fs.rename(tmp, mp),
-        s"LexIndex.write: could not commit $tmp -> $mp")
+      commitMarker(fs, tgt, mapper.writeValueAsString(root))
     }
 
     if (existing) {
@@ -188,10 +217,19 @@ object LexIndex {
     val meta = readMeta(spark, at).getOrElse(
       throw new IllegalArgumentException(
         s"$path carries no $MarkerFile marker — not a LexIndex"))
+    // an ingestable store's "frozen" side is its live committed total —
+    // with lex_ingest in the pipe the drift reads ~0, which is the
+    // point: the ingest layout removes the blind fraction
+    val (frozenN, frozenAvg) = meta.layout match {
+      case "bidpart" =>
+        val (n, dlSum) = LexIngest.storeStats(spark, at)
+        (n, if (n == 0L) 0.0 else dlSum / n)
+      case _ => (meta.nDocs, meta.avgdl)
+    }
     val row = corpus
       .select(size(Curation.words(col(textCol))).cast("double").as("dl"))
       .agg(count(lit(1)), avg(col("dl"))).head()
-    Staleness(meta.nDocs, row.getLong(0), meta.avgdl,
+    Staleness(frozenN, row.getLong(0), frozenAvg,
       if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
 
@@ -215,8 +253,28 @@ object LexIndex {
     val meta = readMeta(spark, at).getOrElse(
       throw new IllegalArgumentException(
         s"$path carries no $MarkerFile marker — not a LexIndex (build " +
-          "it with LexIndex.write; the marker is authoritative for " +
-          "n_docs/avgdl/buckets)"))
+          "it with LexIndex.write or ingest with LexIngest; the marker " +
+          "is authoritative for layout/buckets)"))
+    // layout dispatch: frozen reads `postings/` under the marker's
+    // authoritative n_docs/avgdl; bidpart ([[LexIngest]]) reads the
+    // committed `bid=` batch partitions and computes n_docs/avgdl from
+    // their stats sidecars — always current to the last committed
+    // batch, no frozen statistic to drift
+    val (nDocs, avgdl, postingsAll) = meta.layout match {
+      case "bidpart" =>
+        val (n, dlSum) = LexIngest.storeStats(spark, at)
+        require(n > 0L,
+          s"$path is an ingestable lex store with no committed " +
+            "documents yet — append a batch before reading")
+        require(LexIngest.dataFileCount(spark, at) > 0L,
+          s"$path holds $n ingested documents but zero postings — " +
+            "every text tokenized to nothing; BM25 over an all-empty " +
+            "corpus is empty by construction")
+        (n, dlSum / n, spark.read.parquet(at)
+          .select(col("t"), col("id"), col("tf"), col("dl"), col("tb")))
+      case _ =>
+        (meta.nDocs, meta.avgdl, spark.read.parquet(at + "/postings"))
+    }
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(Curation.words(col(qtextCol)))).as("t"))
     // ≤ |distinct query terms| (t, bucket) rows — bounded by the
@@ -229,16 +287,16 @@ object LexIndex {
       .distinct().collect()
     val terms = termRows.map(_.getString(0)).toSeq
     val buckets = termRows.map(_.getLong(1)).distinct.toSeq
-    val tf = spark.read.parquet(at + "/postings")
+    val tf = postingsAll
       .filter(col("tb").isin(buckets: _*))
       .filter(col("t").isin(terms: _*))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val termScore =
-      log((lit(meta.nDocs.toDouble) - col("df") + lit(0.5)) /
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
             (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
     val scored = tf.join(broadcast(dfreq), Seq("t"))
       .join(broadcast(qterms), Seq("t"))
       .groupBy(col("qid"), col("id"))

@@ -51,7 +51,7 @@ object CurationStages {
     "quality_gopher", "perplexity_score", "dsir_sample", "decontaminate",
     "cluster_sample", "cluster_assign", "knn_graph", "temperature_sample",
     "leakage_safe_split", "dedup_media", "quality_budget_select",
-    "stats_ingest")
+    "stats_ingest", "lex_ingest")
 
   /** Stage types whose semantics require the full corpus — rejected on
     * streaming inputs at compile time (plan-build), not at runtime.
@@ -148,6 +148,7 @@ object CurationStages {
       case "ann_topk" => annTopK(pre, c)
       case "hybrid_topk" => hybridTopKStage(pre, c)
       case "ann_ingest" => annIngest(pre, c)
+      case "lex_ingest" => lexIngest(pre, c)
       case "pca_project" =>
         // PCA basis trained on the input corpus at plan time (the
         // dedup_semantic convention: one moment-aggregate pass, dim²
@@ -1469,11 +1470,74 @@ object CurationStages {
     df
   }
 
+  // ---- lex_ingest -----------------------------------------------------
+  //
+  // Incremental BM25 index build (ml/LexIngest — ann_ingest's
+  // term-channel twin): each batch's postings append into a
+  // bid-partitioned lex store which `bm25_topk index:` /
+  // `hybrid_topk lex_index:` then serve with n_docs/avgdl/df computed
+  // from exactly the committed batches — the structural fix for the
+  // frozen index's blind fraction (a frozen index cannot see documents
+  // ingested after its build; this store always can). Bucket geometry
+  // is pinned at creation (`buckets:` consulted only then; a mismatch
+  // against an existing store refuses). Rows pass through unchanged —
+  // ingest stages label/copy state, they never filter. Batch mode
+  // REQUIRES an explicit batch_id (the stats_ingest contract);
+  // streaming uses the checkpoint attempt token, so replays of a
+  // failed sink no-op.
+
+  private def lexIngest(df: DataFrame, c: Map[String, Any]): DataFrame = {
+    val iCfg = c.get("index").map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(throw new IllegalArgumentException(
+        "lex_ingest stage needs `index: {path}`"))
+    val ipath = reqStr(iCfg, "path", "lex_ingest index")
+    val id = idField(c, "lex_ingest")
+    val text = textField(c)
+    require(df.columns.contains(text),
+      s"lex_ingest: no `$text` column (set text_field)")
+    val bid = graft.streaming.StreamRunner.currentBatchToken.value
+      .orElse(c.get("batch_id").map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "lex_ingest in batch mode needs an explicit `batch_id:` — " +
+          "appends are idempotent PER BATCH ID, and a random id per " +
+          "run would double-ingest re-runs (streaming runs use the " +
+          "checkpoint attempt token automatically)"))
+    if (!suppressStateWrites.value) {
+      val spark = df.sparkSession
+      graft.ml.LexIngest.storeBuckets(spark, ipath) match {
+        case None =>
+          // creation is the one moment `buckets:` binds the geometry
+          graft.ml.LexIngest.create(spark, ipath,
+            buckets = int(c, "buckets", 64))
+        case Some(pinned) =>
+          // marker is authoritative thereafter — an explicit knob that
+          // disagrees is a misconfiguration, not a request
+          c.get("buckets").map(_.toString.toInt).foreach { b =>
+            require(b == pinned,
+              s"lex_ingest: the store at $ipath is pinned to " +
+                s"buckets=$pinned (set at creation; the marker is " +
+                s"authoritative) — got buckets=$b; drop the knob or " +
+                "re-ingest into a fresh store")
+          }
+      }
+      val appended = graft.ml.LexIngest.append(df, id, text, ipath, bid)
+      // self-folding cadence — the ann_ingest contract (ledgered
+      // store: replays of folded batches no-op, trigger only on a
+      // batch THIS call committed)
+      compactEvery(c, "lex_ingest").foreach { n =>
+        if (appended &&
+            graft.ml.LexIngest.pendingBatchCount(spark, ipath) >= n)
+          graft.ml.LexIngest.compact(spark, ipath)
+      }
+    }
+    df
+  }
+
   /** The `compact_every: N` knob shared by the self-folding ingest
-    * stages: `ann_ingest`/`stats_ingest` fold once their unfolded
-    * batch-partition count reaches N; `dedup_ingest` (r17) folds once
-    * N committed non-empty appends accumulate in its fold ledger —
-    * see [[dedupIngestCore]] and [[compactIngestStore]].
+    * stages: `ann_ingest`/`stats_ingest`/`lex_ingest` fold once their
+    * unfolded batch-partition count reaches N; `dedup_ingest` (r17)
+    * folds once N committed non-empty appends accumulate in its fold
+    * ledger — see [[dedupIngestCore]] and [[compactIngestStore]].
     */
   private def compactEvery(c: Map[String, Any],
                            stage: String): Option[Int] =

@@ -568,7 +568,7 @@ object StageCatalog {
           |      qid_field: doc_id
           |      qtext_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_bm25_topk", "ml_bm25_index"),
-      notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit. `index: {path}` (r16) serves the result set from a WRITTEN LexIndex (`Curate build-lex <corpus> <index> [idField textField [buckets]]` or ml/LexIndex.write) instead of scanning the piped corpus: tokenization and the df/dl/n_docs/avgdl statistics were paid once at write, the query terms' hash buckets prune `tb=` partitions at PLANNING and the term literal pushes into row-group stats, so a query reads O(query terms) of the postings - bit-identical scores to the full-scan path (same aggregates, same term-score expression; the shared oracle SQL proves it). k1/b stay query-time knobs; id_field/text_field alongside `index:` refuse as dead config (the index pinned its columns at write). The index is IMMUTABLE by contract - BM25's df/avgdl drift under append is a correctness drift, unlike ANN's recall drift, so the honest incremental story is re-index on a cadence, not an ingest store."),
+      notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit. `index: {path}` (r16) serves the result set from a WRITTEN LexIndex (`Curate build-lex <corpus> <index> [idField textField [buckets]]` or ml/LexIndex.write) instead of scanning the piped corpus: tokenization and the df/dl/n_docs/avgdl statistics were paid once at write, the query terms' hash buckets prune `tb=` partitions at PLANNING and the term literal pushes into row-group stats, so a query reads O(query terms) of the postings - bit-identical scores to the full-scan path (same aggregates, same term-score expression; the shared oracle SQL proves it). k1/b stay query-time knobs; id_field/text_field alongside `index:` refuse as dead config (the index pinned its columns at write). The frozen index is IMMUTABLE by contract - BM25's df/avgdl drift under append is a correctness drift, unlike ANN's recall drift, so its honest refresh is re-index on a cadence (`build-lex --check` prices when). `index:` ALSO serves a growing lex_ingest store (r17; the reader dispatches on the marker's layout): there n_docs/avgdl/df compute from exactly the committed batches at read, so a corpus that keeps growing retrieves current without any re-index - see the lex_ingest page for the trade-off."),
     StageDoc("hybrid_topk", "curation",
       "Hybrid retrieval: BM25 lexical top-fetch_k and exact-cosine embedding top-fetch_k over the same corpus, reciprocal-rank-fused (RRF) to top-k per query.",
       y("""pipeline:
@@ -617,6 +617,20 @@ object StageCatalog {
       schemaKind = "embeddings",
       oracle = Seq("ml_ann_ingest"),
       notes = "Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline applied to the IVF layout: the geometry marker (kind + centroids + layout) is written BEFORE any data, each batch is ONE bid=<batch_id>/bucket=N partition committed by an atomic rename (the rename IS the commit point), the seen-check is an O(1) directory probe plus the marker's folded ledger - so at-least-once delivery ingests each batch EXACTLY once under a crash at any point, and crash-abandoned staging is reclaimed by the retry. Geometry pins at creation: `create:` trains centroids on the FIRST batch (maximin; its distribution fixes the bucket geometry for the index's lifetime - re-index to retrain, the dedup_ingest re-banding convention; a tuned nprobe restores recall against drift meanwhile at a visible probe-width cost). IvfIngest.compact (CLI: `Curate compact-ann <path>`) folds the per-batch partitions into one bid=__compact partition with ONE file per bucket and records folded batch ids in the marker's ledger (replays of folded batches still no-op) - the small-files control that keeps a year of batches from turning partition discovery into the dominant query cost; the fold commits by park-swap (an interrupted swap rolls back on the next writer entry) and readers stay safe across the swap instant (they resolve through the parked copy, which survives until the next writer entry). `compact_every: N` makes the fold SELF-TRIGGERING (r16): once the unfolded batch-partition count reaches N after a committed append, the stage folds the store in the same writer turn - safe under at-least-once delivery because the ledger no-ops replays of folded batches and the trigger fires only on a batch THIS call committed (a replay never re-folds); measured motivation: the uncompacted read path degrades 3.1x at just 100 batches. Batch mode REQUIRES explicit `batch_id:` (a random id per run would double-ingest re-runs); streaming uses the checkpoint attempt token automatically, so failed-sink replays no-op. Dry-run (suppressStateWrites) writes nothing. SINGLE-WRITER per index: serialize appends and compactions; readers are safe alongside a writer. Kinds span the full index-size ladder: `flat` (dim*4 B/vector, tunable/exact-verifiable), `sq8` (dim+8), `pq` (m bytes/vector - `create: {kind: pq, m:, pq_k:}` trains the residual codebooks on the first batch alongside the centroids, both frozen in the marker; the shared row builder makes ingested codes bit-identical to the one-shot ivfPqWriteIndex layout)."),
+    StageDoc("lex_ingest", "curation",
+      "Incremental BM25 index build: append each batch's postings into a growing bid-partitioned lex store that bm25_topk `index:` / hybrid_topk `lex_index:` then serve with statistics computed from exactly the committed batches.",
+      y("""pipeline:
+          |  - type: lex_ingest
+          |    id_field: doc_id
+          |    text_field: text
+          |    index:
+          |      path: "/tmp/graft-docs-lex-store"
+          |    buckets: 64         # term-hash geometry, pinned at creation
+          |    compact_every: 64   # self-fold after N unfolded batches
+          |    batch_id: example-batch"""),
+      schemaKind = "documents",
+      oracle = Seq("ml_bm25_ingest"),
+      notes = "ann_ingest's term-channel twin, and the STRUCTURAL fix for frozen-LexIndex staleness: the frozen layout pins df/n_docs/avgdl at write, so every later document is invisible until a re-index (`doc_drift_pct` IS that blind fraction, measured in the r17 lexdrift table); here NOTHING is frozen. df was already a read-time aggregate over the read postings in the frozen layout, so growing the postings grows df correctly for free; n_docs/avgdl become read-time sums over tiny per-batch stats sidecars (`_graft_lex_stats.json`, shipped inside each batch partition by the commit rename; O(batches) metadata reads, bounded by compaction). Retrieval through the SAME reader (`bm25_topk index:` dispatches on the marker's layout) is exact BM25 over exactly the committed batches, always - scores match the full-scan path up to the floating-point summation order of avgdl, which the 6-decimal rounding erases (the shared oracle SQL gates it). Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline: marker (bucket geometry + folded ledger) BEFORE any data, one bid=<batch_id>/tb=<bucket> partition per batch committed by an atomic rename, O(1) replay no-op via the directory probe plus the folded ledger. Reads prune exactly as the frozen layout: query-term hash buckets prune `tb=` partitions at PLANNING inside every batch, the term literal pushes into row-group stats - O(query terms) of postings per query, never the corpus. `buckets:` binds only at creation (the marker is authoritative; a disagreeing explicit knob refuses). LexIngest.compact (CLI: `Curate compact-lex <path>`) folds batch partitions into one bid=__compact with ONE file per term bucket + merged stats, folded ids into the marker ledger; `compact_every: N` makes it self-triggering (the ann_ingest contract: trigger only on a batch THIS call committed, replays never re-fold). Batch mode REQUIRES explicit `batch_id:`; streaming uses the checkpoint attempt token. SINGLE-WRITER per store; readers are safe alongside a writer (ParkSwap). Caller discipline: the store does not dedup ids - a doc id appended twice double-counts in df/n_docs (the IvfIngest two-vectors rule); feed it admitted rows (downstream of dedup_ingest) or accept the count. Trade-off vs the frozen index, stated: per-batch tb partitioning writes up to `buckets` files per batch (compaction is the control), and the frozen layout remains the right choice for a corpus that does not grow between rebuilds."),
     StageDoc("pca_project", "curation",
       "Project embeddings onto a PCA basis trained on the input corpus (optionally whitened) - embedding post-processing before ANN indexing or semantic dedup.",
       y("""pipeline:
@@ -705,7 +719,7 @@ object StageCatalog {
           |    compact_every: 64   # self-fold after N committed appends"""),
       schemaKind = "documents",
       oracle = Seq("ml_fuzzy_ingest"),
-      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed). `compact_every: N` (r17) makes the key-store fold self-triggering: once N committed non-empty appends accumulate (counted in the store's `_graft_folds.json` ledger - metadata-only, maintained only when the knob is set), the stage folds the store to one row per key in the same writer turn. The fold is REPLAY-SAFE because it PRESERVES each surviving row's attempt token instead of re-stamping under a fresh epoch (pre-r17 the epoch fold made an attempt replayed from before the fold find its own keys foreign and DROP its rows, which is why the knob used to refuse): under the single-writer discipline each key is stored under exactly one token, so a replayed batch still recognizes its own keys and re-admits its rows - zero lost, zero duplicated (streaming e2e-gated). The fold commits via ParkSwap (build complete beside the store incl. marker + reset ledger, park, swap); the parked pre-fold copy survives until the NEXT writer entry - note in a self-folding stream that entry is the next MICRO-BATCH, so a reader that timed out into the parked copy has until then, not until the next compaction. `Curate compact-store` runs the same fold offline (single-writer: no concurrent appending stream; concurrent readers are fine and resolve through the parked copy)."),
+      notes = "State = one 16-byte digest per distinct admitted text (exact), plus one n-long MinHash signature (near); bounded by corpus cardinality, not stream length. Fuzzy mode (`max_dist:`, default 2) is dedup_fuzzy's ingest leg over a SHORT normalized field (titles, URLs, names): state per admitted row = the RAW string itself (fstr) - recomparable at ANY max_dist, so the distance is decision-side and never marker-pinned (only the mode is; the field-choice consistency obligation is the caller's, exactly as exact mode's md5 key); rejection = within-batch senior or stored string at <= max_dist edits (dedup_fuzzy's lossless blocking ladder, `blocking: segment` default with `length` legacy bands; thresholded codegen levenshtein verify; cap exemptions surface as cap_ingest_fuzzy); its oracle (ml_fuzzy_ingest) replays the two-batch semantics against full quadratic levenshtein joins in DuckDB. Near mode rejects on LSH band match verified at >= ceil(threshold*n) matching signature components - the constant-state estimate of n-gram Jaccard. Embedding mode (`vec_field`, `dim`, cosine `threshold`) is streaming SEMANTIC dedup: state per admitted vector = sign-LSH band keys + the SQ8-quantized vector (dim+8 bytes, raw floats never stored); rejection = band match verified at quantized-cosine >= threshold, symmetric because both sides decode from SQ8. Size the LSH geometry with `expected_corpus: <rows>` at store CREATION (Similarity.scaledLshBandsPlanes - an ingest store cannot count a corpus that has not arrived, so declare the order of magnitude being built toward and err HIGH: oversizing costs a few extra narrow band keys, undersizing saturates the keyspace and silently drops near-dup recall via the bucket-cap exemption); explicit `bands:`/`planes_per_band:` override, and with neither knob the legacy 8x8 applies (adequate to ~2k vectors). Adding `target_recall: <0..1>` (optional `recall_cosine:`, default = the stage's cosine `threshold:`) grows the pinned band count past r until the analytic OR-of-bands recall at recall_cosine reaches the target (Similarity.recallLshBandsPlanes) - the square b=r sizing holds candidate work to n*log n but its recall@threshold decays ~2.5 points/decade (measured r15), and this is the knob that buys the decay back at an explicit linear b/r cost instead of surfacing as a production dedup-rate drift; it requires expected_corpus (refused loudly without - band sizing is a function of the corpus size being built toward). The geometry is pinned in the store marker: RE-BANDING = re-ingest into a fresh store with the new knob (band keys of different geometry are incomparable; the marker refuses the mismatch loudly). Media mode (`bytes_field`) keys on the 64-bit perceptual aHash of the payload - `media_kind: image` (default; re-encodes and brightness shifts collapse) or `media_kind: audio` (gain shifts and lossless FLAC re-encodes collapse; decoded-sample frame energies); undecodable payloads fall back to exact-bytes md5. A media store mixes with NO text-keyed mode AND no other media_kind - both fingerprint spaces are 16-hex longs, so the kind is part of the contract marker (legacy kind-less media markers read as image-keyed). `compact_every: N` (r17) makes the key-store fold self-triggering: once N committed non-empty appends accumulate (counted in the store's `_graft_folds.json` ledger - metadata-only, maintained only when the knob is set), the stage folds the store to one row per key in the same writer turn. The fold is REPLAY-SAFE because it PRESERVES each surviving row's attempt token instead of re-stamping under a fresh epoch (pre-r17 the epoch fold made an attempt replayed from before the fold find its own keys foreign and DROP its rows, which is why the knob used to refuse): under the single-writer discipline each key is stored under exactly one token, so a replayed batch still recognizes its own keys and re-admits its rows - zero lost, zero duplicated (streaming e2e-gated). The fold commits via ParkSwap (build complete beside the store incl. marker + reset ledger, park, swap); the parked pre-fold copy survives writer entries for a grace window (60 s, age-gated r17) and until at latest the NEXT FOLD (which must clear the park target), so a reader that timed out into the parked copy keeps its files for max(grace, fold cadence) - not merely until the next micro-batch. `Curate compact-store` runs the same fold offline (single-writer: no concurrent appending stream; concurrent readers are fine and resolve through the parked copy)."),
     StageDoc("text_normalize", "curation",
       "In-place pretraining text cleanup: HTML-tag strip, control-char drop, entity decode (&amp; last - no double-decode), Unicode NFC (native kernel), whitespace collapse + trim.",
       y("""pipeline:

@@ -2314,6 +2314,86 @@ class CurationStagesSpec extends SparkSpec {
       "dry-run must not advance the index")
   }
 
+  test("lex_ingest stage: first batch creates, later batches append, " +
+      "bm25_topk index: serves the growing store; batch_id required; " +
+      "pinned buckets refuse a disagreeing knob; dry-run inert") {
+    val s = spark
+    import s.implicits._
+    def docs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, s"spark shuffle doc$i " + ("pad " * (i % 3)).trim)
+    }.toDF("doc_id", "text")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-lexig").toString + "/store"
+    val yaml =
+      s"""pipeline:
+         |  - type: lex_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    batch_id: "%s"
+         |    buckets: 8
+         |    index:
+         |      path: "$storeDir"
+         |""".stripMargin
+    // rows pass through unchanged (ingest stages never filter)
+    val out1 = run(yaml.format("b1"), docs(0, 6))
+    assert(out1.count() == 6 &&
+      out1.columns.toSeq == Seq("doc_id", "text"))
+    run(yaml.format("b2"), docs(6, 12))
+    // a replayed batch id ingests nothing
+    run(yaml.format("b2"), docs(6, 12))
+    assert(graft.ml.LexIngest.storeStats(s, storeDir)._1 == 12L)
+    // the growing store serves bm25_topk `index:` with full-scan
+    // equality over everything committed
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-lexig-q").toString
+    Seq((100L, "spark shuffle"), (200L, "doc7"))
+      .toDF("qid", "qtext").write.mode("overwrite").parquet(qDir)
+    val got = run(
+      s"""pipeline:
+         |  - type: bm25_topk
+         |    k: 5
+         |    index:
+         |      path: "$storeDir"
+         |    queries:
+         |      path: "$qDir"
+         |""".stripMargin, docs(0, 1))
+      .orderBy("qid", "rank").collect().toSeq
+    val want = graft.ml.CorpusStats.bm25TopK(docs(0, 12), "doc_id",
+        "text", Seq((100L, "spark shuffle"), (200L, "doc7"))
+          .toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == want,
+      s"stage-served retrieval diverged from the scan: $got vs $want")
+    // batch mode without batch_id refuses (the stats_ingest contract)
+    val eBid = intercept[IllegalArgumentException] {
+      run(
+        s"""pipeline:
+           |  - type: lex_ingest
+           |    id_field: doc_id
+           |    text_field: text
+           |    index:
+           |      path: "$storeDir"
+           |""".stripMargin, docs(12, 14))
+    }
+    assert(eBid.getMessage.contains("batch_id"))
+    // the marker is authoritative: an explicit knob that disagrees
+    // with the pinned geometry is a misconfiguration
+    val eBuck = intercept[IllegalArgumentException] {
+      run(yaml.format("b3").replace("buckets: 8", "buckets: 16"),
+        docs(12, 14))
+    }
+    assert(eBuck.getMessage.contains("pinned"))
+    // …while omitting the knob appends fine under the pinned geometry
+    run(yaml.format("b3").replace("    buckets: 8\n", ""), docs(12, 14))
+    assert(graft.ml.LexIngest.storeStats(s, storeDir)._1 == 14L)
+    // dry-run: a state-mutating stage writes NOTHING
+    graft.pipeline.CurationStages.suppressStateWrites.withValue(true) {
+      run(yaml.format("b9"), docs(14, 20))
+    }
+    assert(graft.ml.LexIngest.storeStats(s, storeDir)._1 == 14L,
+      "dry-run must not advance the store")
+  }
+
   test("compact_every: ann_ingest, stats_ingest AND dedup_ingest fold " +
       "themselves every N committed batches; replays never re-fold; " +
       "the key-store fold preserves attempt tokens (r17)") {

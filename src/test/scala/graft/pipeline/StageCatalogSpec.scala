@@ -101,6 +101,13 @@ class StageCatalogSpec extends SparkSpec {
                 "$1 \"" + java.nio.file.Files
                   .createTempDirectory("catalog-ann")
                   .toString + "/index\"")
+            else if (d.name == "lex_ingest")
+              // the ann_ingest reasoning verbatim (compile = create +
+              // append into the documented store path)
+              d.example.replaceAll("(?m)^(\\s*path:).*$",
+                "$1 \"" + java.nio.file.Files
+                  .createTempDirectory("catalog-lex")
+                  .toString + "/store\"")
             else d.example
           PipelineCompiler.compile(
             RuleLoader.fromYaml(example))(frame(d.schemaKind))

@@ -1205,6 +1205,77 @@ class StreamCurationSpec extends SparkSpec {
     assert(got == want, s"self-folded index diverged: $got vs $want")
   }
 
+  test("lex_ingest through StreamRunner: postings accumulate under a " +
+      "live checkpoint, the compact_every fold triggers ITSELF, a " +
+      "failed-sink replay of a self-folded batch no-ops, and " +
+      "retrieval equals the full scan over everything streamed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("lex-stream").toString + "/store"
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: lex_ingest
+         |    id_field: doc_id
+         |    text_field: text
+         |    buckets: 8
+         |    compact_every: 2
+         |    index:
+         |      path: $store
+         |""".stripMargin)
+    val mem = MemoryStream[(Long, String)]
+    @volatile var failFirst = false
+    val sink: DataFrame => Unit = df => {
+      df.count()
+      if (failFirst) { failFirst = false; sys.error("sink down") }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("lex-str-ck")
+      .toString
+    val all = (0 until 12).map(i =>
+      (i.toLong, if (i % 3 == 2) "" // empty docs count toward n_docs
+                 else s"spark shuffle doc$i " + ("pad " * (i % 4)).trim))
+
+    mem.addData(all.take(6): _*)
+    val q1 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(graft.ml.LexIngest.pendingBatchCount(s, store) == 1,
+      "one committed batch: below the fold threshold")
+    assert(graft.ml.LexIngest.storeStats(s, store)._1 == 6L)
+
+    // batch 2: the stage appends, the threshold fires, the store folds
+    // ITSELF — then the sink dies, forcing a replay of a batch whose
+    // partition the self-fold just removed
+    failFirst = true
+    mem.addData(all.drop(6): _*)
+    val q2 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    intercept[Exception] { q2.awaitTermination() }
+    assert(graft.ml.LexIngest.pendingBatchCount(s, store) == 0,
+      "the self-fold must have run before the sink failure")
+    assert(graft.ml.LexIngest.storeStats(s, store)._1 == 12L)
+    val q3 = StreamRunner.run(mem.toDF().toDF("doc_id", "text"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(graft.ml.LexIngest.storeStats(s, store)._1 == 12L,
+      "the replayed micro-batch must no-op via the fold ledger")
+    assert(graft.ml.LexIngest.pendingBatchCount(s, store) == 0,
+      "a ledger no-op must not re-trigger a fold")
+
+    // the streamed, self-folded store serves exactly the full scan
+    val queries = Seq((100L, "spark shuffle"), (200L, "doc7"))
+      .toDF("qid", "qtext")
+    val got = graft.ml.LexIndex.bm25ReadTopK(s, store, queries,
+        "qid", "qtext", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val want = graft.ml.CorpusStats.bm25TopK(
+        all.toDF("doc_id", "text"), "doc_id", "text", queries,
+        "qid", "qtext", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == want, s"streamed store diverged: $got vs $want")
+  }
+
   test("dedup_ingest compact_every through StreamRunner: the key-store " +
       "fold triggers ITSELF under a live checkpoint; a failed-sink " +
       "replay of a folded batch re-admits exactly its own rows — " +
