@@ -914,6 +914,113 @@ object ScaleProof {
     spark.stop()
   }
 
+  /** Growing-BM25-store rows: `runMain graft.ScaleProof lexingest
+    * [out10]` — the measured basis for the lex_ingest claims. The
+    * frozen-index decade growth is mainLexIndex's axis; the axis THIS
+    * store adds is BATCH COUNT: postings arrive as N rename-committed
+    * partitions, reads must stay correct (hard-required identical to
+    * the frozen index AND the full scan on the same corpus) and the
+    * uncompacted read-path penalty vs the fold must be priced — the
+    * number `compact_every:` is sized by. Rows:
+    *
+    *  - per tier (sf0.1 base / x10 replicas), a 32-batch ingest:
+    *    append wall total (vs the one-shot frozen build), read
+    *    min-of-3 uncompacted → folded → frozen, file counts, identity;
+    *  - a batch-count sweep (8 / 32 / 128) on the base tier:
+    *    uncompacted read seconds + data files per batch count — the
+    *    degradation curve the self-fold bounds.
+    */
+  private def mainLexIngest(args: Array[String]): Unit = {
+    import graft.ml.{CorpusStats, LexIndex, LexIngest}
+    val src = "/root/testdata/sf0.1"
+    val out10 = args.headOption.getOrElse("/tmp/graft-sf1")
+    val spark = session()
+    val gate = LoadGate.await(300, tag = "lexingest")
+    println(s"""{"load_gate":$gate}""")
+    buildReplicas(spark, src, out10)
+    val queries = Tables.table(spark, src, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(graft.ml.Curation.words(col("text")), 1, 5), " ")
+          .as("qtext"),
+        md5(col("doc_id").cast("string")).as("__h"))
+      .orderBy(col("__h")).limit(64).drop("__h").persist()
+    queries.count()
+    def timeMin(mk: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheSweep.sweep(spark)
+        dt
+      }.min
+    def ingest(docs: org.apache.spark.sql.DataFrame, store: String,
+               batches: Int): Double = {
+      val sp = new org.apache.hadoop.fs.Path(store)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(sp, true)
+      val t0 = System.nanoTime()
+      LexIngest.create(spark, store, buckets = 64)
+      for (b <- 0 until batches)
+        LexIngest.append(
+          docs.filter(pmod(col("doc_id"), lit(batches)) === b),
+          "doc_id", "text", store, s"b$b")
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((tier, dir) <- Seq("base" -> src, "x10" -> out10)) {
+      val docs = Tables.table(spark, dir, "documents")
+      val n = docs.count()
+      val store = s"/tmp/graft-lexing-$tier"
+      val appendSec = ingest(docs, store, batches = 32)
+      val filesRaw = LexIngest.dataFileCount(spark, store)
+      val rawSec = timeMin(() => LexIndex.bm25ReadTopK(spark, store,
+        queries, "qid", "qtext", k = 10))
+      val rawRows = LexIndex.bm25ReadTopK(spark, store, queries,
+        "qid", "qtext", k = 10).orderBy("qid", "rank").collect().toSeq
+      val c0 = System.nanoTime()
+      val (_, filesFolded) = LexIngest.compact(spark, store)
+      val compactSec = (System.nanoTime() - c0) / 1e9
+      val foldSec = timeMin(() => LexIndex.bm25ReadTopK(spark, store,
+        queries, "qid", "qtext", k = 10))
+      val foldRows = LexIndex.bm25ReadTopK(spark, store, queries,
+        "qid", "qtext", k = 10).orderBy("qid", "rank").collect().toSeq
+      // the frozen one-shot index over the same corpus: the build-cost
+      // and read-cost comparator, and the identity anchor
+      val idx = s"/tmp/graft-lexing-frozen-$tier"
+      val ip = new org.apache.hadoop.fs.Path(idx)
+      val fsI = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsI.delete(ip, true)
+      val b0 = System.nanoTime()
+      LexIndex.write(docs, "doc_id", "text", idx, buckets = 64)
+      val buildSec = (System.nanoTime() - b0) / 1e9
+      val frozenSec = timeMin(() => LexIndex.bm25ReadTopK(spark, idx,
+        queries, "qid", "qtext", k = 10))
+      val frozenRows = LexIndex.bm25ReadTopK(spark, idx, queries,
+        "qid", "qtext", k = 10).orderBy("qid", "rank").collect().toSeq
+      val scanRows = CorpusStats.bm25TopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+        .orderBy("qid", "rank").collect().toSeq
+      val identical = rawRows == scanRows && foldRows == scanRows &&
+        frozenRows == scanRows
+      CacheSweep.sweep(spark)
+      println(f"""{"lexingest_tier":"$tier","n_docs":$n,"batches":32,"append_total_sec":$appendSec%.3f,"frozen_build_sec":$buildSec%.3f,"files_raw":$filesRaw,"files_folded":$filesFolded,"compact_sec":$compactSec%.3f,"read_raw_sec_min":$rawSec%.3f,"read_folded_sec_min":$foldSec%.3f,"read_frozen_sec_min":$frozenSec%.3f,"identical":$identical,"result_rows":${scanRows.size}}""")
+      require(identical,
+        s"lexingest: store-served BM25 diverged at $tier")
+    }
+    // batch-count sweep: the uncompacted degradation curve (base tier)
+    val baseDocs = Tables.table(spark, src, "documents")
+    for (batches <- Seq(8, 32, 128)) {
+      val store = s"/tmp/graft-lexing-sweep-$batches"
+      val appendSec = ingest(baseDocs, store, batches)
+      val files = LexIngest.dataFileCount(spark, store)
+      val rawSec = timeMin(() => LexIndex.bm25ReadTopK(spark, store,
+        queries, "qid", "qtext", k = 10))
+      println(f"""{"lexingest_batches":$batches,"tier":"base","data_files":$files,"append_total_sec":$appendSec%.3f,"read_raw_sec_min":$rawSec%.3f}""")
+    }
+    queries.unpersist(blocking = false)
+    spark.stop()
+  }
+
   /** BM25 staleness → ranking impact: `runMain graft.ScaleProof
     * lexdrift` (VERDICT r16 missing #2 — put a NUMBER on "what drift
     * percentage moves BM25 rankings measurably", so `Curate build-lex
@@ -1126,6 +1233,9 @@ object ScaleProof {
     }
     if (args.headOption.contains("fuzzy")) { mainFuzzy(); return }
     if (args.headOption.contains("lexdrift")) { mainLexDrift(); return }
+    if (args.headOption.contains("lexingest")) {
+      mainLexIngest(args.drop(1)); return
+    }
     if (args.headOption.contains("drift")) { mainDrift(args.drop(1)); return }
     if (args.headOption.contains("lexindex")) {
       mainLexIndex(args.drop(1)); return

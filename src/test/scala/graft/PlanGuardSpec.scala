@@ -102,6 +102,12 @@ class PlanGuardSpec extends SparkSpec {
                                // all, df agg + score agg + window —
                                // 2 fewer exchanges than ml_bm25_topk
                                // and the corpus never enters the plan
+    "ml_bm25_ingest" -> 5,     // the ml_bm25_index tail verbatim: the
+                               // ingest appends run at plan-BUILD time
+                               // (the ann_ingest convention), so the
+                               // returned plan is the same bucket-
+                               // pruned postings read — bid partitions
+                               // add directories, not exchanges
     "ml_para_dedup" -> 5,      // digest distinct+count, anti-join, reassembly agg
     "ml_embed_covariance" -> 1, // ONE dim²-buffer moment aggregate; explode narrow
     "ml_embed_ivf_topk" -> 2,
