@@ -31,6 +31,7 @@ object Curate {
       "       Curate compact-grams <storePath>\n" +
       "       Curate compact-ann <indexPath>\n" +
       "       Curate compact-lex <storePath>\n" +
+      "       Curate check-ann <indexPath>\n" +
       "       Curate build-lex <corpus.parquet> <indexPath> " +
       "[idField textField [buckets]]\n" +
       "       Curate build-lex --check <corpus.parquet> <indexPath> " +
@@ -45,8 +46,11 @@ object Curate {
     // behaves correctly (the marker ledger for grams/ann/lex;
     // preserved attempt tokens for the key store, r17) — the same
     // folds the stages' `compact_every:` knob runs inline.
+    // check-ann is READ-ONLY (it resolves through ParkSwap.readerDir
+    // and mutates nothing) — safe beside a live writer, unlike the
+    // compactions above.
     val maintenance = Set("compact-store", "compact-grams", "compact-ann",
-      "compact-lex")
+      "compact-lex", "check-ann")
     // build-lex: materialize a BM25 lexical index (ml/LexIndex) —
     // tokenization and the df/dl/n_docs/avgdl statistics paid ONCE at
     // write, so bm25_topk/hybrid_topk `lex_index:` reads O(query
@@ -111,6 +115,8 @@ object Curate {
           val (before, after) = ml.LexIngest.compact(s, args(1))
           println(s"""{"compact_lex":"ok","store":"${args(1)}",""" +
             s""""files_before":$before,"files_after":$after}""")
+        case "check-ann" =>
+          println(checkAnn(s, args(1)))
       } finally s.stop()
       return
     }
@@ -172,6 +178,66 @@ object Curate {
     try run(spark, cfgPath, inPath, outDir, partitionBy, format, profileBy,
       bucketBy)
     finally spark.stop()
+  }
+
+  /** Occupancy/drift report for an IVF index, as the one JSON line the
+    * `check-ann` CLI prints — the ann twin of `build-lex --check` (the
+    * r16 drift measurement priced re-tune vs re-index; THIS answers
+    * "when to look" with a number): bucket occupancy under the pinned
+    * centroids, and for ingestable stores the total-variation distance
+    * between each LIVE batch's bucket histogram and the whole store's.
+    * A batch landing lopsidedly vs the store (tv → 1) is the
+    * distribution-shift tell: probe reads concentrate, recall at the
+    * tuned nprobe decays — re-tune (cheap, SCALE_X100_r16 drift rows:
+    * restores recall at a probe-width cost) or re-index (halves probe
+    * reads). READ-ONLY: resolves through ParkSwap.readerDir, safe
+    * beside a live writer. Driver state ≤ centroids × live batches —
+    * model-sized; the counts come from parquet footers, not row scans.
+    */
+  def checkAnn(s: SparkSession, path: String): String = {
+    val kind = ml.Similarity.ivfIndexGeometry(s, path)
+      .map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"$path carries no IVF geometry marker — not an IVF index"))
+    val nCen = ml.Similarity.ivfIndexGeometry(s, path).get._2.size
+    val bidpart = ml.Similarity.ivfIndexLayout(s, path).contains("bidpart")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val at = ml.ParkSwap.readerDir(fs, path)
+    if (bidpart && ml.IvfIngest.dataFileCount(s, at) == 0L)
+      return s"""{"check_ann":"ok","index":"$path","kind":"$kind",""" +
+        s""""centroids":$nCen,"rows":0}"""
+    // partition discovery types `bucket` as int — normalize to long
+    val df0 = s.read.parquet(at)
+      .withColumn("bucket", org.apache.spark.sql.functions
+        .col("bucket").cast("long"))
+    val byBucket = df0.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = byBucket.values.sum
+    val occupied = byBucket.size
+    val mean = n.toDouble / math.max(1, nCen)
+    val maxB = if (byBucket.isEmpty) 0L else byBucket.values.max
+    val imbalance = if (mean == 0) 0.0 else maxB / mean
+    // per-live-bid drift (ingestable stores): tv(batch, store); the
+    // consolidated __compact partition is the settled base, not a batch
+    val tv =
+      if (bidpart) {
+        val perBid = df0.groupBy("bid", "bucket").count().collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val worst = perBid.map(_._1).distinct.filter(_ != "__compact")
+          .map { b =>
+            val h = perBid.filter(_._1 == b).map(x => x._2 -> x._3).toMap
+            val hn = h.values.sum.toDouble
+            val d = (byBucket.keySet ++ h.keySet).toSeq.map { k =>
+              math.abs(h.getOrElse(k, 0L) / math.max(1.0, hn) -
+                byBucket.getOrElse(k, 0L) / n.toDouble)
+            }.sum / 2.0
+            b -> d
+          }.sortBy(-_._2).headOption
+        worst.map { case (b, d) =>
+          f""","max_batch_tv":$d%.4f,"max_tv_bid":"$b""""
+        }.getOrElse("")
+      } else ""
+    f"""{"check_ann":"ok","index":"$path","kind":"$kind","centroids":$nCen,"rows":$n,"occupied_buckets":$occupied,"empty_buckets":${nCen - occupied},"mean_bucket":$mean%.1f,"max_bucket":$maxB,"imbalance_max_over_mean":$imbalance%.2f$tv}"""
   }
 
   def run(spark: SparkSession, cfgPath: String, inPath: String,

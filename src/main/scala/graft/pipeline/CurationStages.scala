@@ -971,12 +971,35 @@ object CurationStages {
   // broadcasts and prunes the corpus token stream before any shuffle.
 
   private def bm25Stage(df: DataFrame, c: Map[String, Any]): DataFrame = {
-    val qCfg = c.get("queries").map(_.asInstanceOf[Map[String, Any]])
-      .getOrElse(throw new IllegalArgumentException(
-        "bm25_topk stage needs `queries: {path, qid_field, qtext_field}`"))
-    val q = readSideTable(df.sparkSession, qCfg, "bm25_topk queries")
-    val qid = str(qCfg, "qid_field", "qid")
-    val qtext = str(qCfg, "qtext_field", "qtext")
+    // `queries: input` — the piped rows ARE the query set, served from
+    // a written lex index (the retrieval-SERVICE shape, the ann_topk
+    // convention): inside StreamRunner each micro-batch of arriving
+    // queries retrieves and the result set flows to the sink. There is
+    // no corpus in the pipe, so it REQUIRES `index:` — and a GROWING
+    // lex_ingest store behind that path serves every micro-batch the
+    // statistics of exactly what is committed at that instant, so the
+    // structural staleness fix reaches the service shape: ingest and
+    // serve concurrently, no re-index, no re-deploy.
+    val (q, qid, qtext) = c.get("queries") match {
+      case Some("input") =>
+        require(c.get("index").isDefined,
+          "bm25_topk: `queries: input` means the piped rows are the " +
+            "QUERY set — there is no corpus in the pipe to scan; give " +
+            "`index: {path}` (a written LexIndex or lex_ingest store)")
+        (df, str(c, "qid_field", "qid"), str(c, "qtext_field", "qtext"))
+      case Some(m: Map[_, _]) =>
+        val qCfg = m.asInstanceOf[Map[String, Any]]
+        (readSideTable(df.sparkSession, qCfg, "bm25_topk queries"),
+          str(qCfg, "qid_field", "qid"),
+          str(qCfg, "qtext_field", "qtext"))
+      case _ => throw new IllegalArgumentException(
+        "bm25_topk stage needs `queries: {path, qid_field, " +
+          "qtext_field}` (side table) or `queries: input` (the piped " +
+          "rows are the queries, served from `index:`)")
+    }
+    require(q.columns.contains(qid) && q.columns.contains(qtext),
+      s"bm25_topk: queries table has no `$qid`/`$qtext` column " +
+        "(set qid_field/qtext_field)")
     c.get("index") match {
       case Some(i) =>
         // `index: {path}` serves the result set from a written

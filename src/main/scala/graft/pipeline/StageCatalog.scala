@@ -568,7 +568,7 @@ object StageCatalog {
           |      qid_field: doc_id
           |      qtext_field: text"""),
       schemaKind = "documents", oracle = Seq("ml_bm25_topk", "ml_bm25_index"),
-      notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit. `index: {path}` (r16) serves the result set from a WRITTEN LexIndex (`Curate build-lex <corpus> <index> [idField textField [buckets]]` or ml/LexIndex.write) instead of scanning the piped corpus: tokenization and the df/dl/n_docs/avgdl statistics were paid once at write, the query terms' hash buckets prune `tb=` partitions at PLANNING and the term literal pushes into row-group stats, so a query reads O(query terms) of the postings - bit-identical scores to the full-scan path (same aggregates, same term-score expression; the shared oracle SQL proves it). k1/b stay query-time knobs; id_field/text_field alongside `index:` refuse as dead config (the index pinned its columns at write). The frozen index is IMMUTABLE by contract - BM25's df/avgdl drift under append is a correctness drift, unlike ANN's recall drift, so its honest refresh is re-index on a cadence (`build-lex --check` prices when). `index:` ALSO serves a growing lex_ingest store (r17; the reader dispatches on the marker's layout): there n_docs/avgdl/df compute from exactly the committed batches at read, so a corpus that keeps growing retrieves current without any re-index - see the lex_ingest page for the trade-off."),
+      notes = "Terminal stage: the output is the result set (qid, rank, doc, score). The query set is small by definition, so its distinct terms broadcast and prune the corpus token stream BEFORE any shuffle - the only corpus-wide work runs at scan speed; per-query top-k plans as WindowGroupLimit. `index: {path}` (r16) serves the result set from a WRITTEN LexIndex (`Curate build-lex <corpus> <index> [idField textField [buckets]]` or ml/LexIndex.write) instead of scanning the piped corpus: tokenization and the df/dl/n_docs/avgdl statistics were paid once at write, the query terms' hash buckets prune `tb=` partitions at PLANNING and the term literal pushes into row-group stats, so a query reads O(query terms) of the postings - bit-identical scores to the full-scan path (same aggregates, same term-score expression; the shared oracle SQL proves it). k1/b stay query-time knobs; id_field/text_field alongside `index:` refuse as dead config (the index pinned its columns at write). The frozen index is IMMUTABLE by contract - BM25's df/avgdl drift under append is a correctness drift, unlike ANN's recall drift, so its honest refresh is re-index on a cadence (`build-lex --check` prices when). `index:` ALSO serves a growing lex_ingest store (r17; the reader dispatches on the marker's layout): there n_docs/avgdl/df compute from exactly the committed batches at read, so a corpus that keeps growing retrieves current without any re-index - see the lex_ingest page for the trade-off. `queries: input` (r17) flips the stage into the retrieval-SERVICE shape (the ann_topk convention): the piped rows ARE the query set (top-level `qid_field:`/`qtext_field:` name their columns) - inside StreamRunner each micro-batch of arriving queries retrieves and the result set flows to the sink; it REQUIRES `index:` (no corpus in the pipe), and over a lex_ingest store each micro-batch is served the statistics of exactly what is committed at that instant - ingest and serve concurrently (e2e-gated: a document ingested between micro-batches is retrievable in the next)."),
     StageDoc("hybrid_topk", "curation",
       "Hybrid retrieval: BM25 lexical top-fetch_k and exact-cosine embedding top-fetch_k over the same corpus, reciprocal-rank-fused (RRF) to top-k per query.",
       y("""pipeline:

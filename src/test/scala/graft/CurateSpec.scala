@@ -120,6 +120,57 @@ class CurateSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("check-ann: occupancy + per-batch drift report; a lopsided " +
+      "batch surfaces as high total-variation vs the store") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("checkann").toString
+    val idx = s"$tmp/idx"
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    ml.IvfIngest.create(s, idx, centroids)
+    // b1 balanced across both buckets (6 rows); b2 lands entirely in
+    // bucket 1 (2 rows) — the distribution-shift shape the report
+    // exists to surface
+    ml.IvfIngest.append(
+      Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)),
+        (3L, Seq(0.8, 0.2)), (4L, Seq(0.2, 0.8)),
+        (5L, Seq(0.7, 0.3)), (6L, Seq(0.3, 0.7)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", idx, "b1")
+    ml.IvfIngest.append(
+      Seq((7L, Seq(0.0, 1.0)), (8L, Seq(0.15, 0.85)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", idx, "b2")
+    val line = Curate.checkAnn(s, idx)
+    assert(line.contains(""""rows":8""") &&
+      line.contains(""""occupied_buckets":2""") &&
+      line.contains(""""empty_buckets":0"""), line)
+    // store histogram is (3, 5)/8; b1 is (3,3)/6 → tv .125; b2 is
+    // (0,2)/2 → tv .375 — the lopsided batch must win the report
+    assert(line.contains(""""max_tv_bid":"b2""""), line)
+    assert(line.contains(""""max_batch_tv":0.37"""), line)
+    // folding absorbs the batches into the settled base: no live
+    // batches left, so no tv fields — occupancy only
+    ml.IvfIngest.compact(s, idx)
+    val folded = Curate.checkAnn(s, idx)
+    assert(folded.contains(""""rows":8""") &&
+      !folded.contains("max_batch_tv"), folded)
+    // a classic single-write index reports occupancy without tv
+    val classic = s"$tmp/classic"
+    ml.Similarity.ivfWriteIndex(
+      Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, classic)
+    val cLine = Curate.checkAnn(s, classic)
+    assert(cLine.contains(""""rows":2""") &&
+      !cLine.contains("max_batch_tv"), cLine)
+    // an empty ingestable store reports rows 0; a non-index refuses
+    val empty = s"$tmp/empty"
+    ml.IvfIngest.create(s, empty, centroids)
+    assert(Curate.checkAnn(s, empty).contains(""""rows":0"""))
+    val e = intercept[IllegalArgumentException](
+      Curate.checkAnn(s, s"$tmp/nope"))
+    assert(e.getMessage.contains("marker"))
+  }
+
   test("CLI flag parsing: both syntaxes accepted, mistakes fail loudly") {
     // flag errors throw before any Spark work
     val unknown = intercept[IllegalArgumentException](

@@ -1528,6 +1528,86 @@ class StreamCurationSpec extends SparkSpec {
     assert(bothLegs.getMessage.contains("exactly ONE"))
   }
 
+  test("bm25_topk `queries: input` through StreamRunner: a query " +
+      "stream is served from a GROWING lex store — documents " +
+      "ingested between micro-batches are visible to the next batch " +
+      "(no re-index, no re-deploy)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-serve").toString + "/store"
+    val v1 = Seq(
+      (1L, "spark shuffle exchange partitions"),
+      (2L, "completely unrelated words here"),
+      (3L, "spark shuffle tuning notes")).toDF("doc_id", "text")
+    val v2add = Seq(
+      (4L, "spark spark spark shuffle"),
+      (5L, "late arriving notes document")).toDF("doc_id", "text")
+    graft.ml.LexIngest.create(s, store, buckets = 8)
+    assert(graft.ml.LexIngest.append(v1, "doc_id", "text", store, "b1"))
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: bm25_topk
+         |    queries: input
+         |    k: 4
+         |    index:
+         |      path: $store
+         |""".stripMargin)
+    val served = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("qid", "rank", "doc", "score").collect()
+      served.synchronized {
+        rows.foreach(r => served +=
+          ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("bm25-serve-ck").toString
+    val mem = MemoryStream[(Long, String)]
+    def want(corpus: DataFrame, qs: Seq[(Long, String)]) =
+      graft.ml.CorpusStats.bm25TopK(corpus, "doc_id", "text",
+          qs.toDF("qid", "qtext"), "qid", "qtext", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    // micro-batch 1: served over exactly the v1 store
+    mem.addData((100L, "spark shuffle"))
+    val q1 = StreamRunner.run(mem.toDF().toDF("qid", "qtext"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(served.toSet == want(v1, Seq((100L, "spark shuffle"))),
+      s"batch-1 service diverged: ${served.toSet}")
+    served.clear()
+    // the corpus GROWS between micro-batches (another writer's ingest
+    // turn); the very next serving batch sees the growth — n_docs,
+    // avgdl, df and the candidate set all move
+    assert(graft.ml.LexIngest.append(v2add, "doc_id", "text", store,
+      "b2"))
+    mem.addData((200L, "spark shuffle"), (300L, "notes"))
+    val q2 = StreamRunner.run(mem.toDF().toDF("qid", "qtext"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val wantGrown = want(v1.union(v2add),
+      Seq((200L, "spark shuffle"), (300L, "notes")))
+    assert(served.toSet == wantGrown,
+      s"batch-2 service must see the grown store: ${served.toSet}\n" +
+        s"vs $wantGrown")
+    assert(served.exists(_._3 == 4L),
+      "the doc ingested between batches must be retrievable")
+    // the service shape refuses without an index (no corpus in the
+    // pipe to scan)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineCompiler.compile(RuleLoader.fromYaml(
+        """pipeline:
+          |  - type: bm25_topk
+          |    queries: input
+          |""".stripMargin))(v1.select(col("doc_id").as("qid"),
+        col("text").as("qtext"))).main
+    }
+    assert(e.getMessage.contains("index"))
+  }
+
   test("stats_ingest -> perplexity_score(train: store) composes: a " +
       "SELF-UPDATING LM gate whose model grows with the stream") {
     val s = spark
