@@ -77,6 +77,13 @@ object Bench {
       "ml_hybrid_topk" -> GraftQueries.queries("ml_hybrid_topk"),
       "ml_fuzzy_pairs_seg" -> GraftQueries.queries("ml_fuzzy_pairs_seg"),
       "ml_fuzzy_ingest" -> GraftQueries.queries("ml_fuzzy_ingest"),
+      // round-17 promotions: the BM25 retrieval family gets per-round
+      // perf presence — the full-scan baseline (tokenize + idf per
+      // batch) and the written-index serve (build + O(query terms)
+      // read); the index row's build is part of its timed cost, the
+      // honest round-trip a fresh serving deployment pays
+      "ml_bm25_topk" -> GraftQueries.queries("ml_bm25_topk"),
+      "ml_bm25_index" -> GraftQueries.queries("ml_bm25_index"),
       "ml_media_recipe" -> ((s: SparkSession, d: String) => {
         // the fixture derives from the documents table — key the staged
         // dir on its mtime so regenerated testdata re-stages instead of

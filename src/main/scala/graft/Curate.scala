@@ -32,6 +32,7 @@ object Curate {
       "       Curate compact-ann <indexPath>\n" +
       "       Curate compact-lex <storePath>\n" +
       "       Curate check-ann <indexPath>\n" +
+      "       Curate migrate-lex <frozenIndexPath> <storePath>\n" +
       "       Curate build-lex <corpus.parquet> <indexPath> " +
       "[idField textField [buckets]]\n" +
       "       Curate build-lex --check <corpus.parquet> <indexPath> " +
@@ -86,6 +87,25 @@ object Curate {
           println(s"""{"build_lex":"ok","index":"${a(2)}",""" +
             s""""buckets":$buckets}""")
         }
+      } finally s.stop()
+      return
+    }
+    // migrate-lex: adopt a frozen LexIndex into a fresh ingestable
+    // store without re-tokenizing (one re-layout commit; the frozen
+    // corpus becomes the store's first batch) — the upgrade path from
+    // re-index-on-a-cadence to no-staleness-by-layout.
+    if (args.headOption.contains("migrate-lex")) {
+      require(args.length == 3, usage)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val s = Tables.configure(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus0]"))
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try {
+        ml.LexIngest.migrate(s, args(1), args(2))
+        println(s"""{"migrate_lex":"ok","from":"${args(1)}",""" +
+          s""""store":"${args(2)}"}""")
       } finally s.stop()
       return
     }

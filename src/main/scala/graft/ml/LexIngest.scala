@@ -178,17 +178,70 @@ object LexIngest {
       .groupBy(col("id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("tb", pmod(xxhash64(col("t")), lit(meta.buckets)))
+    commitBatch(f, stage, part, postings, statsRow.getLong(0),
+      statsRow.getDouble(1))
+    true
+  }
+
+  /** Stage → stats sidecar → rename: the one commit path every batch
+    * takes ([[append]] and [[migrate]] share it so the crash protocol
+    * cannot fork).
+    */
+  private def commitBatch(f: FileSystem, stage: Path, part: Path,
+                          postings: DataFrame, nDocs: Long,
+                          dlSum: Double): Unit = {
     // one shuffle on the bucket key so each bucket lands as one file
     // per batch (the IvfIngest layout rule: a bucket is the read unit)
     postings.repartition(col("tb"))
       .write.partitionBy("tb").parquet(stage.toString)
     // stats sidecar INSIDE the staging dir, before the commit rename —
     // a committed partition always carries its stats
-    writeBatchStats(f, stage, statsRow.getLong(0), statsRow.getDouble(1))
+    writeBatchStats(f, stage, nDocs, dlSum)
     // the rename IS the commit point
     require(f.rename(stage, part),
       s"LexIngest: could not commit $stage -> $part")
-    true
+  }
+
+  /** Adopt a FROZEN LexIndex into a fresh ingestable store WITHOUT
+    * re-tokenizing: the frozen postings are already the store's row
+    * shape, so migration is one re-layout commit (the frozen corpus
+    * becomes the store's first batch, under `batchId`) and the corpus
+    * can keep growing from there with [[append]]. Stats carry over
+    * from the frozen marker — n_docs exactly; dl_sum reconstructed as
+    * avgdl × n_docs, which differs from the original corpus sum by at
+    * most float-product error (a last-ulp avgdl effect the 6-decimal
+    * score rounding erases — the bidpart read caveat, one step
+    * further). Refuses a target that already holds ANY data or marker
+    * (adoption means a fresh store; appending a frozen index's rows
+    * into a live store would double-count its documents).
+    */
+  def migrate(spark: SparkSession, frozenPath: String, storePath: String,
+              batchId: String = "migrated-frozen"): Unit = {
+    require(batchId.nonEmpty && batchId != CompactBid,
+      s"LexIngest.migrate: batchId must be non-empty and not the " +
+        s"reserved `$CompactBid`")
+    val meta = LexIndex.readMeta(spark, frozenPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"LexIngest.migrate: $frozenPath carries no " +
+          s"${LexIndex.MarkerFile} marker — not a LexIndex"))
+    require(meta.layout == "frozen",
+      s"LexIngest.migrate: $frozenPath is already an ingestable store " +
+        "— nothing to migrate")
+    val f = fs(spark, storePath)
+    val dir = new Path(storePath)
+    require(!f.exists(dir) || f.listStatus(dir).isEmpty,
+      s"LexIngest.migrate: $storePath already holds data — adoption " +
+        "targets a FRESH store (appending a frozen index into a live " +
+        "store would double-count its documents)")
+    create(spark, storePath, meta.buckets)
+    val stage = new Path(storePath, ".stage-" + escape(batchId))
+    if (f.exists(stage)) f.delete(stage, true)
+    // same tb values ride along (identical bucket expression + count),
+    // so the re-layout never re-hashes a term
+    val postings = spark.read.parquet(frozenPath + "/postings")
+      .select(col("id"), col("t"), col("tf"), col("dl"), col("tb"))
+    commitBatch(f, stage, new Path(storePath, "bid=" + escape(batchId)),
+      postings, meta.nDocs, meta.avgdl * meta.nDocs)
   }
 
   /** Count of live (unfolded) `bid=` batch partitions — what the

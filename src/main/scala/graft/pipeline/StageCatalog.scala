@@ -630,7 +630,7 @@ object StageCatalog {
           |    batch_id: example-batch"""),
       schemaKind = "documents",
       oracle = Seq("ml_bm25_ingest"),
-      notes = "ann_ingest's term-channel twin, and the STRUCTURAL fix for frozen-LexIndex staleness: the frozen layout pins df/n_docs/avgdl at write, so every later document is invisible until a re-index (`doc_drift_pct` IS that blind fraction, measured in the r17 lexdrift table); here NOTHING is frozen. df was already a read-time aggregate over the read postings in the frozen layout, so growing the postings grows df correctly for free; n_docs/avgdl become read-time sums over tiny per-batch stats sidecars (`_graft_lex_stats.json`, shipped inside each batch partition by the commit rename; O(batches) metadata reads, bounded by compaction). Retrieval through the SAME reader (`bm25_topk index:` dispatches on the marker's layout) is exact BM25 over exactly the committed batches, always - scores match the full-scan path up to the floating-point summation order of avgdl, which the 6-decimal rounding erases (the shared oracle SQL gates it). Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline: marker (bucket geometry + folded ledger) BEFORE any data, one bid=<batch_id>/tb=<bucket> partition per batch committed by an atomic rename, O(1) replay no-op via the directory probe plus the folded ledger. Reads prune exactly as the frozen layout: query-term hash buckets prune `tb=` partitions at PLANNING inside every batch, the term literal pushes into row-group stats - O(query terms) of postings per query, never the corpus. `buckets:` binds only at creation (the marker is authoritative; a disagreeing explicit knob refuses). LexIngest.compact (CLI: `Curate compact-lex <path>`) folds batch partitions into one bid=__compact with ONE file per term bucket + merged stats, folded ids into the marker ledger; `compact_every: N` makes it self-triggering (the ann_ingest contract: trigger only on a batch THIS call committed, replays never re-fold). Batch mode REQUIRES explicit `batch_id:`; streaming uses the checkpoint attempt token. SINGLE-WRITER per store; readers are safe alongside a writer (ParkSwap). Caller discipline: the store does not dedup ids - a doc id appended twice double-counts in df/n_docs (the IvfIngest two-vectors rule); feed it admitted rows (downstream of dedup_ingest) or accept the count. Trade-off vs the frozen index, stated: per-batch tb partitioning writes up to `buckets` files per batch (compaction is the control), and the frozen layout remains the right choice for a corpus that does not grow between rebuilds."),
+      notes = "ann_ingest's term-channel twin, and the STRUCTURAL fix for frozen-LexIndex staleness: the frozen layout pins df/n_docs/avgdl at write, so every later document is invisible until a re-index (`doc_drift_pct` IS that blind fraction, measured in the r17 lexdrift table); here NOTHING is frozen. df was already a read-time aggregate over the read postings in the frozen layout, so growing the postings grows df correctly for free; n_docs/avgdl become read-time sums over tiny per-batch stats sidecars (`_graft_lex_stats.json`, shipped inside each batch partition by the commit rename; O(batches) metadata reads, bounded by compaction). Retrieval through the SAME reader (`bm25_topk index:` dispatches on the marker's layout) is exact BM25 over exactly the committed batches, always - scores match the full-scan path up to the floating-point summation order of avgdl, which the 6-decimal rounding erases (the shared oracle SQL gates it). Rows pass through unchanged - ingest stages label/copy state, they never filter. The GramStore commit discipline: marker (bucket geometry + folded ledger) BEFORE any data, one bid=<batch_id>/tb=<bucket> partition per batch committed by an atomic rename, O(1) replay no-op via the directory probe plus the folded ledger. Reads prune exactly as the frozen layout: query-term hash buckets prune `tb=` partitions at PLANNING inside every batch, the term literal pushes into row-group stats - O(query terms) of postings per query, never the corpus. `buckets:` binds only at creation (the marker is authoritative; a disagreeing explicit knob refuses). LexIngest.compact (CLI: `Curate compact-lex <path>`) folds batch partitions into one bid=__compact with ONE file per term bucket + merged stats, folded ids into the marker ledger; `compact_every: N` makes it self-triggering (the ann_ingest contract: trigger only on a batch THIS call committed, replays never re-fold). Batch mode REQUIRES explicit `batch_id:`; streaming uses the checkpoint attempt token. SINGLE-WRITER per store; readers are safe alongside a writer (ParkSwap). Caller discipline: the store does not dedup ids - a doc id appended twice double-counts in df/n_docs (the IvfIngest two-vectors rule); feed it admitted rows (downstream of dedup_ingest) or accept the count. Trade-off vs the frozen index, stated: per-batch tb partitioning writes up to `buckets` files per batch (compaction is the control), and the frozen layout remains the right choice for a corpus that does not grow between rebuilds. `Curate migrate-lex <frozenIndex> <store>` adopts an existing frozen index into a fresh store WITHOUT re-tokenizing (one re-layout commit; the frozen corpus becomes the store's first batch) - the upgrade path when a frozen deployment's corpus starts growing."),
     StageDoc("pca_project", "curation",
       "Project embeddings onto a PCA basis trained on the input corpus (optionally whitened) - embedding post-processing before ANN indexing or semantic dedup.",
       y("""pipeline:

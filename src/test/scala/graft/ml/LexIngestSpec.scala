@@ -227,6 +227,50 @@ class LexIngestSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("migrate: a frozen index adopts into a fresh store without " +
+      "re-tokenizing — identical reads, then growth resumes") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("lexing-migrate").toString
+    val frozen = s"$root/frozen"
+    LexIndex.write(corpus, "doc_id", "text", frozen, buckets = 8)
+    val store = s"$root/store"
+    LexIngest.migrate(spark, frozen, store)
+    // the migrated store serves the frozen index's exact results
+    // (n_docs carried exactly; avgdl survives the product/sum
+    // round-trip at the 6-dp rounding)
+    val got = LexIndex.bm25ReadTopK(spark, store, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    val want = LexIndex.bm25ReadTopK(spark, frozen, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(got == want,
+      s"migrated store diverged from the frozen index:\n$got\nvs\n$want")
+    // …and the reason to migrate: the corpus keeps growing from here
+    assert(LexIngest.append(Seq((7L, "spark notes appended later"))
+      .toDF("doc_id", "text"), "doc_id", "text", store, "b2"))
+    val grown = LexIndex.bm25ReadTopK(spark, store, queries, "qid",
+      "qtext", k = 5).orderBy("qid", "rank").collect().toSeq
+    val wantGrown = CorpusStats.bm25TopK(
+        corpus.union(Seq((7L, "spark notes appended later"))
+          .toDF("doc_id", "text")),
+        "doc_id", "text", queries, "qid", "qtext", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(grown == wantGrown, "post-migration growth must serve")
+    // empty docs carried through the marker stats: doc 5 has no
+    // postings but still counts in n_docs
+    assert(LexIngest.storeStats(spark, store)._1 == 7L)
+    // refusals: a non-empty target; migrating an ingestable store
+    val eTgt = intercept[IllegalArgumentException] {
+      LexIngest.migrate(spark, frozen, store)
+    }
+    assert(eTgt.getMessage.contains("FRESH"))
+    val eSrc = intercept[IllegalArgumentException] {
+      LexIngest.migrate(spark, store, s"$root/other")
+    }
+    assert(eSrc.getMessage.contains("already an ingestable"))
+  }
+
   test("a fold interrupted between ParkSwap's renames: readers " +
       "resolve the parked copy, the next writer entry rolls back " +
       "and proceeds (the IvfIngest interleave)") {

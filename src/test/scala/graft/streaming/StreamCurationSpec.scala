@@ -1528,6 +1528,91 @@ class StreamCurationSpec extends SparkSpec {
     assert(bothLegs.getMessage.contains("exactly ONE"))
   }
 
+  test("hybrid_topk `queries: input` over TWO growing stores " +
+      "(ann_ingest index + lex_ingest postings): each micro-batch " +
+      "retrieves exactly what is committed at that instant on BOTH " +
+      "channels — the full live-index story") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("hybrid-live").toString
+    val annIdx = s"$root/ann"
+    val lexIdx = s"$root/lex"
+    val v1 = Seq(
+      (1L, "spark shuffle exchange partitions", Seq(0.0, 1.0)),
+      (2L, "completely unrelated words here", Seq(1.0, 0.02)),
+      (3L, "spark shuffle tuning notes", Seq(1.0, 0.01)))
+      .toDF("doc_id", "text", "embedding")
+    val v2add = Seq(
+      (4L, "spark spark spark shuffle", Seq(0.0, 0.9)),
+      (5L, "nothing in common at all", Seq(0.0, -1.0)))
+      .toDF("doc_id", "text", "embedding")
+    val centroids = Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))
+    graft.ml.IvfIngest.create(s, annIdx, centroids)
+    assert(graft.ml.IvfIngest.append(
+      v1.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", annIdx, "b1"))
+    graft.ml.LexIngest.create(s, lexIdx, buckets = 8)
+    assert(graft.ml.LexIngest.append(v1, "doc_id", "text", lexIdx, "b1"))
+    val spec = RuleLoader.fromYaml(
+      s"""pipeline:
+         |  - type: hybrid_topk
+         |    id_field: doc_id
+         |    queries: input
+         |    k: 4
+         |    nprobe: 2
+         |    index:
+         |      path: $annIdx
+         |    lex_index:
+         |      path: $lexIdx
+         |""".stripMargin)
+    val served = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val sink: DataFrame => Unit = df => {
+      val rows = df.select("qid", "rank", "id").collect()
+      served.synchronized {
+        rows.foreach(r =>
+          served += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hybrid-live-ck").toString
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    def want(corpus: DataFrame, qs: Seq[(Long, String, Seq[Double])]) =
+      graft.ml.Similarity.hybridTopK(corpus, "doc_id", "text",
+          "embedding", qs.toDF("qid", "qtext", "qvec"),
+          "qid", "qtext", "qvec", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // micro-batch 1: both channels serve exactly the v1 stores
+    // (nprobe = C ⇒ the ANN read is exhaustive ≡ brute)
+    mem.addData((100L, "spark shuffle", Seq(1.0, 0.0)))
+    val q1 = StreamRunner.run(mem.toDF().toDF("qid", "qtext", "qvec"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(served.toSet ==
+      want(v1, Seq((100L, "spark shuffle", Seq(1.0, 0.0)))),
+      s"batch-1 live hybrid diverged: ${served.toSet}")
+    served.clear()
+    // BOTH stores grow between micro-batches (another stream's
+    // ingest turns); the next serving batch sees both growths
+    assert(graft.ml.IvfIngest.append(
+      v2add.select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", annIdx, "b2"))
+    assert(graft.ml.LexIngest.append(v2add, "doc_id", "text", lexIdx,
+      "b2"))
+    mem.addData((200L, "spark shuffle", Seq(0.0, 1.0)))
+    val q2 = StreamRunner.run(mem.toDF().toDF("qid", "qtext", "qvec"),
+      spec, Map("main" -> sink), ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val grown = v1.unionByName(v2add)
+    assert(served.toSet ==
+      want(grown, Seq((200L, "spark shuffle", Seq(0.0, 1.0)))),
+      s"batch-2 live hybrid must see both grown stores: ${served.toSet}")
+    assert(served.exists(_._3 == 4L),
+      "the doc ingested between batches must be retrievable")
+  }
+
   test("bm25_topk `queries: input` through StreamRunner: a query " +
       "stream is served from a GROWING lex store — documents " +
       "ingested between micro-batches are visible to the next batch " +
