@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   * µs TimestampType column so every consumer sees one schema.
   */
 object Tables {
+  // r17 optimization note: a guarded round-robin spread after the read
+  // (guide §2.5's unsplittable-input fix — the testdata tables are one
+  // row group, so every scan plans to ONE task) was implemented and
+  // A/B-measured at sf0.1: net LOSS (ml_hybrid_topk 1.36→1.79 s, q2
+  // 0.44→0.59, bigram_xent 0.91→1.11; only minhash/pretrain moved ≤5%
+  // the other way). At 5k docs the per-stage fixed overhead of the
+  // extra exchange — and the broadcast builds it drags behind an
+  // exchange — outweighs the single-core kernel time it parallelizes;
+  // at production scale the guard made it the identity anyway. Removed;
+  // the measurement lives in OPTIMIZATION_r17.md.
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

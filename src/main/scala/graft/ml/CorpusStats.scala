@@ -179,13 +179,28 @@ object CorpusStats {
                queries: DataFrame, qidCol: String, qtextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = corpus.select(col(idCol).as("id"),
+    // corpus statistics ride the tf pass as observed metrics (r17 —
+    // guide §1.2 "don't compute things twice"): the previous shape ran
+    // a SECOND full scan+tokenize just for the one-row (n_docs, avgdl)
+    // aggregate. count/sum over integer-valued doubles are order-exact,
+    // and sum/count is the same IEEE division Average performs, so the
+    // literals below are bit-identical to the old crossJoin(stats) —
+    // the same argument (and the same literal formulation) as
+    // [[LexIndex.bm25ReadTopK]]'s frozen marker statistics, which the
+    // shared ml_bm25_* oracle already gates.
+    val obs = new org.apache.spark.sql.Observation(
+      "bm25_stats_" + java.util.UUID.randomUUID())
+    val docsRaw = corpus.select(col(idCol).as("id"),
         Curation.words(col(textCol)).as("__w"))
       .withColumn("dl", size(col("__w")).cast("double"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val docs = docsRaw
+      .observe(obs, count(lit(1)).as("__n"), sum(col("dl")).as("__s"))
+    // persisted (the minhashPairs convention): the query side feeds
+    // BOTH the qset semi-filter and the scoring join — one scan+split
+    // of the query table, not one per broadcast build
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(Curation.words(col(qtextCol)))).as("t"))
+      .persist()
     val qset = qterms.select(col("t")).distinct()
     // persisted (the minhashPairs convention): tf feeds BOTH the df
     // aggregate and the scoring join — without the persist each branch
@@ -196,20 +211,42 @@ object CorpusStats {
       .groupBy(col("id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .persist()
+    // eager: materializing tf here (it is persisted — the work happens
+    // exactly once either way) delivers the observed corpus statistics,
+    // which fold into the score expression as literals; the stats
+    // subtree disappears from the plan instead of re-scanning the corpus
+    tf.count()
+    val statsRow = obs.get
+    // the observed metrics arrive only when the observed subtree
+    // actually EXECUTED: if tf's persist aliased an identical plan a
+    // previous caller already cached (the CacheManager matches by plan
+    // fingerprint), the count above read the cache and the observe
+    // node never ran — fall back to the direct one-row aggregate over
+    // the un-observed subtree (the pre-r17 shape, same exact values)
+    val (nDocs, avgdl) =
+      if (statsRow.contains("__n")) {
+        val n = statsRow("__n").asInstanceOf[Long].toDouble
+        (n, Option(statsRow("__s")).collect {
+          case d: java.lang.Double if n > 0 => d.doubleValue / n
+        }.getOrElse(0.0))
+      } else {
+        val r = docsRaw.agg(count(lit(1)), sum(col("dl"))).head()
+        val n = r.getLong(0).toDouble
+        (n, if (r.isNullAt(1) || n == 0) 0.0 else r.getDouble(1) / n)
+      }
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // the term-score arithmetic mirrors the oracle SQL token for token
     // (same literal structure, same association) so both engines compute
     // bit-identical per-term scores; only the ≤|query|-term sum is
     // order-sensitive, and the final round(…, 6) absorbs that ulp
     val termScore =
-      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
           + lit(1.0)) *
       (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
     val scored = tf.join(broadcast(dfreq), Seq("t"))
       .join(broadcast(qterms), Seq("t"))
-      .crossJoin(broadcast(stats))
       .groupBy(col("qid"), col("id"))
       .agg(round(sum(termScore), 6).as("score"))
     val w = Window.partitionBy(col("qid"))

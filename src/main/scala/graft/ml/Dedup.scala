@@ -410,6 +410,11 @@ object Dedup {
                    bands: Int = 4, rowsPerBand: Int = 3, k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     val cand = minhashPairs(df, idCol, textCol, bands, rowsPerBand, k)
+    // NOT persisted (the r14 cosineNearDupPairs rule): shingle arrays
+    // are text-wide, so caching them trades the scarce resource
+    // (memory at scale) for a cheap recompute; each verify side
+    // re-derives scan→shingle and AQE broadcasts the small candidate
+    // list against it — measured wall-neutral at sf0.1 (r17)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     val withL = cand.join(sh.withColumnRenamed("id", "a")
       .withColumnRenamed("sh", "sh_a"), "a")
@@ -737,8 +742,8 @@ object Dedup {
     if (disableHistPrefilter) lit(true)
     else nibbleL1(charHist(sa), charHist(sb)) <= lit(2 * maxDist)
 
-  private def compactRows(df: DataFrame, idCol: String,
-                          fieldCol: String): DataFrame = df
+  private[graft] def compactRows(df: DataFrame, idCol: String,
+                                 fieldCol: String): DataFrame = df
     .select(col(idCol).as("id"), col(fieldCol).cast("string").as("s"))
     .filter(col("s").isNotNull)
     .withColumn("len", length(col("s")))
@@ -748,8 +753,21 @@ object Dedup {
                                          maxBucketSize: Int,
                                          capOp: String = "fuzzy_dedup",
                                          track: CacheTracker =
-                                           new CacheTracker): DataFrame = {
-    val rows = track.persist(compactRows(df, idCol, fieldCol))
+                                           new CacheTracker): DataFrame =
+    fuzzySegmentCandidatesFromRows(
+      track.persist(compactRows(df, idCol, fieldCol)),
+      maxDist, maxBucketSize, capOp, track)
+
+  /** [[fuzzySegmentCandidates]] over an ALREADY-compact (id, s, len)
+    * frame the caller persists — the dedup_ingest drop-set path feeds
+    * the SAME compact batch cache to this self-pair leg and the
+    * vs-store cross leg instead of stacking three cache layers over
+    * one projection (r17: each layer added its own TableCacheQueryStage
+    * materialization to the serial AQE chain).
+    */
+  private[graft] def fuzzySegmentCandidatesFromRows(
+      rows: DataFrame, maxDist: Int, maxBucketSize: Int,
+      capOp: String, track: CacheTracker): DataFrame = {
     val (idx, prb) = segEmits(rows, maxDist)
     val Seq(cIdx, cPrb) =
       segCap(Seq(idx, prb), maxBucketSize, capOp, track)
@@ -780,7 +798,7 @@ object Dedup {
     * roles and the candidate set is the union of the two oriented
     * joins. Same hashed keys, same joint cap.
     */
-  private[ml] def fuzzySegmentCrossCandidates(
+  private[graft] def fuzzySegmentCrossCandidates(
       left: DataFrame, right: DataFrame, maxDist: Int,
       maxBucketSize: Int, capOp: String,
       track: CacheTracker = new CacheTracker): DataFrame = {
@@ -911,9 +929,65 @@ object Dedup {
     * `changed` is then a filter over the persisted result instead of a
     * second join + action recomputing the round.
     */
+  /** Small-graph fast path bound (r17): when the symmetric edge list
+    * fits under this many rows, [[componentMins]] collects the EDGES
+    * (never the nodes) and runs an exact driver union-find instead of
+    * the iterative join loop — the AQE-like adaptive decision. At
+    * 2^19 rows the collected pairs are ~8 MB of longs and the
+    * resulting edge-node → root map broadcasts like any dimension
+    * table; the node table is labeled with ONE broadcast left join.
+    * Identical output by construction (min-id components, singletons
+    * self-rooted — the property spec's reference union-find IS this
+    * algorithm); rounds report as 0. At scale the take short-circuits
+    * past the bound and the distributed loop runs unchanged. Test
+    * seam: set 0 to pin the distributed path.
+    */
+  private[graft] var componentSmallGraphBound: Int = 1 << 19
+
   private[ml] def componentMins(ids: DataFrame, edges: DataFrame,
                                 maxRounds: Int,
                                 jumpFrom: Int = 3): (DataFrame, Int) = {
+    val bound = componentSmallGraphBound
+    if (bound > 0 &&
+        ids.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.schema("a").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val take = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .limit(bound + 1).collect()
+      if (take.length <= bound) {
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != c) {
+            val nx = parent.get(c); parent.put(c, r); c = nx
+          }
+          r
+        }
+        take.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val moved = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+        parent.keySet.forEach { k =>
+          val r = find(k)
+          if (r != k) moved += ((k, r))
+        }
+        val spark = ids.sparkSession
+        import spark.implicits._
+        val rootMap = moved.toSeq.toDF("id", "__cm_root")
+        val settled = ids.select(col("id"))
+          .join(broadcast(rootMap), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__cm_root"), col("id")).as("root"))
+        lastComponentRounds.set(0)
+        return (settled, 0)
+      }
+    }
     var labels = ids.select(col("id"))
       .withColumn("root", col("id")).persist()
     val rootType = labels.schema("root").dataType

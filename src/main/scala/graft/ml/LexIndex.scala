@@ -140,14 +140,21 @@ object LexIndex {
         },
       s"$path holds data but no $MarkerFile marker — not a LexIndex; " +
         "refusing to overwrite it (point the write at a fresh directory)")
-    val docs = corpus.select(col(idCol).as("id"),
+    // the frozen statistics ride the postings pass as observed metrics
+    // (r17 — guide §1.2): the previous shape ran a SECOND full
+    // scan+tokenize just for the one-row (n_docs, avgdl) aggregate.
+    // count/sum over integer-valued doubles are order-exact and
+    // sum/count is the division Average performs, so the frozen values
+    // are bit-identical to the old separate aggregate (docs with no
+    // words still count toward both — they flow through the observe
+    // before the explode drops them).
+    val obs = new org.apache.spark.sql.Observation(
+      "lexindex_stats_" + java.util.UUID.randomUUID())
+    val docsRaw = corpus.select(col(idCol).as("id"),
         Curation.words(col(textCol)).as("__w"))
       .withColumn("dl", size(col("__w")).cast("double"))
-    // the same one-row aggregate bm25TopK computes per query batch —
-    // frozen at write (docs with no words still count toward both)
-    val statsRow = docs.agg(count(lit(1)), avg(col("dl"))).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    val docs = docsRaw
+      .observe(obs, count(lit(1)).as("__n"), sum(col("dl")).as("__s"))
     val postings = docs
       .select(col("id"), col("dl"), explode(col("__w")).as("t"))
       .groupBy(col("id"), col("t"))
@@ -159,6 +166,21 @@ object LexIndex {
       // — the IvfIngest.compact layout rule (a bucket is the read unit)
       postings.repartition(col("tb"))
         .write.partitionBy("tb").parquet(tgt + "/postings")
+      val statsRow = obs.get
+      // missing metrics = the observed subtree did not execute (a
+      // cached identical sub-plan, or AQE pruning) — fall back to the
+      // direct one-row aggregate (the pre-r17 shape, same exact values)
+      val (nDocs, avgdl) =
+        if (statsRow.contains("__n")) {
+          val n = statsRow("__n").asInstanceOf[Long]
+          (n, Option(statsRow("__s")).collect {
+            case d: java.lang.Double if n > 0 => d.doubleValue / n
+          }.getOrElse(0.0))
+        } else {
+          val r = docsRaw.agg(count(lit(1)), sum(col("dl"))).head()
+          val n = r.getLong(0)
+          (n, if (r.isNullAt(1) || n == 0) 0.0 else r.getDouble(1) / n)
+        }
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.createObjectNode()
       root.put("version", 1) // tokenizer: Curation.words single-space split

@@ -39,6 +39,19 @@ import graft.ml.{CorpusStats, Curation, Dedup, Multimodal, TextAnalysis}
   */
 object CurationStages {
 
+  /** Label a stage's PLAN-TIME action (guide §1.5): the description is
+    * a thread-local job property, and AQE stage jobs submitted through
+    * `withThreadLocalCaptured` inherit it, so every sub-job of an eager
+    * stage action lands in the UI/probes under one readable name
+    * instead of an anonymous CompletableFuture call site.
+    */
+  private[graft] def labeled[T](df: DataFrame, desc: String)(f: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(old)
+  }
+
   val stageTypes: Set[String] = Set(
     "quality_signals", "pii_redact", "hash_split", "weighted_sample",
     "stratified_sample", "dedup_exact", "dedup_near", "dedup_fuzzy",
@@ -2181,7 +2194,8 @@ object CurationStages {
           col(id) === col("__drop"), "left_anti")
       case None => exactKept
     }
-    val settled = kept.localCheckpoint(true)
+    val settled = labeled(df, "dedup_ingest: settle kept")(
+      kept.localCheckpoint(true))
     // exact layout: bare digests; fuzzy layouts: (digest, state cols)
     // with nulls for state-less rows via the left join
     val newKeys = fuzzyState match {
@@ -2200,9 +2214,11 @@ object CurationStages {
       case None => newKeys
     }
     if (!suppressStateWrites.value) {
-      val settledKeys = toAppend.localCheckpoint(true)
-      settledKeys.withColumn("bid", lit(bid))
-        .write.mode("append").parquet(store)
+      val settledKeys = labeled(df, "dedup_ingest: settle keys")(
+        toAppend.localCheckpoint(true))
+      labeled(df, "dedup_ingest: append store")(
+        settledKeys.withColumn("bid", lit(bid))
+          .write.mode("append").parquet(store))
       writeModeMarker(spark, store, contract, blockAdoption)
       // `compact_every: N` — self-folding small-files control (the
       // ann/stats_ingest discipline, r17): the ledger bumps only when
@@ -2489,9 +2505,18 @@ object CurationStages {
     // settles: a stream would otherwise leak one cache entry per
     // helper per micro-batch for its whole lifetime
     val track = new graft.ml.Dedup.CacheTracker
-    val state = track.persist(inBatch
-      .select(col(id).as("id"), col(textCol).cast("string").as("fstr"))
-      .filter(col("fstr").isNotNull))
+    // ONE compact (id, s, len) cache of the batch serves the self-pair
+    // leg, the vs-store cross leg AND the appended state table (r17:
+    // the previous shape persisted the same projection three times —
+    // state here, plus one compactRows layer inside each leg — and
+    // every extra cache layer is an extra TableCacheQueryStage
+    // materialization in the stage's serial AQE chain). The length
+    // blocking keeps the legacy calls: its legs key on a bucket column
+    // the compact frame does not carry.
+    val stateC = track.persist(graft.ml.Dedup.compactRows(
+      inBatch.select(col(id).as("id"),
+        col(textCol).cast("string").as("fstr")), "id", "fstr"))
+    val state = stateC.select(col("id"), col("s").as("fstr"))
     val storeRows = refKeys.map(ks => track.persist(ks
       .filter(col("bid") =!= bid && col("fstr").isNotNull)
       .select(col("fstr"))))
@@ -2499,15 +2524,29 @@ object CurationStages {
     // nearDropSet rule: direct senior neighbor, not component
     // closure) — candidate pairs come back canonical (a < b), so the
     // junior of each verified pair is b
-    val dropInBatch = graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
+    val dropInBatch = (blocking match {
+      case "segment" => graft.ml.Dedup.fuzzySegmentCandidatesFromRows(
+        stateC, maxDist, maxBucket, "ingest_fuzzy", track)
+      case _ => graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
         "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy", track)
-      .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+    }).filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
       .select(col("b").as("id")).distinct()
     // batch rows within max_dist of a STORED string
-    val dropVsStore = storeRows.map(rr =>
-      graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
-          maxDist, maxBucket, blocking, "ingest_fuzzy", track)
-        .withColumnRenamed("a", "id"))
+    val dropVsStore = storeRows.map { rr =>
+      blocking match {
+        case "segment" =>
+          val rf = track.persist(graft.ml.Dedup.compactRows(
+            rr.withColumn("__rid", lit(0L)), "__rid", "fstr"))
+          graft.ml.Dedup.fuzzySegmentCrossCandidates(stateC, rf,
+              maxDist, maxBucket, "ingest_fuzzy", track)
+            .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+            .select(col("a").as("id")).distinct()
+        case _ =>
+          graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
+              maxDist, maxBucket, blocking, "ingest_fuzzy", track)
+            .withColumnRenamed("a", "id")
+      }
+    }
     val drop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)
     (drop, state, track.frames.toSeq)

@@ -36,7 +36,13 @@ object PipelineCompiler {
     compileCount.incrementAndGet()
     input =>
       spec.stages.foldLeft(PipelineResult(input, Map.empty)) { (acc, stage) =>
-        applyStage(acc, stage)
+        // label the stage application (guide §1.5): stages with eager
+        // plan-time actions (ingest appends, quantile thresholds,
+        // sampling counts) submit jobs HERE, and the thread-local
+        // description — inherited by AQE stage jobs — attributes every
+        // one of them to the stage instead of an anonymous call site
+        CurationStages.labeled(acc.main,
+          s"stage ${stage.processorType}")(applyStage(acc, stage))
       }
   }
 

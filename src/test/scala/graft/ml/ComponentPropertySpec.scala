@@ -55,10 +55,25 @@ class ComponentPropertySpec extends SparkSpec {
       }.toSeq.sorted
       val ids = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("a", "b")
+      // BOTH componentMins paths must agree with the reference: the
+      // small-graph driver union-find (default bound — these fixtures
+      // are far under it) and the distributed label propagation
+      // (pinned via bound = 0) — the r17 fast path is exactly a
+      // re-layout of this spec's own reference algorithm
       val got = Dedup.keepFromPairs(ids, "doc_id", pairs, maxRounds = 30)
         .collect().map(_.getLong(0)).toSeq.sorted
       assert(got == expectKeep,
-        s"mismatch on ${edges.size} edges: got $got expected $expectKeep")
+        s"driver-path mismatch on ${edges.size} edges: got $got " +
+          s"expected $expectKeep")
+      val oldBound = Dedup.componentSmallGraphBound
+      Dedup.componentSmallGraphBound = 0
+      val gotDist =
+        try Dedup.keepFromPairs(ids, "doc_id", pairs, maxRounds = 30)
+          .collect().map(_.getLong(0)).toSeq.sorted
+        finally Dedup.componentSmallGraphBound = oldBound
+      assert(gotDist == expectKeep,
+        s"distributed-path mismatch on ${edges.size} edges: got $gotDist " +
+          s"expected $expectKeep")
     }
   }
 

@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   */
 class NearDupKeepSpec extends SparkSpec {
 
+  /** Pin the DISTRIBUTED label-propagation path (r17): the small-graph
+    * driver union-find would otherwise absorb every fixture here, and
+    * these tests exist to exercise the iterative machinery (hop
+    * warm-up, pointer jumping, convergence probe). Path equality is
+    * spec'd separately in ComponentPropertySpec.
+    */
+  private def withDistributedComponents[T](f: => T): T = {
+    val old = Dedup.componentSmallGraphBound
+    Dedup.componentSmallGraphBound = 0
+    try f finally Dedup.componentSmallGraphBound = old
+  }
+
   test("nearDupKeep collapses transitive chains and keeps singletons") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -148,7 +160,8 @@ class NearDupKeepSpec extends SparkSpec {
     val fwd = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    val (settled, rounds) = Dedup.componentMins(ids, edges, maxRounds = 100)
+    val (settled, rounds) =
+      withDistributedComponents(Dedup.componentMins(ids, edges, maxRounds = 100))
     val roots = settled.select(countDistinct(col("root")).as("d"),
       min(col("root")).as("m"), count(lit(1)).as("n")).collect().head
     assert(roots.getLong(0) == 1L && roots.getLong(1) == 0L &&
@@ -169,7 +182,8 @@ class NearDupKeepSpec extends SparkSpec {
     val ids = Seq(1L, 2L, 5L, 6L, 7L, 42L).toDF("id")
     val fwd = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("a", "b")
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-    val (settled, rounds) = Dedup.componentMins(ids, edges, maxRounds = 20)
+    val (settled, rounds) =
+      withDistributedComponents(Dedup.componentMins(ids, edges, maxRounds = 20))
     val m = settled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L,
       42L -> 42L), s"got $m")
@@ -181,7 +195,8 @@ class NearDupKeepSpec extends SparkSpec {
     val pfwd = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     val pedges = pfwd.union(pfwd.select(col("b").as("a"), col("a").as("b")))
     val results = Seq(1, 3, 100).map { jf =>
-      Dedup.componentMins(pids, pedges, maxRounds = 50, jumpFrom = jf)
+      withDistributedComponents(
+        Dedup.componentMins(pids, pedges, maxRounds = 50, jumpFrom = jf))
         ._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     assert(results.forall(_ == results.head),
@@ -194,7 +209,8 @@ class NearDupKeepSpec extends SparkSpec {
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
     val fwd = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
     val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-    val (settled, _) = Dedup.componentMins(ids, edges, maxRounds = 20)
+    val (settled, _) =
+      withDistributedComponents(Dedup.componentMins(ids, edges, maxRounds = 20))
     val m = settled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
       99L -> 99L), s"got $m")
