@@ -466,14 +466,60 @@ object Curation {
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
-    // smoothed log-prob mirrors the oracle SQL token for token (same
-    // literal structure, same association) for bit-identical doubles
-    def logProb(c: Double, n: Double): Double =
-      math.log((c + alpha) / (n + alpha * buckets))
     val crAll = bucketCounts(raw, docSentinel = true)
     val nDocs = crAll.getOrElse(-1L, 0L)
     val cr = crAll - (-1L)
     val ct = bucketCounts(target, docSentinel = false)
+    (dsirScored(raw, idCol, textCol, buckets, alpha, cr, ct), nDocs)
+  }
+
+  /** [[dsirWeightsAndCount]] when the target is a FILTERED SUBSET of the
+    * raw corpus (the stage's `target_filter` shape): both bucket models
+    * ride ONE training aggregate — every exploded feature row carries an
+    * is-target flag and the target count is a conditional sum — so the
+    * corpus is tokenized once instead of twice at plan time (r17, guide
+    * §1.2). Counts are identical integers to the two-pass form by
+    * construction (the flag partitions the same exploded rows the
+    * filtered pass would have kept), so weights are bit-identical.
+    */
+  def dsirWeightsAndCountFiltered(raw: DataFrame, targetPred: Column,
+                                  idCol: String, textCol: String,
+                                  buckets: Int = 1024,
+                                  alpha: Double = 1.0): (DataFrame, Long) = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def featArr(text: Column): Column =
+      concat(words(text), CorpusStats.ngramArray(text, 2))
+    val bs = transform(featArr(col(textCol)),
+      f => Dedup.md5half(f, 0) % buckets)
+    val entries = concat(array(lit(-1L)),
+      coalesce(bs, array().cast("array<bigint>")))
+    // ≤ `buckets`+1 rows back: (bucket, raw count, target count)
+    val rows = raw.select(explode(entries).as("b"),
+        coalesce(targetPred, lit(false)).cast("long").as("t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c"), sum(col("t")).as("ct"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nDocs = rows.get(-1L).map(_._1).getOrElse(0L)
+    val real = rows - (-1L)
+    val cr = real.map { case (b, (c, _)) => b -> c }
+    val ct = real.collect { case (b, (_, t)) if t > 0 => b -> t }
+    (dsirScored(raw, idCol, textCol, buckets, alpha, cr, ct), nDocs)
+  }
+
+  /** Shared scoring tail of the two trainers: log-ratio LUT from the
+    * bucket-count maps, then the narrow per-row fold. The smoothed
+    * log-prob mirrors the oracle SQL token for token (same literal
+    * structure, same association) for bit-identical doubles.
+    */
+  private def dsirScored(raw: DataFrame, idCol: String, textCol: String,
+                         buckets: Int, alpha: Double,
+                         cr: Map[Long, Long],
+                         ct: Map[Long, Long]): DataFrame = {
+    def featArr(text: Column): Column =
+      concat(words(text), CorpusStats.ngramArray(text, 2))
+    def logProb(c: Double, n: Double): Double =
+      math.log((c + alpha) / (n + alpha * buckets))
     val nRaw = cr.values.sum.toDouble
     val nTgt = ct.values.sum.toDouble
     def ratio(crB: Long, ctB: Long): Double =
@@ -493,7 +539,7 @@ object Curation {
           transform(col("__f"), f =>
             coalesce(element_at(lut, Dedup.md5half(f, 0) % buckets), unseen)),
           lit(0.0), (acc, x) => acc + x), 6).as("log_weight"))
-    (scored, nDocs)
+    scored
   }
 
   /** Gumbel top-k importance resampling over [[dsirWeights]] output —

@@ -870,22 +870,28 @@ object CurationStages {
     val df = stagedInput(df0, c)
     val id = idField(c, "dsir_sample")
     val text = textField(c)
-    val target = (c.get("target_filter"), c.get("target")) match {
+    val (weights, nDocs) = (c.get("target_filter"), c.get("target")) match {
+      // target_filter: the target IS a subset of the staged input, so
+      // both bucket models ride ONE training aggregate (r17 — the
+      // two-pass form tokenized the corpus twice at plan time); weights
+      // are bit-identical (the flag partitions the same exploded rows)
       case (Some(f), _) =>
-        df.filter(coalesce(
+        Curation.dsirWeightsAndCountFiltered(df,
           graft.filter.FilterCompiler.predicate(f.toString, df.schema),
-          lit(false)))
+          id, text,
+          buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
       case (None, Some(t)) =>
         val tc = t.asInstanceOf[Map[String, Any]]
-        df.sparkSession.read.format(str(tc, "format", "parquet"))
+        val target = df.sparkSession.read
+          .format(str(tc, "format", "parquet"))
           .load(reqStr(tc, "path", "dsir_sample target"))
           .withColumnRenamed(str(tc, "text_field", "text"), text)
+        Curation.dsirWeightsAndCount(df, target, id, text,
+          buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
       case _ => throw new IllegalArgumentException(
         "dsir_sample stage needs `target: {path, text_field}` or " +
         "`target_filter`")
     }
-    val (weights, nDocs) = Curation.dsirWeightsAndCount(df, target, id, text,
-      buckets = int(c, "buckets", 1024), alpha = dbl(c, "alpha", 1.0))
     // `k:` — absolute sample size ("select 150 exemplar-like docs");
     // `fraction:` — relative size k = ceil(fraction·n), the scale-safe
     // form for recipes that must keep output proportional to input (an
