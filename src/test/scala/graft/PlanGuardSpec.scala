@@ -184,10 +184,14 @@ class PlanGuardSpec extends SparkSpec {
                                // (r14) — no narrow-candidate verify
                                // re-join
     "ml_neardup_against" -> 10,
-    "ml_neardup_clusters" -> 1, // settled checkpoint scan, label select
+    "ml_neardup_clusters" -> 2, // r17 small-graph path: the root map is
+                               // a driver union-find broadcast (one
+                               // BroadcastExchange) + the spec orderBy —
+                               // no hidden checkpoint scan anymore
     "ml_cluster_split" -> 3,   // label join back to the corpus (2 sides)
                                // + the spec's orderBy range exchange
-    "ml_neardup_keep" -> 1,    // settled checkpoint scan + keep filter
+    "ml_neardup_keep" -> 2,    // r17 small-graph path (see
+                               // ml_neardup_clusters) + keep filter
     "ml_ngram_topk" -> 1,
     "ml_quality_budget" -> 2,  // boundary-band window + the spec orderBy
                                // (band totals collect at plan time)
@@ -196,15 +200,19 @@ class PlanGuardSpec extends SparkSpec {
     "ml_pack_chunks" -> 3,
     "ml_shuffle_layout" -> 1,
     "ml_simhash" -> 1,
-    "ml_simhash_keep" -> 1,    // settled checkpoint scan + keep filter
+    "ml_simhash_keep" -> 2,    // r17 small-graph path (see
+                               // ml_neardup_clusters) + keep filter
     "ml_simhash_pairs" -> 7,
     "ml_image_ahash" -> 1,     // mapPartitions hash kernel + orderBy
     "ml_audio_ahash" -> 1,     // same shape over PCM frame energies
     "ml_media_against" -> 8,   // two-sided banded Hamming match + anti
                                // (persisted two-side fp table inside)
-    "ml_media_recipe" -> 2,    // composed envelope→dedup_media→split:
-                               // the keep semi-join + spec orderBy (the
-                               // Hamming components settle at plan time)
+    "ml_media_recipe" -> 4,    // composed envelope→dedup_media→split:
+                               // the keep semi-join + spec orderBy; r17
+                               // small-graph components add the
+                               // broadcast root map to the RETURNED
+                               // plan (the old budget hid the settled
+                               // work behind a plan-time checkpoint)
     "ml_image_neardup" -> 7,   // banded 64-bit Hamming join (the
                                // simhash_pairs shape over image hashes)
     "ml_stratified_sample" -> 1,
