@@ -2523,9 +2523,13 @@ object CurationStages {
       inBatch.select(col(id).as("id"),
         col(textCol).cast("string").as("fstr")), "id", "fstr"))
     val state = stateC.select(col("id"), col("s").as("fstr"))
-    val storeRows = refKeys.map(ks => track.persist(ks
+    // NOT persisted: the store projection has exactly one consumer
+    // chain (the cross leg compacts-and-persists it, or the length
+    // leg persists its banded form internally) — a persist here would
+    // stack a second cache layer over the same rows (the stateC note)
+    val storeRows = refKeys.map(_
       .filter(col("bid") =!= bid && col("fstr").isNotNull)
-      .select(col("fstr"))))
+      .select(col("fstr")))
     // juniors with a senior within max_dist IN THIS BATCH (the
     // nearDropSet rule: direct senior neighbor, not component
     // closure) — candidate pairs come back canonical (a < b), so the
