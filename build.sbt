@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver scrapes the process stdout tail for the one-line
+// JSON artifact; sbt's default LoggedOutput prefixes every forked line with
+// "[info] ", which breaks the driver's parse (BENCH_r14–r17 all read
+// `parsed: null`). StdoutOutput passes the forked JVM's stdout/stderr
+// through unprefixed so the JSON line lands raw (VERDICT r17 item 2).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
