@@ -79,8 +79,10 @@ object OptProbe {
       println(f"\n===== $name  min=${times.min}%.3f s  med=$med%.3f s  " +
         f"(${times.map(t => f"$t%.2f").mkString(",")})  " +
         f"jobs=${snap.size}  jobwall=$jobSum%.3f s")
-      if (sys.env.getOrElse("SPARK_GRAFT_PROBE_JOBS", "1") == "1")
-        snap.sortBy(j => -(j.end - j.start)).take(25).foreach { j =>
+      val nJobs = sys.env.getOrElse("SPARK_GRAFT_PROBE_JOBS", "25")
+      if (nJobs != "0")
+        snap.sortBy(j => -(j.end - j.start))
+          .take(if (nJobs == "1") 25 else nJobs.toInt).foreach { j =>
           val d = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
           println(f"  job ${j.id}%4d ${d}%8.3f s  stages=${j.stages}%2d " +
             f"tasks=${j.tasks}%4d  ${j.site.take(54)}%-54s ${j.desc.take(60)}")

@@ -771,11 +771,18 @@ object Dedup {
     val (idx, prb) = segEmits(rows, maxDist)
     val Seq(cIdx, cPrb) =
       segCap(Seq(idx, prb), maxBucketSize, capOp, track)
-    // the histogram prefilter evaluates INSIDE the join stage on the
-    // strings the join output already carries: candidates whose packed
-    // histograms differ by more than 2·maxDist bucket units cannot
-    // verify (the CharHistExpr bound) and die before the distinct's
-    // string-carrying shuffle and the levenshtein
+    segSelfPairs(cIdx, cPrb, maxDist)
+  }
+
+  /** The self-pair candidate join over capped emit sides. The
+    * histogram prefilter evaluates INSIDE the join stage on the
+    * strings the join output already carries: candidates whose packed
+    * histograms differ by more than 2·maxDist bucket units cannot
+    * verify (the CharHistExpr bound) and die before the distinct's
+    * string-carrying shuffle and the levenshtein.
+    */
+  private def segSelfPairs(cIdx: DataFrame, cPrb: DataFrame,
+                           maxDist: Int): DataFrame =
     cIdx.select(col("k"), col("id").as("a"), col("s").as("sa"))
       .join(cPrb.select(col("k"), col("id").as("b"), col("s").as("sb")),
         Seq("k"))
@@ -789,6 +796,63 @@ object Dedup {
       .select(col("p.x").as("a"), col("p.y").as("b"),
         col("p.sx").as("sa"), col("p.sy").as("sb"))
       .distinct()
+
+  /** Both candidate shapes of the dedup_ingest fuzzy drop set from ONE
+    * cap aggregate (r18, VERDICT r17 next #1): the self-pair leg and
+    * the vs-store cross leg previously each ran their own full
+    * count-per-key pass over the SAME batch emit stream — two
+    * aggregate executions where one suffices, the heaviest serial
+    * chain in the bench. Here the batch emits carry a side tag through
+    * a single union→count, and BOTH cap sets derive from the one
+    * persisted over-cap frame:
+    *
+    *  - self cap = keys whose BATCH occupancy (`__bn`) breaches the
+    *    cap — only batch emits meet in the self join, so store
+    *    occupancy must not exempt them (accounting identical to the
+    *    old batch-only aggregate);
+    *  - joint cap = keys whose TOTAL occupancy (`__n` = batch+store)
+    *    breaches it — the cross join's blow-up term (identical to the
+    *    old four-side aggregate).
+    *
+    * `__bn ≤ __n`, so the self set is a subset of the joint set and
+    * the persisted frame (over-cap keys only — tiny by definition)
+    * carries both. Exemption counters thread through [[CapAudit]]
+    * per derived set with the matching occupancy column, preserving
+    * the old per-leg audit totals.
+    */
+  private[graft] def fuzzySegmentDropCandidates(
+      batch: DataFrame, store: Option[DataFrame], maxDist: Int,
+      maxBucketSize: Int, capOp: String, track: CacheTracker)
+      : (DataFrame, Option[DataFrame]) = {
+    val (bIdx, bPrb) = segEmits(batch, maxDist)
+    store match {
+      case None =>
+        val Seq(cIdx, cPrb) =
+          segCap(Seq(bIdx, bPrb), maxBucketSize, capOp, track)
+        (segSelfPairs(cIdx, cPrb, maxDist), None)
+      case Some(rf) =>
+        val (rIdx, rPrb) = segEmits(rf, maxDist)
+        val tagged =
+          Seq(bIdx, bPrb).map(_.select(col("k"), lit(1L).as("__b"))) ++
+            Seq(rIdx, rPrb).map(_.select(col("k"), lit(0L).as("__b")))
+        val over = track.persist(CapAudit.observed(
+          tagged.reduce(_ union _)
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("__n"), sum(col("__b")).as("__bn"))
+            .filter(col("__n") > maxBucketSize), capOp))
+        val jointCap = broadcast(over.select(col("k")))
+        val selfCap = broadcast(CapAudit.observed(
+          over.filter(col("__bn") > maxBucketSize), capOp, "__bn")
+          .select(col("k")))
+        def anti(s: DataFrame, cap: DataFrame): DataFrame =
+          s.join(cap, Seq("k"), "left_anti")
+        val self = segSelfPairs(
+          anti(bIdx, selfCap), anti(bPrb, selfCap), maxDist)
+        val cross = segCrossLegs(
+          anti(bIdx, jointCap), anti(bPrb, jointCap),
+          anti(rIdx, jointCap), anti(rPrb, jointCap), maxDist)
+        (self, Some(cross))
+    }
   }
 
   /** Cross-corpus segment candidates: (a, sa, sb) rows pairing `left`
@@ -806,7 +870,15 @@ object Dedup {
     val (rIdx, rPrb) = segEmits(right, maxDist)
     val Seq(cLIdx, cLPrb, cRIdx, cRPrb) =
       segCap(Seq(lIdx, lPrb, rIdx, rPrb), maxBucketSize, capOp, track)
-    // same in-join histogram prefilter as the self-pair shape
+    segCrossLegs(cLIdx, cLPrb, cRIdx, cRPrb, maxDist)
+  }
+
+  /** The two oriented cross-candidate joins over capped emit sides —
+    * same in-join histogram prefilter as the self-pair shape.
+    */
+  private def segCrossLegs(cLIdx: DataFrame, cLPrb: DataFrame,
+                           cRIdx: DataFrame, cRPrb: DataFrame,
+                           maxDist: Int): DataFrame = {
     def leg(l: DataFrame, r: DataFrame): DataFrame =
       l.select(col("k"), col("id").as("a"), col("s").as("sa"))
         .join(r.select(col("k"), col("s").as("sb")), Seq("k"))

@@ -2533,29 +2533,33 @@ object CurationStages {
     // juniors with a senior within max_dist IN THIS BATCH (the
     // nearDropSet rule: direct senior neighbor, not component
     // closure) — candidate pairs come back canonical (a < b), so the
-    // junior of each verified pair is b
-    val dropInBatch = (blocking match {
-      case "segment" => graft.ml.Dedup.fuzzySegmentCandidatesFromRows(
-        stateC, maxDist, maxBucket, "ingest_fuzzy", track)
-      case _ => graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
-        "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy", track)
-    }).filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-      .select(col("b").as("id")).distinct()
-    // batch rows within max_dist of a STORED string
-    val dropVsStore = storeRows.map { rr =>
-      blocking match {
-        case "segment" =>
-          val rf = track.persist(graft.ml.Dedup.compactRows(
-            rr.withColumn("__rid", lit(0L)), "__rid", "fstr"))
-          graft.ml.Dedup.fuzzySegmentCrossCandidates(stateC, rf,
-              maxDist, maxBucket, "ingest_fuzzy", track)
-            .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-            .select(col("a").as("id")).distinct()
-        case _ =>
-          graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
-              maxDist, maxBucket, blocking, "ingest_fuzzy", track)
-            .withColumnRenamed("a", "id")
-      }
+    // junior of each verified pair is b. Under segment blocking both
+    // legs derive from ONE cap aggregate over the shared emit stream
+    // (fuzzySegmentDropCandidates, r18): the self leg and the cross
+    // leg previously each ran a full count-per-key pass over the SAME
+    // batch emits.
+    val (dropInBatch, dropVsStore) = blocking match {
+      case "segment" =>
+        val rf = storeRows.map(rr => track.persist(
+          graft.ml.Dedup.compactRows(
+            rr.withColumn("__rid", lit(0L)), "__rid", "fstr")))
+        val (selfCand, crossCand) = graft.ml.Dedup
+          .fuzzySegmentDropCandidates(stateC, rf, maxDist, maxBucket,
+            "ingest_fuzzy", track)
+        (selfCand.filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+           .select(col("b").as("id")).distinct(),
+         crossCand.map(_
+           .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+           .select(col("a").as("id")).distinct()))
+      case _ =>
+        (graft.ml.Dedup.fuzzyCandidatePairs(state, "id",
+            "fstr", maxDist, maxBucket, blocking, "ingest_fuzzy", track)
+           .filter(levenshtein(col("sa"), col("sb"), maxDist) >= 0)
+           .select(col("b").as("id")).distinct(),
+         storeRows.map(rr =>
+           graft.ml.Dedup.fuzzyCrossDirty(state, rr, "id", "fstr", "fstr",
+               maxDist, maxBucket, blocking, "ingest_fuzzy", track)
+             .withColumnRenamed("a", "id")))
     }
     val drop = dropVsStore
       .map(d => dropInBatch.union(d).distinct()).getOrElse(dropInBatch)

@@ -260,6 +260,51 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(l1("abcdefghij", "0123456789zz") > 4)
   }
 
+  test("dedup_ingest fused cap (r18): one aggregate reproduces both " +
+      "legs' separate per-leg cap accounting exactly where caps fire") {
+    val s = spark
+    import s.implicits._
+    // shared-template piles so slot keys collide: the batch pile alone
+    // sits UNDER the mid cap while batch+store breaches it — the self
+    // cap (batch occupancy) and joint cap (total occupancy) must then
+    // exempt DIFFERENT key sets, which is exactly what the fused
+    // aggregate's (__bn, __n) split encodes
+    val batch = (0 until 25).map(i => (i.toLong, f"key-$i%04d")) ++
+      Seq((100L, "alpha query aa"), (101L, "alpha query ab"))
+    val store = (0 until 30).map(i => f"key-$i%04dq") ++
+      Seq("alpha query ac", "key-0000x")
+    val bdf = Dedup.compactRows(batch.toDF("id", "s"), "id", "s").persist()
+    val rf = Dedup.compactRows(
+      store.toDF("fstr").withColumn("__rid", lit(0L)), "__rid", "fstr")
+      .persist()
+    def pset(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    var sawCapFire = false
+    val t0 = new Dedup.CacheTracker
+    val selfUncapped = pset(Dedup.fuzzySegmentCandidatesFromRows(
+      bdf, 2, 1 << 20, "t_unc", t0))
+    for (cap <- Seq(3, 10, 40, 1 << 20)) {
+      val t1 = new Dedup.CacheTracker
+      val (selfNew, crossNew) = Dedup.fuzzySegmentDropCandidates(
+        bdf, Some(rf), 2, cap, "t_new", t1)
+      val t2 = new Dedup.CacheTracker
+      val selfOld = Dedup.fuzzySegmentCandidatesFromRows(
+        bdf, 2, cap, "t_old", t2)
+      val crossOld = Dedup.fuzzySegmentCrossCandidates(
+        bdf, rf, 2, cap, "t_old", t2)
+      val sn = pset(selfNew)
+      assert(sn == pset(selfOld), s"self candidates diverge at cap $cap")
+      assert(pset(crossNew.get) == pset(crossOld),
+        s"cross candidates diverge at cap $cap")
+      if (sn != selfUncapped) sawCapFire = true
+      (t1.frames ++ t2.frames).foreach(_.unpersist())
+    }
+    t0.frames.foreach(_.unpersist())
+    assert(sawCapFire,
+      "fixture too small: no cap ever changed the self candidate set")
+    bdf.unpersist(); rf.unpersist()
+  }
+
   test("fuzzyDedupKeep collapses a transitive typo chain to the " +
       "component minimum") {
     val s = spark
