@@ -730,6 +730,16 @@ object Dedup {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Exact count + bounded sorted id collection in one aggregate
+    * ([[graft.functions.BoundedCollectLongAgg]]) — the containment
+    * inverted index's single-pass vocabulary build.
+    */
+  private def boundedCollectIds(c: Column, bound: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.BoundedCollectLongAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), bound)
+        .toAggregateExpression())
+
   /** Measurement seam (ScaleProof fuzzy): disables the histogram
     * prefilter at plan-construction time so the unfiltered candidate
     * set — and the equality of the verified result with and without
@@ -1495,23 +1505,60 @@ object Dedup {
     val grams = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("g"))
       .select(col("id"), unhex(md5(col("g"))).as("gd"))
-    val dfc = grams.groupBy(col("gd")).agg(count(lit(1)).as("__df"))
-    val eligible = dfc.filter(col("__df") <= maxDf)
-    val occ = grams.join(eligible.select(col("gd")), Seq("gd"), "left_semi")
+    // ONE vocabulary-sized aggregate replaces the previous {df-count
+    // aggregate → eligibility semi-join → occurrence self-join} chain
+    // (r18, VERDICT r17 next #4 — the x100 scale-killer: 126.6M
+    // candidate rows through two occurrence-sized join exchanges plus
+    // SMJ sorts). Per gram, the exact df and a BOUNDED posting list
+    // ([[graft.functions.BoundedCollectLongAgg]] — O(maxDf) buffer by
+    // construction, so hot boilerplate grams cannot OOM the collect)
+    // ride one count pass; grams above maxDf drop with their truncated
+    // lists (they never pair), eligible grams keep their COMPLETE
+    // sorted posting list. Candidate pairs are then GENERATED IN-STAGE
+    // from each list (sorted ⇒ a < b once per gram, exactly the old
+    // self-join's emission) and partially aggregated before the one
+    // (a,b) exchange — the only occurrence-scale shuffle left is the
+    // single gd exchange feeding the aggregate. The cached frame is
+    // the eligible vocabulary (≤ maxDf ids per row), far below the
+    // previous occurrence-sized `occ` cache; released by
+    // [[graft.CacheSweep]], the minhashPairs convention.
+    val vocab = grams.groupBy(col("gd"))
+      .agg(boundedCollectIds(col("id"), maxDf).as("v"))
+      .filter(col("v.n") <= maxDf)
+      .select(col("v.ids").as("ids"))
       .persist()
-    val perDoc = occ.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val l = occ.alias("l"); val r = occ.alias("r")
-    val shared = l.join(r,
-        col("l.gd") === col("r.gd") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+    // perDoc persisted: BOTH score joins (na, nb) consume it — without
+    // the persist each side re-runs the occurrence-sized explode +
+    // count; the cached frame is doc-count-sized (id, n). A measured
+    // dead end (r18): regrouping (id, n) back INTO the posting lists
+    // so the threshold applies right after the pair aggregate — the
+    // struct-array postings made pair emission ~2× slower (per-row
+    // InternalRow allocation in posexplode/slice) and the wider pair
+    // rows cost more than the two removed joins (44.5–45.8 s vs
+    // 35.0 s at x100).
+    val perDoc = vocab.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .persist()
+    // pair emission: sorted lists ⇒ a < b exactly once per shared
+    // gram (the old index self-join's emission, generated in-stage).
+    // The aggregate clusters by `a` ALONE: hashpartitioning(a)
+    // satisfies the (a,b) grouping (same-key rows colocate under the
+    // coarser key) and is exactly the distribution the first perDoc
+    // join needs — groupBy(a,b) would exchange the full candidate
+    // stream by (a,b) and then re-exchange the distinct pairs by `a`
+    // for the join. Map-side partial aggregation on raw pair rows was
+    // near-useless anyway: a pair's duplicates (one per shared gram)
+    // scatter across gd partitions. Per-`a` volume is bounded by
+    // n_a · maxDf, so the single-key clustering cannot concentrate
+    // unboundedly (no cap-less skew).
+    val shared = vocab
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")) - col("pos") - lit(1))).as("b"))
+      .repartition(col("a"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared"))
-    // occ persists lazily (its three consumers — perDoc, both join sides
-    // — would each re-run the explode+df-cap otherwise); released by
-    // [[graft.CacheSweep]], the minhashPairs convention. r14: measured
-    // no-persist at the x100 tier (the TableCacheQueryStage reuse
-    // finding) — 8 stages / 4643 MB vs 7 / 4529 MB, times equal within
-    // noise: the pair-aggregate shuffle dominates either way, and the
-    // persist still saves the third (perDoc) gram-explode re-run. Stays.
     shared
       .join(perDoc.select(col("id").as("a"), col("n").as("na")), Seq("a"))
       .join(perDoc.select(col("id").as("b"), col("n").as("nb")), Seq("b"))

@@ -156,9 +156,15 @@ class ExecutedStagesSpec extends SparkSpec {
         s"minhash_pairs shuffle-write stages = ${mh.shuffleWriteStages} " +
           "(expect 5±1; 8 means the kept persist started doubling BOTH " +
           "side exchanges — re-measure the PLANS r14 persist table)")
-      assert(cp.shuffleWriteStages >= 5 && cp.shuffleWriteStages <= 7,
+      // r18: the one-pass bounded-posting rewrite removed the
+      // eligibility semi-join and the occurrence self-join — executed
+      // shuffle writes dropped 6±1 → 4±1 (vocab agg, perDoc agg, pair
+      // repartition, plus a cache-history-dependent one); 7+ means the
+      // removed passes crept back in
+      assert(cp.shuffleWriteStages >= 3 && cp.shuffleWriteStages <= 5,
         s"containment_pairs shuffle-write stages = ${cp.shuffleWriteStages} " +
-          "(expect 6±1)")
+          "(expect 4±1 since the r18 one-pass rewrite; 6 was the old " +
+          "self-join shape)")
     }
   }
 }
